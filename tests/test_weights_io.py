@@ -1,0 +1,114 @@
+"""Darknet .weights loader tests (SURVEY.md §4.2.2): synthetic files with
+known bytes, exact round-trips, full-consumption asserts, BN folding."""
+
+import io
+
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.specs import Conv, MaxPool
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.models.graph import fold_params
+from yolo_tpu.ops import numpy_ref as npr
+
+TINY_LAYERS = (
+    Conv(4, size=3, bn=True),
+    MaxPool(2, 2),
+    Conv(6, size=1, bn=False, act="linear"),
+)
+
+
+def test_known_bytes_exact():
+    """Hand-build a 2-layer file and check every tensor lands where the
+    format says (darknet parse.c order: biases, [gamma, mean, var], kernel
+    OIHW)."""
+    oc1, ic1, k1 = 4, 3, 3
+    oc2, ic2, k2 = 6, 4, 1
+    rng = np.random.default_rng(0)
+    beta = rng.normal(size=oc1).astype(np.float32)
+    gamma = rng.normal(size=oc1).astype(np.float32)
+    mean = rng.normal(size=oc1).astype(np.float32)
+    var = np.abs(rng.normal(size=oc1)).astype(np.float32)
+    kern1 = rng.normal(size=(oc1, ic1, k1, k1)).astype(np.float32)
+    bias2 = rng.normal(size=oc2).astype(np.float32)
+    kern2 = rng.normal(size=(oc2, ic2, k2, k2)).astype(np.float32)
+
+    blob = io.BytesIO()
+    blob.write(np.asarray([0, 2, 0], dtype=np.int32).tobytes())
+    blob.write(np.asarray([12345], dtype=np.int64).tobytes())   # 20-byte header
+    for arr in (beta, gamma, mean, var, kern1, bias2, kern2):
+        blob.write(arr.tobytes())
+    blob.seek(0)
+
+    params, header = dw.load(blob, TINY_LAYERS)
+    assert header == {"major": 0, "minor": 2, "revision": 0, "seen": 12345}
+    np.testing.assert_array_equal(params[0]["beta"], beta)
+    np.testing.assert_array_equal(params[0]["gamma"], gamma)
+    np.testing.assert_array_equal(params[0]["mean"], mean)
+    np.testing.assert_array_equal(params[0]["var"], var)
+    np.testing.assert_array_equal(params[0]["kernel"], kern1.transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(params[1]["bias"], bias2)
+    np.testing.assert_array_equal(params[1]["kernel"], kern2.transpose(2, 3, 1, 0))
+
+
+def test_roundtrip_save_load():
+    rng = np.random.default_rng(1)
+    params = dw.random_params(TINY_LAYERS, rng)
+    blob = dw.to_bytes(TINY_LAYERS, params, seen=7)
+    loaded, header = dw.load(io.BytesIO(blob), TINY_LAYERS)
+    assert header["seen"] == 7
+    for p, q in zip(params, loaded):
+        assert set(p) == set(q)
+        for key in p:
+            np.testing.assert_array_equal(p[key], q[key])
+
+
+def test_old_16_byte_header():
+    rng = np.random.default_rng(2)
+    params = dw.random_params(TINY_LAYERS, rng)
+    blob = dw.to_bytes(TINY_LAYERS, params, seen=3, version=(0, 1, 0))
+    # header is 16 bytes for major*10+minor < 2
+    loaded, header = dw.load(io.BytesIO(blob), TINY_LAYERS)
+    assert header == {"major": 0, "minor": 1, "revision": 0, "seen": 3}
+    np.testing.assert_array_equal(loaded[0]["kernel"], params[0]["kernel"])
+
+
+def test_truncated_file_raises():
+    rng = np.random.default_rng(3)
+    params = dw.random_params(TINY_LAYERS, rng)
+    blob = dw.to_bytes(TINY_LAYERS, params)
+    with pytest.raises(ValueError, match="too short"):
+        dw.load(io.BytesIO(blob[:-8]), TINY_LAYERS)
+
+
+def test_trailing_bytes_raise():
+    rng = np.random.default_rng(4)
+    params = dw.random_params(TINY_LAYERS, rng)
+    blob = dw.to_bytes(TINY_LAYERS, params) + b"\x00" * 8
+    with pytest.raises(ValueError, match="not fully consumed"):
+        dw.load(io.BytesIO(blob), TINY_LAYERS)
+
+
+def test_full_variant_inferred_channels():
+    """Channel inference must walk routes/reorg correctly on full YOLOv2."""
+    from yolo_tpu.configs.variants import YOLOV2_COCO
+
+    conv_in = dw._infer_in_channels(YOLOV2_COCO.layers)
+    # last conv (1x1 to 425) sees 1024; the conv after the concat sees 1280
+    assert conv_in[-1] == 1024
+    assert conv_in[-2] == 256 + 1024
+    # the 1x1 passthrough conv sees the 512-ch route
+    assert conv_in[-3] == 512
+
+
+def test_bn_fold_unfold_equivalence():
+    rng = np.random.default_rng(5)
+    params = dw.random_params(TINY_LAYERS, rng)
+    p = params[0]
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)  # post-conv activations
+    want = npr.batchnorm(x, p["gamma"], p["beta"], p["mean"], p["var"])
+    folded = fold_params(TINY_LAYERS, params)[0]
+    # folding scales the kernel; applying the same scale to conv *outputs*
+    # is equivalent because conv is linear in the kernel
+    scale = p["gamma"] / np.sqrt(p["var"] + 1e-5)
+    np.testing.assert_allclose(x * scale + folded["bias"], want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,80 @@
+"""TF-2.x oracle implementing the documented reference semantics
+(SURVEY.md §4.2.3): an INDEPENDENT implementation of the same layer IR in
+TF ops, used to golden-test the JAX stack layer-by-layer and end-to-end.
+
+The reference itself is TF-1.x and unavailable (SURVEY.md §0); parity is a
+property of the graphs, so seeded random darknet weights through both
+stacks is the gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yolo_tpu.configs.specs import Conv, MaxPool, Reorg, Route, resolve_route
+
+
+def _reorg_indices(c: int, h: int, w: int, stride: int) -> np.ndarray:
+    """Flat gather indices for darknet reorg (forward=0), from the
+    reorg_cpu index formula — deliberately NOT the reshape/transpose chain
+    used by the production op, so the two derivations check each other."""
+    s = stride
+    out_c = c // (s * s)
+    idx = np.empty(c * h * w, dtype=np.int64)
+    for k in range(c):
+        for j in range(h):
+            for i in range(w):
+                in_index = i + w * (j + h * k)
+                c2 = k % out_c
+                offset = k // out_c
+                w2 = i * s + offset % s
+                h2 = j * s + offset // s
+                out_index = w2 + w * s * (h2 + h * s * c2)
+                idx[in_index] = out_index
+    return idx
+
+
+def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    import tensorflow as tf
+
+    x = tf.constant(x_nhwc, dtype=tf.float32)
+    outputs = []
+    conv_i = 0
+    for idx, layer in enumerate(layers):
+        if isinstance(layer, Conv):
+            p = params[conv_i]
+            conv_i += 1
+            pad = layer.size // 2
+            if pad:
+                x = tf.pad(x, [[0, 0], [pad, pad], [pad, pad], [0, 0]])
+            x = tf.nn.conv2d(x, p["kernel"].astype(np.float32),
+                             strides=layer.stride, padding="VALID")
+            if "gamma" in p:
+                x = tf.nn.batch_normalization(
+                    x, p["mean"], p["var"], p["beta"], p["gamma"], eps)
+            else:
+                x = tf.nn.bias_add(x, p["bias"])
+            if layer.act == "leaky":
+                x = tf.nn.leaky_relu(x, alpha=0.1)
+        elif isinstance(layer, MaxPool):
+            if layer.stride == 1:
+                padn = layer.size - 1
+                x = tf.pad(x, [[0, 0], [0, padn], [0, padn], [0, 0]],
+                           constant_values=float("-inf"))
+            x = tf.nn.max_pool2d(x, ksize=layer.size, strides=layer.stride,
+                                 padding="VALID")
+        elif isinstance(layer, Reorg):
+            b = x.shape[0]
+            xn = tf.transpose(x, [0, 3, 1, 2])  # NCHW, darknet layout
+            c, h, w = xn.shape[1], xn.shape[2], xn.shape[3]
+            gather = _reorg_indices(int(c), int(h), int(w), layer.stride)
+            flat = tf.reshape(xn, [b, -1])
+            out = tf.gather(flat, gather, axis=1)
+            s = layer.stride
+            xn = tf.reshape(out, [b, int(c) * s * s, int(h) // s, int(w) // s])
+            x = tf.transpose(xn, [0, 2, 3, 1])
+        elif isinstance(layer, Route):
+            x = tf.concat([outputs[resolve_route(idx, r)] for r in layer.layers],
+                          axis=-1)
+        outputs.append(x)
+    return x.numpy()

@@ -1,0 +1,99 @@
+"""Layer-spec IR: a darknet-cfg-equivalent model description as frozen
+dataclasses.
+
+The reference family of repos hardcodes each graph in TF ops (SURVEY.md §2.1,
+layout [UNVERIFIED]); here the topology is *data* interpreted by one
+functional executor (models/graph.py). This keeps the darknet ``.weights``
+loader generic (it walks Conv specs in file order — darknet ``parse.c``
+save/load order) and makes every variant trivially testable against the same
+oracle.
+
+Semantics pinned by the darknet cfg format:
+  * ``Conv``: conv2d (SAME padding when size>1, darknet pad=size//2),
+    optional batch-norm, activation (leaky 0.1 or linear).
+  * ``MaxPool``: darknet maxpool; ``size=2, stride=1`` pads one row/col at
+    the *end* with -inf (SURVEY.md §7.2 parity trap).
+  * ``Route``: channel concat of earlier layer outputs, in listed order,
+    indices relative to the route layer (negative) exactly as darknet.
+  * ``Reorg``: darknet ``reorg_cpu`` with forward=0 as used by yolov2.cfg's
+    ``[reorg] stride=2`` — NOT space_to_depth (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple, Union
+
+
+@dataclasses.dataclass(frozen=True)
+class Conv:
+    filters: int
+    size: int = 3
+    stride: int = 1
+    bn: bool = True
+    act: str = "leaky"  # "leaky" (slope 0.1) | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPool:
+    size: int = 2
+    stride: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Route:
+    # Relative indices into the layer list (negative, darknet-style).
+    layers: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class Reorg:
+    stride: int = 2
+
+
+LayerSpec = Union[Conv, MaxPool, Route, Reorg]
+
+
+def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
+    """Conv layers in darknet file order (the weights-file walk order)."""
+    return tuple(l for l in layers if isinstance(l, Conv))
+
+
+def resolve_route(idx: int, rel: int) -> int:
+    """Resolve a darknet route index relative to layer position ``idx``."""
+    return idx + rel if rel < 0 else rel
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """One model variant: topology + anchors + postprocess defaults.
+
+    Mirrors the reference's config surface (SURVEY.md §2.1 'Config':
+    model variant, input size, anchors, class names, thresholds).
+    """
+
+    name: str
+    layers: Tuple[LayerSpec, ...]
+    anchors: Tuple[Tuple[float, float], ...]  # (pw, ph) in cell units
+    class_names: Tuple[str, ...]
+    input_size: int = 416
+    conf_threshold: float = 0.5
+    nms_threshold: float = 0.45
+    bn_eps: float = 1e-5  # pinned; see SURVEY.md §3.4 note
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def grid_size(self) -> int:
+        return self.input_size // 32
+
+    def with_input_size(self, size: int) -> "ModelConfig":
+        if size % 32 != 0:
+            raise ValueError(f"input size must be a multiple of 32, got {size}")
+        return dataclasses.replace(self, input_size=size)

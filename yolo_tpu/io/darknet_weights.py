@@ -1,0 +1,163 @@
+"""Darknet ``.weights`` binary I/O (SURVEY.md §3.4 — the reference's
+checkpoint-compatibility contract, BASELINE.json:5).
+
+File format (darknet ``parse.c`` save/load order):
+  header: int32 major, minor, revision; then ``seen`` — int64 if
+  major*10+minor >= 2 (20-byte header, the yolov2-era files), else int32
+  (16 bytes).
+  per conv layer, in cfg order:
+    biases[oc]                       (this is BN beta when bn=True)
+    if bn: scales[oc] (gamma), rolling_mean[oc], rolling_var[oc]
+    kernel fp32, darknet (oc, ic, kh, kw) order -> transposed to HWIO here.
+
+Params pytree produced (and consumed by models/graph.py):
+  [{"kernel": HWIO f32, "bias": (oc,)}            for bn=False convs,
+   {"kernel": HWIO f32, "gamma","beta","mean","var": (oc,)} for bn=True]
+ordered like ``conv_specs(cfg.layers)``.
+
+Both load and save are pure numpy — byte-identical on any backend.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import BinaryIO, List, Sequence
+
+import numpy as np
+
+from yolo_tpu.configs.specs import Conv, LayerSpec, conv_specs
+
+
+def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> List[int]:
+    """Input-channel count for each Conv, walking the layer graph."""
+    from yolo_tpu.configs.specs import MaxPool, Reorg, Route, resolve_route
+
+    out_ch: List[int] = []
+    conv_in: List[int] = []
+    prev = input_channels
+    for idx, layer in enumerate(layers):
+        if isinstance(layer, Conv):
+            conv_in.append(prev)
+            prev = layer.filters
+        elif isinstance(layer, MaxPool):
+            pass
+        elif isinstance(layer, Reorg):
+            prev = prev * layer.stride * layer.stride
+        elif isinstance(layer, Route):
+            prev = sum(out_ch[resolve_route(idx, r)] for r in layer.layers)
+        out_ch.append(prev)
+    return conv_in
+
+
+def load(path_or_file, layers: Sequence[LayerSpec], input_channels: int = 3):
+    """Load a darknet .weights file into a params list for ``layers``.
+
+    Asserts the file is fully consumed (SURVEY.md §3.4 'critical
+    correctness check').
+    """
+    if hasattr(path_or_file, "read"):
+        data = path_or_file.read()
+    else:
+        with open(path_or_file, "rb") as f:
+            data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    major, minor, revision = np.frombuffer(buf[:12].tobytes(), dtype=np.int32)
+    if major * 10 + minor >= 2:
+        seen = int(np.frombuffer(buf[12:20].tobytes(), dtype=np.int64)[0])
+        offset = 20
+    else:
+        seen = int(np.frombuffer(buf[12:16].tobytes(), dtype=np.int32)[0])
+        offset = 16
+
+    floats = np.frombuffer(buf[offset:].tobytes(), dtype=np.float32)
+    pos = 0
+
+    def take(n: int) -> np.ndarray:
+        nonlocal pos
+        if pos + n > floats.size:
+            raise ValueError(
+                f"weights file too short: need {n} floats at offset {pos}, "
+                f"have {floats.size - pos}")
+        out = floats[pos:pos + n].copy()
+        pos += n
+        return out
+
+    params = []
+    conv_in = _infer_in_channels(layers, input_channels)
+    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
+        oc, k = conv.filters, conv.size
+        layer_params = {}
+        biases = take(oc)
+        if conv.bn:
+            layer_params["beta"] = biases
+            layer_params["gamma"] = take(oc)
+            layer_params["mean"] = take(oc)
+            layer_params["var"] = take(oc)
+        else:
+            layer_params["bias"] = biases
+        kernel = take(oc * ic * k * k).reshape(oc, ic, k, k)
+        layer_params["kernel"] = np.ascontiguousarray(kernel.transpose(2, 3, 1, 0))
+        params.append(layer_params)
+
+    if pos != floats.size:
+        raise ValueError(
+            f"weights file not fully consumed: read {pos} of {floats.size} "
+            f"floats — layer spec does not match file")
+    return params, {"major": int(major), "minor": int(minor),
+                    "revision": int(revision), "seen": seen}
+
+
+def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
+         version=(0, 2, 0)) -> None:
+    """Write params back out in darknet format (HWIO -> OIHW inverse
+    transpose). Export proves checkpoint compatibility both directions
+    (SURVEY.md §5.4)."""
+    own = not hasattr(path_or_file, "write")
+    f: BinaryIO = open(path_or_file, "wb") if own else path_or_file
+    try:
+        major, minor, revision = version
+        f.write(np.asarray([major, minor, revision], dtype=np.int32).tobytes())
+        if major * 10 + minor >= 2:
+            f.write(np.asarray([seen], dtype=np.int64).tobytes())
+        else:
+            f.write(np.asarray([seen], dtype=np.int32).tobytes())
+        for conv, p in zip(conv_specs(tuple(layers)), params):
+            if conv.bn:
+                for key in ("beta", "gamma", "mean", "var"):
+                    f.write(np.asarray(p[key], dtype=np.float32).tobytes())
+            else:
+                f.write(np.asarray(p["bias"], dtype=np.float32).tobytes())
+            kernel = np.asarray(p["kernel"], dtype=np.float32)
+            f.write(np.ascontiguousarray(kernel.transpose(3, 2, 0, 1)).tobytes())
+    finally:
+        if own:
+            f.close()
+
+
+def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
+                  input_channels: int = 3, scale: float = 0.1):
+    """Random params with the load() pytree structure — for synthetic
+    weights files in tests and for seeded-weights parity testing
+    (SURVEY.md §4.2.3)."""
+    params = []
+    conv_in = _infer_in_channels(layers, input_channels)
+    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
+        oc, k = conv.filters, conv.size
+        p = {"kernel": rng.normal(0, scale, (k, k, ic, oc)).astype(np.float32)}
+        if conv.bn:
+            p["gamma"] = rng.uniform(0.5, 1.5, oc).astype(np.float32)
+            p["beta"] = rng.normal(0, 0.1, oc).astype(np.float32)
+            p["mean"] = rng.normal(0, 0.1, oc).astype(np.float32)
+            p["var"] = rng.uniform(0.5, 1.5, oc).astype(np.float32)
+        else:
+            p["bias"] = rng.normal(0, 0.1, oc).astype(np.float32)
+        params.append(p)
+    return params
+
+
+def to_bytes(layers: Sequence[LayerSpec], params, seen: int = 0,
+             version=(0, 2, 0)) -> bytes:
+    bio = _io.BytesIO()
+    save(bio, layers, params, seen=seen, version=version)
+    return bio.getvalue()

@@ -1,0 +1,157 @@
+"""Functional executor for the darknet-equivalent layer IR.
+
+One pure function interprets ModelConfig.layers (tiny-YOLOv2 and full
+YOLOv2 both run through here — the reference hardcodes each graph in TF
+ops instead, SURVEY.md §2.1). Everything is traceable: static shapes,
+no Python data-dependence, NHWC layout for TPU conv efficiency.
+
+Precision policy (SURVEY.md §7.2 'fp32 parity vs speed'):
+  * compute_dtype="float32" + HIGHEST precision — the parity/CI mode.
+  * compute_dtype="bfloat16" — throughput mode; convs accumulate in fp32
+    (preferred_element_type), activations/BN in bf16.
+
+Batch-norm:
+  * inference: rolling stats; or fold BN into conv weight+bias up front
+    via fold_params() so each block is a single fused conv+bias+leaky
+    (XLA fuses bias+leaky into the conv epilogue).
+  * training: batch stats over (N, H, W) + EMA update of rolling stats
+    (darknet momentum 0.99), returned functionally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from yolo_tpu.configs.specs import Conv, LayerSpec, MaxPool, Reorg, Route, resolve_route
+from yolo_tpu.ops.pool import maxpool_nhwc
+from yolo_tpu.ops.reorg import reorg_nhwc
+
+Params = List[Dict[str, Any]]
+
+BN_MOMENTUM = 0.99
+
+
+def _conv2d(x, kernel, stride, compute_dtype):
+    k = kernel.shape[0]
+    pad = k // 2  # darknet pad = size // 2, symmetric
+    if compute_dtype == jnp.float32:
+        precision = lax.Precision.HIGHEST
+    else:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+        precision = lax.Precision.DEFAULT
+    return lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _activate(x, act: str):
+    if act == "leaky":
+        return jnp.where(x > 0, x, 0.1 * x)
+    if act == "linear":
+        return x
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
+               train: bool, compute_dtype) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """conv (+BN) (+bias) + activation. Returns (y, new_bn_stats|None)."""
+    y = _conv2d(x, p["kernel"], spec.stride, compute_dtype)
+    new_stats = None
+    if "gamma" in p:
+        if train:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            new_stats = {
+                "mean": BN_MOMENTUM * p["mean"] + (1 - BN_MOMENTUM) * mean,
+                "var": BN_MOMENTUM * p["var"] + (1 - BN_MOMENTUM) * var,
+            }
+        else:
+            mean, var = p["mean"], p["var"]
+        scale = p["gamma"] * lax.rsqrt(var + eps)
+        y = (y - mean) * scale + p["beta"]
+    elif "bias" in p:
+        y = y + p["bias"]
+    y = _activate(y, spec.act)
+    if compute_dtype != jnp.float32:
+        y = y.astype(compute_dtype)
+    return y, new_stats
+
+
+def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
+                 *, eps: float = 1e-5, train: bool = False,
+                 compute_dtype=jnp.float32):
+    """Run the layer list. x: (B, H, W, 3) float.
+
+    Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
+    (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats}.
+    """
+    outputs: List[jnp.ndarray] = []
+    bn_updates: Dict[int, Dict] = {}
+    conv_i = 0
+    for idx, layer in enumerate(layers):
+        if isinstance(layer, Conv):
+            x, stats = conv_block(x, params[conv_i], layer, eps=eps,
+                                  train=train, compute_dtype=compute_dtype)
+            if stats is not None:
+                bn_updates[conv_i] = stats
+            conv_i += 1
+        elif isinstance(layer, MaxPool):
+            x = maxpool_nhwc(x, layer.size, layer.stride)
+        elif isinstance(layer, Reorg):
+            x = reorg_nhwc(x, layer.stride)
+        elif isinstance(layer, Route):
+            srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
+            x = jnp.concatenate(srcs, axis=-1)
+        else:
+            raise TypeError(f"unknown layer spec {layer!r}")
+        outputs.append(x)
+    logits = x.astype(jnp.float32)
+    if train:
+        return logits, bn_updates
+    return logits
+
+
+def fold_params(layers: Sequence[LayerSpec], params: Params,
+                eps: float = 1e-5) -> Params:
+    """Fold inference BN into conv weight+bias (SURVEY.md §3.4):
+    w' = w * g/sqrt(v+eps), b' = beta - mean * g/sqrt(v+eps)."""
+    folded = []
+    for p in params:
+        if "gamma" in p:
+            scale = np.asarray(p["gamma"]) / np.sqrt(np.asarray(p["var"]) + eps)
+            folded.append({
+                "kernel": np.asarray(p["kernel"]) * scale[None, None, None, :],
+                "bias": np.asarray(p["beta"]) - np.asarray(p["mean"]) * scale,
+            })
+        else:
+            folded.append({"kernel": np.asarray(p["kernel"]),
+                           "bias": np.asarray(p["bias"])})
+    return folded
+
+
+def apply_bn_updates(params: Params, bn_updates: Dict[int, Dict]) -> Params:
+    """Merge EMA stats from a training step back into the params pytree."""
+    out = []
+    for i, p in enumerate(params):
+        if i in bn_updates:
+            q = dict(p)
+            q.update(bn_updates[i])
+            out.append(q)
+        else:
+            out.append(p)
+    return out
+
+
+def params_to_jax(params: Params, dtype=jnp.float32) -> Params:
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype), params)

@@ -1,0 +1,85 @@
+"""Frame-in/boxes-out inference pipeline: one compiled graph.
+
+The reference's predict path (SURVEY.md §3.1) is host-preprocess ->
+sess.run(conv stack) -> host decode/NMS. Here everything from raw RGB to
+fixed-shape detections is a single jitted function (BASELINE.json:5):
+
+  raw u8 (B, H, W, 3) -> letterbox -> backbone+head -> decode -> NMS
+  -> {boxes (B, D, 4) [original-image pixel xyxy], scores, classes, valid}
+
+Source shape and net size are static per specialization; the jit cache
+buckets over them (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.configs.specs import ModelConfig
+from yolo_tpu.models import graph
+from yolo_tpu.ops.decode import decode
+from yolo_tpu.ops.letterbox import letterbox, unletterbox_boxes_xyxy
+from yolo_tpu.ops.nms import nms_batch
+
+
+def forward(cfg: ModelConfig, params, images_01: jnp.ndarray,
+            *, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Preprocessed (B, S, S, 3) [0,1] float -> raw head logits (fp32)."""
+    return graph.apply_layers(cfg.layers, params, images_01,
+                              eps=cfg.bn_eps, compute_dtype=compute_dtype)
+
+
+def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
+           compute_dtype=jnp.float32,
+           conf_threshold: Optional[float] = None,
+           nms_threshold: Optional[float] = None,
+           top_k: int = 128, max_detections: int = 100):
+    """Preprocessed images -> fixed-shape detections (net-space xywh)."""
+    logits = forward(cfg, params, images_01, compute_dtype=compute_dtype)
+    boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
+    return nms_batch(
+        boxes, scores,
+        conf_threshold=cfg.conf_threshold if conf_threshold is None else conf_threshold,
+        iou_threshold=cfg.nms_threshold if nms_threshold is None else nms_threshold,
+        top_k=top_k, max_detections=max_detections)
+
+
+def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
+               compute_dtype=jnp.float32, **kw):
+    """Raw RGB (B, H, W, 3) uint8 -> detections with boxes mapped back to
+    original-image pixel xyxy. The full fused path."""
+    b, h, w, _ = images_u8.shape
+    x = letterbox(images_u8, cfg.input_size)
+    dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
+    dets["boxes"] = unletterbox_boxes_xyxy(
+        dets["boxes"], src_h=h, src_w=w, net_size=cfg.input_size)
+    return dets
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
+                       nms_threshold, top_k, max_detections):
+    def fn(params, images_u8):
+        return detect_raw(cfg, params, images_u8,
+                          compute_dtype=compute_dtype,
+                          conf_threshold=conf_threshold,
+                          nms_threshold=nms_threshold,
+                          top_k=top_k, max_detections=max_detections)
+    return jax.jit(fn)
+
+
+def make_detector(cfg: ModelConfig, *, compute_dtype=jnp.float32,
+                  conf_threshold: Optional[float] = None,
+                  nms_threshold: Optional[float] = None,
+                  top_k: int = 128, max_detections: int = 100):
+    """Jitted raw-RGB detector; recompiles only per (source-shape, batch)
+    bucket."""
+    return _jitted_detect_raw(
+        cfg, compute_dtype,
+        cfg.conf_threshold if conf_threshold is None else conf_threshold,
+        cfg.nms_threshold if nms_threshold is None else nms_threshold,
+        top_k, max_detections)

@@ -1,0 +1,44 @@
+"""On-device region-layer decode (SURVEY.md §2.1 'Decode').
+
+The reference decodes on host in numpy after sess.run (SURVEY.md §3.1);
+here decode is vectorized jnp *inside* the jitted graph — no host round
+trip (BASELINE.json:5). Math pinned by YOLO9000 Fig.3 / darknet
+region_layer semantics:
+
+  bx = (sigmoid(tx) + cx) / W,  by = (sigmoid(ty) + cy) / H
+  bw = pw * exp(tw) / W,        bh = ph * exp(th) / H
+  conf = sigmoid(to), p = softmax(tc), score = conf * p
+
+No tw/th clamp — matches the oracle exactly (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def decode(logits: jnp.ndarray, anchors, num_classes: int):
+    """logits: (B, H, W, A*(5+C)) raw head output.
+
+    Returns:
+      boxes  (B, H*W*A, 4)  (cx, cy, w, h) normalized to net space
+      scores (B, H*W*A, C)  conf * class prob
+    Compute in fp32 regardless of input dtype (parity gate, SURVEY.md §7.2).
+    """
+    b, h, w, _ = logits.shape
+    a = len(anchors)
+    t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
+    anchors = jnp.asarray(anchors, dtype=jnp.float32)  # (A, 2) cell units
+
+    cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    bx = (jax.nn.sigmoid(t[..., 0]) + cx) / w
+    by = (jax.nn.sigmoid(t[..., 1]) + cy) / h
+    bw = anchors[None, None, None, :, 0] * jnp.exp(t[..., 2]) / w
+    bh = anchors[None, None, None, :, 1] * jnp.exp(t[..., 3]) / h
+    conf = jax.nn.sigmoid(t[..., 4])
+    probs = jax.nn.softmax(t[..., 5:], axis=-1)
+    scores = conf[..., None] * probs
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    return boxes.reshape(b, -1, 4), scores.reshape(b, -1, num_classes)

@@ -1,0 +1,84 @@
+"""Device-side letterbox: resize + pad + normalize inside the compiled graph.
+
+The reference letterboxes on host with PIL/cv2 per image (SURVEY.md §3.1-3.2,
+the serial bottleneck); here the compiled graph starts at raw RGB
+(BASELINE.json:5 'fused into the input pipeline'; JPEG decode stays on host —
+TPUs can't decode JPEG, SURVEY.md §5.8).
+
+Resize filter pinned (SURVEY.md §7.2): half-pixel-center bilinear WITHOUT
+antialiasing == cv2.INTER_LINEAR == the numpy_ref.letterbox oracle. We can't
+use jax.image.resize (it antialiases on downscale), so bilinear resize is
+expressed as two small dense interpolation matmuls (exact, separable, and
+MXU-friendly): out = R_h @ img @ R_w^T.
+
+Source shape is static per jit specialization (bucketed compile cache, same
+policy as multi-scale training, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) bilinear interpolation matrix, half-pixel
+    centers, clamped borders (cv2.INTER_LINEAR semantics)."""
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.floor(coords).astype(np.int64)
+    frac = (coords - i0).astype(np.float64)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    i0 = np.clip(i0, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), (1.0 - frac).astype(np.float32))
+    np.add.at(m, (rows, i1), frac.astype(np.float32))
+    return m
+
+
+def letterbox_geometry(src_h: int, src_w: int, net_size: int):
+    """Static geometry: scale, resized (rh, rw), pad offsets (px, py)."""
+    scale = min(net_size / src_w, net_size / src_h)
+    rw, rh = int(round(src_w * scale)), int(round(src_h * scale))
+    px, py = (net_size - rw) // 2, (net_size - rh) // 2
+    return scale, rh, rw, px, py
+
+
+def letterbox(images: jnp.ndarray, net_size: int) -> jnp.ndarray:
+    """images: (B, H, W, 3) uint8 (or float in [0,255]) raw RGB ->
+    (B, net, net, 3) float32 in [0,1], gray(0.5)-padded."""
+    b, h, w, c = images.shape
+    scale, rh, rw, px, py = letterbox_geometry(h, w, net_size)
+    x = images.astype(jnp.float32) / 255.0
+    if rh != h:
+        mh = jnp.asarray(_lerp_matrix(h, rh))
+        x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    if rw != w:
+        mw = jnp.asarray(_lerp_matrix(w, rw))
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x)
+    return jnp.pad(
+        x,
+        ((0, 0), (py, net_size - rh - py), (px, net_size - rw - px), (0, 0)),
+        constant_values=0.5,
+    )
+
+
+def unletterbox_boxes_xyxy(boxes_xywh: jnp.ndarray, *, src_h: int, src_w: int,
+                           net_size: int) -> jnp.ndarray:
+    """Map net-normalized xywh boxes to original-image pixel xyxy, clipped
+    (same math as numpy_ref.unletterbox_boxes; static geometry)."""
+    scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net_size)
+    b = boxes_xywh
+    cx = (b[..., 0] * net_size - px) / scale
+    cy = (b[..., 1] * net_size - py) / scale
+    bw = b[..., 2] * net_size / scale
+    bh = b[..., 3] * net_size / scale
+    x1 = jnp.clip(cx - bw / 2, 0, src_w)
+    y1 = jnp.clip(cy - bh / 2, 0, src_h)
+    x2 = jnp.clip(cx + bw / 2, 0, src_w)
+    y2 = jnp.clip(cy + bh / 2, 0, src_h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

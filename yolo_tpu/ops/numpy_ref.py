@@ -1,0 +1,207 @@
+"""Pure-numpy reference implementations (oracles).
+
+These are direct, loop-level transcriptions of the darknet semantics the
+reference consumes (SURVEY.md §4.2.1: every JAX/Pallas op is golden-tested
+against these). They are deliberately slow and obvious — the executable spec.
+
+Sources of truth: darknet region_layer.c / reorg_layer.c / maxpool_layer.c
+behavioral descriptions in SURVEY.md §2-§3 and the YOLO9000 paper
+(arXiv:1612.08242). No code is copied from the (absent) reference tree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def softmax(x, axis=-1):
+    x = x - np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# reorg (darknet passthrough), transcribed from reorg_cpu index math with
+# forward=0 — the flag yolov2.cfg's [reorg] stride=2 layer uses.
+# NOTE: this is NOT space_to_depth (SURVEY.md §7.2 parity trap).
+# ---------------------------------------------------------------------------
+
+def reorg_nchw(x: np.ndarray, stride: int = 2) -> np.ndarray:
+    """x: (B, C, H, W) -> (B, C*stride^2, H/stride, W/stride).
+
+    Darknet layout is NCHW/flat; the scrambled flat buffer the real layer
+    produces is reinterpreted as (C*s^2, H/s, W/s) by the next layer.
+    """
+    b, c, h, w = x.shape
+    s = stride
+    out_c = c // (s * s)
+    out = np.empty(x.size, dtype=x.dtype)
+    xf = x.reshape(-1)
+    for bi in range(b):
+        for k in range(c):
+            for j in range(h):
+                for i in range(w):
+                    in_index = i + w * (j + h * (k + c * bi))
+                    c2 = k % out_c
+                    offset = k // out_c
+                    w2 = i * s + offset % s
+                    h2 = j * s + offset // s
+                    out_index = w2 + w * s * (h2 + h * s * (c2 + out_c * bi))
+                    # forward=0: out[in_index] = x[out_index]
+                    out[in_index] = xf[out_index]
+    return out.reshape(b, c * s * s, h // s, w // s)
+
+
+def reorg_nhwc(x: np.ndarray, stride: int = 2) -> np.ndarray:
+    """NHWC wrapper around the NCHW oracle."""
+    y = reorg_nchw(np.ascontiguousarray(x.transpose(0, 3, 1, 2)), stride)
+    return y.transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# maxpool with darknet padding (pads at the END with -inf for the
+# size-2/stride-1 SAME case — tiny-YOLO layer 6, SURVEY.md §7.2)
+# ---------------------------------------------------------------------------
+
+def maxpool_nhwc(x: np.ndarray, size: int, stride: int) -> np.ndarray:
+    b, h, w, c = x.shape
+    pad = size - 1 if stride == 1 else 0
+    oh = (h + pad - size) // stride + 1
+    ow = (w + pad - size) // stride + 1
+    xp = np.full((b, h + pad, w + pad, c), -np.inf, dtype=x.dtype)
+    xp[:, :h, :w, :] = x
+    out = np.empty((b, oh, ow, c), dtype=x.dtype)
+    for j in range(oh):
+        for i in range(ow):
+            win = xp[:, j * stride:j * stride + size, i * stride:i * stride + size, :]
+            out[:, j, i, :] = win.max(axis=(1, 2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch norm (inference) — eps pinned inside the sqrt (SURVEY.md §3.4)
+# ---------------------------------------------------------------------------
+
+def batchnorm(x, gamma, beta, mean, var, eps=1e-5):
+    return gamma * (x - mean) / np.sqrt(var + eps) + beta
+
+
+def fold_bn(kernel_hwio, gamma, beta, mean, var, eps=1e-5):
+    """Fold inference BN into conv weight+bias:
+    w' = w * g/sqrt(v+eps), b' = beta - mean * g/sqrt(v+eps) (SURVEY.md §3.4)."""
+    scale = gamma / np.sqrt(var + eps)
+    return kernel_hwio * scale[None, None, None, :], beta - mean * scale
+
+
+# ---------------------------------------------------------------------------
+# region-layer decode (YOLO9000 Fig.3 / SURVEY.md §2.1 'Decode')
+# ---------------------------------------------------------------------------
+
+def decode(logits: np.ndarray, anchors, num_classes: int):
+    """logits: (H, W, A*(5+C)) raw conv output for ONE image.
+
+    Returns (boxes, scores):
+      boxes  (H*W*A, 4) as (cx, cy, w, h) normalized to [0, 1] net space
+      scores (H*W*A, C) = sigmoid(obj) * softmax(classes)
+    """
+    h, w, _ = logits.shape
+    a = len(anchors)
+    t = logits.reshape(h, w, a, 5 + num_classes)
+    anchors = np.asarray(anchors, dtype=np.float64)  # (A, 2) in cell units
+
+    cx = np.arange(w, dtype=np.float64)[None, :, None]
+    cy = np.arange(h, dtype=np.float64)[:, None, None]
+    bx = (sigmoid(t[..., 0]) + cx) / w
+    by = (sigmoid(t[..., 1]) + cy) / h
+    bw = anchors[None, None, :, 0] * np.exp(t[..., 2]) / w
+    bh = anchors[None, None, :, 1] * np.exp(t[..., 3]) / h
+    conf = sigmoid(t[..., 4])
+    probs = softmax(t[..., 5:], axis=-1)
+    scores = conf[..., None] * probs
+    boxes = np.stack([bx, by, bw, bh], axis=-1)
+    return boxes.reshape(-1, 4), scores.reshape(-1, num_classes)
+
+
+# ---------------------------------------------------------------------------
+# IoU + greedy per-class NMS (darknet do_nms_sort behavior)
+# ---------------------------------------------------------------------------
+
+def iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two (cx, cy, w, h) boxes."""
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def nms_per_class(boxes, scores, conf_threshold, iou_threshold):
+    """Greedy class-wise NMS.
+
+    boxes (N, 4) xywh; scores (N, C). Deterministic tie-break: higher score
+    first, then lower box index (SURVEY.md §7.2). Returns a list of
+    (box_xywh, score, class_id) sorted by (score desc, class, index).
+    """
+    n, c = scores.shape
+    out = []
+    for cls in range(c):
+        s = scores[:, cls]
+        # stable sort by (-score, index)
+        order = np.lexsort((np.arange(n), -s))
+        suppressed = np.zeros(n, dtype=bool)
+        for oi, i in enumerate(order):
+            if s[i] < conf_threshold or suppressed[i]:
+                continue
+            out.append((boxes[i].copy(), float(s[i]), cls))
+            for j in order[oi + 1:]:
+                if not suppressed[j] and iou_xywh(boxes[i], boxes[j]) > iou_threshold:
+                    suppressed[j] = True
+    out.sort(key=lambda r: (-r[1], r[2]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# letterbox (host oracle). Resize filter pinned to half-pixel-center
+# bilinear == cv2 INTER_LINEAR == jax.image.resize('bilinear')
+# (SURVEY.md §7.2 'resize-filter pinning'). Pad value 0.5 (gray 127.5).
+# ---------------------------------------------------------------------------
+
+def letterbox(img_u8: np.ndarray, net_w: int, net_h: int):
+    """img_u8: (H, W, 3) uint8 RGB -> (net_h, net_w, 3) float32 in [0,1].
+
+    Returns (out, scale, pad_x, pad_y) where pad is in net pixels.
+    """
+    import cv2
+
+    h, w = img_u8.shape[:2]
+    scale = min(net_w / w, net_h / h)
+    rw, rh = int(round(w * scale)), int(round(h * scale))
+    resized = cv2.resize(img_u8.astype(np.float32) / 255.0, (rw, rh),
+                         interpolation=cv2.INTER_LINEAR)
+    out = np.full((net_h, net_w, 3), 0.5, dtype=np.float32)
+    px, py = (net_w - rw) // 2, (net_h - rh) // 2
+    out[py:py + rh, px:px + rw, :] = resized
+    return out, scale, px, py
+
+
+def unletterbox_boxes(boxes_xywh: np.ndarray, scale: float, px: int, py: int,
+                      net_w: int, net_h: int, img_w: int, img_h: int):
+    """Map net-normalized xywh boxes back to original-image pixel xyxy."""
+    b = boxes_xywh.astype(np.float64)
+    cx = (b[:, 0] * net_w - px) / scale
+    cy = (b[:, 1] * net_h - py) / scale
+    bw = b[:, 2] * net_w / scale
+    bh = b[:, 3] * net_h / scale
+    x1 = np.clip(cx - bw / 2, 0, img_w)
+    y1 = np.clip(cy - bh / 2, 0, img_h)
+    x2 = np.clip(cx + bw / 2, 0, img_w)
+    y2 = np.clip(cy + bh / 2, 0, img_h)
+    return np.stack([x1, y1, x2, y2], axis=-1)
