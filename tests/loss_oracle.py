@@ -1,0 +1,56 @@
+"""Loop-level numpy oracle for the region loss (independent of the
+vectorized jnp implementation it tests — SURVEY.md §4.2.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yolo_tpu.ops.numpy_ref import iou_xywh, sigmoid, softmax
+
+
+def region_loss_np(logits, targets, anchors, num_classes, cfg, seen):
+    b, s, _, _ = logits.shape
+    a = len(anchors)
+    c = num_classes
+    t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
+    anchors = np.asarray(anchors, dtype=np.float64)
+    parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class", "warmup")}
+
+    for bi in range(b):
+        gt = [targets["gt_boxes"][bi][g] for g in range(len(targets["gt_mask"][bi]))
+              if targets["gt_mask"][bi][g] > 0]
+        for j in range(s):
+            for i in range(s):
+                for ai in range(a):
+                    v = t[bi, j, i, ai]
+                    sx, sy = sigmoid(v[0]), sigmoid(v[1])
+                    tw, th = v[2], v[3]
+                    conf = sigmoid(v[4])
+                    probs = softmax(v[5:])
+                    pbox = np.array([
+                        (sx + i) / s, (sy + j) / s,
+                        anchors[ai, 0] * np.exp(tw) / s,
+                        anchors[ai, 1] * np.exp(th) / s,
+                    ])
+                    assigned = targets["obj_mask"][bi, j, i, ai] > 0
+                    best_iou = max((iou_xywh(pbox, g) for g in gt), default=0.0)
+                    if assigned:
+                        tc = targets["tcoord"][bi, j, i, ai]
+                        w = targets["coord_w"][bi, j, i, ai]
+                        parts["coord"] += cfg.coord_scale * w * (
+                            (sx - tc[0]) ** 2 + (sy - tc[1]) ** 2 +
+                            (tw - tc[2]) ** 2 + (th - tc[3]) ** 2)
+                        iou_t = iou_xywh(pbox, targets["tiou_boxes"][bi, j, i, ai])
+                        tgt = iou_t if cfg.rescore else 1.0
+                        parts["obj"] += cfg.object_scale * (tgt - conf) ** 2
+                        onehot = np.zeros(c)
+                        onehot[targets["tcls"][bi, j, i, ai]] = 1.0
+                        parts["class"] += cfg.class_scale * np.sum((probs - onehot) ** 2)
+                    else:
+                        if best_iou < cfg.iou_thresh:
+                            parts["noobj"] += cfg.noobject_scale * conf ** 2
+                        if seen < cfg.warmup_seen:
+                            parts["warmup"] += cfg.warmup_scale * (
+                                (sx - 0.5) ** 2 + (sy - 0.5) ** 2 + tw ** 2 + th ** 2)
+    parts = {k: v / b for k, v in parts.items()}
+    return sum(parts.values()), parts

@@ -1,0 +1,150 @@
+"""Loss/GT-encoder/trainer tests (SURVEY.md §4.2.4) + checkpoint resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.configs.names import VOC_NAMES
+from yolo_tpu.configs.specs import Conv, MaxPool, ModelConfig
+from yolo_tpu.data import targets as tgt
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.models import graph
+from yolo_tpu.train.loop import TrainConfig, init_state, make_train_step
+from yolo_tpu.train.loss import LossConfig, region_loss
+
+ANCHORS3 = ((1.0, 1.5), (3.0, 3.0), (6.0, 4.0))
+
+MICRO = ModelConfig(
+    name="micro",
+    layers=(
+        Conv(8), MaxPool(2, 2),
+        Conv(16), MaxPool(2, 2),
+        Conv(16), MaxPool(2, 2),
+        Conv(16), MaxPool(2, 2),
+        Conv(16), MaxPool(2, 2),
+        Conv(3 * (5 + 4), size=1, bn=False, act="linear"),
+    ),
+    anchors=ANCHORS3,
+    class_names=("a", "b", "c", "d"),
+    input_size=64,
+)
+
+
+def _random_scene(rng, batch, grid, num_classes):
+    boxes, classes = [], []
+    for _ in range(batch):
+        g = rng.integers(1, 4)
+        b = np.stack([
+            rng.uniform(0.2, 0.8, g), rng.uniform(0.2, 0.8, g),
+            rng.uniform(0.05, 0.5, g), rng.uniform(0.05, 0.5, g),
+        ], axis=-1)
+        boxes.append(b)
+        classes.append(rng.integers(0, num_classes, g))
+    return tgt.encode_batch(boxes, classes, grid=grid, anchors=ANCHORS3,
+                            num_classes=num_classes)
+
+
+class TestGTEncoder:
+    def test_known_best_anchor(self):
+        # 0.23x0.23 box at 13-grid -> wh (2.99, 2.99) cells: wh-IoU is
+        # 0.993 vs anchor (3,3), 0.37 vs (6,4), 0.17 vs (1,1.5)
+        enc = tgt.encode(np.array([[0.5, 0.5, 0.23, 0.23]]), np.array([2]),
+                         grid=13, anchors=ANCHORS3, num_classes=4)
+        cj = ci = 6  # floor(0.5*13)
+        assert enc["obj_mask"][cj, ci, 1] == 1.0
+        assert enc["obj_mask"].sum() == 1.0
+        assert enc["tcls"][cj, ci, 1] == 2
+        np.testing.assert_allclose(
+            enc["tcoord"][cj, ci, 1],
+            [0.5 * 13 - 6, 0.5 * 13 - 6,
+             np.log(0.23 * 13 / 3.0), np.log(0.23 * 13 / 3.0)], rtol=1e-5)
+        assert enc["coord_w"][cj, ci, 1] == pytest.approx(2.0 - 0.23 * 0.23)
+
+    def test_cell_assignment_and_padding(self):
+        enc = tgt.encode(np.array([[0.05, 0.95, 0.1, 0.1]]), np.array([0]),
+                         grid=4, anchors=ANCHORS3, num_classes=4)
+        assert enc["obj_mask"][3, 0].sum() == 1.0   # row=y cell 3, col=x cell 0
+        assert enc["gt_mask"].sum() == 1.0
+        assert enc["gt_boxes"].shape == (tgt.MAX_GT, 4)
+
+    def test_degenerate_boxes_skipped(self):
+        enc = tgt.encode(np.array([[0.5, 0.5, 0.0, 0.1]]), np.array([0]),
+                         grid=4, anchors=ANCHORS3, num_classes=4)
+        assert enc["obj_mask"].sum() == 0.0
+        assert enc["gt_mask"].sum() == 0.0
+
+
+class TestRegionLoss:
+    @pytest.mark.parametrize("seen,rescore", [(0, True), (20000, True), (0, False)])
+    def test_matches_oracle(self, seen, rescore):
+        from tests.loss_oracle import region_loss_np
+
+        rng = np.random.default_rng(11)
+        b, s, c = 2, 4, 4
+        cfg = LossConfig(rescore=rescore)
+        logits = rng.normal(0, 1, (b, s, s, 3 * (5 + c))).astype(np.float32)
+        targets = _random_scene(rng, b, s, c)
+        want_total, want_parts = region_loss_np(
+            logits, targets, ANCHORS3, c, cfg, seen)
+        got_total, got_parts = region_loss(
+            jnp.asarray(logits),
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            ANCHORS3, c, cfg, jnp.asarray(seen))
+        for k in want_parts:
+            assert float(got_parts[k]) == pytest.approx(want_parts[k], rel=1e-4, abs=1e-6), k
+        assert float(got_total) == pytest.approx(want_total, rel=1e-4)
+
+
+class TestTrainStep:
+    def _batch(self, rng, batch=4):
+        grid = MICRO.grid_size
+        targets = _random_scene(rng, batch, grid, MICRO.num_classes)
+        batch_dict = {k: jnp.asarray(v) for k, v in targets.items()}
+        batch_dict["images"] = jnp.asarray(
+            rng.uniform(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+        return batch_dict
+
+    def test_loss_decreases(self):
+        rng = np.random.default_rng(0)
+        params = dw.random_params(MICRO.layers, rng)
+        tcfg = TrainConfig(learning_rate=5e-3, optimizer="adam",
+                           weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(MICRO, tcfg)
+        batch = self._batch(rng)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.9
+        assert int(state["step"]) == 8
+        assert int(state["seen"]) == 32
+
+    def test_bn_stats_updated_not_trained(self):
+        rng = np.random.default_rng(1)
+        params = dw.random_params(MICRO.layers, rng)
+        tcfg = TrainConfig(weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(MICRO, tcfg)
+        before = np.asarray(state["params"][0]["mean"])
+        state, _ = step(state, self._batch(rng))
+        after = np.asarray(state["params"][0]["mean"])
+        assert not np.allclose(before, after)   # EMA moved
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from yolo_tpu.io import checkpoint as ckpt
+
+    rng = np.random.default_rng(2)
+    params = dw.random_params(MICRO.layers, rng)
+    tcfg = TrainConfig()
+    state = init_state(params, tcfg, seen=123)
+    path = str(tmp_path / "ck1")
+    ckpt.save(path, dict(state))
+    restored = ckpt.restore(path, dict(state))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        dict(state), restored)
+    assert int(restored["seen"]) == 123

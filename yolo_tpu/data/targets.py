@@ -1,0 +1,84 @@
+"""Ground-truth encoder: boxes -> per-cell/per-anchor target tensors
+(SURVEY.md §2.1 'Ground-truth encoder').
+
+Darknet region-layer assignment semantics (region_layer.c behavior,
+YOLO9000 §2): each GT box is assigned to the cell containing its center
+and to the anchor with best IoU between the box's (w, h) and the anchor
+prior, both placed at the origin. Targets are on the logit-activation
+scale: (sigma(tx), sigma(ty)) in-cell offsets and (tw, th) = log(wh / prior).
+
+Host-side numpy (runs in the data pipeline workers); the loss consumes the
+resulting fixed-shape tensors on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+MAX_GT = 30  # fixed GT capacity per image (darknet uses 30 for v2-era)
+
+
+def _wh_iou(w1, h1, w2, h2) -> float:
+    inter = min(w1, w2) * min(h1, h2)
+    union = w1 * h1 + w2 * h2 - inter
+    return inter / union if union > 0 else 0.0
+
+
+def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid: int,
+           anchors: Sequence, num_classes: int,
+           max_gt: int = MAX_GT) -> Dict[str, np.ndarray]:
+    """Encode one image's ground truth.
+
+    gt_boxes: (G, 4) normalized (cx, cy, w, h) in [0,1]; gt_classes: (G,).
+
+    Returns fixed-shape arrays:
+      obj_mask   (S, S, A)    1.0 where an anchor is responsible for a GT
+      tcoord     (S, S, A, 4) targets (sx, sy, tw, th) on activation scale
+      tcls       (S, S, A)    int32 class id (0 where unassigned)
+      coord_w    (S, S, A)    darknet coord scale factor (2 - w*h)
+      tiou_boxes (S, S, A, 4) the raw GT xywh for the rescore obj target
+      gt_boxes   (max_gt, 4)  padded raw GT (for the noobj best-IoU mask)
+      gt_mask    (max_gt,)    validity of the padded GT rows
+    """
+    s, a = grid, len(anchors)
+    anchors = np.asarray(anchors, dtype=np.float32)
+    out = {
+        "obj_mask": np.zeros((s, s, a), np.float32),
+        "tcoord": np.zeros((s, s, a, 4), np.float32),
+        "tcls": np.zeros((s, s, a), np.int32),
+        "coord_w": np.zeros((s, s, a), np.float32),
+        "tiou_boxes": np.zeros((s, s, a, 4), np.float32),
+        "gt_boxes": np.zeros((max_gt, 4), np.float32),
+        "gt_mask": np.zeros((max_gt,), np.float32),
+    }
+    g = 0
+    for box, cls in zip(np.asarray(gt_boxes, np.float64), gt_classes):
+        cx, cy, w, h = box
+        if w <= 0 or h <= 0 or g >= max_gt:
+            continue
+        out["gt_boxes"][g] = box
+        out["gt_mask"][g] = 1.0
+        g += 1
+        ci = min(int(cx * s), s - 1)
+        cj = min(int(cy * s), s - 1)
+        # best anchor by wh-IoU at origin, in cell units
+        ious = [_wh_iou(w * s, h * s, pw, ph) for pw, ph in anchors]
+        best = int(np.argmax(ious))
+        out["obj_mask"][cj, ci, best] = 1.0
+        out["tcoord"][cj, ci, best] = (
+            cx * s - ci,                       # sigma(tx) target
+            cy * s - cj,                       # sigma(ty) target
+            np.log(max(w * s / anchors[best, 0], 1e-9)),
+            np.log(max(h * s / anchors[best, 1], 1e-9)),
+        )
+        out["tcls"][cj, ci, best] = int(cls)
+        out["coord_w"][cj, ci, best] = 2.0 - w * h
+        out["tiou_boxes"][cj, ci, best] = box
+    return out
+
+
+def encode_batch(batch_boxes, batch_classes, **kw) -> Dict[str, np.ndarray]:
+    encoded = [encode(b, c, **kw) for b, c in zip(batch_boxes, batch_classes)]
+    return {k: np.stack([e[k] for e in encoded]) for k in encoded[0]}

@@ -1,0 +1,126 @@
+"""Training loop: jitted train step with donated state, optax optimizer,
+EMA batch-norm stats, multi-scale input switching (SURVEY.md §2.1
+'Trainer', §3.3; BASELINE.json:10-11).
+
+The reference runs per-step feed_dict sess.run (its bottleneck,
+SURVEY.md §3.3); here the step is one compiled function whose state
+buffers are donated, and data parallelism is plain jax.sharding on the
+batch dimension (parallel/sharding.py) — the gradient allreduce is the
+psum XLA inserts over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yolo_tpu.configs.specs import ModelConfig
+from yolo_tpu.models import graph
+from yolo_tpu.train.loss import LossConfig, region_loss
+
+# Darknet multi-scale training sizes (yolov2.cfg random=1: {320..608}/32).
+MULTISCALE_SIZES = tuple(range(320, 609, 32))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    optimizer: str = "sgd"          # "sgd" (darknet) | "adam"
+    momentum: float = 0.9
+    weight_decay: float = 5e-4      # darknet decay, applied to kernels only
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    multi_scale: bool = False
+    multi_scale_every: int = 10     # darknet resizes every 10 batches
+
+
+# Train state is a plain dict pytree: {'params', 'opt_state', 'step',
+# 'seen'} — jit/donation/orbax all treat it structurally.
+TrainState = Dict[str, Any]
+
+
+def _kernel_mask(params):
+    return [{k: (k == "kernel") for k in p} for p in params]
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "sgd":
+        opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.weight_decay:
+        opt = optax.chain(
+            optax.masked(optax.add_decayed_weights(cfg.weight_decay),
+                         _kernel_mask),
+            opt)
+    return opt
+
+
+def init_state(params, tcfg: TrainConfig, seen: int = 0) -> TrainState:
+    params = graph.params_to_jax(params)
+    tx = make_optimizer(tcfg)
+    return dict(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        seen=jnp.asarray(seen, jnp.int32),
+    )
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
+               mcfg: ModelConfig, tcfg: TrainConfig,
+               compute_dtype=jnp.float32) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step. batch: {'images' (B,S,S,3) in [0,1]} + the
+    target tensors from data.targets.encode_batch. Pure function of
+    (state, batch) — jit with donate_argnums=0 via make_train_step."""
+    tx = make_optimizer(tcfg)
+    batch_size = batch["images"].shape[0]
+
+    def loss_fn(params):
+        logits, bn_updates = graph.apply_layers(
+            mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
+            train=True, compute_dtype=compute_dtype)
+        total, parts = region_loss(
+            logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
+            state["seen"])
+        return total, (bn_updates, parts)
+
+    (loss, (bn_updates, parts)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state["params"])
+    updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    params = graph.apply_bn_updates(params, bn_updates)
+    new_state = dict(
+        params=params,
+        opt_state=opt_state,
+        step=state["step"] + 1,
+        seen=state["seen"] + batch_size,
+    )
+    metrics = dict(parts)
+    metrics["loss"] = loss
+    return new_state, metrics
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    compute_dtype=jnp.float32):
+    """Jitted step with donated state. One compile per input-size bucket
+    (multi-scale recompiles are bucketed, SURVEY.md §7.2)."""
+    return jax.jit(
+        partial(train_step, mcfg=mcfg, tcfg=tcfg, compute_dtype=compute_dtype),
+        donate_argnums=0)
+
+
+def pick_scale(step: int, rng: np.random.Generator,
+               every: int = 10) -> Optional[int]:
+    """Multi-scale size for this step, changing every `every` steps
+    (host-side; the jit cache buckets per size)."""
+    if step % every:
+        return None
+    return int(rng.choice(MULTISCALE_SIZES))

@@ -1,0 +1,145 @@
+"""YOLO multi-part region loss (SURVEY.md §2.1 'YOLO multi-part loss';
+BASELINE.json:10 'coord/obj/class loss').
+
+Darknet region-layer semantics with the standard TF-port loss convention
+(each squared error weighted once by its scale):
+
+  L = sum coord_scale*(2 - w*h) * [(sx-tx)^2+(sy-ty)^2+(tw-ttw)^2+(th-tth)^2]   (assigned)
+    + object_scale   * (iou - conf)^2        (assigned; rescore=1, darknet yolov2.cfg)
+      or (1 - conf)^2 when rescore=0
+    + noobject_scale * (0 - conf)^2          (unassigned anchors whose best
+                                              IoU vs any GT < thresh=0.6)
+    + class_scale    * ||softmax - onehot||^2 (assigned)
+    + 0.01 * prior-matching warmup on unassigned anchors while
+      seen < 12800 images (darknet burn-in), targets (0.5, 0.5, prior).
+
+All terms are computed from the raw head logits in fp32; fully vectorized,
+static shapes, batched. Oracle: tests/loss_oracle.py (loop-level numpy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    coord_scale: float = 1.0
+    object_scale: float = 5.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    iou_thresh: float = 0.6
+    rescore: bool = True
+    warmup_seen: int = 12800
+    warmup_scale: float = 0.01
+
+
+def _iou_xywh_pairwise(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """pred (..., N, 4), gt (..., G, 4) xywh -> IoU (..., N, G)."""
+    px1 = pred[..., :, None, 0] - pred[..., :, None, 2] / 2
+    py1 = pred[..., :, None, 1] - pred[..., :, None, 3] / 2
+    px2 = pred[..., :, None, 0] + pred[..., :, None, 2] / 2
+    py2 = pred[..., :, None, 1] + pred[..., :, None, 3] / 2
+    gx1 = gt[..., None, :, 0] - gt[..., None, :, 2] / 2
+    gy1 = gt[..., None, :, 1] - gt[..., None, :, 3] / 2
+    gx2 = gt[..., None, :, 0] + gt[..., None, :, 2] / 2
+    gy2 = gt[..., None, :, 1] + gt[..., None, :, 3] / 2
+    iw = jnp.maximum(0.0, jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1))
+    ih = jnp.maximum(0.0, jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1))
+    inter = iw * ih
+    pa = pred[..., :, None, 2] * pred[..., :, None, 3]
+    ga = gt[..., None, :, 2] * gt[..., None, :, 3]
+    union = pa + ga - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
+                anchors, num_classes: int, cfg: LossConfig,
+                seen: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """logits (B, S, S, A*(5+C)); targets from data.targets.encode_batch.
+
+    Returns (total_loss_mean_per_image, parts dict) — parts are the
+    per-term scalars the reference-class trainers log per step
+    (SURVEY.md §5.5: coord/obj/noobj/class separately).
+    """
+    b, s, _, _ = logits.shape
+    a = len(anchors)
+    c = num_classes
+    t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+    anchors_arr = jnp.asarray(anchors, dtype=jnp.float32)
+
+    sx = jax.nn.sigmoid(t[..., 0])
+    sy = jax.nn.sigmoid(t[..., 1])
+    tw = t[..., 2]
+    th = t[..., 3]
+    conf = jax.nn.sigmoid(t[..., 4])
+    probs = jax.nn.softmax(t[..., 5:], axis=-1)
+
+    obj = targets["obj_mask"]                    # (B,S,S,A)
+    tc = targets["tcoord"]                       # (B,S,S,A,4)
+    coord_w = targets["coord_w"]
+
+    # --- decoded predicted boxes, normalized xywh (for IoU terms) ---
+    cx = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
+    cy = jnp.arange(s, dtype=jnp.float32)[None, :, None, None]
+    pbx = (sx + cx) / s
+    pby = (sy + cy) / s
+    pbw = anchors_arr[None, None, None, :, 0] * jnp.exp(tw) / s
+    pbh = anchors_arr[None, None, None, :, 1] * jnp.exp(th) / s
+    pred_boxes = jnp.stack([pbx, pby, pbw, pbh], axis=-1)   # (B,S,S,A,4)
+
+    # --- noobj: anchors whose best IoU vs any valid GT < thresh ---
+    flat_pred = pred_boxes.reshape(b, -1, 4)
+    iou_all = _iou_xywh_pairwise(flat_pred, targets["gt_boxes"])  # (B,N,G)
+    iou_all = iou_all * targets["gt_mask"][:, None, :]
+    best_iou = jnp.max(iou_all, axis=-1).reshape(b, s, s, a)
+    noobj_mask = (1.0 - obj) * (best_iou < cfg.iou_thresh).astype(jnp.float32)
+    loss_noobj = cfg.noobject_scale * jnp.sum(noobj_mask * conf ** 2)
+
+    # --- obj (rescore: target is the live IoU vs the assigned GT) ---
+    iou_truth = _diag_iou(pred_boxes, targets["tiou_boxes"])
+    obj_target = jax.lax.stop_gradient(iou_truth) if cfg.rescore else 1.0
+    loss_obj = cfg.object_scale * jnp.sum(obj * (obj_target - conf) ** 2)
+
+    # --- coords on assigned anchors ---
+    sq = ((sx - tc[..., 0]) ** 2 + (sy - tc[..., 1]) ** 2 +
+          (tw - tc[..., 2]) ** 2 + (th - tc[..., 3]) ** 2)
+    loss_coord = cfg.coord_scale * jnp.sum(obj * coord_w * sq)
+
+    # --- class on assigned anchors ---
+    onehot = jax.nn.one_hot(targets["tcls"], c, dtype=jnp.float32)
+    loss_cls = cfg.class_scale * jnp.sum(
+        obj[..., None] * (probs - onehot) ** 2)
+
+    # --- warmup prior matching (darknet seen < 12800) ---
+    warm = (seen < cfg.warmup_seen).astype(jnp.float32)
+    sq_warm = ((sx - 0.5) ** 2 + (sy - 0.5) ** 2 + tw ** 2 + th ** 2)
+    loss_warm = warm * cfg.warmup_scale * jnp.sum((1.0 - obj) * sq_warm)
+
+    parts = {
+        "coord": loss_coord / b,
+        "obj": loss_obj / b,
+        "noobj": loss_noobj / b,
+        "class": loss_cls / b,
+        "warmup": loss_warm / b,
+    }
+    total = sum(parts.values())
+    return total, parts
+
+
+def _diag_iou(pred_boxes: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise IoU of matching (B,S,S,A,4) boxes."""
+    p, g = pred_boxes, gt_boxes
+    px1, py1 = p[..., 0] - p[..., 2] / 2, p[..., 1] - p[..., 3] / 2
+    px2, py2 = p[..., 0] + p[..., 2] / 2, p[..., 1] + p[..., 3] / 2
+    gx1, gy1 = g[..., 0] - g[..., 2] / 2, g[..., 1] - g[..., 3] / 2
+    gx2, gy2 = g[..., 0] + g[..., 2] / 2, g[..., 1] + g[..., 3] / 2
+    iw = jnp.maximum(0.0, jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1))
+    ih = jnp.maximum(0.0, jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1))
+    inter = iw * ih
+    union = p[..., 2] * p[..., 3] + g[..., 2] * g[..., 3] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
