@@ -1,0 +1,116 @@
+"""End-to-end CLI tests (SURVEY.md §4.2.6): predict/detect/train/eval/
+export driven through the argparse surface, in-process, on the fake-8-CPU
+mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data_eval import make_voc_root
+from yolo_tpu import cli
+from yolo_tpu.configs import get_variant
+from yolo_tpu.io import darknet_weights as dw
+
+
+@pytest.fixture(scope="module")
+def tiny_weights(tmp_path_factory):
+    path = tmp_path_factory.mktemp("w") / "tiny.weights"
+    cfg = get_variant("tiny-voc")
+    dw.save(str(path), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)), seen=100)
+    return str(path)
+
+
+@pytest.fixture()
+def sample_image(tmp_path):
+    import cv2
+
+    p = str(tmp_path / "in.png")
+    cv2.imwrite(p, np.random.default_rng(1).integers(
+        0, 255, (96, 128, 3), dtype=np.uint8))
+    return p
+
+
+def test_predict_e2e(tiny_weights, sample_image, tmp_path, capsys):
+    out_img = str(tmp_path / "out.png")
+    cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--image", sample_image,
+              "--conf", "0.1", "--precision", "fp32",
+              "--output", out_img])
+    lines = capsys.readouterr().out.strip().splitlines()
+    for line in lines:
+        d = json.loads(line)
+        assert set(d) == {"class", "score", "box_xyxy"}
+        assert 0 <= d["score"] <= 1
+    assert os.path.exists(out_img)
+
+
+def test_detect_batched_e2e(tiny_weights, tmp_path, capsys):
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"i{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--images", str(img_dir),
+              "--batch", "2", "--conf", "0.1"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 3  # padded batch must not duplicate outputs
+    assert {os.path.basename(r["image"]) for r in recs} == {"i0.png", "i1.png", "i2.png"}
+
+
+def test_train_fail_and_resume_e2e(tiny_weights, tmp_path, capsys):
+    """Exercise checkpoint/resume via --fail-after-step (SURVEY.md §5.3)."""
+    root = make_voc_root(tmp_path, n_images=16, size=(80, 90))
+    ckdir = str(tmp_path / "ck")
+    common = ["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--lr", "1e-4",
+              "--precision", "fp32", "--checkpoint-dir", ckdir,
+              "--checkpoint-every", "1", "--log-every", "1"]
+    with pytest.raises(SystemExit, match="fail-after-step"):
+        cli.main(common + ["--fail-after-step", "1", "--epochs", "1"])
+    assert os.path.isdir(os.path.join(ckdir, "step_1"))
+
+    cli.main(common + ["--resume", os.path.join(ckdir, "step_1"),
+                       "--epochs", "1"])
+    assert os.path.isdir(os.path.join(ckdir, "final"))
+
+    from yolo_tpu.io import checkpoint as ckpt
+
+    final = ckpt.restore(os.path.join(ckdir, "final"))
+    assert int(np.asarray(final["step"])) == 3  # 1 before fail + 2 after
+
+
+def test_eval_and_export_e2e(tiny_weights, tmp_path, capsys):
+    root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
+    cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "4", "--precision", "fp32"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert "map" in res and 0.0 <= res["map"] <= 1.0
+
+    # export path: train checkpoint -> darknet file, reloadable
+    ck = tmp_path / "ck2"
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.train.loop import TrainConfig, init_state
+
+    cfg = get_variant("tiny-voc")
+    params = dw.random_params(cfg.layers, np.random.default_rng(3))
+    state = init_state(params, TrainConfig(), seen=42)
+    import jax
+    ckpt.save(str(ck), jax.device_get(dict(state)))
+    out_w = str(tmp_path / "exported.weights")
+    cli.main(["export", "--model", "tiny-voc", "--checkpoint", str(ck),
+              "--output", out_w])
+    loaded, header = dw.load(out_w, cfg.layers)
+    assert header["seen"] == 42
+    np.testing.assert_allclose(loaded[0]["kernel"], params[0]["kernel"],
+                               rtol=1e-6)

@@ -1,0 +1,165 @@
+"""VOC parsing, pipeline, mAP evaluator tests (SURVEY.md §4.2.6 fixtures)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from yolo_tpu.data import pipeline as pipe
+from yolo_tpu.data.voc import list_split, parse_annotation
+from yolo_tpu.eval.voc_map import average_precision, evaluate
+from yolo_tpu.ops.letterbox import letterbox_geometry
+
+
+def _write_xml(path, objects, w=200, h=100):
+    objs = "".join(textwrap.dedent(f"""
+        <object><name>{name}</name><difficult>{diff}</difficult>
+        <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+        </object>""") for name, diff, x1, y1, x2, y2 in objects)
+    path.write_text(f"<annotation><filename>f.jpg</filename>"
+                    f"<size><width>{w}</width><height>{h}</height><depth>3</depth></size>"
+                    f"{objs}</annotation>")
+
+
+class TestVOCParse:
+    def test_basic(self, tmp_path):
+        xml = tmp_path / "a.xml"
+        _write_xml(xml, [("dog", 0, 21, 11, 121, 61), ("unknown", 0, 1, 1, 9, 9),
+                         ("cat", 1, 1, 1, 50, 50)])
+        ann = parse_annotation(str(xml), ("cat", "dog"))
+        # difficult skipped by default, unknown class skipped
+        assert ann["classes"].tolist() == [1]
+        # 1-based inclusive -> x1=20,x2=120 -> cx=70/200
+        np.testing.assert_allclose(ann["boxes"][0],
+                                   [70 / 200, 35 / 100, 100 / 200, 50 / 100])
+        assert (ann["width"], ann["height"]) == (200, 100)
+
+    def test_keep_difficult(self, tmp_path):
+        xml = tmp_path / "a.xml"
+        _write_xml(xml, [("cat", 1, 1, 1, 50, 50)])
+        ann = parse_annotation(str(xml), ("cat",), keep_difficult=True)
+        assert ann["classes"].tolist() == [0]
+        assert ann["difficult"].tolist() == [1]
+
+
+class TestLetterboxBoxes:
+    def test_geometry_roundtrip(self):
+        src_w, src_h, net = 640, 480, 416
+        boxes = np.array([[0.5, 0.5, 0.4, 0.2], [0.1, 0.9, 0.05, 0.1]])
+        net_boxes = pipe.letterbox_boxes(boxes, src_w, src_h, net)
+        scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
+        # invert: net-normalized -> source pixels -> source-normalized
+        cx = (net_boxes[:, 0] * net - px) / scale / src_w
+        cy = (net_boxes[:, 1] * net - py) / scale / src_h
+        bw = net_boxes[:, 2] * net / scale / src_w
+        bh = net_boxes[:, 3] * net / scale / src_h
+        np.testing.assert_allclose(np.stack([cx, cy, bw, bh], -1), boxes,
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestAveragePrecision:
+    def test_perfect(self):
+        r = np.array([0.5, 1.0])
+        p = np.array([1.0, 1.0])
+        assert average_precision(r, p, True) == pytest.approx(1.0)
+        assert average_precision(r, p, False) == pytest.approx(1.0)
+
+    def test_known_value(self):
+        # one TP then one FP: recall [1, 1], precision [1, 0.5]
+        r = np.array([1.0, 1.0])
+        p = np.array([1.0, 0.5])
+        assert average_precision(r, p, True) == pytest.approx(1.0)
+
+
+class TestEvaluate:
+    def test_perfect_detections(self):
+        gt = {0: {"boxes": np.array([[10, 10, 50, 50], [60, 60, 90, 90]]),
+                  "classes": np.array([0, 1]),
+                  "difficult": np.array([0, 0])}}
+        dets = {0: [(0, 0.9, 10, 10, 50, 50), (1, 0.8, 60, 60, 90, 90)]}
+        res = evaluate(dets, gt, 2)
+        assert res["map"] == pytest.approx(1.0)
+
+    def test_fp_and_duplicate(self):
+        gt = {0: {"boxes": np.array([[10, 10, 50, 50]]),
+                  "classes": np.array([0]),
+                  "difficult": np.array([0])}}
+        dets = {0: [(0, 0.9, 10, 10, 50, 50),
+                    (0, 0.8, 11, 11, 50, 50),   # duplicate -> FP
+                    (0, 0.7, 200, 200, 300, 300)]}  # miss -> FP
+        res = evaluate(dets, gt, 1)
+        assert res["map"] == pytest.approx(1.0)  # TP ranked first
+
+        dets = {0: [(0, 0.95, 200, 200, 300, 300),  # FP ranked first
+                    (0, 0.9, 10, 10, 50, 50)]}
+        res = evaluate(dets, gt, 1)
+        # 11-point: p at recall>=t is 0.5 for all t -> wait, max precision
+        # at recall 1.0 is 1/2; AP = 0.5
+        assert res["map"] == pytest.approx(0.5)
+
+    def test_difficult_ignored(self):
+        gt = {0: {"boxes": np.array([[10, 10, 50, 50]]),
+                  "classes": np.array([0]),
+                  "difficult": np.array([1])}}
+        dets = {0: [(0, 0.9, 10, 10, 50, 50)]}
+        res = evaluate(dets, gt, 1)
+        assert np.isnan(res["ap"][0])  # no non-difficult GT -> undefined
+
+
+class TestInferenceBatches:
+    def _imgs(self, tmp_path, shapes):
+        import cv2
+
+        paths = []
+        for i, (h, w) in enumerate(shapes):
+            p = str(tmp_path / f"img{i}.png")
+            cv2.imwrite(p, np.full((h, w, 3), i * 10, np.uint8))
+            paths.append(p)
+        return paths
+
+    def test_bucketing_and_padding(self, tmp_path):
+        paths = self._imgs(tmp_path, [(100, 200)] * 3 + [(50, 60)] * 2)
+        batches = list(pipe.inference_batches(paths, batch_size=2))
+        shapes = sorted(b["images"].shape for b in batches)
+        assert shapes == [(2, 50, 60, 3), (2, 100, 200, 3), (2, 100, 200, 3)]
+        padded = [b for b in batches if "pad" in b]
+        assert len(padded) == 1 and padded[0]["pad"] == 1
+        assert len(padded[0]["paths"]) == 1
+
+
+def make_voc_root(tmp_path, n_images=16, size=(100, 120)):
+    import cv2
+
+    root = tmp_path / "VOC"
+    for d in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (root / d).mkdir(parents=True, exist_ok=True)
+    ids = []
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        name = f"{i:06d}"
+        ids.append(name)
+        img = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "JPEGImages" / f"{name}.jpg"), img)
+        _write_xml(root / "Annotations" / f"{name}.xml",
+                   [("dog", 0, 20, 20, 80, 70)], w=size[1], h=size[0])
+    (root / "ImageSets/Main/train.txt").write_text("\n".join(ids) + "\n")
+    return str(root)
+
+
+class TestTrainBatches:
+    def test_shapes_and_multiscale(self, tmp_path):
+        root = make_voc_root(tmp_path, n_images=6)
+        pairs = list_split(root, "train")
+        assert len(pairs) == 6
+        sizes = {0: 64, 1: 96, 2: 64}
+        batches = list(pipe.train_batches(
+            pairs, class_names=("cat", "dog"), anchors=((1, 1), (3, 3)),
+            num_classes=2, net_size=64, batch_size=2,
+            rng=np.random.default_rng(0),
+            size_for_batch=lambda bi: sizes[bi]))
+        assert [b["images"].shape[1] for b in batches] == [64, 96, 64]
+        b0 = batches[0]
+        assert b0["obj_mask"].shape == (2, 2, 2, 2)
+        assert b0["images"].dtype == np.float32
+        assert b0["obj_mask"].sum() == 2  # one GT per image

@@ -1,0 +1,353 @@
+"""CLI entry points (SURVEY.md §1 L7, §2.1 'CLI entry'): the reference's
+train / predict / test mode surface, plus batched detection, VOC mAP
+evaluation, darknet export and the benchmark.
+
+  python -m yolo_tpu.cli predict --model tiny-voc --weights v.weights --image dog.jpg
+  python -m yolo_tpu.cli detect  --model coco --weights y.weights --images dir/ --batch 32
+  python -m yolo_tpu.cli train   --model voc --voc-root VOC2007 --weights init.weights
+  python -m yolo_tpu.cli eval    --model voc --voc-root VOC2007 --split test --weights x
+  python -m yolo_tpu.cli export  --model voc --checkpoint ck/ --output out.weights
+  python -m yolo_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="tiny-voc",
+                   choices=["tiny-voc", "voc", "coco"])
+    p.add_argument("--input-size", type=int, default=None,
+                   help="net input size (multiple of 32; default per model)")
+    p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"],
+                   help="fp32 = parity mode, bf16 = throughput (fp32 accum)")
+    p.add_argument("--conf", type=float, default=None, help="score threshold")
+    p.add_argument("--nms", type=float, default=None, help="NMS IoU threshold")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+
+
+def _compute_dtype(precision: str):
+    import jax.numpy as jnp
+
+    return jnp.float32 if precision == "fp32" else jnp.bfloat16
+
+
+def _load_params(args, cfg, folded: bool = True):
+    """Weights from a darknet .weights file or an orbax checkpoint dir."""
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+
+    if os.path.isdir(args.weights):  # orbax train checkpoint
+        from yolo_tpu.io import checkpoint as ckpt
+
+        state = ckpt.restore(args.weights)
+        params = [
+            {k: np.asarray(v) for k, v in p.items()}
+            for p in state["params"]
+        ]
+    else:
+        params, header = dw.load(args.weights, cfg.layers)
+        print(f"loaded darknet weights: version "
+              f"{header['major']}.{header['minor']}.{header['revision']}, "
+              f"seen {header['seen']}", file=sys.stderr)
+    if folded:
+        params = graph.fold_params(cfg.layers, params, cfg.bn_eps)
+    return graph.params_to_jax(params)
+
+
+def _get_cfg(args):
+    from yolo_tpu.configs import get_variant
+
+    cfg = get_variant(args.model, input_size=args.input_size)
+    if args.conf is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, conf_threshold=args.conf)
+    if args.nms is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, nms_threshold=args.nms)
+    return cfg
+
+
+def cmd_predict(args) -> None:
+    """Single-image detection (reference 'predict' mode, SURVEY.md §3.1)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.models.predict import make_detector
+    from yolo_tpu.utils.profiling import maybe_trace
+    from yolo_tpu.utils.viz import draw_detections, save_image
+
+    cfg = _get_cfg(args)
+    params = _load_params(args, cfg)
+    img = load_image_rgb(args.image)
+    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
+    with maybe_trace(args.profile_dir):
+        out = det(params, jnp.asarray(img[None]))
+    boxes = np.asarray(out["boxes"][0])
+    scores = np.asarray(out["scores"][0])
+    classes = np.asarray(out["classes"][0])
+    valid = np.asarray(out["valid"][0])
+
+    for i in np.nonzero(valid)[0]:
+        x1, y1, x2, y2 = boxes[i]
+        print(json.dumps({
+            "class": cfg.class_names[int(classes[i])],
+            "score": round(float(scores[i]), 4),
+            "box_xyxy": [round(float(v), 1) for v in (x1, y1, x2, y2)],
+        }))
+    if args.output:
+        save_image(args.output,
+                   draw_detections(img, boxes, scores, classes,
+                                   cfg.class_names, valid))
+        print(f"wrote {args.output}", file=sys.stderr)
+
+
+def cmd_detect(args) -> None:
+    """Batched detection over a directory (BASELINE.json:9 config 3)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
+    from yolo_tpu.models.predict import make_detector
+
+    cfg = _get_cfg(args)
+    params = _load_params(args, cfg)
+    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith(exts))
+    if not paths:
+        raise SystemExit(f"no images found in {args.images}")
+
+    host_iter = inference_batches(paths, args.batch)
+    for batch in DevicePrefetcher(host_iter, depth=2):
+        out = det(params, jnp.asarray(batch["images"]))
+        n_real = len(batch["paths"])
+        for bi in range(n_real):
+            valid = np.asarray(out["valid"][bi])
+            dets = [{
+                "class": cfg.class_names[int(out["classes"][bi][i])],
+                "score": round(float(out["scores"][bi][i]), 4),
+                "box_xyxy": [round(float(v), 1)
+                             for v in np.asarray(out["boxes"][bi][i])],
+            } for i in np.nonzero(valid)[0]]
+            print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
+
+
+def cmd_train(args) -> None:
+    """Fine-tuning with the multi-part loss (BASELINE.json:10-11)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import DevicePrefetcher, train_batches
+    from yolo_tpu.data.voc import list_split
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.parallel import sharding as shd
+    from yolo_tpu.train.loop import (TrainConfig, init_state, pick_scale)
+    from yolo_tpu.utils.metrics import MetricsLogger
+
+    cfg = _get_cfg(args)
+    tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
+                       multi_scale=args.multi_scale)
+    mesh = shd.make_mesh()
+    n_dev = mesh.devices.size
+    if args.batch % n_dev:
+        raise SystemExit(f"--batch {args.batch} not divisible by "
+                         f"{n_dev} devices")
+
+    if args.resume:
+        # structure template only; restore() fills in the values
+        template = init_state(
+            dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
+        state = ckpt.restore(args.resume, dict(template))
+        print(f"resumed from {args.resume} at step {int(state['step'])}",
+              file=sys.stderr)
+    else:
+        params, header = dw.load(args.weights, cfg.layers)
+        state = init_state(params, tcfg, seen=header["seen"] if
+                           args.keep_seen else 0)
+    state = shd.replicate(mesh, state)
+    step_fn = shd.make_dp_train_step(
+        cfg, tcfg, mesh, compute_dtype=_compute_dtype(args.precision))
+
+    pairs = list_split(args.voc_root, args.split)
+    rng = np.random.default_rng(args.seed)
+    logger = MetricsLogger(path=args.log_file, every=args.log_every)
+    sharding = shd.batch_sharding(mesh)
+
+    step = int(np.asarray(state["step"]))
+    for epoch in range(args.epochs):
+        size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every)) \
+            if args.multi_scale else None
+        host_iter = train_batches(
+            pairs, class_names=cfg.class_names, anchors=cfg.anchors,
+            num_classes=cfg.num_classes, net_size=cfg.input_size,
+            batch_size=args.batch, rng=rng, size_for_batch=size_fn)
+        for batch in DevicePrefetcher(host_iter, depth=2, sharding=sharding):
+            state, metrics = step_fn(state, batch)
+            step += 1
+            logger.log(step, metrics, epoch=epoch,
+                       size=batch["images"].shape[1])
+            if args.checkpoint_dir and step % args.checkpoint_every == 0:
+                ckpt.save(os.path.join(args.checkpoint_dir, f"step_{step}"),
+                          jax.device_get(dict(state)))
+            if args.fail_after_step and step >= args.fail_after_step:
+                raise SystemExit(
+                    f"--fail-after-step {args.fail_after_step} reached "
+                    f"(fault-injection debug flag, SURVEY.md §5.3)")
+    if args.checkpoint_dir:
+        ckpt.save(os.path.join(args.checkpoint_dir, "final"),
+                  jax.device_get(dict(state)))
+        print(f"saved final checkpoint to {args.checkpoint_dir}/final",
+              file=sys.stderr)
+    logger.close()
+
+
+def cmd_eval(args) -> None:
+    """VOC mAP over a split (SURVEY.md §3.5 — the parity gate)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
+    from yolo_tpu.data.voc import list_split, parse_annotation
+    from yolo_tpu.eval.voc_map import evaluate
+    from yolo_tpu.models.predict import make_detector
+
+    cfg = _get_cfg(args)
+    params = _load_params(args, cfg)
+    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
+                        conf_threshold=args.eval_conf)
+
+    pairs = list_split(args.voc_root, args.split)
+    gt, detections = {}, {}
+    for img_id, (img_path, xml_path) in enumerate(pairs):
+        ann = parse_annotation(xml_path, cfg.class_names, keep_difficult=True)
+        w, h = ann["width"], ann["height"]
+        xyxy = np.stack([
+            (ann["boxes"][:, 0] - ann["boxes"][:, 2] / 2) * w,
+            (ann["boxes"][:, 1] - ann["boxes"][:, 3] / 2) * h,
+            (ann["boxes"][:, 0] + ann["boxes"][:, 2] / 2) * w,
+            (ann["boxes"][:, 1] + ann["boxes"][:, 3] / 2) * h,
+        ], axis=-1) if len(ann["boxes"]) else np.zeros((0, 4))
+        gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
+                      "difficult": ann["difficult"]}
+
+    path_to_id = {p: i for i, (p, _) in enumerate(pairs)}
+    host_iter = inference_batches([p for p, _ in pairs], args.batch)
+    for batch in DevicePrefetcher(host_iter, depth=2):
+        out = det(params, jnp.asarray(batch["images"]))
+        for bi, path in enumerate(batch["paths"]):
+            valid = np.asarray(out["valid"][bi])
+            detections[path_to_id[path]] = [
+                (int(out["classes"][bi][i]), float(out["scores"][bi][i]),
+                 *np.asarray(out["boxes"][bi][i], np.float64))
+                for i in np.nonzero(valid)[0]]
+
+    result = evaluate(detections, gt, cfg.num_classes,
+                      use_07_metric=not args.use_2010_metric)
+    per_class = {cfg.class_names[c]: round(a, 4)
+                 for c, a in result["ap"].items() if not np.isnan(a)}
+    print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
+
+
+def cmd_export(args) -> None:
+    """Orbax checkpoint -> darknet .weights (checkpoint compatibility in
+    both directions, SURVEY.md §5.4)."""
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = _get_cfg(args)
+    state = ckpt.restore(args.checkpoint)
+    params = [{k: np.asarray(v) for k, v in p.items()}
+              for p in state["params"]]
+    dw.save(args.output, cfg.layers, params, seen=int(state.get("seen", 0)))
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
+def cmd_bench(args) -> None:
+    import bench
+
+    bench.main(batch=args.batch, iters=args.iters)
+
+
+def main(argv: Optional[list] = None) -> None:
+    ap = argparse.ArgumentParser(prog="yolo_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict", help="single-image detection")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--output", default=None, help="write annotated image")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("detect", help="batched detection over a directory")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--batch", type=int, default=32)
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("train", help="fine-tune on VOC")
+    _add_common(p)
+    p.add_argument("--weights", required=True, help=".weights init")
+    p.add_argument("--voc-root", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--resume", default=None, help="orbax checkpoint path")
+    p.add_argument("--keep-seen", action="store_true",
+                   help="keep darknet 'seen' counter (affects loss warmup)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-file", default=None)
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--fail-after-step", type=int, default=0,
+                   help="debug: abort after N steps to exercise resume")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="VOC mAP")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--voc-root", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--eval-conf", type=float, default=0.005,
+                   help="low threshold for PR-curve coverage")
+    p.add_argument("--use-2010-metric", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("export", help="checkpoint -> darknet .weights")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

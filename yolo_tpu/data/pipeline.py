@@ -1,0 +1,168 @@
+"""Host data pipeline: parallel JPEG decode + prefetched, double-buffered
+device staging (SURVEY.md §3.2-3.3; BASELINE.json:5 'double-buffered HBM
+staging').
+
+The reference loops PIL decode -> feed_dict serially per step (its
+bottleneck). Here host workers decode/preprocess ahead of the device and
+`device_put` runs ``prefetch`` batches ahead, so the accelerator never
+waits on the host:
+
+  inference: decode -> raw-RGB batch (device does letterbox inside the
+             jitted graph, ops/letterbox.py)
+  training:  decode -> host letterbox (variable source sizes) -> GT encode
+             -> fixed-shape batch
+
+JPEG decode stays on host by hardware necessity (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+import queue as queue_mod
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Host JPEG/PNG decode -> (H, W, 3) uint8 RGB."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def letterbox_boxes(boxes_xywh: np.ndarray, src_w: int, src_h: int,
+                    net_size: int) -> np.ndarray:
+    """Transform normalized source-image xywh boxes into net-space
+    normalized xywh after letterboxing (same geometry as ops/letterbox)."""
+    from yolo_tpu.ops.letterbox import letterbox_geometry
+
+    scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net_size)
+    b = np.asarray(boxes_xywh, np.float32).copy()
+    out = np.empty_like(b)
+    out[:, 0] = (b[:, 0] * src_w * scale + px) / net_size
+    out[:, 1] = (b[:, 1] * src_h * scale + py) / net_size
+    out[:, 2] = b[:, 2] * src_w * scale / net_size
+    out[:, 3] = b[:, 3] * src_h * scale / net_size
+    return out
+
+
+class DevicePrefetcher:
+    """Wrap a host-batch iterator; keeps ``depth`` batches resident on
+    device ahead of the consumer (double buffering at depth=2)."""
+
+    def __init__(self, host_iter: Iterable, depth: int = 2, sharding=None):
+        import jax
+
+        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._jax = jax
+        self._err: Optional[BaseException] = None
+
+        def put(batch):
+            def stage(a):
+                if not isinstance(a, (np.ndarray, np.generic)):
+                    return a  # metadata (paths, pad counts) stays on host
+                return (jax.device_put(a, sharding) if sharding is not None
+                        else jax.device_put(a))
+
+            self._q.put(jax.tree_util.tree_map(stage, batch))
+
+        def worker():
+            try:
+                for batch in host_iter:
+                    put(batch)
+            except BaseException as e:  # surfaced on next()
+                self._err = e
+            finally:
+                self._q.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def inference_batches(image_paths: Sequence[str], batch_size: int,
+                      workers: int = 8) -> Iterator[Dict]:
+    """Decode images in parallel; yield raw-RGB batches bucketed by source
+    shape (each bucket is one jit specialization). Batches carry the
+    original paths and per-image shapes for output mapping."""
+    with cf.ThreadPoolExecutor(workers) as pool:
+        decoded = pool.map(lambda p: (p, load_image_rgb(p)), image_paths)
+        buckets: Dict[Tuple[int, int], List] = {}
+        for path, img in decoded:
+            key = img.shape[:2]
+            buckets.setdefault(key, []).append((path, img))
+            if len(buckets[key]) == batch_size:
+                items = buckets.pop(key)
+                yield {"images": np.stack([im for _, im in items]),
+                       "paths": [p for p, _ in items]}
+        for key, items in buckets.items():
+            # pad the remainder to batch_size to reuse the compiled graph
+            pad = batch_size - len(items)
+            images = np.stack([im for _, im in items] +
+                              [items[-1][1]] * pad)
+            yield {"images": images,
+                   "paths": [p for p, _ in items],
+                   "pad": pad}
+
+
+def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
+                  anchors, num_classes: int, net_size: int, batch_size: int,
+                  rng: np.random.Generator, workers: int = 8,
+                  shuffle: bool = True,
+                  size_for_batch=None) -> Iterator[Dict]:
+    """(image, xml) pairs -> fixed-shape train batches: letterboxed images
+    in [0,1] + encoded GT targets (data/targets.py). One epoch.
+
+    ``size_for_batch(batch_idx) -> int|None`` enables darknet-style
+    multi-scale switching (new net size every N batches; each distinct
+    size is one jit bucket, SURVEY.md §5.7)."""
+    from yolo_tpu.data.voc import parse_annotation
+    from yolo_tpu.ops import numpy_ref as npr
+
+    order = np.arange(len(pairs))
+    if shuffle:
+        rng.shuffle(order)
+    n_batches = len(order) // batch_size  # drop remainder: fixed shapes
+
+    def prepare(idx: int, size: int):
+        img_path, xml_path = pairs[int(idx)]
+        img = load_image_rgb(img_path)
+        ann = parse_annotation(xml_path, class_names)
+        h, w = img.shape[:2]
+        image, _, _, _ = npr.letterbox(img, size, size)
+        boxes = letterbox_boxes(ann["boxes"], w, h, size)
+        return image, boxes, ann["classes"]
+
+    size = net_size
+    with cf.ThreadPoolExecutor(workers) as pool:
+        for bi in range(n_batches):
+            if size_for_batch is not None:
+                size = size_for_batch(bi) or size
+            idxs = order[bi * batch_size:(bi + 1) * batch_size]
+            chunk = list(pool.map(lambda i: prepare(i, size), idxs))
+            yield _assemble(chunk, size // 32, anchors, num_classes)
+
+
+def _assemble(chunk, grid, anchors, num_classes) -> Dict:
+    from yolo_tpu.data import targets as tgt
+
+    images = np.stack([c[0] for c in chunk])
+    enc = tgt.encode_batch([c[1] for c in chunk], [c[2] for c in chunk],
+                           grid=grid, anchors=anchors,
+                           num_classes=num_classes)
+    enc["images"] = images
+    return enc
