@@ -1,0 +1,71 @@
+"""Cross-checks for the NMS backends and the fused detection head
+(SURVEY.md §4.2.1): all implementations must agree with the exact
+per-class XLA path (and hence the numpy oracle) at thresholds where the
+candidate caps don't bind."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolo_tpu.configs.variants import TINY_YOLOV2_VOC
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.models import graph
+from yolo_tpu.models.predict import detect
+from yolo_tpu.ops.nms import nms_batch
+
+
+def _scene(seed, b=2, n=60, c=5, sparse=True):
+    rng = np.random.default_rng(seed)
+    boxes = np.stack([
+        rng.uniform(0.1, 0.9, (b, n)), rng.uniform(0.1, 0.9, (b, n)),
+        rng.uniform(0.05, 0.3, (b, n)), rng.uniform(0.05, 0.3, (b, n)),
+    ], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, n, c)).astype(np.float32)
+    if sparse:
+        scores = scores ** 3  # push most below threshold
+    return jnp.asarray(boxes), jnp.asarray(scores)
+
+
+@pytest.mark.parametrize("impl", ["fused_xla", "pallas", "fused"])
+def test_impls_match_exact_xla(impl):
+    boxes, scores = _scene(0)
+    kw = dict(conf_threshold=0.4, iou_threshold=0.45,
+              top_k=scores.shape[1], max_detections=64)
+    want = nms_batch(boxes, scores, impl="xla", **kw)
+    # pallas kernels run in interpreter mode on CPU
+    if impl in ("pallas", "fused"):
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            got = nms_batch(boxes, scores, impl=impl, **kw)
+    else:
+        got = nms_batch(boxes, scores, impl=impl, **kw)
+    _assert_dets_equal(want, got, atol=1e-6)
+
+
+def _assert_dets_equal(want, got, rtol=0.0, atol=0.0):
+    """Compare detection dicts; classes/boxes only on valid slots
+    (invalid slots carry arbitrary payload)."""
+    v = np.asarray(want["valid"])
+    np.testing.assert_array_equal(v, np.asarray(got["valid"]))
+    np.testing.assert_array_equal(np.asarray(want["scores"]),
+                                  np.asarray(got["scores"]))
+    np.testing.assert_array_equal(np.asarray(want["classes"])[v],
+                                  np.asarray(got["classes"])[v])
+    np.testing.assert_allclose(np.asarray(want["boxes"])[v],
+                               np.asarray(got["boxes"])[v],
+                               rtol=rtol, atol=atol)
+
+
+def test_fused_head_matches_reference_path():
+    cfg = dataclasses.replace(TINY_YOLOV2_VOC, input_size=160,
+                              conf_threshold=0.4)
+    rng = np.random.default_rng(3)
+    params = graph.params_to_jax(dw.random_params(cfg.layers, rng, scale=0.05))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32))
+    want = detect(cfg, params, x, head="reference", nms_impl="xla")
+    got = detect(cfg, params, x, head="fused")  # use_pallas=False on CPU
+    _assert_dets_equal(want, got, rtol=1e-5, atol=1e-6)

@@ -37,15 +37,32 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
            compute_dtype=jnp.float32,
            conf_threshold: Optional[float] = None,
            nms_threshold: Optional[float] = None,
-           top_k: int = 128, max_detections: int = 100):
-    """Preprocessed images -> fixed-shape detections (net-space xywh)."""
+           top_k: int = 128, max_detections: int = 100,
+           nms_impl: str = "auto", head: str = "auto"):
+    """Preprocessed images -> fixed-shape detections (net-space xywh).
+
+    head="fused" runs the objectness-prefiltered decode+NMS
+    (ops/head.py, exact at production thresholds, TPU default);
+    head="reference" runs full decode + per-class NMS (parity path,
+    CPU default).
+    """
     logits = forward(cfg, params, images_01, compute_dtype=compute_dtype)
+    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
+    iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
+    if head == "auto":
+        head = "fused" if jax.default_backend() == "tpu" else "reference"
+    if head == "fused":
+        from yolo_tpu.ops.head import detect_head
+
+        return detect_head(
+            logits, cfg.anchors, cfg.num_classes,
+            conf_threshold=conf_t, iou_threshold=iou_t,
+            pre_top_k=2 * top_k, max_detections=max_detections,
+            use_pallas=(jax.default_backend() == "tpu"))
     boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
     return nms_batch(
-        boxes, scores,
-        conf_threshold=cfg.conf_threshold if conf_threshold is None else conf_threshold,
-        iou_threshold=cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k=top_k, max_detections=max_detections)
+        boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
+        top_k=top_k, max_detections=max_detections, impl=nms_impl)
 
 
 def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
@@ -62,24 +79,27 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
 
 @functools.lru_cache(maxsize=32)
 def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
-                       nms_threshold, top_k, max_detections):
+                       nms_threshold, top_k, max_detections, nms_impl,
+                       head):
     def fn(params, images_u8):
         return detect_raw(cfg, params, images_u8,
                           compute_dtype=compute_dtype,
                           conf_threshold=conf_threshold,
                           nms_threshold=nms_threshold,
-                          top_k=top_k, max_detections=max_detections)
+                          top_k=top_k, max_detections=max_detections,
+                          nms_impl=nms_impl, head=head)
     return jax.jit(fn)
 
 
 def make_detector(cfg: ModelConfig, *, compute_dtype=jnp.float32,
                   conf_threshold: Optional[float] = None,
                   nms_threshold: Optional[float] = None,
-                  top_k: int = 128, max_detections: int = 100):
+                  top_k: int = 128, max_detections: int = 100,
+                  nms_impl: str = "auto", head: str = "auto"):
     """Jitted raw-RGB detector; recompiles only per (source-shape, batch)
     bucket."""
     return _jitted_detect_raw(
         cfg, compute_dtype,
         cfg.conf_threshold if conf_threshold is None else conf_threshold,
         cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k, max_detections)
+        top_k, max_detections, nms_impl, head)

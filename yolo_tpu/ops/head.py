@@ -1,0 +1,75 @@
+"""Fused detection head: decode + candidate selection + class-wise NMS
+in one pass (BASELINE.json:5 'decode ... and class-wise NMS become
+vectorized on-device kernels').
+
+The reference decodes every box then thresholds on host (SURVEY.md §3.1).
+The fused head exploits score = sigmoid(obj) * softmax(cls) <= sigmoid(obj):
+
+  1. objectness sigmoid over all H*W*A boxes          (cheap, (B, N))
+  2. top-KB boxes by objectness                        (small sort)
+  3. decode + softmax ONLY those KB boxes              (~N/KB less VPU work)
+  4. global top-K (box, class) candidates              (sort of KB*C, not N*C)
+  5. same-class greedy suppression (Pallas kernel on TPU, XLA elsewhere)
+
+EXACTNESS: identical to the reference decode+NMS whenever fewer than KB
+boxes have objectness >= conf_threshold (score <= objectness, so no
+dropped box could have passed the threshold) and fewer than K (box,
+class) pairs clear it. Always true at production thresholds; the
+reference path (ops/decode.py + ops/nms.py impl="xla") remains for
+low-threshold PR-curve evaluation and parity tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yolo_tpu.ops.nms import _geom, _package, _suppress
+
+
+def detect_head(logits: jnp.ndarray, anchors, num_classes: int, *,
+                conf_threshold: float, iou_threshold: float,
+                pre_top_k: int = 256, max_detections: int = 100,
+                use_pallas: bool = True):
+    """logits (B, H, W, A*(5+C)) -> fixed-shape detections dict
+    (boxes in net-normalized xywh)."""
+    b, h, w, _ = logits.shape
+    a = len(anchors)
+    c = num_classes
+    n = h * w * a
+    t = logits.astype(jnp.float32).reshape(b, n, 5 + c)
+    anchors_arr = jnp.asarray(anchors, dtype=jnp.float32)
+
+    # 1-2: objectness prefilter
+    conf_all = jax.nn.sigmoid(t[..., 4])                  # (B, N)
+    kb = min(pre_top_k, n)
+    conf_k, nidx = lax.top_k(conf_all, kb)                # (B, KB)
+    tk = jnp.take_along_axis(t, nidx[..., None], axis=1)  # (B, KB, 5+C)
+
+    # 3: decode the survivors (flat index n = (cj*W + ci)*A + ai)
+    ai = nidx % a
+    ci = (nidx // a) % w
+    cj = nidx // (a * w)
+    bx = (jax.nn.sigmoid(tk[..., 0]) + ci.astype(jnp.float32)) / w
+    by = (jax.nn.sigmoid(tk[..., 1]) + cj.astype(jnp.float32)) / h
+    pw = anchors_arr[ai, 0]
+    ph = anchors_arr[ai, 1]
+    bw = pw * jnp.exp(tk[..., 2]) / w
+    bh = ph * jnp.exp(tk[..., 3]) / h
+    boxes_kb = jnp.stack([bx, by, bw, bh], axis=-1)       # (B, KB, 4)
+    probs = jax.nn.softmax(tk[..., 5:], axis=-1)
+    scores_kb = conf_k[..., None] * probs                 # (B, KB, C)
+
+    # 4: global top-K (box, class) candidates
+    k = kb
+    flat = scores_kb.reshape(b, kb * c)
+    scores_k, idx = lax.top_k(flat, k)                    # (B, K)
+    box_idx = idx // c
+    classes_k = (idx % c).astype(jnp.int32)
+    boxes_k = jnp.take_along_axis(boxes_kb, box_idx[..., None], axis=1)
+
+    # 5: suppression + packaging (shared with ops/nms.py)
+    keep = _suppress(_geom(boxes_k), scores_k, classes_k,
+                     conf_threshold, iou_threshold, use_pallas=use_pallas)
+    return _package(boxes_k, scores_k, classes_k, keep, max_detections)

@@ -1,22 +1,34 @@
 """Fixed-shape, on-device class-wise greedy NMS.
 
-The reference runs TF's host-side NonMaxSuppression-equivalent in numpy
-(SURVEY.md §3.1); TPUs need static shapes, so this is the O(K^2)
-IoU-matrix + iterative-suppression formulation (SURVEY.md §7.2):
+The reference runs host-side numpy NMS after sess.run (SURVEY.md §3.1);
+TPUs need static shapes, so this is a top-K + O(K^2) suppressability +
+iterative-suppression formulation (SURVEY.md §7.2). Two candidate
+strategies, two suppression backends:
 
-  per class: top-K by score -> pairwise IoU -> fori_loop over rank order,
-  a box suppresses lower-ranked overlaps only if it is itself kept AND
-  above the confidence threshold (matches numpy_ref.nms_per_class,
-  including the (score desc, then lower index) tie-break, which lax.top_k
-  guarantees).
+Candidate strategies
+  * "per-class" (exact oracle semantics): per-class top-K of the (B,N,C)
+    score tensor -> a (B*C, K) grid. What numpy_ref.nms_per_class does.
+  * "global" (the fast path, impl="fused*"): ONE top-K over all
+    (box, class) pairs per image -> a (B, K) grid with mixed classes and
+    a same-class suppression mask. ~C times less suppression work and
+    one top-K instead of C. Identical results whenever fewer than K
+    (box, class) pairs clear the confidence threshold (always true at
+    production thresholds; K defaults to 2*top_k).
 
-Output is fixed-size (max_detections) arrays with a validity mask —
-directly returnable from a jitted graph, batched via vmap.
+Suppression backends
+  * pallas kernel (ops/pallas/nms_kernel.py): suppressability matrix in
+    VMEM, sequential greedy pass in-kernel. No XLA loop overhead, no
+    (G, K, K) HBM tensor. Default on TPU.
+  * XLA lax.fori_loop reference — default on CPU and the golden
+    cross-check for the kernel.
+
+impl: "auto" | "fused" | "fused_xla" | "pallas" | "xla".
+In every mode a box suppresses lower-ranked same-class overlaps only if
+it is itself kept AND above the confidence threshold; ties order by
+(score desc, candidate index asc), matching lax.top_k and the oracle.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,58 +52,123 @@ def pairwise_iou_xywh(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _nms_single_class(boxes, class_scores, k, conf_threshold, iou_threshold):
-    """boxes (N,4), class_scores (N,) -> (boxes_k (K,4), scores_k (K,),
-    keep (K,) bool) for one class."""
-    scores_k, idx = lax.top_k(class_scores, k)
-    boxes_k = boxes[idx]
-    iou = pairwise_iou_xywh(boxes_k)
+def _geom(boxes_k: jnp.ndarray) -> jnp.ndarray:
+    """(..., K, 4) xywh -> (..., 5, K) rows [x1, y1, x2, y2, area]."""
+    x1 = boxes_k[..., 0] - boxes_k[..., 2] / 2
+    y1 = boxes_k[..., 1] - boxes_k[..., 3] / 2
+    x2 = boxes_k[..., 0] + boxes_k[..., 2] / 2
+    y2 = boxes_k[..., 1] + boxes_k[..., 3] / 2
+    area = boxes_k[..., 2] * boxes_k[..., 3]
+    return jnp.stack([x1, y1, x2, y2, area], axis=-2)
+
+
+def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
+                  classes_k: jnp.ndarray, conf_threshold: float,
+                  iou_threshold: float) -> jnp.ndarray:
+    """geom (G, 5, K), scores_k (G, K) sorted desc, classes_k (G, K) ->
+    keep (G, K) float {0,1}. Reference XLA implementation."""
+    g, _, k = geom.shape
+    x1, y1, x2, y2, area = (geom[:, i, :] for i in range(5))
+    iw = jnp.maximum(0.0, jnp.minimum(x2[:, :, None], x2[:, None, :]) -
+                     jnp.maximum(x1[:, :, None], x1[:, None, :]))
+    ih = jnp.maximum(0.0, jnp.minimum(y2[:, :, None], y2[:, None, :]) -
+                     jnp.maximum(y1[:, :, None], y1[:, None, :]))
+    inter = iw * ih
+    union = area[:, :, None] + area[:, None, :] - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)     # (G, K, K)
+    same = classes_k[:, :, None] == classes_k[:, None, :]
+    sup_matrix = same & (iou > iou_threshold)
     rank = jnp.arange(k)
 
     def body(i, keep):
-        active = keep[i] & (scores_k[i] >= conf_threshold)
-        suppress = active & (iou[i] > iou_threshold) & (rank > i)
-        return keep & ~suppress
+        active = (keep[:, i] > 0.5) & (scores_k[:, i] >= conf_threshold)
+        suppress = (active[:, None] & sup_matrix[:, i, :] &
+                    (rank[None, :] > i))
+        return jnp.where(suppress, 0.0, keep)
 
-    keep = lax.fori_loop(0, k, body, jnp.ones(k, dtype=bool))
-    keep = keep & (scores_k >= conf_threshold)
-    return boxes_k, scores_k, keep
+    keep = lax.fori_loop(0, k, body, jnp.ones((g, k), jnp.float32))
+    return keep * (scores_k >= conf_threshold).astype(jnp.float32)
 
 
-def nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
-        conf_threshold: float, iou_threshold: float,
-        top_k: int = 128, max_detections: int = 100):
-    """Class-wise NMS for ONE image.
+def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
+              use_pallas: bool):
+    if use_pallas:
+        from yolo_tpu.ops.pallas.nms_kernel import suppress
 
-    boxes (N, 4) xywh net-normalized; scores (N, C).
-    Returns dict of fixed-shape arrays:
-      boxes (D, 4), scores (D,), classes (D,) int32, valid (D,) bool
-    sorted by score desc (D = max_detections).
-    """
-    n, c = scores.shape
-    k = min(top_k, n)
-    per_class = jax.vmap(
-        functools.partial(_nms_single_class, k=k,
-                          conf_threshold=conf_threshold,
-                          iou_threshold=iou_threshold),
-        in_axes=(None, 1))
-    boxes_k, scores_k, keep = per_class(boxes, scores)   # (C, K, ...)
+        return suppress(geom, scores_k, classes_k.astype(jnp.float32),
+                        conf_threshold=float(conf_threshold),
+                        iou_threshold=float(iou_threshold))
+    return _suppress_xla(geom, scores_k, classes_k, conf_threshold,
+                         iou_threshold)
 
-    flat_scores = jnp.where(keep, scores_k, -1.0).reshape(-1)       # (C*K,)
-    flat_boxes = boxes_k.reshape(-1, 4)
-    flat_classes = jnp.broadcast_to(
-        jnp.arange(c, dtype=jnp.int32)[:, None], (c, k)).reshape(-1)
 
-    d = min(max_detections, flat_scores.shape[0])
-    best, sel = lax.top_k(flat_scores, d)
+def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections):
+    """Final fixed-size output: global top max_detections by kept score."""
+    masked = jnp.where(keep > 0.5, flat_scores, -1.0)
+    d = min(max_detections, masked.shape[-1])
+    best, sel = lax.top_k(masked, d)
     return {
-        "boxes": flat_boxes[sel],
+        "boxes": jnp.take_along_axis(flat_boxes, sel[..., None], axis=1),
         "scores": jnp.maximum(best, 0.0),
-        "classes": flat_classes[sel],
+        "classes": jnp.take_along_axis(flat_classes, sel, axis=1),
         "valid": best >= 0.0,
     }
 
 
-def nms_batch(boxes, scores, **kw):
-    """(B, N, 4), (B, N, C) -> batched fixed-shape detections."""
-    return jax.vmap(lambda b, s: nms(b, s, **kw))(boxes, scores)
+def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+              conf_threshold: float, iou_threshold: float,
+              top_k: int = 128, max_detections: int = 100,
+              impl: str = "auto"):
+    """Class-wise NMS, batched.
+
+    boxes (B, N, 4) xywh; scores (B, N, C).
+    Returns fixed-shape arrays sorted by score desc:
+      boxes (B, D, 4), scores (B, D), classes (B, D) int32, valid (B, D).
+    """
+    b, n, c = scores.shape
+    if impl == "auto":
+        # TPU: fast global-top-K path; elsewhere: exact per-class XLA
+        # (keeps low-threshold CPU parity tests oracle-exact)
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+
+    if impl in ("fused", "fused_xla"):
+        # global top-K candidates per image, classes mixed
+        k = min(2 * top_k, n * c)
+        flat = scores.reshape(b, n * c)
+        scores_k, idx = lax.top_k(flat, k)                 # (B, K)
+        box_idx = idx // c
+        classes_k = (idx % c).astype(jnp.int32)
+        boxes_k = jnp.take_along_axis(
+            boxes.astype(jnp.float32), box_idx[..., None], axis=1)
+        keep = _suppress(_geom(boxes_k), scores_k, classes_k,
+                         conf_threshold, iou_threshold,
+                         use_pallas=(impl == "fused"))
+        return _package(boxes_k, scores_k, classes_k, keep, max_detections)
+
+    if impl in ("pallas", "xla"):
+        # exact per-class candidates: (B*C, K) grid
+        k = min(top_k, n)
+        scores_t = jnp.swapaxes(scores, 1, 2)              # (B, C, N)
+        scores_k, idx = lax.top_k(scores_t, k)             # (B, C, K)
+        boxes_k = jnp.take_along_axis(
+            boxes[:, None, :, :].astype(jnp.float32),
+            idx[..., None], axis=2)                        # (B, C, K, 4)
+        classes_k = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, k))
+        keep = _suppress(_geom(boxes_k).reshape(b * c, 5, k),
+                         scores_k.reshape(b * c, k),
+                         classes_k.reshape(b * c, k),
+                         conf_threshold, iou_threshold,
+                         use_pallas=(impl == "pallas"))
+        return _package(boxes_k.reshape(b, c * k, 4),
+                        scores_k.reshape(b, c * k),
+                        classes_k.reshape(b, c * k),
+                        keep.reshape(b, c * k), max_detections)
+
+    raise ValueError(f"unknown NMS impl {impl!r}")
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, **kw):
+    """Single-image convenience wrapper around nms_batch."""
+    out = nms_batch(boxes[None], scores[None], **kw)
+    return {key: v[0] for key, v in out.items()}
