@@ -64,8 +64,22 @@ def _activate(x, act: str):
 
 
 def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
-               train: bool, compute_dtype) -> Tuple[jnp.ndarray, Optional[Dict]]:
-    """conv (+BN) (+bias) + activation. Returns (y, new_bn_stats|None)."""
+               train: bool, compute_dtype,
+               conv_impl: str = "xla") -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """conv (+BN) (+bias) + activation. Returns (y, new_bn_stats|None).
+
+    conv_impl="pallas" routes eligible folded-BN inference blocks through
+    the fused Pallas conv+bias+leaky kernel (ops/pallas/conv_kernel.py —
+    A/B path; XLA is the measured-faster default on v5e)."""
+    if conv_impl == "pallas" and not train and "bias" in p:
+        from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
+
+        if eligible(p["kernel"], spec.stride):
+            y = fused_conv_bias_act(
+                x.astype(compute_dtype),
+                jnp.asarray(p["kernel"], compute_dtype),
+                jnp.asarray(p["bias"]), act=spec.act)
+            return y, None
     y = _conv2d(x, p["kernel"], spec.stride, compute_dtype)
     new_stats = None
     if "gamma" in p:
@@ -90,7 +104,7 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
 
 def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, conv_impl: str = "xla"):
     """Run the layer list. x: (B, H, W, 3) float.
 
     Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
@@ -102,7 +116,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
     for idx, layer in enumerate(layers):
         if isinstance(layer, Conv):
             x, stats = conv_block(x, params[conv_i], layer, eps=eps,
-                                  train=train, compute_dtype=compute_dtype)
+                                  train=train, compute_dtype=compute_dtype,
+                                  conv_impl=conv_impl)
             if stats is not None:
                 bn_updates[conv_i] = stats
             conv_i += 1

@@ -27,10 +27,12 @@ from yolo_tpu.ops.nms import nms_batch
 
 
 def forward(cfg: ModelConfig, params, images_01: jnp.ndarray,
-            *, compute_dtype=jnp.float32) -> jnp.ndarray:
+            *, compute_dtype=jnp.float32,
+            conv_impl: str = "xla") -> jnp.ndarray:
     """Preprocessed (B, S, S, 3) [0,1] float -> raw head logits (fp32)."""
     return graph.apply_layers(cfg.layers, params, images_01,
-                              eps=cfg.bn_eps, compute_dtype=compute_dtype)
+                              eps=cfg.bn_eps, compute_dtype=compute_dtype,
+                              conv_impl=conv_impl)
 
 
 def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
