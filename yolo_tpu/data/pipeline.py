@@ -131,7 +131,6 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     multi-scale switching (new net size every N batches; each distinct
     size is one jit bucket, SURVEY.md §5.7)."""
     from yolo_tpu.data.voc import parse_annotation
-    from yolo_tpu.ops import numpy_ref as npr
 
     order = np.arange(len(pairs))
     if shuffle:
@@ -139,11 +138,14 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     n_batches = len(order) // batch_size  # drop remainder: fixed shapes
 
     def prepare(idx: int, size: int):
+        from yolo_tpu.native.preproc import letterbox_batch as native_letterbox
+
         img_path, xml_path = pairs[int(idx)]
         img = load_image_rgb(img_path)
         ann = parse_annotation(xml_path, class_names)
         h, w = img.shape[:2]
-        image, _, _, _ = npr.letterbox(img, size, size)
+        # native C++ letterbox (exact oracle semantics; numpy fallback)
+        image = native_letterbox(img[None], size, n_threads=1)[0]
         boxes = letterbox_boxes(ann["boxes"], w, h, size)
         return image, boxes, ann["classes"]
 
