@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_IMG_S_PER_CHIP = 250.0
 
 
-def main(batch: int = 64, iters: int = 20, warmup: int = 3) -> None:
+def main(batch: int = 128, iters: int = 15, warmup: int = 3) -> None:
     import jax
     import jax.numpy as jnp
 

@@ -341,8 +341,8 @@ def main(argv: Optional[list] = None) -> None:
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="throughput benchmark")
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=15)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

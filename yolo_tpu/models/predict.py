@@ -72,7 +72,7 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
     """Raw RGB (B, H, W, 3) uint8 -> detections with boxes mapped back to
     original-image pixel xyxy. The full fused path."""
     b, h, w, _ = images_u8.shape
-    x = letterbox(images_u8, cfg.input_size)
+    x = letterbox(images_u8, cfg.input_size, dtype=compute_dtype)
     dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
     dets["boxes"] = unletterbox_boxes_xyxy(
         dets["boxes"], src_h=h, src_w=w, net_size=cfg.input_size)

@@ -48,22 +48,31 @@ def letterbox_geometry(src_h: int, src_w: int, net_size: int):
     return scale, rh, rw, px, py
 
 
-def letterbox(images: jnp.ndarray, net_size: int) -> jnp.ndarray:
+def letterbox(images: jnp.ndarray, net_size: int,
+              dtype=jnp.float32) -> jnp.ndarray:
     """images: (B, H, W, 3) uint8 (or float in [0,255]) raw RGB ->
-    (B, net, net, 3) float32 in [0,1], gray(0.5)-padded."""
+    (B, net, net, 3) in [0,1], gray(0.5)-padded.
+
+    dtype=bfloat16 halves the interpolation-matmul cost in the
+    throughput path (accumulation stays fp32 via preferred_element_type;
+    u8 inputs are exactly representable in bf16 after /256-scale, so the
+    only loss is the final rounding — below the fp32-parity tolerance at
+    box level)."""
     b, h, w, c = images.shape
     scale, rh, rw, px, py = letterbox_geometry(h, w, net_size)
-    x = images.astype(jnp.float32) / 255.0
+    x = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
     if rh != h:
-        mh = jnp.asarray(_lerp_matrix(h, rh))
-        x = jnp.einsum("oh,bhwc->bowc", mh, x)
+        mh = jnp.asarray(_lerp_matrix(h, rh), dtype)
+        x = jnp.einsum("oh,bhwc->bowc", mh, x,
+                       preferred_element_type=jnp.float32).astype(dtype)
     if rw != w:
-        mw = jnp.asarray(_lerp_matrix(w, rw))
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x)
+        mw = jnp.asarray(_lerp_matrix(w, rw), dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
+                       preferred_element_type=jnp.float32).astype(dtype)
     return jnp.pad(
         x,
         ((0, 0), (py, net_size - rh - py), (px, net_size - rw - px), (0, 0)),
-        constant_values=0.5,
+        constant_values=jnp.asarray(0.5, dtype),
     )
 
 
