@@ -36,7 +36,7 @@ Params = List[Dict[str, Any]]
 BN_MOMENTUM = 0.99
 
 
-def _conv2d(x, kernel, stride, compute_dtype):
+def _conv2d(x, kernel, stride, compute_dtype, train=False):
     k = kernel.shape[0]
     pad = k // 2  # darknet pad = size // 2, symmetric
     if compute_dtype == jnp.float32:
@@ -45,13 +45,17 @@ def _conv2d(x, kernel, stride, compute_dtype):
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
         precision = lax.Precision.DEFAULT
+    # Inference: fp32 epilogue via preferred_element_type (MXU accumulates
+    # fp32 either way). Training must emit compute_dtype — the conv VJP
+    # rejects bf16 primals against an fp32 cotangent.
+    out_dtype = compute_dtype if train else jnp.float32
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -80,10 +84,11 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
                 jnp.asarray(p["kernel"], compute_dtype),
                 jnp.asarray(p["bias"]), act=spec.act)
             return y, None
-    y = _conv2d(x, p["kernel"], spec.stride, compute_dtype)
+    y = _conv2d(x, p["kernel"], spec.stride, compute_dtype, train=train)
     new_stats = None
     if "gamma" in p:
         if train:
+            y = y.astype(jnp.float32)  # batch-stat math in fp32
             mean = jnp.mean(y, axis=(0, 1, 2))
             var = jnp.var(y, axis=(0, 1, 2))
             new_stats = {
