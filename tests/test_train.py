@@ -148,3 +148,19 @@ def test_checkpoint_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         dict(state), restored)
     assert int(restored["seen"]) == 123
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from yolo_tpu.io import checkpoint as ckpt
+
+    rng = np.random.default_rng(6)
+    params = dw.random_params(MICRO.layers, rng)
+    state = init_state(params, TrainConfig(), seen=9)
+    path = str(tmp_path / "ck_async")
+    with ckpt.AsyncSaver() as saver:
+        saver.save(path, dict(state))
+    restored = ckpt.restore(path, dict(state))
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"][0]["kernel"]),
+        np.asarray(state["params"][0]["kernel"]))
+    assert int(restored["seen"]) == 9

@@ -18,6 +18,32 @@ def save(path: str, state: Any) -> None:
         ckptr.save(path, state, force=True)
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writes (SURVEY.md §5.4 'async save'):
+    save() returns as soon as the state is snapshotted; the write runs in
+    the background. Call wait()/close() before reading the files back."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, state: Any) -> None:
+        self._ckptr.save(os.path.abspath(path),
+                         args=ocp.args.StandardSave(state), force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore(path: str, abstract_state: Optional[Any] = None) -> Any:
     """Restore a pytree; pass a matching abstract/concrete state to pin
     structure, shardings and dtypes."""
