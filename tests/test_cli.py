@@ -114,3 +114,26 @@ def test_eval_and_export_e2e(tiny_weights, tmp_path, capsys):
     assert header["seen"] == 42
     np.testing.assert_allclose(loaded[0]["kernel"], params[0]["kernel"],
                                rtol=1e-6)
+
+
+def test_train_multi_scale_e2e(tiny_weights, tmp_path):
+    """Config-5 shape (BASELINE.json:11) at CPU-friendly sizes: the jit
+    cache must bucket per input size and GT grids must follow."""
+    root = make_voc_root(tmp_path, n_images=16, size=(70, 80))
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32", "--multi-scale",
+              "--multi-scale-sizes", "64,96", "--seed", "3",
+              "--log-every", "1"])
+
+
+def test_profile_trace_written(tiny_weights, sample_image, tmp_path, capsys):
+    trace_dir = str(tmp_path / "trace")
+    cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--image", sample_image,
+              "--precision", "fp32", "--profile-dir", trace_dir])
+    capsys.readouterr()
+    import glob
+    assert glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True), \
+        "no trace files written"

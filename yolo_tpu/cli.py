@@ -159,8 +159,11 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
+    sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
+        if args.multi_scale_sizes else None
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
-                       multi_scale=args.multi_scale)
+                       multi_scale=args.multi_scale,
+                       **({"multi_scale_sizes": sizes} if sizes else {}))
     mesh = shd.make_mesh()
     n_dev = mesh.devices.size
     if args.batch % n_dev:
@@ -189,7 +192,8 @@ def cmd_train(args) -> None:
 
     step = int(np.asarray(state["step"]))
     for epoch in range(args.epochs):
-        size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every)) \
+        size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
+                                         tcfg.multi_scale_sizes)) \
             if args.multi_scale else None
         host_iter = train_batches(
             pairs, class_names=cfg.class_names, anchors=cfg.anchors,
@@ -311,6 +315,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--multi-scale-sizes", default=None,
+                   help="comma-separated sizes (default darknet 320..608)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", default=None, help="orbax checkpoint path")

@@ -37,6 +37,7 @@ class TrainConfig:
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     multi_scale: bool = False
     multi_scale_every: int = 10     # darknet resizes every 10 batches
+    multi_scale_sizes: tuple = MULTISCALE_SIZES
 
 
 # Train state is a plain dict pytree: {'params', 'opt_state', 'step',
@@ -118,9 +119,10 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
 
 def pick_scale(step: int, rng: np.random.Generator,
-               every: int = 10) -> Optional[int]:
+               every: int = 10,
+               sizes: tuple = MULTISCALE_SIZES) -> Optional[int]:
     """Multi-scale size for this step, changing every `every` steps
     (host-side; the jit cache buckets per size)."""
     if step % every:
         return None
-    return int(rng.choice(MULTISCALE_SIZES))
+    return int(rng.choice(sizes))
