@@ -137,3 +137,14 @@ def test_profile_trace_written(tiny_weights, sample_image, tmp_path, capsys):
     import glob
     assert glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True), \
         "no trace files written"
+
+
+def test_predict_int8_e2e(tiny_weights, sample_image, capsys):
+    cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--image", sample_image,
+              "--conf", "0.1", "--precision", "int8"])
+    out = capsys.readouterr()
+    assert "int8 PTQ: calibrated" in out.err
+    for line in out.out.strip().splitlines():
+        d = json.loads(line)
+        assert 0 <= d["score"] <= 1

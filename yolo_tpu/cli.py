@@ -26,8 +26,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["tiny-voc", "voc", "coco"])
     p.add_argument("--input-size", type=int, default=None,
                    help="net input size (multiple of 32; default per model)")
-    p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"],
-                   help="fp32 = parity mode, bf16 = throughput (fp32 accum)")
+    p.add_argument("--precision", default="bf16",
+                   choices=["fp32", "bf16", "int8"],
+                   help="fp32 = parity mode, bf16 = throughput (fp32 "
+                        "accum), int8 = PTQ serving mode (calibrated on "
+                        "the first inputs; not parity-exact)")
     p.add_argument("--conf", type=float, default=None, help="score threshold")
     p.add_argument("--nms", type=float, default=None, help="NMS IoU threshold")
     p.add_argument("--profile-dir", default=None,
@@ -37,7 +40,29 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def _compute_dtype(precision: str):
     import jax.numpy as jnp
 
+    # int8 quantizes the convs only; surrounding math runs in bf16
     return jnp.float32 if precision == "fp32" else jnp.bfloat16
+
+
+def _maybe_quantize(args, cfg, params, sample_images_u8):
+    """precision=int8: calibrate on the given raw images and return the
+    int8 params pytree (models/quantize.py). Otherwise pass through."""
+    if args.precision != "int8":
+        return params
+    import jax.numpy as jnp
+
+    from yolo_tpu.models import quantize
+    from yolo_tpu.native.preproc import letterbox_batch
+
+    # images may differ in size; letterbox each to the uniform net size
+    calib = jnp.asarray(np.stack([
+        letterbox_batch(im[None], cfg.input_size)[0]
+        for im in sample_images_u8]))
+    # prepare_int8 folds BN itself; already-folded params fold to identity
+    qparams = quantize.prepare_int8(cfg, params, calib)
+    print(f"int8 PTQ: calibrated on {len(sample_images_u8)} images",
+          file=sys.stderr)
+    return qparams
 
 
 def _load_params(args, cfg, folded: bool = True):
@@ -90,6 +115,7 @@ def cmd_predict(args) -> None:
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
     img = load_image_rgb(args.image)
+    params = _maybe_quantize(args, cfg, params, [img])
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
     with maybe_trace(args.profile_dir):
         out = det(params, jnp.asarray(img[None]))
@@ -129,6 +155,11 @@ def cmd_detect(args) -> None:
         if f.lower().endswith(exts))
     if not paths:
         raise SystemExit(f"no images found in {args.images}")
+    if args.precision == "int8":
+        from yolo_tpu.data.pipeline import load_image_rgb
+
+        params = _maybe_quantize(args, cfg, params,
+                                 [load_image_rgb(p) for p in paths[:8]])
 
     host_iter = inference_batches(paths, args.batch)
     for batch in DevicePrefetcher(host_iter, depth=2):
@@ -234,6 +265,11 @@ def cmd_eval(args) -> None:
                         conf_threshold=args.eval_conf)
 
     pairs = list_split(args.voc_root, args.split)
+    if args.precision == "int8":
+        from yolo_tpu.data.pipeline import load_image_rgb
+
+        params = _maybe_quantize(args, cfg, params,
+                                 [load_image_rgb(p) for p, _ in pairs[:8]])
     gt, detections = {}, {}
     for img_id, (img_path, xml_path) in enumerate(pairs):
         ann = parse_annotation(xml_path, cfg.class_names, keep_difficult=True)

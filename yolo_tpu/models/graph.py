@@ -75,6 +75,11 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
     conv_impl="pallas" routes eligible folded-BN inference blocks through
     the fused Pallas conv+bias+leaky kernel (ops/pallas/conv_kernel.py —
     A/B path; XLA is the measured-faster default on v5e)."""
+    if "kernel_q" in p:  # int8 post-training-quantized block
+        from yolo_tpu.models.quantize import conv_block_int8
+
+        assert not train, "int8 params are inference-only"
+        return conv_block_int8(x, p, spec, compute_dtype=compute_dtype), None
     if conv_impl == "pallas" and not train and "bias" in p:
         from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
 
@@ -175,3 +180,8 @@ def apply_bn_updates(params: Params, bn_updates: Dict[int, Dict]) -> Params:
 
 def params_to_jax(params: Params, dtype=jnp.float32) -> Params:
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=dtype), params)
+
+
+def params_to_jax_quant(params: Params) -> Params:
+    """Device placement preserving each leaf's dtype (int8 kernels)."""
+    return jax.tree_util.tree_map(jnp.asarray, params)
