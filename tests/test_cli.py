@@ -148,3 +148,11 @@ def test_predict_int8_e2e(tiny_weights, sample_image, capsys):
     for line in out.out.strip().splitlines():
         d = json.loads(line)
         assert 0 <= d["score"] <= 1
+
+
+def test_train_with_augment_e2e(tiny_weights, tmp_path):
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32", "--augment", "--seed", "1"])

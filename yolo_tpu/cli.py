@@ -226,10 +226,16 @@ def cmd_train(args) -> None:
         size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
                                          tcfg.multi_scale_sizes)) \
             if args.multi_scale else None
+        aug_cfg = None
+        if args.augment:
+            from yolo_tpu.data.augment import AugmentConfig
+
+            aug_cfg = AugmentConfig()
         host_iter = train_batches(
             pairs, class_names=cfg.class_names, anchors=cfg.anchors,
             num_classes=cfg.num_classes, net_size=cfg.input_size,
-            batch_size=args.batch, rng=rng, size_for_batch=size_fn)
+            batch_size=args.batch, rng=rng, size_for_batch=size_fn,
+            augment_cfg=aug_cfg)
         for batch in DevicePrefetcher(host_iter, depth=2, sharding=sharding):
             state, metrics = step_fn(state, batch)
             step += 1
@@ -350,6 +356,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--augment", action="store_true",
+                   help="darknet-style jitter/flip/HSV augmentation")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--multi-scale-sizes", default=None,
                    help="comma-separated sizes (default darknet 320..608)")

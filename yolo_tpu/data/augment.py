@@ -1,0 +1,98 @@
+"""Darknet-style training augmentation (data_augmentation in darknet's
+load_data_detection: random crop/jitter, horizontal flip, HSV distortion
+— yolov2-voc.cfg: jitter=0.3, hue=0.1, saturation=1.5, exposure=1.5).
+
+Host-side numpy/cv2, applied per image in the data-pipeline workers
+before letterboxing. Boxes are normalized (cx, cy, w, h)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    flip: bool = True
+    jitter: float = 0.3
+    hue: float = 0.1
+    saturation: float = 1.5
+    exposure: float = 1.5
+    min_box_visibility: float = 0.25  # drop boxes mostly cropped away
+
+
+def _rand_scale(rng: np.random.Generator, s: float) -> float:
+    """darknet rand_scale: uniform in [1, s], inverted half the time."""
+    v = rng.uniform(1.0, s)
+    return v if rng.uniform() < 0.5 else 1.0 / v
+
+
+def distort_hsv(img_u8: np.ndarray, rng: np.random.Generator,
+                cfg: AugmentConfig) -> np.ndarray:
+    import cv2
+
+    if cfg.hue <= 0 and cfg.saturation <= 1 and cfg.exposure <= 1:
+        return img_u8
+    hsv = cv2.cvtColor(img_u8, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-cfg.hue, cfg.hue) * 180.0) % 180.0
+    hsv[..., 1] = np.clip(hsv[..., 1] * _rand_scale(rng, cfg.saturation), 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * _rand_scale(rng, cfg.exposure), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def jitter_crop(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+                rng: np.random.Generator, cfg: AugmentConfig):
+    """Random crop with darknet-style jitter on each edge; boxes
+    re-normalized to the crop, clipped, low-visibility boxes dropped."""
+    h, w = img_u8.shape[:2]
+    dw, dh = int(w * cfg.jitter), int(h * cfg.jitter)
+    left = rng.integers(-dw, dw + 1)
+    right = rng.integers(-dw, dw + 1)
+    top = rng.integers(-dh, dh + 1)
+    bottom = rng.integers(-dh, dh + 1)
+    x1, x2 = max(0, left), min(w, w - right)
+    y1, y2 = max(0, top), min(h, h - bottom)
+    if x2 - x1 < w // 4 or y2 - y1 < h // 4:
+        return img_u8, boxes, classes
+    crop = img_u8[y1:y2, x1:x2]
+    cw, ch = x2 - x1, y2 - y1
+
+    if len(boxes) == 0:
+        return crop, boxes, classes
+    b = boxes.astype(np.float64)
+    # to pixel corners, shift, clip to crop, back to normalized xywh
+    px1 = np.clip(b[:, 0] * w - b[:, 2] * w / 2 - x1, 0, cw)
+    py1 = np.clip(b[:, 1] * h - b[:, 3] * h / 2 - y1, 0, ch)
+    px2 = np.clip(b[:, 0] * w + b[:, 2] * w / 2 - x1, 0, cw)
+    py2 = np.clip(b[:, 1] * h + b[:, 3] * h / 2 - y1, 0, ch)
+    nw, nh = (px2 - px1) / cw, (py2 - py1) / ch
+    visibility = np.where(
+        b[:, 2] * b[:, 3] > 0,
+        (nw * cw / w / np.maximum(b[:, 2], 1e-9)) *
+        (nh * ch / h / np.maximum(b[:, 3], 1e-9)), 0.0)
+    keep = (nw > 0.001) & (nh > 0.001) & (visibility >= cfg.min_box_visibility)
+    out = np.stack([(px1 + px2) / 2 / cw, (py1 + py2) / 2 / ch, nw, nh],
+                   axis=-1)[keep].astype(np.float32)
+    return crop, out, classes[keep]
+
+
+def flip_horizontal(img_u8: np.ndarray, boxes: np.ndarray):
+    img = img_u8[:, ::-1]
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, 0] = 1.0 - boxes[:, 0]
+    return np.ascontiguousarray(img), boxes
+
+
+def augment(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+            rng: np.random.Generator,
+            cfg: AugmentConfig = AugmentConfig()
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full darknet-style augmentation for one training sample."""
+    img_u8, boxes, classes = jitter_crop(img_u8, boxes, classes, rng, cfg)
+    if cfg.flip and rng.uniform() < 0.5:
+        img_u8, boxes = flip_horizontal(img_u8, boxes)
+    img_u8 = distort_hsv(img_u8, rng, cfg)
+    return img_u8, boxes, classes

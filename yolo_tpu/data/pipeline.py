@@ -122,20 +122,23 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
 def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                   anchors, num_classes: int, net_size: int, batch_size: int,
                   rng: np.random.Generator, workers: int = 8,
-                  shuffle: bool = True,
-                  size_for_batch=None) -> Iterator[Dict]:
+                  shuffle: bool = True, size_for_batch=None,
+                  augment_cfg=None) -> Iterator[Dict]:
     """(image, xml) pairs -> fixed-shape train batches: letterboxed images
     in [0,1] + encoded GT targets (data/targets.py). One epoch.
 
     ``size_for_batch(batch_idx) -> int|None`` enables darknet-style
     multi-scale switching (new net size every N batches; each distinct
-    size is one jit bucket, SURVEY.md §5.7)."""
+    size is one jit bucket, SURVEY.md §5.7). ``augment_cfg`` (an
+    data.augment.AugmentConfig) enables darknet-style jitter/flip/HSV
+    augmentation per sample."""
     from yolo_tpu.data.voc import parse_annotation
 
     order = np.arange(len(pairs))
     if shuffle:
         rng.shuffle(order)
     n_batches = len(order) // batch_size  # drop remainder: fixed shapes
+    aug_base = int(rng.integers(0, 2 ** 31))  # per-sample thread-safe rngs
 
     def prepare(idx: int, size: int):
         from yolo_tpu.native.preproc import letterbox_batch as native_letterbox
@@ -143,11 +146,18 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
         img_path, xml_path = pairs[int(idx)]
         img = load_image_rgb(img_path)
         ann = parse_annotation(xml_path, class_names)
+        boxes, classes = ann["boxes"], ann["classes"]
+        if augment_cfg is not None:
+            from yolo_tpu.data.augment import augment
+
+            img, boxes, classes = augment(
+                img, boxes, classes,
+                np.random.default_rng((aug_base, int(idx))), augment_cfg)
         h, w = img.shape[:2]
         # native C++ letterbox (exact oracle semantics; numpy fallback)
         image = native_letterbox(img[None], size, n_threads=1)[0]
-        boxes = letterbox_boxes(ann["boxes"], w, h, size)
-        return image, boxes, ann["classes"]
+        boxes = letterbox_boxes(boxes, w, h, size)
+        return image, boxes, classes
 
     size = net_size
     with cf.ThreadPoolExecutor(workers) as pool:
