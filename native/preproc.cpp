@@ -80,8 +80,11 @@ int letterbox_batch(const uint8_t* src, int batch, int src_h, int src_w,
     const double scale =
         std::min(static_cast<double>(net) / src_w,
                  static_cast<double>(net) / src_h);
-    const int rw = static_cast<int>(std::lround(src_w * scale));
-    const int rh = static_cast<int>(std::lround(src_h * scale));
+    // half-to-even to match Python round() in letterbox_geometry —
+    // std::lround is half-away-from-zero and disagrees on exact .5
+    // products (e.g. 417x832 at net 416: 208.5 -> 208 vs 209)
+    const int rw = static_cast<int>(std::nearbyint(src_w * scale));
+    const int rh = static_cast<int>(std::nearbyint(src_h * scale));
     const int px = (net - rw) / 2, py = (net - rh) / 2;
     const Axis ay = make_axis(src_h, rh);
     const Axis ax = make_axis(src_w, rw);

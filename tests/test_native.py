@@ -43,3 +43,18 @@ def test_threads_deterministic(native_ok):
     a = preproc.letterbox_batch(imgs, 224, n_threads=1)
     b = preproc.letterbox_batch(imgs, 224, n_threads=8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_half_even_rounding_matches_python(native_ok):
+    # 417x832 at net 416: w*scale = 208.5 — half-to-even must give 208
+    # in both the native and Python geometry (review finding)
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.letterbox import letterbox, letterbox_geometry
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (417, 832, 3), dtype=np.uint8)
+    scale, rh, rw, px, py = letterbox_geometry(417, 832, 416)
+    got = preproc.letterbox_batch(img[None], 416)[0]
+    want = np.asarray(letterbox(jnp.asarray(img[None]), 416))[0]
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)

@@ -267,8 +267,12 @@ def cmd_eval(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
+    # PR-curve thresholds (0.005) violate the fused head's exactness
+    # precondition (ops/head.py) — evaluation always takes the exact
+    # reference decode + per-class NMS path.
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
-                        conf_threshold=args.eval_conf)
+                        conf_threshold=args.eval_conf,
+                        head="reference", nms_impl="xla")
 
     pairs = list_split(args.voc_root, args.split)
     if args.precision == "int8":

@@ -99,10 +99,30 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     """Decode images in parallel; yield raw-RGB batches bucketed by source
     shape (each bucket is one jit specialization). Batches carry the
     original paths and per-image shapes for output mapping."""
+    import collections
+
     with cf.ThreadPoolExecutor(workers) as pool:
-        decoded = pool.map(lambda p: (p, load_image_rgb(p)), image_paths)
+        # bounded submission: at most ~4 batches of decodes in flight so a
+        # slow consumer doesn't buffer the whole dataset's pixels
+        paths_iter = iter(image_paths)
+        inflight: collections.deque = collections.deque()
+
+        def refill():
+            while len(inflight) < max(workers, batch_size) * 4:
+                p = next(paths_iter, None)
+                if p is None:
+                    return
+                inflight.append(pool.submit(
+                    lambda q: (q, load_image_rgb(q)), p))
+
+        def decoded():
+            refill()
+            while inflight:
+                yield inflight.popleft().result()
+                refill()
+
         buckets: Dict[Tuple[int, int], List] = {}
-        for path, img in decoded:
+        for path, img in decoded():
             key = img.shape[:2]
             buckets.setdefault(key, []).append((path, img))
             if len(buckets[key]) == batch_size:

@@ -92,6 +92,8 @@ def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
 
 def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
               use_pallas: bool):
+    if use_pallas and geom.shape[-1] > 256:
+        use_pallas = False  # beyond the kernel's VMEM budget (see kernel)
     if use_pallas:
         from yolo_tpu.ops.pallas.nms_kernel import suppress
 

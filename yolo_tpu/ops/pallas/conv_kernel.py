@@ -57,6 +57,8 @@ def fused_conv_bias_act(x, kernel_hwio, bias, *, act: str = "leaky",
     b, h, w, cin = x.shape
     ks, _, _, co = kernel_hwio.shape
     tn = min(tn, co)
+    while co % tn:   # grid tiles must cover co exactly (co % 128 == 0)
+        tn //= 2
     pad = ks // 2
     if pad:
         x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))

@@ -95,9 +95,12 @@ def suppress(boxes_xyxy_area: jnp.ndarray, scores: jnp.ndarray,
     """
     g, _, k = boxes_xyxy_area.shape
     tile_g = TILE_G
-    while tile_g * k * k * 4 * 5 > 12 * 2 ** 20:  # scratch+temps VMEM cap
-        tile_g //= 2
-    tile_g = max(tile_g, 8)
+    while tile_g > 8 and tile_g * k * k * 4 * 5 > 12 * 2 ** 20:
+        tile_g //= 2  # scratch+temps VMEM cap
+    if tile_g * k * k * 4 * 5 > 12 * 2 ** 20:
+        # (8, 128) is the minimum fp32 tile — beyond K=256 the IoU block
+        # cannot fit VMEM; callers fall back to the XLA path (ops/nms.py)
+        raise ValueError(f"pallas NMS supports K <= 256, got K={k}")
     g_pad = -(-g // tile_g) * tile_g
     if g_pad != g:
         boxes_xyxy_area = jnp.pad(boxes_xyxy_area,
