@@ -59,7 +59,7 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
         return detect_head(
             logits, cfg.anchors, cfg.num_classes,
             conf_threshold=conf_t, iou_threshold=iou_t,
-            pre_top_k=2 * top_k, max_detections=max_detections,
+            pre_top_k=top_k, max_detections=max_detections,
             use_pallas=(jax.default_backend() == "tpu"))
     boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
     return nms_batch(
