@@ -325,6 +325,27 @@ def cmd_export(args) -> None:
     print(f"wrote {args.output}", file=sys.stderr)
 
 
+def cmd_serve(args) -> None:
+    """HTTP detection endpoint with micro-batching (yolo_tpu/serve.py)."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.serve import DetectionServer
+
+    cfg = _get_cfg(args)
+    params = _load_params(args, cfg)
+    if args.precision == "int8":
+        if not args.calibration_image:
+            raise SystemExit("--precision int8 needs --calibration-image")
+        params = _maybe_quantize(args, cfg, params,
+                                 [load_image_rgb(args.calibration_image)])
+    server = DetectionServer(
+        cfg, params, compute_dtype=_compute_dtype(args.precision),
+        host=args.host, port=args.port, max_batch=args.max_batch,
+        conf_threshold=args.conf)
+    print(f"serving {cfg.name} on http://{args.host}:{args.port} "
+          f"(POST /detect, GET /healthz)", file=sys.stderr)
+    server.serve_forever()
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -393,6 +414,15 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("serve", help="HTTP detection endpoint")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--calibration-image", default=None)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--batch", type=int, default=128)

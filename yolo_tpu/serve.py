@@ -1,0 +1,179 @@
+"""Minimal production-style serving endpoint: HTTP in, boxes out.
+
+POST /detect with JPEG/PNG bytes -> JSON detections. Requests are
+micro-batched: a collector thread groups same-shape images arriving
+within ``batch_window_ms`` (up to ``max_batch``) into one device call,
+so concurrent clients ride the batched-throughput curve (docs/PERF.md)
+instead of paying batch-1 latency each. GET /healthz for liveness.
+
+Stdlib-only (http.server + threads); the device work is the same jitted
+detector as the CLI (models/predict.make_detector).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class DetectionServer:
+    def __init__(self, cfg, params, *, compute_dtype=None,
+                 host: str = "127.0.0.1", port: int = 8000,
+                 batch_window_ms: float = 5.0, max_batch: int = 32,
+                 conf_threshold: Optional[float] = None):
+        import jax.numpy as jnp
+
+        from yolo_tpu.models.predict import make_detector
+
+        self.cfg = cfg
+        self.params = params
+        self.host, self.port = host, port
+        self.batch_window = batch_window_ms / 1000.0
+        self.max_batch = max_batch
+        self._detector = make_detector(
+            cfg, compute_dtype=compute_dtype or jnp.bfloat16,
+            conf_threshold=conf_threshold)
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._stop = threading.Event()
+
+    # -- batching ----------------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = threading.Event()
+        timer = threading.Timer(self.batch_window, deadline.set)
+        timer.start()
+        try:
+            while len(batch) < self.max_batch and not deadline.is_set():
+                try:
+                    item = self._q.get(timeout=self.batch_window / 4)
+                except queue.Empty:
+                    continue
+                if item is None:
+                    self._q.put(None)
+                    break
+                batch.append(item)
+        finally:
+            timer.cancel()
+        return batch
+
+    def _worker(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                return
+            # one device call per source-shape bucket
+            buckets: Dict[Tuple[int, int], List[_Pending]] = {}
+            for item in batch:
+                buckets.setdefault(item.image.shape[:2], []).append(item)
+            for items in buckets.values():
+                try:
+                    images = jnp.asarray(np.stack([i.image for i in items]))
+                    out = self._detector(self.params, images)
+                    for bi, item in enumerate(items):
+                        valid = np.asarray(out["valid"][bi])
+                        item.result = [{
+                            "class": self.cfg.class_names[
+                                int(out["classes"][bi][i])],
+                            "score": round(float(out["scores"][bi][i]), 4),
+                            "box_xyxy": [round(float(v), 1) for v in
+                                         np.asarray(out["boxes"][bi][i])],
+                        } for i in np.nonzero(valid)[0]]
+                except Exception as e:  # surface to the waiting request
+                    for item in items:
+                        item.error = str(e)
+                for item in items:
+                    item.event.set()
+
+    # -- http --------------------------------------------------------------
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok",
+                                     "model": server.cfg.name})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/detect":
+                    self._send(404, {"error": "not found"})
+                    return
+                import cv2
+
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    self._send(400, {"error": "cannot decode image"})
+                    return
+                pending = _Pending(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                server._q.put(pending)
+                pending.event.wait()
+                if pending.error is not None:
+                    self._send(500, {"error": pending.error})
+                else:
+                    self._send(200, {"detections": pending.result})
+
+        return Handler
+
+    def start(self) -> None:
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._handler_class())
+        self.port = self._httpd.server_address[1]  # resolve port 0
+        self._worker_thread = threading.Thread(target=self._worker,
+                                               daemon=True)
+        self._worker_thread.start()
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._serve_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+    def serve_forever(self) -> None:
+        self.start()
+        try:
+            self._serve_thread.join()
+        except KeyboardInterrupt:
+            self.stop()
