@@ -164,3 +164,21 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["params"][0]["kernel"]),
         np.asarray(state["params"][0]["kernel"]))
     assert int(restored["seen"]) == 9
+
+
+def test_prewarm_populates_jit_cache():
+    from yolo_tpu.train.loop import prewarm
+
+    rng = np.random.default_rng(4)
+    tcfg = TrainConfig(weight_decay=0.0)
+    state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+    step = make_train_step(MICRO, tcfg)
+    misses_before = step._cache_size()
+    prewarm(step, state, MICRO, (64, 96), batch_size=2)
+    assert step._cache_size() == misses_before + 2
+    # state untouched (no donation consumed): a real step still works
+    from tests.test_train import TestTrainStep
+
+    batch = TestTrainStep()._batch(np.random.default_rng(5), batch=2)
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -221,6 +221,13 @@ def cmd_train(args) -> None:
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
 
+    if args.prewarm and args.multi_scale:
+        from yolo_tpu.train.loop import prewarm
+
+        prewarm(step_fn, state, cfg, tcfg.multi_scale_sizes, args.batch)
+        print(f"prewarmed {len(tcfg.multi_scale_sizes)} size buckets",
+              file=sys.stderr)
+
     step = int(np.asarray(state["step"]))
     for epoch in range(args.epochs):
         size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
@@ -386,6 +393,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--multi-scale-sizes", default=None,
                    help="comma-separated sizes (default darknet 320..608)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile all multi-scale buckets before training")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", default=None, help="orbax checkpoint path")

@@ -118,6 +118,32 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         donate_argnums=0)
 
 
+def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
+            batch_size: int) -> None:
+    """Compile the train step for every multi-scale bucket up front
+    (SURVEY.md §7.2 'multi-scale recompiles: pre-warm at startup').
+
+    Runs one real step per size on a throwaway deep copy of the state
+    (step_fn donates its state argument, so the caller's buffers must
+    not be passed) and discards the result — only the jit cache
+    matters. AOT lower().compile() does not populate jit's dispatch
+    cache, hence the execute-and-discard approach."""
+    from yolo_tpu.data import targets as tgt
+
+    for size in sizes:
+        grid = size // 32
+        enc = tgt.encode_batch(
+            [np.zeros((0, 4))] * batch_size,
+            [np.zeros((0,), np.int32)] * batch_size,
+            grid=grid, anchors=mcfg.anchors, num_classes=mcfg.num_classes)
+        batch = {k: jnp.asarray(v) for k, v in enc.items()}
+        batch["images"] = jnp.zeros((batch_size, size, size, 3),
+                                    jnp.float32)
+        scratch = jax.tree_util.tree_map(jnp.copy, state)
+        _, metrics = step_fn(scratch, batch)
+        jax.block_until_ready(metrics)
+
+
 def pick_scale(step: int, rng: np.random.Generator,
                every: int = 10,
                sizes: tuple = MULTISCALE_SIZES) -> Optional[int]:
