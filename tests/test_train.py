@@ -6,11 +6,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from yolo_tpu.configs.names import VOC_NAMES
 from yolo_tpu.configs.specs import Conv, MaxPool, ModelConfig
 from yolo_tpu.data import targets as tgt
 from yolo_tpu.io import darknet_weights as dw
-from yolo_tpu.models import graph
 from yolo_tpu.train.loop import TrainConfig, init_state, make_train_step
 from yolo_tpu.train.loss import LossConfig, region_loss
 

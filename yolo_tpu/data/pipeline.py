@@ -59,8 +59,6 @@ class DevicePrefetcher:
         import jax
 
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
-        self._sharding = sharding
-        self._jax = jax
         self._err: Optional[BaseException] = None
 
         def put(batch):

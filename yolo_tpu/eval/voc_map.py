@@ -9,7 +9,7 @@ switches to the continuous AUC variant (VOC2010+).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 
