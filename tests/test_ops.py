@@ -140,3 +140,11 @@ class TestNMS:
                          dtype=np.float32)
         scores = np.array([[0.2], [0.9]], dtype=np.float32)
         _run_both(boxes, scores, 0.5, 0.45)
+
+
+class TestRouteResolution:
+    def test_absolute_and_relative(self):
+        from yolo_tpu.configs.specs import resolve_route
+
+        assert resolve_route(10, -3) == 7   # darknet relative
+        assert resolve_route(10, 4) == 4    # darknet absolute

@@ -47,3 +47,21 @@ def test_calibration_scales_positive():
     scales = quantize.calibrate(cfg.layers, folded, x, cfg.bn_eps)
     assert len(scales) == 9  # tiny-yolo conv count
     assert all(s > 0 for s in scales)
+
+
+def test_int8_params_checkpoint_roundtrip(tmp_path):
+    import dataclasses
+
+    from yolo_tpu.io import checkpoint as ckpt
+
+    cfg = dataclasses.replace(TINY_YOLOV2_VOC, input_size=96)
+    rng = np.random.default_rng(9)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32))
+    qparams = quantize.prepare_int8(cfg, params, x)
+    path = str(tmp_path / "q")
+    ckpt.save(path, [dict(p) for p in qparams])
+    restored = ckpt.restore(path)
+    assert np.asarray(restored[0]["kernel_q"]).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(restored[0]["kernel_q"]),
+                                  np.asarray(qparams[0]["kernel_q"]))

@@ -407,7 +407,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="debug: abort after N steps to exercise resume")
     p.set_defaults(fn=cmd_train)
 
-    p = sub.add_parser("eval", help="VOC mAP")
+    # "test" is the reference's name for the evaluation mode (SURVEY.md
+    # §1 L7: train/predict/test); both names map to the same command.
+    p = sub.add_parser("eval", aliases=["test"], help="VOC mAP")
     _add_common(p)
     p.add_argument("--weights", required=True)
     p.add_argument("--voc-root", required=True)
