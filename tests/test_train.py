@@ -180,3 +180,31 @@ def test_prewarm_populates_jit_cache():
     batch = TestTrainStep()._batch(np.random.default_rng(5), batch=2)
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_lr_schedule_burn_in_and_steps():
+    from yolo_tpu.train.loop import lr_schedule
+
+    cfg = TrainConfig(learning_rate=1e-3, burn_in_steps=100,
+                      lr_decay_steps=(1000, 2000),
+                      lr_decay_scales=(0.1, 0.1))
+    sched = lr_schedule(cfg)
+    assert float(sched(jnp.asarray(0))) == 0.0
+    assert float(sched(jnp.asarray(50))) == pytest.approx(1e-3 * 0.5 ** 4)
+    assert float(sched(jnp.asarray(100))) == pytest.approx(1e-3)
+    assert float(sched(jnp.asarray(1500))) == pytest.approx(1e-4)
+    assert float(sched(jnp.asarray(2500))) == pytest.approx(1e-5)
+
+
+def test_train_step_with_schedule_runs():
+    rng = np.random.default_rng(12)
+    tcfg = TrainConfig(learning_rate=1e-3, burn_in_steps=5,
+                       weight_decay=0.0)
+    state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+    step = make_train_step(MICRO, tcfg)
+    from tests.test_train import TestTrainStep
+
+    batch = TestTrainStep()._batch(rng, batch=2)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -192,8 +192,17 @@ def cmd_train(args) -> None:
     cfg = _get_cfg(args)
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
+    decay_steps, decay_scales = (), ()
+    if args.lr_steps:
+        decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
+        decay_scales = tuple(float(s) for s in args.lr_scales.split(","))
+        if len(decay_steps) != len(decay_scales):
+            raise SystemExit("--lr-steps and --lr-scales lengths differ")
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
+                       burn_in_steps=args.burn_in,
+                       lr_decay_steps=decay_steps,
+                       lr_decay_scales=decay_scales,
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     mesh = shd.make_mesh()
     n_dev = mesh.devices.size
@@ -388,6 +397,13 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--burn-in", type=int, default=0,
+                   help="darknet burn-in steps (quartic lr ramp)")
+    p.add_argument("--lr-steps", default=None,
+                   help="comma-separated steps for lr decay (darknet "
+                        "policy=steps)")
+    p.add_argument("--lr-scales", default=None,
+                   help="comma-separated decay factors matching --lr-steps")
     p.add_argument("--augment", action="store_true",
                    help="darknet-style jitter/flip/HSV augmentation")
     p.add_argument("--multi-scale", action="store_true")

@@ -52,7 +52,10 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
     if head == "auto":
-        head = "fused" if jax.default_backend() == "tpu" else "reference"
+        # fused head is exact only while few boxes clear the threshold;
+        # at PR-curve thresholds fall back to the reference path
+        head = ("fused" if jax.default_backend() == "tpu"
+                and conf_t >= 0.1 else "reference")
     if head == "fused":
         from yolo_tpu.ops.head import detect_head
 

@@ -34,6 +34,11 @@ class TrainConfig:
     optimizer: str = "sgd"          # "sgd" (darknet) | "adam"
     momentum: float = 0.9
     weight_decay: float = 5e-4      # darknet decay, applied to kernels only
+    # darknet policy=steps: burn-in ramp then step decays
+    # (yolov2-voc.cfg: burn_in=1000, steps=40000,60000, scales=.1,.1)
+    burn_in_steps: int = 0          # lr * (step/burn_in)^4 ramp when > 0
+    lr_decay_steps: tuple = ()      # steps at which lr multiplies by...
+    lr_decay_scales: tuple = ()     # ...these factors (darknet 'scales')
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     multi_scale: bool = False
     multi_scale_every: int = 10     # darknet resizes every 10 batches
@@ -49,11 +54,32 @@ def _kernel_mask(params):
     return [{k: (k == "kernel") for k in p} for p in params]
 
 
+def lr_schedule(cfg: TrainConfig):
+    """Darknet policy=steps as an optax schedule: quartic burn-in ramp
+    (darknet: lr * (batch/burn_in)^power, power=4), then multiplicative
+    step decays."""
+    base = cfg.learning_rate
+
+    def schedule(step):
+        lr = jnp.asarray(base, jnp.float32)
+        if cfg.burn_in_steps:
+            ramp = jnp.minimum(
+                (step.astype(jnp.float32) / cfg.burn_in_steps) ** 4, 1.0)
+            lr = lr * ramp
+        for at, scale in zip(cfg.lr_decay_steps, cfg.lr_decay_scales):
+            lr = jnp.where(step >= at, lr * scale, lr)
+        return lr
+
+    return schedule
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    lr = (lr_schedule(cfg)
+          if (cfg.burn_in_steps or cfg.lr_decay_steps) else cfg.learning_rate)
     if cfg.optimizer == "sgd":
-        opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+        opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
-        opt = optax.adam(cfg.learning_rate)
+        opt = optax.adam(lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.weight_decay:
