@@ -51,3 +51,24 @@ def test_golden_boxes():
         assert g["class"] == w["class"]
         assert g["score"] == pytest.approx(w["score"], abs=2e-5)
         np.testing.assert_allclose(g["box"], w["box"], atol=5e-2)
+
+
+def test_golden_full_yolov2_logits():
+    """Full YOLOv2 (reorg + routes) seed-pinned golden: the logits
+    checksum pins the whole graph including the passthrough semantics.
+    Regenerate GOLDEN if the (documented) numerics ever change on
+    purpose."""
+    rng = np.random.default_rng(SEED + 1)
+    cfg = dataclasses.replace(get_variant("coco"), input_size=160)
+    params = graph.params_to_jax(dw.random_params(cfg.layers, rng,
+                                                  scale=0.03))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 160, 160, 3)).astype(np.float32))
+    logits = np.asarray(graph.apply_layers(cfg.layers, params, x,
+                                           eps=cfg.bn_eps))
+    assert logits.shape == (1, 5, 5, 425)
+    checksum = float(np.abs(logits).mean())
+    golden = json.load(open(os.path.join(FIXTURES,
+                                         "golden_full_checksum.json")))
+    assert checksum == pytest.approx(golden["abs_mean"], rel=1e-4)
+    np.testing.assert_allclose(logits[0, 2, 2, :5], golden["probe"],
+                               rtol=1e-4)

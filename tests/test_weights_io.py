@@ -112,3 +112,25 @@ def test_bn_fold_unfold_equivalence():
     # is equivalent because conv is linear in the kernel
     scale = p["gamma"] / np.sqrt(p["var"] + 1e-5)
     np.testing.assert_allclose(x * scale + folded["bias"], want, rtol=1e-5, atol=1e-5)
+
+
+def test_fuzz_random_specs_roundtrip():
+    """Property test: random layer specs -> random params -> save -> load
+    must reproduce every tensor exactly."""
+    rng = np.random.default_rng(99)
+    for trial in range(10):
+        layers = []
+        for _ in range(int(rng.integers(1, 6))):
+            layers.append(Conv(int(rng.choice([2, 3, 5, 8])),
+                               size=int(rng.choice([1, 3])),
+                               bn=bool(rng.integers(0, 2))))
+            if rng.integers(0, 2):
+                layers.append(MaxPool(2, 2))
+        layers = tuple(layers)
+        params = dw.random_params(layers, rng)
+        blob = dw.to_bytes(layers, params, seen=int(rng.integers(0, 10**6)))
+        loaded, _ = dw.load(io.BytesIO(blob), layers)
+        for p, q in zip(params, loaded):
+            assert set(p) == set(q)
+            for key in p:
+                np.testing.assert_array_equal(p[key], q[key])

@@ -237,33 +237,44 @@ def cmd_train(args) -> None:
         print(f"prewarmed {len(tcfg.multi_scale_sizes)} size buckets",
               file=sys.stderr)
 
-    step = int(np.asarray(state["step"]))
-    for epoch in range(args.epochs):
-        size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
-                                         tcfg.multi_scale_sizes)) \
-            if args.multi_scale else None
-        aug_cfg = None
-        if args.augment:
-            from yolo_tpu.data.augment import AugmentConfig
+    from yolo_tpu.utils.profiling import maybe_trace
 
-            aug_cfg = AugmentConfig()
-        host_iter = train_batches(
-            pairs, class_names=cfg.class_names, anchors=cfg.anchors,
-            num_classes=cfg.num_classes, net_size=cfg.input_size,
-            batch_size=args.batch, rng=rng, size_for_batch=size_fn,
-            augment_cfg=aug_cfg)
-        for batch in DevicePrefetcher(host_iter, depth=2, sharding=sharding):
-            state, metrics = step_fn(state, batch)
-            step += 1
-            logger.log(step, metrics, epoch=epoch,
-                       size=batch["images"].shape[1])
-            if args.checkpoint_dir and step % args.checkpoint_every == 0:
-                ckpt.save(os.path.join(args.checkpoint_dir, f"step_{step}"),
-                          jax.device_get(dict(state)))
-            if args.fail_after_step and step >= args.fail_after_step:
-                raise SystemExit(
-                    f"--fail-after-step {args.fail_after_step} reached "
-                    f"(fault-injection debug flag, SURVEY.md §5.3)")
+    step = int(np.asarray(state["step"]))
+    import time as _time
+    t_last = _time.perf_counter()
+    with maybe_trace(args.profile_dir):
+        for epoch in range(args.epochs):
+            size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
+                                             tcfg.multi_scale_sizes)) \
+                if args.multi_scale else None
+            aug_cfg = None
+            if args.augment:
+                from yolo_tpu.data.augment import AugmentConfig
+
+                aug_cfg = AugmentConfig()
+            host_iter = train_batches(
+                pairs, class_names=cfg.class_names, anchors=cfg.anchors,
+                num_classes=cfg.num_classes, net_size=cfg.input_size,
+                batch_size=args.batch, rng=rng, size_for_batch=size_fn,
+                augment_cfg=aug_cfg)
+            for batch in DevicePrefetcher(host_iter, depth=2,
+                                          sharding=sharding):
+                state, metrics = step_fn(state, batch)
+                step += 1
+                now = _time.perf_counter()
+                img_s = args.batch / max(now - t_last, 1e-9)
+                t_last = now
+                logger.log(step, metrics, epoch=epoch,
+                           size=batch["images"].shape[1],
+                           img_s=round(img_s, 1))
+                if args.checkpoint_dir and step % args.checkpoint_every == 0:
+                    ckpt.save(
+                        os.path.join(args.checkpoint_dir, f"step_{step}"),
+                        jax.device_get(dict(state)))
+                if args.fail_after_step and step >= args.fail_after_step:
+                    raise SystemExit(
+                        f"--fail-after-step {args.fail_after_step} reached "
+                        f"(fault-injection debug flag, SURVEY.md §5.3)")
     if args.checkpoint_dir:
         ckpt.save(os.path.join(args.checkpoint_dir, "final"),
                   jax.device_get(dict(state)))
