@@ -163,3 +163,67 @@ class TestTrainBatches:
         assert b0["obj_mask"].shape == (2, 2, 2, 2)
         assert b0["images"].dtype == np.float32
         assert b0["obj_mask"].sum() == 2  # one GT per image
+
+
+class TestHostPreprocessMode:
+    def test_uniform_batches_from_mixed_shapes(self, tmp_path):
+        import cv2
+
+        paths = []
+        rng = np.random.default_rng(5)
+        for i, (h, w) in enumerate([(100, 200), (50, 60), (80, 80),
+                                    (120, 90), (33, 77)]):
+            p = str(tmp_path / f"m{i}.png")
+            cv2.imwrite(p, rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            paths.append(p)
+        batches = list(pipe.inference_batches(paths, batch_size=2,
+                                              net_size=96))
+        # mixed shapes -> uniform (96, 96) float batches, order preserved
+        assert [b["images"].shape for b in batches] == [(2, 96, 96, 3)] * 3
+        assert all(b["images"].dtype == np.float32 for b in batches)
+        got_paths = [p for b in batches for p in b["paths"]]
+        assert got_paths == paths
+        assert batches[-1]["pad"] == 1
+        assert len(batches[0]["shapes"]) == 2
+
+
+def test_cli_eval_mixed_image_sizes(tmp_path):
+    """Real-VOC shape heterogeneity: eval must produce one batch shape
+    (one jit bucket) and valid mAP output."""
+    import cv2
+    import json as _json
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    root = tmp_path / "VOC"
+    for d in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        (root / d).mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    ids = []
+    for i, (h, w) in enumerate([(100, 120), (90, 140), (130, 100),
+                                (110, 110)]):
+        name = f"{i:06d}"
+        ids.append(name)
+        cv2.imwrite(str(root / "JPEGImages" / f"{name}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        _write_xml(root / "Annotations" / f"{name}.xml",
+                   [("dog", 0, 20, 20, 70, 60)], w=w, h=h)
+    (root / "ImageSets/Main/val.txt").write_text("\n".join(ids) + "\n")
+
+    wpath = str(tmp_path / "w.weights")
+    cfg = get_variant("tiny-voc")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(1)))
+
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", wpath, "--voc-root", str(root),
+                  "--split", "val", "--batch", "3", "--precision", "fp32"])
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert 0.0 <= res["map"] <= 1.0

@@ -294,19 +294,26 @@ def cmd_eval(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
-    # PR-curve thresholds (0.005) violate the fused head's exactness
-    # precondition (ops/head.py) — evaluation always takes the exact
-    # reference decode + per-class NMS path.
-    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
-                        conf_threshold=args.eval_conf,
-                        head="reference", nms_impl="xla")
-
-    pairs = list_split(args.voc_root, args.split)
     if args.precision == "int8":
         from yolo_tpu.data.pipeline import load_image_rgb
 
+        pairs0 = list_split(args.voc_root, args.split)
         params = _maybe_quantize(args, cfg, params,
-                                 [load_image_rgb(p) for p, _ in pairs[:8]])
+                                 [load_image_rgb(p) for p, _ in pairs0[:8]])
+    # PR-curve thresholds (0.005) violate the fused head's exactness
+    # precondition (ops/head.py) — evaluation always takes the exact
+    # reference decode + per-class NMS path. Host-preprocess mode
+    # letterboxes on the host so heterogeneous VOC shapes compile ONE
+    # program (data/pipeline.py).
+    from yolo_tpu.models.predict import make_detector_preprocessed
+    from yolo_tpu.ops import numpy_ref as npr
+    from yolo_tpu.ops.letterbox import letterbox_geometry
+
+    det = make_detector_preprocessed(
+        cfg, compute_dtype=_compute_dtype(args.precision),
+        conf_threshold=args.eval_conf, head="reference", nms_impl="xla")
+
+    pairs = list_split(args.voc_root, args.split)
     gt, detections = {}, {}
     for img_id, (img_path, xml_path) in enumerate(pairs):
         ann = parse_annotation(xml_path, cfg.class_names, keep_difficult=True)
@@ -321,15 +328,22 @@ def cmd_eval(args) -> None:
                       "difficult": ann["difficult"]}
 
     path_to_id = {p: i for i, (p, _) in enumerate(pairs)}
-    host_iter = inference_batches([p for p, _ in pairs], args.batch)
+    host_iter = inference_batches([p for p, _ in pairs], args.batch,
+                                  net_size=cfg.input_size)
+    net = cfg.input_size
     for batch in DevicePrefetcher(host_iter, depth=2):
         out = det(params, jnp.asarray(batch["images"]))
         for bi, path in enumerate(batch["paths"]):
-            valid = np.asarray(out["valid"][bi])
+            src_h, src_w = batch["shapes"][bi]
+            scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
+            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
+            boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
+            xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py, net, net,
+                                         src_w, src_h)
             detections[path_to_id[path]] = [
                 (int(out["classes"][bi][i]), float(out["scores"][bi][i]),
-                 *np.asarray(out["boxes"][bi][i], np.float64))
-                for i in np.nonzero(valid)[0]]
+                 *xyxy[j])
+                for j, i in enumerate(valid)]
 
     result = evaluate(detections, gt, cfg.num_classes,
                       use_07_metric=not args.use_2010_metric)

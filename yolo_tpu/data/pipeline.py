@@ -93,10 +93,18 @@ class DevicePrefetcher:
 
 
 def inference_batches(image_paths: Sequence[str], batch_size: int,
-                      workers: int = 8) -> Iterator[Dict]:
-    """Decode images in parallel; yield raw-RGB batches bucketed by source
-    shape (each bucket is one jit specialization). Batches carry the
-    original paths and per-image shapes for output mapping."""
+                      workers: int = 8,
+                      net_size: Optional[int] = None) -> Iterator[Dict]:
+    """Decode images in parallel and yield inference batches.
+
+    net_size=None (device-preprocess mode): raw-RGB batches bucketed by
+    source shape — each distinct shape is one jit specialization; right
+    for homogeneous streams (cameras, video).
+
+    net_size=<int> (host-preprocess mode): images are letterboxed on the
+    host (native C++ path) to one uniform (net, net) float32 shape, so
+    heterogeneous directories (e.g. VOC) compile exactly ONE program;
+    batches carry per-image source shapes for box un-letterboxing."""
     import collections
 
     with cf.ThreadPoolExecutor(workers) as pool:
@@ -119,6 +127,20 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                 yield inflight.popleft().result()
                 refill()
 
+        if net_size is not None:
+            from yolo_tpu.native.preproc import letterbox_batch
+
+            chunk: List = []
+            for path, img in decoded():
+                chunk.append((path, img))
+                if len(chunk) == batch_size:
+                    yield _host_preprocessed(chunk, net_size, 0)
+                    chunk = []
+            if chunk:
+                yield _host_preprocessed(chunk, net_size,
+                                         batch_size - len(chunk))
+            return
+
         buckets: Dict[Tuple[int, int], List] = {}
         for path, img in decoded():
             key = img.shape[:2]
@@ -135,6 +157,20 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
             yield {"images": images,
                    "paths": [p for p, _ in items],
                    "pad": pad}
+
+
+def _host_preprocessed(chunk, net_size: int, pad: int) -> Dict:
+    from yolo_tpu.native.preproc import letterbox_batch
+
+    images = [letterbox_batch(img[None], net_size, n_threads=1)[0]
+              for _, img in chunk]
+    images += [images[-1]] * pad
+    out = {"images": np.stack(images),
+           "paths": [p for p, _ in chunk],
+           "shapes": [img.shape[:2] for _, img in chunk]}
+    if pad:
+        out["pad"] = pad
+    return out
 
 
 def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,

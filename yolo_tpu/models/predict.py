@@ -83,6 +83,38 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
 
 
 @functools.lru_cache(maxsize=32)
+def _jitted_detect_pre(cfg: ModelConfig, compute_dtype, conf_threshold,
+                       nms_threshold, top_k, max_detections, nms_impl,
+                       head):
+    def fn(params, images_01):
+        return detect(cfg, params, images_01.astype(compute_dtype),
+                      compute_dtype=compute_dtype,
+                      conf_threshold=conf_threshold,
+                      nms_threshold=nms_threshold,
+                      top_k=top_k, max_detections=max_detections,
+                      nms_impl=nms_impl, head=head)
+    return jax.jit(fn)
+
+
+def make_detector_preprocessed(cfg: ModelConfig, *,
+                               compute_dtype=jnp.float32,
+                               conf_threshold: Optional[float] = None,
+                               nms_threshold: Optional[float] = None,
+                               top_k: int = 128, max_detections: int = 100,
+                               nms_impl: str = "auto", head: str = "auto"):
+    """Jitted detector for host-letterboxed (B, net, net, 3) [0,1] input:
+    ONE compiled program regardless of source image shapes (the
+    heterogeneous-directory mode, data/pipeline.py net_size=...).
+    Returns net-space xywh boxes; un-letterbox per image on host
+    (ops/numpy_ref.unletterbox_boxes)."""
+    return _jitted_detect_pre(
+        cfg, compute_dtype,
+        cfg.conf_threshold if conf_threshold is None else conf_threshold,
+        cfg.nms_threshold if nms_threshold is None else nms_threshold,
+        top_k, max_detections, nms_impl, head)
+
+
+@functools.lru_cache(maxsize=32)
 def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
                        nms_threshold, top_k, max_detections, nms_impl,
                        head):
