@@ -156,3 +156,23 @@ def test_train_with_augment_e2e(tiny_weights, tmp_path):
               "--weights", tiny_weights, "--voc-root", root,
               "--split", "train", "--batch", "8", "--epochs", "1",
               "--precision", "fp32", "--augment", "--seed", "1"])
+
+
+def test_detect_host_preprocess_mixed_sizes(tiny_weights, tmp_path, capsys):
+    import cv2
+
+    img_dir = tmp_path / "mixed"
+    img_dir.mkdir()
+    rng = np.random.default_rng(6)
+    for i, (h, w) in enumerate([(64, 96), (96, 64), (80, 80)]):
+        cv2.imwrite(str(img_dir / f"m{i}.png"),
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--images", str(img_dir),
+              "--batch", "2", "--conf", "0.1", "--precision", "fp32",
+              "--host-preprocess"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(recs) == 3
+    for r in recs:
+        for d in r["detections"]:
+            assert 0 <= d["score"] <= 1

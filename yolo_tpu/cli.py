@@ -161,18 +161,38 @@ def cmd_detect(args) -> None:
         params = _maybe_quantize(args, cfg, params,
                                  [load_image_rgb(p) for p in paths[:8]])
 
-    host_iter = inference_batches(paths, args.batch)
+    if args.host_preprocess:
+        # heterogeneous directories: one jit bucket, host letterboxing
+        from yolo_tpu.models.predict import make_detector_preprocessed
+        from yolo_tpu.ops import numpy_ref as npr
+        from yolo_tpu.ops.letterbox import letterbox_geometry
+
+        det = make_detector_preprocessed(
+            cfg, compute_dtype=_compute_dtype(args.precision))
+        host_iter = inference_batches(paths, args.batch,
+                                      net_size=cfg.input_size)
+    else:
+        host_iter = inference_batches(paths, args.batch)
+
+    net = cfg.input_size
     for batch in DevicePrefetcher(host_iter, depth=2):
         out = det(params, jnp.asarray(batch["images"]))
         n_real = len(batch["paths"])
         for bi in range(n_real):
-            valid = np.asarray(out["valid"][bi])
+            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
+            if args.host_preprocess:
+                src_h, src_w = batch["shapes"][bi]
+                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
+                xyxy = npr.unletterbox_boxes(
+                    np.asarray(out["boxes"][bi], np.float64)[valid],
+                    scale, px, py, net, net, src_w, src_h)
+            else:
+                xyxy = np.asarray(out["boxes"][bi], np.float64)[valid]
             dets = [{
                 "class": cfg.class_names[int(out["classes"][bi][i])],
                 "score": round(float(out["scores"][bi][i]), 4),
-                "box_xyxy": [round(float(v), 1)
-                             for v in np.asarray(out["boxes"][bi][i])],
-            } for i in np.nonzero(valid)[0]]
+                "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
+            } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
 
 
@@ -411,6 +431,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--weights", required=True)
     p.add_argument("--images", required=True)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--host-preprocess", action="store_true",
+                   help="letterbox on host: one compiled program for "
+                        "mixed image sizes (device letterbox otherwise)")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("train", help="fine-tune on VOC")
