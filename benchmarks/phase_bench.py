@@ -17,10 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sync(tree):
-    import jax
+    from yolo_tpu.utils.profiling import sync as _sync
 
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    np.asarray(leaf.ravel()[0])
+    _sync(tree)
 
 
 def timeit(f, *args, n=15):

@@ -215,9 +215,12 @@ def cmd_train(args) -> None:
     decay_steps, decay_scales = (), ()
     if args.lr_steps:
         decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
-        decay_scales = tuple(float(s) for s in args.lr_scales.split(","))
-        if len(decay_steps) != len(decay_scales):
-            raise SystemExit("--lr-steps and --lr-scales lengths differ")
+        if args.lr_scales:
+            decay_scales = tuple(float(s) for s in args.lr_scales.split(","))
+            if len(decay_steps) != len(decay_scales):
+                raise SystemExit("--lr-steps and --lr-scales lengths differ")
+        else:
+            decay_scales = (0.1,) * len(decay_steps)  # darknet default
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
                        burn_in_steps=args.burn_in,
@@ -253,7 +256,8 @@ def cmd_train(args) -> None:
     if args.prewarm and args.multi_scale:
         from yolo_tpu.train.loop import prewarm
 
-        prewarm(step_fn, state, cfg, tcfg.multi_scale_sizes, args.batch)
+        prewarm(step_fn, state, cfg, tcfg.multi_scale_sizes, args.batch,
+                batch_sharding=shd.batch_sharding(mesh))
         print(f"prewarmed {len(tcfg.multi_scale_sizes)} size buckets",
               file=sys.stderr)
 
@@ -291,6 +295,7 @@ def cmd_train(args) -> None:
                     ckpt.save(
                         os.path.join(args.checkpoint_dir, f"step_{step}"),
                         jax.device_get(dict(state)))
+                    t_last = _time.perf_counter()  # don't bill save to img/s
                 if args.fail_after_step and step >= args.fail_after_step:
                     raise SystemExit(
                         f"--fail-after-step {args.fail_after_step} reached "
@@ -310,16 +315,15 @@ def cmd_eval(args) -> None:
     from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
     from yolo_tpu.data.voc import list_split, parse_annotation
     from yolo_tpu.eval.voc_map import evaluate
-    from yolo_tpu.models.predict import make_detector
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
+    pairs = list_split(args.voc_root, args.split)
     if args.precision == "int8":
         from yolo_tpu.data.pipeline import load_image_rgb
 
-        pairs0 = list_split(args.voc_root, args.split)
         params = _maybe_quantize(args, cfg, params,
-                                 [load_image_rgb(p) for p, _ in pairs0[:8]])
+                                 [load_image_rgb(p) for p, _ in pairs[:8]])
     # PR-curve thresholds (0.005) violate the fused head's exactness
     # precondition (ops/head.py) — evaluation always takes the exact
     # reference decode + per-class NMS path. Host-preprocess mode
@@ -333,7 +337,6 @@ def cmd_eval(args) -> None:
         cfg, compute_dtype=_compute_dtype(args.precision),
         conf_threshold=args.eval_conf, head="reference", nms_impl="xla")
 
-    pairs = list_split(args.voc_root, args.split)
     gt, detections = {}, {}
     for img_id, (img_path, xml_path) in enumerate(pairs):
         ann = parse_annotation(xml_path, cfg.class_names, keep_difficult=True)

@@ -113,13 +113,23 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
         paths_iter = iter(image_paths)
         inflight: collections.deque = collections.deque()
 
+        def load(q):
+            img = load_image_rgb(q)
+            if net_size is not None:
+                # letterbox inside the pooled task so the host-preprocess
+                # path parallelizes like the decode itself
+                from yolo_tpu.native.preproc import letterbox_batch
+
+                return q, img.shape[:2], letterbox_batch(
+                    img[None], net_size, n_threads=1)[0]
+            return q, img
+
         def refill():
             while len(inflight) < max(workers, batch_size) * 4:
                 p = next(paths_iter, None)
                 if p is None:
                     return
-                inflight.append(pool.submit(
-                    lambda q: (q, load_image_rgb(q)), p))
+                inflight.append(pool.submit(load, p))
 
         def decoded():
             refill()
@@ -128,17 +138,14 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                 refill()
 
         if net_size is not None:
-            from yolo_tpu.native.preproc import letterbox_batch
-
             chunk: List = []
-            for path, img in decoded():
-                chunk.append((path, img))
+            for item in decoded():
+                chunk.append(item)
                 if len(chunk) == batch_size:
-                    yield _host_preprocessed(chunk, net_size, 0)
+                    yield _assemble_preprocessed(chunk, 0)
                     chunk = []
             if chunk:
-                yield _host_preprocessed(chunk, net_size,
-                                         batch_size - len(chunk))
+                yield _assemble_preprocessed(chunk, batch_size - len(chunk))
             return
 
         buckets: Dict[Tuple[int, int], List] = {}
@@ -159,15 +166,13 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                    "pad": pad}
 
 
-def _host_preprocessed(chunk, net_size: int, pad: int) -> Dict:
-    from yolo_tpu.native.preproc import letterbox_batch
-
-    images = [letterbox_batch(img[None], net_size, n_threads=1)[0]
-              for _, img in chunk]
+def _assemble_preprocessed(chunk, pad: int) -> Dict:
+    """chunk items: (path, src_shape, letterboxed_image)."""
+    images = [img for _, _, img in chunk]
     images += [images[-1]] * pad
     out = {"images": np.stack(images),
-           "paths": [p for p, _ in chunk],
-           "shapes": [img.shape[:2] for _, img in chunk]}
+           "paths": [p for p, _, _ in chunk],
+           "shapes": [s for _, s, _ in chunk]}
     if pad:
         out["pad"] = pad
     return out

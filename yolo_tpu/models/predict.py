@@ -59,10 +59,14 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
     if head == "fused":
         from yolo_tpu.ops.head import detect_head
 
+        # prefilter budget: top_k suffices at high thresholds; near the
+        # exactness boundary (low conf, dense scenes, larger grids)
+        # spend 2x so the objectness cut can't drop passing boxes
+        pre = top_k if conf_t >= 0.3 else 2 * top_k
         return detect_head(
             logits, cfg.anchors, cfg.num_classes,
             conf_threshold=conf_t, iou_threshold=iou_t,
-            pre_top_k=top_k, max_detections=max_detections,
+            pre_top_k=pre, max_detections=max_detections,
             use_pallas=(jax.default_backend() == "tpu"))
     boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
     return nms_batch(

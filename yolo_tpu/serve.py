@@ -35,7 +35,8 @@ class DetectionServer:
     def __init__(self, cfg, params, *, compute_dtype=None,
                  host: str = "127.0.0.1", port: int = 8000,
                  batch_window_ms: float = 5.0, max_batch: int = 32,
-                 conf_threshold: Optional[float] = None):
+                 conf_threshold: Optional[float] = None,
+                 request_timeout: float = 60.0):
         import jax.numpy as jnp
 
         from yolo_tpu.models.predict import make_detector
@@ -45,6 +46,7 @@ class DetectionServer:
         self.host, self.port = host, port
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        self.request_timeout = request_timeout
         self._detector = make_detector(
             cfg, compute_dtype=compute_dtype or jnp.bfloat16,
             conf_threshold=conf_threshold)
@@ -79,6 +81,20 @@ class DetectionServer:
     def _worker(self) -> None:
         import jax.numpy as jnp
 
+        try:
+            self._worker_loop(jnp)
+        finally:
+            # fail any requests still queued when the worker exits
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item.error = "server shutting down"
+                    item.event.set()
+
+    def _worker_loop(self, jnp) -> None:
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
@@ -145,8 +161,11 @@ class DetectionServer:
                     return
                 pending = _Pending(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
                 server._q.put(pending)
-                pending.event.wait()
-                if pending.error is not None:
+                # bounded wait: a dead/stopped worker must yield 503,
+                # not a forever-blocked handler thread
+                if not pending.event.wait(timeout=server.request_timeout):
+                    self._send(503, {"error": "detection timed out"})
+                elif pending.error is not None:
                     self._send(500, {"error": pending.error})
                 else:
                     self._send(200, {"detections": pending.result})

@@ -145,7 +145,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
 
 def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
-            batch_size: int) -> None:
+            batch_size: int, batch_sharding=None) -> None:
     """Compile the train step for every multi-scale bucket up front
     (SURVEY.md §7.2 'multi-scale recompiles: pre-warm at startup').
 
@@ -153,7 +153,11 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
     (step_fn donates its state argument, so the caller's buffers must
     not be passed) and discards the result — only the jit cache
     matters. AOT lower().compile() does not populate jit's dispatch
-    cache, hence the execute-and-discard approach."""
+    cache, hence the execute-and-discard approach.
+
+    ``batch_sharding`` must match what the real data pipeline uses
+    (jit's executable cache keys on input shardings — an unsharded
+    prewarm would compile entries DP training never hits)."""
     from yolo_tpu.data import targets as tgt
 
     for size in sizes:
@@ -165,6 +169,9 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
         batch = {k: jnp.asarray(v) for k, v in enc.items()}
         batch["images"] = jnp.zeros((batch_size, size, size, 3),
                                     jnp.float32)
+        if batch_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, batch_sharding), batch)
         scratch = jax.tree_util.tree_map(jnp.copy, state)
         _, metrics = step_fn(scratch, batch)
         jax.block_until_ready(metrics)
