@@ -98,3 +98,28 @@ class TestLetterbox:
         want, *_ = npr.letterbox(img, 416, 416)
         got = np.asarray(letterbox(jnp.asarray(img[None]), 416))[0]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["tiny", "full"])
+def test_layer_by_layer_parity_vs_tf_oracle(variant):
+    """Per-layer outputs match the TF oracle (SURVEY.md §4.2.3
+    'layer-by-layer'), localizing any future numeric drift."""
+    from tests import tf_oracle
+
+    cfg = _small(TINY_YOLOV2_VOC if variant == "tiny" else YOLOV2_COCO, 128)
+    rng = np.random.default_rng(21)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+
+    want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps,
+                                return_all=True)
+    got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                             jnp.asarray(x), eps=cfg.bn_eps,
+                             return_all=True)
+    assert len(want) == len(got)
+    for li, (w, g) in enumerate(zip(want, got)):
+        g = np.asarray(g, np.float32)
+        assert g.shape == w.shape, f"layer {li}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-4, atol=max(1e-5 * np.abs(w).max(), 1e-6),
+            err_msg=f"layer {li} ({cfg.layers[li]})")

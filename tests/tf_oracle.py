@@ -34,7 +34,8 @@ def _reorg_indices(c: int, h: int, w: int, stride: int) -> np.ndarray:
     return idx
 
 
-def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
+               return_all: bool = False):
     import tensorflow as tf
 
     x = tf.constant(x_nhwc, dtype=tf.float32)
@@ -77,4 +78,6 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5) -> np.ndar
             x = tf.concat([outputs[resolve_route(idx, r)] for r in layer.layers],
                           axis=-1)
         outputs.append(x)
+    if return_all:
+        return [o.numpy() for o in outputs]
     return x.numpy()

@@ -114,11 +114,14 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
 
 def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
-                 compute_dtype=jnp.float32, conv_impl: str = "xla"):
+                 compute_dtype=jnp.float32, conv_impl: str = "xla",
+                 return_all: bool = False):
     """Run the layer list. x: (B, H, W, 3) float.
 
     Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
-    (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats}.
+    (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats};
+    return_all=True returns every layer's output (layer-by-layer parity
+    testing, SURVEY.md §4.2.3).
     """
     outputs: List[jnp.ndarray] = []
     bn_updates: Dict[int, Dict] = {}
@@ -141,6 +144,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         else:
             raise TypeError(f"unknown layer spec {layer!r}")
         outputs.append(x)
+    if return_all:
+        return outputs
     logits = x.astype(jnp.float32)
     if train:
         return logits, bn_updates
