@@ -208,3 +208,22 @@ def test_train_step_with_schedule_runs():
     for _ in range(3):
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint must not change the math — same loss and params
+    after a step, only the backward memory/FLOPs trade differs."""
+    rng = np.random.default_rng(13)
+    batch = TestTrainStep()._batch(rng, batch=2)
+    results = []
+    for remat in (False, True):
+        tcfg = TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                           remat=remat)
+        state = init_state(dw.random_params(MICRO.layers,
+                                            np.random.default_rng(7)), tcfg)
+        state, metrics = make_train_step(MICRO, tcfg)(state, batch)
+        results.append((float(metrics["loss"]),
+                        np.asarray(state["params"][0]["kernel"])))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=1e-5, atol=1e-7)

@@ -223,6 +223,7 @@ def cmd_train(args) -> None:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
+                       remat=args.remat,
                        burn_in_steps=args.burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
@@ -448,6 +449,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv activations in backward "
+                        "(less HBM, more FLOPs; for large batch/608)")
     p.add_argument("--burn-in", type=int, default=0,
                    help="darknet burn-in steps (quartic lr ramp)")
     p.add_argument("--lr-steps", default=None,

@@ -20,6 +20,7 @@ Batch-norm:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -115,22 +116,34 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
 def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
                  compute_dtype=jnp.float32, conv_impl: str = "xla",
-                 return_all: bool = False):
+                 return_all: bool = False, remat: bool = False):
     """Run the layer list. x: (B, H, W, 3) float.
 
     Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
     (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats};
     return_all=True returns every layer's output (layer-by-layer parity
-    testing, SURVEY.md §4.2.3).
+    testing, SURVEY.md §4.2.3). remat=True rematerializes each conv
+    block's activations in the backward pass (jax.checkpoint — trades
+    FLOPs for HBM, enabling larger batches at 608).
     """
     outputs: List[jnp.ndarray] = []
     bn_updates: Dict[int, Dict] = {}
     conv_i = 0
     for idx, layer in enumerate(layers):
         if isinstance(layer, Conv):
-            x, stats = conv_block(x, params[conv_i], layer, eps=eps,
-                                  train=train, compute_dtype=compute_dtype,
-                                  conv_impl=conv_impl)
+            block = conv_block
+            if remat and train:
+                block = jax.checkpoint(
+                    functools.partial(conv_block, eps=eps, train=train,
+                                      compute_dtype=compute_dtype,
+                                      conv_impl=conv_impl),
+                    static_argnums=(2,))
+                x, stats = block(x, params[conv_i], layer)
+            else:
+                x, stats = conv_block(x, params[conv_i], layer, eps=eps,
+                                      train=train,
+                                      compute_dtype=compute_dtype,
+                                      conv_impl=conv_impl)
             if stats is not None:
                 bn_updates[conv_i] = stats
             conv_i += 1

@@ -34,6 +34,7 @@ class TrainConfig:
     optimizer: str = "sgd"          # "sgd" (darknet) | "adam"
     momentum: float = 0.9
     weight_decay: float = 5e-4      # darknet decay, applied to kernels only
+    remat: bool = False             # jax.checkpoint per conv block
     # darknet policy=steps: burn-in ramp then step decays
     # (yolov2-voc.cfg: burn_in=1000, steps=40000,60000, scales=.1,.1)
     burn_in_steps: int = 0          # lr * (step/burn_in)^4 ramp when > 0
@@ -113,7 +114,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     def loss_fn(params):
         logits, bn_updates = graph.apply_layers(
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
-            train=True, compute_dtype=compute_dtype)
+            train=True, compute_dtype=compute_dtype, remat=tcfg.remat)
         total, parts = region_loss(
             logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
             state["seen"])
