@@ -94,7 +94,8 @@ class DevicePrefetcher:
 
 def inference_batches(image_paths: Sequence[str], batch_size: int,
                       workers: int = 8,
-                      net_size: Optional[int] = None) -> Iterator[Dict]:
+                      net_size: Optional[int] = None,
+                      skip_errors: bool = True) -> Iterator[Dict]:
     """Decode images in parallel and yield inference batches.
 
     net_size=None (device-preprocess mode): raw-RGB batches bucketed by
@@ -114,7 +115,15 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
         inflight: collections.deque = collections.deque()
 
         def load(q):
-            img = load_image_rgb(q)
+            try:
+                img = load_image_rgb(q)
+            except (FileNotFoundError, OSError) as e:
+                if skip_errors:
+                    import sys
+
+                    print(f"skipping {q}: {e}", file=sys.stderr)
+                    return None
+                raise
             if net_size is not None:
                 # letterbox inside the pooled task so the host-preprocess
                 # path parallelizes like the decode itself
@@ -134,8 +143,10 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
         def decoded():
             refill()
             while inflight:
-                yield inflight.popleft().result()
+                item = inflight.popleft().result()
                 refill()
+                if item is not None:
+                    yield item
 
         if net_size is not None:
             chunk: List = []
