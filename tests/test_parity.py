@@ -123,3 +123,22 @@ def test_layer_by_layer_parity_vs_tf_oracle(variant):
         np.testing.assert_allclose(
             g, w, rtol=1e-4, atol=max(1e-5 * np.abs(w).max(), 1e-6),
             err_msg=f"layer {li} ({cfg.layers[li]})")
+
+
+def test_voc_variant_shapes():
+    """The yolov2-voc variant (125-channel head) runs and matches the
+    TF oracle too (the third SPEC config)."""
+    from tests import tf_oracle
+    from yolo_tpu.configs.variants import YOLOV2_VOC
+
+    cfg = _small(YOLOV2_VOC, 128)
+    rng = np.random.default_rng(33)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+    got = np.asarray(graph.apply_layers(
+        cfg.layers, graph.params_to_jax(params), jnp.asarray(x),
+        eps=cfg.bn_eps))
+    assert got.shape == (1, 4, 4, 125)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())

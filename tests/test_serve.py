@@ -75,3 +75,13 @@ def test_bad_payload(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_stats_endpoint(server):
+    _post_image(server, seed=42)
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1
+    assert stats["batches"] >= 1
+    assert stats["max_batch_seen"] >= 1

@@ -53,6 +53,8 @@ class DetectionServer:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "max_batch_seen": 0}
 
     # -- batching ----------------------------------------------------------
 
@@ -104,6 +106,10 @@ class DetectionServer:
             for item in batch:
                 buckets.setdefault(item.image.shape[:2], []).append(item)
             for items in buckets.values():
+                self.stats["batches"] += 1
+                self.stats["requests"] += len(items)
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(items))
                 try:
                     images = jnp.asarray(np.stack([i.image for i in items]))
                     out = self._detector(self.params, images)
@@ -117,6 +123,7 @@ class DetectionServer:
                                          np.asarray(out["boxes"][bi][i])],
                         } for i in np.nonzero(valid)[0]]
                 except Exception as e:  # surface to the waiting request
+                    self.stats["errors"] += len(items)
                     for item in items:
                         item.error = str(e)
                 for item in items:
@@ -143,6 +150,8 @@ class DetectionServer:
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok",
                                      "model": server.cfg.name})
+                elif self.path == "/stats":
+                    self._send(200, dict(server.stats))
                 else:
                     self._send(404, {"error": "not found"})
 
