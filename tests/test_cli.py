@@ -176,3 +176,15 @@ def test_detect_host_preprocess_mixed_sizes(tiny_weights, tmp_path, capsys):
     for r in recs:
         for d in r["detections"]:
             assert 0 <= d["score"] <= 1
+
+
+def test_public_api_load(tiny_weights):
+    import yolo_tpu
+
+    model = yolo_tpu.load(tiny_weights, "tiny-voc", input_size=96,
+                          precision="fp32", conf_threshold=0.1)
+    imgs = np.random.default_rng(0).integers(0, 256, (2, 64, 80, 3),
+                                             dtype=np.uint8)
+    out = model(imgs)
+    assert out["boxes"].shape[0] == 2
+    assert out["valid"].dtype == bool

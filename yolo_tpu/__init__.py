@@ -23,3 +23,10 @@ This package is a ground-up TPU-first redesign, not a port:
 """
 
 __version__ = "0.1.0"
+
+
+def load(*args, **kw):
+    """See yolo_tpu.api.load — weights file -> callable detector."""
+    from yolo_tpu.api import load as _load
+
+    return _load(*args, **kw)

@@ -1,0 +1,61 @@
+"""High-level public API — the three-line path from weights to boxes.
+
+    import yolo_tpu
+
+    model = yolo_tpu.load("yolov2.weights", "coco")
+    detections = model(images_u8)            # (B, H, W, 3) raw RGB
+    # {'boxes' (B,D,4) pixel xyxy, 'scores', 'classes', 'valid'}
+
+Everything else (training, eval, serving, quantization) is reachable
+from the subpackages or the CLI (python -m yolo_tpu.cli --help).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class Model:
+    """A loaded detector: callable on raw uint8 RGB batches."""
+
+    def __init__(self, cfg, params, detector):
+        self.cfg = cfg
+        self.params = params
+        self._detector = detector
+
+    def __call__(self, images_u8):
+        import jax.numpy as jnp
+
+        return self._detector(self.params, jnp.asarray(images_u8))
+
+
+def load(weights_path: str, variant: str = "coco", *,
+         input_size: Optional[int] = None, precision: str = "bf16",
+         conf_threshold: Optional[float] = None,
+         nms_threshold: Optional[float] = None) -> Model:
+    """Load darknet ``.weights`` (or an orbax checkpoint dir) into a
+    ready-to-call detector. precision: "fp32" (parity) | "bf16"."""
+    import os
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.models.predict import make_detector
+
+    cfg = get_variant(variant, input_size=input_size)
+    if os.path.isdir(weights_path):
+        from yolo_tpu.io import checkpoint as ckpt
+
+        state = ckpt.restore(weights_path)
+        params = state["params"]
+    else:
+        params, _ = dw.load(weights_path, cfg.layers)
+    folded = graph.params_to_jax(
+        graph.fold_params(cfg.layers, params, cfg.bn_eps))
+    detector = make_detector(
+        cfg,
+        compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16,
+        conf_threshold=conf_threshold, nms_threshold=nms_threshold)
+    return Model(cfg, folded, detector)
