@@ -406,6 +406,10 @@ def cmd_serve(args) -> None:
         cfg, params, compute_dtype=_compute_dtype(args.precision),
         host=args.host, port=args.port, max_batch=args.max_batch,
         conf_threshold=args.conf)
+    if args.prewarm_shape:
+        h, w = (int(v) for v in args.prewarm_shape.split("x"))
+        print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)
+        server.prewarm(h, w)
     print(f"serving {cfg.name} on http://{args.host}:{args.port} "
           f"(POST /detect, GET /healthz)", file=sys.stderr)
     server.serve_forever()
@@ -504,6 +508,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--calibration-image", default=None)
+    p.add_argument("--prewarm-shape", default=None, metavar="HxW",
+                   help="compile all batch buckets for this input shape "
+                        "at startup (e.g. 480x640)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="throughput benchmark")

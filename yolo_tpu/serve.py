@@ -36,7 +36,7 @@ class DetectionServer:
                  host: str = "127.0.0.1", port: int = 8000,
                  batch_window_ms: float = 5.0, max_batch: int = 32,
                  conf_threshold: Optional[float] = None,
-                 request_timeout: float = 60.0):
+                 request_timeout: float = 120.0):
         import jax.numpy as jnp
 
         from yolo_tpu.models.predict import make_detector
@@ -55,6 +55,20 @@ class DetectionServer:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "max_batch_seen": 0}
+
+    def prewarm(self, height: int, width: int) -> None:
+        """Compile every power-of-two batch bucket for one source shape
+        up front. On backends with slow first compiles (~30 s each here),
+        lazy compilation under concurrent load queues requests behind
+        sequential compiles and times them out."""
+        import jax.numpy as jnp
+
+        size = 1
+        while size <= self.max_batch:
+            imgs = jnp.zeros((size, height, width, 3), jnp.uint8)
+            out = self._detector(self.params, imgs)
+            np.asarray(out["scores"][0, 0])  # sync
+            size *= 2
 
     # -- batching ----------------------------------------------------------
 
@@ -111,7 +125,16 @@ class DetectionServer:
                 self.stats["max_batch_seen"] = max(
                     self.stats["max_batch_seen"], len(items))
                 try:
-                    images = jnp.asarray(np.stack([i.image for i in items]))
+                    # pad to the next power of two: bounds jit compiles to
+                    # log2(max_batch)+1 per source shape (each distinct
+                    # batch size is otherwise a fresh ~30s TPU compile)
+                    n = len(items)
+                    size = 1
+                    while size < n:
+                        size *= 2
+                    arrays = [i.image for i in items]
+                    arrays += [items[-1].image] * (size - n)
+                    images = jnp.asarray(np.stack(arrays))
                     out = self._detector(self.params, images)
                     for bi, item in enumerate(items):
                         valid = np.asarray(out["valid"][bi])
