@@ -68,3 +68,8 @@ def test_sharded_inference_matches_unsharded(mesh):
     for key in ("boxes", "scores", "classes", "valid"):
         np.testing.assert_allclose(np.asarray(got[key]), np.asarray(want[key]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_maybe_init_distributed_noop_without_env(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert shd.maybe_init_distributed() is False
