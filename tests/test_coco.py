@@ -1,0 +1,244 @@
+"""COCO JSON loading + COCO-style mAP@[.5:.95] tests (SURVEY.md §3.5
+extension; full-YOLOv2 is COCO-80, BASELINE.json:8)."""
+
+import json
+
+import numpy as np
+
+from yolo_tpu.data.coco import load_coco
+from yolo_tpu.eval.coco_map import COCO_IOU_THRESHOLDS, evaluate_coco
+from yolo_tpu.eval.voc_map import evaluate
+
+CLASS_NAMES = ("cat", "dog", "bird")
+
+
+def _write_coco(path, images, annotations, categories=None):
+    doc = {
+        "images": images,
+        "annotations": annotations,
+        # deliberately non-contiguous ids, shuffled order (real COCO)
+        "categories": categories or [
+            {"id": 7, "name": "dog"},
+            {"id": 2, "name": "cat"},
+            {"id": 99, "name": "zebra"},  # not in CLASS_NAMES -> skipped
+            {"id": 13, "name": "bird"},
+        ],
+    }
+    path.write_text(json.dumps(doc))
+
+
+class TestLoadCoco:
+    def test_schema_and_mapping(self, tmp_path):
+        p = tmp_path / "inst.json"
+        _write_coco(
+            p,
+            images=[
+                {"id": 10, "file_name": "a.jpg", "width": 200, "height": 100},
+                {"id": 11, "file_name": "b.jpg", "width": 100, "height": 100},
+            ],
+            annotations=[
+                {"image_id": 10, "category_id": 7,
+                 "bbox": [20, 30, 40, 20], "iscrowd": 0},
+                {"image_id": 10, "category_id": 99,  # zebra: skipped
+                 "bbox": [0, 0, 10, 10], "iscrowd": 0},
+                {"image_id": 11, "category_id": 2,
+                 "bbox": [10, 10, 50, 80], "iscrowd": 1},
+            ])
+        samples = load_coco(str(p), CLASS_NAMES, image_root="/imgs")
+        assert [s[0] for s in samples] == ["/imgs/a.jpg", "/imgs/b.jpg"]
+
+        ann_a = samples[0][1]
+        assert ann_a["width"] == 200 and ann_a["height"] == 100
+        assert list(ann_a["classes"]) == [1]  # dog -> class 1 by NAME
+        # bbox [20,30,40,20] px -> center (40,40), wh (40,20), normalized
+        np.testing.assert_allclose(
+            ann_a["boxes"][0], [40 / 200, 40 / 100, 40 / 200, 20 / 100],
+            rtol=1e-6)
+        assert list(ann_a["difficult"]) == [0]
+
+        ann_b = samples[1][1]
+        assert list(ann_b["classes"]) == [0]
+        assert list(ann_b["difficult"]) == [1]  # iscrowd -> difficult
+
+    def test_empty_image_kept(self, tmp_path):
+        p = tmp_path / "inst.json"
+        _write_coco(p, images=[{"id": 1, "file_name": "e.jpg",
+                                "width": 10, "height": 10}],
+                    annotations=[])
+        samples = load_coco(str(p), CLASS_NAMES)
+        assert len(samples) == 1
+        assert samples[0][1]["boxes"].shape == (0, 4)
+
+    def test_feeds_train_batches(self, tmp_path):
+        """COCO samples drive the training pipeline directly (crowd
+        boxes excluded from the encoded targets)."""
+        import cv2
+
+        from yolo_tpu.data.pipeline import train_batches
+
+        cv2.imwrite(str(tmp_path / "a.jpg"),
+                    np.random.default_rng(0).integers(
+                        0, 255, (60, 80, 3), dtype=np.uint8))
+        p = tmp_path / "inst.json"
+        _write_coco(
+            p,
+            images=[{"id": 1, "file_name": "a.jpg",
+                     "width": 80, "height": 60}],
+            annotations=[
+                {"image_id": 1, "category_id": 7,
+                 "bbox": [10, 10, 30, 30], "iscrowd": 0},
+                {"image_id": 1, "category_id": 2,
+                 "bbox": [0, 0, 80, 60], "iscrowd": 1},  # crowd: dropped
+            ])
+        pairs = load_coco(str(p), CLASS_NAMES, image_root=str(tmp_path))
+        anchors = np.array([[1.0, 1.0], [2.0, 2.0]], np.float32)
+        batches = list(train_batches(
+            pairs, class_names=CLASS_NAMES, anchors=anchors,
+            num_classes=3, net_size=64, batch_size=1,
+            rng=np.random.default_rng(0), workers=1, shuffle=False))
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["images"].shape == (1, 64, 64, 3)
+        # exactly ONE encoded object (the crowd box was dropped)
+        assert int(b["obj_mask"].sum()) == 1
+
+
+def _det(cls, score, x1, y1, x2, y2):
+    return (cls, score, x1, y1, x2, y2)
+
+
+class TestEvaluateCoco:
+    def test_perfect_detections(self):
+        gt = {0: {"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 50]]),
+                  "classes": np.array([0, 1]),
+                  "difficult": np.zeros(2)}}
+        dets = {0: [_det(0, 0.9, 0, 0, 10, 10),
+                    _det(1, 0.8, 20, 20, 40, 50)]}
+        r = evaluate_coco(dets, gt, num_classes=3)
+        assert r["map"] == 1.0 and r["map50"] == 1.0 and r["map75"] == 1.0
+        assert set(r["ap"]) == {0, 1}  # class 2 has no GT -> excluded
+
+    def test_iou_ladder(self):
+        """A det with IoU 0.8 vs its GT is TP at thresholds <= 0.8 only:
+        mAP = 7/10 thresholds x AP 1.0."""
+        gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+                  "classes": np.array([0]), "difficult": np.zeros(1)}}
+        dets = {0: [_det(0, 0.9, 0, 0, 10, 8)]}  # IoU = 0.8
+        r = evaluate_coco(dets, gt, num_classes=1)
+        assert r["map50"] == 1.0 and r["map75"] == 1.0
+        np.testing.assert_allclose(r["map"], 0.7, atol=1e-9)
+        assert np.isclose((COCO_IOU_THRESHOLDS <= 0.8).mean(), 0.7)
+
+    def test_crowd_not_false_positive(self):
+        """A high-scoring det whose only overlap is a crowd region must
+        not poison the PR curve."""
+        gt = {0: {"boxes": np.array([[0, 0, 10, 10], [50, 50, 90, 90]]),
+                  "classes": np.array([0, 0]),
+                  "difficult": np.array([0, 1])}}  # second box is crowd
+        dets = {0: [_det(0, 0.95, 55, 55, 70, 70),  # inside crowd: ignored
+                    _det(0, 0.90, 0, 0, 10, 10)]}   # TP
+        r = evaluate_coco(dets, gt, num_classes=1)
+        assert r["map"] == 1.0
+        # sanity: without the crowd flag the first det would be a
+        # mid-IoU false positive ranked above the TP
+        gt_nocrowd = {0: {"boxes": gt[0]["boxes"],
+                          "classes": gt[0]["classes"],
+                          "difficult": np.zeros(2)}}
+        r2 = evaluate_coco(dets, gt_nocrowd, num_classes=1)
+        assert r2["map"] < r["map"]
+
+    def test_duplicate_detection_is_fp(self):
+        gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+                  "classes": np.array([0]), "difficult": np.zeros(1)}}
+        dets = {0: [_det(0, 0.9, 0, 0, 10, 10),
+                    _det(0, 0.8, 0, 0, 10, 10)]}  # duplicate -> FP
+        r = evaluate_coco(dets, gt, num_classes=1, iou_thresholds=[0.5])
+        # recall hits 1.0 at precision 1.0 before the duplicate: AP 1.0
+        assert r["map"] == 1.0
+        # duplicate ranked FIRST costs precision at every recall point
+        dets_rev = {0: [_det(0, 0.9, 0, 0, 10.2, 10.2),
+                        _det(0, 0.8, 0, 0, 10.2, 10.2)]}
+        gt2 = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0],
+                                      [30.0, 30.0, 40.0, 40.0]]),
+                   "classes": np.array([0, 0]), "difficult": np.zeros(2)}}
+        r2 = evaluate_coco(dets_rev, gt2, num_classes=1,
+                           iou_thresholds=[0.5])
+        assert 0.0 < r2["map"] < 1.0
+
+    def test_max_dets_cap(self):
+        gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+                  "classes": np.array([0]), "difficult": np.zeros(1)}}
+        # the TP is the LOWEST-scoring det; with max_dets=2 it is cut
+        dets = {0: [_det(0, 0.9, 100, 100, 110, 110),
+                    _det(0, 0.8, 200, 200, 210, 210),
+                    _det(0, 0.1, 0, 0, 10, 10)]}
+        full = evaluate_coco(dets, gt, 1, iou_thresholds=[0.5])
+        capped = evaluate_coco(dets, gt, 1, iou_thresholds=[0.5],
+                               max_dets=2)
+        assert full["map"] > 0.0 and capped["map"] == 0.0
+
+    def test_map50_close_to_voc_auc(self):
+        """101-point interpolation at IoU .5 tracks the VOC continuous
+        AUC on a mixed scene (they differ only by recall-grid
+        quantization)."""
+        rng = np.random.default_rng(3)
+        gt, dets = {}, {}
+        for img in range(6):
+            boxes = rng.uniform(0, 80, (3, 2))
+            boxes = np.concatenate([boxes, boxes + rng.uniform(
+                10, 30, (3, 2))], axis=1)
+            gt[img] = {"boxes": boxes, "classes": np.array([0, 0, 1]),
+                       "difficult": np.zeros(3)}
+            d = []
+            for b, c in zip(boxes, (0, 0, 1)):
+                if rng.uniform() < 0.8:  # jittered hit
+                    j = b + rng.uniform(-2, 2, 4)
+                    d.append(_det(c, float(rng.uniform(0.5, 1)), *j))
+            d.append(_det(int(rng.integers(0, 2)),
+                          float(rng.uniform(0, 0.5)),
+                          *rng.uniform(0, 100, 4)))  # noise
+            dets[img] = d
+        coco = evaluate_coco(dets, gt, num_classes=2)
+        voc = evaluate(dets, gt, num_classes=2, use_07_metric=False)
+        assert abs(coco["map50"] - voc["map"]) < 0.03
+        assert coco["map"] <= coco["map50"]
+
+
+def test_cli_eval_coco_metric(tmp_path):
+    """e2e: eval --coco-json --metric coco on a synthetic dataset."""
+    import contextlib
+    import io as _io
+
+    import cv2
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    for i, (h, w) in enumerate([(100, 120), (90, 140)]):
+        name = f"img{i}.jpg"
+        cv2.imwrite(str(tmp_path / name),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        images.append({"id": i, "file_name": name, "width": w, "height": h})
+        anns.append({"image_id": i, "category_id": 1,
+                     "bbox": [20, 20, 50, 40], "iscrowd": 0})
+    cfg = get_variant("tiny-voc")
+    cats = [{"id": 1, "name": cfg.class_names[0]}]
+    (tmp_path / "inst.json").write_text(json.dumps(
+        {"images": images, "annotations": anns, "categories": cats}))
+
+    wpath = str(tmp_path / "w.weights")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(1)))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", wpath, "--coco-json",
+                  str(tmp_path / "inst.json"), "--metric", "coco",
+                  "--batch", "2", "--precision", "fp32"])
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(res) == {"map", "map50", "map75", "ap"}
+    assert 0.0 <= res["map"] <= res["map50"] <= 1.0

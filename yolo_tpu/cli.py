@@ -88,6 +88,22 @@ def _load_params(args, cfg, folded: bool = True):
     return graph.params_to_jax(params)
 
 
+def _dataset_samples(args, cfg):
+    """(image_path, annotation) samples from --voc-root or --coco-json.
+    The annotation is a VOC XML path (str) or a pre-parsed dict (COCO,
+    `data/coco.load_coco`); both downstream paths accept either."""
+    if bool(args.voc_root) == bool(args.coco_json):
+        raise SystemExit("give exactly one of --voc-root / --coco-json")
+    if args.coco_json:
+        from yolo_tpu.data.coco import load_coco
+
+        root = args.image_root or os.path.dirname(args.coco_json)
+        return load_coco(args.coco_json, cfg.class_names, image_root=root)
+    from yolo_tpu.data.voc import list_split
+
+    return list_split(args.voc_root, args.split)
+
+
 def _get_cfg(args):
     from yolo_tpu.configs import get_variant
 
@@ -202,7 +218,6 @@ def cmd_train(args) -> None:
     import jax.numpy as jnp
 
     from yolo_tpu.data.pipeline import DevicePrefetcher, train_batches
-    from yolo_tpu.data.voc import list_split
     from yolo_tpu.io import checkpoint as ckpt
     from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.parallel import sharding as shd
@@ -249,7 +264,7 @@ def cmd_train(args) -> None:
     step_fn = shd.make_dp_train_step(
         cfg, tcfg, mesh, compute_dtype=_compute_dtype(args.precision))
 
-    pairs = list_split(args.voc_root, args.split)
+    pairs = _dataset_samples(args, cfg)
     rng = np.random.default_rng(args.seed)
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
@@ -314,12 +329,12 @@ def cmd_eval(args) -> None:
     import jax.numpy as jnp
 
     from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
-    from yolo_tpu.data.voc import list_split, parse_annotation
+    from yolo_tpu.data.voc import parse_annotation
     from yolo_tpu.eval.voc_map import evaluate
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
-    pairs = list_split(args.voc_root, args.split)
+    pairs = _dataset_samples(args, cfg)
     if args.precision == "int8":
         from yolo_tpu.data.pipeline import load_image_rgb
 
@@ -339,8 +354,10 @@ def cmd_eval(args) -> None:
         conf_threshold=args.eval_conf, head="reference", nms_impl="xla")
 
     gt, detections = {}, {}
-    for img_id, (img_path, xml_path) in enumerate(pairs):
-        ann = parse_annotation(xml_path, cfg.class_names, keep_difficult=True)
+    for img_id, (img_path, ann) in enumerate(pairs):
+        if not isinstance(ann, dict):  # VOC XML path
+            ann = parse_annotation(ann, cfg.class_names,
+                                   keep_difficult=True)
         w, h = ann["width"], ann["height"]
         xyxy = np.stack([
             (ann["boxes"][:, 0] - ann["boxes"][:, 2] / 2) * w,
@@ -369,8 +386,20 @@ def cmd_eval(args) -> None:
                  *xyxy[j])
                 for j, i in enumerate(valid)]
 
+    metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
+    if metric == "coco":
+        from yolo_tpu.eval.coco_map import evaluate_coco
+
+        result = evaluate_coco(detections, gt, cfg.num_classes)
+        per_class = {cfg.class_names[c]: round(a, 4)
+                     for c, a in result["ap"].items()}
+        print(json.dumps({"map": round(result["map"], 4),
+                          "map50": round(result["map50"], 4),
+                          "map75": round(result["map75"], 4),
+                          "ap": per_class}))
+        return
     result = evaluate(detections, gt, cfg.num_classes,
-                      use_07_metric=not args.use_2010_metric)
+                      use_07_metric=metric == "voc07")
     per_class = {cfg.class_names[c]: round(a, 4)
                  for c, a in result["ap"].items() if not np.isnan(a)}
     print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
@@ -444,11 +473,23 @@ def main(argv: Optional[list] = None) -> None:
                         "mixed image sizes (device letterbox otherwise)")
     p.set_defaults(fn=cmd_detect)
 
-    p = sub.add_parser("train", help="fine-tune on VOC")
+    def _add_dataset(p, default_split):
+        p.add_argument("--voc-root", default=None,
+                       help="VOC dataset root (Annotations/, JPEGImages/, "
+                            "ImageSets/)")
+        p.add_argument("--split", default=default_split,
+                       help="VOC ImageSets/Main split (VOC only)")
+        p.add_argument("--coco-json", default=None,
+                       help="COCO instances JSON (alternative to "
+                            "--voc-root)")
+        p.add_argument("--image-root", default=None,
+                       help="image dir for --coco-json file_names "
+                            "(default: the JSON's directory)")
+
+    p = sub.add_parser("train", help="fine-tune on VOC or COCO data")
     _add_common(p)
     p.add_argument("--weights", required=True, help=".weights init")
-    p.add_argument("--voc-root", required=True)
-    p.add_argument("--split", default="train")
+    _add_dataset(p, "train")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -484,15 +525,19 @@ def main(argv: Optional[list] = None) -> None:
 
     # "test" is the reference's name for the evaluation mode (SURVEY.md
     # §1 L7: train/predict/test); both names map to the same command.
-    p = sub.add_parser("eval", aliases=["test"], help="VOC mAP")
+    p = sub.add_parser("eval", aliases=["test"], help="mAP evaluation")
     _add_common(p)
     p.add_argument("--weights", required=True)
-    p.add_argument("--voc-root", required=True)
-    p.add_argument("--split", default="test")
+    _add_dataset(p, "test")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--eval-conf", type=float, default=0.005,
                    help="low threshold for PR-curve coverage")
-    p.add_argument("--use-2010-metric", action="store_true")
+    p.add_argument("--metric", default=None,
+                   choices=["voc07", "voc10", "coco"],
+                   help="voc07 = 11-point (default), voc10 = AUC, "
+                        "coco = mAP@[.5:.95] 101-point")
+    p.add_argument("--use-2010-metric", action="store_true",
+                   help="alias for --metric voc10")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("export", help="checkpoint -> darknet .weights")

@@ -1,0 +1,71 @@
+"""COCO-format JSON annotation loading (SURVEY.md §2.1 Evaluator; the
+full-YOLOv2 variant is COCO-80, BASELINE.json:8 — evaluating it needs
+COCO `instances_*.json` ground truth, which VOC XML parsing can't read).
+
+Samples are returned in the exact schema `data/voc.parse_annotation`
+produces (normalized xywh ``boxes``, contiguous ``classes``,
+``difficult``, ``width``/``height``/``filename``), so one downstream
+path (train_batches / eval) serves both dataset formats. COCO
+``iscrowd`` regions map onto the VOC ``difficult`` flag: both mean
+"ignore in matching, never a false positive".
+
+COCO category ids are non-contiguous (1..90 with gaps for the 80-class
+set); they are mapped to contiguous class ids BY NAME via the config's
+``class_names`` so the mapping is robust to id-scheme drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def load_coco(json_path: str, class_names: Sequence[str],
+              image_root: str = "") -> List[Tuple[str, Dict]]:
+    """COCO instances JSON -> [(image_path, annotation), ...].
+
+    ``image_path`` is ``image_root``/``file_name``. Annotations whose
+    category name is not in ``class_names`` are skipped (same behavior
+    as the VOC parser). Images with zero annotations are kept — they
+    contribute negatives to evaluation, as pycocotools does.
+    """
+    with open(json_path) as f:
+        doc = json.load(f)
+
+    name_to_id = {n: i for i, n in enumerate(class_names)}
+    cat_to_cls = {c["id"]: name_to_id[c["name"]]
+                  for c in doc.get("categories", [])
+                  if c["name"] in name_to_id}
+
+    per_image: Dict[int, List] = {img["id"]: [] for img in doc["images"]}
+    for ann in doc.get("annotations", []):
+        cls = cat_to_cls.get(ann["category_id"])
+        if cls is None or ann["image_id"] not in per_image:
+            continue
+        per_image[ann["image_id"]].append(
+            (cls, ann["bbox"], int(ann.get("iscrowd", 0))))
+
+    samples = []
+    for img in doc["images"]:
+        w, h = float(img["width"]), float(img["height"])
+        boxes, classes, difficult = [], [], []
+        for cls, (bx, by, bw, bh), crowd in per_image[img["id"]]:
+            # COCO bbox is top-left xywh in pixels -> normalized center xywh
+            boxes.append([(bx + bw / 2) / w, (by + bh / 2) / h,
+                          bw / w, bh / h])
+            classes.append(cls)
+            difficult.append(crowd)
+        ann_dict = {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "difficult": np.asarray(difficult, np.int32),
+            "width": int(w),
+            "height": int(h),
+            "filename": img["file_name"],
+        }
+        samples.append((os.path.join(image_root, img["file_name"]),
+                        ann_dict))
+    return samples

@@ -194,8 +194,10 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                   rng: np.random.Generator, workers: int = 8,
                   shuffle: bool = True, size_for_batch=None,
                   augment_cfg=None) -> Iterator[Dict]:
-    """(image, xml) pairs -> fixed-shape train batches: letterboxed images
-    in [0,1] + encoded GT targets (data/targets.py). One epoch.
+    """(image, annotation) pairs -> fixed-shape train batches: letterboxed
+    images in [0,1] + encoded GT targets (data/targets.py). One epoch.
+    The annotation may be a VOC XML path (str) or a pre-parsed dict in
+    `voc.parse_annotation`'s schema (e.g. from `coco.load_coco`).
 
     ``size_for_batch(batch_idx) -> int|None`` enables darknet-style
     multi-scale switching (new net size every N batches; each distinct
@@ -213,10 +215,16 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     def prepare(idx: int, size: int):
         from yolo_tpu.native.preproc import letterbox_batch as native_letterbox
 
-        img_path, xml_path = pairs[int(idx)]
+        img_path, ann = pairs[int(idx)]
         img = load_image_rgb(img_path)
-        ann = parse_annotation(xml_path, class_names)
-        boxes, classes = ann["boxes"], ann["classes"]
+        if isinstance(ann, dict):
+            # pre-parsed (COCO path): drop crowd/difficult boxes from the
+            # training targets, matching parse_annotation's default
+            keep = np.asarray(ann["difficult"]) == 0
+            boxes, classes = ann["boxes"][keep], ann["classes"][keep]
+        else:
+            ann = parse_annotation(ann, class_names)
+            boxes, classes = ann["boxes"], ann["classes"]
         if augment_cfg is not None:
             from yolo_tpu.data.augment import augment
 
