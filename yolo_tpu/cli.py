@@ -405,6 +405,24 @@ def cmd_eval(args) -> None:
     print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
 
 
+def cmd_anchors(args) -> None:
+    """YOLO9000 dimension-cluster k-means over a dataset's GT boxes
+    (darknet `calc_anchors`; data/anchors.py)."""
+    from yolo_tpu.data.anchors import collect_wh, kmeans_anchors
+
+    cfg = _get_cfg(args)
+    wh = collect_wh(_dataset_samples(args, cfg), cfg.class_names)
+    res = kmeans_anchors(wh, args.num_anchors,
+                         grid=cfg.input_size // 32, seed=args.seed)
+    # darknet-style flat anchor line, ready for a config/cfg file
+    flat = ", ".join(f"{w:.4f},{h:.4f}" for w, h in res["anchors"])
+    print(json.dumps({"anchors": [[round(float(w), 4), round(float(h), 4)]
+                                  for w, h in res["anchors"]],
+                      "avg_iou": round(res["avg_iou"], 4),
+                      "darknet_line": flat,
+                      "num_boxes": int(len(wh))}))
+
+
 def cmd_export(args) -> None:
     """Orbax checkpoint -> darknet .weights (checkpoint compatibility in
     both directions, SURVEY.md §5.4)."""
@@ -539,6 +557,14 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--use-2010-metric", action="store_true",
                    help="alias for --metric voc10")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("anchors",
+                       help="k-means anchor clustering over GT boxes")
+    _add_common(p)
+    _add_dataset(p, "train")
+    p.add_argument("--num-anchors", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_anchors)
 
     p = sub.add_parser("export", help="checkpoint -> darknet .weights")
     _add_common(p)
