@@ -1,0 +1,123 @@
+"""Weights-zoo manifest + integrity tests (io/zoo.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.configs import get_variant
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.io import zoo
+
+
+class TestExpectedBytes:
+    def test_matches_actual_file_tiny(self, tmp_path):
+        cfg = get_variant("tiny-voc")
+        p = tmp_path / "w.weights"
+        dw.save(str(p), cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        assert os.path.getsize(p) == zoo.expected_weights_bytes(cfg.layers)
+
+    def test_manifest_sizes_are_current(self):
+        """The checked-in manifest's sizes must track the layer specs."""
+        manifest = zoo.load_manifest()
+        assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc"}
+        for name, e in manifest.items():
+            cfg = get_variant(e["variant"])
+            assert e["size_bytes"] == zoo.expected_weights_bytes(cfg.layers), name
+            assert e["url"].startswith("https://")
+
+
+def _mini_manifest(tmp_path, size):
+    m = {"mini": {"variant": "tiny-voc", "filename": "mini.weights",
+                  "url": "https://example.com/mini.weights",
+                  "size_bytes": size, "sha256": None}}
+    mp = tmp_path / "manifest.json"
+    mp.write_text(json.dumps(m))
+    return str(mp)
+
+
+class TestResolveVerify:
+    def test_resolve_ok_and_errors(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+        wpath = tmp_path / "mini.weights"
+        wpath.write_bytes(b"\x00" * 64)
+        mp = _mini_manifest(tmp_path, 64)
+
+        assert zoo.resolve("zoo://mini", manifest_path=mp) == str(wpath)
+
+        with pytest.raises(SystemExit, match="unknown zoo entry"):
+            zoo.resolve("zoo://nope", manifest_path=mp)
+
+        os.remove(wpath)
+        with pytest.raises(SystemExit, match="example.com"):
+            zoo.resolve("zoo://mini", manifest_path=mp)  # msg carries URL
+
+    def test_size_mismatch_fatal(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+        (tmp_path / "mini.weights").write_bytes(b"\x00" * 63)  # truncated
+        mp = _mini_manifest(tmp_path, 64)
+        with pytest.raises(SystemExit, match="truncated"):
+            zoo.resolve("zoo://mini", manifest_path=mp)
+
+    def test_sha_pin_and_verify(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+        wpath = tmp_path / "mini.weights"
+        wpath.write_bytes(b"\x01" * 64)
+        mp = _mini_manifest(tmp_path, 64)
+
+        sha = zoo.record_sha("mini", str(wpath), manifest_path=mp)
+        assert json.load(open(mp))["mini"]["sha256"] == sha
+        # pinned hash now verifies...
+        assert zoo.resolve("zoo://mini", manifest_path=mp) == str(wpath)
+        # ...and a swapped file of the same size is rejected
+        wpath.write_bytes(b"\x02" * 64)
+        with pytest.raises(SystemExit, match="sha256"):
+            zoo.resolve("zoo://mini", manifest_path=mp)
+        # re-pinning a different hash is refused
+        with pytest.raises(SystemExit, match="refusing"):
+            zoo.record_sha("mini", str(wpath), manifest_path=mp)
+
+
+def test_cli_zoo_and_zoo_weights_load(tmp_path, monkeypatch):
+    """e2e: `zoo list`, `zoo verify`, and predict-path loading via
+    --weights zoo://yolov2-tiny-voc (synthesized file of the exact
+    official size)."""
+    import contextlib
+    import io as _io
+
+    import cv2
+
+    from yolo_tpu import cli
+
+    monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+    cfg = get_variant("tiny-voc")
+    dw.save(str(tmp_path / "yolov2-tiny-voc.weights"), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["zoo", "list"])
+    listing = json.loads(buf.getvalue())
+    assert listing["yolov2-tiny-voc"]["present"] is True
+    assert listing["yolov2"]["present"] is False
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["zoo", "verify", "--name", "yolov2-tiny-voc"])
+    assert json.loads(buf.getvalue())["ok"] is True
+
+    img = tmp_path / "in.png"
+    cv2.imwrite(str(img), np.random.default_rng(1).integers(
+        0, 255, (80, 96, 3), dtype=np.uint8))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", "zoo://yolov2-tiny-voc",
+                  "--image", str(img), "--precision", "fp32"])
+    # predict prints one JSON object per detection (possibly none);
+    # the point here is that zoo:// resolution fed the real load path
+    for line in buf.getvalue().strip().splitlines():
+        d = json.loads(line)
+        assert {"class", "score", "box_xyxy"} <= set(d)

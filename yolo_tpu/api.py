@@ -45,6 +45,10 @@ def load(weights_path: str, variant: str = "coco", *,
     from yolo_tpu.models.predict import make_detector
 
     cfg = get_variant(variant, input_size=input_size)
+    if weights_path.startswith("zoo://"):
+        from yolo_tpu.io import zoo
+
+        weights_path = zoo.resolve(weights_path)
     if os.path.isdir(weights_path):
         from yolo_tpu.io import checkpoint as ckpt
 

@@ -70,6 +70,10 @@ def _load_params(args, cfg, folded: bool = True):
     from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.models import graph
 
+    if args.weights.startswith("zoo://"):  # named + integrity-checked
+        from yolo_tpu.io import zoo
+
+        args.weights = zoo.resolve(args.weights)
     if os.path.isdir(args.weights):  # orbax train checkpoint
         from yolo_tpu.io import checkpoint as ckpt
 
@@ -405,6 +409,40 @@ def cmd_eval(args) -> None:
     print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
 
 
+def cmd_zoo(args) -> None:
+    """Weights-zoo manifest: list entries, verify a file, pin a SHA
+    (io/zoo.py)."""
+    from yolo_tpu.io import zoo
+
+    manifest = zoo.load_manifest()
+    if args.action == "list":
+        out = {}
+        for name, e in sorted(manifest.items()):
+            path = os.path.join(zoo.weights_dir(), e["filename"])
+            out[name] = {**e, "local_path": path,
+                         "present": os.path.exists(path)}
+        print(json.dumps(out, indent=2))
+    elif args.action == "verify":
+        entry = manifest.get(args.name) or {}
+        if not entry:
+            raise SystemExit(f"unknown zoo entry '{args.name}'")
+        path = args.file or os.path.join(zoo.weights_dir(),
+                                         entry["filename"])
+        problems = zoo.verify_file(path, entry)
+        print(json.dumps({"path": path, "ok": not problems,
+                          "problems": problems}))
+        if problems:
+            raise SystemExit(1)
+    elif args.action == "pin-sha":
+        entry = manifest.get(args.name) or {}
+        if not entry:
+            raise SystemExit(f"unknown zoo entry '{args.name}'")
+        path = args.file or os.path.join(zoo.weights_dir(),
+                                         entry["filename"])
+        sha = zoo.record_sha(args.name, path)
+        print(json.dumps({"name": args.name, "sha256": sha}))
+
+
 def cmd_anchors(args) -> None:
     """YOLO9000 dimension-cluster k-means over a dataset's GT boxes
     (darknet `calc_anchors`; data/anchors.py)."""
@@ -557,6 +595,14 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--use-2010-metric", action="store_true",
                    help="alias for --metric voc10")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("zoo", help="pretrained-weights manifest tools")
+    p.add_argument("action", choices=["list", "verify", "pin-sha"])
+    p.add_argument("--name", default=None, help="zoo entry name")
+    p.add_argument("--file", default=None,
+                   help="file to check (default: the entry's path under "
+                        "$YOLO_TPU_WEIGHTS_DIR)")
+    p.set_defaults(fn=cmd_zoo)
 
     p = sub.add_parser("anchors",
                        help="k-means anchor clustering over GT boxes")
