@@ -85,3 +85,73 @@ def test_stats_endpoint(server):
     assert stats["requests"] >= 1
     assert stats["batches"] >= 1
     assert stats["max_batch_seen"] >= 1
+
+
+class TestAdaptiveWindow:
+    """Collection-policy unit tests on a bare server object (no HTTP,
+    no device calls — _collect is pure queue/thread logic)."""
+
+    @pytest.fixture()
+    def bare(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(get_variant("tiny-voc"), input_size=96)
+        params = graph.params_to_jax(graph.fold_params(
+            cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)),
+            cfg.bn_eps))
+        # huge window so an accidental wait is unmistakable in timings
+        return DetectionServer(cfg, params, port=0, max_batch=4,
+                               batch_window_ms=2000.0)
+
+    def test_solo_request_skips_window(self, bare):
+        import time
+
+        from yolo_tpu.serve import _Pending
+
+        bare._q.put(_Pending(np.zeros((8, 8, 3), np.uint8)))
+        t0 = time.perf_counter()
+        batch = bare._collect()
+        assert len(batch) == 1
+        assert time.perf_counter() - t0 < 1.0  # nowhere near 2000 ms
+        assert bare.stats["window_skips"] == 1
+
+    def test_backlog_drained_greedily(self, bare):
+        import time
+
+        from yolo_tpu.serve import _Pending
+
+        for _ in range(4):
+            bare._q.put(_Pending(np.zeros((8, 8, 3), np.uint8)))
+        t0 = time.perf_counter()
+        batch = bare._collect()
+        assert len(batch) == 4  # == max_batch, no timer involved
+        assert time.perf_counter() - t0 < 1.0
+
+    def test_window_engages_under_concurrency(self, bare):
+        from yolo_tpu.serve import _Pending
+
+        assert bare._window() == 0.0  # ewma starts at 1
+        for _ in range(3):  # a few 4-deep batches raise the EWMA
+            for _ in range(4):
+                bare._q.put(_Pending(np.zeros((8, 8, 3), np.uint8)))
+            bare._collect()
+        assert bare._ewma_batch > 1.5
+        assert bare._window() == bare.batch_window
+
+    def test_adaptive_off_always_waits(self, bare):
+        bare.adaptive_window = False
+        assert bare._window() == bare.batch_window
+
+    def test_ewma_tracks_batch_size(self, bare):
+        from yolo_tpu.serve import _Pending
+
+        bare._q.put(_Pending(np.zeros((8, 8, 3), np.uint8)))
+        bare._collect()
+        # ewma = 1 + 0.2*(1-1) = 1.0
+        assert bare.stats["ewma_batch"] == 1.0
+        for _ in range(2):
+            bare._q.put(_Pending(np.zeros((8, 8, 3), np.uint8)))
+        bare._collect()
+        # 1 + 0.2*(2-1) = 1.2
+        assert abs(bare.stats["ewma_batch"] - 1.2) < 1e-9

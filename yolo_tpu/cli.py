@@ -490,6 +490,8 @@ def cmd_serve(args) -> None:
     server = DetectionServer(
         cfg, params, compute_dtype=_compute_dtype(args.precision),
         host=args.host, port=args.port, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+        adaptive_window=not args.no_adaptive_window,
         conf_threshold=args.conf)
     if args.prewarm_shape:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
@@ -624,6 +626,11 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="micro-batch collection window")
+    p.add_argument("--no-adaptive-window", action="store_true",
+                   help="always wait the full window (default: skip it "
+                        "when recent traffic is single-client)")
     p.add_argument("--calibration-image", default=None)
     p.add_argument("--prewarm-shape", default=None, metavar="HxW",
                    help="compile all batch buckets for this input shape "

@@ -6,6 +6,15 @@ within ``batch_window_ms`` (up to ``max_batch``) into one device call,
 so concurrent clients ride the batched-throughput curve (docs/PERF.md)
 instead of paying batch-1 latency each. GET /healthz for liveness.
 
+The collection window adapts to load (``adaptive_window``): queued
+backlog is always drained greedily without waiting, and the timed wait
+engages only when the recent average batch size (EWMA) says traffic is
+actually concurrent — a lone client keeps the raw batch-1 latency floor
+(1.45 ms on v5e, docs/PERF.md) instead of paying the window on every
+request. Under heavy load the queue backs up while the device runs, so
+the greedy drain alone forms large batches and the window mostly
+smooths the moderate-concurrency middle.
+
 Stdlib-only (http.server + threads); the device work is the same jitted
 detector as the CLI (models/predict.make_detector).
 """
@@ -35,6 +44,7 @@ class DetectionServer:
     def __init__(self, cfg, params, *, compute_dtype=None,
                  host: str = "127.0.0.1", port: int = 8000,
                  batch_window_ms: float = 5.0, max_batch: int = 32,
+                 adaptive_window: bool = True,
                  conf_threshold: Optional[float] = None,
                  request_timeout: float = 120.0):
         import jax.numpy as jnp
@@ -46,6 +56,8 @@ class DetectionServer:
         self.host, self.port = host, port
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        self.adaptive_window = adaptive_window
+        self._ewma_batch = 1.0  # recent average batch size
         self.request_timeout = request_timeout
         self._detector = make_detector(
             cfg, compute_dtype=compute_dtype or jnp.bfloat16,
@@ -54,7 +66,8 @@ class DetectionServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "max_batch_seen": 0}
+                      "max_batch_seen": 0, "window_skips": 0,
+                      "ewma_batch": 1.0}
 
     def prewarm(self, height: int, width: int) -> None:
         """Compile every power-of-two batch bucket for one source shape
@@ -72,26 +85,52 @@ class DetectionServer:
 
     # -- batching ----------------------------------------------------------
 
+    def _window(self) -> float:
+        """Collection wait for the CURRENT batch. Adaptive policy: wait
+        only when recent traffic was actually concurrent; a lone client
+        must not pay the window on every request."""
+        if not self.adaptive_window:
+            return self.batch_window
+        return self.batch_window if self._ewma_batch >= 1.5 else 0.0
+
     def _collect(self) -> List[_Pending]:
         first = self._q.get()
         if first is None:
             return []
         batch = [first]
-        deadline = threading.Event()
-        timer = threading.Timer(self.batch_window, deadline.set)
-        timer.start()
-        try:
-            while len(batch) < self.max_batch and not deadline.is_set():
-                try:
-                    item = self._q.get(timeout=self.batch_window / 4)
-                except queue.Empty:
-                    continue
-                if item is None:
-                    self._q.put(None)
-                    break
-                batch.append(item)
-        finally:
-            timer.cancel()
+        # greedy drain: queued backlog batches immediately, no timer
+        while len(batch) < self.max_batch:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)
+                return batch
+            batch.append(item)
+
+        window = self._window()
+        if window > 0 and len(batch) < self.max_batch:
+            deadline = threading.Event()
+            timer = threading.Timer(window, deadline.set)
+            timer.start()
+            try:
+                while len(batch) < self.max_batch and not deadline.is_set():
+                    try:
+                        item = self._q.get(timeout=window / 4)
+                    except queue.Empty:
+                        continue
+                    if item is None:
+                        self._q.put(None)
+                        break
+                    batch.append(item)
+            finally:
+                timer.cancel()
+        elif window == 0:
+            self.stats["window_skips"] += 1
+
+        self._ewma_batch += 0.2 * (len(batch) - self._ewma_batch)
+        self.stats["ewma_batch"] = round(self._ewma_batch, 3)
         return batch
 
     def _worker(self) -> None:
