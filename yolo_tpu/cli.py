@@ -169,6 +169,10 @@ def cmd_detect(args) -> None:
     params = _load_params(args, cfg)
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
 
+    if args.video:
+        _detect_video(args, cfg, params, det)
+        return
+
     exts = (".jpg", ".jpeg", ".png", ".bmp")
     paths = sorted(
         os.path.join(args.images, f) for f in os.listdir(args.images)
@@ -214,6 +218,49 @@ def cmd_detect(args) -> None:
                 "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
             } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
+
+
+def _detect_video(args, cfg, params, det) -> None:
+    """Video/webcam detection: fixed frame shape = ONE jit bucket for
+    the whole stream (data/video.py). Prints one JSON line per frame;
+    --save-video writes an annotated MJPG copy."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import DevicePrefetcher
+    from yolo_tpu.data.video import (VideoAnnotator, video_batches,
+                                     video_info)
+
+    writer = None
+    if args.save_video:
+        info = video_info(args.video)
+        writer = VideoAnnotator(args.save_video,
+                                fps=info["fps"] / max(args.stride, 1),
+                                width=info["width"], height=info["height"])
+    host_iter = video_batches(args.video, args.batch, stride=args.stride,
+                              max_frames=args.max_frames or None)
+    try:
+        for batch in DevicePrefetcher(host_iter, depth=2):
+            out = det(params, jnp.asarray(batch["images"]))
+            for bi, frame_idx in enumerate(batch["frames"]):
+                valid_mask = np.asarray(out["valid"][bi])
+                valid = np.nonzero(valid_mask)[0]
+                boxes = np.asarray(out["boxes"][bi], np.float64)
+                dets = [{
+                    "class": cfg.class_names[int(out["classes"][bi][i])],
+                    "score": round(float(out["scores"][bi][i]), 4),
+                    "box_xyxy": [round(float(v), 1) for v in boxes[i]],
+                } for i in valid]
+                print(json.dumps({"frame": int(frame_idx),
+                                  "detections": dets}))
+                if writer is not None:
+                    writer.write(np.asarray(batch["images"][bi]),
+                                 boxes, np.asarray(out["scores"][bi]),
+                                 np.asarray(out["classes"][bi]),
+                                 cfg.class_names, valid_mask)
+    finally:
+        if writer is not None:
+            writer.close()
+            print(f"wrote {args.save_video}", file=sys.stderr)
 
 
 def cmd_train(args) -> None:
@@ -521,10 +568,20 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--output", default=None, help="write annotated image")
     p.set_defaults(fn=cmd_predict)
 
-    p = sub.add_parser("detect", help="batched detection over a directory")
+    p = sub.add_parser("detect",
+                       help="batched detection over a directory or video")
     _add_common(p)
     p.add_argument("--weights", required=True)
-    p.add_argument("--images", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--images", default=None, help="image directory")
+    src.add_argument("--video", default=None,
+                     help="video file (or webcam index)")
+    p.add_argument("--stride", type=int, default=1,
+                   help="video: sample every Nth frame")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="video: stop after N sampled frames (0 = all)")
+    p.add_argument("--save-video", default=None,
+                   help="video: write an annotated MJPG copy here")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--host-preprocess", action="store_true",
                    help="letterbox on host: one compiled program for "
