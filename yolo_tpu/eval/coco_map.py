@@ -16,11 +16,10 @@ maxDets=100 cell:
   region is dropped from the PR curve, and crowd IoU is computed as
   intersection / detection-area (pycocotools' crowd convention).
 
-Deliberate simplifications vs pycocotools (documented, not silent):
-area-range breakdowns (small/medium/large) are not computed, and the
-maxDets cap is applied per image *per class* rather than per image
-across classes (equivalent unless one image has >100 detections of one
-class AND detections of other classes that would out-score them).
+Deliberate simplification vs pycocotools (documented, not silent):
+area-range breakdowns (small/medium/large) are not computed. The
+maxDets cap follows pycocotools exactly: top ``max_dets`` by score per
+image ACROSS classes.
 """
 
 from __future__ import annotations
@@ -74,14 +73,15 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         np.float64)
     ap = np.full((len(thresholds), num_classes), np.nan)
 
+    # pycocotools maxDets: top max_dets by score per image ACROSS classes
+    capped = {img_id: sorted(dets, key=lambda d: -d[1])[:max_dets]
+              for img_id, dets in detections.items()}
+
     for cls in range(num_classes):
-        # per-class detections, maxDets per image, global score sort
         recs = []
-        for img_id, dets in detections.items():
-            mine = sorted((d for d in dets if d[0] == cls),
-                          key=lambda d: -d[1])[:max_dets]
+        for img_id, dets in capped.items():
             recs.extend((img_id, d[1], np.asarray(d[2:6], np.float64))
-                        for d in mine)
+                        for d in dets if d[0] == cls)
         recs.sort(key=lambda r: -r[1])
 
         gt_cls = {}
