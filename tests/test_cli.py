@@ -56,13 +56,17 @@ def test_detect_batched_e2e(tiny_weights, tmp_path, capsys):
     for i in range(3):
         cv2.imwrite(str(img_dir / f"i{i}.png"),
                     rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out_dir = str(tmp_path / "annotated")
     cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
               "--weights", tiny_weights, "--images", str(img_dir),
-              "--batch", "2", "--conf", "0.1"])
+              "--batch", "2", "--conf", "0.1", "--output-dir", out_dir])
     lines = capsys.readouterr().out.strip().splitlines()
     recs = [json.loads(l) for l in lines]
     assert len(recs) == 3  # padded batch must not duplicate outputs
     assert {os.path.basename(r["image"]) for r in recs} == {"i0.png", "i1.png", "i2.png"}
+    assert sorted(os.listdir(out_dir)) == ["i0.png", "i1.png", "i2.png"]
+    annotated = cv2.imread(os.path.join(out_dir, "i0.png"))
+    assert annotated.shape == (64, 64, 3)  # source-size, not net-size
 
 
 def test_train_fail_and_resume_e2e(tiny_weights, tmp_path, capsys):

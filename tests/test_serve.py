@@ -155,3 +155,39 @@ class TestAdaptiveWindow:
         bare._collect()
         # 1 + 0.2*(2-1) = 1.2
         assert abs(bare.stats["ewma_batch"] - 1.2) < 1e-9
+
+
+def test_dp_mesh_serving():
+    """DP serving on the fake-8-device mesh: micro-batches pad to a
+    devices-multiple bucket, shard over 'data', and answers match the
+    unsharded server's for the same image."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from yolo_tpu.parallel import sharding as shd
+
+    cfg = dataclasses.replace(get_variant("tiny-voc"), input_size=96,
+                              conf_threshold=0.1)
+    params = graph.params_to_jax(graph.fold_params(
+        cfg.layers, dw.random_params(cfg.layers, np.random.default_rng(0)),
+        cfg.bn_eps))
+    mesh = shd.make_mesh()
+    assert mesh.devices.size == 8  # conftest fake devices
+
+    dp = DetectionServer(cfg, params, compute_dtype=jnp.float32, port=0,
+                         max_batch=4, mesh=mesh)
+    assert dp._min_bucket == 8
+    assert dp.max_batch == 8  # raised to the device count
+    ref = DetectionServer(cfg, params, compute_dtype=jnp.float32, port=0)
+    dp.start()
+    ref.start()
+    try:
+        with cf.ThreadPoolExecutor(3) as pool:
+            dp_out = list(pool.map(
+                lambda s: _post_image(dp, seed=s), range(3)))
+        ref_out = [_post_image(ref, seed=s) for s in range(3)]
+        assert dp_out == ref_out
+        assert dp.stats["errors"] == 0
+    finally:
+        dp.stop()
+        ref.stop()

@@ -198,6 +198,8 @@ def cmd_detect(args) -> None:
     else:
         host_iter = inference_batches(paths, args.batch)
 
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
     net = cfg.input_size
     for batch in DevicePrefetcher(host_iter, depth=2):
         out = det(params, jnp.asarray(batch["images"]))
@@ -218,6 +220,18 @@ def cmd_detect(args) -> None:
                 "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
             } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
+            if args.output_dir:
+                from yolo_tpu.data.pipeline import load_image_rgb
+                from yolo_tpu.utils.viz import draw_detections, save_image
+
+                src = load_image_rgb(batch["paths"][bi])
+                scores = [np.asarray(out["scores"][bi])[i] for i in valid]
+                classes = [np.asarray(out["classes"][bi])[i] for i in valid]
+                save_image(
+                    os.path.join(args.output_dir,
+                                 os.path.basename(batch["paths"][bi])),
+                    draw_detections(src, xyxy, scores, classes,
+                                    cfg.class_names))
 
 
 def _detect_video(args, cfg, params, det) -> None:
@@ -534,12 +548,19 @@ def cmd_serve(args) -> None:
             raise SystemExit("--precision int8 needs --calibration-image")
         params = _maybe_quantize(args, cfg, params,
                                  [load_image_rgb(args.calibration_image)])
+    mesh = None
+    if args.dp:
+        from yolo_tpu.parallel import sharding as shd
+
+        mesh = shd.make_mesh()
+        print(f"DP serving over {mesh.devices.size} devices",
+              file=sys.stderr)
     server = DetectionServer(
         cfg, params, compute_dtype=_compute_dtype(args.precision),
         host=args.host, port=args.port, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
         adaptive_window=not args.no_adaptive_window,
-        conf_threshold=args.conf)
+        conf_threshold=args.conf, mesh=mesh)
     if args.prewarm_shape:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
         print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)
@@ -582,6 +603,8 @@ def main(argv: Optional[list] = None) -> None:
                    help="video: stop after N sampled frames (0 = all)")
     p.add_argument("--save-video", default=None,
                    help="video: write an annotated MJPG copy here")
+    p.add_argument("--output-dir", default=None,
+                   help="images: write annotated copies here")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--host-preprocess", action="store_true",
                    help="letterbox on host: one compiled program for "
@@ -688,6 +711,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--no-adaptive-window", action="store_true",
                    help="always wait the full window (default: skip it "
                         "when recent traffic is single-client)")
+    p.add_argument("--dp", action="store_true",
+                   help="shard micro-batches over all visible devices")
     p.add_argument("--calibration-image", default=None)
     p.add_argument("--prewarm-shape", default=None, metavar="HxW",
                    help="compile all batch buckets for this input shape "

@@ -46,22 +46,39 @@ class DetectionServer:
                  batch_window_ms: float = 5.0, max_batch: int = 32,
                  adaptive_window: bool = True,
                  conf_threshold: Optional[float] = None,
-                 request_timeout: float = 120.0):
+                 request_timeout: float = 120.0, mesh=None):
+        """``mesh``: a 1-D jax Mesh to scale serving data-parallel —
+        micro-batches are padded to a devices-multiple bucket and
+        batch-sharded over the mesh (no collectives on the hot path,
+        SURVEY.md §2.3); params are replicated once at startup."""
         import jax.numpy as jnp
 
         from yolo_tpu.models.predict import make_detector
 
         self.cfg = cfg
-        self.params = params
         self.host, self.port = host, port
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.adaptive_window = adaptive_window
         self._ewma_batch = 1.0  # recent average batch size
         self.request_timeout = request_timeout
-        self._detector = make_detector(
-            cfg, compute_dtype=compute_dtype or jnp.bfloat16,
-            conf_threshold=conf_threshold)
+        self.mesh = mesh
+        self._min_bucket = 1
+        if mesh is None:
+            self.params = params
+            self._detector = make_detector(
+                cfg, compute_dtype=compute_dtype or jnp.bfloat16,
+                conf_threshold=conf_threshold)
+        else:
+            from yolo_tpu.parallel import sharding as shd
+
+            self._min_bucket = int(mesh.devices.size)
+            self.max_batch = max(self.max_batch, self._min_bucket)
+            self.params = shd.replicate(mesh, params)
+            self._detector = shd.make_dp_detector(
+                cfg, mesh, compute_dtype=compute_dtype or jnp.bfloat16,
+                conf_threshold=(conf_threshold if conf_threshold is not None
+                                else cfg.conf_threshold))
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
@@ -76,7 +93,7 @@ class DetectionServer:
         sequential compiles and times them out."""
         import jax.numpy as jnp
 
-        size = 1
+        size = self._min_bucket
         while size <= self.max_batch:
             imgs = jnp.zeros((size, height, width, 3), jnp.uint8)
             out = self._detector(self.params, imgs)
@@ -166,9 +183,11 @@ class DetectionServer:
                 try:
                     # pad to the next power of two: bounds jit compiles to
                     # log2(max_batch)+1 per source shape (each distinct
-                    # batch size is otherwise a fresh ~30s TPU compile)
+                    # batch size is otherwise a fresh ~30s TPU compile).
+                    # Under a mesh, buckets start at the device count so
+                    # every shard is non-empty.
                     n = len(items)
-                    size = 1
+                    size = self._min_bucket
                     while size < n:
                         size *= 2
                     arrays = [i.image for i in items]
