@@ -142,3 +142,24 @@ def test_voc_variant_shapes():
     assert got.shape == (1, 4, 4, 125)
     np.testing.assert_allclose(got, want, rtol=1e-4,
                                atol=1e-5 * np.abs(want).max())
+
+
+def test_tiny_coco_variant_shapes():
+    """The yolov2-tiny (COCO, 425-channel head) variant runs and matches
+    the TF oracle (darknet yolov2-tiny.cfg: tiny topology + COCO
+    anchors/classes)."""
+    from tests import tf_oracle
+    from yolo_tpu.configs.variants import COCO_ANCHORS, TINY_YOLOV2_COCO
+
+    cfg = _small(TINY_YOLOV2_COCO, 128)
+    assert cfg.num_classes == 80 and cfg.anchors == COCO_ANCHORS
+    rng = np.random.default_rng(34)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+    got = np.asarray(graph.apply_layers(
+        cfg.layers, graph.params_to_jax(params), jnp.asarray(x),
+        eps=cfg.bn_eps))
+    assert got.shape == (1, 4, 4, 425)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())

@@ -22,7 +22,8 @@ class TestExpectedBytes:
     def test_manifest_sizes_are_current(self):
         """The checked-in manifest's sizes must track the layer specs."""
         manifest = zoo.load_manifest()
-        assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc"}
+        assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc",
+                                 "yolov2-tiny"}
         for name, e in manifest.items():
             cfg = get_variant(e["variant"])
             assert e["size_bytes"] == zoo.expected_weights_bytes(cfg.layers), name

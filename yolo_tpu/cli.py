@@ -23,7 +23,7 @@ import numpy as np
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
-                   choices=["tiny-voc", "voc", "coco"])
+                   choices=["tiny-voc", "voc", "coco", "tiny-coco"])
     p.add_argument("--input-size", type=int, default=None,
                    help="net input size (multiple of 32; default per model)")
     p.add_argument("--precision", default="bf16",

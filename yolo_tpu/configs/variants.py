@@ -1,6 +1,7 @@
 """Model variants. Topologies and anchors are pinned by the darknet cfg
 files the reference's weights come from (SURVEY.md §2.1 [PAPER]):
-yolov2-tiny-voc.cfg, yolov2-voc.cfg, yolov2.cfg (COCO)."""
+yolov2-tiny-voc.cfg, yolov2-voc.cfg, yolov2.cfg (COCO), and
+yolov2-tiny.cfg (COCO — same tiny topology, COCO anchors/classes)."""
 
 from __future__ import annotations
 
@@ -90,10 +91,19 @@ YOLOV2_COCO = ModelConfig(
     input_size=416,
 )
 
+TINY_YOLOV2_COCO = ModelConfig(
+    name="tiny-yolov2-coco",
+    layers=_tiny_yolov2_layers(5 * (5 + 80)),
+    anchors=COCO_ANCHORS,  # yolov2-tiny.cfg reuses the yolov2.cfg anchors
+    class_names=COCO_NAMES,
+    input_size=416,
+)
+
 VARIANTS = {
     "tiny-voc": TINY_YOLOV2_VOC,
     "voc": YOLOV2_VOC,
     "coco": YOLOV2_COCO,
+    "tiny-coco": TINY_YOLOV2_COCO,
 }
 
 
