@@ -240,7 +240,7 @@ def test_cli_eval_coco_metric(tmp_path):
                   str(tmp_path / "inst.json"), "--metric", "coco",
                   "--batch", "2", "--precision", "fp32"])
     res = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert set(res) == {"map", "map50", "map75", "ap"}
+    assert set(res) == {"map", "map50", "map75", "ar", "ap"}
     assert 0.0 <= res["map"] <= res["map50"] <= 1.0
 
 
@@ -257,3 +257,18 @@ def test_max_dets_across_classes():
     cut = evaluate_coco(dets, gt, 2, iou_thresholds=[0.5], max_dets=2)
     assert keep["ap"][0] == 1.0
     assert cut["ap"][0] == 0.0  # evicted by the class-1 dets
+
+
+def test_average_recall():
+    """AR@maxDets: the iou_ladder scene recalls its GT at 7/10
+    thresholds -> AR 0.7; perfect detections -> AR 1.0."""
+    gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+              "classes": np.array([0]), "difficult": np.zeros(1)}}
+    r = evaluate_coco({0: [_det(0, 0.9, 0, 0, 10, 8)]}, gt, 1)
+    np.testing.assert_allclose(r["ar"], 0.7, atol=1e-9)
+    r2 = evaluate_coco({0: [_det(0, 0.9, 0, 0, 10, 10)]}, gt, 1)
+    assert r2["ar"] == 1.0
+    # recall is capped by max_dets: TP ranked below two FPs, max_dets=2
+    dets = {0: [_det(0, 0.9, 50, 50, 60, 60), _det(0, 0.8, 70, 70, 80, 80),
+                _det(0, 0.1, 0, 0, 10, 10)]}
+    assert evaluate_coco(dets, gt, 1, max_dets=2)["ar"] == 0.0

@@ -461,6 +461,7 @@ def cmd_eval(args) -> None:
         print(json.dumps({"map": round(result["map"], 4),
                           "map50": round(result["map50"], 4),
                           "map75": round(result["map75"], 4),
+                          "ar": round(result["ar"], 4),
                           "ap": per_class}))
         return
     result = evaluate(detections, gt, cfg.num_classes,

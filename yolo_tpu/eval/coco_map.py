@@ -66,12 +66,14 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
     detections: {image_id: [(class_id, score, x1, y1, x2, y2), ...]}
     ground_truth: {image_id: {'boxes' (G,4) xyxy pixel, 'classes' (G,),
                               'difficult' (G,)}}  (difficult == iscrowd)
-    Returns {'map', 'map50', 'map75', 'ap': {class_id: ap_over_ious}}.
+    Returns {'map', 'map50', 'map75', 'ar' (average recall at max_dets,
+    pycocotools AR@100), 'ap': {class_id: ap_over_ious}}.
     """
     thresholds = np.asarray(
         COCO_IOU_THRESHOLDS if iou_thresholds is None else iou_thresholds,
         np.float64)
     ap = np.full((len(thresholds), num_classes), np.nan)
+    ar = np.full((len(thresholds), num_classes), np.nan)
 
     # pycocotools maxDets: top max_dets by score per image ACROSS classes
     capped = {img_id: sorted(dets, key=lambda d: -d[1])[:max_dets]
@@ -122,10 +124,12 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
             fp_c = np.cumsum(fp)
             if len(tp_c) == 0:
                 ap[ti, cls] = 0.0
+                ar[ti, cls] = 0.0
                 continue
             recall = tp_c / npos
             precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
             ap[ti, cls] = _ap_101pt(recall, precision)
+            ar[ti, cls] = recall[-1]  # recall at max_dets
 
     def _mean(rows: np.ndarray) -> float:
         v = rows[~np.isnan(rows)]
@@ -137,6 +141,7 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         "map": _mean(ap),
         "map50": _mean(ap[i50]),
         "map75": _mean(ap[i75]),
+        "ar": _mean(ar),
         "ap": {c: _mean(ap[:, c]) for c in range(num_classes)
                if not np.isnan(ap[:, c]).all()},
     }
