@@ -104,3 +104,14 @@ def test_cli_anchors(tmp_path):
     assert res["num_boxes"] == 20
     assert 0.0 < res["avg_iou"] <= 1.0
     assert len(res["darknet_line"].split(",")) == 6
+
+
+def test_collect_wh_drops_crowd():
+    coco_ann = {"boxes": np.array([[0.5, 0.5, 0.2, 0.4],
+                                   [0.5, 0.5, 1.0, 1.0]], np.float32),
+                "classes": np.array([0, 0]),
+                "difficult": np.array([0, 1]),  # second is iscrowd
+                "width": 10, "height": 10, "filename": "b.jpg"}
+    wh = collect_wh([("b.jpg", coco_ann)], ("cat",))
+    assert wh.shape == (1, 2)
+    np.testing.assert_allclose(wh[0], [0.2, 0.4])

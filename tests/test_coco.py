@@ -244,19 +244,24 @@ def test_cli_eval_coco_metric(tmp_path):
     assert 0.0 <= res["map"] <= res["map50"] <= 1.0
 
 
-def test_max_dets_across_classes():
-    """pycocotools semantics: the per-image cap ranks ALL classes'
-    detections together — a flood of high-scoring class-1 dets evicts a
-    lower-scoring class-0 TP."""
+def test_max_dets_per_image_per_class():
+    """pycocotools' actual implementation (COCOeval.evaluateImg runs per
+    category and truncates dt[0:maxDet] there): a flood of high-scoring
+    class-1 dets must NOT evict a lower-scoring class-0 TP — each class
+    gets its own per-image budget."""
     gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
               "classes": np.array([0]), "difficult": np.zeros(1)}}
     dets = {0: [_det(1, 0.9, 50, 50, 60, 60),
                 _det(1, 0.8, 70, 70, 80, 80),
                 _det(0, 0.5, 0, 0, 10, 10)]}  # class-0 TP, lowest score
-    keep = evaluate_coco(dets, gt, 2, iou_thresholds=[0.5], max_dets=3)
-    cut = evaluate_coco(dets, gt, 2, iou_thresholds=[0.5], max_dets=2)
-    assert keep["ap"][0] == 1.0
-    assert cut["ap"][0] == 0.0  # evicted by the class-1 dets
+    r = evaluate_coco(dets, gt, 2, iou_thresholds=[0.5], max_dets=2)
+    assert r["ap"][0] == 1.0  # class-1 flood doesn't consume class-0 budget
+    # but WITHIN a class the cap still bites (the TP is the 3rd class-0 det)
+    dets2 = {0: [_det(0, 0.9, 50, 50, 60, 60),
+                 _det(0, 0.8, 70, 70, 80, 80),
+                 _det(0, 0.5, 0, 0, 10, 10)]}
+    r2 = evaluate_coco(dets2, gt, 2, iou_thresholds=[0.5], max_dets=2)
+    assert r2["ap"][0] == 0.0
 
 
 def test_average_recall():

@@ -87,3 +87,37 @@ def test_cli_detect_video(tmp_path):
         n += 1
     cap.release()
     assert n == 5
+
+
+def test_stride_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        list(video_batches("whatever.avi", 2, stride=0))
+
+
+def test_cli_detect_video_int8(tmp_path):
+    """detect --video --precision int8 must actually quantize (was
+    silently skipped before): calibrates on the stream's first frames."""
+    import contextlib
+    import io as _io
+    import sys
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    vid = _write_video(tmp_path / "in.avi", n_frames=3, w=96, h=80)
+    wpath = str(tmp_path / "w.weights")
+    cfg = get_variant("tiny-voc")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(1)))
+
+    buf, err = _io.StringIO(), _io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(err):
+        cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", wpath, "--video", vid, "--batch", "2",
+                  "--precision", "int8"])
+    assert "int8 PTQ: calibrated" in err.getvalue()
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert [l["frame"] for l in lines] == [0, 1, 2]

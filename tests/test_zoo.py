@@ -48,19 +48,27 @@ class TestResolveVerify:
 
         assert zoo.resolve("zoo://mini", manifest_path=mp) == str(wpath)
 
-        with pytest.raises(SystemExit, match="unknown zoo entry"):
+        with pytest.raises(KeyError, match="unknown zoo entry"):
             zoo.resolve("zoo://nope", manifest_path=mp)
 
         os.remove(wpath)
-        with pytest.raises(SystemExit, match="example.com"):
+        with pytest.raises(FileNotFoundError, match="example.com"):
             zoo.resolve("zoo://mini", manifest_path=mp)  # msg carries URL
 
     def test_size_mismatch_fatal(self, tmp_path, monkeypatch):
         monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
         (tmp_path / "mini.weights").write_bytes(b"\x00" * 63)  # truncated
         mp = _mini_manifest(tmp_path, 64)
-        with pytest.raises(SystemExit, match="truncated"):
+        with pytest.raises(ValueError, match="truncated"):
             zoo.resolve("zoo://mini", manifest_path=mp)
+
+    def test_16_byte_header_variant_accepted(self, tmp_path, monkeypatch):
+        """darknet version < 0.2 files have a 16-byte header (4 bytes
+        smaller); same tensors, must verify OK."""
+        monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+        (tmp_path / "mini.weights").write_bytes(b"\x00" * 60)
+        mp = _mini_manifest(tmp_path, 64)
+        assert zoo.resolve("zoo://mini", manifest_path=mp)
 
     def test_sha_pin_and_verify(self, tmp_path, monkeypatch):
         monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
@@ -74,10 +82,10 @@ class TestResolveVerify:
         assert zoo.resolve("zoo://mini", manifest_path=mp) == str(wpath)
         # ...and a swapped file of the same size is rejected
         wpath.write_bytes(b"\x02" * 64)
-        with pytest.raises(SystemExit, match="sha256"):
+        with pytest.raises(ValueError, match="sha256"):
             zoo.resolve("zoo://mini", manifest_path=mp)
         # re-pinning a different hash is refused
-        with pytest.raises(SystemExit, match="refusing"):
+        with pytest.raises(ValueError, match="refusing"):
             zoo.record_sha("mini", str(wpath), manifest_path=mp)
 
 

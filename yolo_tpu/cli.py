@@ -73,7 +73,10 @@ def _load_params(args, cfg, folded: bool = True):
     if args.weights.startswith("zoo://"):  # named + integrity-checked
         from yolo_tpu.io import zoo
 
-        args.weights = zoo.resolve(args.weights)
+        try:
+            args.weights = zoo.resolve(args.weights)
+        except (KeyError, FileNotFoundError, ValueError) as e:
+            raise SystemExit(str(e).strip("'\""))
     if os.path.isdir(args.weights):  # orbax train checkpoint
         from yolo_tpu.io import checkpoint as ckpt
 
@@ -170,6 +173,15 @@ def cmd_detect(args) -> None:
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
 
     if args.video:
+        if args.precision == "int8":
+            from yolo_tpu.data.video import video_batches
+
+            # calibrate on the stream's own first frames
+            first = next(video_batches(args.video, 8,
+                                       stride=args.stride,
+                                       max_frames=8))
+            params = _maybe_quantize(args, cfg, params,
+                                     list(first["images"]))
         _detect_video(args, cfg, params, det)
         return
 
@@ -501,7 +513,10 @@ def cmd_zoo(args) -> None:
             raise SystemExit(f"unknown zoo entry '{args.name}'")
         path = args.file or os.path.join(zoo.weights_dir(),
                                          entry["filename"])
-        sha = zoo.record_sha(args.name, path)
+        try:
+            sha = zoo.record_sha(args.name, path)
+        except ValueError as e:
+            raise SystemExit(str(e))
         print(json.dumps({"name": args.name, "sha256": sha}))
 
 

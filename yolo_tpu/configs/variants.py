@@ -91,9 +91,28 @@ YOLOV2_COCO = ModelConfig(
     input_size=416,
 )
 
+def _tiny_yolov2_coco_layers(num_out: int):
+    """yolov2-tiny.cfg (COCO): same conv/pool trunk as tiny-voc but the
+    head is conv1024 -> conv512 -> 1x1 (NOT tiny-voc's 1024 -> 1024).
+    Pinned by the official yolov2-tiny.weights byte count:
+    44,948,600 = 20-byte header + 4 x 11,237,145 params, which only the
+    512-filter topology produces."""
+    return (
+        Conv(16), MaxPool(2, 2),
+        Conv(32), MaxPool(2, 2),
+        Conv(64), MaxPool(2, 2),
+        Conv(128), MaxPool(2, 2),
+        Conv(256), MaxPool(2, 2),
+        Conv(512), MaxPool(2, 1),
+        Conv(1024),
+        Conv(512),
+        Conv(num_out, size=1, bn=False, act="linear"),
+    )
+
+
 TINY_YOLOV2_COCO = ModelConfig(
     name="tiny-yolov2-coco",
-    layers=_tiny_yolov2_layers(5 * (5 + 80)),
+    layers=_tiny_yolov2_coco_layers(5 * (5 + 80)),
     anchors=COCO_ANCHORS,  # yolov2-tiny.cfg reuses the yolov2.cfg anchors
     class_names=COCO_NAMES,
     input_size=416,

@@ -67,10 +67,17 @@ def collect_wh(samples: Iterable[Tuple[str, object]],
 
     out = []
     for _path, ann in samples:
-        if not isinstance(ann, dict):
+        if isinstance(ann, dict):
+            # pre-parsed (COCO): exclude crowd regions, matching both the
+            # VOC parser's keep_difficult=False default and the training
+            # encoder (pipeline.py) — crowds would skew k-means large
+            keep = np.asarray(ann["difficult"]) == 0
+            boxes = np.asarray(ann["boxes"], np.float64)[keep]
+        else:
             ann = parse_annotation(ann, class_names)
-        if len(ann["boxes"]):
-            out.append(np.asarray(ann["boxes"], np.float64)[:, 2:4])
+            boxes = np.asarray(ann["boxes"], np.float64)
+        if len(boxes):
+            out.append(boxes[:, 2:4])
     if not out:
         return np.zeros((0, 2))
     return np.concatenate(out, axis=0)

@@ -15,11 +15,18 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def video_info(path: str) -> Dict:
-    """{'fps', 'width', 'height', 'frames'} for a video file."""
+def _open_capture(path: str):
+    """cv2.VideoCapture for a file path OR a webcam index ("0")."""
     import cv2
 
-    cap = cv2.VideoCapture(path)
+    return cv2.VideoCapture(int(path) if path.isdigit() else path)
+
+
+def video_info(path: str) -> Dict:
+    """{'fps', 'width', 'height', 'frames'} for a video source."""
+    import cv2
+
+    cap = _open_capture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
     info = {"fps": cap.get(cv2.CAP_PROP_FPS) or 30.0,
@@ -43,8 +50,9 @@ def video_batches(path: str, batch_size: int,
     """
     import cv2
 
-    source = int(path) if path.isdigit() else path
-    cap = cv2.VideoCapture(source)
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    cap = _open_capture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
     try:

@@ -18,8 +18,11 @@ maxDets=100 cell:
 
 Deliberate simplification vs pycocotools (documented, not silent):
 area-range breakdowns (small/medium/large) are not computed. The
-maxDets cap follows pycocotools exactly: top ``max_dets`` by score per
-image ACROSS classes.
+maxDets cap follows pycocotools' actual implementation
+(COCOeval.evaluateImg runs per category and truncates dt[0:maxDet]
+there): top ``max_dets`` by score per image PER CLASS — note this
+differs from the "100 detections per image" phrasing in the paper-style
+summaries.
 """
 
 from __future__ import annotations
@@ -75,15 +78,14 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
     ap = np.full((len(thresholds), num_classes), np.nan)
     ar = np.full((len(thresholds), num_classes), np.nan)
 
-    # pycocotools maxDets: top max_dets by score per image ACROSS classes
-    capped = {img_id: sorted(dets, key=lambda d: -d[1])[:max_dets]
-              for img_id, dets in detections.items()}
-
     for cls in range(num_classes):
+        # pycocotools maxDets: evaluateImg truncates per (image, class)
         recs = []
-        for img_id, dets in capped.items():
+        for img_id, dets in detections.items():
+            mine = sorted((d for d in dets if d[0] == cls),
+                          key=lambda d: -d[1])[:max_dets]
             recs.extend((img_id, d[1], np.asarray(d[2:6], np.float64))
-                        for d in dets if d[0] == cls)
+                        for d in mine)
         recs.sort(key=lambda r: -r[1])
 
         gt_cls = {}
@@ -99,23 +101,32 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         if npos == 0:
             continue
 
+        # IoUs once per (detection, class) — reused across all 10
+        # thresholds (pycocotools computeIoU does the same hoisting)
+        det_ious = []
+        for img_id, _score, box in recs:
+            g = gt_cls.get(img_id)
+            det_ious.append((
+                _iou_xyxy(box, g["boxes"])
+                if g is not None and len(g["boxes"]) else None,
+                float(_crowd_iou(box, g["crowd_boxes"]).max())
+                if g is not None and len(g["crowd_boxes"]) else -1.0))
+
         for ti, thr in enumerate(thresholds):
             matched = {i: np.zeros(len(g["boxes"]), bool)
                        for i, g in gt_cls.items()}
             tp, fp = [], []
-            for img_id, _score, box in recs:
-                g = gt_cls.get(img_id)
-                if g is not None and len(g["boxes"]):
-                    ious = _iou_xyxy(box, g["boxes"])
-                    ious = np.where(matched[img_id], -1.0, ious)
-                    j = int(np.argmax(ious))
-                    if ious[j] >= thr:
+            for (img_id, _score, _box), (ious, crowd_iou) in zip(recs,
+                                                                 det_ious):
+                if ious is not None:
+                    avail = np.where(matched[img_id], -1.0, ious)
+                    j = int(np.argmax(avail))
+                    if avail[j] >= thr:
                         matched[img_id][j] = True
                         tp.append(1.0)
                         fp.append(0.0)
                         continue
-                if (g is not None and len(g["crowd_boxes"]) and
-                        _crowd_iou(box, g["crowd_boxes"]).max() >= thr):
+                if crowd_iou >= thr:
                     continue  # crowd hit: drop from the PR curve
                 tp.append(0.0)
                 fp.append(1.0)

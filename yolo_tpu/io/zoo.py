@@ -82,28 +82,32 @@ def resolve(spec: str, manifest: Optional[Dict[str, Dict]] = None,
     name = spec[len("zoo://"):] if spec.startswith("zoo://") else spec
     manifest = manifest or load_manifest(manifest_path)
     if name not in manifest:
-        raise SystemExit(f"unknown zoo entry '{name}' "
-                         f"(have: {', '.join(sorted(manifest))})")
+        raise KeyError(f"unknown zoo entry '{name}' "
+                       f"(have: {', '.join(sorted(manifest))})")
     entry = manifest[name]
     path = os.path.join(weights_dir(), entry["filename"])
     if not os.path.exists(path):
-        raise SystemExit(
+        raise FileNotFoundError(
             f"weights file not found: {path}\n"
             f"download it first:  curl -o '{path}' '{entry['url']}'\n"
             f"(or set YOLO_TPU_WEIGHTS_DIR)")
     problems = verify_file(path, entry)
     if problems:
-        raise SystemExit(f"integrity check failed for {path}: "
+        raise ValueError(f"integrity check failed for {path}: "
                          + "; ".join(problems))
     return path
 
 
 def verify_file(path: str, entry: Dict) -> list:
     """Returns a list of problem strings (empty = OK). Size mismatch is
-    always fatal; SHA is only checked when the manifest pins one."""
+    always fatal; SHA is only checked when the manifest pins one.
+
+    The manifest pins the 20-byte-header size (the yolov2-era files);
+    a 16-byte-header file (darknet version < 0.2, 4 bytes smaller) has
+    identical tensor data and loads fine, so it is accepted too."""
     problems = []
     actual = os.path.getsize(path)
-    if actual != entry["size_bytes"]:
+    if actual not in (entry["size_bytes"], entry["size_bytes"] - 4):
         problems.append(f"size {actual} != expected {entry['size_bytes']} "
                         f"(truncated or wrong file)")
         return problems  # don't bother hashing a wrong-sized file
@@ -122,10 +126,10 @@ def record_sha(name: str, path: str,
     entry = manifest[name]
     problems = [p for p in verify_file(path, entry) if "size" in p]
     if problems:
-        raise SystemExit("; ".join(problems))
+        raise ValueError("; ".join(problems))
     got = sha256_file(path)
     if entry.get("sha256") and entry["sha256"] != got:
-        raise SystemExit(f"refusing to overwrite pinned sha256 for {name} "
+        raise ValueError(f"refusing to overwrite pinned sha256 for {name} "
                          f"({entry['sha256']} -> {got})")
     entry["sha256"] = got
     save_manifest(manifest, manifest_path)
