@@ -192,3 +192,21 @@ def test_public_api_load(tiny_weights):
     out = model(imgs)
     assert out["boxes"].shape[0] == 2
     assert out["valid"].dtype == bool
+
+
+def test_public_api_variant_autodetect(tiny_weights, tmp_path):
+    """yolo_tpu.load with variant=None matches the file size against the
+    darknet topologies (io/zoo.infer_variant)."""
+    import pytest
+
+    import yolo_tpu
+    from yolo_tpu.io.zoo import infer_variant
+
+    assert infer_variant(tiny_weights) == "tiny-voc"
+    model = yolo_tpu.load(tiny_weights, input_size=96, precision="fp32")
+    assert model.cfg.name == "tiny-yolov2-voc"
+
+    bogus = tmp_path / "b.weights"
+    bogus.write_bytes(b"\x00" * 1000)
+    with pytest.raises(ValueError, match="cannot infer"):
+        yolo_tpu.load(str(bogus))

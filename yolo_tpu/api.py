@@ -29,12 +29,17 @@ class Model:
         return self._detector(self.params, jnp.asarray(images_u8))
 
 
-def load(weights_path: str, variant: str = "coco", *,
+def load(weights_path: str, variant: Optional[str] = None, *,
          input_size: Optional[int] = None, precision: str = "bf16",
          conf_threshold: Optional[float] = None,
          nms_threshold: Optional[float] = None) -> Model:
-    """Load darknet ``.weights`` (or an orbax checkpoint dir) into a
-    ready-to-call detector. precision: "fp32" (parity) | "bf16"."""
+    """Load darknet ``.weights`` (or an orbax checkpoint dir, or a
+    ``zoo://<name>`` entry) into a ready-to-call detector.
+
+    variant=None auto-detects: zoo entries carry their variant; plain
+    .weights files are matched by exact byte size against the four
+    darknet topologies (io/zoo.infer_variant). precision: "fp32"
+    (parity) | "bf16"."""
     import os
 
     import jax.numpy as jnp
@@ -44,11 +49,24 @@ def load(weights_path: str, variant: str = "coco", *,
     from yolo_tpu.models import graph
     from yolo_tpu.models.predict import make_detector
 
-    cfg = get_variant(variant, input_size=input_size)
     if weights_path.startswith("zoo://"):
         from yolo_tpu.io import zoo
 
+        if variant is None:
+            entry = zoo.load_manifest().get(weights_path[len("zoo://"):])
+            variant = entry["variant"] if entry else None
         weights_path = zoo.resolve(weights_path)
+    if variant is None:
+        if os.path.isdir(weights_path):
+            raise ValueError("variant= is required for checkpoint dirs")
+        from yolo_tpu.io import zoo
+
+        variant = zoo.infer_variant(weights_path)
+        if variant is None:
+            raise ValueError(
+                f"cannot infer the model variant from {weights_path}'s "
+                f"size; pass variant= explicitly")
+    cfg = get_variant(variant, input_size=input_size)
     if os.path.isdir(weights_path):
         from yolo_tpu.io import checkpoint as ckpt
 

@@ -47,6 +47,21 @@ def expected_weights_bytes(layers: Sequence[LayerSpec],
     return _HEADER_BYTES + 4 * n
 
 
+def infer_variant(weights_path: str) -> Optional[str]:
+    """Guess the model variant from a .weights file's byte size (exact
+    for the four darknet topologies; 16- and 20-byte headers both
+    accepted). Returns None when no topology matches — e.g. custom
+    class counts."""
+    from yolo_tpu.configs.variants import VARIANTS
+
+    actual = os.path.getsize(weights_path)
+    for name, cfg in VARIANTS.items():
+        want = expected_weights_bytes(cfg.layers)
+        if actual in (want, want - 4):
+            return name
+    return None
+
+
 def load_manifest(path: Optional[str] = None) -> Dict[str, Dict]:
     with open(path or _MANIFEST_PATH) as f:
         return json.load(f)
