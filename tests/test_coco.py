@@ -277,3 +277,66 @@ def test_average_recall():
     dets = {0: [_det(0, 0.9, 50, 50, 60, 60), _det(0, 0.8, 70, 70, 80, 80),
                 _det(0, 0.1, 0, 0, 10, 10)]}
     assert evaluate_coco(dets, gt, 1, max_dets=2)["ar"] == 0.0
+
+
+def test_category_ids_inverse():
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "i.json")
+        _write_coco(type("P", (), {"write_text": lambda self, s: open(p, "w").write(s)})(),
+                    images=[], annotations=[])
+        from yolo_tpu.data.coco import category_ids
+
+        m = category_ids(p, CLASS_NAMES)
+        assert m == {0: 2, 1: 7, 2: 13}  # cat/dog/bird -> COCO ids
+
+
+def test_cli_eval_save_detections(tmp_path):
+    """--save-detections writes a pycocotools-loadRes-style results
+    list with ORIGINAL image and category ids."""
+    import contextlib
+    import io as _io
+
+    import cv2
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    rng = np.random.default_rng(0)
+    cfg = get_variant("tiny-voc")
+    images, anns = [], []
+    for i, img_id in enumerate([101, 205]):  # non-contiguous originals
+        name = f"img{i}.jpg"
+        cv2.imwrite(str(tmp_path / name),
+                    rng.integers(0, 255, (100, 120, 3), dtype=np.uint8))
+        images.append({"id": img_id, "file_name": name,
+                       "width": 120, "height": 100})
+        anns.append({"image_id": img_id, "category_id": 100,
+                     "bbox": [20, 20, 50, 40], "iscrowd": 0})
+    # all 20 VOC classes, original ids 100+i (non-contiguous base)
+    cats = [{"id": 100 + i, "name": n}
+            for i, n in enumerate(cfg.class_names)]
+    anns = [dict(a, category_id=100) for a in anns]
+    (tmp_path / "inst.json").write_text(json.dumps(
+        {"images": images, "annotations": anns, "categories": cats}))
+    wpath = str(tmp_path / "w.weights")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(1)))
+
+    out_json = str(tmp_path / "results.json")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", wpath, "--coco-json",
+                  str(tmp_path / "inst.json"), "--metric", "coco",
+                  "--batch", "2", "--precision", "fp32", "--conf", "0.1",
+                  "--eval-conf", "0.1", "--save-detections", out_json])
+    results = json.loads(open(out_json).read())
+    assert isinstance(results, list) and results
+    for r in results:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["image_id"] in (101, 205)
+        assert 100 <= r["category_id"] < 120  # original ids, not 0..19
+        assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0

@@ -430,11 +430,12 @@ def cmd_eval(args) -> None:
         cfg, compute_dtype=_compute_dtype(args.precision),
         conf_threshold=args.eval_conf, head="reference", nms_impl="xla")
 
-    gt, detections = {}, {}
+    gt, detections, orig_ids = {}, {}, {}
     for img_id, (img_path, ann) in enumerate(pairs):
         if not isinstance(ann, dict):  # VOC XML path
             ann = parse_annotation(ann, cfg.class_names,
                                    keep_difficult=True)
+        orig_ids[img_id] = ann.get("image_id", img_id)
         w, h = ann["width"], ann["height"]
         xyxy = np.stack([
             (ann["boxes"][:, 0] - ann["boxes"][:, 2] / 2) * w,
@@ -462,6 +463,29 @@ def cmd_eval(args) -> None:
                 (int(out["classes"][bi][i]), float(out["scores"][bi][i]),
                  *xyxy[j])
                 for j, i in enumerate(valid)]
+
+    if args.save_detections:
+        # pycocotools loadRes format: original image/category ids,
+        # top-left-xywh pixel boxes
+        if args.coco_json:
+            from yolo_tpu.data.coco import category_ids
+
+            # only the dataset's own categories are expressible in a
+            # COCO results file; detections of other classes are dropped
+            cat_of = category_ids(args.coco_json, cfg.class_names)
+        else:
+            cat_of = {c: c for c in range(cfg.num_classes)}
+        results = [
+            {"image_id": orig_ids[img_id], "category_id": cat_of[c],
+             "bbox": [round(x1, 2), round(y1, 2),
+                      round(x2 - x1, 2), round(y2 - y1, 2)],
+             "score": round(s, 5)}
+            for img_id, dets in detections.items()
+            for (c, s, x1, y1, x2, y2) in dets if c in cat_of]
+        with open(args.save_detections, "w") as f:
+            json.dump(results, f)
+        print(f"wrote {len(results)} detections to "
+              f"{args.save_detections}", file=sys.stderr)
 
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
     if metric == "coco":
@@ -692,6 +716,9 @@ def main(argv: Optional[list] = None) -> None:
                         "coco = mAP@[.5:.95] 101-point")
     p.add_argument("--use-2010-metric", action="store_true",
                    help="alias for --metric voc10")
+    p.add_argument("--save-detections", default=None,
+                   help="write raw detections as a pycocotools-style "
+                        "results JSON (original image/category ids)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("zoo", help="pretrained-weights manifest tools")

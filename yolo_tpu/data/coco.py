@@ -48,6 +48,21 @@ def load_coco(json_path: str, class_names: Sequence[str],
         per_image[ann["image_id"]].append(
             (cls, ann["bbox"], int(ann.get("iscrowd", 0))))
 
+    return _samples_from_doc(doc, per_image, image_root)
+
+
+def category_ids(json_path: str, class_names: Sequence[str]) -> dict:
+    """{contiguous class id: original COCO category id} — the inverse of
+    load_coco's name-based mapping, for writing pycocotools-compatible
+    results files."""
+    with open(json_path) as f:
+        doc = json.load(f)
+    name_to_id = {n: i for i, n in enumerate(class_names)}
+    return {name_to_id[c["name"]]: c["id"]
+            for c in doc.get("categories", []) if c["name"] in name_to_id}
+
+
+def _samples_from_doc(doc, per_image, image_root):
     samples = []
     for img in doc["images"]:
         w, h = float(img["width"]), float(img["height"])
@@ -65,6 +80,7 @@ def load_coco(json_path: str, class_names: Sequence[str],
             "width": int(w),
             "height": int(h),
             "filename": img["file_name"],
+            "image_id": img["id"],  # original id, for results-file interop
         }
         samples.append((os.path.join(image_root, img["file_name"]),
                         ann_dict))
