@@ -340,3 +340,66 @@ def test_cli_eval_save_detections(tmp_path):
         assert r["image_id"] in (101, 205)
         assert 100 <= r["category_id"] < 120  # original ids, not 0..19
         assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0
+
+
+def test_cli_eval_from_detections_roundtrip(tmp_path):
+    """save-detections -> from-detections round trip: scoring the saved
+    file (no model run) reproduces the live mAP exactly; a hand-written
+    perfect results file scores 1.0."""
+    import contextlib
+    import io as _io
+
+    import cv2
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    rng = np.random.default_rng(0)
+    cfg = get_variant("tiny-voc")
+    images, anns = [], []
+    for i, img_id in enumerate([7, 9]):
+        name = f"img{i}.jpg"
+        cv2.imwrite(str(tmp_path / name),
+                    rng.integers(0, 255, (100, 120, 3), dtype=np.uint8))
+        images.append({"id": img_id, "file_name": name,
+                       "width": 120, "height": 100})
+        anns.append({"image_id": img_id, "category_id": 100,
+                     "bbox": [20, 20, 50, 40], "iscrowd": 0})
+    cats = [{"id": 100 + i, "name": n}
+            for i, n in enumerate(cfg.class_names)]
+    cj = str(tmp_path / "inst.json")
+    (tmp_path / "inst.json").write_text(json.dumps(
+        {"images": images, "annotations": anns, "categories": cats}))
+    wpath = str(tmp_path / "w.weights")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(1)))
+
+    res_file = str(tmp_path / "results.json")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", wpath, "--coco-json", cj,
+                  "--metric", "coco", "--batch", "2",
+                  "--precision", "fp32", "--eval-conf", "0.1",
+                  "--save-detections", res_file])
+    live = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--coco-json", cj, "--metric", "coco",
+                  "--from-detections", res_file])
+    replay = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert replay == live  # byte-identical scoring
+
+    # perfect hand-written detections -> mAP 1.0, no weights needed
+    perfect = [{"image_id": i, "category_id": 100,
+                "bbox": [20, 20, 50, 40], "score": 0.9} for i in (7, 9)]
+    pf = str(tmp_path / "perfect.json")
+    open(pf, "w").write(json.dumps(perfect))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["eval", "--model", "tiny-voc", "--coco-json", cj,
+                  "--metric", "coco", "--from-detections", pf])
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["map"] == 1.0

@@ -410,25 +410,10 @@ def cmd_eval(args) -> None:
     from yolo_tpu.eval.voc_map import evaluate
 
     cfg = _get_cfg(args)
-    params = _load_params(args, cfg)
+    if not args.from_detections and not args.weights:
+        raise SystemExit("--weights is required (or score a saved "
+                         "results file with --from-detections)")
     pairs = _dataset_samples(args, cfg)
-    if args.precision == "int8":
-        from yolo_tpu.data.pipeline import load_image_rgb
-
-        params = _maybe_quantize(args, cfg, params,
-                                 [load_image_rgb(p) for p, _ in pairs[:8]])
-    # PR-curve thresholds (0.005) violate the fused head's exactness
-    # precondition (ops/head.py) — evaluation always takes the exact
-    # reference decode + per-class NMS path. Host-preprocess mode
-    # letterboxes on the host so heterogeneous VOC shapes compile ONE
-    # program (data/pipeline.py).
-    from yolo_tpu.models.predict import make_detector_preprocessed
-    from yolo_tpu.ops import numpy_ref as npr
-    from yolo_tpu.ops.letterbox import letterbox_geometry
-
-    det = make_detector_preprocessed(
-        cfg, compute_dtype=_compute_dtype(args.precision),
-        conf_threshold=args.eval_conf, head="reference", nms_impl="xla")
 
     gt, detections, orig_ids = {}, {}, {}
     for img_id, (img_path, ann) in enumerate(pairs):
@@ -446,23 +431,66 @@ def cmd_eval(args) -> None:
         gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
                       "difficult": ann["difficult"]}
 
-    path_to_id = {p: i for i, (p, _) in enumerate(pairs)}
-    host_iter = inference_batches([p for p, _ in pairs], args.batch,
-                                  net_size=cfg.input_size)
-    net = cfg.input_size
-    for batch in DevicePrefetcher(host_iter, depth=2):
-        out = det(params, jnp.asarray(batch["images"]))
-        for bi, path in enumerate(batch["paths"]):
-            src_h, src_w = batch["shapes"][bi]
-            scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
-            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
-            boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
-            xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py, net, net,
-                                         src_w, src_h)
-            detections[path_to_id[path]] = [
-                (int(out["classes"][bi][i]), float(out["scores"][bi][i]),
-                 *xyxy[j])
-                for j, i in enumerate(valid)]
+    if args.from_detections:
+        # score a saved results file (pycocotools loadRes schema) with
+        # no model run — original image/category ids map back here
+        if args.coco_json:
+            from yolo_tpu.data.coco import category_ids
+
+            cls_of = {v: k for k, v in category_ids(
+                args.coco_json, cfg.class_names).items()}
+        else:
+            cls_of = {c: c for c in range(cfg.num_classes)}
+        inv = {orig: i for i, orig in orig_ids.items()}
+        detections = {i: [] for i in orig_ids}
+        with open(args.from_detections) as f:
+            for r in json.load(f):
+                i = inv.get(r["image_id"])
+                c = cls_of.get(r["category_id"])
+                if i is None or c is None:
+                    continue
+                x, y, bw, bh = r["bbox"]
+                detections[i].append((c, float(r["score"]),
+                                      x, y, x + bw, y + bh))
+    else:
+        params = _load_params(args, cfg)
+        if args.precision == "int8":
+            from yolo_tpu.data.pipeline import load_image_rgb
+
+            params = _maybe_quantize(
+                args, cfg, params,
+                [load_image_rgb(p) for p, _ in pairs[:8]])
+        # PR-curve thresholds (0.005) violate the fused head's exactness
+        # precondition (ops/head.py) — evaluation always takes the exact
+        # reference decode + per-class NMS path. Host-preprocess mode
+        # letterboxes on the host so heterogeneous VOC shapes compile
+        # ONE program (data/pipeline.py).
+        from yolo_tpu.models.predict import make_detector_preprocessed
+        from yolo_tpu.ops import numpy_ref as npr
+        from yolo_tpu.ops.letterbox import letterbox_geometry
+
+        det = make_detector_preprocessed(
+            cfg, compute_dtype=_compute_dtype(args.precision),
+            conf_threshold=args.eval_conf, head="reference",
+            nms_impl="xla")
+        path_to_id = {p: i for i, (p, _) in enumerate(pairs)}
+        host_iter = inference_batches([p for p, _ in pairs], args.batch,
+                                      net_size=cfg.input_size)
+        net = cfg.input_size
+        for batch in DevicePrefetcher(host_iter, depth=2):
+            out = det(params, jnp.asarray(batch["images"]))
+            for bi, path in enumerate(batch["paths"]):
+                src_h, src_w = batch["shapes"][bi]
+                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
+                                                           net)
+                valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
+                boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
+                xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
+                                             net, net, src_w, src_h)
+                detections[path_to_id[path]] = [
+                    (int(out["classes"][bi][i]),
+                     float(out["scores"][bi][i]), *xyxy[j])
+                    for j, i in enumerate(valid)]
 
     if args.save_detections:
         # pycocotools loadRes format: original image/category ids,
@@ -705,8 +733,12 @@ def main(argv: Optional[list] = None) -> None:
     # §1 L7: train/predict/test); both names map to the same command.
     p = sub.add_parser("eval", aliases=["test"], help="mAP evaluation")
     _add_common(p)
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None,
+                   help="required unless --from-detections")
     _add_dataset(p, "test")
+    p.add_argument("--from-detections", default=None,
+                   help="score a saved results JSON (--save-detections "
+                        "format) instead of running the model")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--eval-conf", type=float, default=0.005,
                    help="low threshold for PR-curve coverage")
