@@ -1,0 +1,299 @@
+"""Darknet .cfg parser tests (configs/darknet_cfg.py): the pinned
+variants must be reproducible from their cfg files, and arbitrary
+yolov2-family cfgs must run end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.darknet_cfg import (config_from_cfg, load_names,
+                                          parse_cfg)
+from yolo_tpu.configs.variants import (COCO_ANCHORS, TINY_VOC_ANCHORS,
+                                       TINY_YOLOV2_VOC, YOLOV2_COCO)
+
+TINY_VOC_CFG = """\
+[net]
+# training keys are ignored by inference builds
+width=416
+height=416
+channels=3
+momentum=0.9
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=256
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=512
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=1
+
+[convolutional]
+batch_normalize=1
+filters=1024
+size=3
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=1024
+size=3
+activation=leaky
+
+[convolutional]
+filters=125
+size=1
+activation=linear
+
+[region]
+anchors = 1.08,1.19,  3.42,4.41,  6.63,11.38,  9.42,5.11,  16.62,10.52
+classes=20
+num=5
+thresh=0.6
+"""
+
+
+def _full_coco_cfg():
+    """yolov2.cfg reconstructed from the pinned layer map."""
+    conv = ("[convolutional]\nbatch_normalize=1\nfilters={f}\nsize={s}\n"
+            "activation=leaky\n\n")
+    mp = "[maxpool]\nsize=2\nstride=2\n\n"
+    body = "[net]\nwidth=416\nheight=416\nchannels=3\n\n"
+    body += conv.format(f=32, s=3) + mp
+    body += conv.format(f=64, s=3) + mp
+    body += (conv.format(f=128, s=3) + conv.format(f=64, s=1)
+             + conv.format(f=128, s=3) + mp)
+    body += (conv.format(f=256, s=3) + conv.format(f=128, s=1)
+             + conv.format(f=256, s=3) + mp)
+    body += (conv.format(f=512, s=3) + conv.format(f=256, s=1)
+             + conv.format(f=512, s=3) + conv.format(f=256, s=1)
+             + conv.format(f=512, s=3) + mp)
+    body += (conv.format(f=1024, s=3) + conv.format(f=512, s=1)
+             + conv.format(f=1024, s=3) + conv.format(f=512, s=1)
+             + conv.format(f=1024, s=3))
+    body += conv.format(f=1024, s=3) + conv.format(f=1024, s=3)
+    body += "[route]\nlayers=-9\n\n"
+    body += conv.format(f=64, s=1)
+    body += "[reorg]\nstride=2\n\n"
+    body += "[route]\nlayers=-1,-4\n\n"
+    body += conv.format(f=1024, s=3)
+    body += "[convolutional]\nfilters=425\nsize=1\nactivation=linear\n\n"
+    body += ("[region]\nanchors = 0.57273,0.677385, 1.87446,2.06253, "
+             "3.33843,5.47434, 7.88282,3.52778, 9.77052,9.16828\n"
+             "classes=80\nnum=5\n")
+    return body
+
+
+class TestParse:
+    def test_tiny_voc_cfg_reproduces_variant(self, tmp_path):
+        p = tmp_path / "t.cfg"
+        p.write_text(TINY_VOC_CFG)
+        cfg = config_from_cfg(str(p))
+        assert cfg.layers == TINY_YOLOV2_VOC.layers
+        assert cfg.anchors == TINY_VOC_ANCHORS
+        assert cfg.input_size == 416
+        assert cfg.num_classes == 20
+        assert cfg.class_names[0] == "class0"  # no names file
+
+    def test_full_coco_cfg_reproduces_variant(self, tmp_path):
+        p = tmp_path / "f.cfg"
+        p.write_text(_full_coco_cfg())
+        cfg = config_from_cfg(str(p))
+        assert cfg.layers == YOLOV2_COCO.layers
+        assert cfg.anchors == COCO_ANCHORS
+        assert cfg.num_classes == 80
+
+    def test_names_file(self, tmp_path):
+        p = tmp_path / "t.cfg"
+        p.write_text(TINY_VOC_CFG)
+        names = tmp_path / "v.names"
+        names.write_text("\n".join(f"n{i}" for i in range(20)) + "\n")
+        cfg = config_from_cfg(str(p), names_path=str(names))
+        assert cfg.class_names == tuple(f"n{i}" for i in range(20))
+        assert load_names(str(names))[3] == "n3"
+
+    def test_comments_and_sections(self, tmp_path):
+        p = tmp_path / "c.cfg"
+        p.write_text("[net]\nwidth=64 # inline comment\nheight=64\n"
+                     "[convolutional]\nfilters=10\nsize=1\n"
+                     "activation=linear\n"
+                     "[region]\nanchors=1,1,2,2\nclasses=0\nnum=2\n")
+        sections = parse_cfg(str(p))
+        assert [s[0] for s in sections] == ["net", "convolutional",
+                                            "region"]
+        assert sections[0][1]["width"] == "64"
+
+    def test_errors(self, tmp_path):
+        def write(body):
+            p = tmp_path / "e.cfg"
+            p.write_text(body)
+            return str(p)
+
+        with pytest.raises(ValueError, match="not a yolov2-family"):
+            config_from_cfg(write("[net]\nwidth=416\n[shortcut]\nfrom=-3\n"))
+        with pytest.raises(ValueError, match="unsupported activation"):
+            config_from_cfg(write(
+                "[net]\nwidth=416\n[convolutional]\nfilters=8\n"
+                "activation=mish\n"))
+        with pytest.raises(ValueError, match="no \\[region\\]"):
+            config_from_cfg(write(
+                "[net]\nwidth=416\n[convolutional]\nfilters=8\nsize=1\n"
+                "activation=linear\n"))
+        with pytest.raises(ValueError, match="final conv"):
+            config_from_cfg(write(
+                "[net]\nwidth=416\n[convolutional]\nfilters=8\nsize=1\n"
+                "activation=linear\n[region]\nanchors=1,1\nclasses=20\n"
+                "num=1\n"))
+        p = tmp_path / "t.cfg"
+        p.write_text(TINY_VOC_CFG)
+        names = tmp_path / "bad.names"
+        names.write_text("a\nb\n")
+        with pytest.raises(ValueError, match="names file has 2"):
+            config_from_cfg(str(p), names_path=str(names))
+
+
+def test_cli_custom_cfg_e2e(tmp_path):
+    """A custom 2-class, 3-anchor mini net defined ONLY by cfg+names
+    runs predict end-to-end (weights round-trip through the same layer
+    IR the darknet loader walks)."""
+    import contextlib
+    import io as _io
+
+    import cv2
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg_text = """
+[net]
+width=96
+height=96
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[maxpool]
+size=2
+stride=2
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=21
+size=1
+activation=linear
+
+[region]
+anchors=1,1, 2,2, 4,3
+classes=2
+num=3
+"""
+    cfgp = tmp_path / "mini.cfg"
+    cfgp.write_text(cfg_text)
+    names = tmp_path / "mini.names"
+    names.write_text("thing\nstuff\n")
+
+    parsed = config_from_cfg(str(cfgp), names_path=str(names))
+    assert parsed.num_classes == 2 and parsed.num_anchors == 3
+    wpath = str(tmp_path / "mini.weights")
+    dw.save(wpath, parsed.layers,
+            dw.random_params(parsed.layers, np.random.default_rng(0)))
+
+    img = tmp_path / "in.png"
+    cv2.imwrite(str(img), np.random.default_rng(1).integers(
+        0, 255, (80, 90, 3), dtype=np.uint8))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["predict", "--cfg", str(cfgp), "--names", str(names),
+                  "--weights", wpath, "--image", str(img),
+                  "--conf", "0.1", "--precision", "fp32"])
+    for line in buf.getvalue().strip().splitlines():
+        d = json.loads(line)
+        assert d["class"] in ("thing", "stuff")
+        assert 0 <= d["score"] <= 1

@@ -24,6 +24,11 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
                    choices=["tiny-voc", "voc", "coco", "tiny-coco"])
+    p.add_argument("--cfg", default=None,
+                   help="darknet .cfg file (overrides --model; any "
+                        "yolov2-family topology)")
+    p.add_argument("--names", default=None,
+                   help="darknet .names file (class names for --cfg)")
     p.add_argument("--input-size", type=int, default=None,
                    help="net input size (multiple of 32; default per model)")
     p.add_argument("--precision", default="bf16",
@@ -112,9 +117,16 @@ def _dataset_samples(args, cfg):
 
 
 def _get_cfg(args):
-    from yolo_tpu.configs import get_variant
+    if getattr(args, "cfg", None):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
-    cfg = get_variant(args.model, input_size=args.input_size)
+        cfg = config_from_cfg(args.cfg, names_path=args.names)
+        if args.input_size is not None:
+            cfg = cfg.with_input_size(args.input_size)
+    else:
+        from yolo_tpu.configs import get_variant
+
+        cfg = get_variant(args.model, input_size=args.input_size)
     if args.conf is not None:
         import dataclasses
 
