@@ -297,3 +297,61 @@ num=3
         d = json.loads(line)
         assert d["class"] in ("thing", "stuff")
         assert 0 <= d["score"] <= 1
+
+
+def test_cfg_roundtrip_all_variants(tmp_path):
+    """cfg_to_string(variant) parses back to the identical config —
+    full darknet round-trip for every pinned topology."""
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+    for v in ("tiny-voc", "voc", "coco", "tiny-coco"):
+        cfg = get_variant(v)
+        p = tmp_path / f"{v}.cfg"
+        p.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p))
+        assert back.layers == cfg.layers, v
+        assert back.anchors == cfg.anchors, v
+        assert back.input_size == cfg.input_size, v
+        assert back.num_classes == cfg.num_classes, v
+
+
+def test_downsample_validation(tmp_path):
+    p = tmp_path / "d.cfg"
+    p.write_text(
+        "[net]\nwidth=64\n[maxpool]\nsize=2\nstride=2\n"
+        "[convolutional]\nfilters=10\nsize=1\n"
+        "activation=linear\n"
+        "[region]\nanchors=1,1,2,2\nclasses=0\nnum=2\n")
+    with pytest.raises(ValueError, match="downsample"):
+        config_from_cfg(str(p))
+
+
+def test_cli_export_save_cfg(tmp_path):
+    """export --save-cfg writes a cfg+names pair that parses back to
+    the exporting config — the .weights round-trip's missing half."""
+    import jax
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.train.loop import TrainConfig, init_state
+
+    cfg = get_variant("tiny-voc")
+    state = init_state(
+        dw.random_params(cfg.layers, np.random.default_rng(0)),
+        TrainConfig())
+    ck = str(tmp_path / "ck")
+    ckpt.save(ck, jax.device_get(dict(state)))
+
+    out_w = str(tmp_path / "out.weights")
+    out_cfg = str(tmp_path / "out.cfg")
+    cli.main(["export", "--model", "tiny-voc", "--checkpoint", ck,
+              "--output", out_w, "--save-cfg", out_cfg])
+
+    back = config_from_cfg(out_cfg,
+                           names_path=str(tmp_path / "out.names"))
+    assert back.layers == cfg.layers
+    assert back.anchors == cfg.anchors
+    assert back.class_names == cfg.class_names

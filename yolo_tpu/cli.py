@@ -614,6 +614,15 @@ def cmd_export(args) -> None:
               for p in state["params"]]
     dw.save(args.output, cfg.layers, params, seen=int(state.get("seen", 0)))
     print(f"wrote {args.output}", file=sys.stderr)
+    if args.save_cfg:
+        from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+        with open(args.save_cfg, "w") as f:
+            f.write(cfg_to_string(cfg))
+        names_path = args.save_cfg.rsplit(".", 1)[0] + ".names"
+        with open(names_path, "w") as f:
+            f.write("\n".join(cfg.class_names) + "\n")
+        print(f"wrote {args.save_cfg} + {names_path}", file=sys.stderr)
 
 
 def cmd_serve(args) -> None:
@@ -785,6 +794,9 @@ def main(argv: Optional[list] = None) -> None:
     _add_common(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--save-cfg", default=None,
+                   help="also write the darknet .cfg (+.names) for the "
+                        "exported weights")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("serve", help="HTTP detection endpoint")

@@ -122,9 +122,46 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             f"final conv must output num*(5+classes)={expected_out} "
             f"channels, got {getattr(last, 'filters', last)}")
 
+    downsample = 1
+    for l in layers:
+        if isinstance(l, MaxPool):
+            downsample *= l.stride
+    if downsample != 32:
+        # inference derives the grid from the feature shape, but the
+        # GT encoder pins grid = input/32 (data/targets.py) — reject
+        # rather than silently mis-train
+        raise ValueError(
+            f"trunk downsample must be 32 for the yolov2 region head, "
+            f"got {downsample} (pool strides)")
+
     import os
 
     return ModelConfig(
         name=name or os.path.splitext(os.path.basename(cfg_path))[0],
         layers=tuple(layers), anchors=anchors, class_names=class_names,
         input_size=input_size)
+
+
+def cfg_to_string(cfg: ModelConfig) -> str:
+    """ModelConfig -> darknet .cfg text (inverse of config_from_cfg; the
+    companion of io/darknet_weights.save for full darknet round-trip)."""
+    out = [f"[net]\nwidth={cfg.input_size}\nheight={cfg.input_size}\n"
+           f"channels=3\n"]
+    for l in cfg.layers:
+        if isinstance(l, Conv):
+            out.append("[convolutional]\n"
+                       + ("batch_normalize=1\n" if l.bn else "")
+                       + f"filters={l.filters}\nsize={l.size}\nstride=1\n"
+                       + f"pad={1 if l.size > 1 else 0}\n"
+                       + f"activation={l.act}\n")
+        elif isinstance(l, MaxPool):
+            out.append(f"[maxpool]\nsize={l.size}\nstride={l.stride}\n")
+        elif isinstance(l, Route):
+            out.append("[route]\nlayers="
+                       + ",".join(str(r) for r in l.layers) + "\n")
+        elif isinstance(l, Reorg):
+            out.append(f"[reorg]\nstride={l.stride}\n")
+    anchors = ", ".join(f"{w:g},{h:g}" for w, h in cfg.anchors)
+    out.append(f"[region]\nanchors = {anchors}\n"
+               f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")
+    return "\n".join(out)
