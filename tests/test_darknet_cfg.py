@@ -355,3 +355,33 @@ def test_cli_export_save_cfg(tmp_path):
     assert back.layers == cfg.layers
     assert back.anchors == cfg.anchors
     assert back.class_names == cfg.class_names
+
+
+def test_public_api_load_with_cfg(tmp_path):
+    import cv2  # noqa: F401  (ensures cv2 present for detector path)
+
+    import yolo_tpu
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg_text = ("[net]\nwidth=96\nheight=96\n"
+                + "".join("[maxpool]\nsize=2\nstride=2\n" for _ in range(5))
+                + "[convolutional]\nfilters=14\nsize=1\n"
+                  "activation=linear\n"
+                  "[region]\nanchors=1,1,3,2\nclasses=2\nnum=2\n")
+    cfgp = tmp_path / "m.cfg"
+    cfgp.write_text(cfg_text)
+    names = tmp_path / "m.names"
+    names.write_text("a\nb\n")
+    parsed_w = str(tmp_path / "m.weights")
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+    parsed = config_from_cfg(str(cfgp))
+    dw.save(parsed_w, parsed.layers,
+            dw.random_params(parsed.layers, np.random.default_rng(0)))
+
+    model = yolo_tpu.load(parsed_w, cfg=str(cfgp), names=str(names),
+                          precision="fp32", conf_threshold=0.1)
+    assert model.cfg.class_names == ("a", "b")
+    out = model(np.random.default_rng(1).integers(
+        0, 256, (1, 64, 80, 3), dtype=np.uint8))
+    assert out["boxes"].shape[0] == 1

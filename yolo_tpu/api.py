@@ -30,6 +30,7 @@ class Model:
 
 
 def load(weights_path: str, variant: Optional[str] = None, *,
+         cfg: Optional[str] = None, names: Optional[str] = None,
          input_size: Optional[int] = None, precision: str = "bf16",
          conf_threshold: Optional[float] = None,
          nms_threshold: Optional[float] = None) -> Model:
@@ -38,8 +39,9 @@ def load(weights_path: str, variant: Optional[str] = None, *,
 
     variant=None auto-detects: zoo entries carry their variant; plain
     .weights files are matched by exact byte size against the four
-    darknet topologies (io/zoo.infer_variant). precision: "fp32"
-    (parity) | "bf16"."""
+    darknet topologies (io/zoo.infer_variant). ``cfg``/``names`` load a
+    custom darknet .cfg topology instead (configs/darknet_cfg.py).
+    precision: "fp32" (parity) | "bf16"."""
     import os
 
     import jax.numpy as jnp
@@ -49,6 +51,14 @@ def load(weights_path: str, variant: Optional[str] = None, *,
     from yolo_tpu.models import graph
     from yolo_tpu.models.predict import make_detector
 
+    if cfg is not None:
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        model_cfg = config_from_cfg(cfg, names_path=names)
+        if input_size is not None:
+            model_cfg = model_cfg.with_input_size(input_size)
+        return _finish_load(weights_path, model_cfg, precision,
+                            conf_threshold, nms_threshold)
     if weights_path.startswith("zoo://"):
         from yolo_tpu.io import zoo
 
@@ -66,7 +76,21 @@ def load(weights_path: str, variant: Optional[str] = None, *,
             raise ValueError(
                 f"cannot infer the model variant from {weights_path}'s "
                 f"size; pass variant= explicitly")
-    cfg = get_variant(variant, input_size=input_size)
+    return _finish_load(weights_path,
+                        get_variant(variant, input_size=input_size),
+                        precision, conf_threshold, nms_threshold)
+
+
+def _finish_load(weights_path, cfg, precision, conf_threshold,
+                 nms_threshold) -> Model:
+    import os
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.models.predict import make_detector
+
     if os.path.isdir(weights_path):
         from yolo_tpu.io import checkpoint as ckpt
 
