@@ -82,3 +82,52 @@ class TestFusedEntry:
         assert ek.eligible(get_variant("tiny-voc").layers)
         assert ek.eligible(get_variant("coco").layers)
         assert not ek.eligible(get_variant("coco").layers[1:])
+
+
+class TestLetterboxPlanes:
+    @pytest.mark.parametrize("shape", [(60, 80), (80, 60), (64, 64)])
+    def test_exactly_matches_letterbox_then_planes(self, shape):
+        from yolo_tpu.ops.letterbox import letterbox
+
+        rng = np.random.default_rng(4)
+        h, w = shape
+        x = jnp.asarray(rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8))
+        want = np.asarray(ek.build_planes(letterbox(x, 64, jnp.float32)))
+        got = np.asarray(ek.letterbox_planes(x, 64,
+                                             interp_dtype=jnp.float32))
+        # same math; contraction order differs between the einsum
+        # shapes, so allow fp32 noise (bit-exact on TPU at 416)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_detect_raw_fused_entry_equivalence():
+    """detect_raw(entry='fused') == entry='xla' (interpret mode, fp32
+    planes + fp32 compute; the TPU bf16 run measured box/score-identical
+    — docs/PERF.md)."""
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.models.predict import detect_raw
+
+    import dataclasses
+
+    cfg = dataclasses.replace(get_variant("tiny-voc"), input_size=96,
+                              conf_threshold=0.1)
+    rng = np.random.default_rng(0)
+    params = graph.params_to_jax(graph.fold_params(
+        cfg.layers, dw.random_params(cfg.layers, rng), cfg.bn_eps))
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 80, 100, 3),
+                                    dtype=np.uint8))
+    ox = detect_raw(cfg, params, imgs, compute_dtype=jnp.float32,
+                    entry="xla", head="reference", nms_impl="xla")
+    of = detect_raw(cfg, params, imgs, compute_dtype=jnp.float32,
+                    entry="fused", head="reference", nms_impl="xla")
+    np.testing.assert_array_equal(np.asarray(ox["valid"]),
+                                  np.asarray(of["valid"]))
+    v = np.asarray(ox["valid"])
+    np.testing.assert_allclose(np.asarray(ox["boxes"])[v],
+                               np.asarray(of["boxes"])[v],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ox["scores"])[v],
+                               np.asarray(of["scores"])[v],
+                               rtol=1e-4, atol=1e-5)

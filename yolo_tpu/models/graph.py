@@ -37,7 +37,8 @@ Params = List[Dict[str, Any]]
 BN_MOMENTUM = 0.99
 
 
-def _conv2d(x, kernel, stride, compute_dtype, train=False):
+def _conv2d(x, kernel, stride, compute_dtype, train=False,
+            input_layout="NHWC"):
     k = kernel.shape[0]
     pad = k // 2  # darknet pad = size // 2, symmetric
     if compute_dtype == jnp.float32:
@@ -54,7 +55,10 @@ def _conv2d(x, kernel, stride, compute_dtype, train=False):
         x, kernel,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # input_layout="NHCW" consumes the fused entry kernel's native
+        # output (ops/pallas/entry_kernel.py) without a transpose pass;
+        # the conv always emits NHWC
+        dimension_numbers=(input_layout, "HWIO", "NHWC"),
         precision=precision,
         preferred_element_type=out_dtype,
     )
@@ -69,8 +73,9 @@ def _activate(x, act: str):
 
 
 def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
-               train: bool, compute_dtype,
-               conv_impl: str = "xla") -> Tuple[jnp.ndarray, Optional[Dict]]:
+               train: bool, compute_dtype, conv_impl: str = "xla",
+               input_layout: str = "NHWC"
+               ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """conv (+BN) (+bias) + activation. Returns (y, new_bn_stats|None).
 
     conv_impl="pallas" routes eligible folded-BN inference blocks through
@@ -81,7 +86,8 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
 
         assert not train, "int8 params are inference-only"
         return conv_block_int8(x, p, spec, compute_dtype=compute_dtype), None
-    if conv_impl == "pallas" and not train and "bias" in p:
+    if (conv_impl == "pallas" and not train and "bias" in p
+            and input_layout == "NHWC"):
         from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
 
         if eligible(p["kernel"], spec.stride):
@@ -90,7 +96,8 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
                 jnp.asarray(p["kernel"], compute_dtype),
                 jnp.asarray(p["bias"]), act=spec.act)
             return y, None
-    y = _conv2d(x, p["kernel"], spec.stride, compute_dtype, train=train)
+    y = _conv2d(x, p["kernel"], spec.stride, compute_dtype, train=train,
+                input_layout=input_layout)
     new_stats = None
     if "gamma" in p:
         if train:
@@ -116,8 +123,13 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
 def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
                  compute_dtype=jnp.float32, conv_impl: str = "xla",
-                 return_all: bool = False, remat: bool = False):
+                 return_all: bool = False, remat: bool = False,
+                 input_layout: str = "NHWC"):
     """Run the layer list. x: (B, H, W, 3) float.
+
+    input_layout="NHCW" marks x as the fused entry kernel's native
+    layout; the FIRST conv consumes it via dimension_numbers and emits
+    NHWC (only valid when the first layer is a Conv).
 
     Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
     (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats};
@@ -126,24 +138,29 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
     block's activations in the backward pass (jax.checkpoint — trades
     FLOPs for HBM, enabling larger batches at 608).
     """
+    if input_layout != "NHWC" and not isinstance(layers[0], Conv):
+        raise ValueError("input_layout=NHCW needs a leading Conv layer")
     outputs: List[jnp.ndarray] = []
     bn_updates: Dict[int, Dict] = {}
     conv_i = 0
     for idx, layer in enumerate(layers):
         if isinstance(layer, Conv):
+            layout = input_layout if idx == 0 else "NHWC"
             block = conv_block
             if remat and train:
                 block = jax.checkpoint(
                     functools.partial(conv_block, eps=eps, train=train,
                                       compute_dtype=compute_dtype,
-                                      conv_impl=conv_impl),
+                                      conv_impl=conv_impl,
+                                      input_layout=layout),
                     static_argnums=(2,))
                 x, stats = block(x, params[conv_i], layer)
             else:
                 x, stats = conv_block(x, params[conv_i], layer, eps=eps,
                                       train=train,
                                       compute_dtype=compute_dtype,
-                                      conv_impl=conv_impl)
+                                      conv_impl=conv_impl,
+                                      input_layout=layout)
             if stats is not None:
                 bn_updates[conv_i] = stats
             conv_i += 1

@@ -49,6 +49,18 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
     CPU default).
     """
     logits = forward(cfg, params, images_01, compute_dtype=compute_dtype)
+    return _postprocess(cfg, logits, conf_threshold=conf_threshold,
+                        nms_threshold=nms_threshold, top_k=top_k,
+                        max_detections=max_detections, nms_impl=nms_impl,
+                        head=head)
+
+
+def _postprocess(cfg: ModelConfig, logits, *,
+                 compute_dtype=None,  # accepted for call symmetry
+                 conf_threshold: Optional[float] = None,
+                 nms_threshold: Optional[float] = None,
+                 top_k: int = 128, max_detections: int = 100,
+                 nms_impl: str = "auto", head: str = "auto"):
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
     if head == "auto":
@@ -74,13 +86,51 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
         top_k=top_k, max_detections=max_detections, impl=nms_impl)
 
 
+def _entry_fusable(cfg: ModelConfig, params) -> bool:
+    from yolo_tpu.configs.specs import Route
+    from yolo_tpu.ops.pallas import entry_kernel as ek
+
+    return (ek.eligible(cfg.layers)
+            and "bias" in params[0] and "kernel_q" not in params[0]
+            # layers[2:] must resolve routes without the entry layers
+            and all(all(r < 0 for r in l.layers)
+                    for l in cfg.layers if isinstance(l, Route)))
+
+
 def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
-               compute_dtype=jnp.float32, **kw):
+               compute_dtype=jnp.float32, entry: str = "auto", **kw):
     """Raw RGB (B, H, W, 3) uint8 -> detections with boxes mapped back to
-    original-image pixel xyxy. The full fused path."""
+    original-image pixel xyxy. The full fused path.
+
+    entry="fused" replaces letterbox + conv1 + pool1 with the parity-
+    plane letterbox and the fused entry Pallas kernel
+    (ops/pallas/entry_kernel.py) — box/score-identical to the XLA path
+    at bf16, but measured ~4% SLOWER end-to-end (XLA's whole-graph
+    fusion beats the standalone phase sum; docs/PERF.md entry-layer
+    study), so "auto" always resolves to "xla". Kept as an explicit
+    A/B path and the substrate for future deeper fusion."""
     b, h, w, _ = images_u8.shape
-    x = letterbox(images_u8, cfg.input_size, dtype=compute_dtype)
-    dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
+    if entry == "auto":
+        entry = "xla"
+    if entry == "fused":
+        from yolo_tpu.ops.pallas import entry_kernel as ek
+
+        if not _entry_fusable(cfg, params):
+            raise ValueError("entry='fused' needs a conv3x3+pool2x2 "
+                             "entry and folded-BN params")
+        planes = ek.letterbox_planes(images_u8, cfg.input_size,
+                                     interp_dtype=compute_dtype)
+        x = ek.fused_entry_from_planes(
+            planes, params[0]["kernel"], params[0]["bias"],
+            out_dtype=compute_dtype,
+            interpret=jax.default_backend() != "tpu")
+        logits = graph.apply_layers(
+            cfg.layers[2:], params[1:], x, eps=cfg.bn_eps,
+            compute_dtype=compute_dtype, input_layout="NHCW")
+        dets = _postprocess(cfg, logits, compute_dtype=compute_dtype, **kw)
+    else:
+        x = letterbox(images_u8, cfg.input_size, dtype=compute_dtype)
+        dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
     dets["boxes"] = unletterbox_boxes_xyxy(
         dets["boxes"], src_h=h, src_w=w, net_size=cfg.input_size)
     return dets
@@ -121,14 +171,14 @@ def make_detector_preprocessed(cfg: ModelConfig, *,
 @functools.lru_cache(maxsize=32)
 def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
                        nms_threshold, top_k, max_detections, nms_impl,
-                       head):
+                       head, entry):
     def fn(params, images_u8):
         return detect_raw(cfg, params, images_u8,
                           compute_dtype=compute_dtype,
                           conf_threshold=conf_threshold,
                           nms_threshold=nms_threshold,
                           top_k=top_k, max_detections=max_detections,
-                          nms_impl=nms_impl, head=head)
+                          nms_impl=nms_impl, head=head, entry=entry)
     return jax.jit(fn)
 
 
@@ -136,11 +186,12 @@ def make_detector(cfg: ModelConfig, *, compute_dtype=jnp.float32,
                   conf_threshold: Optional[float] = None,
                   nms_threshold: Optional[float] = None,
                   top_k: int = 128, max_detections: int = 100,
-                  nms_impl: str = "auto", head: str = "auto"):
+                  nms_impl: str = "auto", head: str = "auto",
+                  entry: str = "auto"):
     """Jitted raw-RGB detector; recompiles only per (source-shape, batch)
     bucket."""
     return _jitted_detect_raw(
         cfg, compute_dtype,
         cfg.conf_threshold if conf_threshold is None else conf_threshold,
         cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k, max_detections, nms_impl, head)
+        top_k, max_detections, nms_impl, head, entry)

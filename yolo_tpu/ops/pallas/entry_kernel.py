@@ -131,6 +131,85 @@ def fused_entry(x, w_hwio, bias, *, out_dtype=jnp.bfloat16,
                                    interpret=interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _wplane_matrices(src_w: int, src_h: int, net: int):
+    """Per-parity W-interp matrices for letterbox_planes: plane p col q
+    = sum_w M_p[q, w] * x[w] + 0.5 * g_p[q], with all-zero rows (g=0)
+    at the conv zero-pad borders and g=0.5 in the letterbox gray bands.
+    Splitting the letterbox's own interp matrix by output-column parity
+    costs ZERO extra FLOPs vs the plain letterbox matmul."""
+    import numpy as np
+
+    from yolo_tpu.ops.letterbox import _lerp_matrix, letterbox_geometry
+
+    scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
+    mw = _lerp_matrix(src_w, rw)
+    n = (net + 4) // 2
+    out = []
+    for p in range(2):
+        M = np.zeros((n, src_w), np.float32)
+        g = np.zeros((n,), np.float32)
+        for q in range(n):
+            v = 2 * q + p - 1  # column in the (net, net) letterboxed image
+            if v < 0 or v >= net:
+                continue  # conv zero-pad border
+            if px <= v < px + rw:
+                M[q] = mw[v - px]
+            else:
+                g[q] = 0.5  # letterbox gray
+        out.append((M, g))
+    return out, rh, py
+
+
+def letterbox_planes(images_u8: jnp.ndarray, net: int,
+                     interp_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Raw RGB (B, H, W, 3) -> the entry kernel's parity planes
+    (B, 6, net+2, (net+4)//2) fp32, EXACTLY equal to
+    build_planes(letterbox(images, net)) but emitted directly from the
+    interpolation matmuls (no channel-minor NHWC intermediate — measured
+    slightly FASTER than the plain letterbox, docs/PERF.md)."""
+    from yolo_tpu.ops.letterbox import _lerp_matrix, letterbox_geometry
+
+    b, h, w, _ = images_u8.shape
+    scale, rh, rw, px, py = letterbox_geometry(h, w, net)
+    x = images_u8.astype(interp_dtype) * jnp.asarray(
+        1.0 / 255.0, interp_dtype)
+    if rh != h:
+        mh = jnp.asarray(_lerp_matrix(h, rh), interp_dtype)
+        x = jnp.einsum("oh,bhwc->bowc", mh, x,
+                       preferred_element_type=jnp.float32
+                       ).astype(interp_dtype)
+    mats, rh_, py_ = _wplane_matrices(w, h, net)
+    n = mats[0][0].shape[0]
+    pieces = []
+    for p in range(2):
+        Mp = jnp.asarray(mats[p][0], interp_dtype)
+        gp = jnp.asarray(mats[p][1], jnp.float32)
+        xp = jnp.einsum("qw,bhwc->bhqc", Mp, x,
+                        preferred_element_type=jnp.float32)
+        pieces.append(xp + gp[None, None, :, None])
+    pl6 = jnp.stack(pieces, axis=1)              # (B, 2, rh, n, 3)
+    pl6 = jnp.transpose(pl6, (0, 1, 4, 2, 3)).reshape(b, 6, rh, n)
+    body = [jnp.zeros((b, 6, 1, n), jnp.float32)]          # conv pad row
+    if py:
+        body.append(jnp.full((b, 6, py, n), 0.5, jnp.float32))
+    body.append(pl6)
+    if net - py - rh:
+        body.append(jnp.full((b, 6, net - py - rh, n), 0.5, jnp.float32))
+    body.append(jnp.zeros((b, 6, 1, n), jnp.float32))      # conv pad row
+    out = jnp.concatenate(body, axis=2)
+    # gray rows must still be ZERO in the conv-border columns
+    import numpy as np
+
+    cm = np.ones((2, n), np.float32)
+    for p in range(2):
+        for q in range(n):
+            if not 0 <= 2 * q + p - 1 < net:
+                cm[p, q] = 0.0
+    cmask = jnp.asarray(np.repeat(cm, 3, axis=0), jnp.float32)  # (6, n)
+    return out * cmask[None, :, None, :]
+
+
 def eligible(layers) -> bool:
     """The fusion applies when the graph starts conv(3x3, leaky, bn-
     foldable) -> maxpool(2, 2)."""
