@@ -210,3 +210,20 @@ def test_public_api_variant_autodetect(tiny_weights, tmp_path):
     bogus.write_bytes(b"\x00" * 1000)
     with pytest.raises(ValueError, match="cannot infer"):
         yolo_tpu.load(str(bogus))
+
+
+def test_train_partial_backbone_init(tiny_weights, tmp_path, capsys):
+    """Training from a darknet `partial` backbone file: prefix loaded,
+    head randomly initialized (the darknet19_448.conv.23 workflow)."""
+    cfg = get_variant("tiny-voc")
+    params, header, n = dw.load_partial(tiny_weights, cfg.layers)
+    backbone = str(tmp_path / "tiny.conv.12")
+    dw.save(backbone, cfg.layers, params, cutoff_convs=6)
+
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
+              "--weights", backbone, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32"])
+    err = capsys.readouterr().err
+    assert "partial init: 6/9 conv layers" in err

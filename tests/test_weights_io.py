@@ -134,3 +134,56 @@ def test_fuzz_random_specs_roundtrip():
             assert set(p) == set(q)
             for key in p:
                 np.testing.assert_array_equal(p[key], q[key])
+
+
+class TestPartialWeights:
+    """darknet `partial` workflow: backbone-prefix files
+    (darknet19_448.conv.23-style) round-trip and drive training init."""
+
+    def test_partial_roundtrip(self, tmp_path):
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.configs.specs import Conv
+
+        cfg = get_variant("coco")
+        full = dw.random_params(cfg.layers, np.random.default_rng(0))
+        p = tmp_path / "backbone.weights"
+        # first 23 darknet layers == first 18 convs (the .conv.23 cut)
+        n_convs = sum(1 for l in cfg.layers[:23] if isinstance(l, Conv))
+        assert n_convs == 18
+        dw.save(str(p), cfg.layers, full, seen=7, cutoff_convs=n_convs)
+
+        from yolo_tpu.io.zoo import load_manifest
+
+        assert (p.stat().st_size ==
+                load_manifest()["darknet19-448-conv23"]["size_bytes"])
+
+        params, header, n = dw.load_partial(str(p), cfg.layers)
+        assert n == 18 and header["seen"] == 7
+        for got, want in zip(params, full[:18]):
+            for k in got:
+                np.testing.assert_array_equal(got[k], want[k])
+
+    def test_full_file_loads_fully(self, tmp_path):
+        from yolo_tpu.configs import get_variant
+
+        cfg = get_variant("tiny-voc")
+        full = dw.random_params(cfg.layers, np.random.default_rng(1))
+        p = tmp_path / "full.weights"
+        dw.save(str(p), cfg.layers, full)
+        params, header, n = dw.load_partial(str(p), cfg.layers)
+        assert n == len(full)
+
+    def test_mid_layer_truncation_rejected(self, tmp_path):
+        from yolo_tpu.configs import get_variant
+
+        cfg = get_variant("tiny-voc")
+        full = dw.random_params(cfg.layers, np.random.default_rng(2))
+        p = tmp_path / "bad.weights"
+        dw.save(str(p), cfg.layers, full)
+        data = p.read_bytes()
+        (tmp_path / "bad2.weights").write_bytes(data[:len(data) - 12])
+        with pytest.raises(ValueError, match="mid-layer|not fully"):
+            dw.load_partial(str(tmp_path / "bad2.weights"), cfg.layers)
+        (tmp_path / "bad3.weights").write_bytes(data[:len(data) - 13])
+        with pytest.raises(ValueError, match="mid-float"):
+            dw.load_partial(str(tmp_path / "bad3.weights"), cfg.layers)

@@ -23,10 +23,12 @@ class TestExpectedBytes:
         """The checked-in manifest's sizes must track the layer specs."""
         manifest = zoo.load_manifest()
         assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc",
-                                 "yolov2-tiny"}
+                                 "yolov2-tiny", "darknet19-448-conv23"}
         for name, e in manifest.items():
-            cfg = get_variant(e["variant"])
-            assert e["size_bytes"] == zoo.expected_weights_bytes(cfg.layers), name
+            layers = get_variant(e["variant"]).layers
+            if e.get("cutoff_layers"):
+                layers = layers[:e["cutoff_layers"]]
+            assert e["size_bytes"] == zoo.expected_weights_bytes(layers), name
             assert e["url"].startswith("https://")
 
 

@@ -346,7 +346,21 @@ def cmd_train(args) -> None:
         print(f"resumed from {args.resume} at step {int(state['step'])}",
               file=sys.stderr)
     else:
-        params, header = dw.load(args.weights, cfg.layers)
+        # accepts darknet `partial` files (e.g. darknet19_448.conv.23):
+        # load the backbone prefix, randomly init the remaining layers
+        params, header, n_loaded = dw.load_partial(args.weights,
+                                                   cfg.layers)
+        from yolo_tpu.configs.specs import conv_specs
+
+        n_total = len(conv_specs(cfg.layers))
+        if n_loaded < n_total:
+            rng_init = np.random.default_rng(args.seed)
+            fresh = dw.random_params(cfg.layers, rng_init, scale=0.03)
+            params = params + fresh[n_loaded:]
+            print(f"partial init: {n_loaded}/{n_total} conv layers from "
+                  f"{args.weights}, rest randomly initialized "
+                  f"(darknet backbone-transfer workflow)",
+                  file=sys.stderr)
         state = init_state(params, tcfg, seen=header["seen"] if
                            args.keep_seen else 0)
     state = shd.replicate(mesh, state)
@@ -584,6 +598,26 @@ def cmd_zoo(args) -> None:
         print(json.dumps({"name": args.name, "sha256": sha}))
 
 
+def cmd_partial(args) -> None:
+    """darknet `partial`: write the first N layers' weights (backbone
+    extraction for transfer learning, e.g. producing a
+    darknet19_448.conv.23-style file)."""
+    from yolo_tpu.configs.specs import Conv
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = _get_cfg(args)
+    params, header, n_loaded = dw.load_partial(args.weights, cfg.layers)
+    n_convs = sum(1 for l in cfg.layers[:args.layers]
+                  if isinstance(l, Conv))
+    if n_convs > n_loaded:
+        raise SystemExit(f"cutoff needs {n_convs} conv layers; the file "
+                         f"has {n_loaded}")
+    dw.save(args.output, cfg.layers, params, seen=header["seen"],
+            cutoff_convs=n_convs)
+    print(f"wrote {args.output}: first {args.layers} layers "
+          f"({n_convs} convs)", file=sys.stderr)
+
+
 def cmd_anchors(args) -> None:
     """YOLO9000 dimension-cluster k-means over a dataset's GT boxes
     (darknet `calc_anchors`; data/anchors.py)."""
@@ -773,6 +807,17 @@ def main(argv: Optional[list] = None) -> None:
                    help="write raw detections as a pycocotools-style "
                         "results JSON (original image/category ids)")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("partial",
+                       help="extract the first N layers' weights "
+                            "(darknet `partial`)")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--layers", type=int, required=True,
+                   help="darknet layer-index cutoff (e.g. 23 -> "
+                        ".conv.23)")
+    p.set_defaults(fn=cmd_partial)
 
     p = sub.add_parser("zoo", help="pretrained-weights manifest tools")
     p.add_argument("action", choices=["list", "verify", "pin-sha"])

@@ -21,7 +21,7 @@ Both load and save are pure numpy — byte-identical on any backend.
 from __future__ import annotations
 
 import io as _io
-from typing import BinaryIO, List, Sequence
+from typing import BinaryIO, List, Optional, Sequence
 
 import numpy as np
 
@@ -108,11 +108,73 @@ def load(path_or_file, layers: Sequence[LayerSpec], input_channels: int = 3):
                     "revision": int(revision), "seen": seen}
 
 
+def load_partial(path_or_file, layers: Sequence[LayerSpec],
+                 input_channels: int = 3):
+    """Load a possibly-TRUNCATED darknet .weights file (darknet's
+    `partial` output — e.g. the official `darknet19_448.conv.23`
+    backbone used to initialize YOLOv2 fine-tuning).
+
+    Returns (params_prefix, header, n_convs_loaded). The file must end
+    exactly at a conv-layer boundary (darknet cutoffs always do);
+    anything else raises. A full file loads all layers (then this
+    equals load())."""
+    if hasattr(path_or_file, "read"):
+        data = path_or_file.read()
+    else:
+        with open(path_or_file, "rb") as f:
+            data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    major, minor, revision = np.frombuffer(buf[:12].tobytes(), np.int32)
+    if major * 10 + minor >= 2:
+        seen = int(np.frombuffer(buf[12:20].tobytes(), np.int64)[0])
+        offset = 20
+    else:
+        seen = int(np.frombuffer(buf[12:16].tobytes(), np.int32)[0])
+        offset = 16
+    if (buf.size - offset) % 4:
+        raise ValueError("weights file truncated mid-float "
+                         f"({buf.size - offset} payload bytes)")
+    floats = np.frombuffer(buf[offset:].tobytes(), dtype=np.float32)
+
+    pos = 0
+    params = []
+    conv_in = _infer_in_channels(layers, input_channels)
+    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
+        oc, k = conv.filters, conv.size
+        need = oc * (4 if conv.bn else 1) + oc * ic * k * k
+        if pos == floats.size:
+            break  # clean cutoff boundary
+        if pos + need > floats.size:
+            raise ValueError(
+                f"weights file ends mid-layer: conv {len(params)} needs "
+                f"{need} floats, {floats.size - pos} remain")
+        p = {}
+        if conv.bn:
+            p["beta"] = floats[pos:pos + oc].copy(); pos += oc
+            p["gamma"] = floats[pos:pos + oc].copy(); pos += oc
+            p["mean"] = floats[pos:pos + oc].copy(); pos += oc
+            p["var"] = floats[pos:pos + oc].copy(); pos += oc
+        else:
+            p["bias"] = floats[pos:pos + oc].copy(); pos += oc
+        kern = floats[pos:pos + oc * ic * k * k].reshape(oc, ic, k, k)
+        pos += oc * ic * k * k
+        p["kernel"] = np.ascontiguousarray(kern.transpose(2, 3, 1, 0))
+        params.append(p)
+    if pos != floats.size:
+        raise ValueError(
+            f"weights file not fully consumed: read {pos} of "
+            f"{floats.size} floats — layer spec does not match file")
+    header = {"major": int(major), "minor": int(minor),
+              "revision": int(revision), "seen": seen}
+    return params, header, len(params)
+
+
 def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
-         version=(0, 2, 0)) -> None:
+         version=(0, 2, 0), cutoff_convs: Optional[int] = None) -> None:
     """Write params back out in darknet format (HWIO -> OIHW inverse
     transpose). Export proves checkpoint compatibility both directions
-    (SURVEY.md §5.4)."""
+    (SURVEY.md §5.4). ``cutoff_convs`` writes only the first N conv
+    layers (darknet's `partial` command — backbone extraction)."""
     own = not hasattr(path_or_file, "write")
     f: BinaryIO = open(path_or_file, "wb") if own else path_or_file
     try:
@@ -122,7 +184,10 @@ def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
             f.write(np.asarray([seen], dtype=np.int64).tobytes())
         else:
             f.write(np.asarray([seen], dtype=np.int32).tobytes())
-        for conv, p in zip(conv_specs(tuple(layers)), params):
+        convs = conv_specs(tuple(layers))
+        if cutoff_convs is not None:
+            convs, params = convs[:cutoff_convs], params[:cutoff_convs]
+        for conv, p in zip(convs, params):
             if conv.bn:
                 for key in ("beta", "gamma", "mean", "var"):
                     f.write(np.asarray(p[key], dtype=np.float32).tobytes())
