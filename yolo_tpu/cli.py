@@ -395,11 +395,25 @@ def cmd_train(args) -> None:
                 from yolo_tpu.data.augment import AugmentConfig
 
                 aug_cfg = AugmentConfig()
-            host_iter = train_batches(
-                pairs, class_names=cfg.class_names, anchors=cfg.anchors,
-                num_classes=cfg.num_classes, net_size=cfg.input_size,
-                batch_size=args.batch, rng=rng, size_for_batch=size_fn,
-                augment_cfg=aug_cfg)
+            if args.loader == "grain":
+                if args.multi_scale or args.augment:
+                    raise SystemExit("--loader grain supports fixed-size, "
+                                     "unaugmented epochs (see "
+                                     "data/grain_pipeline.py)")
+                from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+                host_iter = grain_train_batches(
+                    pairs, class_names=cfg.class_names,
+                    anchors=cfg.anchors, num_classes=cfg.num_classes,
+                    net_size=cfg.input_size, batch_size=args.batch,
+                    seed=args.seed + epoch,
+                    worker_count=args.loader_workers)
+            else:
+                host_iter = train_batches(
+                    pairs, class_names=cfg.class_names, anchors=cfg.anchors,
+                    num_classes=cfg.num_classes, net_size=cfg.input_size,
+                    batch_size=args.batch, rng=rng, size_for_batch=size_fn,
+                    augment_cfg=aug_cfg)
             for batch in DevicePrefetcher(host_iter, depth=2,
                                           sharding=sharding):
                 state, metrics = step_fn(state, batch)
@@ -777,6 +791,12 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--resume", default=None, help="orbax checkpoint path")
     p.add_argument("--keep-seen", action="store_true",
                    help="keep darknet 'seen' counter (affects loss warmup)")
+    p.add_argument("--loader", default="threads",
+                   choices=["threads", "grain"],
+                   help="grain = deterministic multiprocess pipeline "
+                        "with checkpointable position (fixed size only)")
+    p.add_argument("--loader-workers", type=int, default=0,
+                   help="grain worker processes (0 = in-process)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-file", default=None)
     p.add_argument("--log-every", type=int, default=1)
