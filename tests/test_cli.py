@@ -227,3 +227,19 @@ def test_train_partial_backbone_init(tiny_weights, tmp_path, capsys):
               "--precision", "fp32"])
     err = capsys.readouterr().err
     assert "partial init: 6/9 conv layers" in err
+
+
+def test_train_eval_every(tiny_weights, tmp_path, capsys):
+    """--eval-every logs mid-training validation mAP (folded from the
+    live train params)."""
+    root = make_voc_root(tmp_path, n_images=16, size=(70, 80))
+    log = str(tmp_path / "m.jsonl")
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32", "--eval-every", "2",
+              "--eval-max-images", "4", "--log-file", log])
+    err = capsys.readouterr().err
+    assert "validation mAP" in err
+    vals = [json.loads(l) for l in open(log) if "val_map" in l]
+    assert vals and all(0.0 <= v["val_map"] <= 1.0 for v in vals)

@@ -368,6 +368,20 @@ def cmd_train(args) -> None:
         cfg, tcfg, mesh, compute_dtype=_compute_dtype(args.precision))
 
     pairs = _dataset_samples(args, cfg)
+    eval_samples = None
+    if args.eval_every:
+        if args.eval_split:
+            import argparse as _ap
+
+            eargs = _ap.Namespace(voc_root=args.voc_root,
+                                  coco_json=args.coco_json,
+                                  image_root=args.image_root,
+                                  split=args.eval_split)
+            eval_samples = _dataset_samples(eargs, cfg)
+        else:
+            eval_samples = pairs
+        if args.eval_max_images:
+            eval_samples = eval_samples[:args.eval_max_images]
     rng = np.random.default_rng(args.seed)
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
@@ -424,6 +438,17 @@ def cmd_train(args) -> None:
                 logger.log(step, metrics, epoch=epoch,
                            size=batch["images"].shape[1],
                            img_s=round(img_s, 1))
+                if args.eval_every and step % args.eval_every == 0:
+                    from yolo_tpu.eval.runner import quick_map
+
+                    m = quick_map(cfg, state["params"], eval_samples,
+                                  batch=min(args.batch, 16),
+                                  compute_dtype=_compute_dtype(
+                                      args.precision))
+                    logger.log(step, {"val_map": round(m, 4)})
+                    print(f"step {step}: validation mAP {m:.4f}",
+                          file=sys.stderr)
+                    t_last = _time.perf_counter()
                 if args.checkpoint_dir and step % args.checkpoint_every == 0:
                     ckpt.save(
                         os.path.join(args.checkpoint_dir, f"step_{step}"),
@@ -443,10 +468,6 @@ def cmd_train(args) -> None:
 
 def cmd_eval(args) -> None:
     """VOC mAP over a split (SURVEY.md §3.5 — the parity gate)."""
-    import jax.numpy as jnp
-
-    from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
-    from yolo_tpu.data.voc import parse_annotation
     from yolo_tpu.eval.voc_map import evaluate
 
     cfg = _get_cfg(args)
@@ -455,21 +476,9 @@ def cmd_eval(args) -> None:
                          "results file with --from-detections)")
     pairs = _dataset_samples(args, cfg)
 
-    gt, detections, orig_ids = {}, {}, {}
-    for img_id, (img_path, ann) in enumerate(pairs):
-        if not isinstance(ann, dict):  # VOC XML path
-            ann = parse_annotation(ann, cfg.class_names,
-                                   keep_difficult=True)
-        orig_ids[img_id] = ann.get("image_id", img_id)
-        w, h = ann["width"], ann["height"]
-        xyxy = np.stack([
-            (ann["boxes"][:, 0] - ann["boxes"][:, 2] / 2) * w,
-            (ann["boxes"][:, 1] - ann["boxes"][:, 3] / 2) * h,
-            (ann["boxes"][:, 0] + ann["boxes"][:, 2] / 2) * w,
-            (ann["boxes"][:, 1] + ann["boxes"][:, 3] / 2) * h,
-        ], axis=-1) if len(ann["boxes"]) else np.zeros((0, 4))
-        gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
-                      "difficult": ann["difficult"]}
+    from yolo_tpu.eval.runner import build_ground_truth, collect_detections
+
+    gt, orig_ids = build_ground_truth(pairs, cfg.class_names)
 
     if args.from_detections:
         # score a saved results file (pycocotools loadRes schema) with
@@ -500,37 +509,10 @@ def cmd_eval(args) -> None:
             params = _maybe_quantize(
                 args, cfg, params,
                 [load_image_rgb(p) for p, _ in pairs[:8]])
-        # PR-curve thresholds (0.005) violate the fused head's exactness
-        # precondition (ops/head.py) — evaluation always takes the exact
-        # reference decode + per-class NMS path. Host-preprocess mode
-        # letterboxes on the host so heterogeneous VOC shapes compile
-        # ONE program (data/pipeline.py).
-        from yolo_tpu.models.predict import make_detector_preprocessed
-        from yolo_tpu.ops import numpy_ref as npr
-        from yolo_tpu.ops.letterbox import letterbox_geometry
-
-        det = make_detector_preprocessed(
-            cfg, compute_dtype=_compute_dtype(args.precision),
-            conf_threshold=args.eval_conf, head="reference",
-            nms_impl="xla")
-        path_to_id = {p: i for i, (p, _) in enumerate(pairs)}
-        host_iter = inference_batches([p for p, _ in pairs], args.batch,
-                                      net_size=cfg.input_size)
-        net = cfg.input_size
-        for batch in DevicePrefetcher(host_iter, depth=2):
-            out = det(params, jnp.asarray(batch["images"]))
-            for bi, path in enumerate(batch["paths"]):
-                src_h, src_w = batch["shapes"][bi]
-                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
-                                                           net)
-                valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
-                boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
-                xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
-                                             net, net, src_w, src_h)
-                detections[path_to_id[path]] = [
-                    (int(out["classes"][bi][i]),
-                     float(out["scores"][bi][i]), *xyxy[j])
-                    for j, i in enumerate(valid)]
+        detections = collect_detections(
+            cfg, params, pairs, batch=args.batch,
+            eval_conf=args.eval_conf,
+            compute_dtype=_compute_dtype(args.precision))
 
     if args.save_detections:
         # pycocotools loadRes format: original image/category ids,
@@ -788,6 +770,14 @@ def main(argv: Optional[list] = None) -> None:
                    help="compile all multi-scale buckets before training")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validation mAP every N steps (logged as "
+                        "val_map)")
+    p.add_argument("--eval-split", default=None,
+                   help="VOC split for --eval-every (default: the "
+                        "training samples)")
+    p.add_argument("--eval-max-images", type=int, default=0,
+                   help="cap validation set size (0 = all)")
     p.add_argument("--resume", default=None, help="orbax checkpoint path")
     p.add_argument("--keep-seen", action="store_true",
                    help="keep darknet 'seen' counter (affects loss warmup)")

@@ -1,0 +1,99 @@
+"""Shared evaluation machinery: dataset -> ground truth, model ->
+detections (used by `cli eval` and by mid-training validation,
+SURVEY.md §3.5)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def build_ground_truth(samples: Sequence[Tuple[str, object]],
+                       class_names) -> Tuple[Dict, Dict]:
+    """(image_path, annotation) samples -> ({img_id: gt}, {img_id:
+    original image id}). Annotations are VOC XML paths or pre-parsed
+    dicts (cli._dataset_samples output); difficult/crowd flags kept."""
+    from yolo_tpu.data.voc import parse_annotation
+
+    gt, orig_ids = {}, {}
+    for img_id, (_path, ann) in enumerate(samples):
+        if not isinstance(ann, dict):
+            ann = parse_annotation(ann, class_names, keep_difficult=True)
+        orig_ids[img_id] = ann.get("image_id", img_id)
+        w, h = ann["width"], ann["height"]
+        if len(ann["boxes"]):
+            b = ann["boxes"]
+            xyxy = np.stack([
+                (b[:, 0] - b[:, 2] / 2) * w, (b[:, 1] - b[:, 3] / 2) * h,
+                (b[:, 0] + b[:, 2] / 2) * w, (b[:, 1] + b[:, 3] / 2) * h,
+            ], axis=-1)
+        else:
+            xyxy = np.zeros((0, 4))
+        gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
+                      "difficult": ann["difficult"]}
+    return gt, orig_ids
+
+
+def collect_detections(cfg, folded_params,
+                       samples: Sequence[Tuple[str, object]], *,
+                       batch: int = 32, eval_conf: float = 0.005,
+                       compute_dtype=None) -> Dict[int, List]:
+    """Run the exact reference decode + per-class NMS path over the
+    samples; returns {img_id: [(cls, score, x1, y1, x2, y2) pixel], ...}.
+
+    Host-preprocess mode: heterogeneous source shapes compile ONE
+    program. PR-curve thresholds violate the fused head's exactness
+    precondition (ops/head.py), so this always takes the reference
+    head."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.pipeline import DevicePrefetcher, inference_batches
+    from yolo_tpu.models.predict import make_detector_preprocessed
+    from yolo_tpu.ops import numpy_ref as npr
+    from yolo_tpu.ops.letterbox import letterbox_geometry
+
+    det = make_detector_preprocessed(
+        cfg, compute_dtype=compute_dtype or jnp.float32,
+        conf_threshold=eval_conf, head="reference", nms_impl="xla")
+    path_to_id = {p: i for i, (p, _) in enumerate(samples)}
+    host_iter = inference_batches([p for p, _ in samples], batch,
+                                  net_size=cfg.input_size)
+    net = cfg.input_size
+    detections: Dict[int, List] = {}
+    for b in DevicePrefetcher(host_iter, depth=2):
+        out = det(folded_params, jnp.asarray(b["images"]))
+        for bi, path in enumerate(b["paths"]):
+            src_h, src_w = b["shapes"][bi]
+            scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
+            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
+            boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
+            xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
+                                         net, net, src_w, src_h)
+            detections[path_to_id[path]] = [
+                (int(out["classes"][bi][i]),
+                 float(out["scores"][bi][i]), *xyxy[j])
+                for j, i in enumerate(valid)]
+    return detections
+
+
+def quick_map(cfg, train_params, samples, *, batch: int = 16,
+              eval_conf: float = 0.005, compute_dtype=None,
+              use_07_metric: bool = True) -> float:
+    """Mid-training validation mAP: fold the CURRENT (unfolded-BN)
+    train params and score `samples`. Reuses the same jit bucket on
+    every call."""
+    import jax
+
+    from yolo_tpu.eval.voc_map import evaluate
+    from yolo_tpu.models import graph
+
+    params = jax.device_get(train_params)
+    folded = graph.params_to_jax(
+        graph.fold_params(cfg.layers, params, cfg.bn_eps))
+    gt, _ = build_ground_truth(samples, cfg.class_names)
+    dets = collect_detections(cfg, folded, samples, batch=batch,
+                              eval_conf=eval_conf,
+                              compute_dtype=compute_dtype)
+    return float(evaluate(dets, gt, cfg.num_classes,
+                          use_07_metric=use_07_metric)["map"])
