@@ -397,6 +397,7 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.profiling import maybe_trace
 
     step = int(np.asarray(state["step"]))
+    best_map = -1.0
     import time as _time
     t_last = _time.perf_counter()
     with maybe_trace(args.profile_dir):
@@ -448,6 +449,14 @@ def cmd_train(args) -> None:
                     logger.log(step, {"val_map": round(m, 4)})
                     print(f"step {step}: validation mAP {m:.4f}",
                           file=sys.stderr)
+                    if args.checkpoint_dir and m > best_map:
+                        best_map = m
+                        ckpt.save(os.path.join(args.checkpoint_dir,
+                                               "best"),
+                                  jax.device_get(dict(state)))
+                        print(f"new best mAP {m:.4f} -> "
+                              f"{args.checkpoint_dir}/best",
+                              file=sys.stderr)
                     t_last = _time.perf_counter()
                 if args.checkpoint_dir and step % args.checkpoint_every == 0:
                     ckpt.save(
