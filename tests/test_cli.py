@@ -234,12 +234,16 @@ def test_train_eval_every(tiny_weights, tmp_path, capsys):
     live train params)."""
     root = make_voc_root(tmp_path, n_images=16, size=(70, 80))
     log = str(tmp_path / "m.jsonl")
+    ckdir = str(tmp_path / "ck")
     cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
               "--weights", tiny_weights, "--voc-root", root,
               "--split", "train", "--batch", "8", "--epochs", "1",
               "--precision", "fp32", "--eval-every", "2",
-              "--eval-max-images", "4", "--log-file", log])
+              "--eval-max-images", "4", "--log-file", log,
+              "--checkpoint-dir", ckdir, "--checkpoint-every", "1000"])
     err = capsys.readouterr().err
     assert "validation mAP" in err
     vals = [json.loads(l) for l in open(log) if "val_map" in l]
     assert vals and all(0.0 <= v["val_map"] <= 1.0 for v in vals)
+    # first eval always improves on -1 -> a best checkpoint exists
+    assert os.path.isdir(os.path.join(ckdir, "best"))
