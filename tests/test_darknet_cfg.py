@@ -47,6 +47,7 @@ stride=2
 batch_normalize=1
 filters=64
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -57,6 +58,7 @@ stride=2
 batch_normalize=1
 filters=128
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -67,6 +69,7 @@ stride=2
 batch_normalize=1
 filters=256
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -77,6 +80,7 @@ stride=2
 batch_normalize=1
 filters=512
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -87,12 +91,14 @@ stride=1
 batch_normalize=1
 filters=1024
 size=3
+pad=1
 activation=leaky
 
 [convolutional]
 batch_normalize=1
 filters=1024
 size=3
+pad=1
 activation=leaky
 
 [convolutional]
@@ -111,7 +117,7 @@ thresh=0.6
 def _full_coco_cfg():
     """yolov2.cfg reconstructed from the pinned layer map."""
     conv = ("[convolutional]\nbatch_normalize=1\nfilters={f}\nsize={s}\n"
-            "activation=leaky\n\n")
+            "pad=1\nactivation=leaky\n\n")
     mp = "[maxpool]\nsize=2\nstride=2\n\n"
     body = "[net]\nwidth=416\nheight=416\nchannels=3\n\n"
     body += conv.format(f=32, s=3) + mp
@@ -132,7 +138,7 @@ def _full_coco_cfg():
     body += "[reorg]\nstride=2\n\n"
     body += "[route]\nlayers=-1,-4\n\n"
     body += conv.format(f=1024, s=3)
-    body += "[convolutional]\nfilters=425\nsize=1\nactivation=linear\n\n"
+    body += "[convolutional]\nfilters=425\nsize=1\npad=1\nactivation=linear\n\n"
     body += ("[region]\nanchors = 0.57273,0.677385, 1.87446,2.06253, "
              "3.33843,5.47434, 7.88282,3.52778, 9.77052,9.16828\n"
              "classes=80\nnum=5\n")
@@ -230,6 +236,7 @@ channels=3
 batch_normalize=1
 filters=16
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -240,6 +247,7 @@ stride=2
 batch_normalize=1
 filters=32
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -250,6 +258,7 @@ stride=2
 batch_normalize=1
 filters=64
 size=3
+pad=1
 activation=leaky
 
 [maxpool]
@@ -385,3 +394,14 @@ def test_public_api_load_with_cfg(tmp_path):
     out = model(np.random.default_rng(1).integers(
         0, 256, (1, 64, 80, 3), dtype=np.uint8))
     assert out["boxes"].shape[0] == 1
+
+
+def test_pad_zero_3x3_rejected(tmp_path):
+    """A 3x3 conv without pad=1 means ZERO padding in darknet — the
+    executor can't express it; must error, not silently mis-build."""
+    p = tmp_path / "p.cfg"
+    p.write_text("[net]\nwidth=416\n"
+                 "[convolutional]\nfilters=8\nsize=3\nactivation=leaky\n"
+                 "[region]\nanchors=1,1\nclasses=3\nnum=1\n")
+    with pytest.raises(ValueError, match="pad"):
+        config_from_cfg(str(p))

@@ -132,3 +132,37 @@ def test_cli_zoo_and_zoo_weights_load(tmp_path, monkeypatch):
     for line in buf.getvalue().strip().splitlines():
         d = json.loads(line)
         assert {"class", "score", "box_xyxy"} <= set(d)
+
+
+def test_api_load_rejects_backbone_entry(tmp_path, monkeypatch):
+    """yolo_tpu.load on a partial (cutoff) zoo entry must explain
+    itself instead of crashing in the full-topology loader."""
+    import yolo_tpu
+
+    monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+    with pytest.raises(ValueError, match="partial backbone"):
+        yolo_tpu.load("zoo://darknet19-448-conv23")
+
+
+def test_train_resolves_zoo_backbone(tmp_path, monkeypatch, capsys):
+    """train --weights zoo://darknet19-448-conv23 resolves and
+    partial-inits (the feature's whole point)."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.specs import Conv
+
+    monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(tmp_path))
+    cfg = get_variant("coco")
+    # synthesize the backbone file at its exact official size
+    full = dw.random_params(cfg.layers, np.random.default_rng(0))
+    n23 = sum(1 for l in cfg.layers[:23] if isinstance(l, Conv))
+    dw.save(str(tmp_path / "darknet19_448.conv.23"), cfg.layers, full,
+            cutoff_convs=n23)
+
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--model", "coco", "--input-size", "64",
+              "--weights", "zoo://darknet19-448-conv23",
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32"])
+    assert "partial init: 18/" in capsys.readouterr().err

@@ -51,6 +51,18 @@ def load(weights_path: str, variant: Optional[str] = None, *,
     from yolo_tpu.models import graph
     from yolo_tpu.models.predict import make_detector
 
+    if weights_path.startswith("zoo://"):
+        from yolo_tpu.io import zoo
+
+        entry = zoo.load_manifest().get(weights_path[len("zoo://"):])
+        if entry and entry.get("cutoff_layers"):
+            raise ValueError(
+                f"{weights_path} is a partial backbone file for "
+                f"training init (cli train --weights ...); it cannot "
+                f"drive a detector")
+        if variant is None and cfg is None:
+            variant = entry["variant"] if entry else None
+        weights_path = zoo.resolve(weights_path)
     if cfg is not None:
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
@@ -59,13 +71,6 @@ def load(weights_path: str, variant: Optional[str] = None, *,
             model_cfg = model_cfg.with_input_size(input_size)
         return _finish_load(weights_path, model_cfg, precision,
                             conf_threshold, nms_threshold)
-    if weights_path.startswith("zoo://"):
-        from yolo_tpu.io import zoo
-
-        if variant is None:
-            entry = zoo.load_manifest().get(weights_path[len("zoo://"):])
-            variant = entry["variant"] if entry else None
-        weights_path = zoo.resolve(weights_path)
     if variant is None:
         if os.path.isdir(weights_path):
             raise ValueError("variant= is required for checkpoint dirs")

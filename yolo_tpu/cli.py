@@ -75,13 +75,7 @@ def _load_params(args, cfg, folded: bool = True):
     from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.models import graph
 
-    if args.weights.startswith("zoo://"):  # named + integrity-checked
-        from yolo_tpu.io import zoo
-
-        try:
-            args.weights = zoo.resolve(args.weights)
-        except (KeyError, FileNotFoundError, ValueError) as e:
-            raise SystemExit(str(e).strip("'\""))
+    args.weights = _resolve_weights(args.weights)
     if os.path.isdir(args.weights):  # orbax train checkpoint
         from yolo_tpu.io import checkpoint as ckpt
 
@@ -98,6 +92,19 @@ def _load_params(args, cfg, folded: bool = True):
     if folded:
         params = graph.fold_params(cfg.layers, params, cfg.bn_eps)
     return graph.params_to_jax(params)
+
+
+def _resolve_weights(spec: str) -> str:
+    """zoo://<name> -> verified local path (pass-through otherwise),
+    translating library exceptions to clean CLI errors."""
+    if not spec.startswith("zoo://"):
+        return spec
+    from yolo_tpu.io import zoo
+
+    try:
+        return zoo.resolve(spec)
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        raise SystemExit(str(e).strip("'\""))
 
 
 def _dataset_samples(args, cfg):
@@ -332,6 +339,14 @@ def cmd_train(args) -> None:
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
                        **({"multi_scale_sizes": sizes} if sizes else {}))
+    if args.loader == "grain" and (args.multi_scale or args.augment):
+        raise SystemExit("--loader grain supports fixed-size, "
+                         "unaugmented epochs (see "
+                         "data/grain_pipeline.py)")
+    if args.eval_split and args.coco_json:
+        raise SystemExit("--eval-split is a VOC concept; for COCO use "
+                         "--eval-coco-json with a held-out "
+                         "instances file")
     mesh = shd.make_mesh()
     n_dev = mesh.devices.size
     if args.batch % n_dev:
@@ -346,10 +361,11 @@ def cmd_train(args) -> None:
         print(f"resumed from {args.resume} at step {int(state['step'])}",
               file=sys.stderr)
     else:
-        # accepts darknet `partial` files (e.g. darknet19_448.conv.23):
-        # load the backbone prefix, randomly init the remaining layers
-        params, header, n_loaded = dw.load_partial(args.weights,
-                                                   cfg.layers)
+        # accepts darknet `partial` files (e.g. darknet19_448.conv.23,
+        # also as zoo://darknet19-448-conv23): load the backbone
+        # prefix, randomly init the remaining layers
+        params, header, n_loaded = dw.load_partial(
+            _resolve_weights(args.weights), cfg.layers)
         from yolo_tpu.configs.specs import conv_specs
 
         n_total = len(conv_specs(cfg.layers))
@@ -370,16 +386,19 @@ def cmd_train(args) -> None:
     pairs = _dataset_samples(args, cfg)
     eval_samples = None
     if args.eval_every:
-        if args.eval_split:
+        if args.eval_split or args.eval_coco_json:
             import argparse as _ap
 
-            eargs = _ap.Namespace(voc_root=args.voc_root,
-                                  coco_json=args.coco_json,
-                                  image_root=args.image_root,
-                                  split=args.eval_split)
+            eargs = _ap.Namespace(
+                voc_root=None if args.eval_coco_json else args.voc_root,
+                coco_json=args.eval_coco_json or None,
+                image_root=args.image_root,
+                split=args.eval_split or "val")
             eval_samples = _dataset_samples(eargs, cfg)
         else:
-            eval_samples = pairs
+            eval_samples = pairs  # no held-out set given: training mAP
+            print("--eval-every without --eval-split/--eval-coco-json "
+                  "scores the TRAINING samples", file=sys.stderr)
         if args.eval_max_images:
             eval_samples = eval_samples[:args.eval_max_images]
     rng = np.random.default_rng(args.seed)
@@ -411,10 +430,6 @@ def cmd_train(args) -> None:
 
                 aug_cfg = AugmentConfig()
             if args.loader == "grain":
-                if args.multi_scale or args.augment:
-                    raise SystemExit("--loader grain supports fixed-size, "
-                                     "unaugmented epochs (see "
-                                     "data/grain_pipeline.py)")
                 from yolo_tpu.data.grain_pipeline import grain_train_batches
 
                 host_iter = grain_train_batches(
@@ -446,7 +461,8 @@ def cmd_train(args) -> None:
                                   batch=min(args.batch, 16),
                                   compute_dtype=_compute_dtype(
                                       args.precision))
-                    logger.log(step, {"val_map": round(m, 4)})
+                    logger.log(step, {"val_map": round(m, 4)},
+                               force=True)
                     print(f"step {step}: validation mAP {m:.4f}",
                           file=sys.stderr)
                     if args.checkpoint_dir and m > best_map:
@@ -611,13 +627,15 @@ def cmd_partial(args) -> None:
     from yolo_tpu.io import darknet_weights as dw
 
     cfg = _get_cfg(args)
-    params, header, n_loaded = dw.load_partial(args.weights, cfg.layers)
+    params, header, n_loaded = dw.load_partial(
+        _resolve_weights(args.weights), cfg.layers)
     n_convs = sum(1 for l in cfg.layers[:args.layers]
                   if isinstance(l, Conv))
     if n_convs > n_loaded:
         raise SystemExit(f"cutoff needs {n_convs} conv layers; the file "
                          f"has {n_loaded}")
-    dw.save(args.output, cfg.layers, params, seen=header["seen"],
+    # darknet's partial resets net->seen to 0 before saving
+    dw.save(args.output, cfg.layers, params, seen=0,
             cutoff_convs=n_convs)
     print(f"wrote {args.output}: first {args.layers} layers "
           f"({n_convs} convs)", file=sys.stderr)
@@ -785,6 +803,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--eval-split", default=None,
                    help="VOC split for --eval-every (default: the "
                         "training samples)")
+    p.add_argument("--eval-coco-json", default=None,
+                   help="held-out COCO instances file for --eval-every")
     p.add_argument("--eval-max-images", type=int, default=0,
                    help="cap validation set size (0 = all)")
     p.add_argument("--resume", default=None, help="orbax checkpoint path")

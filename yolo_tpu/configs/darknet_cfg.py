@@ -79,9 +79,20 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(f"unsupported activation '{act}'")
             if int(kv.get("stride", 1)) != 1:
                 raise ValueError("strided conv not in the yolov2 family")
+            size = int(kv.get("size", 1))
+            # darknet: padding = size//2 if pad else explicit `padding`
+            # (default 0); the executor supports SAME (size//2) only —
+            # reject rather than silently mis-build (a 3x3 conv without
+            # pad=1 shifts every activation vs the matching weights)
+            padding = (size // 2 if int(kv.get("pad", 0))
+                       else int(kv.get("padding", 0)))
+            if padding != size // 2:
+                raise ValueError(
+                    f"conv size={size} with padding={padding} is "
+                    f"unsupported (only darknet pad=size//2; add pad=1)")
             layers.append(Conv(
                 filters=int(kv["filters"]),
-                size=int(kv.get("size", 1)),
+                size=size,
                 bn=bool(int(kv.get("batch_normalize", 0))),
                 act=act))
         elif kind == "maxpool":

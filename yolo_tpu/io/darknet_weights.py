@@ -52,60 +52,17 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
 def load(path_or_file, layers: Sequence[LayerSpec], input_channels: int = 3):
     """Load a darknet .weights file into a params list for ``layers``.
 
-    Asserts the file is fully consumed (SURVEY.md §3.4 'critical
-    correctness check').
-    """
-    if hasattr(path_or_file, "read"):
-        data = path_or_file.read()
-    else:
-        with open(path_or_file, "rb") as f:
-            data = f.read()
-    buf = np.frombuffer(data, dtype=np.uint8)
-
-    major, minor, revision = np.frombuffer(buf[:12].tobytes(), dtype=np.int32)
-    if major * 10 + minor >= 2:
-        seen = int(np.frombuffer(buf[12:20].tobytes(), dtype=np.int64)[0])
-        offset = 20
-    else:
-        seen = int(np.frombuffer(buf[12:16].tobytes(), dtype=np.int32)[0])
-        offset = 16
-
-    floats = np.frombuffer(buf[offset:].tobytes(), dtype=np.float32)
-    pos = 0
-
-    def take(n: int) -> np.ndarray:
-        nonlocal pos
-        if pos + n > floats.size:
-            raise ValueError(
-                f"weights file too short: need {n} floats at offset {pos}, "
-                f"have {floats.size - pos}")
-        out = floats[pos:pos + n].copy()
-        pos += n
-        return out
-
-    params = []
-    conv_in = _infer_in_channels(layers, input_channels)
-    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
-        oc, k = conv.filters, conv.size
-        layer_params = {}
-        biases = take(oc)
-        if conv.bn:
-            layer_params["beta"] = biases
-            layer_params["gamma"] = take(oc)
-            layer_params["mean"] = take(oc)
-            layer_params["var"] = take(oc)
-        else:
-            layer_params["bias"] = biases
-        kernel = take(oc * ic * k * k).reshape(oc, ic, k, k)
-        layer_params["kernel"] = np.ascontiguousarray(kernel.transpose(2, 3, 1, 0))
-        params.append(layer_params)
-
-    if pos != floats.size:
+    Asserts the file is fully consumed and covers EVERY conv layer
+    (SURVEY.md §3.4 'critical correctness check'); partial backbone
+    files go through load_partial()."""
+    params, header, n = load_partial(path_or_file, layers,
+                                     input_channels=input_channels)
+    total = len(conv_specs(tuple(layers)))
+    if n != total:
         raise ValueError(
-            f"weights file not fully consumed: read {pos} of {floats.size} "
-            f"floats — layer spec does not match file")
-    return params, {"major": int(major), "minor": int(minor),
-                    "revision": int(revision), "seen": seen}
+            f"weights file too short: only {n} of {total} conv layers "
+            f"present (partial backbone file? use load_partial)")
+    return params, header
 
 
 def load_partial(path_or_file, layers: Sequence[LayerSpec],
@@ -146,8 +103,9 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
             break  # clean cutoff boundary
         if pos + need > floats.size:
             raise ValueError(
-                f"weights file ends mid-layer: conv {len(params)} needs "
-                f"{need} floats, {floats.size - pos} remain")
+                f"weights file too short (ends mid-layer): conv "
+                f"{len(params)} needs {need} floats, "
+                f"{floats.size - pos} remain")
         p = {}
         if conv.bn:
             p["beta"] = floats[pos:pos + oc].copy(); pos += oc

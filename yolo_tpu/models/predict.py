@@ -92,9 +92,11 @@ def _entry_fusable(cfg: ModelConfig, params) -> bool:
 
     return (ek.eligible(cfg.layers)
             and "bias" in params[0] and "kernel_q" not in params[0]
-            # layers[2:] must resolve routes without the entry layers
-            and all(all(r < 0 for r in l.layers)
-                    for l in cfg.layers if isinstance(l, Route)))
+            # layers[2:] must resolve routes without the entry layers:
+            # relative only, never reaching back into layers 0-1
+            and all(all(r < 0 and idx + r >= 2 for r in l.layers)
+                    for idx, l in enumerate(cfg.layers)
+                    if isinstance(l, Route)))
 
 
 def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,

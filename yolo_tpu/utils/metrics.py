@@ -18,8 +18,11 @@ class MetricsLogger:
         self._every = max(every, 1)
         self._t0 = time.time()
 
-    def log(self, step: int, metrics: Dict, **extra) -> None:
-        if step % self._every:
+    def log(self, step: int, metrics: Dict, force: bool = False,
+            **extra) -> None:
+        """force=True bypasses the --log-every sampling (for sparse,
+        expensive records like validation mAP)."""
+        if step % self._every and not force:
             return
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         for k, v in {**metrics, **extra}.items():
