@@ -403,3 +403,56 @@ def test_cli_eval_from_detections_roundtrip(tmp_path):
         cli.main(["eval", "--model", "tiny-voc", "--coco-json", cj,
                   "--metric", "coco", "--from-detections", pf])
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["map"] == 1.0
+
+
+class TestMetricInvariances:
+    """Properties any correct mAP implementation must satisfy."""
+
+    def _scene(self, seed):
+        rng = np.random.default_rng(seed)
+        gt, dets = {}, {}
+        for img in range(4):
+            b = rng.uniform(0, 80, (3, 2))
+            boxes = np.concatenate([b, b + rng.uniform(5, 30, (3, 2))], 1)
+            gt[img] = {"boxes": boxes,
+                       "classes": rng.integers(0, 2, 3),
+                       "difficult": np.zeros(3)}
+            dets[img] = [_det(int(rng.integers(0, 2)),
+                              float(rng.uniform()),
+                              *rng.uniform(0, 100, 4)) for _ in range(5)]
+        return gt, dets
+
+    def test_detection_order_irrelevant(self):
+        gt, dets = self._scene(0)
+        r1 = evaluate_coco(dets, gt, 2)
+        shuffled = {i: list(reversed(d)) for i, d in dets.items()}
+        r2 = evaluate_coco(shuffled, gt, 2)
+        assert r1 == r2
+
+    def test_image_id_relabeling_irrelevant(self):
+        gt, dets = self._scene(1)
+        remap = {0: 100, 1: 7, 2: 55, 3: 3}
+        gt2 = {remap[i]: g for i, g in gt.items()}
+        dets2 = {remap[i]: d for i, d in dets.items()}
+        assert evaluate_coco(dets, gt, 2) == evaluate_coco(dets2, gt2, 2)
+
+    def test_coordinate_scaling_irrelevant(self):
+        """IoU is scale-free: multiplying every coordinate by a
+        constant cannot change any AP."""
+        gt, dets = self._scene(2)
+        s = 7.3
+        gt2 = {i: {"boxes": g["boxes"] * s, "classes": g["classes"],
+                   "difficult": g["difficult"]} for i, g in gt.items()}
+        dets2 = {i: [(c, sc, x1 * s, y1 * s, x2 * s, y2 * s)
+                     for (c, sc, x1, y1, x2, y2) in d]
+                 for i, d in dets.items()}
+        r1, r2 = evaluate_coco(dets, gt, 2), evaluate_coco(dets2, gt2, 2)
+        np.testing.assert_allclose(r1["map"], r2["map"], rtol=1e-12)
+
+    def test_extra_empty_images_irrelevant(self):
+        """Images with neither GT nor detections contribute nothing."""
+        gt, dets = self._scene(3)
+        gt2 = dict(gt)
+        gt2[999] = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0),
+                    "difficult": np.zeros(0)}
+        assert evaluate_coco(dets, gt, 2) == evaluate_coco(dets, gt2, 2)
