@@ -75,17 +75,17 @@ def _load_params(args, cfg, folded: bool = True):
     from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.models import graph
 
-    args.weights = _resolve_weights(args.weights)
-    if os.path.isdir(args.weights):  # orbax train checkpoint
+    weights = _resolve_weights(args.weights)
+    if os.path.isdir(weights):  # orbax train checkpoint
         from yolo_tpu.io import checkpoint as ckpt
 
-        state = ckpt.restore(args.weights)
+        state = ckpt.restore(weights)
         params = [
             {k: np.asarray(v) for k, v in p.items()}
             for p in state["params"]
         ]
     else:
-        params, header = dw.load(args.weights, cfg.layers)
+        params, header = dw.load(weights, cfg.layers)
         print(f"loaded darknet weights: version "
               f"{header['major']}.{header['minor']}.{header['revision']}, "
               f"seen {header['seen']}", file=sys.stderr)
@@ -252,17 +252,23 @@ def cmd_detect(args) -> None:
             } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
             if args.output_dir:
-                from yolo_tpu.data.pipeline import load_image_rgb
                 from yolo_tpu.utils.viz import draw_detections, save_image
 
-                src = load_image_rgb(batch["paths"][bi])
-                scores = [np.asarray(out["scores"][bi])[i] for i in valid]
-                classes = [np.asarray(out["classes"][bi])[i] for i in valid]
+                if args.host_preprocess:
+                    # batch images are letterboxed; re-read the source
+                    from yolo_tpu.data.pipeline import load_image_rgb
+
+                    src = load_image_rgb(batch["paths"][bi])
+                else:  # batch already holds the raw source pixels
+                    src = np.asarray(batch["images"][bi])
                 save_image(
                     os.path.join(args.output_dir,
                                  os.path.basename(batch["paths"][bi])),
-                    draw_detections(src, xyxy, scores, classes,
-                                    cfg.class_names))
+                    draw_detections(
+                        src, xyxy,
+                        np.asarray(out["scores"][bi])[valid],
+                        np.asarray(out["classes"][bi])[valid],
+                        cfg.class_names))
 
 
 def _detect_video(args, cfg, params, det) -> None:
@@ -595,23 +601,19 @@ def cmd_zoo(args) -> None:
             out[name] = {**e, "local_path": path,
                          "present": os.path.exists(path)}
         print(json.dumps(out, indent=2))
-    elif args.action == "verify":
-        entry = manifest.get(args.name) or {}
-        if not entry:
-            raise SystemExit(f"unknown zoo entry '{args.name}'")
-        path = args.file or os.path.join(zoo.weights_dir(),
-                                         entry["filename"])
+        return
+
+    entry = manifest.get(args.name)
+    if not entry:
+        raise SystemExit(f"unknown zoo entry '{args.name}'")
+    path = args.file or os.path.join(zoo.weights_dir(), entry["filename"])
+    if args.action == "verify":
         problems = zoo.verify_file(path, entry)
         print(json.dumps({"path": path, "ok": not problems,
                           "problems": problems}))
         if problems:
             raise SystemExit(1)
     elif args.action == "pin-sha":
-        entry = manifest.get(args.name) or {}
-        if not entry:
-            raise SystemExit(f"unknown zoo entry '{args.name}'")
-        path = args.file or os.path.join(zoo.weights_dir(),
-                                         entry["filename"])
         try:
             sha = zoo.record_sha(args.name, path)
         except ValueError as e:

@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -138,8 +139,6 @@ def _wplane_matrices(src_w: int, src_h: int, net: int):
     at the conv zero-pad borders and g=0.5 in the letterbox gray bands.
     Splitting the letterbox's own interp matrix by output-column parity
     costs ZERO extra FLOPs vs the plain letterbox matmul."""
-    import numpy as np
-
     from yolo_tpu.ops.letterbox import _lerp_matrix, letterbox_geometry
 
     scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
@@ -158,7 +157,15 @@ def _wplane_matrices(src_w: int, src_h: int, net: int):
             else:
                 g[q] = 0.5  # letterbox gray
         out.append((M, g))
-    return out, rh, py
+    # per-plane mask zeroing the conv-border columns in the gray rows
+    n = out[0][0].shape[0]
+    cm = np.ones((2, n), np.float32)
+    for p in range(2):
+        for q in range(n):
+            if not 0 <= 2 * q + p - 1 < net:
+                cm[p, q] = 0.0
+    col_mask = np.repeat(cm, 3, axis=0)  # (6, n)
+    return out, col_mask
 
 
 def letterbox_planes(images_u8: jnp.ndarray, net: int,
@@ -179,7 +186,7 @@ def letterbox_planes(images_u8: jnp.ndarray, net: int,
         x = jnp.einsum("oh,bhwc->bowc", mh, x,
                        preferred_element_type=jnp.float32
                        ).astype(interp_dtype)
-    mats, rh_, py_ = _wplane_matrices(w, h, net)
+    mats, col_mask = _wplane_matrices(w, h, net)
     n = mats[0][0].shape[0]
     pieces = []
     for p in range(2):
@@ -199,14 +206,7 @@ def letterbox_planes(images_u8: jnp.ndarray, net: int,
     body.append(jnp.zeros((b, 6, 1, n), jnp.float32))      # conv pad row
     out = jnp.concatenate(body, axis=2)
     # gray rows must still be ZERO in the conv-border columns
-    import numpy as np
-
-    cm = np.ones((2, n), np.float32)
-    for p in range(2):
-        for q in range(n):
-            if not 0 <= 2 * q + p - 1 < net:
-                cm[p, q] = 0.0
-    cmask = jnp.asarray(np.repeat(cm, 3, axis=0), jnp.float32)  # (6, n)
+    cmask = jnp.asarray(col_mask, jnp.float32)
     return out * cmask[None, :, None, :]
 
 
