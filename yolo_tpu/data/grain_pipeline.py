@@ -54,8 +54,11 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
 
-    worker_count=0 runs in-process (tests / 1-core boxes); >0 forks
-    real worker processes. num_epochs=None repeats forever.
+    worker_count=0 runs in-process (tests / 1-core boxes); >0 spawns
+    real worker processes — standard multiprocessing rules apply (the
+    entry script must be importable: a real file with an
+    `if __name__ == "__main__"` guard, not stdin/REPL).
+    num_epochs=None repeats forever.
     """
     import functools
 
