@@ -227,3 +227,18 @@ def test_cli_eval_mixed_image_sizes(tmp_path):
                   "--split", "val", "--batch", "3", "--precision", "fp32"])
     res = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert 0.0 <= res["map"] <= 1.0
+
+
+class TestPRCurves:
+    def test_return_curves(self):
+        gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+                  "classes": np.array([0]), "difficult": np.zeros(1)}}
+        dets = {0: [(0, 0.9, 0, 0, 10, 10),      # TP
+                    (0, 0.5, 50, 50, 60, 60)]}   # FP
+        r = evaluate(dets, gt, 1, return_curves=True)
+        c = r["curves"][0]
+        assert c["scores"] == [0.9, 0.5]
+        assert c["recall"] == [1.0, 1.0]
+        assert c["precision"] == [1.0, 0.5]
+        # default path stays curve-free
+        assert "curves" not in evaluate(dets, gt, 1)

@@ -569,6 +569,14 @@ def cmd_eval(args) -> None:
               f"{args.save_detections}", file=sys.stderr)
 
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
+    if args.save_pr and metric != "coco":
+        result = evaluate(detections, gt, cfg.num_classes,
+                          use_07_metric=metric == "voc07",
+                          return_curves=True)
+        with open(args.save_pr, "w") as f:
+            json.dump({cfg.class_names[c]: v
+                       for c, v in result["curves"].items()}, f)
+        print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
     if metric == "coco":
         from yolo_tpu.eval.coco_map import evaluate_coco
 
@@ -847,6 +855,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--save-detections", default=None,
                    help="write raw detections as a pycocotools-style "
                         "results JSON (original image/category ids)")
+    p.add_argument("--save-pr", default=None,
+                   help="write per-class PR curves (scores/recall/"
+                        "precision) as JSON — VOC metrics only")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("partial",

@@ -47,13 +47,18 @@ def average_precision(recall: np.ndarray, precision: np.ndarray,
 
 def evaluate(detections: Dict[int, List], ground_truth: Dict[int, Dict],
              num_classes: int, iou_thresh: float = 0.5,
-             use_07_metric: bool = True) -> Dict:
+             use_07_metric: bool = True,
+             return_curves: bool = False) -> Dict:
     """detections: {image_id: [(class_id, score, x1, y1, x2, y2), ...]}
     ground_truth: {image_id: {'boxes' (G,4) xyxy pixel, 'classes' (G,),
                               'difficult' (G,)}}
-    Returns {'map': float, 'ap': {class_id: ap}}.
+    Returns {'map': float, 'ap': {class_id: ap}}; with
+    return_curves=True also 'curves': {class_id: {'scores', 'recall',
+    'precision'}} — the raw PR points behind each AP (analysis /
+    threshold tuning).
     """
     aps = {}
+    curves = {}
     for cls in range(num_classes):
         # collect per-class detections
         recs = []
@@ -104,6 +109,15 @@ def evaluate(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         recall = tp_cum / npos
         precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
         aps[cls] = average_precision(recall, precision, use_07_metric)
+        if return_curves:
+            curves[cls] = {
+                "scores": [round(float(r[1]), 5) for r in recs],
+                "recall": np.round(recall, 5).tolist(),
+                "precision": np.round(precision, 5).tolist(),
+            }
 
     valid = [v for v in aps.values() if not np.isnan(v)]
-    return {"map": float(np.mean(valid)) if valid else 0.0, "ap": aps}
+    out = {"map": float(np.mean(valid)) if valid else 0.0, "ap": aps}
+    if return_curves:
+        out["curves"] = curves
+    return out
