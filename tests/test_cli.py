@@ -247,3 +247,21 @@ def test_train_eval_every(tiny_weights, tmp_path, capsys):
     assert vals and all(0.0 <= v["val_map"] <= 1.0 for v in vals)
     # first eval always improves on -1 -> a best checkpoint exists
     assert os.path.isdir(os.path.join(ckdir, "best"))
+
+
+def test_detect_recursive(tiny_weights, tmp_path, capsys):
+    import cv2
+
+    root = tmp_path / "nested"
+    (root / "a" / "b").mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    cv2.imwrite(str(root / "top.png"),
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cv2.imwrite(str(root / "a" / "b" / "deep.png"),
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--images", str(root),
+              "--batch", "2", "--conf", "0.1", "--recursive"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {os.path.basename(r["image"]) for r in recs} == {"top.png",
+                                                            "deep.png"}

@@ -205,9 +205,15 @@ def cmd_detect(args) -> None:
         return
 
     exts = (".jpg", ".jpeg", ".png", ".bmp")
-    paths = sorted(
-        os.path.join(args.images, f) for f in os.listdir(args.images)
-        if f.lower().endswith(exts))
+    if args.recursive:
+        paths = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(args.images)
+            for f in files if f.lower().endswith(exts))
+    else:
+        paths = sorted(
+            os.path.join(args.images, f) for f in os.listdir(args.images)
+            if f.lower().endswith(exts))
     if not paths:
         raise SystemExit(f"no images found in {args.images}")
     if args.precision == "int8":
@@ -761,6 +767,8 @@ def main(argv: Optional[list] = None) -> None:
                    help="video: write an annotated MJPG copy here")
     p.add_argument("--output-dir", default=None,
                    help="images: write annotated copies here")
+    p.add_argument("--recursive", action="store_true",
+                   help="images: walk subdirectories too")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--host-preprocess", action="store_true",
                    help="letterbox on host: one compiled program for "

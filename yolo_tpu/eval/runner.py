@@ -61,8 +61,17 @@ def collect_detections(cfg, folded_params,
                                   net_size=cfg.input_size)
     net = cfg.input_size
     detections: Dict[int, List] = {}
+    import sys
+    import time
+
+    t0, done = time.perf_counter(), 0
     for b in DevicePrefetcher(host_iter, depth=2):
         out = det(folded_params, jnp.asarray(b["images"]))
+        done += len(b["paths"])
+        if done % (batch * 8) < batch and done < len(samples):
+            rate = done / max(time.perf_counter() - t0, 1e-9)
+            print(f"eval: {done}/{len(samples)} images "
+                  f"({rate:.0f} img/s)", file=sys.stderr)
         for bi, path in enumerate(b["paths"]):
             src_h, src_w = b["shapes"][bi]
             scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
