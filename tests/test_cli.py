@@ -94,12 +94,25 @@ def test_train_fail_and_resume_e2e(tiny_weights, tmp_path, capsys):
 
 def test_eval_and_export_e2e(tiny_weights, tmp_path, capsys):
     root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
+    pr_file = str(tmp_path / "pr.json")
     cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
               "--weights", tiny_weights, "--voc-root", root,
-              "--split", "train", "--batch", "4", "--precision", "fp32"])
+              "--split", "train", "--batch", "4", "--precision", "fp32",
+              "--save-pr", pr_file])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     res = json.loads(out)
     assert "map" in res and 0.0 <= res["map"] <= 1.0
+    curves = json.loads(open(pr_file).read())
+    for name, c in curves.items():
+        assert name in get_variant("tiny-voc").class_names
+        assert len(c["scores"]) == len(c["recall"]) == len(c["precision"])
+    # --save-pr is VOC-protocol only
+    with pytest.raises(SystemExit, match="save-pr"):
+        cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", tiny_weights, "--voc-root", root,
+                  "--split", "train", "--metric", "coco",
+                  "--save-pr", pr_file])
+    capsys.readouterr()
 
     # export path: train checkpoint -> darknet file, reloadable
     ck = tmp_path / "ck2"

@@ -267,9 +267,13 @@ def cmd_detect(args) -> None:
                     src = load_image_rgb(batch["paths"][bi])
                 else:  # batch already holds the raw source pixels
                     src = np.asarray(batch["images"][bi])
+                # mirror the source tree: --recursive makes basename
+                # collisions routine (a/img.jpg vs b/img.jpg)
+                rel = os.path.relpath(batch["paths"][bi], args.images)
+                dst = os.path.join(args.output_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 save_image(
-                    os.path.join(args.output_dir,
-                                 os.path.basename(batch["paths"][bi])),
+                    dst,
                     draw_detections(
                         src, xyxy,
                         np.asarray(out["scores"][bi])[valid],
@@ -575,14 +579,9 @@ def cmd_eval(args) -> None:
               f"{args.save_detections}", file=sys.stderr)
 
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
-    if args.save_pr and metric != "coco":
-        result = evaluate(detections, gt, cfg.num_classes,
-                          use_07_metric=metric == "voc07",
-                          return_curves=True)
-        with open(args.save_pr, "w") as f:
-            json.dump({cfg.class_names[c]: v
-                       for c, v in result["curves"].items()}, f)
-        print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
+    if args.save_pr and metric == "coco":
+        raise SystemExit("--save-pr exports VOC-protocol PR curves; "
+                         "use --metric voc07/voc10 with it")
     if metric == "coco":
         from yolo_tpu.eval.coco_map import evaluate_coco
 
@@ -596,7 +595,13 @@ def cmd_eval(args) -> None:
                           "ap": per_class}))
         return
     result = evaluate(detections, gt, cfg.num_classes,
-                      use_07_metric=metric == "voc07")
+                      use_07_metric=metric == "voc07",
+                      return_curves=bool(args.save_pr))
+    if args.save_pr:
+        with open(args.save_pr, "w") as f:
+            json.dump({cfg.class_names[c]: v
+                       for c, v in result["curves"].items()}, f)
+        print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
     per_class = {cfg.class_names[c]: round(a, 4)
                  for c, a in result["ap"].items() if not np.isnan(a)}
     print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))

@@ -64,14 +64,9 @@ def collect_detections(cfg, folded_params,
     import sys
     import time
 
-    t0, done = time.perf_counter(), 0
+    t0, done = None, 0
     for b in DevicePrefetcher(host_iter, depth=2):
         out = det(folded_params, jnp.asarray(b["images"]))
-        done += len(b["paths"])
-        if done % (batch * 8) < batch and done < len(samples):
-            rate = done / max(time.perf_counter() - t0, 1e-9)
-            print(f"eval: {done}/{len(samples)} images "
-                  f"({rate:.0f} img/s)", file=sys.stderr)
         for bi, path in enumerate(b["paths"]):
             src_h, src_w = b["shapes"][bi]
             scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
@@ -83,6 +78,18 @@ def collect_detections(cfg, folded_params,
                 (int(out["classes"][bi][i]),
                  float(out["scores"][bi][i]), *xyxy[j])
                 for j, i in enumerate(valid)]
+        # progress: results for this batch are already fetched above;
+        # start the clock after batch 1 so the first-compile ~30 s
+        # doesn't poison the rate
+        done += len(b["paths"])
+        if t0 is None:
+            t0 = time.perf_counter()
+            done_base = done
+        elif done % (batch * 8) < batch and done < len(samples):
+            rate = (done - done_base) / max(time.perf_counter() - t0,
+                                            1e-9)
+            print(f"eval: {done}/{len(samples)} images "
+                  f"({rate:.0f} img/s)", file=sys.stderr)
     return detections
 
 
