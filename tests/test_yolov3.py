@@ -1,0 +1,240 @@
+"""YOLOv3-family tests: Shortcut/Upsample/YoloHead executor semantics,
+multi-head [yolo] decode, weights I/O over the residual/FPN topology,
+and golden parity vs the independent TF oracle (SURVEY.md §4.2 pyramid,
+extended beyond the yolov2-only reference surface).
+
+Topology ground truth: both built-in v3 variants reproduce the official
+.weights byte counts exactly (248,007,048 / 35,434,956 bytes), which
+over-determines every conv's in/out channels — see configs/variants.py.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.specs import Conv, Shortcut, Upsample, YoloHead
+from yolo_tpu.configs.variants import YOLOV3_COCO, YOLOV3_TINY_COCO
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.io.zoo import expected_weights_bytes
+from yolo_tpu.models import graph
+from yolo_tpu.models.predict import detect
+from yolo_tpu.ops import numpy_ref as npr
+from yolo_tpu.ops.decode import decode_yolo
+
+
+def _small(cfg, size=96):
+    return dataclasses.replace(cfg, input_size=size)
+
+
+class TestLayerOps:
+    def test_upsample_nearest(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 3, 4, 2)).astype(np.float32)
+        layers = (Upsample(2),)
+        got = np.asarray(graph.apply_layers(layers, [], jnp.asarray(x)))
+        want = x.repeat(2, axis=1).repeat(2, axis=2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_shortcut_residual_add(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
+        params = graph.params_to_jax(
+            dw.random_params((Conv(8, 1), Conv(8, 1)), rng,
+                             input_channels=8))
+        layers = (Conv(8, 1), Conv(8, 1), Shortcut(-2, act="linear"))
+        outs = graph.apply_layers(layers, params, jnp.asarray(x),
+                                  return_all=True)
+        np.testing.assert_allclose(np.asarray(outs[2]),
+                                   np.asarray(outs[0]) + np.asarray(outs[1]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_yolo_head_is_identity_for_routing(self):
+        """[yolo] layers pass their input through so darknet layer
+        indices (Route/Shortcut offsets) stay valid."""
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 4, 4, 6)).astype(np.float32)
+        layers = (YoloHead((0,)),)
+        outs = graph.apply_layers(layers, [], jnp.asarray(x),
+                                  return_all=True)
+        np.testing.assert_array_equal(np.asarray(outs[0]), x)
+
+    def test_multi_head_return(self):
+        """apply_layers returns per-head logits (cfg order) when YoloHead
+        markers are present."""
+        cfg = _small(YOLOV3_TINY_COCO)
+        rng = np.random.default_rng(3)
+        params = graph.params_to_jax(dw.random_params(cfg.layers, rng))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32))
+        heads = graph.apply_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        assert isinstance(heads, tuple) and len(heads) == 2
+        assert heads[0].shape == (1, 3, 3, 255)   # 13x13-equivalent at 96
+        assert heads[1].shape == (1, 6, 6, 255)
+
+
+class TestDecodeYolo:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(5)
+        anchors = YOLOV3_TINY_COCO.anchors
+        masks = [h.mask for h in YOLOV3_TINY_COCO.yolo_heads]
+        c, net = 7, 96
+        heads = [rng.normal(size=(2, 3, 3, 3 * (5 + c))).astype(np.float32),
+                 rng.normal(size=(2, 6, 6, 3 * (5 + c))).astype(np.float32)]
+        boxes, scores = decode_yolo(
+            [jnp.asarray(h) for h in heads], anchors, masks, c, net)
+        assert boxes.shape == (2, 3 * (9 + 36), 4)
+        for b in range(2):
+            wb, ws = npr.decode_yolo([h[b] for h in heads], anchors, masks,
+                                     c, net)
+            np.testing.assert_allclose(np.asarray(boxes[b]), wb,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(scores[b]), ws,
+                                       rtol=0, atol=1e-6)
+
+    def test_class_probs_are_independent_sigmoid(self):
+        """v3 class scores must NOT be softmax-normalized — two strong
+        classes both keep probability ~1."""
+        c = 4  # one anchor in the mask -> 1*(5+C) head channels
+        logits = np.zeros((1, 1, 1, 5 + c), dtype=np.float32)
+        logits[0, 0, 0, 5] = 10.0   # class 0, anchor 0
+        logits[0, 0, 0, 6] = 10.0   # class 1, anchor 0
+        logits[0, 0, 0, 4] = 10.0   # objectness ~1
+        _, scores = decode_yolo([jnp.asarray(logits)], ((10, 10),), [(0,)],
+                                c, 32)
+        s = np.asarray(scores)[0, 0]
+        assert s[0] > 0.99 and s[1] > 0.99  # softmax would give ~0.5 each
+
+
+class TestWeightsIO:
+    def test_official_byte_counts(self):
+        """The layer lists reproduce the official .weights sizes exactly
+        (the strongest offline topology pin; mirrors test_zoo)."""
+        assert expected_weights_bytes(YOLOV3_COCO.layers) == 248_007_048
+        assert expected_weights_bytes(YOLOV3_TINY_COCO.layers) == 35_434_956
+
+    def test_save_load_round_trip(self):
+        cfg = YOLOV3_TINY_COCO
+        rng = np.random.default_rng(11)
+        params = dw.random_params(cfg.layers, rng)
+        import io as _io
+
+        buf = _io.BytesIO()
+        dw.save(buf, cfg.layers, params)
+        assert buf.tell() == expected_weights_bytes(cfg.layers)
+        buf.seek(0)
+        loaded, _ = dw.load(buf, cfg.layers)
+        for p, q in zip(params, loaded):
+            assert set(p) == set(q)
+            for k in p:
+                np.testing.assert_array_equal(p[k], q[k])
+
+
+@pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3"])
+def test_logits_parity_vs_tf_oracle(variant):
+    from tests import tf_oracle
+
+    cfg = _small(YOLOV3_TINY_COCO if variant == "yolov3-tiny"
+                 else YOLOV3_COCO)
+    rng = np.random.default_rng(42)
+    params = dw.random_params(cfg.layers, rng)
+    x = rng.uniform(0, 1, (1, cfg.input_size, cfg.input_size, 3)
+                    ).astype(np.float32)
+
+    want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+    got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                             jnp.asarray(x), eps=cfg.bn_eps)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        g = np.asarray(g)
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=1e-4,
+                                   atol=1e-5 * np.abs(w).max())
+
+
+def test_layer_by_layer_parity_vs_tf_oracle():
+    from tests import tf_oracle
+
+    cfg = _small(YOLOV3_TINY_COCO)
+    rng = np.random.default_rng(21)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+
+    want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps,
+                                return_all=True)
+    got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                             jnp.asarray(x), eps=cfg.bn_eps,
+                             return_all=True)
+    assert len(want) == len(got)
+    for li, (w, g) in enumerate(zip(want, got)):
+        g = np.asarray(g)
+        assert g.shape == tuple(w.shape), f"layer {li}"
+        np.testing.assert_allclose(
+            g, w, rtol=1e-4, atol=1e-5 * max(np.abs(w).max(), 1.0),
+            err_msg=f"layer {li} ({cfg.layers[li]})")
+
+
+def test_end_to_end_boxes_parity():
+    """frame -> boxes through the jitted v3 pipeline vs the numpy oracle
+    chain (decode_yolo + per-class NMS) on TF-oracle logits.
+
+    Unlike the region head (softmax spreads class mass), v3's sigmoid
+    class scores make fully-random weights emit thousands of detections
+    at any usable threshold. Pin sparse, realistic output by biasing the
+    head convs: objectness strongly negative except one anchor per head,
+    a couple of positive class biases, and a tiny kernel scale for
+    per-cell score variation (deterministic NMS tie-breaks)."""
+    from yolo_tpu.configs.specs import conv_specs
+    from tests import tf_oracle
+
+    cfg = dataclasses.replace(_small(YOLOV3_TINY_COCO, 160),
+                              conf_threshold=0.5)
+    masks = [h.mask for h in cfg.yolo_heads]
+    rng = np.random.default_rng(7)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    nc = 5 + cfg.num_classes
+    head_ci = [i for i, c in enumerate(conv_specs(cfg.layers)) if not c.bn]
+    for ci, (anchor, cls_biases) in zip(
+            head_ci, [(1, {14: 2.0, 3: 1.5}), (2, {7: 2.2})]):
+        params[ci]["kernel"] *= 0.02  # per-cell noise only
+        bias = np.full_like(params[ci]["bias"], -8.0)
+        bias[anchor * nc + 0: anchor * nc + 4] = [0.3, -0.2, 0.25, -0.3]
+        bias[anchor * nc + 4] = 2.0  # objectness
+        for cls, v in cls_biases.items():
+            bias[anchor * nc + 5 + cls] = v
+        params[ci]["bias"] = bias
+    x = rng.uniform(0, 1, (1, 160, 160, 3)).astype(np.float32)
+
+    tf_heads = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+    wb, ws = npr.decode_yolo([h[0] for h in tf_heads], cfg.anchors, masks,
+                             cfg.num_classes, cfg.input_size)
+    want = npr.nms_per_class(wb, ws, cfg.conf_threshold, cfg.nms_threshold)
+
+    dets = detect(cfg, graph.params_to_jax(params), jnp.asarray(x),
+                  top_k=wb.shape[0], max_detections=256)
+    got = [(np.asarray(dets["boxes"][0][i]), float(dets["scores"][0][i]),
+            int(dets["classes"][0][i]))
+           for i in range(256) if bool(dets["valid"][0][i])]
+
+    assert len(got) == len(want) and len(want) > 0
+    got.sort(key=lambda r: (-r[1], r[2]))
+    for (gb, gs, gc), (bb, bs, bc) in zip(got, want):
+        assert gc == bc
+        assert gs == pytest.approx(bs, abs=1e-4)
+        np.testing.assert_allclose(gb, bb, rtol=1e-3, atol=1e-4)
+
+
+def test_folded_bn_matches_unfolded():
+    cfg = _small(YOLOV3_TINY_COCO)
+    rng = np.random.default_rng(1)
+    params = dw.random_params(cfg.layers, rng)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32))
+    raw = graph.apply_layers(cfg.layers, graph.params_to_jax(params), x)
+    folded = graph.fold_params(cfg.layers, params, eps=cfg.bn_eps)
+    fast = graph.apply_layers(cfg.layers, graph.params_to_jax(folded), x)
+    for r, f in zip(raw, fast):
+        r = np.asarray(r)
+        # fold/unfold are different fp32 contractions; tolerance scales
+        # with the (residual-amplified) activation magnitude
+        np.testing.assert_allclose(np.asarray(f), r, rtol=1e-3,
+                                   atol=1e-4 * np.abs(r).max())

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.configs.specs import Conv, MaxPool, Reorg, Route, resolve_route
+from yolo_tpu.configs.specs import (Conv, MaxPool, Reorg, Route, Shortcut,
+                                    Upsample, YoloHead, resolve_route)
 
 
 def _reorg_indices(c: int, h: int, w: int, stride: int) -> np.ndarray:
@@ -40,6 +41,7 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
 
     x = tf.constant(x_nhwc, dtype=tf.float32)
     outputs = []
+    heads = []
     conv_i = 0
     for idx, layer in enumerate(layers):
         if isinstance(layer, Conv):
@@ -77,7 +79,20 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
         elif isinstance(layer, Route):
             x = tf.concat([outputs[resolve_route(idx, r)] for r in layer.layers],
                           axis=-1)
+        elif isinstance(layer, Shortcut):
+            x = x + outputs[resolve_route(idx, layer.frm)]
+            if layer.act == "leaky":
+                x = tf.nn.leaky_relu(x, alpha=0.1)
+        elif isinstance(layer, Upsample):
+            s = layer.stride
+            b, h, w, c = x.shape
+            x = tf.image.resize(x, [int(h) * s, int(w) * s],
+                                method="nearest")
+        elif isinstance(layer, YoloHead):
+            heads.append(x)  # head logits = the [yolo] layer's input
         outputs.append(x)
     if return_all:
         return [o.numpy() for o in outputs]
+    if heads:
+        return tuple(h.numpy() for h in heads)
     return x.numpy()

@@ -17,6 +17,20 @@ Semantics pinned by the darknet cfg format:
     indices relative to the route layer (negative) exactly as darknet.
   * ``Reorg``: darknet ``reorg_cpu`` with forward=0 as used by yolov2.cfg's
     ``[reorg] stride=2`` — NOT space_to_depth (SURVEY.md §7.2).
+
+YOLOv3-family extension (same darknet cfg/weights formats, beyond the
+yolov2-only reference surface):
+  * ``Conv`` may be strided (yolov3 downsamples with stride-2 convs, not
+    maxpool).
+  * ``Shortcut``: darknet ``[shortcut]`` — elementwise residual add of an
+    earlier layer's output (``from`` index, darknet-relative), then
+    activation (linear in every official cfg).
+  * ``Upsample``: darknet ``[upsample]`` — nearest-neighbor x``stride``.
+  * ``YoloHead``: darknet ``[yolo]`` — marks its INPUT as one detection
+    head's logits; ``mask`` selects this head's anchors from the shared
+    ``ModelConfig.anchors`` list (PIXEL units of the net input, unlike
+    [region]'s cell units). The layer's routed output is its input
+    (identity), preserving darknet layer indices for Route/Shortcut.
 """
 
 from __future__ import annotations
@@ -51,7 +65,25 @@ class Reorg:
     stride: int = 2
 
 
-LayerSpec = Union[Conv, MaxPool, Route, Reorg]
+@dataclasses.dataclass(frozen=True)
+class Shortcut:
+    # darknet [shortcut] `from` index (negative = relative, else absolute).
+    frm: int
+    act: str = "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class Upsample:
+    stride: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloHead:
+    # Indices into ModelConfig.anchors for this head's anchor subset.
+    mask: Tuple[int, ...]
+
+
+LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]
 
 
 def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
@@ -74,7 +106,9 @@ class ModelConfig:
 
     name: str
     layers: Tuple[LayerSpec, ...]
-    anchors: Tuple[Tuple[float, float], ...]  # (pw, ph) in cell units
+    # (pw, ph): cell units for the [region] head (yolov2 family);
+    # PIXEL units of the net input for [yolo] heads (yolov3 family).
+    anchors: Tuple[Tuple[float, float], ...]
     class_names: Tuple[str, ...]
     input_size: int = 416
     conf_threshold: float = 0.5
@@ -92,6 +126,19 @@ class ModelConfig:
     @property
     def grid_size(self) -> int:
         return self.input_size // 32
+
+    @property
+    def head_kind(self) -> str:
+        """"region" (yolov2 [region], softmax classes, cell-unit anchors)
+        or "yolo" (yolov3 [yolo] multi-head, sigmoid classes, pixel-unit
+        anchors) — derived from the layer list."""
+        return ("yolo" if any(isinstance(l, YoloHead) for l in self.layers)
+                else "region")
+
+    @property
+    def yolo_heads(self) -> Tuple[YoloHead, ...]:
+        """[yolo] layers in graph order (empty for the region family)."""
+        return tuple(l for l in self.layers if isinstance(l, YoloHead))
 
     def with_input_size(self, size: int) -> "ModelConfig":
         if size % 32 != 0:

@@ -1,12 +1,21 @@
 """Model variants. Topologies and anchors are pinned by the darknet cfg
 files the reference's weights come from (SURVEY.md §2.1 [PAPER]):
 yolov2-tiny-voc.cfg, yolov2-voc.cfg, yolov2.cfg (COCO), and
-yolov2-tiny.cfg (COCO — same tiny topology, COCO anchors/classes)."""
+yolov2-tiny.cfg (COCO — same tiny topology, COCO anchors/classes).
+
+Beyond the yolov2-only reference surface, the yolov3 family (yolov3.cfg,
+yolov3-tiny.cfg — Darknet-53 residual backbone, FPN-style multi-scale
+[yolo] heads) is pinned the same way: both topologies reproduce the
+official .weights byte counts exactly (248,007,048 and 35,434,956 bytes
+= 20-byte header + 62,001,757 / 8,858,734 fp32 params), which only the
+correct layer lists produce (tests/test_zoo.py enforces the derivation).
+"""
 
 from __future__ import annotations
 
 from yolo_tpu.configs.names import COCO_NAMES, VOC_NAMES
-from yolo_tpu.configs.specs import Conv, MaxPool, ModelConfig, Reorg, Route
+from yolo_tpu.configs.specs import (Conv, MaxPool, ModelConfig, Reorg,
+                                    Route, Shortcut, Upsample, YoloHead)
 
 # Anchors in 13x13-cell units [SURVEY.md §5.6, cfg-pinned].
 TINY_VOC_ANCHORS = (
@@ -118,11 +127,120 @@ TINY_YOLOV2_COCO = ModelConfig(
     input_size=416,
 )
 
+# ---------------------------------------------------------------------------
+# yolov3 family (multi-scale [yolo] heads; anchors in net-input PIXELS)
+# ---------------------------------------------------------------------------
+
+YOLOV3_ANCHORS = (
+    (10, 13), (16, 30), (33, 23), (30, 61), (62, 45), (59, 119),
+    (116, 90), (156, 198), (373, 326),
+)
+YOLOV3_TINY_ANCHORS = (
+    (10, 14), (23, 27), (37, 58), (81, 82), (135, 169), (344, 319),
+)
+
+
+def _res_block(ch: int):
+    """Darknet-53 residual block: 1x1 half-width, 3x3, shortcut -3."""
+    return (Conv(ch // 2, 1), Conv(ch), Shortcut(-3))
+
+
+def _yolov3_layers(num_out: int):
+    """yolov3.cfg: Darknet-53 backbone (stride-2 convs, residual stages
+    of 1/2/8/8/4 blocks) + 3-scale FPN head. Layer indices match
+    darknet's; Route/Shortcut offsets are verbatim from the cfg
+    (route -1,61 and -1,36 reach the 512- and 256-stage tails)."""
+    layers = [
+        Conv(32),                       # 0
+        Conv(64, stride=2),             # 1
+        *_res_block(64),                # 2-4
+        Conv(128, stride=2),            # 5
+        *_res_block(128), *_res_block(128),          # 6-11
+        Conv(256, stride=2),            # 12
+    ]
+    for _ in range(8):
+        layers += _res_block(256)       # 13-36 (tail: 36)
+    layers.append(Conv(512, stride=2))  # 37
+    for _ in range(8):
+        layers += _res_block(512)       # 38-61 (tail: 61)
+    layers.append(Conv(1024, stride=2))  # 62
+    for _ in range(4):
+        layers += _res_block(1024)      # 63-74
+    layers += [
+        Conv(512, 1), Conv(1024), Conv(512, 1),      # 75-77
+        Conv(1024), Conv(512, 1), Conv(1024),        # 78-80
+        Conv(num_out, size=1, bn=False, act="linear"),  # 81
+        YoloHead((6, 7, 8)),            # 82 (13x13)
+        Route((-4,)),                   # 83 -> 79
+        Conv(256, 1),                   # 84
+        Upsample(2),                    # 85
+        Route((-1, 61)),                # 86 -> concat(85, 61) = 768ch
+        Conv(256, 1), Conv(512), Conv(256, 1),       # 87-89
+        Conv(512), Conv(256, 1), Conv(512),          # 90-92
+        Conv(num_out, size=1, bn=False, act="linear"),  # 93
+        YoloHead((3, 4, 5)),            # 94 (26x26)
+        Route((-4,)),                   # 95 -> 91
+        Conv(128, 1),                   # 96
+        Upsample(2),                    # 97
+        Route((-1, 36)),                # 98 -> concat(97, 36) = 384ch
+        Conv(128, 1), Conv(256), Conv(128, 1),       # 99-101
+        Conv(256), Conv(128, 1), Conv(256),          # 102-104
+        Conv(num_out, size=1, bn=False, act="linear"),  # 105
+        YoloHead((0, 1, 2)),            # 106 (52x52)
+    ]
+    return tuple(layers)
+
+
+def _yolov3_tiny_layers(num_out: int):
+    """yolov3-tiny.cfg: the tiny conv/pool trunk (stride-1 pool #6, as
+    in tiny-yolov2) + 2-scale head. The second [yolo] mask is (1, 2, 3)
+    — the official cfg's well-known quirk (anchor 0 unused), kept
+    verbatim for weights fidelity."""
+    return (
+        Conv(16), MaxPool(2, 2),        # 0-1
+        Conv(32), MaxPool(2, 2),        # 2-3
+        Conv(64), MaxPool(2, 2),        # 4-5
+        Conv(128), MaxPool(2, 2),       # 6-7
+        Conv(256), MaxPool(2, 2),       # 8-9
+        Conv(512), MaxPool(2, 1),       # 10-11 (stride-1 SAME pool)
+        Conv(1024),                     # 12
+        Conv(256, 1),                   # 13
+        Conv(512),                      # 14
+        Conv(num_out, size=1, bn=False, act="linear"),  # 15
+        YoloHead((3, 4, 5)),            # 16 (13x13)
+        Route((-4,)),                   # 17 -> 13
+        Conv(128, 1),                   # 18
+        Upsample(2),                    # 19
+        Route((-1, 8)),                 # 20 -> concat(19, 8) = 384ch
+        Conv(256),                      # 21
+        Conv(num_out, size=1, bn=False, act="linear"),  # 22
+        YoloHead((1, 2, 3)),            # 23 (26x26)
+    )
+
+
+YOLOV3_COCO = ModelConfig(
+    name="yolov3-coco",
+    layers=_yolov3_layers(3 * (5 + 80)),
+    anchors=YOLOV3_ANCHORS,
+    class_names=COCO_NAMES,
+    input_size=416,
+)
+
+YOLOV3_TINY_COCO = ModelConfig(
+    name="yolov3-tiny-coco",
+    layers=_yolov3_tiny_layers(3 * (5 + 80)),
+    anchors=YOLOV3_TINY_ANCHORS,
+    class_names=COCO_NAMES,
+    input_size=416,
+)
+
 VARIANTS = {
     "tiny-voc": TINY_YOLOV2_VOC,
     "voc": YOLOV2_VOC,
     "coco": YOLOV2_COCO,
     "tiny-coco": TINY_YOLOV2_COCO,
+    "yolov3": YOLOV3_COCO,
+    "yolov3-tiny": YOLOV3_TINY_COCO,
 }
 
 

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yolo_tpu.configs.specs import Conv, LayerSpec, MaxPool, Reorg, Route, resolve_route
+from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
+                                    Shortcut, Upsample, YoloHead,
+                                    resolve_route)
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
 
@@ -131,7 +133,9 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
     layout; the FIRST conv consumes it via dimension_numbers and emits
     NHWC (only valid when the first layer is a Conv).
 
-    Returns logits (B, S, S, A*(5+C)) in fp32; when train=True returns
+    Returns logits (B, S, S, A*(5+C)) in fp32 — or, when the layer list
+    contains YoloHead markers (yolov3 family), a TUPLE of per-head logit
+    arrays in cfg order; when train=True returns
     (logits, new_bn_stats) where new_bn_stats is a dict {conv_idx: stats};
     return_all=True returns every layer's output (layer-by-layer parity
     testing, SURVEY.md §4.2.3). remat=True rematerializes each conv
@@ -141,6 +145,7 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
     if input_layout != "NHWC" and not isinstance(layers[0], Conv):
         raise ValueError("input_layout=NHCW needs a leading Conv layer")
     outputs: List[jnp.ndarray] = []
+    head_logits: List[jnp.ndarray] = []  # [yolo] layers' inputs, fp32
     bn_updates: Dict[int, Dict] = {}
     conv_i = 0
     for idx, layer in enumerate(layers):
@@ -171,15 +176,26 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         elif isinstance(layer, Route):
             srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
             x = jnp.concatenate(srcs, axis=-1)
+        elif isinstance(layer, Shortcut):
+            x = _activate(x + outputs[resolve_route(idx, layer.frm)],
+                          layer.act)
+        elif isinstance(layer, Upsample):
+            s = layer.stride
+            x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+        elif isinstance(layer, YoloHead):
+            head_logits.append(x.astype(jnp.float32))
+            # routed output = input (identity), keeping darknet indices
         else:
             raise TypeError(f"unknown layer spec {layer!r}")
         outputs.append(x)
     if return_all:
         return outputs
-    logits = x.astype(jnp.float32)
+    # yolov3 family: the outputs are the [yolo] layers' inputs, coarsest
+    # head first (cfg order); yolov2 family: the last layer's output.
+    result = tuple(head_logits) if head_logits else x.astype(jnp.float32)
     if train:
-        return logits, bn_updates
-    return logits
+        return result, bn_updates
+    return result
 
 
 def fold_params(layers: Sequence[LayerSpec], params: Params,

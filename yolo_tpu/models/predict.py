@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
-from yolo_tpu.ops.decode import decode
+from yolo_tpu.ops.decode import decode, decode_yolo
 from yolo_tpu.ops.letterbox import letterbox, unletterbox_boxes_xyxy
 from yolo_tpu.ops.nms import nms_batch
 
@@ -63,6 +63,16 @@ def _postprocess(cfg: ModelConfig, logits, *,
                  nms_impl: str = "auto", head: str = "auto"):
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
+    if cfg.head_kind == "yolo":
+        # yolov3 family: multi-head [yolo] decode (sigmoid classes,
+        # pixel anchors); the fused objectness-prefilter head is
+        # region-only, so every mode runs the reference NMS path
+        boxes, scores = decode_yolo(
+            logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
+            cfg.num_classes, cfg.input_size)
+        return nms_batch(
+            boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
+            top_k=top_k, max_detections=max_detections, impl=nms_impl)
     if head == "auto":
         # fused head is exact only while few boxes clear the threshold;
         # at PR-curve thresholds fall back to the reference path

@@ -42,3 +42,41 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int):
     scores = conf[..., None] * probs
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)
     return boxes.reshape(b, -1, 4), scores.reshape(b, -1, num_classes)
+
+
+def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
+                net_size: int):
+    """YOLOv3-family [yolo] decode, all heads merged (darknet
+    yolo_layer semantics — sigmoid xy/conf, exp wh on PIXEL anchors,
+    independent sigmoid class probs; no softmax, no tw/th clamp).
+
+      head_logits: sequence of (B, Hs, Ws, As*(5+C)) raw head outputs
+      anchors_px:  full anchor list, pixel units of the net input
+      masks:       per-head index tuples into anchors_px
+
+    Returns boxes (B, N, 4) xywh and scores (B, N, C) normalized to net
+    space, N = sum over heads of Hs*Ws*As — same convention as decode(),
+    so the NMS/un-letterbox path is shared. fp32 throughout.
+    """
+    anchors_px = jnp.asarray(anchors_px, dtype=jnp.float32)
+    all_boxes, all_scores = [], []
+    for logits, mask in zip(head_logits, masks):
+        b, h, w, _ = logits.shape
+        a = len(mask)
+        t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
+        anch = anchors_px[jnp.asarray(mask)]  # (A, 2) pixels
+
+        cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+        cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+        bx = (jax.nn.sigmoid(t[..., 0]) + cx) / w
+        by = (jax.nn.sigmoid(t[..., 1]) + cy) / h
+        bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
+        bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+        conf = jax.nn.sigmoid(t[..., 4])
+        probs = jax.nn.sigmoid(t[..., 5:])
+        all_boxes.append(
+            jnp.stack([bx, by, bw, bh], axis=-1).reshape(b, -1, 4))
+        all_scores.append(
+            (conf[..., None] * probs).reshape(b, -1, num_classes))
+    return (jnp.concatenate(all_boxes, axis=1),
+            jnp.concatenate(all_scores, axis=1))

@@ -126,6 +126,40 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
     return boxes.reshape(-1, 4), scores.reshape(-1, num_classes)
 
 
+def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
+                net_size: int):
+    """YOLOv3 [yolo]-layer decode oracle for ONE image, loop-level
+    (darknet yolo_layer semantics: sigmoid xy/conf, exp wh on pixel
+    anchors, INDEPENDENT sigmoid class probs — no softmax).
+
+      head_logits: list of (Hs, Ws, As*(5+C)) raw head outputs
+      anchors_px:  full anchor list in net-input pixels
+      masks:       per-head tuples of indices into anchors_px
+
+    Returns (boxes (N, 4) xywh, scores (N, C)) normalized to net space,
+    heads concatenated in order.
+    """
+    boxes_out, scores_out = [], []
+    for logits, mask in zip(head_logits, masks):
+        h, w, _ = logits.shape
+        a = len(mask)
+        t = logits.reshape(h, w, a, 5 + num_classes).astype(np.float64)
+        for j in range(h):
+            for i in range(w):
+                for n in range(a):
+                    pw, ph = anchors_px[mask[n]]
+                    tx, ty, tw, th, to = t[j, i, n, :5]
+                    bx = (sigmoid(tx) + i) / w
+                    by = (sigmoid(ty) + j) / h
+                    bw = pw * np.exp(tw) / net_size
+                    bh = ph * np.exp(th) / net_size
+                    conf = sigmoid(to)
+                    probs = sigmoid(t[j, i, n, 5:])
+                    boxes_out.append([bx, by, bw, bh])
+                    scores_out.append(conf * probs)
+    return np.asarray(boxes_out), np.asarray(scores_out)
+
+
 # ---------------------------------------------------------------------------
 # IoU + greedy per-class NMS (darknet do_nms_sort behavior)
 # ---------------------------------------------------------------------------
