@@ -190,8 +190,8 @@ class TestParse:
             p.write_text(body)
             return str(p)
 
-        with pytest.raises(ValueError, match="not a yolov2-family"):
-            config_from_cfg(write("[net]\nwidth=416\n[shortcut]\nfrom=-3\n"))
+        with pytest.raises(ValueError, match="not a supported darknet"):
+            config_from_cfg(write("[net]\nwidth=416\n[lstm]\noutput=256\n"))
         with pytest.raises(ValueError, match="unsupported activation"):
             config_from_cfg(write(
                 "[net]\nwidth=416\n[convolutional]\nfilters=8\n"
@@ -314,7 +314,8 @@ def test_cfg_roundtrip_all_variants(tmp_path):
     from yolo_tpu.configs import get_variant
     from yolo_tpu.configs.darknet_cfg import cfg_to_string
 
-    for v in ("tiny-voc", "voc", "coco", "tiny-coco"):
+    for v in ("tiny-voc", "voc", "coco", "tiny-coco",
+              "yolov3", "yolov3-tiny"):
         cfg = get_variant(v)
         p = tmp_path / f"{v}.cfg"
         p.write_text(cfg_to_string(cfg))

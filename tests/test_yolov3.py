@@ -224,6 +224,283 @@ def test_end_to_end_boxes_parity():
         np.testing.assert_allclose(gb, bb, rtol=1e-3, atol=1e-4)
 
 
+YOLOV3_TINY_CFG = """\
+[net]
+width=416
+height=416
+channels=3
+momentum=0.9
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=256
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=512
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=1
+
+[convolutional]
+batch_normalize=1
+filters=1024
+size=3
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=256
+size=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=512
+size=3
+pad=1
+activation=leaky
+
+[convolutional]
+filters=255
+size=1
+activation=linear
+
+[yolo]
+mask = 3,4,5
+anchors = 10,14,  23,27,  37,58,  81,82,  135,169,  344,319
+classes=80
+num=6
+ignore_thresh = .7
+
+[route]
+layers = -4
+
+[convolutional]
+batch_normalize=1
+filters=128
+size=1
+pad=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[route]
+layers = -1, 8
+
+[convolutional]
+batch_normalize=1
+filters=256
+size=3
+pad=1
+activation=leaky
+
+[convolutional]
+filters=255
+size=1
+activation=linear
+
+[yolo]
+mask = 1,2,3
+anchors = 10,14,  23,27,  37,58,  81,82,  135,169,  344,319
+classes=80
+num=6
+ignore_thresh = .7
+"""
+
+
+class TestCfgParser:
+    def test_yolov3_tiny_reproduced_from_cfg_text(self, tmp_path):
+        """The official-structure yolov3-tiny cfg parses to exactly the
+        pinned variant (layers, anchors, classes)."""
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "yolov3-tiny.cfg"
+        p.write_text(YOLOV3_TINY_CFG)
+        got = config_from_cfg(str(p))
+        assert got.layers == YOLOV3_TINY_COCO.layers
+        assert got.anchors == YOLOV3_TINY_COCO.anchors
+        assert got.num_classes == 80
+        assert got.head_kind == "yolo"
+
+    def test_mask_out_of_range(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 2\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        with pytest.raises(ValueError, match="mask"):
+            config_from_cfg(str(p))
+
+    def test_mixed_region_and_yolo_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "mixed.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n"
+            "[region]\nanchors = 1,1, 2,2\nclasses=4\nnum=2\n")
+        with pytest.raises(ValueError, match="mixed"):
+            config_from_cfg(str(p))
+
+    def test_head_conv_filters_validated(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "badfilters.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=10\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        with pytest.raises(ValueError, match="len.mask"):
+            config_from_cfg(str(p))
+
+    def test_route_stride_mismatch_rejected(self, tmp_path):
+        """Concatenating feature maps of different strides is a graph
+        bug the parser must catch (missing upsample)."""
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "strides.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[route]\nlayers = -1, -2\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        with pytest.raises(ValueError, match="stride"):
+            config_from_cfg(str(p))
+
+    def test_layer_strides_yolov3(self):
+        from yolo_tpu.configs.darknet_cfg import layer_strides
+
+        strides = layer_strides(YOLOV3_COCO.layers)
+        head_strides = [strides[i] for i, l in enumerate(YOLOV3_COCO.layers)
+                        if isinstance(l, YoloHead)]
+        assert head_strides == [32, 16, 8]
+
+
+class TestCli:
+    @pytest.fixture
+    def v3_weights(self, tmp_path):
+        cfg = YOLOV3_TINY_COCO
+        rng = np.random.default_rng(9)
+        p = tmp_path / "v3tiny.weights"
+        dw.save(str(p), cfg.layers, dw.random_params(cfg.layers, rng))
+        return str(p)
+
+    @pytest.fixture
+    def sample_image(self, tmp_path):
+        import cv2
+
+        p = tmp_path / "img.png"
+        cv2.imwrite(str(p), np.random.default_rng(3).integers(
+            0, 255, (60, 80, 3), dtype=np.uint8))
+        return str(p)
+
+    def test_predict_e2e(self, v3_weights, sample_image, capsys):
+        import json
+
+        from yolo_tpu import cli
+
+        cli.main(["predict", "--model", "yolov3-tiny", "--input-size",
+                  "96", "--weights", v3_weights, "--image", sample_image,
+                  "--conf", "0.3", "--precision", "fp32"])
+        for line in capsys.readouterr().out.strip().splitlines():
+            d = json.loads(line)
+            assert set(d) == {"class", "score", "box_xyxy"}
+            assert 0 <= d["score"] <= 1
+
+    def test_predict_int8_e2e(self, v3_weights, sample_image, capsys):
+        import json
+
+        from yolo_tpu import cli
+
+        cli.main(["predict", "--model", "yolov3-tiny", "--input-size",
+                  "96", "--weights", v3_weights, "--image", sample_image,
+                  "--conf", "0.3", "--precision", "int8"])
+        out = capsys.readouterr()
+        assert "int8 PTQ: calibrated" in out.err
+        for line in out.out.strip().splitlines():
+            assert 0 <= json.loads(line)["score"] <= 1
+
+    def test_train_rejects_yolo_head(self, v3_weights, tmp_path):
+        from yolo_tpu import cli
+
+        with pytest.raises(SystemExit, match="yolov3-family training"):
+            cli.main(["train", "--model", "yolov3-tiny",
+                      "--weights", v3_weights,
+                      "--voc-root", str(tmp_path), "--epochs", "1"])
+
 def test_folded_bn_matches_unfolded():
     cfg = _small(YOLOV3_TINY_COCO)
     rng = np.random.default_rng(1)

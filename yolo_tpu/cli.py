@@ -23,10 +23,11 @@ import numpy as np
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
-                   choices=["tiny-voc", "voc", "coco", "tiny-coco"])
+                   choices=["tiny-voc", "voc", "coco", "tiny-coco",
+                            "yolov3", "yolov3-tiny"])
     p.add_argument("--cfg", default=None,
                    help="darknet .cfg file (overrides --model; any "
-                        "yolov2-family topology)")
+                        "yolov2/yolov3-family topology)")
     p.add_argument("--names", default=None,
                    help="darknet .names file (class names for --cfg)")
     p.add_argument("--input-size", type=int, default=None,
@@ -337,6 +338,11 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
+    if cfg.head_kind == "yolo":
+        raise SystemExit(
+            "yolov3-family training is not supported yet (inference, "
+            "eval, and export all work); train supports the "
+            "yolov2/region family")
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
     decay_steps, decay_scales = (), ()

@@ -6,12 +6,13 @@ counts, pruned filters, different anchors — runs unmodified:
     python -m yolo_tpu.cli predict --cfg my.cfg --names my.names \
         --weights my.weights --image dog.jpg
 
-Supported sections (the yolov2 family): [net] (width/height/channels),
-[convolutional] (batch_normalize, filters, size, stride, activation
-leaky|linear), [maxpool] (size, stride), [route] (layers), [reorg]
-(stride), [region] (anchors, classes). Anything else — yolov3
-[shortcut]/[upsample]/[yolo], training-only keys — raises a clear error
-rather than silently mis-building the graph.
+Supported sections: [net] (width/height/channels), [convolutional]
+(batch_normalize, filters, size, stride, activation leaky|linear),
+[maxpool] (size, stride), [route] (layers), [reorg] (stride), [region]
+(anchors, classes) — the yolov2 family — plus the yolov3 family:
+[shortcut] (from, activation), [upsample] (stride), [yolo] (mask,
+anchors in net-input pixels, classes, num). Anything else raises a
+clear error rather than silently mis-building the graph.
 """
 
 from __future__ import annotations
@@ -19,10 +20,10 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from yolo_tpu.configs.specs import (Conv, MaxPool, ModelConfig, Reorg,
-                                    Route)
+                                    Route, Shortcut, Upsample, YoloHead)
 
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
-              "region"}
+              "region", "shortcut", "upsample", "yolo"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -59,11 +60,12 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     input_size = 416
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
+    saw_region = False
 
     for kind, kv in sections:
         if kind not in _SUPPORTED:
             raise ValueError(
-                f"[{kind}] is not a yolov2-family section "
+                f"[{kind}] is not a supported darknet section "
                 f"(supported: {sorted(_SUPPORTED)})")
         if kind == "net":
             w = int(kv.get("width", 416))
@@ -77,8 +79,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             act = kv.get("activation", "logistic")
             if act not in ("leaky", "linear"):
                 raise ValueError(f"unsupported activation '{act}'")
-            if int(kv.get("stride", 1)) != 1:
-                raise ValueError("strided conv not in the yolov2 family")
+            stride = int(kv.get("stride", 1))
+            if stride < 1:
+                raise ValueError(f"conv stride must be >= 1, got {stride}")
             size = int(kv.get("size", 1))
             # darknet: padding = size//2 if pad else explicit `padding`
             # (default 0); the executor supports SAME (size//2) only —
@@ -93,6 +96,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(Conv(
                 filters=int(kv["filters"]),
                 size=size,
+                stride=stride,
                 bn=bool(int(kv.get("batch_normalize", 0))),
                 act=act))
         elif kind == "maxpool":
@@ -104,7 +108,31 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(Route(rels))
         elif kind == "reorg":
             layers.append(Reorg(int(kv.get("stride", 2))))
+        elif kind == "shortcut":
+            act = kv.get("activation", "linear")
+            if act not in ("leaky", "linear"):
+                raise ValueError(f"unsupported shortcut activation '{act}'")
+            layers.append(Shortcut(int(kv["from"]), act=act))
+        elif kind == "upsample":
+            layers.append(Upsample(int(kv.get("stride", 2))))
+        elif kind == "yolo":
+            mask = tuple(int(v) for v in kv["mask"].split(","))
+            layers.append(YoloHead(mask))
+            vals = [float(v) for v in kv["anchors"].split(",")]
+            n = int(kv.get("num", len(vals) // 2))
+            head_anchors = tuple((vals[2 * i], vals[2 * i + 1])
+                                 for i in range(n))
+            head_classes = int(kv.get("classes", 20))
+            if anchors and (head_anchors != anchors
+                            or head_classes != num_classes):
+                raise ValueError(
+                    "[yolo] sections must share one anchors/classes set")
+            anchors, num_classes = head_anchors, head_classes
+            if any(m < 0 or m >= n for m in mask):
+                raise ValueError(f"[yolo] mask {mask} out of range for "
+                                 f"num={n} anchors")
         elif kind == "region":
+            saw_region = True
             vals = [float(v) for v in kv["anchors"].split(",")]
             n = int(kv.get("num", len(vals) // 2))
             anchors = tuple((vals[2 * i], vals[2 * i + 1])
@@ -117,33 +145,54 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     if not layers:
         raise ValueError(f"{cfg_path}: no layers found")
     if num_classes is None:
-        raise ValueError(f"{cfg_path}: no [region] section")
+        raise ValueError(f"{cfg_path}: no [region] or [yolo] section")
+
+    yolo_heads = [(i, l) for i, l in enumerate(layers)
+                  if isinstance(l, YoloHead)]
+    if saw_region and yolo_heads:
+        raise ValueError(f"{cfg_path}: [region] and [yolo] sections "
+                         f"cannot be mixed")
 
     class_names = (load_names(names_path) if names_path
                    else tuple(f"class{i}" for i in range(num_classes)))
     if len(class_names) != num_classes:
         raise ValueError(
-            f"[region] classes={num_classes} but names file has "
+            f"classes={num_classes} but names file has "
             f"{len(class_names)} entries")
 
-    expected_out = len(anchors) * (5 + num_classes)
-    last = layers[-1]
-    if not isinstance(last, Conv) or last.filters != expected_out:
-        raise ValueError(
-            f"final conv must output num*(5+classes)={expected_out} "
-            f"channels, got {getattr(last, 'filters', last)}")
+    if yolo_heads:
+        # yolov3 family: each [yolo] layer's input conv must emit
+        # len(mask)*(5+classes) channels
+        for i, head in yolo_heads:
+            prev = layers[i - 1] if i else None
+            expected_out = len(head.mask) * (5 + num_classes)
+            if not isinstance(prev, Conv) or prev.filters != expected_out:
+                raise ValueError(
+                    f"layer {i - 1}: conv before [yolo] mask={head.mask} "
+                    f"must output len(mask)*(5+classes)={expected_out} "
+                    f"channels, got {getattr(prev, 'filters', prev)}")
+        _validate_strides(layers, input_size)
+    else:
+        expected_out = len(anchors) * (5 + num_classes)
+        last = layers[-1]
+        if not isinstance(last, Conv) or last.filters != expected_out:
+            raise ValueError(
+                f"final conv must output num*(5+classes)={expected_out} "
+                f"channels, got {getattr(last, 'filters', last)}")
 
-    downsample = 1
-    for l in layers:
-        if isinstance(l, MaxPool):
-            downsample *= l.stride
-    if downsample != 32:
-        # inference derives the grid from the feature shape, but the
-        # GT encoder pins grid = input/32 (data/targets.py) — reject
-        # rather than silently mis-train
-        raise ValueError(
-            f"trunk downsample must be 32 for the yolov2 region head, "
-            f"got {downsample} (pool strides)")
+        downsample = 1
+        for l in layers:
+            if isinstance(l, MaxPool):
+                downsample *= l.stride
+            elif isinstance(l, Conv):
+                downsample *= l.stride
+        if downsample != 32:
+            # inference derives the grid from the feature shape, but the
+            # GT encoder pins grid = input/32 (data/targets.py) — reject
+            # rather than silently mis-train
+            raise ValueError(
+                f"trunk downsample must be 32 for the yolov2 region head, "
+                f"got {downsample} (pool/conv strides)")
 
     import os
 
@@ -153,16 +202,61 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         input_size=input_size)
 
 
+def layer_strides(layers: Sequence) -> List[int]:
+    """Feature stride (net pixels per cell) after each layer, walking the
+    graph: conv/maxpool strides multiply, upsample divides, route takes
+    its sources' (agreeing) stride, shortcut/yolo pass through."""
+    from yolo_tpu.configs.specs import resolve_route
+
+    strides: List[int] = []
+    cur = 1
+    for idx, l in enumerate(layers):
+        if isinstance(l, (Conv, MaxPool)):
+            cur = cur * l.stride
+        elif isinstance(l, Upsample):
+            if cur % l.stride:
+                raise ValueError(
+                    f"layer {idx}: upsample stride {l.stride} does not "
+                    f"divide feature stride {cur}")
+            cur = cur // l.stride
+        elif isinstance(l, Route):
+            srcs = {strides[resolve_route(idx, r)] for r in l.layers}
+            if len(srcs) != 1:
+                raise ValueError(
+                    f"layer {idx}: route sources have mismatched feature "
+                    f"strides {sorted(srcs)} — cannot concatenate")
+            cur = srcs.pop()
+        elif isinstance(l, Shortcut):
+            src = strides[resolve_route(idx, l.frm)]
+            if src != cur:
+                raise ValueError(
+                    f"layer {idx}: shortcut across feature strides "
+                    f"{src} vs {cur}")
+        strides.append(cur)
+    return strides
+
+
+def _validate_strides(layers: Sequence, input_size: int) -> None:
+    strides = layer_strides(layers)
+    for idx, l in enumerate(layers):
+        if isinstance(l, YoloHead) and input_size % strides[idx]:
+            raise ValueError(
+                f"layer {idx}: [yolo] feature stride {strides[idx]} does "
+                f"not divide net size {input_size}")
+
+
 def cfg_to_string(cfg: ModelConfig) -> str:
     """ModelConfig -> darknet .cfg text (inverse of config_from_cfg; the
     companion of io/darknet_weights.save for full darknet round-trip)."""
     out = [f"[net]\nwidth={cfg.input_size}\nheight={cfg.input_size}\n"
            f"channels=3\n"]
+    anchors = ", ".join(f"{w:g},{h:g}" for w, h in cfg.anchors)
     for l in cfg.layers:
         if isinstance(l, Conv):
             out.append("[convolutional]\n"
                        + ("batch_normalize=1\n" if l.bn else "")
-                       + f"filters={l.filters}\nsize={l.size}\nstride=1\n"
+                       + f"filters={l.filters}\nsize={l.size}\n"
+                       + f"stride={l.stride}\n"
                        + f"pad={1 if l.size > 1 else 0}\n"
                        + f"activation={l.act}\n")
         elif isinstance(l, MaxPool):
@@ -172,7 +266,17 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + ",".join(str(r) for r in l.layers) + "\n")
         elif isinstance(l, Reorg):
             out.append(f"[reorg]\nstride={l.stride}\n")
-    anchors = ", ".join(f"{w:g},{h:g}" for w, h in cfg.anchors)
-    out.append(f"[region]\nanchors = {anchors}\n"
-               f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")
+        elif isinstance(l, Shortcut):
+            out.append(f"[shortcut]\nfrom={l.frm}\nactivation={l.act}\n")
+        elif isinstance(l, Upsample):
+            out.append(f"[upsample]\nstride={l.stride}\n")
+        elif isinstance(l, YoloHead):
+            out.append("[yolo]\nmask = "
+                       + ",".join(str(m) for m in l.mask) + "\n"
+                       + f"anchors = {anchors}\n"
+                       + f"classes={cfg.num_classes}\n"
+                       + f"num={cfg.num_anchors}\n")
+    if cfg.head_kind == "region":
+        out.append(f"[region]\nanchors = {anchors}\n"
+                   f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")
     return "\n".join(out)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_tpu.configs.specs import Conv, LayerSpec, MaxPool, Reorg, Route, resolve_route
+from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
+                                    Shortcut, Upsample, resolve_route)
 from yolo_tpu.models import graph
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
@@ -59,6 +60,13 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             x = jnp.concatenate(
                 [outputs[resolve_route(idx, r)] for r in layer.layers],
                 axis=-1)
+        elif isinstance(layer, Shortcut):
+            x = graph._activate(x + outputs[resolve_route(idx, layer.frm)],
+                                layer.act)
+        elif isinstance(layer, Upsample):
+            x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
+                           layer.stride, axis=2)
+        # YoloHead: identity passthrough (output = input)
         outputs.append(x)
     return [m / 127.0 for m in maxes]
 
