@@ -54,3 +54,56 @@ def region_loss_np(logits, targets, anchors, num_classes, cfg, seen):
                                 (sx - 0.5) ** 2 + (sy - 0.5) ** 2 + tw ** 2 + th ** 2)
     parts = {k: v / b for k, v in parts.items()}
     return sum(parts.values()), parts
+
+
+def _bce_np(logit, target):
+    return max(logit, 0.0) - logit * target + np.log1p(np.exp(-abs(logit)))
+
+
+def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
+                 net_size, cfg):
+    """Loop-level numpy oracle for the yolov3 multi-head loss
+    (train/loss.py::yolo_loss)."""
+    anchors_px = np.asarray(anchors_px, dtype=np.float64)
+    c = num_classes
+    b = head_logits[0].shape[0]
+    parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class")}
+
+    for h, (logits, mask) in enumerate(zip(head_logits, masks)):
+        _, s, _, _ = logits.shape
+        a = len(mask)
+        t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
+        for bi in range(b):
+            gt = [targets["gt_boxes"][bi][g]
+                  for g in range(len(targets["gt_mask"][bi]))
+                  if targets["gt_mask"][bi][g] > 0]
+            for j in range(s):
+                for i in range(s):
+                    for ai in range(a):
+                        v = t[bi, j, i, ai]
+                        pw, ph = anchors_px[mask[ai]]
+                        pbox = np.array([
+                            (sigmoid(v[0]) + i) / s,
+                            (sigmoid(v[1]) + j) / s,
+                            pw * np.exp(v[2]) / net_size,
+                            ph * np.exp(v[3]) / net_size,
+                        ])
+                        assigned = targets[f"obj_mask_{h}"][bi, j, i, ai] > 0
+                        best_iou = max((iou_xywh(pbox, g) for g in gt),
+                                       default=0.0)
+                        if assigned:
+                            tc = targets[f"tcoord_{h}"][bi, j, i, ai]
+                            w = targets[f"coord_w_{h}"][bi, j, i, ai]
+                            parts["coord"] += w * (
+                                _bce_np(v[0], tc[0]) + _bce_np(v[1], tc[1])
+                                + 0.5 * ((v[2] - tc[2]) ** 2
+                                         + (v[3] - tc[3]) ** 2))
+                            parts["obj"] += _bce_np(v[4], 1.0)
+                            cls = targets[f"tcls_{h}"][bi, j, i, ai]
+                            for k in range(c):
+                                parts["class"] += _bce_np(
+                                    v[5 + k], 1.0 if k == cls else 0.0)
+                        elif best_iou < cfg.ignore_thresh:
+                            parts["noobj"] += _bce_np(v[4], 0.0)
+    parts = {k: v / b for k, v in parts.items()}
+    return sum(parts.values()), parts

@@ -338,11 +338,6 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
-    if cfg.head_kind == "yolo":
-        raise SystemExit(
-            "yolov3-family training is not supported yet (inference, "
-            "eval, and export all work); train supports the "
-            "yolov2/region family")
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
     decay_steps, decay_scales = (), ()
@@ -459,13 +454,13 @@ def cmd_train(args) -> None:
                     anchors=cfg.anchors, num_classes=cfg.num_classes,
                     net_size=cfg.input_size, batch_size=args.batch,
                     seed=args.seed + epoch,
-                    worker_count=args.loader_workers)
+                    worker_count=args.loader_workers, model_cfg=cfg)
             else:
                 host_iter = train_batches(
                     pairs, class_names=cfg.class_names, anchors=cfg.anchors,
                     num_classes=cfg.num_classes, net_size=cfg.input_size,
                     batch_size=args.batch, rng=rng, size_for_batch=size_fn,
-                    augment_cfg=aug_cfg)
+                    augment_cfg=aug_cfg, model_cfg=cfg)
             for batch in DevicePrefetcher(host_iter, depth=2,
                                           sharding=sharding):
                 state, metrics = step_fn(state, batch)

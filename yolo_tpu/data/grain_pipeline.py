@@ -22,7 +22,8 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _prepare(sample, *, class_names, anchors, num_classes, net_size):
+def _prepare(sample, *, class_names, anchors, num_classes, net_size,
+             model_cfg=None):
     """(image_path, annotation) -> one fixed-shape training record."""
     from yolo_tpu.data import targets as tgt
     from yolo_tpu.data.pipeline import letterbox_boxes, load_image_rgb
@@ -40,8 +41,12 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size):
     h, w = img.shape[:2]
     image = letterbox_batch(img[None], net_size, n_threads=1)[0]
     boxes = letterbox_boxes(boxes, w, h, net_size)
-    enc = tgt.encode(boxes, classes, grid=net_size // 32,
-                     anchors=anchors, num_classes=num_classes)
+    if model_cfg is not None:
+        enc = tgt.encode_for(model_cfg, boxes, classes,
+                             input_size=net_size)
+    else:
+        enc = tgt.encode(boxes, classes, grid=net_size // 32,
+                         anchors=anchors, num_classes=num_classes)
     enc["images"] = image
     return enc
 
@@ -50,7 +55,7 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         class_names, anchors, num_classes: int,
                         net_size: int, batch_size: int, seed: int = 0,
                         num_epochs: Optional[int] = 1,
-                        worker_count: int = 0) -> Iterator:
+                        worker_count: int = 0, model_cfg=None) -> Iterator:
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
 
@@ -78,7 +83,8 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
         def map(self, sample):
             return _prepare(sample, class_names=class_names,
                             anchors=np.asarray(anchors, np.float32),
-                            num_classes=num_classes, net_size=net_size)
+                            num_classes=num_classes, net_size=net_size,
+                            model_cfg=model_cfg)
 
     sampler = gp.IndexSampler(
         num_records=len(pairs), shard_options=gp.NoSharding(),

@@ -193,7 +193,7 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                   anchors, num_classes: int, net_size: int, batch_size: int,
                   rng: np.random.Generator, workers: int = 8,
                   shuffle: bool = True, size_for_batch=None,
-                  augment_cfg=None) -> Iterator[Dict]:
+                  augment_cfg=None, model_cfg=None) -> Iterator[Dict]:
     """(image, annotation) pairs -> fixed-shape train batches: letterboxed
     images in [0,1] + encoded GT targets (data/targets.py). One epoch.
     The annotation may be a VOC XML path (str) or a pre-parsed dict in
@@ -244,15 +244,22 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                 size = size_for_batch(bi) or size
             idxs = order[bi * batch_size:(bi + 1) * batch_size]
             chunk = list(pool.map(lambda i: prepare(i, size), idxs))
-            yield _assemble(chunk, size // 32, anchors, num_classes)
+            yield _assemble(chunk, size, anchors, num_classes, model_cfg)
 
 
-def _assemble(chunk, grid, anchors, num_classes) -> Dict:
+def _assemble(chunk, size, anchors, num_classes, model_cfg=None) -> Dict:
+    """Stack one batch + encode GT. ``model_cfg`` enables head-kind
+    dispatch (yolov3 multi-head targets); the legacy (anchors,
+    num_classes) pair encodes the region head."""
     from yolo_tpu.data import targets as tgt
 
     images = np.stack([c[0] for c in chunk])
-    enc = tgt.encode_batch([c[1] for c in chunk], [c[2] for c in chunk],
-                           grid=grid, anchors=anchors,
-                           num_classes=num_classes)
+    boxes, classes = [c[1] for c in chunk], [c[2] for c in chunk]
+    if model_cfg is not None:
+        enc = tgt.encode_batch_for(model_cfg, boxes, classes,
+                                   input_size=size)
+    else:
+        enc = tgt.encode_batch(boxes, classes, grid=size // 32,
+                               anchors=anchors, num_classes=num_classes)
     enc["images"] = images
     return enc

@@ -82,3 +82,113 @@ def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid: int,
 def encode_batch(batch_boxes, batch_classes, **kw) -> Dict[str, np.ndarray]:
     encoded = [encode(b, c, **kw) for b, c in zip(batch_boxes, batch_classes)]
     return {k: np.stack([e[k] for e in encoded]) for k in encoded[0]}
+
+
+# ---------------------------------------------------------------------------
+# yolov3 family: multi-head assignment (darknet yolo_layer semantics)
+# ---------------------------------------------------------------------------
+
+MAX_GT_V3 = 90  # darknet yolo_layer reads up to 90 truths per image
+
+
+def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
+                input_size: int, anchors_px: Sequence,
+                masks: Sequence[Sequence[int]], strides: Sequence[int],
+                max_gt: int = MAX_GT_V3) -> Dict[str, np.ndarray]:
+    """Encode one image's GT for the yolov3 multi-head loss.
+
+    Darknet yolo_layer assignment: each GT box picks the best anchor by
+    wh-IoU at origin over ALL anchors (pixel units); that anchor belongs
+    to exactly one head (via the masks), which receives the target at
+    the cell containing the box center on that head's grid.
+
+    Returns flat keys per head h (loss/pipeline shard these like any
+    other batch array):
+      obj_mask_h (S,S,A)  tcoord_h (S,S,A,4)  tcls_h (S,S,A)
+      coord_w_h  (S,S,A)  [coord scale 2 - w*h]
+    plus shared gt_boxes (max_gt, 4) / gt_mask (max_gt,) for the
+    ignore-threshold objectness mask.
+    """
+    anchors_px = np.asarray(anchors_px, dtype=np.float32)
+    out: Dict[str, np.ndarray] = {
+        "gt_boxes": np.zeros((max_gt, 4), np.float32),
+        "gt_mask": np.zeros((max_gt,), np.float32),
+    }
+    grids = [input_size // st for st in strides]
+    for h, (mask, s) in enumerate(zip(masks, grids)):
+        a = len(mask)
+        out[f"obj_mask_{h}"] = np.zeros((s, s, a), np.float32)
+        out[f"tcoord_{h}"] = np.zeros((s, s, a, 4), np.float32)
+        out[f"tcls_{h}"] = np.zeros((s, s, a), np.int32)
+        out[f"coord_w_{h}"] = np.zeros((s, s, a), np.float32)
+
+    anchor_home = {}  # anchor index -> (head, slot)
+    for h, mask in enumerate(masks):
+        for slot, ai in enumerate(mask):
+            anchor_home[int(ai)] = (h, slot)
+
+    g = 0
+    for box, cls in zip(np.asarray(gt_boxes, np.float64), gt_classes):
+        cx, cy, w, h_ = box
+        if w <= 0 or h_ <= 0 or g >= max_gt:
+            continue
+        out["gt_boxes"][g] = box
+        out["gt_mask"][g] = 1.0
+        g += 1
+        ious = [_wh_iou(w * input_size, h_ * input_size, pw, ph)
+                for pw, ph in anchors_px]
+        best = int(np.argmax(ious))
+        if best not in anchor_home:
+            continue  # anchor in no mask (e.g. yolov3-tiny's anchor 0)
+        hd, slot = anchor_home[best]
+        s = grids[hd]
+        ci = min(int(cx * s), s - 1)
+        cj = min(int(cy * s), s - 1)
+        out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
+        out[f"tcoord_{hd}"][cj, ci, slot] = (
+            cx * s - ci,
+            cy * s - cj,
+            np.log(max(w * input_size / anchors_px[best, 0], 1e-9)),
+            np.log(max(h_ * input_size / anchors_px[best, 1], 1e-9)),
+        )
+        out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
+        out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
+    return out
+
+
+def encode_batch_yolo(batch_boxes, batch_classes, **kw) -> Dict[str, np.ndarray]:
+    encoded = [encode_yolo(b, c, **kw)
+               for b, c in zip(batch_boxes, batch_classes)]
+    return {k: np.stack([e[k] for e in encoded]) for k in encoded[0]}
+
+
+def _head_strides(model_cfg):
+    from yolo_tpu.configs.darknet_cfg import layer_strides
+    from yolo_tpu.configs.specs import YoloHead
+
+    strides = layer_strides(model_cfg.layers)
+    return [strides[i] for i, l in enumerate(model_cfg.layers)
+            if isinstance(l, YoloHead)]
+
+
+def encode_for(model_cfg, boxes, classes,
+               input_size: int | None = None) -> Dict[str, np.ndarray]:
+    """Head-kind dispatch, one image (see encode_batch_for)."""
+    size = input_size or model_cfg.input_size
+    if model_cfg.head_kind == "yolo":
+        return encode_yolo(boxes, classes, input_size=size,
+                           anchors_px=model_cfg.anchors,
+                           masks=[h.mask for h in model_cfg.yolo_heads],
+                           strides=_head_strides(model_cfg))
+    return encode(boxes, classes, grid=size // 32,
+                  anchors=model_cfg.anchors,
+                  num_classes=model_cfg.num_classes)
+
+
+def encode_batch_for(model_cfg, batch_boxes, batch_classes,
+                     input_size: int | None = None) -> Dict[str, np.ndarray]:
+    """Head-kind dispatch: encode a batch for ``model_cfg``'s loss
+    (region single-head or yolo multi-head)."""
+    encoded = [encode_for(model_cfg, b, c, input_size=input_size)
+               for b, c in zip(batch_boxes, batch_classes)]
+    return {k: np.stack([e[k] for e in encoded]) for k in encoded[0]}

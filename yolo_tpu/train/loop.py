@@ -22,7 +22,8 @@ import optax
 
 from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
-from yolo_tpu.train.loss import LossConfig, region_loss
+from yolo_tpu.train.loss import (LossConfig, YoloLossConfig, region_loss,
+                                 yolo_loss)
 
 # Darknet multi-scale training sizes (yolov2.cfg random=1: {320..608}/32).
 MULTISCALE_SIZES = tuple(range(320, 609, 32))
@@ -41,6 +42,8 @@ class TrainConfig:
     lr_decay_steps: tuple = ()      # steps at which lr multiplies by...
     lr_decay_scales: tuple = ()     # ...these factors (darknet 'scales')
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    yolo_loss: YoloLossConfig = dataclasses.field(
+        default_factory=YoloLossConfig)  # used when the model has [yolo] heads
     multi_scale: bool = False
     multi_scale_every: int = 10     # darknet resizes every 10 batches
     multi_scale_sizes: tuple = MULTISCALE_SIZES
@@ -111,13 +114,21 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     tx = make_optimizer(tcfg)
     batch_size = batch["images"].shape[0]
 
+    net_size = batch["images"].shape[1]
+
     def loss_fn(params):
         logits, bn_updates = graph.apply_layers(
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat)
-        total, parts = region_loss(
-            logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
-            state["seen"])
+        if mcfg.head_kind == "yolo":
+            total, parts = yolo_loss(
+                logits, batch, mcfg.anchors,
+                [hd.mask for hd in mcfg.yolo_heads], mcfg.num_classes,
+                net_size, tcfg.yolo_loss)
+        else:
+            total, parts = region_loss(
+                logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
+                state["seen"])
         return total, (bn_updates, parts)
 
     (loss, (bn_updates, parts)), grads = jax.value_and_grad(
@@ -162,11 +173,9 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
     from yolo_tpu.data import targets as tgt
 
     for size in sizes:
-        grid = size // 32
-        enc = tgt.encode_batch(
-            [np.zeros((0, 4))] * batch_size,
-            [np.zeros((0,), np.int32)] * batch_size,
-            grid=grid, anchors=mcfg.anchors, num_classes=mcfg.num_classes)
+        enc = tgt.encode_batch_for(
+            mcfg, [np.zeros((0, 4))] * batch_size,
+            [np.zeros((0,), np.int32)] * batch_size, input_size=size)
         batch = {k: jnp.asarray(v) for k, v in enc.items()}
         batch["images"] = jnp.zeros((batch_size, size, size, 3),
                                     jnp.float32)

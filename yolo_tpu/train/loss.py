@@ -131,6 +131,90 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     return total, parts
 
 
+@dataclasses.dataclass(frozen=True)
+class YoloLossConfig:
+    """yolov3 [yolo]-layer loss (darknet yolo_layer semantics).
+
+    Darknet computes deltas directly on the sigmoid outputs
+    (delta = target - sigmoid), which is exactly the BCE gradient w.r.t.
+    the logit — so xy/objectness/class terms here are sigmoid BCE and
+    wh is 0.5*MSE on the raw logits (delta = target - t), making the
+    gradients darknet-faithful. Anchors whose predicted box overlaps
+    any GT above ignore_thresh get NO objectness penalty."""
+    ignore_thresh: float = 0.7
+
+
+def _bce(logit, target):
+    """Sigmoid binary cross-entropy, elementwise, from the raw logit."""
+    return jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
+        jnp.exp(-jnp.abs(logit)))
+
+
+def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
+              masks, num_classes: int, net_size: int,
+              cfg: YoloLossConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Multi-head yolov3 loss. head_logits: tuple of (B, S, S, A*(5+C))
+    raw outputs (graph.apply_layers yolo-family return); targets from
+    data.targets.encode_batch_yolo (flat per-head keys + gt_boxes/mask).
+
+    Returns (total_loss_mean_per_image, parts) like region_loss.
+    """
+    anchors_arr = jnp.asarray(anchors_px, dtype=jnp.float32)
+    c = num_classes
+    b = head_logits[0].shape[0]
+    zero = jnp.zeros((), jnp.float32)
+    parts = {"coord": zero, "obj": zero, "noobj": zero, "class": zero}
+
+    for h, (logits, mask) in enumerate(zip(head_logits, masks)):
+        _, s, _, _ = logits.shape
+        a = len(mask)
+        t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+        anch = anchors_arr[jnp.asarray(mask)]
+
+        obj = targets[f"obj_mask_{h}"]
+        tc = targets[f"tcoord_{h}"]
+        coord_w = targets[f"coord_w_{h}"]
+
+        # decoded predicted boxes (normalized) for the ignore mask
+        cx = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
+        cy = jnp.arange(s, dtype=jnp.float32)[None, :, None, None]
+        pbx = (jax.nn.sigmoid(t[..., 0]) + cx) / s
+        pby = (jax.nn.sigmoid(t[..., 1]) + cy) / s
+        pbw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
+        pbh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+        pred_boxes = jnp.stack([pbx, pby, pbw, pbh], axis=-1)
+
+        iou_all = _iou_xywh_pairwise(pred_boxes.reshape(b, -1, 4),
+                                     targets["gt_boxes"])
+        iou_all = iou_all * targets["gt_mask"][:, None, :]
+        best_iou = jnp.max(iou_all, axis=-1).reshape(b, s, s, a)
+        best_iou = jax.lax.stop_gradient(best_iou)
+
+        # objectness: BCE(1) on assigned; BCE(0) unless ignored
+        noobj_mask = ((1.0 - obj)
+                      * (best_iou < cfg.ignore_thresh).astype(jnp.float32))
+        obj_bce = _bce(t[..., 4], 1.0)
+        noobj_bce = _bce(t[..., 4], 0.0)
+        parts["obj"] = parts["obj"] + jnp.sum(obj * obj_bce) / b
+        parts["noobj"] = parts["noobj"] + jnp.sum(noobj_mask * noobj_bce) / b
+
+        # coords on assigned anchors: xy BCE (darknet delta on sigmoid),
+        # wh 0.5*MSE on raw logits; both weighted by (2 - w*h)
+        xy = _bce(t[..., 0], tc[..., 0]) + _bce(t[..., 1], tc[..., 1])
+        wh = 0.5 * ((t[..., 2] - tc[..., 2]) ** 2
+                    + (t[..., 3] - tc[..., 3]) ** 2)
+        parts["coord"] = parts["coord"] + jnp.sum(
+            obj * coord_w * (xy + wh)) / b
+
+        # classes: per-class BCE vs one-hot on assigned anchors
+        onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
+        parts["class"] = parts["class"] + jnp.sum(
+            obj[..., None] * _bce(t[..., 5:], onehot)) / b
+
+    total = sum(parts.values())
+    return total, parts
+
+
 def _diag_iou(pred_boxes: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.ndarray:
     """Elementwise IoU of matching (B,S,S,A,4) boxes."""
     p, g = pred_boxes, gt_boxes
