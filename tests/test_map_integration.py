@@ -80,3 +80,59 @@ def test_train_then_map():
 
     result = evaluate(detections, gt, MICRO.num_classes)
     assert result["map"] > 0.99, f"mAP {result['map']}: {result['ap']}"
+
+
+def test_train_then_map_yolov3():
+    """Same end-to-end gate for the yolov3 family: overfit the 2-head
+    micro-v3 model (multi-head targets + yolo_layer loss) and verify
+    near-perfect mAP through the v3 decode/NMS path."""
+    from tests.test_yolov3 import MICRO_V3
+
+    scenes = _dataset()
+    enc = tgt.encode_batch_for(MICRO_V3, [s[1] for s in scenes],
+                               [s[2] for s in scenes])
+    batch = {k: jnp.asarray(v) for k, v in enc.items()}
+    batch["images"] = jnp.asarray(np.stack([s[0] for s in scenes]))
+
+    tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                       weight_decay=0.0)
+    state = init_state(dw.random_params(MICRO_V3.layers,
+                                        np.random.default_rng(0)), tcfg)
+    step = make_train_step(MICRO_V3, tcfg)
+    for _ in range(800):
+        state, metrics = step(state, batch)
+    # the xy BCE has a soft-target entropy floor, so total loss never
+    # reaches 0 at a perfect fit — gate on the floored-at-zero terms
+    assert float(metrics["obj"]) < 0.05
+    assert float(metrics["class"]) < 0.05
+    assert float(metrics["noobj"]) < 0.7
+
+    folded = graph.params_to_jax(graph.fold_params(
+        MICRO_V3.layers,
+        [{k: np.asarray(v) for k, v in p.items()} for p in state["params"]],
+        MICRO_V3.bn_eps))
+    out = detect(MICRO_V3, folded, batch["images"], conf_threshold=0.05,
+                 head="reference", nms_impl="xla")
+
+    gt, detections = {}, {}
+    for i, (_, boxes, classes) in enumerate(scenes):
+        xyxy = np.stack([
+            (boxes[:, 0] - boxes[:, 2] / 2) * 64,
+            (boxes[:, 1] - boxes[:, 3] / 2) * 64,
+            (boxes[:, 0] + boxes[:, 2] / 2) * 64,
+            (boxes[:, 1] + boxes[:, 3] / 2) * 64,
+        ], axis=-1)
+        gt[i] = {"boxes": xyxy, "classes": classes,
+                 "difficult": np.zeros(len(classes), np.int32)}
+        valid = np.asarray(out["valid"][i])
+        dets_i = []
+        for j in np.nonzero(valid)[0]:
+            cx, cy, w, h = np.asarray(out["boxes"][i][j], np.float64)
+            dets_i.append((int(out["classes"][i][j]),
+                           float(out["scores"][i][j]),
+                           (cx - w / 2) * 64, (cy - h / 2) * 64,
+                           (cx + w / 2) * 64, (cy + h / 2) * 64))
+        detections[i] = dets_i
+
+    result = evaluate(detections, gt, MICRO_V3.num_classes)
+    assert result["map"] > 0.99, f"mAP {result['map']}: {result['ap']}"
