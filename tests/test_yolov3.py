@@ -546,6 +546,71 @@ class TestCli:
                   "--checkpoint-dir", str(ckdir)])
         assert any(ckdir.iterdir())
 
+class TestSpp:
+    """yolov3-spp support: darknet symmetric -inf padding for the
+    5/9/13 stride-1 SPP maxpools."""
+
+    @pytest.mark.parametrize("size", [5, 9, 13])
+    def test_stride1_pool_matches_oracle(self, size):
+        from yolo_tpu.ops.pool import maxpool_nhwc
+
+        rng = np.random.default_rng(size)
+        x = rng.normal(size=(1, 13, 13, 4)).astype(np.float32)
+        got = np.asarray(maxpool_nhwc(jnp.asarray(x), size, 1))
+        want = npr.maxpool_nhwc(x, size, 1)
+        assert got.shape == want.shape == (1, 13, 13, 4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_spp_pool_is_symmetric(self):
+        """A 5x5/1 pool must look 2 pixels in EVERY direction (darknet
+        offset -(size-1)//2), not 4 to the bottom-right."""
+        from yolo_tpu.ops.pool import maxpool_nhwc
+
+        x = np.zeros((1, 7, 7, 1), np.float32)
+        x[0, 0, 0, 0] = 5.0  # top-left corner peak
+        got = np.asarray(maxpool_nhwc(jnp.asarray(x), 5, 1))[0, :, :, 0]
+        assert got[2, 2] == 5.0   # reaches 2 down-right
+        assert got[3, 3] == 0.0   # but not 3
+
+    def test_spp_block_cfg_runs(self, tmp_path):
+        """A mini SPP block (route -2 / pools 5,9,13 / 4-way concat)
+        parses from cfg text and matches the TF oracle."""
+        from tests import tf_oracle
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg_text = (
+            "[net]\nwidth=64\nheight=64\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[maxpool]\nsize=5\nstride=1\n"
+            "[route]\nlayers = -2\n"
+            "[maxpool]\nsize=9\nstride=1\n"
+            "[route]\nlayers = -4\n"
+            "[maxpool]\nsize=13\nstride=1\n"
+            "[route]\nlayers = -1,-3,-5,-6\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
+            "activation=leaky\n"
+            "[convolutional]\nfilters=18\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0,1\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        p = tmp_path / "spp.cfg"
+        p.write_text(cfg_text)
+        cfg = config_from_cfg(str(p))
+        # 4-way concat: 16 * 4 = 64 channels into the 1x1
+        rng = np.random.default_rng(0)
+        params = dw.random_params(cfg.layers, rng)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                                 jnp.asarray(x), eps=cfg.bn_eps)
+        assert len(got) == len(want) == 1
+        np.testing.assert_allclose(
+            np.asarray(got[0]), want[0], rtol=1e-4,
+            atol=1e-5 * np.abs(want[0]).max())
+
+
 def _random_v3_scene(rng, batch):
     boxes, classes = [], []
     for _ in range(batch):

@@ -60,10 +60,11 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             if layer.act == "leaky":
                 x = tf.nn.leaky_relu(x, alpha=0.1)
         elif isinstance(layer, MaxPool):
-            if layer.stride == 1:
-                padn = layer.size - 1
-                x = tf.pad(x, [[0, 0], [0, padn], [0, padn], [0, 0]],
-                           constant_values=float("-inf"))
+            padn = layer.size - 1
+            lead = padn // 2
+            x = tf.pad(x, [[0, 0], [lead, padn - lead],
+                           [lead, padn - lead], [0, 0]],
+                       constant_values=float("-inf"))
             x = tf.nn.max_pool2d(x, ksize=layer.size, strides=layer.stride,
                                  padding="VALID")
         elif isinstance(layer, Reorg):

@@ -68,12 +68,15 @@ def reorg_nhwc(x: np.ndarray, stride: int = 2) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def maxpool_nhwc(x: np.ndarray, size: int, stride: int) -> np.ndarray:
+    """Darknet maxpool_layer: pad = size-1, window origin offset
+    -(pad//2) — lead pad//2, trail the rest, fill -inf."""
     b, h, w, c = x.shape
-    pad = size - 1 if stride == 1 else 0
+    pad = size - 1
+    lead = pad // 2
     oh = (h + pad - size) // stride + 1
     ow = (w + pad - size) // stride + 1
     xp = np.full((b, h + pad, w + pad, c), -np.inf, dtype=x.dtype)
-    xp[:, :h, :w, :] = x
+    xp[:, lead:lead + h, lead:lead + w, :] = x
     out = np.empty((b, oh, ow, c), dtype=x.dtype)
     for j in range(oh):
         for i in range(ow):

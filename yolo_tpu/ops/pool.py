@@ -1,9 +1,11 @@
 """Darknet maxpool via lax.reduce_window.
 
-Darknet pads ``size - 1`` at the END (right/bottom) with -inf when
-stride == 1 (the tiny-YOLO layer-6 stride-1 SAME pool, SURVEY.md §7.2);
-the common stride-2 pools need no padding at the sizes YOLOv2 uses
-(all dims are even).
+Darknet maxpool pads ``size - 1`` with the window origin shifted by
+``-(size - 1) // 2`` (maxpool_layer semantics): lead = (size-1)//2
+rows/cols, trail = the rest, fill -inf. For the yolov2-era 2x2 pools
+this is end-padding only (the tiny-YOLO layer-6 stride-1 SAME pool,
+SURVEY.md §7.2) and a no-op for stride-2 pools on even dims; for the
+yolov3-spp 5/9/13 stride-1 pools it is symmetric SAME padding.
 """
 
 from __future__ import annotations
@@ -13,8 +15,9 @@ from jax import lax
 
 
 def maxpool_nhwc(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
-    pad = size - 1 if stride == 1 else 0
-    padding = ((0, 0), (0, pad), (0, pad), (0, 0))
+    pad = size - 1
+    lead = pad // 2
+    padding = ((0, 0), (lead, pad - lead), (lead, pad - lead), (0, 0))
     return lax.reduce_window(
         x,
         -jnp.inf,
