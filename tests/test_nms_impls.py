@@ -69,3 +69,19 @@ def test_fused_head_matches_reference_path():
     want = detect(cfg, params, x, head="reference", nms_impl="xla")
     got = detect(cfg, params, x, head="fused")  # use_pallas=False on CPU
     _assert_dets_equal(want, got, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_head_matches_reference_path_yolov3():
+    """detect_head_yolo (objectness-prefiltered multi-head) is
+    box/score-identical to decode_yolo + exact per-class NMS at
+    production thresholds."""
+    from tests.test_yolov3 import MICRO_V3
+
+    cfg = dataclasses.replace(MICRO_V3, conf_threshold=0.4)
+    rng = np.random.default_rng(5)
+    params = graph.params_to_jax(dw.random_params(cfg.layers, rng,
+                                                  scale=0.05))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    want = detect(cfg, params, x, head="reference", nms_impl="xla")
+    got = detect(cfg, params, x, head="fused")
+    _assert_dets_equal(want, got, rtol=1e-5, atol=1e-6)

@@ -65,8 +65,20 @@ def _postprocess(cfg: ModelConfig, logits, *,
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
     if cfg.head_kind == "yolo":
         # yolov3 family: multi-head [yolo] decode (sigmoid classes,
-        # pixel anchors); the fused objectness-prefilter head is
-        # region-only, so every mode runs the reference NMS path
+        # pixel anchors); same fused-vs-reference head policy as region
+        if head == "auto":
+            head = ("fused" if jax.default_backend() == "tpu"
+                    and conf_t >= 0.1 else "reference")
+        if head == "fused":
+            from yolo_tpu.ops.head import detect_head_yolo
+
+            pre = top_k if conf_t >= 0.3 else 2 * top_k
+            return detect_head_yolo(
+                logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
+                cfg.num_classes, cfg.input_size,
+                conf_threshold=conf_t, iou_threshold=iou_t,
+                pre_top_k=pre, max_detections=max_detections,
+                use_pallas=(jax.default_backend() == "tpu"))
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
             cfg.num_classes, cfg.input_size)
