@@ -524,6 +524,67 @@ class TestCli:
         for line in out.out.strip().splitlines():
             assert 0 <= json.loads(line)["score"] <= 1
 
+    def test_anchors_pixel_units(self, tmp_path, capsys):
+        """cmd anchors emits net-input-pixel anchors for [yolo] models
+        (cell units are a region-family convention)."""
+        import json
+
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+
+        root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+        cli.main(["anchors", "--model", "yolov3-tiny", "--voc-root", root,
+                  "--split", "train", "--num-anchors", "2"])
+        res = json.loads(capsys.readouterr().out)
+        assert res["units"] == "pixels"
+        # the synthetic GT is a ~0.75x0.71 normalized box -> ~300 px
+        assert all(100 < w <= 416 and 100 < h <= 416
+                   for w, h in res["anchors"])
+
+    def test_partial_darknet53_cutoff(self, tmp_path):
+        """`partial --layers 74` on yolov3 produces a byte-exact
+        darknet53.conv.74-sized file that reloads as a 52-conv prefix."""
+        from yolo_tpu import cli
+
+        full = tmp_path / "yolov3.weights"
+        dw.save(str(full), YOLOV3_COCO.layers,
+                dw.random_params(YOLOV3_COCO.layers,
+                                 np.random.default_rng(1)))
+        out = tmp_path / "darknet53.conv.74"
+        cli.main(["partial", "--model", "yolov3", "--weights", str(full),
+                  "--output", str(out), "--layers", "74"])
+        import os
+
+        assert os.path.getsize(out) == 162_482_580
+        params, _, n = dw.load_partial(str(out), YOLOV3_COCO.layers)
+        assert n == 52
+
+    def test_train_batches_multiscale_v3(self, tmp_path):
+        """The thread pipeline emits per-size multi-head targets when
+        multi-scale switching changes the net size between batches."""
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu.data import pipeline as pipe
+        from yolo_tpu.data.voc import list_split
+
+        root = make_voc_root(tmp_path, n_images=4, size=(70, 80))
+        pairs = list_split(root, "train")
+        cfg = dataclasses.replace(MICRO_V3,
+                                  class_names=("cat", "dog", "x", "y"))
+        sizes = {0: 64, 1: 96}
+        batches = list(pipe.train_batches(
+            pairs, class_names=cfg.class_names, anchors=cfg.anchors,
+            num_classes=cfg.num_classes, net_size=64, batch_size=2,
+            rng=np.random.default_rng(0),
+            size_for_batch=lambda bi: sizes[bi], model_cfg=cfg))
+        assert [b["images"].shape[1] for b in batches] == [64, 96]
+        assert batches[0]["obj_mask_0"].shape == (2, 8, 8, 2)
+        assert batches[1]["obj_mask_0"].shape == (2, 12, 12, 2)
+        assert batches[1]["obj_mask_1"].shape == (2, 24, 24, 2)
+        # every image's single GT is assigned to exactly one head
+        for b in batches:
+            assert (b["obj_mask_0"].sum(axis=(1, 2, 3))
+                    + b["obj_mask_1"].sum(axis=(1, 2, 3))).tolist() == [1, 1]
+
     def test_train_e2e(self, tmp_path):
         """cfg-defined micro-v3 trains end-to-end through the CLI (VOC
         root -> multi-head targets -> yolo loss -> checkpoint)."""

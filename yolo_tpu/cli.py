@@ -670,14 +670,20 @@ def cmd_anchors(args) -> None:
 
     cfg = _get_cfg(args)
     wh = collect_wh(_dataset_samples(args, cfg), cfg.class_names)
-    res = kmeans_anchors(wh, args.num_anchors,
-                         grid=cfg.input_size // 32, seed=args.seed)
+    # [region] anchors are in 13x13-cell units; [yolo] anchors are in
+    # net-input pixels — emit whichever the model family consumes
+    units = (cfg.input_size if cfg.head_kind == "yolo"
+             else cfg.input_size // 32)
+    res = kmeans_anchors(wh, args.num_anchors, grid=units,
+                         seed=args.seed)
     # darknet-style flat anchor line, ready for a config/cfg file
     flat = ", ".join(f"{w:.4f},{h:.4f}" for w, h in res["anchors"])
     print(json.dumps({"anchors": [[round(float(w), 4), round(float(h), 4)]
                                   for w, h in res["anchors"]],
                       "avg_iou": round(res["avg_iou"], 4),
                       "darknet_line": flat,
+                      "units": "pixels" if cfg.head_kind == "yolo"
+                               else "cells",
                       "num_boxes": int(len(wh))}))
 
 
