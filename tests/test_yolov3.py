@@ -585,6 +585,30 @@ class TestCli:
             assert (b["obj_mask_0"].sum(axis=(1, 2, 3))
                     + b["obj_mask_1"].sum(axis=(1, 2, 3))).tolist() == [1, 1]
 
+    def test_eval_e2e(self, tmp_path, capsys):
+        """eval runs the multi-head reference decode path end-to-end
+        (VOC root -> detections -> mAP JSON)."""
+        import json
+
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+        from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+        root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
+        cfgp = tmp_path / "m.cfg"
+        cfgp.write_text(cfg_to_string(MICRO_V3))
+        names = tmp_path / "m.names"
+        names.write_text("\n".join(MICRO_V3.class_names) + "\n")
+        w = tmp_path / "m.weights"
+        dw.save(str(w), MICRO_V3.layers,
+                dw.random_params(MICRO_V3.layers, np.random.default_rng(2)))
+        cli.main(["eval", "--cfg", str(cfgp), "--names", str(names),
+                  "--weights", str(w), "--voc-root", root,
+                  "--split", "train", "--batch", "4",
+                  "--precision", "fp32"])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "map" in res and 0.0 <= res["map"] <= 1.0
+
     def test_train_e2e(self, tmp_path):
         """cfg-defined micro-v3 trains end-to-end through the CLI (VOC
         root -> multi-head targets -> yolo loss -> checkpoint)."""
