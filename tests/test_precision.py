@@ -55,3 +55,38 @@ def test_bf16_decode_level_parity():
     assert np.abs(a[:, :2] - b[:, :2]).max() < 0.02
     rel = np.abs(a[:, 2:] - b[:, 2:]) / np.maximum(a[:, 2:], 1e-3)
     assert rel.max() < 0.15, f"wh rel deviation {rel.max()}"
+
+
+def test_bf16_decode_level_parity_yolov3():
+    """Same decode-level bf16 contract for the multi-head [yolo] path
+    (sigmoid class scores)."""
+    from yolo_tpu.configs.variants import YOLOV3_TINY_COCO
+    from yolo_tpu.ops.decode import decode_yolo
+
+    cfg = dataclasses.replace(YOLOV3_TINY_COCO, input_size=160)
+    masks = [h.mask for h in cfg.yolo_heads]
+    rng = np.random.default_rng(7)
+    params = graph.params_to_jax(
+        graph.fold_params(cfg.layers, dw.random_params(cfg.layers, rng,
+                                                       scale=0.05)))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32))
+
+    lo32 = forward(cfg, params, x, compute_dtype=jnp.float32)
+    lob = forward(cfg, params, x, compute_dtype=jnp.bfloat16)
+    b32, s32 = decode_yolo(lo32, cfg.anchors, masks, cfg.num_classes,
+                           cfg.input_size)
+    bb, sb = decode_yolo(lob, cfg.anchors, masks, cfg.num_classes,
+                         cfg.input_size)
+
+    score_dev = np.abs(np.asarray(s32) - np.asarray(sb)).max()
+    assert score_dev < 0.03, f"score deviation {score_dev}"
+
+    b32a = np.asarray(b32)
+    plausible = (np.asarray(s32).max(-1) >= 0.3) & \
+                (b32a[..., 2:].max(-1) < 2.0)
+    a = b32a[plausible]
+    b = np.asarray(bb)[plausible]
+    assert len(a) > 0
+    assert np.abs(a[:, :2] - b[:, :2]).max() < 0.02
+    rel = np.abs(a[:, 2:] - b[:, 2:]) / np.maximum(a[:, 2:], 1e-3)
+    assert rel.max() < 0.15, f"wh rel deviation {rel.max()}"
