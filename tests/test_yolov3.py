@@ -479,6 +479,43 @@ class TestCfgParser:
                         if isinstance(l, YoloHead)]
         assert head_strides == [32, 16, 8]
 
+    def test_layer_strides_counts_reorg(self):
+        from yolo_tpu.configs.darknet_cfg import layer_strides
+        from yolo_tpu.configs.specs import Reorg
+
+        assert layer_strides((Conv(8, stride=2), Reorg(2)))[-1] == 4
+
+    def test_num_anchor_count_validated(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "num.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=6\n")
+        with pytest.raises(ValueError, match="anchor values"):
+            config_from_cfg(str(p))
+
+    def test_ignore_thresh_parsed_and_round_trips(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "it.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nignore_thresh = .5\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.ignore_thresh == 0.5
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).ignore_thresh == 0.5
+
 
 class TestCli:
     @pytest.fixture
@@ -750,6 +787,24 @@ class TestGTEncoderV3:
         assert enc["obj_mask_0"].sum() == 0.0
         assert enc["obj_mask_1"].sum() == 0.0
         assert enc["gt_mask"].sum() == 1.0  # still in the ignore set
+
+    def test_shared_anchor_trains_every_owning_head(self):
+        """darknet checks each [yolo] mask independently: with the
+        official yolov3-tiny masks (3,4,5)/(1,2,3) a truth whose best
+        anchor is 3 trains BOTH heads."""
+        enc = tgt.encode_yolo(
+            np.array([[0.5, 0.5, 0.38, 0.32]]), np.array([2]),
+            input_size=64, anchors_px=V3_ANCHORS,
+            masks=[(2, 3), (1, 2)],  # anchor 2 owned by both heads
+            strides=MICRO_V3_STRIDES)
+        # best anchor for (24.3, 20.5) px is anchor 2
+        assert enc["obj_mask_0"][4, 4, 0] == 1.0   # head 0 slot 0
+        assert enc["obj_mask_1"][8, 8, 1] == 1.0   # head 1 slot 1
+        assert enc["tcls_0"][4, 4, 0] == 2
+        assert enc["tcls_1"][8, 8, 1] == 2
+        # per-head cell indexing differs; wh targets are identical
+        np.testing.assert_allclose(enc["tcoord_0"][4, 4, 0][2:],
+                                   enc["tcoord_1"][8, 8, 1][2:])
 
     def test_encode_batch_for_dispatches(self):
         boxes, classes = _random_v3_scene(np.random.default_rng(0), 2)

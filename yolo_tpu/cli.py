@@ -349,12 +349,17 @@ def cmd_train(args) -> None:
                 raise SystemExit("--lr-steps and --lr-scales lengths differ")
         else:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
+    from yolo_tpu.train.loss import YoloLossConfig
+
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
                        remat=args.remat,
                        burn_in_steps=args.burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
+                       # [yolo] ignore_thresh flows from the cfg file
+                       yolo_loss=YoloLossConfig(
+                           ignore_thresh=cfg.ignore_thresh),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and (args.multi_scale or args.augment):
         raise SystemExit("--loader grain supports fixed-size, "

@@ -46,6 +46,18 @@ def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
     return sections
 
 
+def _parse_anchors(kv: Dict[str, str], section: str
+                   ) -> Tuple[Tuple[float, float], ...]:
+    """anchors=/num= pair -> ((pw, ph), ...), validated."""
+    vals = [float(v) for v in kv["anchors"].split(",")]
+    n = int(kv.get("num", len(vals) // 2))
+    if n < 1 or 2 * n > len(vals):
+        raise ValueError(
+            f"{section} num={n} needs {2 * n} anchor values, got "
+            f"{len(vals)}")
+    return tuple((vals[2 * i], vals[2 * i + 1]) for i in range(n))
+
+
 def load_names(path: str) -> Tuple[str, ...]:
     """darknet .names file: one class name per line."""
     with open(path) as f:
@@ -60,6 +72,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     input_size = 416
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
+    ignore_thresh: Optional[float] = None
     saw_region = False
 
     for kind, kv in sections:
@@ -118,10 +131,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         elif kind == "yolo":
             mask = tuple(int(v) for v in kv["mask"].split(","))
             layers.append(YoloHead(mask))
-            vals = [float(v) for v in kv["anchors"].split(",")]
-            n = int(kv.get("num", len(vals) // 2))
-            head_anchors = tuple((vals[2 * i], vals[2 * i + 1])
-                                 for i in range(n))
+            head_anchors = _parse_anchors(kv, "[yolo]")
+            n = len(head_anchors)
             head_classes = int(kv.get("classes", 20))
             if anchors and (head_anchors != anchors
                             or head_classes != num_classes):
@@ -131,12 +142,15 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if any(m < 0 or m >= n for m in mask):
                 raise ValueError(f"[yolo] mask {mask} out of range for "
                                  f"num={n} anchors")
+            if "ignore_thresh" in kv:
+                it = float(kv["ignore_thresh"])
+                if ignore_thresh is not None and it != ignore_thresh:
+                    raise ValueError(
+                        "[yolo] sections must share one ignore_thresh")
+                ignore_thresh = it
         elif kind == "region":
             saw_region = True
-            vals = [float(v) for v in kv["anchors"].split(",")]
-            n = int(kv.get("num", len(vals) // 2))
-            anchors = tuple((vals[2 * i], vals[2 * i + 1])
-                            for i in range(n))
+            anchors = _parse_anchors(kv, "[region]")
             num_classes = int(kv.get("classes", 20))
             # NOTE: [region] thresh is darknet's TRAINING match
             # threshold, not the detection confidence — deliberately
@@ -196,10 +210,15 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
 
     import os
 
-    return ModelConfig(
+    cfg = ModelConfig(
         name=name or os.path.splitext(os.path.basename(cfg_path))[0],
         layers=tuple(layers), anchors=anchors, class_names=class_names,
         input_size=input_size)
+    if ignore_thresh is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ignore_thresh=ignore_thresh)
+    return cfg
 
 
 def layer_strides(layers: Sequence) -> List[int]:
@@ -213,6 +232,8 @@ def layer_strides(layers: Sequence) -> List[int]:
     for idx, l in enumerate(layers):
         if isinstance(l, (Conv, MaxPool)):
             cur = cur * l.stride
+        elif isinstance(l, Reorg):
+            cur = cur * l.stride  # space-to-depth downsamples spatially
         elif isinstance(l, Upsample):
             if cur % l.stride:
                 raise ValueError(
@@ -275,7 +296,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + ",".join(str(m) for m in l.mask) + "\n"
                        + f"anchors = {anchors}\n"
                        + f"classes={cfg.num_classes}\n"
-                       + f"num={cfg.num_anchors}\n")
+                       + f"num={cfg.num_anchors}\n"
+                       + f"ignore_thresh = {cfg.ignore_thresh:g}\n")
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")

@@ -114,6 +114,9 @@ class ModelConfig:
     conf_threshold: float = 0.5
     nms_threshold: float = 0.45
     bn_eps: float = 1e-5  # pinned; see SURVEY.md §3.4 note
+    # yolov3 [yolo] training hyperparameter (objectness ignore band);
+    # unused by the region family
+    ignore_thresh: float = 0.7
 
     @property
     def num_classes(self) -> int:

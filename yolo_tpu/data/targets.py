@@ -13,6 +13,7 @@ resulting fixed-shape tensors on device.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Sequence
 
 import numpy as np
@@ -98,9 +99,11 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
     """Encode one image's GT for the yolov3 multi-head loss.
 
     Darknet yolo_layer assignment: each GT box picks the best anchor by
-    wh-IoU at origin over ALL anchors (pixel units); that anchor belongs
-    to exactly one head (via the masks), which receives the target at
-    the cell containing the box center on that head's grid.
+    wh-IoU at origin over ALL anchors (pixel units); EVERY head whose
+    mask contains that anchor receives the target at the cell containing
+    the box center on its own grid (each darknet [yolo] layer checks the
+    best anchor against its mask independently — with the official
+    yolov3-tiny masks (3,4,5)/(1,2,3), anchor 3 trains both heads).
 
     Returns flat keys per head h (loss/pipeline shard these like any
     other batch array):
@@ -122,10 +125,12 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
         out[f"tcls_{h}"] = np.zeros((s, s, a), np.int32)
         out[f"coord_w_{h}"] = np.zeros((s, s, a), np.float32)
 
-    anchor_home = {}  # anchor index -> (head, slot)
+    # anchor index -> [(head, slot), ...]: darknet checks each [yolo]
+    # layer's mask independently, so shared anchors train EVERY owner
+    anchor_homes: Dict[int, list] = {}
     for h, mask in enumerate(masks):
         for slot, ai in enumerate(mask):
-            anchor_home[int(ai)] = (h, slot)
+            anchor_homes.setdefault(int(ai), []).append((h, slot))
 
     g = 0
     for box, cls in zip(np.asarray(gt_boxes, np.float64), gt_classes):
@@ -138,21 +143,21 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
         ious = [_wh_iou(w * input_size, h_ * input_size, pw, ph)
                 for pw, ph in anchors_px]
         best = int(np.argmax(ious))
-        if best not in anchor_home:
-            continue  # anchor in no mask (e.g. yolov3-tiny's anchor 0)
-        hd, slot = anchor_home[best]
-        s = grids[hd]
-        ci = min(int(cx * s), s - 1)
-        cj = min(int(cy * s), s - 1)
-        out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
-        out[f"tcoord_{hd}"][cj, ci, slot] = (
-            cx * s - ci,
-            cy * s - cj,
-            np.log(max(w * input_size / anchors_px[best, 0], 1e-9)),
-            np.log(max(h_ * input_size / anchors_px[best, 1], 1e-9)),
-        )
-        out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
-        out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
+        # empty when the anchor is in no mask (yolov3-tiny's anchor 0:
+        # the truth trains no head, exactly as darknet behaves)
+        for hd, slot in anchor_homes.get(best, ()):
+            s = grids[hd]
+            ci = min(int(cx * s), s - 1)
+            cj = min(int(cy * s), s - 1)
+            out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
+            out[f"tcoord_{hd}"][cj, ci, slot] = (
+                cx * s - ci,
+                cy * s - cj,
+                np.log(max(w * input_size / anchors_px[best, 0], 1e-9)),
+                np.log(max(h_ * input_size / anchors_px[best, 1], 1e-9)),
+            )
+            out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
+            out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
     return out
 
 
@@ -163,12 +168,20 @@ def encode_batch_yolo(batch_boxes, batch_classes, **kw) -> Dict[str, np.ndarray]
 
 
 def _head_strides(model_cfg):
+    return _head_strides_cached(model_cfg.layers)
+
+
+@functools.lru_cache(maxsize=64)
+def _head_strides_cached(layers):
+    """Per-topology memo: encode_for runs once per image in the data
+    pipeline's hot path, and the stride walk is a pure function of the
+    (hashable) layer tuple."""
     from yolo_tpu.configs.darknet_cfg import layer_strides
     from yolo_tpu.configs.specs import YoloHead
 
-    strides = layer_strides(model_cfg.layers)
-    return [strides[i] for i, l in enumerate(model_cfg.layers)
-            if isinstance(l, YoloHead)]
+    strides = layer_strides(layers)
+    return tuple(strides[i] for i, l in enumerate(layers)
+                 if isinstance(l, YoloHead))
 
 
 def encode_for(model_cfg, boxes, classes,
