@@ -498,6 +498,22 @@ class TestCfgParser:
         with pytest.raises(ValueError, match="anchor values"):
             config_from_cfg(str(p))
 
+    def test_out_of_range_reference_rejected(self, tmp_path):
+        """A route reaching before layer 0 must raise, not silently
+        wrap to the END of the outputs list (python negative index)."""
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "wrap.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[route]\nlayers = -5\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        with pytest.raises(ValueError, match="not an earlier layer"):
+            config_from_cfg(str(p))
+
     def test_ignore_thresh_parsed_and_round_trips(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
                                                   config_from_cfg)

@@ -161,6 +161,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     if num_classes is None:
         raise ValueError(f"{cfg_path}: no [region] or [yolo] section")
 
+    _validate_refs(layers)
     yolo_heads = [(i, l) for i, l in enumerate(layers)
                   if isinstance(l, YoloHead)]
     if saw_region and yolo_heads:
@@ -219,6 +220,23 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
 
         cfg = dataclasses.replace(cfg, ignore_thresh=ignore_thresh)
     return cfg
+
+
+def _validate_refs(layers: Sequence) -> None:
+    """Route/Shortcut indices must resolve to an EARLIER layer: a
+    negative resolved index would silently wrap around the outputs list
+    (python indexing) and mis-build the graph."""
+    from yolo_tpu.configs.specs import resolve_route
+
+    for idx, l in enumerate(layers):
+        refs = (l.layers if isinstance(l, Route)
+                else (l.frm,) if isinstance(l, Shortcut) else ())
+        for r in refs:
+            resolved = resolve_route(idx, r)
+            if not 0 <= resolved < idx:
+                raise ValueError(
+                    f"layer {idx}: reference {r} resolves to layer "
+                    f"{resolved}, which is not an earlier layer")
 
 
 def layer_strides(layers: Sequence) -> List[int]:
