@@ -61,15 +61,17 @@ def _bce_np(logit, target):
 
 
 def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
-                 net_size, cfg):
+                 net_size, cfg, scales=None):
     """Loop-level numpy oracle for the yolov3 multi-head loss
-    (train/loss.py::yolo_loss)."""
+    (train/loss.py::yolo_loss), incl. the yolov4 scale_x_y variant."""
     anchors_px = np.asarray(anchors_px, dtype=np.float64)
     c = num_classes
     b = head_logits[0].shape[0]
     parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class")}
+    scales = scales or [1.0] * len(masks)
 
-    for h, (logits, mask) in enumerate(zip(head_logits, masks)):
+    for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
+                                                 scales)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
@@ -82,9 +84,10 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                     for ai in range(a):
                         v = t[bi, j, i, ai]
                         pw, ph = anchors_px[mask[ai]]
+                        off = (s_xy - 1.0) / 2.0
                         pbox = np.array([
-                            (sigmoid(v[0]) + i) / s,
-                            (sigmoid(v[1]) + j) / s,
+                            (sigmoid(v[0]) * s_xy - off + i) / s,
+                            (sigmoid(v[1]) * s_xy - off + j) / s,
                             pw * np.exp(v[2]) / net_size,
                             ph * np.exp(v[3]) / net_size,
                         ])
@@ -94,10 +97,17 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                         if assigned:
                             tc = targets[f"tcoord_{h}"][bi, j, i, ai]
                             w = targets[f"coord_w_{h}"][bi, j, i, ai]
+                            if s_xy == 1.0:
+                                xy = (_bce_np(v[0], tc[0])
+                                      + _bce_np(v[1], tc[1]))
+                            else:
+                                px = sigmoid(v[0]) * s_xy - off
+                                py = sigmoid(v[1]) * s_xy - off
+                                xy = 0.5 * ((px - tc[0]) ** 2
+                                            + (py - tc[1]) ** 2)
                             parts["coord"] += w * (
-                                _bce_np(v[0], tc[0]) + _bce_np(v[1], tc[1])
-                                + 0.5 * ((v[2] - tc[2]) ** 2
-                                         + (v[3] - tc[3]) ** 2))
+                                xy + 0.5 * ((v[2] - tc[2]) ** 2
+                                            + (v[3] - tc[3]) ** 2))
                             parts["obj"] += _bce_np(v[4], 1.0)
                             cls = targets[f"tcls_{h}"][bi, j, i, ai]
                             for k in range(c):

@@ -749,6 +749,152 @@ class TestSpp:
             atol=1e-5 * np.abs(want[0]).max())
 
 
+class TestYolov4Features:
+    """yolov4-family cfg capabilities: mish activation, [route]
+    groups/group_id (CSP channel slice), [yolo] scale_x_y."""
+
+    def test_mish_matches_tf_oracle(self):
+        from tests import tf_oracle
+
+        layers = (Conv(8, act="mish"), Conv(16, act="mish"))
+        rng = np.random.default_rng(0)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(layers, params, x)
+        got = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(params), jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+
+    def test_route_groups_slices_channels(self):
+        """[route] layers=-1 groups=2 group_id=1 keeps the SECOND half
+        of the channels (yolov4-tiny CSP pattern)."""
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
+        layers = (Route((-1,), groups=2, group_id=1),)
+        # route referencing layer -1 from index 0 is invalid; embed it
+        layers = (Conv(8, 1), Route((-1,), groups=2, group_id=1))
+        params = dw.random_params(layers, rng, input_channels=8)
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        np.testing.assert_array_equal(np.asarray(outs[1]),
+                                      np.asarray(outs[0])[..., 4:])
+
+    def test_csp_block_cfg_runs_vs_oracle(self, tmp_path):
+        """A yolov4-tiny-style CSP block (conv; route groups; convs;
+        route concat; shortcutless merge) parses and matches the TF
+        oracle, and its weights round-trip (in-channel inference must
+        halve at the grouped route)."""
+        from tests import tf_oracle
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg_text = (
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=mish\n"
+            "[route]\nlayers=-1\ngroups=2\ngroup_id=1\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=1\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=1\npad=1\nactivation=leaky\n"
+            "[route]\nlayers=-1,-2\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
+            "activation=leaky\n"
+            "[route]\nlayers=-6,-1\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nscale_x_y = 1.05\n")
+        p = tmp_path / "csp.cfg"
+        p.write_text(cfg_text)
+        cfg = config_from_cfg(str(p))
+        assert cfg.yolo_heads[0].scale_xy == pytest.approx(1.05)
+        rng = np.random.default_rng(2)
+        params = dw.random_params(cfg.layers, rng)
+        # conv after grouped route must see 8 in-channels (16 // 2)
+        assert params[1]["kernel"].shape[2] == 8
+        # final route concats conv0 (16ch) + conv4 (16ch) = 32
+        assert params[4]["kernel"].shape[2] == 32
+        x = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                                 jnp.asarray(x), eps=cfg.bn_eps)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), want[0], rtol=1e-4,
+            atol=1e-5 * np.abs(want[0]).max())
+
+    def test_scale_xy_decode_matches_oracle(self):
+        rng = np.random.default_rng(3)
+        heads = [rng.normal(size=(1, 4, 4, 9)).astype(np.float32)]
+        masks, scales = [(0,)], [1.1]
+        bj, sj = decode_yolo([jnp.asarray(h) for h in heads],
+                             ((10, 14),), masks, 4, 64, scales=scales)
+        bo, so = npr.decode_yolo([h[0] for h in heads], ((10, 14),),
+                                 masks, 4, 64, scales=scales)
+        np.testing.assert_allclose(np.asarray(bj)[0], bo, rtol=1e-5,
+                                   atol=1e-6)
+        # and scale != 1 actually changes the decode
+        b1, _ = decode_yolo([jnp.asarray(h) for h in heads],
+                            ((10, 14),), masks, 4, 64)
+        assert np.abs(np.asarray(bj) - np.asarray(b1)).max() > 1e-4
+
+    def test_scale_xy_loss_matches_oracle(self):
+        from tests.loss_oracle import yolo_loss_np
+
+        rng = np.random.default_rng(4)
+        scales = [1.1, 1.05]
+        boxes, classes = _random_v3_scene(rng, 2)
+        targets = tgt.encode_batch_for(MICRO_V3, boxes, classes)
+        heads = [rng.normal(size=(2, 64 // st, 64 // st, 2 * 9)
+                            ).astype(np.float32)
+                 for st in MICRO_V3_STRIDES]
+        cfg = YoloLossConfig()
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg, scales=scales)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg,
+            scales=scales)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-4, abs=1e-5), k
+
+    def test_new_coords_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "nc.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nnew_coords=1\n")
+        with pytest.raises(ValueError, match="new_coords"):
+            config_from_cfg(str(p))
+
+    def test_cfg_round_trip_with_v4_features(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        layers = (
+            Conv(16, stride=2, act="mish"),
+            Route((-1,), groups=2, group_id=1),
+            Conv(8),
+            Conv(9, size=1, bn=False, act="linear"),
+            YoloHead((0,), scale_xy=1.05),
+        )
+        cfg = ModelConfig(name="v4ish", layers=layers,
+                          anchors=((10, 14), (23, 27)),
+                          class_names=("a", "b", "c", "d"),
+                          input_size=32)
+        p = tmp_path / "rt.cfg"
+        p.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p))
+        assert back.layers == cfg.layers
+        assert back.anchors == cfg.anchors
+
+
 def _random_v3_scene(rng, batch):
     boxes, classes = [], []
     for _ in range(batch):

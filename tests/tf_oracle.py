@@ -59,6 +59,8 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
                 x = tf.nn.bias_add(x, p["bias"])
             if layer.act == "leaky":
                 x = tf.nn.leaky_relu(x, alpha=0.1)
+            elif layer.act == "mish":
+                x = x * tf.math.tanh(tf.math.softplus(x))
         elif isinstance(layer, MaxPool):
             padn = layer.size - 1
             lead = padn // 2
@@ -80,6 +82,9 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
         elif isinstance(layer, Route):
             x = tf.concat([outputs[resolve_route(idx, r)] for r in layer.layers],
                           axis=-1)
+            if layer.groups > 1:
+                gc = int(x.shape[-1]) // layer.groups
+                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
         elif isinstance(layer, Shortcut):
             x = x + outputs[resolve_route(idx, layer.frm)]
             if layer.act == "leaky":

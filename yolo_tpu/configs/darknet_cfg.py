@@ -7,12 +7,15 @@ counts, pruned filters, different anchors — runs unmodified:
         --weights my.weights --image dog.jpg
 
 Supported sections: [net] (width/height/channels), [convolutional]
-(batch_normalize, filters, size, stride, activation leaky|linear),
-[maxpool] (size, stride), [route] (layers), [reorg] (stride), [region]
-(anchors, classes) — the yolov2 family — plus the yolov3 family:
-[shortcut] (from, activation), [upsample] (stride), [yolo] (mask,
-anchors in net-input pixels, classes, num). Anything else raises a
-clear error rather than silently mis-building the graph.
+(batch_normalize, filters, size, stride, activation
+leaky|linear|mish), [maxpool] (size, stride — incl. the spp 5/9/13
+stride-1 pools), [route] (layers, plus yolov4 CSP groups/group_id),
+[reorg] (stride), [region] (anchors, classes) — the yolov2 family —
+plus the yolov3/yolov4 families: [shortcut] (from, activation),
+[upsample] (stride), [yolo] (mask, anchors in net-input pixels,
+classes, num, ignore_thresh, scale_x_y). Anything else — including
+scaled-yolov4 new_coords — raises a clear error rather than silently
+mis-building the graph.
 """
 
 from __future__ import annotations
@@ -90,7 +93,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             input_size = w
         elif kind == "convolutional":
             act = kv.get("activation", "logistic")
-            if act not in ("leaky", "linear"):
+            if act not in ("leaky", "linear", "mish"):
                 raise ValueError(f"unsupported activation '{act}'")
             stride = int(kv.get("stride", 1))
             if stride < 1:
@@ -118,7 +121,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   stride=int(kv.get("stride", size))))
         elif kind == "route":
             rels = tuple(int(v) for v in kv["layers"].split(","))
-            layers.append(Route(rels))
+            groups = int(kv.get("groups", 1))
+            group_id = int(kv.get("group_id", 0))
+            if groups < 1 or not 0 <= group_id < groups:
+                raise ValueError(
+                    f"[route] group_id={group_id} out of range for "
+                    f"groups={groups}")
+            layers.append(Route(rels, groups=groups, group_id=group_id))
         elif kind == "reorg":
             layers.append(Reorg(int(kv.get("stride", 2))))
         elif kind == "shortcut":
@@ -129,8 +138,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         elif kind == "upsample":
             layers.append(Upsample(int(kv.get("stride", 2))))
         elif kind == "yolo":
+            if int(kv.get("new_coords", 0)):
+                raise ValueError(
+                    "[yolo] new_coords=1 (scaled-yolov4 decode) is not "
+                    "supported")
             mask = tuple(int(v) for v in kv["mask"].split(","))
-            layers.append(YoloHead(mask))
+            layers.append(YoloHead(
+                mask, scale_xy=float(kv.get("scale_x_y", 1.0))))
             head_anchors = _parse_anchors(kv, "[yolo]")
             n = len(head_anchors)
             head_classes = int(kv.get("classes", 20))
@@ -302,7 +316,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[maxpool]\nsize={l.size}\nstride={l.stride}\n")
         elif isinstance(l, Route):
             out.append("[route]\nlayers="
-                       + ",".join(str(r) for r in l.layers) + "\n")
+                       + ",".join(str(r) for r in l.layers) + "\n"
+                       + (f"groups={l.groups}\ngroup_id={l.group_id}\n"
+                          if l.groups > 1 else ""))
         elif isinstance(l, Reorg):
             out.append(f"[reorg]\nstride={l.stride}\n")
         elif isinstance(l, Shortcut):
@@ -315,7 +331,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + f"anchors = {anchors}\n"
                        + f"classes={cfg.num_classes}\n"
                        + f"num={cfg.num_anchors}\n"
-                       + f"ignore_thresh = {cfg.ignore_thresh:g}\n")
+                       + f"ignore_thresh = {cfg.ignore_thresh:g}\n"
+                       + (f"scale_x_y = {l.scale_xy:g}\n"
+                          if l.scale_xy != 1.0 else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")

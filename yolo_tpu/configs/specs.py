@@ -45,7 +45,7 @@ class Conv:
     size: int = 3
     stride: int = 1
     bn: bool = True
-    act: str = "leaky"  # "leaky" (slope 0.1) | "linear"
+    act: str = "leaky"  # "leaky" (slope 0.1) | "linear" | "mish" (yolov4)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +58,10 @@ class MaxPool:
 class Route:
     # Relative indices into the layer list (negative, darknet-style).
     layers: Tuple[int, ...]
+    # darknet [route] groups/group_id (yolov4 CSP): after concatenation,
+    # keep channel slice group_id of groups equal parts.
+    groups: int = 1
+    group_id: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +85,9 @@ class Upsample:
 class YoloHead:
     # Indices into ModelConfig.anchors for this head's anchor subset.
     mask: Tuple[int, ...]
+    # darknet [yolo] scale_x_y (yolov4 grid-sensitivity fix):
+    # bx = (sigmoid(tx)*s - (s-1)/2 + cx) / W
+    scale_xy: float = 1.0
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]

@@ -71,6 +71,8 @@ def _activate(x, act: str):
         return jnp.where(x > 0, x, 0.1 * x)
     if act == "linear":
         return x
+    if act == "mish":  # yolov4: x * tanh(softplus(x))
+        return x * jnp.tanh(jax.nn.softplus(x))
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -89,6 +91,7 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
         assert not train, "int8 params are inference-only"
         return conv_block_int8(x, p, spec, compute_dtype=compute_dtype), None
     if (conv_impl == "pallas" and not train and "bias" in p
+            and spec.act in ("leaky", "linear")
             and input_layout == "NHWC"):
         from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
 
@@ -175,7 +178,10 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             x = reorg_nhwc(x, layer.stride)
         elif isinstance(layer, Route):
             srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
-            x = jnp.concatenate(srcs, axis=-1)
+            x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            if layer.groups > 1:  # yolov4 CSP channel slice
+                gc = x.shape[-1] // layer.groups
+                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
         elif isinstance(layer, Shortcut):
             x = _activate(x + outputs[resolve_route(idx, layer.frm)],
                           layer.act)

@@ -69,6 +69,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
         if head == "auto":
             head = ("fused" if jax.default_backend() == "tpu"
                     and conf_t >= 0.1 else "reference")
+        scales = [h.scale_xy for h in cfg.yolo_heads]
         if head == "fused":
             from yolo_tpu.ops.head import detect_head_yolo
 
@@ -78,10 +79,11 @@ def _postprocess(cfg: ModelConfig, logits, *,
                 cfg.num_classes, cfg.input_size,
                 conf_threshold=conf_t, iou_threshold=iou_t,
                 pre_top_k=pre, max_detections=max_detections,
-                use_pallas=(jax.default_backend() == "tpu"))
+                use_pallas=(jax.default_backend() == "tpu"),
+                scales=scales)
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
-            cfg.num_classes, cfg.input_size)
+            cfg.num_classes, cfg.input_size, scales=scales)
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
             top_k=top_k, max_detections=max_detections, impl=nms_impl)

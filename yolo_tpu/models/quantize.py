@@ -60,6 +60,9 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             x = jnp.concatenate(
                 [outputs[resolve_route(idx, r)] for r in layer.layers],
                 axis=-1)
+            if layer.groups > 1:
+                gc = x.shape[-1] // layer.groups
+                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
         elif isinstance(layer, Shortcut):
             x = graph._activate(x + outputs[resolve_route(idx, layer.frm)],
                                 layer.act)

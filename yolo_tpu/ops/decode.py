@@ -45,7 +45,7 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int):
+                net_size: int, scales=None):
     """YOLOv3-family [yolo] decode, all heads merged (darknet
     yolo_layer semantics — sigmoid xy/conf, exp wh on PIXEL anchors,
     independent sigmoid class probs; no softmax, no tw/th clamp).
@@ -53,14 +53,17 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
       head_logits: sequence of (B, Hs, Ws, As*(5+C)) raw head outputs
       anchors_px:  full anchor list, pixel units of the net input
       masks:       per-head index tuples into anchors_px
+      scales:      per-head scale_x_y (yolov4 grid-sensitivity fix:
+                   xy = sigmoid(t)*s - (s-1)/2); default all 1.0
 
     Returns boxes (B, N, 4) xywh and scores (B, N, C) normalized to net
     space, N = sum over heads of Hs*Ws*As — same convention as decode(),
     so the NMS/un-letterbox path is shared. fp32 throughout.
     """
     anchors_px = jnp.asarray(anchors_px, dtype=jnp.float32)
+    scales = scales or [1.0] * len(masks)
     all_boxes, all_scores = [], []
-    for logits, mask in zip(head_logits, masks):
+    for logits, mask, s_xy in zip(head_logits, masks, scales):
         b, h, w, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
@@ -68,8 +71,9 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
 
         cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
         cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
-        bx = (jax.nn.sigmoid(t[..., 0]) + cx) / w
-        by = (jax.nn.sigmoid(t[..., 1]) + cy) / h
+        off = (s_xy - 1.0) / 2.0
+        bx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / w
+        by = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / h
         bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
         bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
         conf = jax.nn.sigmoid(t[..., 4])

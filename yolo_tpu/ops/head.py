@@ -78,7 +78,8 @@ def detect_head(logits: jnp.ndarray, anchors, num_classes: int, *,
 def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
                      net_size: int, *, conf_threshold: float,
                      iou_threshold: float, pre_top_k: int = 256,
-                     max_detections: int = 100, use_pallas: bool = True):
+                     max_detections: int = 100, use_pallas: bool = True,
+                     scales=None):
     """Fused yolov3 multi-head: objectness prefilter over ALL heads'
     boxes, then decode + sigmoid class scores for the survivors only.
 
@@ -95,8 +96,10 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     anchors_np = np.asarray(anchors_px, dtype=np.float32)
 
     # flatten all heads + per-box decode metadata (trace-time constants)
-    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l = [], [], [], [], [], [], []
-    for logits, mask in zip(head_logits, masks):
+    scales = scales or [1.0] * len(masks)
+    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l, sc_l = ([], [], [], [], [],
+                                                    [], [], [])
+    for logits, mask, s_xy in zip(head_logits, masks, scales):
         _, h, w, _ = logits.shape
         a = len(mask)
         ts.append(logits.astype(jnp.float32).reshape(b, h * w * a, 5 + c))
@@ -108,6 +111,7 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
         gh_l.append(np.full(h * w * a, h, np.float32))
         pw_l.append(anchors_np[np.asarray(mask), 0][aa.reshape(-1)])
         ph_l.append(anchors_np[np.asarray(mask), 1][aa.reshape(-1)])
+        sc_l.append(np.full(h * w * a, s_xy, np.float32))
     t = jnp.concatenate(ts, axis=1)                       # (B, N, 5+C)
     n = t.shape[1]
     cx = jnp.asarray(np.concatenate(cx_l))
@@ -116,14 +120,17 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     gh = jnp.asarray(np.concatenate(gh_l))
     pw = jnp.asarray(np.concatenate(pw_l))
     ph = jnp.asarray(np.concatenate(ph_l))
+    sc = jnp.asarray(np.concatenate(sc_l))
 
     conf_all = jax.nn.sigmoid(t[..., 4])                  # (B, N)
     kb = min(pre_top_k, n)
     conf_k, nidx = lax.top_k(conf_all, kb)                # (B, KB)
     tk = jnp.take_along_axis(t, nidx[..., None], axis=1)  # (B, KB, 5+C)
 
-    bx = (jax.nn.sigmoid(tk[..., 0]) + cx[nidx]) / gw[nidx]
-    by = (jax.nn.sigmoid(tk[..., 1]) + cy[nidx]) / gh[nidx]
+    s_k = sc[nidx]
+    off = (s_k - 1.0) / 2.0
+    bx = (jax.nn.sigmoid(tk[..., 0]) * s_k - off + cx[nidx]) / gw[nidx]
+    by = (jax.nn.sigmoid(tk[..., 1]) * s_k - off + cy[nidx]) / gh[nidx]
     bw = pw[nidx] * jnp.exp(tk[..., 2]) / net_size
     bh = ph[nidx] * jnp.exp(tk[..., 3]) / net_size
     boxes_kb = jnp.stack([bx, by, bw, bh], axis=-1)       # (B, KB, 4)

@@ -130,10 +130,11 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int):
+                net_size: int, scales=None):
     """YOLOv3 [yolo]-layer decode oracle for ONE image, loop-level
     (darknet yolo_layer semantics: sigmoid xy/conf, exp wh on pixel
-    anchors, INDEPENDENT sigmoid class probs — no softmax).
+    anchors, INDEPENDENT sigmoid class probs — no softmax; optional
+    per-head yolov4 scale_x_y).
 
       head_logits: list of (Hs, Ws, As*(5+C)) raw head outputs
       anchors_px:  full anchor list in net-input pixels
@@ -143,7 +144,8 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     heads concatenated in order.
     """
     boxes_out, scores_out = [], []
-    for logits, mask in zip(head_logits, masks):
+    scales = scales or [1.0] * len(masks)
+    for logits, mask, s_xy in zip(head_logits, masks, scales):
         h, w, _ = logits.shape
         a = len(mask)
         t = logits.reshape(h, w, a, 5 + num_classes).astype(np.float64)
@@ -152,8 +154,9 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                 for n in range(a):
                     pw, ph = anchors_px[mask[n]]
                     tx, ty, tw, th, to = t[j, i, n, :5]
-                    bx = (sigmoid(tx) + i) / w
-                    by = (sigmoid(ty) + j) / h
+                    off = (s_xy - 1.0) / 2.0
+                    bx = (sigmoid(tx) * s_xy - off + i) / w
+                    by = (sigmoid(ty) * s_xy - off + j) / h
                     bw = pw * np.exp(tw) / net_size
                     bh = ph * np.exp(th) / net_size
                     conf = sigmoid(to)

@@ -124,7 +124,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             total, parts = yolo_loss(
                 logits, batch, mcfg.anchors,
                 [hd.mask for hd in mcfg.yolo_heads], mcfg.num_classes,
-                net_size, tcfg.yolo_loss)
+                net_size, tcfg.yolo_loss,
+                scales=[hd.scale_xy for hd in mcfg.yolo_heads])
         else:
             total, parts = region_loss(
                 logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,

@@ -152,10 +152,14 @@ def _bce(logit, target):
 
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
               masks, num_classes: int, net_size: int,
-              cfg: YoloLossConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+              cfg: YoloLossConfig, scales=None
+              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Multi-head yolov3 loss. head_logits: tuple of (B, S, S, A*(5+C))
     raw outputs (graph.apply_layers yolo-family return); targets from
     data.targets.encode_batch_yolo (flat per-head keys + gt_boxes/mask).
+    scales: per-head yolov4 scale_x_y (xy term switches from BCE to
+    0.5*MSE on the scaled sigmoid when != 1, since the prediction range
+    leaves [0, 1]).
 
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
@@ -164,8 +168,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     b = head_logits[0].shape[0]
     zero = jnp.zeros((), jnp.float32)
     parts = {"coord": zero, "obj": zero, "noobj": zero, "class": zero}
+    scales = scales or [1.0] * len(masks)
 
-    for h, (logits, mask) in enumerate(zip(head_logits, masks)):
+    for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
+                                                 scales)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
@@ -178,8 +184,9 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         # decoded predicted boxes (normalized) for the ignore mask
         cx = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
         cy = jnp.arange(s, dtype=jnp.float32)[None, :, None, None]
-        pbx = (jax.nn.sigmoid(t[..., 0]) + cx) / s
-        pby = (jax.nn.sigmoid(t[..., 1]) + cy) / s
+        off = (s_xy - 1.0) / 2.0
+        pbx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / s
+        pby = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / s
         pbw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
         pbh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
         pred_boxes = jnp.stack([pbx, pby, pbw, pbh], axis=-1)
@@ -200,7 +207,12 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
         # coords on assigned anchors: xy BCE (darknet delta on sigmoid),
         # wh 0.5*MSE on raw logits; both weighted by (2 - w*h)
-        xy = _bce(t[..., 0], tc[..., 0]) + _bce(t[..., 1], tc[..., 1])
+        if s_xy == 1.0:
+            xy = _bce(t[..., 0], tc[..., 0]) + _bce(t[..., 1], tc[..., 1])
+        else:
+            px = jax.nn.sigmoid(t[..., 0]) * s_xy - off
+            py = jax.nn.sigmoid(t[..., 1]) * s_xy - off
+            xy = 0.5 * ((px - tc[..., 0]) ** 2 + (py - tc[..., 1]) ** 2)
         wh = 0.5 * ((t[..., 2] - tc[..., 2]) ** 2
                     + (t[..., 3] - tc[..., 3]) ** 2)
         parts["coord"] = parts["coord"] + jnp.sum(
