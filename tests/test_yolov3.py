@@ -141,8 +141,11 @@ class TestWeightsIO:
     def test_official_byte_counts(self):
         """The layer lists reproduce the official .weights sizes exactly
         (the strongest offline topology pin; mirrors test_zoo)."""
+        from yolo_tpu.configs.variants import YOLOV4_TINY_COCO
+
         assert expected_weights_bytes(YOLOV3_COCO.layers) == 248_007_048
         assert expected_weights_bytes(YOLOV3_TINY_COCO.layers) == 35_434_956
+        assert expected_weights_bytes(YOLOV4_TINY_COCO.layers) == 24_251_276
 
     def test_save_load_round_trip(self):
         cfg = YOLOV3_TINY_COCO
@@ -161,12 +164,15 @@ class TestWeightsIO:
                 np.testing.assert_array_equal(p[k], q[k])
 
 
-@pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3"])
+@pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3",
+                                     "yolov4-tiny"])
 def test_logits_parity_vs_tf_oracle(variant):
     from tests import tf_oracle
+    from yolo_tpu.configs.variants import YOLOV4_TINY_COCO
 
-    cfg = _small(YOLOV3_TINY_COCO if variant == "yolov3-tiny"
-                 else YOLOV3_COCO)
+    cfg = _small({"yolov3-tiny": YOLOV3_TINY_COCO,
+                  "yolov3": YOLOV3_COCO,
+                  "yolov4-tiny": YOLOV4_TINY_COCO}[variant])
     rng = np.random.default_rng(42)
     params = dw.random_params(cfg.layers, rng)
     x = rng.uniform(0, 1, (1, cfg.input_size, cfg.input_size, 3)

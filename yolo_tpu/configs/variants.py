@@ -234,6 +234,63 @@ YOLOV3_TINY_COCO = ModelConfig(
     input_size=416,
 )
 
+# ---------------------------------------------------------------------------
+# yolov4-tiny (CSP route groups, scale_x_y=1.05; leaky throughout)
+# ---------------------------------------------------------------------------
+
+
+def _csp_block(ch: int):
+    """yolov4-tiny CSP block: conv ch; grouped half; two ch/2 convs;
+    partial concat; 1x1 transition; full concat. 6 layers after the
+    leading conv."""
+    return (
+        Conv(ch),                                  # +0
+        Route((-1,), groups=2, group_id=1),        # +1 (ch/2)
+        Conv(ch // 2),                             # +2
+        Conv(ch // 2),                             # +3
+        Route((-1, -2)),                           # +4 (ch)
+        Conv(ch, 1),                               # +5
+        Route((-6, -1)),                           # +6 (2*ch)
+    )
+
+
+def _yolov4_tiny_layers(num_out: int):
+    """yolov4-tiny.cfg: CSPOSANet backbone + 2-scale head. Pinned by
+    the official yolov4-tiny.weights byte count 24,251,276 = 20-byte
+    header + 6,062,814 fp32 params (tests/test_zoo.py derivation).
+    Second [yolo] mask is (1,2,3) — same official quirk as
+    yolov3-tiny (anchor 0 unused)."""
+    return (
+        Conv(32, stride=2), Conv(64, stride=2),    # 0-1
+        *_csp_block(64),                           # 2-8
+        MaxPool(2, 2),                             # 9
+        *_csp_block(128),                          # 10-16
+        MaxPool(2, 2),                             # 17
+        *_csp_block(256),                          # 18-24
+        MaxPool(2, 2),                             # 25
+        Conv(512),                                 # 26
+        Conv(256, 1),                              # 27
+        Conv(512),                                 # 28
+        Conv(num_out, size=1, bn=False, act="linear"),  # 29
+        YoloHead((3, 4, 5), scale_xy=1.05),        # 30 (13x13)
+        Route((-4,)),                              # 31 -> 27
+        Conv(128, 1),                              # 32
+        Upsample(2),                               # 33
+        Route((-1, 23)),                           # 34 -> concat(33, 23)
+        Conv(256),                                 # 35
+        Conv(num_out, size=1, bn=False, act="linear"),  # 36
+        YoloHead((1, 2, 3), scale_xy=1.05),        # 37 (26x26)
+    )
+
+
+YOLOV4_TINY_COCO = ModelConfig(
+    name="yolov4-tiny-coco",
+    layers=_yolov4_tiny_layers(3 * (5 + 80)),
+    anchors=YOLOV3_TINY_ANCHORS,  # yolov4-tiny reuses them
+    class_names=COCO_NAMES,
+    input_size=416,
+)
+
 VARIANTS = {
     "tiny-voc": TINY_YOLOV2_VOC,
     "voc": YOLOV2_VOC,
@@ -241,6 +298,7 @@ VARIANTS = {
     "tiny-coco": TINY_YOLOV2_COCO,
     "yolov3": YOLOV3_COCO,
     "yolov3-tiny": YOLOV3_TINY_COCO,
+    "yolov4-tiny": YOLOV4_TINY_COCO,
 }
 
 
