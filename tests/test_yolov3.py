@@ -141,11 +141,13 @@ class TestWeightsIO:
     def test_official_byte_counts(self):
         """The layer lists reproduce the official .weights sizes exactly
         (the strongest offline topology pin; mirrors test_zoo)."""
-        from yolo_tpu.configs.variants import YOLOV4_TINY_COCO
+        from yolo_tpu.configs.variants import (YOLOV4_COCO,
+                                               YOLOV4_TINY_COCO)
 
         assert expected_weights_bytes(YOLOV3_COCO.layers) == 248_007_048
         assert expected_weights_bytes(YOLOV3_TINY_COCO.layers) == 35_434_956
         assert expected_weights_bytes(YOLOV4_TINY_COCO.layers) == 24_251_276
+        assert expected_weights_bytes(YOLOV4_COCO.layers) == 257_717_640
 
     def test_save_load_round_trip(self):
         cfg = YOLOV3_TINY_COCO
@@ -165,14 +167,15 @@ class TestWeightsIO:
 
 
 @pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3",
-                                     "yolov4-tiny"])
+                                     "yolov4-tiny", "yolov4"])
 def test_logits_parity_vs_tf_oracle(variant):
     from tests import tf_oracle
-    from yolo_tpu.configs.variants import YOLOV4_TINY_COCO
+    from yolo_tpu.configs.variants import YOLOV4_COCO, YOLOV4_TINY_COCO
 
     cfg = _small({"yolov3-tiny": YOLOV3_TINY_COCO,
                   "yolov3": YOLOV3_COCO,
-                  "yolov4-tiny": YOLOV4_TINY_COCO}[variant])
+                  "yolov4-tiny": YOLOV4_TINY_COCO,
+                  "yolov4": YOLOV4_COCO}[variant])
     rng = np.random.default_rng(42)
     params = dw.random_params(cfg.layers, rng)
     x = rng.uniform(0, 1, (1, cfg.input_size, cfg.input_size, 3)

@@ -24,7 +24,8 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
                    choices=["tiny-voc", "voc", "coco", "tiny-coco",
-                            "yolov3", "yolov3-tiny", "yolov4-tiny"])
+                            "yolov3", "yolov3-tiny", "yolov4",
+                            "yolov4-tiny"])
     p.add_argument("--cfg", default=None,
                    help="darknet .cfg file (overrides --model; any "
                         "yolov2/yolov3-family topology)")

@@ -291,6 +291,89 @@ YOLOV4_TINY_COCO = ModelConfig(
     input_size=416,
 )
 
+# ---------------------------------------------------------------------------
+# yolov4 (CSPDarknet53 + SPP + PANet, mish backbone / leaky head)
+# ---------------------------------------------------------------------------
+
+YOLOV4_ANCHORS = (
+    (12, 16), (19, 36), (40, 28), (36, 75), (76, 55), (72, 146),
+    (142, 110), (192, 243), (459, 401),
+)
+
+
+def _csp_stage(C: int, n: int, first: bool = False):
+    """CSPDarknet53 stage: stride-2 downsample, 1x1 split pair (via
+    route -2), n residual blocks on one branch, 1x1 post, cross-stage
+    concat, 1x1 transition. Stage 1 keeps full-width splits with a
+    32-channel bottleneck (yolov4.cfg)."""
+    split = C if first else C // 2
+    block_in = 32 if first else C // 2
+    layers = [
+        Conv(C, stride=2, act="mish"),
+        Conv(split, 1, act="mish"),          # split a
+        Route((-2,)),
+        Conv(split, 1, act="mish"),          # split b
+    ]
+    for _ in range(n):
+        layers += [Conv(block_in, 1, act="mish"),
+                   Conv(split, 3, act="mish"),
+                   Shortcut(-3)]
+    layers += [Conv(split, 1, act="mish"),
+               Route((-1, -(3 * n + 4))),
+               Conv(C, 1, act="mish")]
+    return layers
+
+
+def _yolov4_layers(num_out: int):
+    """yolov4.cfg: CSPDarknet53 (mish) + SPP + PANet (leaky), 3-scale
+    head with scale_x_y 1.2/1.1/1.05 and masks in SMALL-to-large order
+    (unlike yolov3). Pinned by the official yolov4.weights byte count
+    257,717,640 = 20-byte header + 64,429,405 fp32 params; the derived
+    backbone tap indices (54, 85) equal the official cfg's absolute
+    `[route] layers = 54 / 85`."""
+    L = [Conv(32, act="mish")]
+    L += _csp_stage(64, 1, first=True)
+    L += _csp_stage(128, 2)
+    L += _csp_stage(256, 8)
+    p3 = len(L) - 1                          # 54: 76x76x256 tap
+    L += _csp_stage(512, 8)
+    p4 = len(L) - 1                          # 85: 38x38x512 tap
+    L += _csp_stage(1024, 4)
+
+    L += [Conv(512, 1), Conv(1024), Conv(512, 1)]
+    L += [MaxPool(5, 1), Route((-2,)), MaxPool(9, 1), Route((-4,)),
+          MaxPool(13, 1), Route((-1, -3, -5, -6))]       # SPP
+    L += [Conv(512, 1), Conv(1024), Conv(512, 1)]
+    o5 = len(L) - 1                          # 19x19x512
+    L += [Conv(256, 1), Upsample(2), Route((p4,)), Conv(256, 1),
+          Route((-1, -3))]
+    L += [Conv(256, 1), Conv(512), Conv(256, 1), Conv(512), Conv(256, 1)]
+    o4p = len(L) - 1                         # 38x38x256
+    L += [Conv(128, 1), Upsample(2), Route((p3,)), Conv(128, 1),
+          Route((-1, -3))]
+    L += [Conv(128, 1), Conv(256), Conv(128, 1), Conv(256), Conv(128, 1)]
+    L += [Conv(256), Conv(num_out, size=1, bn=False, act="linear"),
+          YoloHead((0, 1, 2), scale_xy=1.2)]             # 76x76 head
+    L += [Route((-4,)), Conv(256, stride=2), Route((-1, o4p))]
+    L += [Conv(256, 1), Conv(512), Conv(256, 1), Conv(512), Conv(256, 1)]
+    L += [Conv(512), Conv(num_out, size=1, bn=False, act="linear"),
+          YoloHead((3, 4, 5), scale_xy=1.1)]             # 38x38 head
+    L += [Route((-4,)), Conv(512, stride=2), Route((-1, o5))]
+    L += [Conv(512, 1), Conv(1024), Conv(512, 1), Conv(1024),
+          Conv(512, 1)]
+    L += [Conv(1024), Conv(num_out, size=1, bn=False, act="linear"),
+          YoloHead((6, 7, 8), scale_xy=1.05)]            # 19x19 head
+    return tuple(L)
+
+
+YOLOV4_COCO = ModelConfig(
+    name="yolov4-coco",
+    layers=_yolov4_layers(3 * (5 + 80)),
+    anchors=YOLOV4_ANCHORS,
+    class_names=COCO_NAMES,
+    input_size=608,  # the official yolov4.cfg net size
+)
+
 VARIANTS = {
     "tiny-voc": TINY_YOLOV2_VOC,
     "voc": YOLOV2_VOC,
@@ -298,6 +381,7 @@ VARIANTS = {
     "tiny-coco": TINY_YOLOV2_COCO,
     "yolov3": YOLOV3_COCO,
     "yolov3-tiny": YOLOV3_TINY_COCO,
+    "yolov4": YOLOV4_COCO,
     "yolov4-tiny": YOLOV4_TINY_COCO,
 }
 
