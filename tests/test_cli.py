@@ -47,6 +47,25 @@ def test_predict_e2e(tiny_weights, sample_image, tmp_path, capsys):
     assert os.path.exists(out_img)
 
 
+def test_predict_stretch_resize(tiny_weights, sample_image, capsys):
+    """--resize stretch (AlexeyAB plain-resize geometry) runs e2e and
+    emits valid in-image boxes."""
+    cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--image", sample_image,
+              "--conf", "0.1", "--precision", "fp32",
+              "--resize", "stretch"])
+    for line in capsys.readouterr().out.strip().splitlines():
+        d = json.loads(line)
+        x1, y1, x2, y2 = d["box_xyxy"]
+        assert 0 <= x1 <= x2 <= 128 and 0 <= y1 <= y2 <= 96
+
+
+def test_eval_rejects_stretch(tiny_weights, tmp_path):
+    with pytest.raises(SystemExit, match="letterbox path only"):
+        cli.main(["eval", "--model", "tiny-voc", "--weights", tiny_weights,
+                  "--voc-root", str(tmp_path), "--resize", "stretch"])
+
+
 def test_detect_batched_e2e(tiny_weights, tmp_path, capsys):
     import cv2
 

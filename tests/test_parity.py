@@ -99,6 +99,37 @@ class TestLetterbox:
         got = np.asarray(letterbox(jnp.asarray(img[None]), 416))[0]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("shape", [(480, 640), (100, 300), (416, 416)])
+    def test_stretch_matches_cv2_oracle(self, shape):
+        """AlexeyAB-style plain resize (letter_box=0) vs cv2 oracle."""
+        from yolo_tpu.ops.letterbox import stretch_resize
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        want = npr.stretch_resize(img, 416, 416)
+        got = np.asarray(stretch_resize(jnp.asarray(img[None]), 416))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_stretch_equals_letterbox_on_square(self):
+        """For square sources the two geometries coincide, so the full
+        detect_raw pipelines must produce identical boxes."""
+        from yolo_tpu.models.predict import detect_raw
+
+        cfg = dataclasses.replace(_small(TINY_YOLOV2_VOC, 160),
+                                  conf_threshold=0.25)
+        rng = np.random.default_rng(9)
+        params = graph.params_to_jax(
+            dw.random_params(cfg.layers, rng, scale=0.15))
+        img = rng.integers(0, 256, (1, 200, 200, 3), dtype=np.uint8)
+        a = detect_raw(cfg, params, jnp.asarray(img))
+        b = detect_raw(cfg, params, jnp.asarray(img), resize="stretch")
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        v = np.asarray(a["valid"])
+        np.testing.assert_allclose(np.asarray(a["boxes"])[v],
+                                   np.asarray(b["boxes"])[v],
+                                   rtol=1e-4, atol=1e-3)
+
 
 @pytest.mark.parametrize("variant", ["tiny", "full"])
 def test_layer_by_layer_parity_vs_tf_oracle(variant):

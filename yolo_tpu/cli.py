@@ -40,6 +40,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "the first inputs; not parity-exact)")
     p.add_argument("--conf", type=float, default=None, help="score threshold")
     p.add_argument("--nms", type=float, default=None, help="NMS IoU threshold")
+    p.add_argument("--resize", default="letterbox",
+                   choices=["letterbox", "stretch"],
+                   help="preprocess geometry: letterbox (pjreddie "
+                        "darknet) or stretch = plain resize (AlexeyAB "
+                        "darknet letter_box=0 default; predict/detect "
+                        "device path only)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
 
@@ -160,7 +166,8 @@ def cmd_predict(args) -> None:
     params = _load_params(args, cfg)
     img = load_image_rgb(args.image)
     params = _maybe_quantize(args, cfg, params, [img])
-    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
+    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
+                        resize=args.resize)
     with maybe_trace(args.profile_dir):
         out = det(params, jnp.asarray(img[None]))
     boxes = np.asarray(out["boxes"][0])
@@ -191,7 +198,11 @@ def cmd_detect(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
-    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision))
+    if args.resize == "stretch" and args.host_preprocess:
+        raise SystemExit("--resize stretch runs on the device path only "
+                         "(drop --host-preprocess)")
+    det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
+                        resize=args.resize)
 
     if args.video:
         if args.precision == "int8":
@@ -518,6 +529,10 @@ def cmd_eval(args) -> None:
     """VOC mAP over a split (SURVEY.md §3.5 — the parity gate)."""
     from yolo_tpu.eval.voc_map import evaluate
 
+    if getattr(args, "resize", "letterbox") != "letterbox":
+        raise SystemExit("eval runs the letterbox path only "
+                         "(--resize stretch applies to predict/detect)")
+
     cfg = _get_cfg(args)
     if not args.from_detections and not args.weights:
         raise SystemExit("--weights is required (or score a saved "
@@ -723,6 +738,9 @@ def cmd_serve(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
+    if getattr(args, "resize", "letterbox") != "letterbox":
+        raise SystemExit("serve runs the letterbox path only "
+                         "(--resize stretch applies to predict/detect)")
     if args.precision == "int8":
         if not args.calibration_image:
             raise SystemExit("--precision int8 needs --calibration-image")

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
 from yolo_tpu.ops.decode import decode, decode_yolo
-from yolo_tpu.ops.letterbox import letterbox, unletterbox_boxes_xyxy
+from yolo_tpu.ops.letterbox import (letterbox, stretch_resize,
+                                    unletterbox_boxes_xyxy,
+                                    unstretch_boxes_xyxy)
 from yolo_tpu.ops.nms import nms_batch
 
 
@@ -124,9 +126,14 @@ def _entry_fusable(cfg: ModelConfig, params) -> bool:
 
 
 def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
-               compute_dtype=jnp.float32, entry: str = "auto", **kw):
+               compute_dtype=jnp.float32, entry: str = "auto",
+               resize: str = "letterbox", **kw):
     """Raw RGB (B, H, W, 3) uint8 -> detections with boxes mapped back to
     original-image pixel xyxy. The full fused path.
+
+    resize="stretch" uses plain (aspect-ignoring) bilinear resize — the
+    AlexeyAB-darknet default (letter_box=0), for box-level parity with
+    that tool family; "letterbox" (default) matches pjreddie darknet.
 
     entry="fused" replaces letterbox + conv1 + pool1 with the parity-
     plane letterbox and the fused entry Pallas kernel
@@ -138,6 +145,14 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
     b, h, w, _ = images_u8.shape
     if entry == "auto":
         entry = "xla"
+    if resize == "stretch":
+        if entry == "fused":
+            raise ValueError("entry='fused' implements letterbox only")
+        x = stretch_resize(images_u8, cfg.input_size, dtype=compute_dtype)
+        dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
+        dets["boxes"] = unstretch_boxes_xyxy(dets["boxes"], src_h=h,
+                                             src_w=w)
+        return dets
     if entry == "fused":
         from yolo_tpu.ops.pallas import entry_kernel as ek
 
@@ -197,14 +212,15 @@ def make_detector_preprocessed(cfg: ModelConfig, *,
 @functools.lru_cache(maxsize=32)
 def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
                        nms_threshold, top_k, max_detections, nms_impl,
-                       head, entry):
+                       head, entry, resize):
     def fn(params, images_u8):
         return detect_raw(cfg, params, images_u8,
                           compute_dtype=compute_dtype,
                           conf_threshold=conf_threshold,
                           nms_threshold=nms_threshold,
                           top_k=top_k, max_detections=max_detections,
-                          nms_impl=nms_impl, head=head, entry=entry)
+                          nms_impl=nms_impl, head=head, entry=entry,
+                          resize=resize)
     return jax.jit(fn)
 
 
@@ -213,11 +229,11 @@ def make_detector(cfg: ModelConfig, *, compute_dtype=jnp.float32,
                   nms_threshold: Optional[float] = None,
                   top_k: int = 128, max_detections: int = 100,
                   nms_impl: str = "auto", head: str = "auto",
-                  entry: str = "auto"):
+                  entry: str = "auto", resize: str = "letterbox"):
     """Jitted raw-RGB detector; recompiles only per (source-shape, batch)
     bucket."""
     return _jitted_detect_raw(
         cfg, compute_dtype,
         cfg.conf_threshold if conf_threshold is None else conf_threshold,
         cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k, max_detections, nms_impl, head, entry)
+        top_k, max_detections, nms_impl, head, entry, resize)

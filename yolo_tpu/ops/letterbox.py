@@ -76,6 +76,39 @@ def letterbox(images: jnp.ndarray, net_size: int,
     )
 
 
+def stretch_resize(images: jnp.ndarray, net_size: int,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """images: (B, H, W, 3) uint8 raw RGB -> (B, net, net, 3) in [0,1]
+    by PLAIN bilinear resize, aspect ratio NOT preserved — the
+    AlexeyAB-darknet default preprocessing (letter_box=0), in contrast
+    to pjreddie's letterbox. Same pinned cv2-INTER_LINEAR filter."""
+    b, h, w, c = images.shape
+    x = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+    if h != net_size:
+        mh = jnp.asarray(_lerp_matrix(h, net_size), dtype)
+        x = jnp.einsum("oh,bhwc->bowc", mh, x,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    if w != net_size:
+        mw = jnp.asarray(_lerp_matrix(w, net_size), dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    return x
+
+
+def unstretch_boxes_xyxy(boxes_xywh: jnp.ndarray, *, src_h: int,
+                         src_w: int) -> jnp.ndarray:
+    """Inverse of stretch_resize for net-normalized xywh boxes ->
+    original-image pixel xyxy, clipped."""
+    b = boxes_xywh
+    cx, cy = b[..., 0] * src_w, b[..., 1] * src_h
+    bw, bh = b[..., 2] * src_w, b[..., 3] * src_h
+    x1 = jnp.clip(cx - bw / 2, 0, src_w)
+    y1 = jnp.clip(cy - bh / 2, 0, src_h)
+    x2 = jnp.clip(cx + bw / 2, 0, src_w)
+    y2 = jnp.clip(cy + bh / 2, 0, src_h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
 def unletterbox_boxes_xyxy(boxes_xywh: jnp.ndarray, *, src_h: int, src_w: int,
                            net_size: int) -> jnp.ndarray:
     """Map net-normalized xywh boxes to original-image pixel xyxy, clipped

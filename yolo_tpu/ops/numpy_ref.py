@@ -232,6 +232,16 @@ def letterbox(img_u8: np.ndarray, net_w: int, net_h: int):
     return out, scale, px, py
 
 
+def stretch_resize(img_u8: np.ndarray, net_w: int, net_h: int):
+    """Plain (aspect-ignoring) resize oracle — the AlexeyAB-darknet
+    default preprocessing (letter_box=0). (H, W, 3) uint8 ->
+    (net_h, net_w, 3) float32 in [0,1]."""
+    import cv2
+
+    return cv2.resize(img_u8.astype(np.float32) / 255.0, (net_w, net_h),
+                      interpolation=cv2.INTER_LINEAR)
+
+
 def unletterbox_boxes(boxes_xywh: np.ndarray, scale: float, px: int, py: int,
                       net_w: int, net_h: int, img_w: int, img_h: int):
     """Map net-normalized xywh boxes back to original-image pixel xyxy."""
