@@ -25,7 +25,7 @@ class TestExpectedBytes:
         assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc",
                                  "yolov2-tiny", "darknet19-448-conv23",
                                  "yolov3", "yolov3-tiny", "darknet53-conv74",
-                                 "yolov4", "yolov4-tiny"}
+                                 "yolov4", "yolov4-tiny", "yolov4-conv137"}
         for name, e in manifest.items():
             layers = get_variant(e["variant"]).layers
             if e.get("cutoff_layers"):
