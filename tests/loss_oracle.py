@@ -60,6 +60,34 @@ def _bce_np(logit, target):
     return max(logit, 0.0) - logit * target + np.log1p(np.exp(-abs(logit)))
 
 
+def _iou_variant_np(p, g, kind, eps=1e-9):
+    """Scalar IoU/GIoU/DIoU/CIoU oracle for two xywh boxes."""
+    px1, py1, px2, py2 = (p[0] - p[2] / 2, p[1] - p[3] / 2,
+                          p[0] + p[2] / 2, p[1] + p[3] / 2)
+    gx1, gy1, gx2, gy2 = (g[0] - g[2] / 2, g[1] - g[3] / 2,
+                          g[0] + g[2] / 2, g[1] + g[3] / 2)
+    iw = max(0.0, min(px2, gx2) - max(px1, gx1))
+    ih = max(0.0, min(py2, gy2) - max(py1, gy1))
+    inter = iw * ih
+    union = p[2] * p[3] + g[2] * g[3] - inter
+    iou = inter / (union + eps)
+    if kind == "iou":
+        return iou
+    cw = max(px2, gx2) - min(px1, gx1)
+    ch = max(py2, gy2) - min(py1, gy1)
+    if kind == "giou":
+        area_c = cw * ch + eps
+        return iou - (area_c - union) / area_c
+    rho2 = (p[0] - g[0]) ** 2 + (p[1] - g[1]) ** 2
+    c2 = cw ** 2 + ch ** 2 + eps
+    if kind == "diou":
+        return iou - rho2 / c2
+    v = (4.0 / np.pi ** 2) * (np.arctan(g[2] / (g[3] + eps))
+                              - np.arctan(p[2] / (p[3] + eps))) ** 2
+    alpha = v / (1.0 - iou + v + eps)
+    return iou - rho2 / c2 - alpha * v
+
+
 def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                  net_size, cfg, scales=None):
     """Loop-level numpy oracle for the yolov3 multi-head loss
@@ -97,21 +125,32 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                         if assigned:
                             tc = targets[f"tcoord_{h}"][bi, j, i, ai]
                             w = targets[f"coord_w_{h}"][bi, j, i, ai]
-                            if s_xy == 1.0:
+                            kind = getattr(cfg, "iou_loss", "mse")
+                            if kind != "mse":
+                                gbox = targets[f"tbox_{h}"][bi, j, i, ai]
+                                parts["coord"] += (
+                                    cfg.iou_normalizer
+                                    * (1.0 - _iou_variant_np(pbox, gbox,
+                                                             kind)))
+                            elif s_xy == 1.0:
                                 xy = (_bce_np(v[0], tc[0])
                                       + _bce_np(v[1], tc[1]))
+                                parts["coord"] += w * (
+                                    xy + 0.5 * ((v[2] - tc[2]) ** 2
+                                                + (v[3] - tc[3]) ** 2))
                             else:
                                 px = sigmoid(v[0]) * s_xy - off
                                 py = sigmoid(v[1]) * s_xy - off
                                 xy = 0.5 * ((px - tc[0]) ** 2
                                             + (py - tc[1]) ** 2)
-                            parts["coord"] += w * (
-                                xy + 0.5 * ((v[2] - tc[2]) ** 2
-                                            + (v[3] - tc[3]) ** 2))
+                                parts["coord"] += w * (
+                                    xy + 0.5 * ((v[2] - tc[2]) ** 2
+                                                + (v[3] - tc[3]) ** 2))
                             parts["obj"] += _bce_np(v[4], 1.0)
                             cls = targets[f"tcls_{h}"][bi, j, i, ai]
+                            cn = getattr(cfg, "cls_normalizer", 1.0)
                             for k in range(c):
-                                parts["class"] += _bce_np(
+                                parts["class"] += cn * _bce_np(
                                     v[5 + k], 1.0 if k == cls else 0.0)
                         elif best_iou < cfg.ignore_thresh:
                             parts["noobj"] += _bce_np(v[4], 0.0)

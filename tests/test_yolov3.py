@@ -868,6 +868,80 @@ class TestYolov4Features:
             assert float(parts[k]) == pytest.approx(want_parts[k],
                                                     rel=1e-4, abs=1e-5), k
 
+    @pytest.mark.parametrize("kind", ["iou", "giou", "diou", "ciou"])
+    def test_iou_loss_matches_oracle(self, kind):
+        from tests.loss_oracle import yolo_loss_np
+
+        rng = np.random.default_rng(6)
+        boxes, classes = _random_v3_scene(rng, 2)
+        targets = tgt.encode_batch_for(MICRO_V3, boxes, classes)
+        heads = [rng.normal(size=(2, 64 // st, 64 // st, 2 * 9)
+                            ).astype(np.float32) * 0.5
+                 for st in MICRO_V3_STRIDES]
+        cfg = YoloLossConfig(iou_loss=kind, iou_normalizer=0.07,
+                             cls_normalizer=0.5)
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-3, abs=1e-5), k
+
+    def test_ciou_loss_trains_mish_csp_model(self):
+        """A mish/CSP/scale_x_y micro model (the yolov4 feature set)
+        trains with the CIoU box loss: loss decreases, box term falls."""
+        import dataclasses as dc
+
+        layers = (
+            Conv(8, stride=2, act="mish"),                   # 0 /2
+            Conv(16, stride=2, act="mish"),                  # 1 /4
+            Route((-1,), groups=2, group_id=1),              # 2 (8ch)
+            Conv(8, act="mish"),                             # 3
+            Conv(8, act="mish"),                             # 4
+            Route((-1, -2)),                                 # 5 (16)
+            Conv(16, 1),                                     # 6
+            Conv(32, stride=2),                              # 7 /8
+            Conv(2 * 9, size=1, bn=False, act="linear"),     # 8
+            YoloHead((2, 3), scale_xy=1.05),                 # 9
+            Route((-3,)),                                    # 10 -> 7
+            Conv(8, 1),                                      # 11
+            Upsample(2),                                     # 12 /4
+            Route((-1, 6)),                                  # 13 (8+16)
+            Conv(16),                                        # 14
+            Conv(2 * 9, size=1, bn=False, act="linear"),     # 15
+            YoloHead((0, 1), scale_xy=1.05),                 # 16
+        )
+        cfg = ModelConfig(name="micro-v4", layers=layers,
+                          anchors=V3_ANCHORS,
+                          class_names=("a", "b", "c", "d"),
+                          input_size=64, iou_loss="ciou",
+                          iou_normalizer=0.07)
+        rng = np.random.default_rng(12)
+        params = dw.random_params(cfg.layers, rng, scale=0.1)
+        from yolo_tpu.train.loss import YoloLossConfig as YLC
+
+        tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                           yolo_loss=YLC(iou_loss="ciou",
+                                         iou_normalizer=0.07))
+        state = init_state(params, tcfg)
+        step = make_train_step(cfg, tcfg)
+        boxes, classes = _random_v3_scene(rng, 4)
+        batch = tgt.encode_batch_for(cfg, boxes, classes)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch["images"] = jnp.asarray(
+            rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+        losses, coords = [], []
+        for _ in range(30):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+            coords.append(float(metrics["coord"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.6
+        assert coords[-1] < coords[0]
+
     def test_new_coords_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
@@ -896,12 +970,16 @@ class TestYolov4Features:
         cfg = ModelConfig(name="v4ish", layers=layers,
                           anchors=((10, 14), (23, 27)),
                           class_names=("a", "b", "c", "d"),
-                          input_size=32)
+                          input_size=32, iou_loss="ciou",
+                          iou_normalizer=0.07, cls_normalizer=0.5)
         p = tmp_path / "rt.cfg"
         p.write_text(cfg_to_string(cfg))
         back = config_from_cfg(str(p))
         assert back.layers == cfg.layers
         assert back.anchors == cfg.anchors
+        assert back.iou_loss == "ciou"
+        assert back.iou_normalizer == pytest.approx(0.07)
+        assert back.cls_normalizer == pytest.approx(0.5)
 
 
 def _random_v3_scene(rng, batch):

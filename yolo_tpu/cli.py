@@ -369,9 +369,12 @@ def cmd_train(args) -> None:
                        burn_in_steps=args.burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
-                       # [yolo] ignore_thresh flows from the cfg file
+                       # [yolo] training keys flow from the cfg file
                        yolo_loss=YoloLossConfig(
-                           ignore_thresh=cfg.ignore_thresh),
+                           ignore_thresh=cfg.ignore_thresh,
+                           iou_loss=cfg.iou_loss,
+                           iou_normalizer=cfg.iou_normalizer,
+                           cls_normalizer=cfg.cls_normalizer),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and (args.multi_scale or args.augment):
         raise SystemExit("--loader grain supports fixed-size, "

@@ -76,6 +76,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
+    loss_spec: Optional[Tuple[str, float, float]] = None
     saw_region = False
 
     for kind, kv in sections:
@@ -162,6 +163,15 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     raise ValueError(
                         "[yolo] sections must share one ignore_thresh")
                 ignore_thresh = it
+            il = kv.get("iou_loss", "mse")
+            if il not in ("mse", "iou", "giou", "diou", "ciou"):
+                raise ValueError(f"unsupported iou_loss '{il}'")
+            new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
+                        float(kv.get("cls_normalizer", 1.0)))
+            if loss_spec is not None and new_loss != loss_spec:
+                raise ValueError("[yolo] sections must share one "
+                                 "iou_loss/normalizer set")
+            loss_spec = new_loss
         elif kind == "region":
             saw_region = True
             anchors = _parse_anchors(kv, "[region]")
@@ -229,10 +239,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         name=name or os.path.splitext(os.path.basename(cfg_path))[0],
         layers=tuple(layers), anchors=anchors, class_names=class_names,
         input_size=input_size)
-    if ignore_thresh is not None:
-        import dataclasses
+    import dataclasses
 
+    if ignore_thresh is not None:
         cfg = dataclasses.replace(cfg, ignore_thresh=ignore_thresh)
+    if loss_spec is not None:
+        cfg = dataclasses.replace(cfg, iou_loss=loss_spec[0],
+                                  iou_normalizer=loss_spec[1],
+                                  cls_normalizer=loss_spec[2])
     return cfg
 
 
@@ -333,7 +347,11 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + f"num={cfg.num_anchors}\n"
                        + f"ignore_thresh = {cfg.ignore_thresh:g}\n"
                        + (f"scale_x_y = {l.scale_xy:g}\n"
-                          if l.scale_xy != 1.0 else ""))
+                          if l.scale_xy != 1.0 else "")
+                       + (f"iou_loss={cfg.iou_loss}\n"
+                          f"iou_normalizer={cfg.iou_normalizer:g}\n"
+                          f"cls_normalizer={cfg.cls_normalizer:g}\n"
+                          if cfg.iou_loss != "mse" else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")

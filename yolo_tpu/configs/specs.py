@@ -121,9 +121,13 @@ class ModelConfig:
     conf_threshold: float = 0.5
     nms_threshold: float = 0.45
     bn_eps: float = 1e-5  # pinned; see SURVEY.md §3.4 note
-    # yolov3 [yolo] training hyperparameter (objectness ignore band);
-    # unused by the region family
+    # [yolo] training hyperparameters (unused by the region family):
+    # objectness ignore band; box-regression loss kind
+    # (mse | iou | giou | diou | ciou) and its yolov4 normalizers
     ignore_thresh: float = 0.7
+    iou_loss: str = "mse"
+    iou_normalizer: float = 1.0
+    cls_normalizer: float = 1.0
 
     @property
     def num_classes(self) -> int:

@@ -289,6 +289,8 @@ YOLOV4_TINY_COCO = ModelConfig(
     anchors=YOLOV3_TINY_ANCHORS,  # yolov4-tiny reuses them
     class_names=COCO_NAMES,
     input_size=416,
+    iou_loss="ciou",
+    iou_normalizer=0.07,
 )
 
 # ---------------------------------------------------------------------------
@@ -372,6 +374,9 @@ YOLOV4_COCO = ModelConfig(
     anchors=YOLOV4_ANCHORS,
     class_names=COCO_NAMES,
     input_size=608,  # the official yolov4.cfg net size
+    # yolov4.cfg [yolo] training keys
+    iou_loss="ciou",
+    iou_normalizer=0.07,
 )
 
 VARIANTS = {

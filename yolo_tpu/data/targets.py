@@ -109,6 +109,7 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
     other batch array):
       obj_mask_h (S,S,A)  tcoord_h (S,S,A,4)  tcls_h (S,S,A)
       coord_w_h  (S,S,A)  [coord scale 2 - w*h]
+      tbox_h     (S,S,A,4) raw assigned GT xywh (CIoU box loss)
     plus shared gt_boxes (max_gt, 4) / gt_mask (max_gt,) for the
     ignore-threshold objectness mask.
     """
@@ -124,6 +125,7 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
         out[f"tcoord_{h}"] = np.zeros((s, s, a, 4), np.float32)
         out[f"tcls_{h}"] = np.zeros((s, s, a), np.int32)
         out[f"coord_w_{h}"] = np.zeros((s, s, a), np.float32)
+        out[f"tbox_{h}"] = np.zeros((s, s, a, 4), np.float32)
 
     # anchor index -> [(head, slot), ...]: darknet checks each [yolo]
     # layer's mask independently, so shared anchors train EVERY owner
@@ -158,6 +160,7 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
             )
             out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
             out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
+            out[f"tbox_{hd}"][cj, ci, slot] = box
     return out
 
 

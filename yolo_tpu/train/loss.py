@@ -133,21 +133,62 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
 
 @dataclasses.dataclass(frozen=True)
 class YoloLossConfig:
-    """yolov3 [yolo]-layer loss (darknet yolo_layer semantics).
+    """yolov3/yolov4 [yolo]-layer loss (darknet yolo_layer semantics).
 
     Darknet computes deltas directly on the sigmoid outputs
     (delta = target - sigmoid), which is exactly the BCE gradient w.r.t.
     the logit — so xy/objectness/class terms here are sigmoid BCE and
     wh is 0.5*MSE on the raw logits (delta = target - t), making the
     gradients darknet-faithful. Anchors whose predicted box overlaps
-    any GT above ignore_thresh get NO objectness penalty."""
+    any GT above ignore_thresh get NO objectness penalty.
+
+    iou_loss="ciou" (yolov4.cfg) replaces the xy/wh terms with
+    iou_normalizer * (1 - CIoU(pred_box, gt_box)) on the DECODED boxes
+    (Zheng et al. arXiv:1911.08287: IoU − center-distance/diag² − αv
+    aspect term); cls_normalizer scales the class BCE."""
     ignore_thresh: float = 0.7
+    iou_loss: str = "mse"  # "mse" (yolov3) | "iou"|"giou"|"diou"|"ciou"
+    iou_normalizer: float = 1.0  # yolov4.cfg: 0.07
+    cls_normalizer: float = 1.0
 
 
 def _bce(logit, target):
     """Sigmoid binary cross-entropy, elementwise, from the raw logit."""
     return jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit)))
+
+
+def _diag_iou_variant(p, g, kind: str, eps: float = 1e-9):
+    """Elementwise IoU / GIoU / DIoU / CIoU of matching (..., 4) xywh
+    boxes (GIoU arXiv:1902.09630; D/CIoU arXiv:1911.08287)."""
+    import math
+
+    px1, py1 = p[..., 0] - p[..., 2] / 2, p[..., 1] - p[..., 3] / 2
+    px2, py2 = p[..., 0] + p[..., 2] / 2, p[..., 1] + p[..., 3] / 2
+    gx1, gy1 = g[..., 0] - g[..., 2] / 2, g[..., 1] - g[..., 3] / 2
+    gx2, gy2 = g[..., 0] + g[..., 2] / 2, g[..., 1] + g[..., 3] / 2
+    iw = jnp.maximum(0.0, jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1))
+    ih = jnp.maximum(0.0, jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1))
+    inter = iw * ih
+    union = p[..., 2] * p[..., 3] + g[..., 2] * g[..., 3] - inter
+    iou = inter / (union + eps)
+    if kind == "iou":
+        return iou
+    cw = jnp.maximum(px2, gx2) - jnp.minimum(px1, gx1)  # enclosing box
+    ch = jnp.maximum(py2, gy2) - jnp.minimum(py1, gy1)
+    if kind == "giou":
+        area_c = cw * ch + eps
+        return iou - (area_c - union) / area_c
+    rho2 = ((p[..., 0] - g[..., 0]) ** 2 + (p[..., 1] - g[..., 1]) ** 2)
+    c2 = cw ** 2 + ch ** 2 + eps
+    if kind == "diou":
+        return iou - rho2 / c2
+    # ciou: + aspect-ratio consistency term
+    v = (4.0 / math.pi ** 2) * (
+        jnp.arctan(g[..., 2] / (g[..., 3] + eps))
+        - jnp.arctan(p[..., 2] / (p[..., 3] + eps))) ** 2
+    alpha = jax.lax.stop_gradient(v / (1.0 - iou + v + eps))
+    return iou - rho2 / c2 - alpha * v
 
 
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
@@ -205,22 +246,31 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         parts["obj"] = parts["obj"] + jnp.sum(obj * obj_bce) / b
         parts["noobj"] = parts["noobj"] + jnp.sum(noobj_mask * noobj_bce) / b
 
-        # coords on assigned anchors: xy BCE (darknet delta on sigmoid),
-        # wh 0.5*MSE on raw logits; both weighted by (2 - w*h)
-        if s_xy == 1.0:
-            xy = _bce(t[..., 0], tc[..., 0]) + _bce(t[..., 1], tc[..., 1])
+        if cfg.iou_loss != "mse":
+            # yolov4 family: box regression on the DECODED boxes
+            iou_k = _diag_iou_variant(pred_boxes, targets[f"tbox_{h}"],
+                                      cfg.iou_loss)
+            parts["coord"] = parts["coord"] + cfg.iou_normalizer * jnp.sum(
+                obj * (1.0 - iou_k)) / b
         else:
-            px = jax.nn.sigmoid(t[..., 0]) * s_xy - off
-            py = jax.nn.sigmoid(t[..., 1]) * s_xy - off
-            xy = 0.5 * ((px - tc[..., 0]) ** 2 + (py - tc[..., 1]) ** 2)
-        wh = 0.5 * ((t[..., 2] - tc[..., 2]) ** 2
-                    + (t[..., 3] - tc[..., 3]) ** 2)
-        parts["coord"] = parts["coord"] + jnp.sum(
-            obj * coord_w * (xy + wh)) / b
+            # coords on assigned anchors: xy BCE (darknet delta on
+            # sigmoid), wh 0.5*MSE on raw logits; weighted by (2 - w*h)
+            if s_xy == 1.0:
+                xy = (_bce(t[..., 0], tc[..., 0])
+                      + _bce(t[..., 1], tc[..., 1]))
+            else:
+                px = jax.nn.sigmoid(t[..., 0]) * s_xy - off
+                py = jax.nn.sigmoid(t[..., 1]) * s_xy - off
+                xy = 0.5 * ((px - tc[..., 0]) ** 2
+                            + (py - tc[..., 1]) ** 2)
+            wh = 0.5 * ((t[..., 2] - tc[..., 2]) ** 2
+                        + (t[..., 3] - tc[..., 3]) ** 2)
+            parts["coord"] = parts["coord"] + jnp.sum(
+                obj * coord_w * (xy + wh)) / b
 
         # classes: per-class BCE vs one-hot on assigned anchors
         onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
-        parts["class"] = parts["class"] + jnp.sum(
+        parts["class"] = parts["class"] + cfg.cls_normalizer * jnp.sum(
             obj[..., None] * _bce(t[..., 5:], onehot)) / b
 
     total = sum(parts.values())
