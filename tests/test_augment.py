@@ -61,3 +61,88 @@ def test_crop_drops_mostly_hidden_boxes():
             found_drop = True
             break
     assert found_drop
+
+
+class TestMosaic:
+    def _samples(self):
+        """4 solid-color images, each with one centered box."""
+        samples = []
+        for k, color in enumerate([(255, 0, 0), (0, 255, 0),
+                                   (0, 0, 255), (255, 255, 0)]):
+            img = np.full((50, 60, 3), color, np.uint8)
+            samples.append((img, np.array([[0.5, 0.5, 0.4, 0.4]]),
+                            np.array([k])))
+        return samples
+
+    def test_quadrants_come_from_sources(self):
+        from yolo_tpu.data.augment import AugmentConfig, mosaic4
+
+        rng = np.random.default_rng(0)
+        canvas, boxes, classes = mosaic4(self._samples(), 64, rng,
+                                         AugmentConfig())
+        assert canvas.shape == (64, 64, 3) and canvas.dtype == np.uint8
+        # corners carry each source's solid color (stretch preserves it)
+        assert tuple(canvas[0, 0]) == (255, 0, 0)
+        assert tuple(canvas[0, 63]) == (0, 255, 0)
+        assert tuple(canvas[63, 0]) == (0, 0, 255)
+        assert tuple(canvas[63, 63]) == (255, 255, 0)
+
+    def test_boxes_clipped_to_quadrants(self):
+        from yolo_tpu.data.augment import AugmentConfig, mosaic4
+
+        rng = np.random.default_rng(1)
+        canvas, boxes, classes = mosaic4(self._samples(), 64, rng,
+                                         AugmentConfig(
+                                             min_box_visibility=0.0))
+        assert len(boxes) == len(classes) <= 4
+        # cut point for this seed
+        rng2 = np.random.default_rng(1)
+        cx = int(64 * rng2.uniform(0.25, 0.75))
+        cy = int(64 * rng2.uniform(0.25, 0.75))
+        for (bx, by, bw, bh), cls in zip(boxes, classes):
+            x1, y1 = (bx - bw / 2) * 64, (by - bh / 2) * 64
+            x2, y2 = (bx + bw / 2) * 64, (by + bh / 2) * 64
+            qx1, qy1, qx2, qy2 = [(0, 0, cx, cy), (cx, 0, 64, cy),
+                                  (0, cy, cx, 64),
+                                  (cx, cy, 64, 64)][int(cls)]
+            assert qx1 - 1e-6 <= x1 <= x2 <= qx2 + 1e-6
+            assert qy1 - 1e-6 <= y1 <= y2 <= qy2 + 1e-6
+
+    def test_low_visibility_boxes_dropped(self):
+        from yolo_tpu.data.augment import AugmentConfig, mosaic4
+
+        # tiny box in a far corner of each source: after the aligned
+        # quadrant crop, boxes outside their quadrant vanish
+        samples = []
+        for k in range(4):
+            img = np.full((50, 60, 3), 128, np.uint8)
+            # all sources put the box at the bottom-right corner
+            samples.append((img, np.array([[0.95, 0.95, 0.08, 0.08]]),
+                            np.array([k])))
+        rng = np.random.default_rng(2)
+        canvas, boxes, classes = mosaic4(samples, 64, rng,
+                                         AugmentConfig())
+        # only quadrant 3 (bottom-right) can retain its corner box
+        assert set(classes.tolist()) <= {3}
+
+    def test_train_batches_mosaic(self, tmp_path):
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu.data import pipeline as pipe
+        from yolo_tpu.data.augment import AugmentConfig
+        from yolo_tpu.data.voc import list_split
+
+        root = make_voc_root(tmp_path, n_images=6)
+        pairs = list_split(root, "train")
+        batches = list(pipe.train_batches(
+            pairs, class_names=("cat", "dog"), anchors=((1, 1), (3, 3)),
+            num_classes=2, net_size=64, batch_size=2,
+            rng=np.random.default_rng(0),
+            augment_cfg=AugmentConfig(mosaic=True)))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["images"].shape == (2, 64, 64, 3)
+            assert b["images"].dtype == np.float32
+            assert 0.0 <= b["images"].min() and b["images"].max() <= 1.0
+        # mosaics generally contain multiple GTs per image
+        total_obj = sum(b["obj_mask"].sum() for b in batches)
+        assert total_obj >= 6

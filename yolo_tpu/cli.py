@@ -376,7 +376,8 @@ def cmd_train(args) -> None:
                            iou_normalizer=cfg.iou_normalizer,
                            cls_normalizer=cfg.cls_normalizer),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
-    if args.loader == "grain" and (args.multi_scale or args.augment):
+    if args.loader == "grain" and (args.multi_scale or args.augment
+                                   or args.mosaic):
         raise SystemExit("--loader grain supports fixed-size, "
                          "unaugmented epochs (see "
                          "data/grain_pipeline.py)")
@@ -462,10 +463,10 @@ def cmd_train(args) -> None:
                                              tcfg.multi_scale_sizes)) \
                 if args.multi_scale else None
             aug_cfg = None
-            if args.augment:
+            if args.augment or args.mosaic:
                 from yolo_tpu.data.augment import AugmentConfig
 
-                aug_cfg = AugmentConfig()
+                aug_cfg = AugmentConfig(mosaic=args.mosaic)
             if args.loader == "grain":
                 from yolo_tpu.data.grain_pipeline import grain_train_batches
 
@@ -847,6 +848,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="comma-separated decay factors matching --lr-steps")
     p.add_argument("--augment", action="store_true",
                    help="darknet-style jitter/flip/HSV augmentation")
+    p.add_argument("--mosaic", action="store_true",
+                   help="yolov4 mosaic: 4-image composites (implies "
+                        "--augment)")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--multi-scale-sizes", default=None,
                    help="comma-separated sizes (default darknet 320..608)")

@@ -21,6 +21,10 @@ class AugmentConfig:
     saturation: float = 1.5
     exposure: float = 1.5
     min_box_visibility: float = 0.25  # drop boxes mostly cropped away
+    # yolov4 mosaic (AlexeyAB mosaic=1): each training image is a
+    # 4-image composite at a random cut point (pipeline-level; needs
+    # the dataset, so train_batches drives it, not augment())
+    mosaic: bool = False
 
 
 def _rand_scale(rng: np.random.Generator, s: float) -> float:
@@ -96,3 +100,49 @@ def augment(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
         img_u8, boxes = flip_horizontal(img_u8, boxes)
     img_u8 = distort_hsv(img_u8, rng, cfg)
     return img_u8, boxes, classes
+
+
+def mosaic4(samples, net_size: int, rng: np.random.Generator,
+            cfg: AugmentConfig = AugmentConfig()
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """yolov4 mosaic (AlexeyAB load_data_detection mosaic=1 style):
+    a random cut point splits the net-size canvas into 4 quadrants;
+    each of the 4 (already-augmented) samples is stretch-resized to
+    net size and contributes its ALIGNED quadrant. Boxes map through
+    the stretch, are clipped to their quadrant, and are dropped below
+    min_box_visibility of their pre-clip area.
+
+    samples: 4 tuples (img_u8 HxWx3, boxes (G,4) normalized xywh,
+    classes (G,)). Returns (canvas u8 (net,net,3), boxes, classes)
+    with boxes normalized to the canvas.
+    """
+    import cv2
+
+    assert len(samples) == 4
+    n = net_size
+    cx = int(n * rng.uniform(0.25, 0.75))
+    cy = int(n * rng.uniform(0.25, 0.75))
+    canvas = np.zeros((n, n, 3), np.uint8)
+    regions = ((0, 0, cx, cy), (cx, 0, n, cy),
+               (0, cy, cx, n), (cx, cy, n, n))
+    out_boxes, out_classes = [], []
+    for (img, boxes, classes), (x1, y1, x2, y2) in zip(samples, regions):
+        r = cv2.resize(img, (n, n), interpolation=cv2.INTER_LINEAR)
+        canvas[y1:y2, x1:x2] = r[y1:y2, x1:x2]
+        for box, cls in zip(np.asarray(boxes, np.float64), classes):
+            bx1 = (box[0] - box[2] / 2) * n
+            by1 = (box[1] - box[3] / 2) * n
+            bx2 = (box[0] + box[2] / 2) * n
+            by2 = (box[1] + box[3] / 2) * n
+            area = max(bx2 - bx1, 0) * max(by2 - by1, 0)
+            nx1, ny1 = max(bx1, x1), max(by1, y1)
+            nx2, ny2 = min(bx2, x2), min(by2, y2)
+            vis = max(nx2 - nx1, 0) * max(ny2 - ny1, 0)
+            if area <= 0 or vis <= 0 or vis / area < cfg.min_box_visibility:
+                continue
+            out_boxes.append([(nx1 + nx2) / 2 / n, (ny1 + ny2) / 2 / n,
+                              (nx2 - nx1) / n, (ny2 - ny1) / n])
+            out_classes.append(int(cls))
+    return (canvas,
+            np.asarray(out_boxes, np.float64).reshape(-1, 4),
+            np.asarray(out_classes, np.int64))

@@ -212,9 +212,8 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     n_batches = len(order) // batch_size  # drop remainder: fixed shapes
     aug_base = int(rng.integers(0, 2 ** 31))  # per-sample thread-safe rngs
 
-    def prepare(idx: int, size: int):
-        from yolo_tpu.native.preproc import letterbox_batch as native_letterbox
-
+    def load_sample(idx: int, rng_key):
+        """Raw augmented (img, boxes, classes) for one dataset index."""
         img_path, ann = pairs[int(idx)]
         img = load_image_rgb(img_path)
         if isinstance(ann, dict):
@@ -229,8 +228,25 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
             from yolo_tpu.data.augment import augment
 
             img, boxes, classes = augment(
-                img, boxes, classes,
-                np.random.default_rng((aug_base, int(idx))), augment_cfg)
+                img, boxes, classes, np.random.default_rng(rng_key),
+                augment_cfg)
+        return img, boxes, classes
+
+    def prepare(idx: int, size: int):
+        from yolo_tpu.native.preproc import letterbox_batch as native_letterbox
+
+        if augment_cfg is not None and augment_cfg.mosaic:
+            from yolo_tpu.data.augment import mosaic4
+
+            rng_m = np.random.default_rng((aug_base, int(idx), 4))
+            picks = [int(idx)] + [int(order[rng_m.integers(0, len(order))])
+                                  for _ in range(3)]
+            samples = [load_sample(i, (aug_base, int(idx), k))
+                       for k, i in enumerate(picks)]
+            canvas, boxes, classes = mosaic4(samples, size, rng_m,
+                                             augment_cfg)
+            return canvas.astype(np.float32) / 255.0, boxes, classes
+        img, boxes, classes = load_sample(idx, (aug_base, int(idx)))
         h, w = img.shape[:2]
         # native C++ letterbox (exact oracle semantics; numpy fallback)
         image = native_letterbox(img[None], size, n_threads=1)[0]
