@@ -942,6 +942,89 @@ class TestYolov4Features:
         assert losses[-1] < losses[0] * 0.6
         assert coords[-1] < coords[0]
 
+    def test_route_groups_slices_each_source(self):
+        """darknet route_layer slices EVERY source into groups before
+        concatenating (not the concatenated whole)."""
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+        layers = (Conv(8, 1), Conv(6, 1),
+                  Route((-1, -2), groups=2, group_id=0))
+        params = dw.random_params(layers, rng, input_channels=4)
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        want = np.concatenate([np.asarray(outs[1])[..., :3],
+                               np.asarray(outs[0])[..., :4]], axis=-1)
+        np.testing.assert_array_equal(np.asarray(outs[2]), want)
+        # weights walk agrees: a conv after it sees 3 + 4 channels
+        layers2 = layers + (Conv(5, 1),)
+        p2 = dw.random_params(layers2, rng, input_channels=4)
+        assert p2[2]["kernel"].shape[2] == 7
+
+    def test_int8_preserves_mish(self):
+        """int8 blocks must apply the conv's real activation — a mish
+        model quantized and run must track fp32 closely (this was a
+        silent-garbage bug: mish fell through to linear)."""
+        from yolo_tpu.models import quantize
+
+        layers = (Conv(8, act="mish"), Conv(16, act="mish"))
+        cfg = ModelConfig(name="m", layers=layers, anchors=((1, 1),),
+                          class_names=("a",), input_size=32)
+        rng = np.random.default_rng(3)
+        params = dw.random_params(layers, rng)
+        folded = graph.fold_params(layers, params)
+        x = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        want = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(folded), jnp.asarray(x)))
+        q = quantize.prepare_int8(cfg, folded, x)
+        got = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax_quant(q), jnp.asarray(x)))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 0.1, rel
+
+    def test_multi_positive_iou_thresh_assignment(self):
+        """assign_iou_thresh < 1 (AlexeyAB iou_thresh) assigns every
+        anchor above the wh-IoU bar, not just the best."""
+        # box (24, 20) px: wh-IoU 1.0 vs anchor 2 and ~0.33 vs anchor 3
+        enc = tgt.encode_yolo(
+            np.array([[0.5, 0.5, 24 / 64, 20 / 64]]), np.array([1]),
+            input_size=64, anchors_px=V3_ANCHORS, masks=MICRO_V3_MASKS,
+            strides=MICRO_V3_STRIDES, assign_iou_thresh=0.3)
+        assert enc["obj_mask_0"][4, 4, 0] == 1.0  # anchor 2 (best)
+        assert enc["obj_mask_0"][4, 4, 1] == 1.0  # anchor 3 (above bar)
+        # each slot's wh targets use its OWN anchor
+        np.testing.assert_allclose(
+            enc["tcoord_0"][4, 4, 0][2:], [0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(
+            enc["tcoord_0"][4, 4, 1][2:],
+            [np.log(24 / 40), np.log(20 / 36)], rtol=1e-5)
+        # default (1.0) stays best-anchor-only
+        enc1 = tgt.encode_yolo(
+            np.array([[0.5, 0.5, 24 / 64, 20 / 64]]), np.array([1]),
+            input_size=64, anchors_px=V3_ANCHORS, masks=MICRO_V3_MASKS,
+            strides=MICRO_V3_STRIDES)
+        assert enc1["obj_mask_0"].sum() == 1.0
+
+    def test_cls_normalizer_round_trips_without_iou_loss(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "cn.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\ncls_normalizer=0.5\niou_thresh=0.213\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.cls_normalizer == pytest.approx(0.5)
+        assert cfg.assign_iou_thresh == pytest.approx(0.213)
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p2))
+        assert back.cls_normalizer == pytest.approx(0.5)
+        assert back.assign_iou_thresh == pytest.approx(0.213)
+
     def test_new_coords_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 

@@ -80,11 +80,13 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             xn = tf.reshape(out, [b, int(c) * s * s, int(h) // s, int(w) // s])
             x = tf.transpose(xn, [0, 2, 3, 1])
         elif isinstance(layer, Route):
-            x = tf.concat([outputs[resolve_route(idx, r)] for r in layer.layers],
-                          axis=-1)
-            if layer.groups > 1:
-                gc = int(x.shape[-1]) // layer.groups
-                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
+            srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
+            if layer.groups > 1:  # darknet slices EACH source
+                srcs = [s[..., layer.group_id * (int(s.shape[-1])
+                        // layer.groups):(layer.group_id + 1)
+                        * (int(s.shape[-1]) // layer.groups)]
+                        for s in srcs]
+            x = tf.concat(srcs, axis=-1) if len(srcs) > 1 else srcs[0]
         elif isinstance(layer, Shortcut):
             x = x + outputs[resolve_route(idx, layer.frm)]
             if layer.act == "leaky":

@@ -65,12 +65,22 @@ def _maybe_quantize(args, cfg, params, sample_images_u8):
     import jax.numpy as jnp
 
     from yolo_tpu.models import quantize
-    from yolo_tpu.native.preproc import letterbox_batch
 
-    # images may differ in size; letterbox each to the uniform net size
-    calib = jnp.asarray(np.stack([
-        letterbox_batch(im[None], cfg.input_size)[0]
-        for im in sample_images_u8]))
+    # images may differ in size; preprocess each to the uniform net
+    # size with the SAME geometry inference will use (calibration must
+    # see the real activation distribution)
+    if getattr(args, "resize", "letterbox") == "stretch":
+        from yolo_tpu.ops.numpy_ref import stretch_resize
+
+        calib = jnp.asarray(np.stack([
+            stretch_resize(im, cfg.input_size, cfg.input_size)
+            for im in sample_images_u8]))
+    else:
+        from yolo_tpu.native.preproc import letterbox_batch
+
+        calib = jnp.asarray(np.stack([
+            letterbox_batch(im[None], cfg.input_size)[0]
+            for im in sample_images_u8]))
     # prepare_int8 folds BN itself; already-folded params fold to identity
     qparams = quantize.prepare_int8(cfg, params, calib)
     print(f"int8 PTQ: calibrated on {len(sample_images_u8)} images",
@@ -350,6 +360,9 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
+    if getattr(args, "resize", "letterbox") != "letterbox":
+        raise SystemExit("train runs the letterbox pipeline only "
+                         "(--resize stretch applies to predict/detect)")
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
     decay_steps, decay_scales = (), ()

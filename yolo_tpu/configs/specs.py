@@ -128,6 +128,9 @@ class ModelConfig:
     iou_loss: str = "mse"
     iou_normalizer: float = 1.0
     cls_normalizer: float = 1.0
+    # AlexeyAB [yolo] iou_thresh: anchors above this wh-IoU with a
+    # truth are ALSO assigned (1.0 = best-anchor-only, darknet default)
+    assign_iou_thresh: float = 1.0
 
     @property
     def num_classes(self) -> int:

@@ -377,6 +377,7 @@ YOLOV4_COCO = ModelConfig(
     # yolov4.cfg [yolo] training keys
     iou_loss="ciou",
     iou_normalizer=0.07,
+    assign_iou_thresh=0.213,
 )
 
 VARIANTS = {

@@ -95,7 +95,8 @@ MAX_GT_V3 = 90  # darknet yolo_layer reads up to 90 truths per image
 def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
                 input_size: int, anchors_px: Sequence,
                 masks: Sequence[Sequence[int]], strides: Sequence[int],
-                max_gt: int = MAX_GT_V3) -> Dict[str, np.ndarray]:
+                max_gt: int = MAX_GT_V3,
+                assign_iou_thresh: float = 1.0) -> Dict[str, np.ndarray]:
     """Encode one image's GT for the yolov3 multi-head loss.
 
     Darknet yolo_layer assignment: each GT box picks the best anchor by
@@ -104,6 +105,9 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
     the box center on its own grid (each darknet [yolo] layer checks the
     best anchor against its mask independently — with the official
     yolov3-tiny masks (3,4,5)/(1,2,3), anchor 3 trains both heads).
+    assign_iou_thresh < 1 additionally assigns EVERY anchor whose
+    wh-IoU with the truth exceeds it (AlexeyAB [yolo] iou_thresh,
+    yolov4.cfg: 0.213 — multi-positive assignment).
 
     Returns flat keys per head h (loss/pipeline shard these like any
     other batch array):
@@ -145,22 +149,27 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
         ious = [_wh_iou(w * input_size, h_ * input_size, pw, ph)
                 for pw, ph in anchors_px]
         best = int(np.argmax(ious))
-        # empty when the anchor is in no mask (yolov3-tiny's anchor 0:
-        # the truth trains no head, exactly as darknet behaves)
-        for hd, slot in anchor_homes.get(best, ()):
-            s = grids[hd]
-            ci = min(int(cx * s), s - 1)
-            cj = min(int(cy * s), s - 1)
-            out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
-            out[f"tcoord_{hd}"][cj, ci, slot] = (
-                cx * s - ci,
-                cy * s - cj,
-                np.log(max(w * input_size / anchors_px[best, 0], 1e-9)),
-                np.log(max(h_ * input_size / anchors_px[best, 1], 1e-9)),
-            )
-            out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
-            out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
-            out[f"tbox_{hd}"][cj, ci, slot] = box
+        assign = {best} | {ai for ai, iou in enumerate(ious)
+                           if iou > assign_iou_thresh}
+        for anchor in assign:
+            # empty when the anchor is in no mask (yolov3-tiny's anchor
+            # 0: the truth trains no head, exactly as darknet behaves)
+            for hd, slot in anchor_homes.get(anchor, ()):
+                s = grids[hd]
+                ci = min(int(cx * s), s - 1)
+                cj = min(int(cy * s), s - 1)
+                out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
+                out[f"tcoord_{hd}"][cj, ci, slot] = (
+                    cx * s - ci,
+                    cy * s - cj,
+                    np.log(max(w * input_size / anchors_px[anchor, 0],
+                               1e-9)),
+                    np.log(max(h_ * input_size / anchors_px[anchor, 1],
+                               1e-9)),
+                )
+                out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
+                out[f"coord_w_{hd}"][cj, ci, slot] = 2.0 - w * h_
+                out[f"tbox_{hd}"][cj, ci, slot] = box
     return out
 
 
@@ -195,7 +204,9 @@ def encode_for(model_cfg, boxes, classes,
         return encode_yolo(boxes, classes, input_size=size,
                            anchors_px=model_cfg.anchors,
                            masks=[h.mask for h in model_cfg.yolo_heads],
-                           strides=_head_strides(model_cfg))
+                           strides=_head_strides(model_cfg),
+                           assign_iou_thresh=getattr(
+                               model_cfg, "assign_iou_thresh", 1.0))
     return encode(boxes, classes, grid=size // 32,
                   anchors=model_cfg.anchors,
                   num_classes=model_cfg.num_classes)

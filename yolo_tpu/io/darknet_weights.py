@@ -44,8 +44,9 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
         elif isinstance(layer, Reorg):
             prev = prev * layer.stride * layer.stride
         elif isinstance(layer, Route):
-            prev = (sum(out_ch[resolve_route(idx, r)] for r in layer.layers)
-                    // layer.groups)  # yolov4 CSP group slice
+            # yolov4 CSP: darknet slices EACH source into groups
+            prev = sum(out_ch[resolve_route(idx, r)] // layer.groups
+                       for r in layer.layers)
         # Shortcut/Upsample/YoloHead (yolov3 family) preserve channels
         # and carry no weights — prev flows through unchanged.
         out_ch.append(prev)

@@ -178,10 +178,13 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             x = reorg_nhwc(x, layer.stride)
         elif isinstance(layer, Route):
             srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
+            if layer.groups > 1:
+                # yolov4 CSP slice: darknet route_layer slices EACH
+                # source into groups before concatenating
+                srcs = [s[..., layer.group_id * (s.shape[-1]
+                        // layer.groups):(layer.group_id + 1)
+                        * (s.shape[-1] // layer.groups)] for s in srcs]
             x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
-            if layer.groups > 1:  # yolov4 CSP channel slice
-                gc = x.shape[-1] // layer.groups
-                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
         elif isinstance(layer, Shortcut):
             x = _activate(x + outputs[resolve_route(idx, layer.frm)],
                           layer.act)

@@ -57,12 +57,12 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
         elif isinstance(layer, Reorg):
             x = reorg_nhwc(x, layer.stride)
         elif isinstance(layer, Route):
-            x = jnp.concatenate(
-                [outputs[resolve_route(idx, r)] for r in layer.layers],
-                axis=-1)
-            if layer.groups > 1:
-                gc = x.shape[-1] // layer.groups
-                x = x[..., layer.group_id * gc:(layer.group_id + 1) * gc]
+            srcs = [outputs[resolve_route(idx, r)] for r in layer.layers]
+            if layer.groups > 1:  # darknet slices EACH source
+                srcs = [s[..., layer.group_id * (s.shape[-1]
+                        // layer.groups):(layer.group_id + 1)
+                        * (s.shape[-1] // layer.groups)] for s in srcs]
+            x = jnp.concatenate(srcs, axis=-1) if len(srcs) > 1 else srcs[0]
         elif isinstance(layer, Shortcut):
             x = graph._activate(x + outputs[resolve_route(idx, layer.frm)],
                                 layer.act)
@@ -108,8 +108,8 @@ def conv_block_int8(x, p, spec: Conv, compute_dtype=jnp.bfloat16):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (p["x_scale"] * p["w_scale"]) + p["bias"]
-    if spec.act == "leaky":
-        y = jnp.where(y > 0, y, 0.1 * y)
+    # dequantized value is fp32 — any activation applies directly
+    y = graph._activate(y, spec.act)
     return y.astype(compute_dtype)
 
 

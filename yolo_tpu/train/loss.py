@@ -279,13 +279,4 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
 def _diag_iou(pred_boxes: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.ndarray:
     """Elementwise IoU of matching (B,S,S,A,4) boxes."""
-    p, g = pred_boxes, gt_boxes
-    px1, py1 = p[..., 0] - p[..., 2] / 2, p[..., 1] - p[..., 3] / 2
-    px2, py2 = p[..., 0] + p[..., 2] / 2, p[..., 1] + p[..., 3] / 2
-    gx1, gy1 = g[..., 0] - g[..., 2] / 2, g[..., 1] - g[..., 3] / 2
-    gx2, gy2 = g[..., 0] + g[..., 2] / 2, g[..., 1] + g[..., 3] / 2
-    iw = jnp.maximum(0.0, jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1))
-    ih = jnp.maximum(0.0, jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1))
-    inter = iw * ih
-    union = p[..., 2] * p[..., 3] + g[..., 2] * g[..., 3] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    return _diag_iou_variant(pred_boxes, gt_boxes, "iou")
