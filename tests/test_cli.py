@@ -60,10 +60,43 @@ def test_predict_stretch_resize(tiny_weights, sample_image, capsys):
         assert 0 <= x1 <= x2 <= 128 and 0 <= y1 <= y2 <= 96
 
 
-def test_eval_rejects_stretch(tiny_weights, tmp_path):
-    with pytest.raises(SystemExit, match="letterbox path only"):
-        cli.main(["eval", "--model", "tiny-voc", "--weights", tiny_weights,
+def test_eval_stretch_resize(tiny_weights, tmp_path, capsys):
+    """eval --resize stretch (AlexeyAB map-tool geometry) runs e2e."""
+    root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
+    cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "4", "--precision", "fp32",
+              "--resize", "stretch"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "map" in res and 0.0 <= res["map"] <= 1.0
+
+
+def test_train_rejects_stretch(tiny_weights, tmp_path):
+    with pytest.raises(SystemExit, match="letterbox pipeline only"):
+        cli.main(["train", "--model", "tiny-voc", "--weights", tiny_weights,
                   "--voc-root", str(tmp_path), "--resize", "stretch"])
+
+
+def test_detect_host_preprocess_stretch(tiny_weights, tmp_path, capsys):
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i, shape in enumerate([(64, 64), (50, 90)]):  # heterogeneous
+        cv2.imwrite(str(img_dir / f"i{i}.png"),
+                    rng.integers(0, 255, (*shape, 3), dtype=np.uint8))
+    cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--images", str(img_dir),
+              "--batch", "2", "--conf", "0.1", "--host-preprocess",
+              "--resize", "stretch"])
+    recs = [json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(recs) == 2
+    for r in recs:
+        for d in r["detections"]:
+            x1, y1, x2, y2 = d["box_xyxy"]
+            assert 0 <= x1 <= x2 and 0 <= y1 <= y2
 
 
 def test_detect_batched_e2e(tiny_weights, tmp_path, capsys):

@@ -44,8 +44,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["letterbox", "stretch"],
                    help="preprocess geometry: letterbox (pjreddie "
                         "darknet) or stretch = plain resize (AlexeyAB "
-                        "darknet letter_box=0 default; predict/detect "
-                        "device path only)")
+                        "darknet letter_box=0 default; predict/detect/"
+                        "eval — serve and train stay letterbox)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
 
@@ -208,9 +208,6 @@ def cmd_detect(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
-    if args.resize == "stretch" and args.host_preprocess:
-        raise SystemExit("--resize stretch runs on the device path only "
-                         "(drop --host-preprocess)")
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
                         resize=args.resize)
 
@@ -246,7 +243,8 @@ def cmd_detect(args) -> None:
                                  [load_image_rgb(p) for p in paths[:8]])
 
     if args.host_preprocess:
-        # heterogeneous directories: one jit bucket, host letterboxing
+        # heterogeneous directories: one jit bucket, host preprocessing
+        # (letterbox or stretch geometry)
         from yolo_tpu.models.predict import make_detector_preprocessed
         from yolo_tpu.ops import numpy_ref as npr
         from yolo_tpu.ops.letterbox import letterbox_geometry
@@ -254,7 +252,8 @@ def cmd_detect(args) -> None:
         det = make_detector_preprocessed(
             cfg, compute_dtype=_compute_dtype(args.precision))
         host_iter = inference_batches(paths, args.batch,
-                                      net_size=cfg.input_size)
+                                      net_size=cfg.input_size,
+                                      resize=args.resize)
     else:
         host_iter = inference_batches(paths, args.batch)
 
@@ -268,10 +267,15 @@ def cmd_detect(args) -> None:
             valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
             if args.host_preprocess:
                 src_h, src_w = batch["shapes"][bi]
-                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
-                xyxy = npr.unletterbox_boxes(
-                    np.asarray(out["boxes"][bi], np.float64)[valid],
-                    scale, px, py, net, net, src_w, src_h)
+                boxes_net = np.asarray(out["boxes"][bi],
+                                       np.float64)[valid]
+                if args.resize == "stretch":
+                    xyxy = npr.unstretch_boxes(boxes_net, src_w, src_h)
+                else:
+                    scale, rh, rw, px, py = letterbox_geometry(
+                        src_h, src_w, net)
+                    xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
+                                                 net, net, src_w, src_h)
             else:
                 xyxy = np.asarray(out["boxes"][bi], np.float64)[valid]
             dets = [{
@@ -543,12 +547,12 @@ def cmd_train(args) -> None:
 
 
 def cmd_eval(args) -> None:
-    """VOC mAP over a split (SURVEY.md §3.5 — the parity gate)."""
-    from yolo_tpu.eval.voc_map import evaluate
+    """VOC mAP over a split (SURVEY.md §3.5 — the parity gate).
 
-    if getattr(args, "resize", "letterbox") != "letterbox":
-        raise SystemExit("eval runs the letterbox path only "
-                         "(--resize stretch applies to predict/detect)")
+    --resize stretch evaluates with AlexeyAB's plain-resize geometry
+    (its map tool's letter_box=0 default) for mAP parity with that
+    tool family."""
+    from yolo_tpu.eval.voc_map import evaluate
 
     cfg = _get_cfg(args)
     if not args.from_detections and not args.weights:
@@ -592,7 +596,8 @@ def cmd_eval(args) -> None:
         detections = collect_detections(
             cfg, params, pairs, batch=args.batch,
             eval_conf=args.eval_conf,
-            compute_dtype=_compute_dtype(args.precision))
+            compute_dtype=_compute_dtype(args.precision),
+            resize=getattr(args, "resize", "letterbox"))
 
     if args.save_detections:
         # pycocotools loadRes format: original image/category ids,

@@ -95,7 +95,8 @@ class DevicePrefetcher:
 def inference_batches(image_paths: Sequence[str], batch_size: int,
                       workers: int = 8,
                       net_size: Optional[int] = None,
-                      skip_errors: bool = True) -> Iterator[Dict]:
+                      skip_errors: bool = True,
+                      resize: str = "letterbox") -> Iterator[Dict]:
     """Decode images in parallel and yield inference batches.
 
     net_size=None (device-preprocess mode): raw-RGB batches bucketed by
@@ -125,8 +126,13 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                     return None
                 raise
             if net_size is not None:
-                # letterbox inside the pooled task so the host-preprocess
-                # path parallelizes like the decode itself
+                # preprocess inside the pooled task so the host path
+                # parallelizes like the decode itself
+                if resize == "stretch":
+                    from yolo_tpu.ops.numpy_ref import stretch_resize
+
+                    return q, img.shape[:2], stretch_resize(
+                        img, net_size, net_size)
                 from yolo_tpu.native.preproc import letterbox_batch
 
                 return q, img.shape[:2], letterbox_batch(

@@ -38,7 +38,8 @@ def build_ground_truth(samples: Sequence[Tuple[str, object]],
 def collect_detections(cfg, folded_params,
                        samples: Sequence[Tuple[str, object]], *,
                        batch: int = 32, eval_conf: float = 0.005,
-                       compute_dtype=None) -> Dict[int, List]:
+                       compute_dtype=None,
+                       resize: str = "letterbox") -> Dict[int, List]:
     """Run the exact reference decode + per-class NMS path over the
     samples; returns {img_id: [(cls, score, x1, y1, x2, y2) pixel], ...}.
 
@@ -58,7 +59,7 @@ def collect_detections(cfg, folded_params,
         conf_threshold=eval_conf, head="reference", nms_impl="xla")
     path_to_id = {p: i for i, (p, _) in enumerate(samples)}
     host_iter = inference_batches([p for p, _ in samples], batch,
-                                  net_size=cfg.input_size)
+                                  net_size=cfg.input_size, resize=resize)
     net = cfg.input_size
     detections: Dict[int, List] = {}
     import sys
@@ -69,11 +70,15 @@ def collect_detections(cfg, folded_params,
         out = det(folded_params, jnp.asarray(b["images"]))
         for bi, path in enumerate(b["paths"]):
             src_h, src_w = b["shapes"][bi]
-            scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net)
             valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
             boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
-            xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
-                                         net, net, src_w, src_h)
+            if resize == "stretch":
+                xyxy = npr.unstretch_boxes(boxes_net, src_w, src_h)
+            else:
+                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
+                                                           net)
+                xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
+                                             net, net, src_w, src_h)
             detections[path_to_id[path]] = [
                 (int(out["classes"][bi][i]),
                  float(out["scores"][bi][i]), *xyxy[j])

@@ -242,6 +242,18 @@ def stretch_resize(img_u8: np.ndarray, net_w: int, net_h: int):
                       interpolation=cv2.INTER_LINEAR)
 
 
+def unstretch_boxes(boxes_xywh: np.ndarray, img_w: int, img_h: int):
+    """Inverse of stretch_resize: net-normalized xywh -> original-image
+    pixel xyxy, clipped."""
+    b = boxes_xywh.astype(np.float64).reshape(-1, 4)
+    cx, cy = b[:, 0] * img_w, b[:, 1] * img_h
+    bw, bh = b[:, 2] * img_w, b[:, 3] * img_h
+    return np.stack([np.clip(cx - bw / 2, 0, img_w),
+                     np.clip(cy - bh / 2, 0, img_h),
+                     np.clip(cx + bw / 2, 0, img_w),
+                     np.clip(cy + bh / 2, 0, img_h)], axis=-1)
+
+
 def unletterbox_boxes(boxes_xywh: np.ndarray, scale: float, px: int, py: int,
                       net_w: int, net_h: int, img_w: int, img_h: int):
     """Map net-normalized xywh boxes back to original-image pixel xyxy."""
