@@ -168,3 +168,17 @@ def test_train_resolves_zoo_backbone(tmp_path, monkeypatch, capsys):
               "--voc-root", root, "--split", "train", "--batch", "8",
               "--epochs", "1", "--precision", "fp32"])
     assert "partial init: 18/" in capsys.readouterr().err
+
+
+def test_infer_variant_all_pinned_sizes(tmp_path):
+    """Every pinned variant's official byte size auto-detects (sparse
+    files: only the size matters to infer_variant)."""
+    import os
+
+    from yolo_tpu.configs.variants import VARIANTS
+
+    for name, cfg in VARIANTS.items():
+        p = tmp_path / f"{name}.weights"
+        with open(p, "wb") as f:
+            f.truncate(zoo.expected_weights_bytes(cfg.layers))
+        assert zoo.infer_variant(str(p)) == name, name
