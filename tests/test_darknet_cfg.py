@@ -308,6 +308,41 @@ num=3
         assert 0 <= d["score"] <= 1
 
 
+def test_parser_never_crashes_on_mangled_cfgs(tmp_path):
+    """Property: random mutations of a valid cfg either parse or raise
+    ValueError/KeyError with a message — never IndexError/TypeError/
+    ZeroDivisionError or a silent mis-build."""
+    import numpy as np
+
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+    base = cfg_to_string(get_variant("yolov3-tiny")).splitlines()
+    rng = np.random.default_rng(0)
+    mutations = 0
+    for trial in range(60):
+        lines = list(base)
+        op = trial % 4
+        i = int(rng.integers(0, len(lines)))
+        if op == 0:
+            del lines[i]                      # drop a random line
+        elif op == 1:
+            lines[i], lines[-1] = lines[-1], lines[i]   # swap lines
+        elif op == 2 and "=" in lines[i]:
+            k, _ = lines[i].split("=", 1)
+            lines[i] = f"{k}={int(rng.integers(-5, 99))}"  # mangle value
+        elif op == 3:
+            lines.insert(i, "[garbage]")      # unknown section
+        p = tmp_path / f"m{trial}.cfg"
+        p.write_text("\n".join(lines))
+        try:
+            config_from_cfg(str(p))
+        except (ValueError, KeyError) as e:
+            assert str(e), "error must carry a message"
+            mutations += 1
+    assert mutations > 10  # the harness actually exercised failures
+
+
 def test_cfg_roundtrip_all_variants(tmp_path):
     """cfg_to_string(variant) parses back to the identical config —
     full darknet round-trip for every pinned topology."""
