@@ -87,6 +87,35 @@ class TestMosaic:
         assert tuple(canvas[63, 0]) == (0, 0, 255)
         assert tuple(canvas[63, 63]) == (255, 255, 0)
 
+    def test_quadrant_sampling_matches_full_stretch(self):
+        """The per-quadrant warpAffine must reproduce whole-image
+        cv2.resize + crop (same half-pixel-center mapping), so box
+        coordinates and pixels stay aligned for any source size."""
+        import cv2
+
+        from yolo_tpu.data.augment import AugmentConfig, mosaic4
+
+        rng = np.random.default_rng(9)
+        # deliberately small, non-divisible source sizes
+        samples = [(rng.integers(0, 255, (37, 53, 3), dtype=np.uint8),
+                    np.zeros((0, 4)), np.zeros((0,), np.int64))
+                   for _ in range(4)]
+        n = 96
+        canvas, _, _ = mosaic4(samples, n, np.random.default_rng(3),
+                               AugmentConfig())
+        rng2 = np.random.default_rng(3)
+        cx = int(n * rng2.uniform(0.25, 0.75))
+        cy = int(n * rng2.uniform(0.25, 0.75))
+        regions = ((0, 0, cx, cy), (cx, 0, n, cy),
+                   (0, cy, cx, n), (cx, cy, n, n))
+        for (img, _, _), (x1, y1, x2, y2) in zip(samples, regions):
+            want = cv2.resize(img, (n, n),
+                              interpolation=cv2.INTER_LINEAR)[y1:y2, x1:x2]
+            got = canvas[y1:y2, x1:x2]
+            # warpAffine and resize use the same mapping; fixed-point
+            # interpolation may differ by 1 LSB
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
     def test_boxes_clipped_to_quadrants(self):
         from yolo_tpu.data.augment import AugmentConfig, mosaic4
 

@@ -93,10 +93,13 @@ def test_detect_host_preprocess_stretch(tiny_weights, tmp_path, capsys):
     recs = [json.loads(l)
             for l in capsys.readouterr().out.strip().splitlines()]
     assert len(recs) == 2
+    dims = {"i0.png": (64, 64), "i1.png": (90, 50)}  # (w, h) per file
     for r in recs:
+        w, h = dims[os.path.basename(r["image"])]
         for d in r["detections"]:
             x1, y1, x2, y2 = d["box_xyxy"]
-            assert 0 <= x1 <= x2 and 0 <= y1 <= y2
+            # bounds vs the SOURCE dims catch an un-stretch axis swap
+            assert 0 <= x1 <= x2 <= w and 0 <= y1 <= y2 <= h
 
 
 def test_detect_batched_e2e(tiny_weights, tmp_path, capsys):

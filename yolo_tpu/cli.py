@@ -366,7 +366,8 @@ def cmd_train(args) -> None:
     cfg = _get_cfg(args)
     if getattr(args, "resize", "letterbox") != "letterbox":
         raise SystemExit("train runs the letterbox pipeline only "
-                         "(--resize stretch applies to predict/detect)")
+                         "(--resize stretch applies to "
+                         "predict/detect/eval)")
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
     decay_steps, decay_scales = (), ()
@@ -762,7 +763,8 @@ def cmd_serve(args) -> None:
     params = _load_params(args, cfg)
     if getattr(args, "resize", "letterbox") != "letterbox":
         raise SystemExit("serve runs the letterbox path only "
-                         "(--resize stretch applies to predict/detect)")
+                         "(--resize stretch applies to "
+                         "predict/detect/eval)")
     if args.precision == "int8":
         if not args.calibration_image:
             raise SystemExit("--precision int8 needs --calibration-image")

@@ -127,15 +127,18 @@ def mosaic4(samples, net_size: int, rng: np.random.Generator,
                (0, cy, cx, n), (cx, cy, n, n))
     out_boxes, out_classes = [], []
     for (img, boxes, classes), (x1, y1, x2, y2) in zip(samples, regions):
-        # resize only the source region that lands in the kept quadrant
-        # (~4x cheaper than whole-image resize + crop; sub-pixel
-        # sampling differs at the cut seam, irrelevant for augmentation)
+        # produce only the kept quadrant, but sample the EXACT
+        # full-image-stretch mapping (cv2.resize half-pixel centers):
+        # src_x(dst_x) = (dst_x + x1 + 0.5) * w/n - 0.5 — a warpAffine
+        # with the inverse map, ~4x cheaper than whole-image resize
         h, w = img.shape[:2]
-        sx1, sx2 = int(x1 / n * w), max(int(round(x2 / n * w)), int(x1 / n * w) + 1)
-        sy1, sy2 = int(y1 / n * h), max(int(round(y2 / n * h)), int(y1 / n * h) + 1)
-        canvas[y1:y2, x1:x2] = cv2.resize(
-            img[sy1:sy2, sx1:sx2], (x2 - x1, y2 - y1),
-            interpolation=cv2.INTER_LINEAR)
+        m = np.array([[w / n, 0.0, (x1 + 0.5) * w / n - 0.5],
+                      [0.0, h / n, (y1 + 0.5) * h / n - 0.5]],
+                     np.float64)
+        canvas[y1:y2, x1:x2] = cv2.warpAffine(
+            img, m, (x2 - x1, y2 - y1),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_REPLICATE)
         for box, cls in zip(np.asarray(boxes, np.float64), classes):
             bx1 = (box[0] - box[2] / 2) * n
             by1 = (box[1] - box[3] / 2) * n

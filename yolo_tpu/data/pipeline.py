@@ -103,10 +103,13 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     source shape — each distinct shape is one jit specialization; right
     for homogeneous streams (cameras, video).
 
-    net_size=<int> (host-preprocess mode): images are letterboxed on the
-    host (native C++ path) to one uniform (net, net) float32 shape, so
-    heterogeneous directories (e.g. VOC) compile exactly ONE program;
-    batches carry per-image source shapes for box un-letterboxing."""
+    net_size=<int> (host-preprocess mode): images are preprocessed on
+    the host to one uniform (net, net) float32 shape — letterboxed
+    (native C++ path) or, with resize="stretch", plain-resized
+    (AlexeyAB geometry) — so heterogeneous directories (e.g. VOC)
+    compile exactly ONE program; batches carry per-image source shapes
+    for the matching box un-mapping (unletterbox_boxes /
+    unstretch_boxes)."""
     import collections
 
     with cf.ThreadPoolExecutor(workers) as pool:
