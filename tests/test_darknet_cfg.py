@@ -308,6 +308,24 @@ num=3
         assert 0 <= d["score"] <= 1
 
 
+def test_region_thresh_parsed_and_round_trips(tmp_path):
+    """[region] thresh (the darknet training noobj threshold) flows to
+    ModelConfig.region_thresh and survives cfg export."""
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+    p = tmp_path / "t.cfg"
+    p.write_text(TINY_VOC_CFG)  # the fixture sets thresh=0.6
+    cfg = config_from_cfg(str(p))
+    assert cfg.region_thresh == 0.6
+    p2 = tmp_path / "t2.cfg"
+    p2.write_text(TINY_VOC_CFG.replace("thresh=0.6", "thresh=0.45"))
+    cfg2 = config_from_cfg(str(p2))
+    assert cfg2.region_thresh == 0.45
+    p3 = tmp_path / "rt.cfg"
+    p3.write_text(cfg_to_string(cfg2))
+    assert config_from_cfg(str(p3)).region_thresh == 0.45
+
+
 def test_parser_never_crashes_on_mangled_cfgs(tmp_path):
     """Property: random mutations of a valid cfg either parse or raise
     ValueError/KeyError with a message — never IndexError/TypeError/

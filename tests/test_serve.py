@@ -191,3 +191,27 @@ def test_dp_mesh_serving():
     finally:
         dp.stop()
         ref.stop()
+
+
+def test_serve_stretch_resize():
+    """resize='stretch' server: boxes come back within the source frame
+    under the AlexeyAB plain-resize geometry."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(get_variant("tiny-voc"), input_size=96,
+                              conf_threshold=0.1)
+    params = graph.params_to_jax(graph.fold_params(
+        cfg.layers, dw.random_params(cfg.layers, np.random.default_rng(1)),
+        cfg.bn_eps))
+    srv = DetectionServer(cfg, params, compute_dtype=jnp.float32, port=0,
+                          resize="stretch")
+    srv.start()
+    try:
+        out = _post_image(srv, seed=3, shape=(60, 110))
+        assert "detections" in out
+        for d in out["detections"]:
+            x1, y1, x2, y2 = d["box_xyxy"]
+            assert 0 <= x1 <= x2 <= 110 and 0 <= y1 <= y2 <= 60
+    finally:
+        srv.stop()

@@ -45,7 +45,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="preprocess geometry: letterbox (pjreddie "
                         "darknet) or stretch = plain resize (AlexeyAB "
                         "darknet letter_box=0 default; predict/detect/"
-                        "eval — serve and train stay letterbox)")
+                        "eval/serve — train stays letterbox)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
 
@@ -379,7 +379,7 @@ def cmd_train(args) -> None:
                 raise SystemExit("--lr-steps and --lr-scales lengths differ")
         else:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
-    from yolo_tpu.train.loss import YoloLossConfig
+    from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
     tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
@@ -387,7 +387,8 @@ def cmd_train(args) -> None:
                        burn_in_steps=args.burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
-                       # [yolo] training keys flow from the cfg file
+                       # [region]/[yolo] training keys flow from the cfg
+                       loss=LossConfig(iou_thresh=cfg.region_thresh),
                        yolo_loss=YoloLossConfig(
                            ignore_thresh=cfg.ignore_thresh,
                            iou_loss=cfg.iou_loss,
@@ -761,10 +762,6 @@ def cmd_serve(args) -> None:
 
     cfg = _get_cfg(args)
     params = _load_params(args, cfg)
-    if getattr(args, "resize", "letterbox") != "letterbox":
-        raise SystemExit("serve runs the letterbox path only "
-                         "(--resize stretch applies to "
-                         "predict/detect/eval)")
     if args.precision == "int8":
         if not args.calibration_image:
             raise SystemExit("--precision int8 needs --calibration-image")
@@ -782,7 +779,8 @@ def cmd_serve(args) -> None:
         host=args.host, port=args.port, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
         adaptive_window=not args.no_adaptive_window,
-        conf_threshold=args.conf, mesh=mesh)
+        conf_threshold=args.conf, mesh=mesh,
+        resize=getattr(args, "resize", "letterbox"))
     if args.prewarm_shape:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
         print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)

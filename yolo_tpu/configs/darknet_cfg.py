@@ -77,6 +77,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
     loss_spec: Optional[Tuple[str, float, float, float]] = None
+    region_thresh: Optional[float] = None
     saw_region = False
 
     for kind, kv in sections:
@@ -183,9 +184,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             saw_region = True
             anchors = _parse_anchors(kv, "[region]")
             num_classes = int(kv.get("classes", 20))
-            # NOTE: [region] thresh is darknet's TRAINING match
-            # threshold, not the detection confidence — deliberately
-            # not mapped onto conf_threshold (use --conf at the CLI)
+            # [region] thresh is darknet's TRAINING noobj-suppression
+            # threshold (NOT the detection confidence — use --conf);
+            # it flows to LossConfig.iou_thresh via region_thresh
+            region_thresh = float(kv.get("thresh", 0.6))
 
     if not layers:
         raise ValueError(f"{cfg_path}: no layers found")
@@ -255,6 +257,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
                                   assign_iou_thresh=loss_spec[3])
+    if region_thresh is not None:
+        cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     return cfg
 
 
@@ -366,5 +370,6 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.assign_iou_thresh != 1.0 else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
-                   f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n")
+                   f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"
+                   f"thresh = {cfg.region_thresh:g}\n")
     return "\n".join(out)

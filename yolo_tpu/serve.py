@@ -46,7 +46,8 @@ class DetectionServer:
                  batch_window_ms: float = 5.0, max_batch: int = 32,
                  adaptive_window: bool = True,
                  conf_threshold: Optional[float] = None,
-                 request_timeout: float = 120.0, mesh=None):
+                 request_timeout: float = 120.0, mesh=None,
+                 resize: str = "letterbox"):
         """``mesh``: a 1-D jax Mesh to scale serving data-parallel —
         micro-batches are padded to a devices-multiple bucket and
         batch-sharded over the mesh (no collectives on the hot path,
@@ -68,7 +69,7 @@ class DetectionServer:
             self.params = params
             self._detector = make_detector(
                 cfg, compute_dtype=compute_dtype or jnp.bfloat16,
-                conf_threshold=conf_threshold)
+                conf_threshold=conf_threshold, resize=resize)
         else:
             from yolo_tpu.parallel import sharding as shd
 
@@ -78,7 +79,8 @@ class DetectionServer:
             self._detector = shd.make_dp_detector(
                 cfg, mesh, compute_dtype=compute_dtype or jnp.bfloat16,
                 conf_threshold=(conf_threshold if conf_threshold is not None
-                                else cfg.conf_threshold))
+                                else cfg.conf_threshold),
+                resize=resize)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
