@@ -28,7 +28,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                             "yolov4-tiny"])
     p.add_argument("--cfg", default=None,
                    help="darknet .cfg file (overrides --model; any "
-                        "yolov2/yolov3-family topology)")
+                        "yolov2/v3/v4-family topology)")
     p.add_argument("--names", default=None,
                    help="darknet .names file (class names for --cfg)")
     p.add_argument("--input-size", type=int, default=None,
@@ -69,7 +69,7 @@ def _maybe_quantize(args, cfg, params, sample_images_u8):
     # images may differ in size; preprocess each to the uniform net
     # size with the SAME geometry inference will use (calibration must
     # see the real activation distribution)
-    if getattr(args, "resize", "letterbox") == "stretch":
+    if args.resize == "stretch":
         from yolo_tpu.ops.numpy_ref import stretch_resize
 
         calib = jnp.asarray(np.stack([
@@ -364,7 +364,7 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
-    if getattr(args, "resize", "letterbox") != "letterbox":
+    if args.resize != "letterbox":
         raise SystemExit("train runs the letterbox pipeline only "
                          "(--resize stretch applies to "
                          "predict/detect/eval)")
@@ -599,7 +599,7 @@ def cmd_eval(args) -> None:
             cfg, params, pairs, batch=args.batch,
             eval_conf=args.eval_conf,
             compute_dtype=_compute_dtype(args.precision),
-            resize=getattr(args, "resize", "letterbox"))
+            resize=args.resize)
 
     if args.save_detections:
         # pycocotools loadRes format: original image/category ids,
@@ -780,7 +780,7 @@ def cmd_serve(args) -> None:
         batch_window_ms=args.batch_window_ms,
         adaptive_window=not args.no_adaptive_window,
         conf_threshold=args.conf, mesh=mesh,
-        resize=getattr(args, "resize", "letterbox"))
+        resize=args.resize)
     if args.prewarm_shape:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
         print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)

@@ -65,12 +65,14 @@ def _postprocess(cfg: ModelConfig, logits, *,
                  nms_impl: str = "auto", head: str = "auto"):
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
+    if head == "auto":
+        # fused heads are exact only while few boxes clear the
+        # threshold; at PR-curve thresholds take the reference path
+        head = ("fused" if jax.default_backend() == "tpu"
+                and conf_t >= 0.1 else "reference")
     if cfg.head_kind == "yolo":
-        # yolov3 family: multi-head [yolo] decode (sigmoid classes,
-        # pixel anchors); same fused-vs-reference head policy as region
-        if head == "auto":
-            head = ("fused" if jax.default_backend() == "tpu"
-                    and conf_t >= 0.1 else "reference")
+        # yolov3/v4 family: multi-head [yolo] decode (sigmoid classes,
+        # pixel anchors, per-head scale_x_y)
         scales = [h.scale_xy for h in cfg.yolo_heads]
         if head == "fused":
             from yolo_tpu.ops.head import detect_head_yolo
@@ -89,11 +91,6 @@ def _postprocess(cfg: ModelConfig, logits, *,
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
             top_k=top_k, max_detections=max_detections, impl=nms_impl)
-    if head == "auto":
-        # fused head is exact only while few boxes clear the threshold;
-        # at PR-curve thresholds fall back to the reference path
-        head = ("fused" if jax.default_backend() == "tpu"
-                and conf_t >= 0.1 else "reference")
     if head == "fused":
         from yolo_tpu.ops.head import detect_head
 

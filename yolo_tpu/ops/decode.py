@@ -60,27 +60,33 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     space, N = sum over heads of Hs*Ws*As — same convention as decode(),
     so the NMS/un-letterbox path is shared. fp32 throughout.
     """
-    anchors_px = jnp.asarray(anchors_px, dtype=jnp.float32)
     scales = scales or [1.0] * len(masks)
     all_boxes, all_scores = [], []
     for logits, mask, s_xy in zip(head_logits, masks, scales):
         b, h, w, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
-        anch = anchors_px[jnp.asarray(mask)]  # (A, 2) pixels
-
-        cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
-        cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
-        off = (s_xy - 1.0) / 2.0
-        bx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / w
-        by = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / h
-        bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
-        bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+        boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size)
         conf = jax.nn.sigmoid(t[..., 4])
         probs = jax.nn.sigmoid(t[..., 5:])
-        all_boxes.append(
-            jnp.stack([bx, by, bw, bh], axis=-1).reshape(b, -1, 4))
+        all_boxes.append(boxes.reshape(b, -1, 4))
         all_scores.append(
             (conf[..., None] * probs).reshape(b, -1, num_classes))
     return (jnp.concatenate(all_boxes, axis=1),
             jnp.concatenate(all_scores, axis=1))
+
+
+def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int):
+    """(B,H,W,A,5+C) fp32 head activations -> (B,H,W,A,4) normalized
+    xywh boxes (the [yolo] box math, shared by decode_yolo and the
+    training loss's ignore-mask decode)."""
+    _, h, w, _, _ = t.shape
+    anch = jnp.asarray(anchors_px, jnp.float32)[jnp.asarray(mask)]
+    cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    off = (s_xy - 1.0) / 2.0
+    bx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / w
+    by = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / h
+    bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
+    bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+    return jnp.stack([bx, by, bw, bh], axis=-1)

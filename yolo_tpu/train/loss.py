@@ -204,7 +204,8 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
-    anchors_arr = jnp.asarray(anchors_px, dtype=jnp.float32)
+    from yolo_tpu.ops.decode import decode_head_boxes
+
     c = num_classes
     b = head_logits[0].shape[0]
     zero = jnp.zeros((), jnp.float32)
@@ -216,21 +217,16 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
-        anch = anchors_arr[jnp.asarray(mask)]
 
         obj = targets[f"obj_mask_{h}"]
         tc = targets[f"tcoord_{h}"]
         coord_w = targets[f"coord_w_{h}"]
 
-        # decoded predicted boxes (normalized) for the ignore mask
-        cx = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
-        cy = jnp.arange(s, dtype=jnp.float32)[None, :, None, None]
+        # decoded predicted boxes (normalized) for the ignore mask and
+        # the IoU-family box losses — the same [yolo] math inference uses
+        pred_boxes = decode_head_boxes(t, anchors_px, mask, s_xy,
+                                       net_size)
         off = (s_xy - 1.0) / 2.0
-        pbx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / s
-        pby = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / s
-        pbw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
-        pbh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
-        pred_boxes = jnp.stack([pbx, pby, pbw, pbh], axis=-1)
 
         iou_all = _iou_xywh_pairwise(pred_boxes.reshape(b, -1, 4),
                                      targets["gt_boxes"])
