@@ -70,6 +70,30 @@ def test_sharded_inference_matches_unsharded(mesh):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_inference_matches_unsharded_yolov3(mesh):
+    """DP batch-sharded inference is bit-consistent for the multi-head
+    family too (per-chip shards, no collectives on the hot path)."""
+    from tests.test_yolov3 import MICRO_V3
+
+    rng = np.random.default_rng(2)
+    params = graph.params_to_jax(graph.fold_params(
+        MICRO_V3.layers, dw.random_params(MICRO_V3.layers, rng)))
+    images = rng.integers(0, 256, (8, 96, 128, 3), dtype=np.uint8)
+
+    det = make_detector(MICRO_V3, conf_threshold=0.1)
+    want = det(params, jnp.asarray(images))
+
+    dp_det = shd.make_dp_detector(MICRO_V3, mesh, conf_threshold=0.1)
+    got = dp_det(shd.replicate(mesh, params),
+                 jax.device_put(jnp.asarray(images),
+                                shd.batch_sharding(mesh)))
+
+    for key in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_maybe_init_distributed_noop_without_env(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert shd.maybe_init_distributed() is False
