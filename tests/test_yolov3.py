@@ -1025,6 +1025,59 @@ class TestYolov4Features:
         assert back.cls_normalizer == pytest.approx(0.5)
         assert back.assign_iou_thresh == pytest.approx(0.213)
 
+    def test_max_delta_clamps_box_gradient(self):
+        """[yolo] max_delta: the per-element gradient on the box logits
+        is clamped (darknet clips l.delta's tx/ty/tw/th entries); the
+        objectness/class gradients are untouched."""
+        import jax
+
+        targets = tgt.encode_batch_for(
+            MICRO_V3, [np.array([[0.5, 0.5, 0.38, 0.32]])],
+            [np.array([2])])
+        targets = {k: jnp.asarray(v) for k, v in targets.items()}
+        heads0 = [np.zeros((1, 64 // st, 64 // st, 2 * 9), np.float32)
+                  for st in MICRO_V3_STRIDES]
+        # extreme wh logits at the assigned slot -> huge MSE delta
+        heads0[0][0, 4, 4, 2 * 9 * 0 + 2] = 12.0  # tw of slot 0
+        heads0[0][0, 4, 4, 2 * 9 * 0 + 3] = -9.0
+
+        def loss_fn(hs, max_delta):
+            total, _ = yolo_loss(
+                hs, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+                YoloLossConfig(max_delta=max_delta))
+            return total
+
+        g_free = jax.grad(lambda hs: loss_fn(hs, 0.0))(
+            [jnp.asarray(h) for h in heads0])
+        g_clip = jax.grad(lambda hs: loss_fn(hs, 1.5))(
+            [jnp.asarray(h) for h in heads0])
+        gb_free = np.asarray(g_free[0]).reshape(1, 8, 8, 2, 9)[..., :4]
+        gb_clip = np.asarray(g_clip[0]).reshape(1, 8, 8, 2, 9)[..., :4]
+        assert np.abs(gb_free).max() > 5.0       # the free delta is huge
+        assert np.abs(gb_clip).max() <= 1.5 + 1e-5
+        # obj/class channels identical between the two
+        go_free = np.asarray(g_free[0]).reshape(1, 8, 8, 2, 9)[..., 4:]
+        go_clip = np.asarray(g_clip[0]).reshape(1, 8, 8, 2, 9)[..., 4:]
+        np.testing.assert_allclose(go_clip, go_free, rtol=1e-6)
+
+    def test_max_delta_parsed_and_round_trips(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "md.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nmax_delta=5\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.max_delta == 5.0
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).max_delta == 5.0
+
     def test_new_coords_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 

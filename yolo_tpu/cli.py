@@ -393,7 +393,8 @@ def cmd_train(args) -> None:
                            ignore_thresh=cfg.ignore_thresh,
                            iou_loss=cfg.iou_loss,
                            iou_normalizer=cfg.iou_normalizer,
-                           cls_normalizer=cfg.cls_normalizer),
+                           cls_normalizer=cfg.cls_normalizer,
+                           max_delta=cfg.max_delta),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and (args.multi_scale or args.augment
                                    or args.mosaic):

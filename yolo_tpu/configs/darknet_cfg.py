@@ -76,7 +76,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
-    loss_spec: Optional[Tuple[str, float, float, float]] = None
+    loss_spec: Optional[Tuple[str, float, float, float, float]] = None
     region_thresh: Optional[float] = None
     saw_region = False
 
@@ -169,17 +169,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(f"unsupported iou_loss '{il}'")
             new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
                         float(kv.get("cls_normalizer", 1.0)),
-                        float(kv.get("iou_thresh", 1.0)))
+                        float(kv.get("iou_thresh", 1.0)),
+                        float(kv.get("max_delta", 0.0)))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
-                                 "iou_loss/normalizer/iou_thresh set")
+                                 "iou_loss/normalizer/iou_thresh/"
+                                 "max_delta set")
             loss_spec = new_loss
-            if float(kv.get("max_delta", 0.0)):
-                import sys
-
-                print("warning: [yolo] max_delta (delta clipping) is "
-                      "not implemented and will be ignored",
-                      file=sys.stderr)
         elif kind == "region":
             saw_region = True
             anchors = _parse_anchors(kv, "[region]")
@@ -256,7 +252,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         cfg = dataclasses.replace(cfg, iou_loss=loss_spec[0],
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
-                                  assign_iou_thresh=loss_spec[3])
+                                  assign_iou_thresh=loss_spec[3],
+                                  max_delta=loss_spec[4])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     return cfg
@@ -367,7 +364,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + (f"cls_normalizer={cfg.cls_normalizer:g}\n"
                           if cfg.cls_normalizer != 1.0 else "")
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
-                          if cfg.assign_iou_thresh != 1.0 else ""))
+                          if cfg.assign_iou_thresh != 1.0 else "")
+                       + (f"max_delta={cfg.max_delta:g}\n"
+                          if cfg.max_delta else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"

@@ -131,6 +131,9 @@ class ModelConfig:
     # AlexeyAB [yolo] iou_thresh: anchors above this wh-IoU with a
     # truth are ALSO assigned (1.0 = best-anchor-only, darknet default)
     assign_iou_thresh: float = 1.0
+    # AlexeyAB [yolo] max_delta: per-element clamp on the box-term
+    # gradient (0 = off, darknet default FLT_MAX)
+    max_delta: float = 0.0
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6

@@ -20,6 +20,7 @@ static shapes, batched. Oracle: tests/loss_oracle.py (loop-level numpy).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -150,12 +151,33 @@ class YoloLossConfig:
     iou_loss: str = "mse"  # "mse" (yolov3) | "iou"|"giou"|"diou"|"ciou"
     iou_normalizer: float = 1.0  # yolov4.cfg: 0.07
     cls_normalizer: float = 1.0
+    # AlexeyAB [yolo] max_delta: clamp the per-element box-term gradient
+    # (darknet clips the tx/ty/tw/th entries of l.delta); 0 = off
+    max_delta: float = 0.0
 
 
 def _bce(logit, target):
     """Sigmoid binary cross-entropy, elementwise, from the raw logit."""
     return jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _clip_grad(x, m: float):
+    """Identity forward; backward clamps the cotangent to [-m, m] per
+    element (darknet max_delta clips l.delta the same way)."""
+    return x
+
+
+def _clip_grad_fwd(x, m):
+    return x, None
+
+
+def _clip_grad_bwd(m, _res, g):
+    return (jnp.clip(g, -m, m),)
+
+
+_clip_grad.defvjp(_clip_grad_fwd, _clip_grad_bwd)
 
 
 def _diag_iou_variant(p, g, kind: str, eps: float = 1e-9):
@@ -217,6 +239,14 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+        if cfg.max_delta:
+            # clamp the box-term gradient only (darknet clips the
+            # tx/ty/tw/th entries of l.delta); obj/class keep t
+            t_box = jnp.concatenate(
+                [_clip_grad(t[..., :4], cfg.max_delta), t[..., 4:]],
+                axis=-1)
+        else:
+            t_box = t
 
         obj = targets[f"obj_mask_{h}"]
         tc = targets[f"tcoord_{h}"]
@@ -224,7 +254,7 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
         # decoded predicted boxes (normalized) for the ignore mask and
         # the IoU-family box losses — the same [yolo] math inference uses
-        pred_boxes = decode_head_boxes(t, anchors_px, mask, s_xy,
+        pred_boxes = decode_head_boxes(t_box, anchors_px, mask, s_xy,
                                        net_size)
         off = (s_xy - 1.0) / 2.0
 
@@ -252,15 +282,15 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
             # coords on assigned anchors: xy BCE (darknet delta on
             # sigmoid), wh 0.5*MSE on raw logits; weighted by (2 - w*h)
             if s_xy == 1.0:
-                xy = (_bce(t[..., 0], tc[..., 0])
-                      + _bce(t[..., 1], tc[..., 1]))
+                xy = (_bce(t_box[..., 0], tc[..., 0])
+                      + _bce(t_box[..., 1], tc[..., 1]))
             else:
-                px = jax.nn.sigmoid(t[..., 0]) * s_xy - off
-                py = jax.nn.sigmoid(t[..., 1]) * s_xy - off
+                px = jax.nn.sigmoid(t_box[..., 0]) * s_xy - off
+                py = jax.nn.sigmoid(t_box[..., 1]) * s_xy - off
                 xy = 0.5 * ((px - tc[..., 0]) ** 2
                             + (py - tc[..., 1]) ** 2)
-            wh = 0.5 * ((t[..., 2] - tc[..., 2]) ** 2
-                        + (t[..., 3] - tc[..., 3]) ** 2)
+            wh = 0.5 * ((t_box[..., 2] - tc[..., 2]) ** 2
+                        + (t_box[..., 3] - tc[..., 3]) ** 2)
             parts["coord"] = parts["coord"] + jnp.sum(
                 obj * coord_w * (xy + wh)) / b
 
