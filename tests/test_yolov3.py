@@ -1078,6 +1078,85 @@ class TestYolov4Features:
         p2.write_text(cfg_to_string(cfg))
         assert config_from_cfg(str(p2)).max_delta == 5.0
 
+    def test_net_training_params(self, tmp_path):
+        """[net] training keys parse for CLI fallbacks (darknet's cfg
+        IS its training config)."""
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        p = tmp_path / "hp.cfg"
+        p.write_text(
+            "[net]\nwidth=32\nlearning_rate=0.00261\nmomentum=0.949\n"
+            "decay=0.0005\nburn_in=1000\nsteps=400000,450000\n"
+            "scales=.1,.1\npolicy=steps\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        hp = net_training_params(str(p))
+        assert hp == {"learning_rate": 0.00261, "momentum": 0.949,
+                      "decay": 0.0005, "burn_in": 1000,
+                      "steps": (400000, 450000), "scales": (0.1, 0.1)}
+        # a cfg without the keys yields an empty dict (CLI defaults)
+        p2 = tmp_path / "bare.cfg"
+        p2.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
+        assert net_training_params(str(p2)) == {}
+
+    def test_label_smoothing_raises_class_floor(self):
+        """label_smooth_eps shifts the class BCE optimum off 0/1: with
+        saturated correct logits the smoothed loss exceeds the
+        unsmoothed one (which tends to 0)."""
+        targets = tgt.encode_batch_for(
+            MICRO_V3, [np.array([[0.5, 0.5, 0.38, 0.32]])],
+            [np.array([2])])
+        targets = {k: jnp.asarray(v) for k, v in targets.items()}
+        heads = [np.zeros((1, 64 // st, 64 // st, 2 * 9), np.float32)
+                 for st in MICRO_V3_STRIDES]
+        # saturate the assigned slot's class logits toward the truth
+        v = heads[0].reshape(1, 8, 8, 2, 9)
+        v[0, 4, 4, 0, 5:] = [-20, -20, 20, -20]  # class 2 hot
+        args = ([jnp.asarray(h) for h in heads], targets, V3_ANCHORS,
+                MICRO_V3_MASKS, 4, 64)
+        _, plain = yolo_loss(*args, YoloLossConfig())
+        _, smooth = yolo_loss(*args,
+                              YoloLossConfig(label_smooth_eps=0.1))
+        assert float(plain["class"]) < 1e-6
+        assert float(smooth["class"]) > 0.1
+
+    def test_cli_train_uses_cfg_net_hyperparams(self, tmp_path, capsys):
+        """train --cfg without --lr uses the [net] learning_rate (a
+        crazy-large cfg lr must visibly explode vs the default)."""
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+        from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+        root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+        text = cfg_to_string(MICRO_V3)
+        text = text.replace("[net]", "[net]\nlearning_rate=0.0\n", 1)
+        cfgp = tmp_path / "m.cfg"
+        cfgp.write_text(text)
+        names = tmp_path / "m.names"
+        names.write_text("\n".join(MICRO_V3.class_names) + "\n")
+        w = tmp_path / "m.weights"
+        init = dw.random_params(MICRO_V3.layers, np.random.default_rng(3))
+        dw.save(str(w), MICRO_V3.layers, init)
+        ckdir = tmp_path / "ck"
+        cli.main(["train", "--cfg", str(cfgp), "--names", str(names),
+                  "--weights", str(w), "--voc-root", root,
+                  "--epochs", "1", "--batch", "8", "--precision", "fp32",
+                  "--checkpoint-dir", str(ckdir)])
+        capsys.readouterr()
+        # cfg lr=0 (no --lr flag): kernels must come out bit-identical
+        from yolo_tpu.io import checkpoint as ckpt
+
+        state = ckpt.restore(str(ckdir / "final"))
+        np.testing.assert_array_equal(
+            np.asarray(state["params"][0]["kernel"]), init[0]["kernel"])
+
     def test_new_coords_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 

@@ -370,6 +370,17 @@ def cmd_train(args) -> None:
                          "predict/detect/eval)")
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
+    # darknet uses the cfg's [net] section as the training config:
+    # explicit flags win, then cfg keys, then built-in defaults
+    net_hp = {}
+    if args.cfg:
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        net_hp = net_training_params(args.cfg)
+    lr = args.lr if args.lr is not None else net_hp.get(
+        "learning_rate", 1e-4)
+    burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
+        "burn_in", 0)
     decay_steps, decay_scales = (), ()
     if args.lr_steps:
         decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
@@ -379,14 +390,21 @@ def cmd_train(args) -> None:
                 raise SystemExit("--lr-steps and --lr-scales lengths differ")
         else:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
+    elif "steps" in net_hp:
+        decay_steps = net_hp["steps"]
+        decay_scales = net_hp.get("scales", (0.1,) * len(decay_steps))
+        if len(decay_steps) != len(decay_scales):
+            raise SystemExit("[net] steps and scales lengths differ")
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
-    tcfg = TrainConfig(learning_rate=args.lr, optimizer=args.optimizer,
+    tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
                        multi_scale=args.multi_scale,
                        remat=args.remat,
-                       burn_in_steps=args.burn_in,
+                       burn_in_steps=burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
+                       momentum=net_hp.get("momentum", 0.9),
+                       weight_decay=net_hp.get("decay", 5e-4),
                        # [region]/[yolo] training keys flow from the cfg
                        loss=LossConfig(iou_thresh=cfg.region_thresh),
                        yolo_loss=YoloLossConfig(
@@ -394,7 +412,8 @@ def cmd_train(args) -> None:
                            iou_loss=cfg.iou_loss,
                            iou_normalizer=cfg.iou_normalizer,
                            cls_normalizer=cfg.cls_normalizer,
-                           max_delta=cfg.max_delta),
+                           max_delta=cfg.max_delta,
+                           label_smooth_eps=cfg.label_smooth_eps),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and (args.multi_scale or args.augment
                                    or args.mosaic):
@@ -853,13 +872,16 @@ def main(argv: Optional[list] = None) -> None:
     _add_dataset(p, "train")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate (default: the cfg's [net] "
+                        "learning_rate, else 1e-4)")
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv activations in backward "
                         "(less HBM, more FLOPs; for large batch/608)")
-    p.add_argument("--burn-in", type=int, default=0,
-                   help="darknet burn-in steps (quartic lr ramp)")
+    p.add_argument("--burn-in", type=int, default=None,
+                   help="darknet burn-in steps (quartic lr ramp; "
+                        "default: the cfg's [net] burn_in, else 0)")
     p.add_argument("--lr-steps", default=None,
                    help="comma-separated steps for lr decay (darknet "
                         "policy=steps)")

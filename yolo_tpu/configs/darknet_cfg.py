@@ -76,7 +76,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
-    loss_spec: Optional[Tuple[str, float, float, float, float]] = None
+    loss_spec: Optional[Tuple] = None  # [yolo] training-key set
     region_thresh: Optional[float] = None
     saw_region = False
 
@@ -170,11 +170,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
                         float(kv.get("cls_normalizer", 1.0)),
                         float(kv.get("iou_thresh", 1.0)),
-                        float(kv.get("max_delta", 0.0)))
+                        float(kv.get("max_delta", 0.0)),
+                        float(kv.get("label_smooth_eps", 0.0)))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
-                                 "iou_loss/normalizer/iou_thresh/"
-                                 "max_delta set")
+                                 "training-key set (iou_loss/"
+                                 "normalizers/iou_thresh/max_delta/"
+                                 "label_smooth_eps)")
             loss_spec = new_loss
         elif kind == "region":
             saw_region = True
@@ -253,7 +255,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
                                   assign_iou_thresh=loss_spec[3],
-                                  max_delta=loss_spec[4])
+                                  max_delta=loss_spec[4],
+                                  label_smooth_eps=loss_spec[5])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     return cfg
@@ -274,6 +277,34 @@ def _validate_refs(layers: Sequence) -> None:
                 raise ValueError(
                     f"layer {idx}: reference {r} resolves to layer "
                     f"{resolved}, which is not an earlier layer")
+
+
+def net_training_params(cfg_path: str) -> Dict[str, object]:
+    """Training hyperparameters from the [net] section (darknet uses
+    the cfg as the full training config): learning_rate, momentum,
+    decay, burn_in, steps, scales — returned only for keys present, so
+    the CLI can fall back per key (explicit flags win)."""
+    out: Dict[str, object] = {}
+    for kind, kv in parse_cfg(cfg_path):
+        if kind != "net":
+            continue
+        for key, cast in (("learning_rate", float), ("momentum", float),
+                          ("decay", float), ("burn_in", int)):
+            if key in kv:
+                out[key] = cast(kv[key])
+        if "steps" in kv:
+            out["steps"] = tuple(int(v) for v in kv["steps"].split(","))
+        if "scales" in kv:
+            out["scales"] = tuple(float(v)
+                                  for v in kv["scales"].split(","))
+        if kv.get("policy", "steps") not in ("steps", "constant"):
+            import sys
+
+            print(f"warning: [net] policy={kv['policy']} is not "
+                  f"implemented (supported: steps/constant); the CLI "
+                  f"schedule flags apply", file=sys.stderr)
+        break
+    return out
 
 
 def layer_strides(layers: Sequence) -> List[int]:
@@ -366,7 +397,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
                        + (f"max_delta={cfg.max_delta:g}\n"
-                          if cfg.max_delta else ""))
+                          if cfg.max_delta else "")
+                       + (f"label_smooth_eps={cfg.label_smooth_eps:g}\n"
+                          if cfg.label_smooth_eps else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"

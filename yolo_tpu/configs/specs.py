@@ -134,6 +134,8 @@ class ModelConfig:
     # AlexeyAB [yolo] max_delta: per-element clamp on the box-term
     # gradient (0 = off, darknet default FLT_MAX)
     max_delta: float = 0.0
+    # AlexeyAB [yolo] label_smooth_eps: class-target smoothing (0 = off)
+    label_smooth_eps: float = 0.0
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6

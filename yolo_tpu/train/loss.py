@@ -154,6 +154,9 @@ class YoloLossConfig:
     # AlexeyAB [yolo] max_delta: clamp the per-element box-term gradient
     # (darknet clips the tx/ty/tw/th entries of l.delta); 0 = off
     max_delta: float = 0.0
+    # AlexeyAB [yolo] label_smooth_eps: class targets become
+    # y*(1-eps) + eps/2; 0 = off
+    label_smooth_eps: float = 0.0
 
 
 def _bce(logit, target):
@@ -296,6 +299,9 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
         # classes: per-class BCE vs one-hot on assigned anchors
         onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
+        if cfg.label_smooth_eps:
+            onehot = (onehot * (1.0 - cfg.label_smooth_eps)
+                      + 0.5 * cfg.label_smooth_eps)
         parts["class"] = parts["class"] + cfg.cls_normalizer * jnp.sum(
             obj[..., None] * _bce(t[..., 5:], onehot)) / b
 
