@@ -1060,7 +1060,10 @@ class TestYolov4Features:
         go_clip = np.asarray(g_clip[0]).reshape(1, 8, 8, 2, 9)[..., 4:]
         np.testing.assert_allclose(go_clip, go_free, rtol=1e-6)
 
-    def test_max_delta_parsed_and_round_trips(self, tmp_path):
+    def test_max_delta_parsed_per_head_and_round_trips(self, tmp_path):
+        """max_delta/label_smooth_eps are PER-[yolo]-layer options in
+        AlexeyAB darknet — heads may differ (published cfgs set
+        max_delta on the small-object head only)."""
         from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
                                                   config_from_cfg)
 
@@ -1071,12 +1074,46 @@ class TestYolov4Features:
             "stride=2\npad=1\nactivation=leaky\n"
             "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
             "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
-            "num=2\nmax_delta=5\n")
+            "num=2\nmax_delta=5\nlabel_smooth_eps=0.1\n"
+            "[route]\nlayers = -2\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 1\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
         cfg = config_from_cfg(str(p))
-        assert cfg.max_delta == 5.0
+        assert cfg.yolo_heads[0].max_delta == 5.0
+        assert cfg.yolo_heads[0].label_smooth_eps == 0.1
+        assert cfg.yolo_heads[1].max_delta == 0.0
         p2 = tmp_path / "rt.cfg"
         p2.write_text(cfg_to_string(cfg))
-        assert config_from_cfg(str(p2)).max_delta == 5.0
+        back = config_from_cfg(str(p2))
+        assert back.yolo_heads[0].max_delta == 5.0
+        assert back.yolo_heads[1].max_delta == 0.0
+
+    def test_max_delta_scales_with_batch(self):
+        """The clamp threshold is max_delta/b (darknet clips the
+        PER-IMAGE delta; our loss is the batch mean)."""
+        import jax
+
+        targets = tgt.encode_batch_for(
+            MICRO_V3,
+            [np.array([[0.5, 0.5, 0.38, 0.32]])] * 2,
+            [np.array([2])] * 2)
+        targets = {k: jnp.asarray(v) for k, v in targets.items()}
+        heads = [np.zeros((2, 64 // st, 64 // st, 2 * 9), np.float32)
+                 for st in MICRO_V3_STRIDES]
+        heads[0][:, 4, 4, 2] = 12.0  # huge tw delta, both images
+
+        def loss_fn(hs):
+            total, _ = yolo_loss(
+                hs, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+                YoloLossConfig(max_delta=3.0))
+            return total
+
+        g = jax.grad(loss_fn)([jnp.asarray(h) for h in heads])
+        gb = np.asarray(g[0]).reshape(2, 8, 8, 2, 9)[..., :4]
+        # per-element bound = max_delta / batch = 1.5
+        assert np.abs(gb).max() <= 3.0 / 2 + 1e-5
+        assert np.abs(gb).max() > 1.0  # and the clamp actually binds
 
     def test_net_training_params(self, tmp_path):
         """[net] training keys parse for CLI fallbacks (darknet's cfg

@@ -382,6 +382,9 @@ def cmd_train(args) -> None:
     burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
         "burn_in", 0)
     decay_steps, decay_scales = (), ()
+    if args.lr_scales and not args.lr_steps:
+        raise SystemExit("--lr-scales requires --lr-steps (to override "
+                         "a cfg's [net] schedule, give both)")
     if args.lr_steps:
         decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
         if args.lr_scales:
@@ -392,7 +395,7 @@ def cmd_train(args) -> None:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
     elif "steps" in net_hp:
         decay_steps = net_hp["steps"]
-        decay_scales = net_hp.get("scales", (0.1,) * len(decay_steps))
+        decay_scales = net_hp["scales"]  # policy=steps guarantees both
         if len(decay_steps) != len(decay_scales):
             raise SystemExit("[net] steps and scales lengths differ")
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
@@ -411,9 +414,7 @@ def cmd_train(args) -> None:
                            ignore_thresh=cfg.ignore_thresh,
                            iou_loss=cfg.iou_loss,
                            iou_normalizer=cfg.iou_normalizer,
-                           cls_normalizer=cfg.cls_normalizer,
-                           max_delta=cfg.max_delta,
-                           label_smooth_eps=cfg.label_smooth_eps),
+                           cls_normalizer=cfg.cls_normalizer),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and (args.multi_scale or args.augment
                                    or args.mosaic):

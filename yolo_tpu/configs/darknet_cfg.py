@@ -146,7 +146,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     "supported")
             mask = tuple(int(v) for v in kv["mask"].split(","))
             layers.append(YoloHead(
-                mask, scale_xy=float(kv.get("scale_x_y", 1.0))))
+                mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
+                # per-layer training options (AlexeyAB parses these
+                # per [yolo] section)
+                max_delta=float(kv.get("max_delta", 0.0)),
+                label_smooth_eps=float(kv.get("label_smooth_eps", 0.0))))
             head_anchors = _parse_anchors(kv, "[yolo]")
             n = len(head_anchors)
             head_classes = int(kv.get("classes", 20))
@@ -169,14 +173,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(f"unsupported iou_loss '{il}'")
             new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
                         float(kv.get("cls_normalizer", 1.0)),
-                        float(kv.get("iou_thresh", 1.0)),
-                        float(kv.get("max_delta", 0.0)),
-                        float(kv.get("label_smooth_eps", 0.0)))
+                        float(kv.get("iou_thresh", 1.0)))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
-                                 "training-key set (iou_loss/"
-                                 "normalizers/iou_thresh/max_delta/"
-                                 "label_smooth_eps)")
+                                 "iou_loss/normalizer/iou_thresh set")
             loss_spec = new_loss
         elif kind == "region":
             saw_region = True
@@ -254,9 +254,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         cfg = dataclasses.replace(cfg, iou_loss=loss_spec[0],
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
-                                  assign_iou_thresh=loss_spec[3],
-                                  max_delta=loss_spec[4],
-                                  label_smooth_eps=loss_spec[5])
+                                  assign_iou_thresh=loss_spec[3])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     return cfg
@@ -292,17 +290,24 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                           ("decay", float), ("burn_in", int)):
             if key in kv:
                 out[key] = cast(kv[key])
-        if "steps" in kv:
+        # darknet's default policy is CONSTANT; steps/scales only apply
+        # under policy=steps (and darknet hard-errors on steps without
+        # scales)
+        policy = kv.get("policy", "constant")
+        if policy == "steps":
+            if "steps" not in kv or "scales" not in kv:
+                raise ValueError(
+                    f"{cfg_path}: [net] policy=steps needs both steps "
+                    f"and scales (darknet refuses this cfg too)")
             out["steps"] = tuple(int(v) for v in kv["steps"].split(","))
-        if "scales" in kv:
             out["scales"] = tuple(float(v)
                                   for v in kv["scales"].split(","))
-        if kv.get("policy", "steps") not in ("steps", "constant"):
+        elif policy != "constant":
             import sys
 
-            print(f"warning: [net] policy={kv['policy']} is not "
-                  f"implemented (supported: steps/constant); the CLI "
-                  f"schedule flags apply", file=sys.stderr)
+            print(f"warning: [net] policy={policy} is not implemented "
+                  f"(supported: steps/constant); use the CLI schedule "
+                  f"flags", file=sys.stderr)
         break
     return out
 
@@ -396,10 +401,10 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.cls_normalizer != 1.0 else "")
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
-                       + (f"max_delta={cfg.max_delta:g}\n"
-                          if cfg.max_delta else "")
-                       + (f"label_smooth_eps={cfg.label_smooth_eps:g}\n"
-                          if cfg.label_smooth_eps else ""))
+                       + (f"max_delta={l.max_delta:g}\n"
+                          if l.max_delta else "")
+                       + (f"label_smooth_eps={l.label_smooth_eps:g}\n"
+                          if l.label_smooth_eps else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"

@@ -88,6 +88,11 @@ class YoloHead:
     # darknet [yolo] scale_x_y (yolov4 grid-sensitivity fix):
     # bx = (sigmoid(tx)*s - (s-1)/2 + cx) / W
     scale_xy: float = 1.0
+    # AlexeyAB per-[yolo]-layer training options (0 = off):
+    # max_delta clamps this head's per-image box delta;
+    # label_smooth_eps smooths this head's class targets
+    max_delta: float = 0.0
+    label_smooth_eps: float = 0.0
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]
@@ -131,11 +136,6 @@ class ModelConfig:
     # AlexeyAB [yolo] iou_thresh: anchors above this wh-IoU with a
     # truth are ALSO assigned (1.0 = best-anchor-only, darknet default)
     assign_iou_thresh: float = 1.0
-    # AlexeyAB [yolo] max_delta: per-element clamp on the box-term
-    # gradient (0 = off, darknet default FLT_MAX)
-    max_delta: float = 0.0
-    # AlexeyAB [yolo] label_smooth_eps: class-target smoothing (0 = off)
-    label_smooth_eps: float = 0.0
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6

@@ -121,11 +121,14 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat)
         if mcfg.head_kind == "yolo":
+            heads = mcfg.yolo_heads
             total, parts = yolo_loss(
                 logits, batch, mcfg.anchors,
-                [hd.mask for hd in mcfg.yolo_heads], mcfg.num_classes,
+                [hd.mask for hd in heads], mcfg.num_classes,
                 net_size, tcfg.yolo_loss,
-                scales=[hd.scale_xy for hd in mcfg.yolo_heads])
+                scales=[hd.scale_xy for hd in heads],
+                max_deltas=[hd.max_delta for hd in heads],
+                smooth_eps=[hd.label_smooth_eps for hd in heads])
         else:
             total, parts = region_loss(
                 logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,

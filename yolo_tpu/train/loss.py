@@ -218,14 +218,17 @@ def _diag_iou_variant(p, g, kind: str, eps: float = 1e-9):
 
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
               masks, num_classes: int, net_size: int,
-              cfg: YoloLossConfig, scales=None
+              cfg: YoloLossConfig, scales=None, max_deltas=None,
+              smooth_eps=None
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Multi-head yolov3 loss. head_logits: tuple of (B, S, S, A*(5+C))
     raw outputs (graph.apply_layers yolo-family return); targets from
     data.targets.encode_batch_yolo (flat per-head keys + gt_boxes/mask).
     scales: per-head yolov4 scale_x_y (xy term switches from BCE to
     0.5*MSE on the scaled sigmoid when != 1, since the prediction range
-    leaves [0, 1]).
+    leaves [0, 1]). max_deltas / smooth_eps: per-head overrides of the
+    cfg-level max_delta / label_smooth_eps (AlexeyAB parses these per
+    [yolo] section; 0 falls back to the cfg value).
 
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
@@ -235,18 +238,24 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     b = head_logits[0].shape[0]
     zero = jnp.zeros((), jnp.float32)
     parts = {"coord": zero, "obj": zero, "noobj": zero, "class": zero}
-    scales = scales or [1.0] * len(masks)
+    n_heads = len(masks)
+    scales = scales or [1.0] * n_heads
+    max_deltas = max_deltas or [0.0] * n_heads
+    smooth_eps = smooth_eps or [0.0] * n_heads
 
     for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
                                                  scales)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
-        if cfg.max_delta:
+        md = max_deltas[h] or cfg.max_delta
+        if md:
             # clamp the box-term gradient only (darknet clips the
-            # tx/ty/tw/th entries of l.delta); obj/class keep t
+            # tx/ty/tw/th entries of the PER-IMAGE l.delta; our loss is
+            # the batch mean, so the cotangent here is delta/b and the
+            # equivalent threshold is max_delta/b); obj/class keep t
             t_box = jnp.concatenate(
-                [_clip_grad(t[..., :4], cfg.max_delta), t[..., 4:]],
+                [_clip_grad(t[..., :4], md / b), t[..., 4:]],
                 axis=-1)
         else:
             t_box = t
@@ -299,9 +308,9 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
         # classes: per-class BCE vs one-hot on assigned anchors
         onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
-        if cfg.label_smooth_eps:
-            onehot = (onehot * (1.0 - cfg.label_smooth_eps)
-                      + 0.5 * cfg.label_smooth_eps)
+        eps = smooth_eps[h] or cfg.label_smooth_eps
+        if eps:
+            onehot = onehot * (1.0 - eps) + 0.5 * eps
         parts["class"] = parts["class"] + cfg.cls_normalizer * jnp.sum(
             obj[..., None] * _bce(t[..., 5:], onehot)) / b
 
