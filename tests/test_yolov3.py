@@ -1082,12 +1082,12 @@ class TestYolov4Features:
         cfg = config_from_cfg(str(p))
         assert cfg.yolo_heads[0].max_delta == 5.0
         assert cfg.yolo_heads[0].label_smooth_eps == 0.1
-        assert cfg.yolo_heads[1].max_delta == 0.0
+        assert cfg.yolo_heads[1].max_delta is None  # unset on head 2
         p2 = tmp_path / "rt.cfg"
         p2.write_text(cfg_to_string(cfg))
         back = config_from_cfg(str(p2))
         assert back.yolo_heads[0].max_delta == 5.0
-        assert back.yolo_heads[1].max_delta == 0.0
+        assert back.yolo_heads[1].max_delta is None
 
     def test_max_delta_scales_with_batch(self):
         """The clamp threshold is max_delta/b (darknet clips the
@@ -1131,9 +1131,9 @@ class TestYolov4Features:
             "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
         hp = net_training_params(str(p))
         assert hp == {"learning_rate": 0.00261, "momentum": 0.949,
-                      "decay": 0.0005, "burn_in": 1000,
+                      "decay": 0.0005, "burn_in": 1000, "policy": "steps",
                       "steps": (400000, 450000), "scales": (0.1, 0.1)}
-        # a cfg without the keys yields an empty dict (CLI defaults)
+        # a cfg without the keys yields only darknet's default policy
         p2 = tmp_path / "bare.cfg"
         p2.write_text(
             "[net]\nwidth=32\n"
@@ -1141,7 +1141,7 @@ class TestYolov4Features:
             "stride=2\npad=1\nactivation=leaky\n"
             "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
             "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
-        assert net_training_params(str(p2)) == {}
+        assert net_training_params(str(p2)) == {"policy": "constant"}
 
     def test_label_smoothing_raises_class_floor(self):
         """label_smooth_eps shifts the class BCE optimum off 0/1: with

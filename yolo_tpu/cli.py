@@ -393,11 +393,22 @@ def cmd_train(args) -> None:
                 raise SystemExit("--lr-steps and --lr-scales lengths differ")
         else:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
-    elif "steps" in net_hp:
+    elif net_hp.get("policy") == "steps":
+        # darknet hard-errors on policy=steps without steps+scales
+        if "steps" not in net_hp or "scales" not in net_hp:
+            raise SystemExit("[net] policy=steps needs both steps and "
+                             "scales (darknet refuses this cfg too); "
+                             "or give --lr-steps/--lr-scales")
         decay_steps = net_hp["steps"]
-        decay_scales = net_hp["scales"]  # policy=steps guarantees both
+        decay_scales = net_hp["scales"]
         if len(decay_steps) != len(decay_scales):
             raise SystemExit("[net] steps and scales lengths differ")
+    elif "steps" in net_hp:
+        # steps/scales present but policy is constant (darknet's
+        # default when the key is absent) — darknet would ignore them
+        print("note: ignoring [net] steps/scales (policy is "
+              "'constant', darknet's default; add policy=steps)",
+              file=sys.stderr)
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
     tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,

@@ -148,9 +148,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(YoloHead(
                 mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
                 # per-layer training options (AlexeyAB parses these
-                # per [yolo] section)
-                max_delta=float(kv.get("max_delta", 0.0)),
-                label_smooth_eps=float(kv.get("label_smooth_eps", 0.0))))
+                # per [yolo] section); absent keys stay None (unset)
+                max_delta=(float(kv["max_delta"])
+                           if "max_delta" in kv else None),
+                label_smooth_eps=(float(kv["label_smooth_eps"])
+                                  if "label_smooth_eps" in kv else None)))
             head_anchors = _parse_anchors(kv, "[yolo]")
             n = len(head_anchors)
             head_classes = int(kv.get("classes", 20))
@@ -290,24 +292,16 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                           ("decay", float), ("burn_in", int)):
             if key in kv:
                 out[key] = cast(kv[key])
-        # darknet's default policy is CONSTANT; steps/scales only apply
-        # under policy=steps (and darknet hard-errors on steps without
-        # scales)
-        policy = kv.get("policy", "constant")
-        if policy == "steps":
-            if "steps" not in kv or "scales" not in kv:
-                raise ValueError(
-                    f"{cfg_path}: [net] policy=steps needs both steps "
-                    f"and scales (darknet refuses this cfg too)")
+        # raw schedule keys + policy; the CLI gates their use (darknet's
+        # default policy is CONSTANT, and steps/scales apply only under
+        # policy=steps) so explicit flags can still override a broken
+        # cfg schedule
+        out["policy"] = kv.get("policy", "constant")
+        if "steps" in kv:
             out["steps"] = tuple(int(v) for v in kv["steps"].split(","))
+        if "scales" in kv:
             out["scales"] = tuple(float(v)
                                   for v in kv["scales"].split(","))
-        elif policy != "constant":
-            import sys
-
-            print(f"warning: [net] policy={policy} is not implemented "
-                  f"(supported: steps/constant); use the CLI schedule "
-                  f"flags", file=sys.stderr)
         break
     return out
 

@@ -36,7 +36,7 @@ yolov2-only reference surface):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,11 +88,12 @@ class YoloHead:
     # darknet [yolo] scale_x_y (yolov4 grid-sensitivity fix):
     # bx = (sigmoid(tx)*s - (s-1)/2 + cx) / W
     scale_xy: float = 1.0
-    # AlexeyAB per-[yolo]-layer training options (0 = off):
+    # AlexeyAB per-[yolo]-layer training options (None = unset, fall
+    # back to YoloLossConfig's globals; an explicit 0.0 disables):
     # max_delta clamps this head's per-image box delta;
     # label_smooth_eps smooths this head's class targets
-    max_delta: float = 0.0
-    label_smooth_eps: float = 0.0
+    max_delta: Optional[float] = None
+    label_smooth_eps: Optional[float] = None
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]

@@ -240,15 +240,16 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     parts = {"coord": zero, "obj": zero, "noobj": zero, "class": zero}
     n_heads = len(masks)
     scales = scales or [1.0] * n_heads
-    max_deltas = max_deltas or [0.0] * n_heads
-    smooth_eps = smooth_eps or [0.0] * n_heads
+    max_deltas = max_deltas or [None] * n_heads
+    smooth_eps = smooth_eps or [None] * n_heads
 
     for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
                                                  scales)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
-        md = max_deltas[h] or cfg.max_delta
+        md = (max_deltas[h] if max_deltas[h] is not None
+              else cfg.max_delta)
         if md:
             # clamp the box-term gradient only (darknet clips the
             # tx/ty/tw/th entries of the PER-IMAGE l.delta; our loss is
@@ -308,7 +309,8 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
         # classes: per-class BCE vs one-hot on assigned anchors
         onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
-        eps = smooth_eps[h] or cfg.label_smooth_eps
+        eps = (smooth_eps[h] if smooth_eps[h] is not None
+               else cfg.label_smooth_eps)
         if eps:
             onehot = onehot * (1.0 - eps) + 0.5 * eps
         parts["class"] = parts["class"] + cfg.cls_normalizer * jnp.sum(
