@@ -1,0 +1,88 @@
+"""Driver-contract gate (VERDICT round 1, next-round item 2).
+
+Round 1 shipped `__graft_entry__.dryrun_multichip` green under the test
+conftest but RED under the driver's bare invocation (MULTICHIP_r01.json
+ok:false): the fake-8-device bootstrap lived only in tests/conftest.py.
+These tests run the driver's EXACT bare invocations in subprocesses with
+the bootstrap env scrubbed, so the contract cannot silently regress
+again.
+
+Spec: SURVEY.md §4.2.5; BASELINE.json:11 (config 5, DP training).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scrubbed_env():
+    """The driver's environment: no conftest help, no fake-device flags."""
+    env = dict(os.environ)
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "YOLO_TPU_TEST_BACKEND"):
+        env.pop(k, None)
+    return env
+
+
+def _run(code, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=_scrubbed_env(),
+        capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_bare_invocation():
+    """python -c "import __graft_entry__; ...dryrun_multichip(8)" — the
+    literal driver command that failed in round 1 — must exit 0."""
+    r = _run("import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
+    assert r.returncode == 0, f"stderr tail:\n{r.stderr[-2000:]}"
+
+
+@pytest.mark.slow
+def test_entry_traces_bare_invocation():
+    """entry() must return (fn, args) that jit-trace cleanly in a bare
+    process. Lower (trace to StableHLO) on forced-CPU — the full-fidelity
+    compile check is the driver's, on the real chip; this gate catches
+    import errors, signature drift, and trace-time failures."""
+    r = _run(
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__, jax\n"
+        "fn, args = __graft_entry__.entry()\n"
+        "jax.jit(fn).lower(*args)\n"
+        "print('LOWERED_OK')\n")
+    assert r.returncode == 0, f"stderr tail:\n{r.stderr[-2000:]}"
+    assert "LOWERED_OK" in r.stdout
+
+
+def test_make_mesh_raises_descriptive_error_when_short():
+    """make_mesh must fail fast with the fix in the message, not silently
+    truncate to a smaller mesh (round-1 failure mode)."""
+    from yolo_tpu.parallel import sharding as shd
+
+    with pytest.raises(RuntimeError) as ei:
+        shd.make_mesh(4096)
+    msg = str(ei.value)
+    assert "4096" in msg
+    assert "xla_force_host_platform_device_count" in msg
+
+
+def test_bootstrap_raises_descriptive_error_when_backend_up():
+    """In a process whose backend is already initialized with too few
+    devices, the bootstrap must name the problem and the fresh-process
+    fix (not assert deep inside mesh construction)."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()  # initialize backend: 1 CPU device, no fake count\n"
+        "import __graft_entry__\n"
+        "try:\n"
+        "    __graft_entry__.dryrun_multichip(8)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'fresh process' in str(e), str(e)\n"
+        "    print('DESCRIPTIVE_OK')\n")
+    r = _run(code, timeout=120)
+    assert r.returncode == 0, f"stderr tail:\n{r.stderr[-2000:]}"
+    assert "DESCRIPTIVE_OK" in r.stdout

@@ -39,8 +39,23 @@ def maybe_init_distributed() -> bool:
 
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
+    """1-D ('data',) mesh over the first n_devices devices.
+
+    Raises immediately (with backend + count + fix) when fewer devices
+    exist than requested, instead of silently truncating and letting the
+    caller fail later on a cryptic shape/size assert (the round-1 driver
+    failure mode, MULTICHIP_r01.json)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) found only {len(devices)} "
+                f"device(s) on the '{jax.default_backend()}' backend. For "
+                "a fake multi-device CPU mesh, set XLA_FLAGS+="
+                f"' --xla_force_host_platform_device_count={n_devices}' "
+                "and jax.config.update('jax_platforms', 'cpu') before "
+                "first backend use (tests/conftest.py recipe), or run on "
+                "a real slice with enough chips.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("data",))
 
