@@ -146,13 +146,16 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                                 parts["coord"] += w * (
                                     xy + 0.5 * ((v[2] - tc[2]) ** 2
                                                 + (v[3] - tc[3]) ** 2))
-                            parts["obj"] += _bce_np(v[4], 1.0)
-                            cls = targets[f"tcls_{h}"][bi, j, i, ai]
+                            # AlexeyAB: cls_normalizer scales the
+                            # objectness deltas; class BCE is unscaled
                             cn = getattr(cfg, "cls_normalizer", 1.0)
+                            parts["obj"] += cn * _bce_np(v[4], 1.0)
+                            cls = targets[f"tcls_{h}"][bi, j, i, ai]
                             for k in range(c):
-                                parts["class"] += cn * _bce_np(
+                                parts["class"] += _bce_np(
                                     v[5 + k], 1.0 if k == cls else 0.0)
                         elif best_iou < cfg.ignore_thresh:
-                            parts["noobj"] += _bce_np(v[4], 0.0)
+                            cn = getattr(cfg, "cls_normalizer", 1.0)
+                            parts["noobj"] += cn * _bce_np(v[4], 0.0)
     parts = {k: v / b for k, v in parts.items()}
     return sum(parts.values()), parts

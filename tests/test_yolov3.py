@@ -1089,6 +1089,31 @@ class TestYolov4Features:
         assert back.yolo_heads[0].max_delta == 5.0
         assert back.yolo_heads[1].max_delta is None
 
+    def test_explicit_zero_max_delta_survives_round_trip(self, tmp_path):
+        """An explicit per-head max_delta=0 / label_smooth_eps=0 (the
+        documented sentinel disabling a global YoloLossConfig value)
+        must survive cfg_to_string -> config_from_cfg: emitting only
+        truthy values would silently re-enable the global (ADVICE r1)."""
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "z.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nmax_delta=0\nlabel_smooth_eps=0\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.yolo_heads[0].max_delta == 0.0
+        assert cfg.yolo_heads[0].label_smooth_eps == 0.0
+        p2 = tmp_path / "z2.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p2))
+        assert back.yolo_heads[0].max_delta == 0.0
+        assert back.yolo_heads[0].label_smooth_eps == 0.0
+
     def test_max_delta_scales_with_batch(self):
         """The clamp threshold is max_delta/b (darknet clips the
         PER-IMAGE delta; our loss is the batch mean)."""

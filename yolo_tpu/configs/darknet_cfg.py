@@ -396,9 +396,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
                        + (f"max_delta={l.max_delta:g}\n"
-                          if l.max_delta else "")
+                          if l.max_delta is not None else "")
                        + (f"label_smooth_eps={l.label_smooth_eps:g}\n"
-                          if l.label_smooth_eps else ""))
+                          if l.label_smooth_eps is not None else ""))
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"

@@ -146,7 +146,19 @@ class YoloLossConfig:
     iou_loss="ciou" (yolov4.cfg) replaces the xy/wh terms with
     iou_normalizer * (1 - CIoU(pred_box, gt_box)) on the DECODED boxes
     (Zheng et al. arXiv:1911.08287: IoU − center-distance/diag² − αv
-    aspect term); cls_normalizer scales the class BCE."""
+    aspect term); cls_normalizer scales the OBJECTNESS deltas (both obj
+    and noobj BCE), matching AlexeyAB's yolo_layer where
+    l.cls_normalizer multiplies l.delta[obj_index] — the class BCE is
+    unscaled, as in darknet's delta_yolo_class.
+
+    Known gradient deviation (documented, not darknet-exact): with
+    iou_loss="mse" AND scale_x_y != 1 the xy term is 0.5*MSE on the
+    scaled sigmoid, whose gradient to the logit carries a
+    sigmoid-derivative factor; darknet back-propagates
+    delta = (target - scaled_sigmoid) straight to the logit with no
+    sigmoid-derivative. No official cfg hits this combination (the v4
+    cfgs that set scale_x_y all use iou_loss=ciou), so we keep the
+    plain-autodiff form rather than a custom VJP."""
     ignore_thresh: float = 0.7
     iou_loss: str = "mse"  # "mse" (yolov3) | "iou"|"giou"|"diou"|"ciou"
     iou_normalizer: float = 1.0  # yolov4.cfg: 0.07
@@ -282,8 +294,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                       * (best_iou < cfg.ignore_thresh).astype(jnp.float32))
         obj_bce = _bce(t[..., 4], 1.0)
         noobj_bce = _bce(t[..., 4], 0.0)
-        parts["obj"] = parts["obj"] + jnp.sum(obj * obj_bce) / b
-        parts["noobj"] = parts["noobj"] + jnp.sum(noobj_mask * noobj_bce) / b
+        cn = cfg.cls_normalizer
+        parts["obj"] = parts["obj"] + cn * jnp.sum(obj * obj_bce) / b
+        parts["noobj"] = (parts["noobj"]
+                          + cn * jnp.sum(noobj_mask * noobj_bce) / b)
 
         if cfg.iou_loss != "mse":
             # yolov4 family: box regression on the DECODED boxes
@@ -313,7 +327,7 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                else cfg.label_smooth_eps)
         if eps:
             onehot = onehot * (1.0 - eps) + 0.5 * eps
-        parts["class"] = parts["class"] + cfg.cls_normalizer * jnp.sum(
+        parts["class"] = parts["class"] + jnp.sum(
             obj[..., None] * _bce(t[..., 5:], onehot)) / b
 
     total = sum(parts.values())
