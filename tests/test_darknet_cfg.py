@@ -368,7 +368,8 @@ def test_cfg_roundtrip_all_variants(tmp_path):
     from yolo_tpu.configs.darknet_cfg import cfg_to_string
 
     for v in ("tiny-voc", "voc", "coco", "tiny-coco",
-              "yolov3", "yolov3-tiny", "yolov4", "yolov4-tiny"):
+              "yolov3", "yolov3-spp", "yolov3-tiny",
+              "yolov4", "yolov4-tiny"):
         cfg = get_variant(v)
         p = tmp_path / f"{v}.cfg"
         p.write_text(cfg_to_string(cfg))

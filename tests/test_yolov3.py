@@ -144,7 +144,11 @@ class TestWeightsIO:
         from yolo_tpu.configs.variants import (YOLOV4_COCO,
                                                YOLOV4_TINY_COCO)
 
+        from yolo_tpu.configs.variants import YOLOV3_SPP_COCO
+
         assert expected_weights_bytes(YOLOV3_COCO.layers) == 248_007_048
+        # spp = yolov3 + one 512x2048 1x1 conv (+BN): 4,202,496 bytes
+        assert expected_weights_bytes(YOLOV3_SPP_COCO.layers) == 252_209_544
         assert expected_weights_bytes(YOLOV3_TINY_COCO.layers) == 35_434_956
         assert expected_weights_bytes(YOLOV4_TINY_COCO.layers) == 24_251_276
         assert expected_weights_bytes(YOLOV4_COCO.layers) == 257_717_640
@@ -166,14 +170,16 @@ class TestWeightsIO:
                 np.testing.assert_array_equal(p[k], q[k])
 
 
-@pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3",
+@pytest.mark.parametrize("variant", ["yolov3-tiny", "yolov3", "yolov3-spp",
                                      "yolov4-tiny", "yolov4"])
 def test_logits_parity_vs_tf_oracle(variant):
     from tests import tf_oracle
-    from yolo_tpu.configs.variants import YOLOV4_COCO, YOLOV4_TINY_COCO
+    from yolo_tpu.configs.variants import (YOLOV3_SPP_COCO, YOLOV4_COCO,
+                                           YOLOV4_TINY_COCO)
 
     cfg = _small({"yolov3-tiny": YOLOV3_TINY_COCO,
                   "yolov3": YOLOV3_COCO,
+                  "yolov3-spp": YOLOV3_SPP_COCO,
                   "yolov4-tiny": YOLOV4_TINY_COCO,
                   "yolov4": YOLOV4_COCO}[variant])
     rng = np.random.default_rng(42)

@@ -24,7 +24,8 @@ class TestExpectedBytes:
         manifest = zoo.load_manifest()
         assert set(manifest) == {"yolov2", "yolov2-voc", "yolov2-tiny-voc",
                                  "yolov2-tiny", "darknet19-448-conv23",
-                                 "yolov3", "yolov3-tiny", "darknet53-conv74",
+                                 "yolov3", "yolov3-spp", "yolov3-tiny",
+                                 "darknet53-conv74",
                                  "yolov4", "yolov4-tiny", "yolov4-conv137"}
         for name, e in manifest.items():
             layers = get_variant(e["variant"]).layers

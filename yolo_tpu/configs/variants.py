@@ -218,12 +218,44 @@ def _yolov3_tiny_layers(num_out: int):
     )
 
 
+def _yolov3_spp_layers(num_out: int):
+    """yolov3-spp.cfg: yolov3 with an SPP block spliced into the first
+    head branch — after convs 75-77, three stride-1 maxpools (5/9/13,
+    darknet pad=size-1 semantics, see ops/pool.py) are concatenated
+    with their input via route -1,-3,-5,-6 (order verbatim from the
+    cfg: pool13, pool9, pool5, conv77 — the following 1x1 conv's 2048
+    input channels bake this order in), then one extra 512 1x1 conv.
+    Everything else matches yolov3; the absolute route targets 61/36
+    are unchanged (the SPP block lives entirely after them)."""
+    base = list(_yolov3_layers(num_out))
+    head = base[:78]                    # 0-74 backbone + convs 75-77
+    head += [
+        MaxPool(5, 1),                  # 78
+        Route((-2,)),                   # 79 -> 77
+        MaxPool(9, 1),                  # 80
+        Route((-4,)),                   # 81 -> 77
+        MaxPool(13, 1),                 # 82
+        Route((-1, -3, -5, -6)),        # 83 -> concat(82,80,78,77)=2048ch
+        Conv(512, 1),                   # 84 (the SPP-only extra conv)
+    ]
+    head += base[78:]                   # convs 1024/512/1024/linear + heads
+    return tuple(head)
+
+
 YOLOV3_COCO = ModelConfig(
     name="yolov3-coco",
     layers=_yolov3_layers(3 * (5 + 80)),
     anchors=YOLOV3_ANCHORS,
     class_names=COCO_NAMES,
     input_size=416,
+)
+
+YOLOV3_SPP_COCO = ModelConfig(
+    name="yolov3-spp-coco",
+    layers=_yolov3_spp_layers(3 * (5 + 80)),
+    anchors=YOLOV3_ANCHORS,
+    class_names=COCO_NAMES,
+    input_size=608,  # official yolov3-spp.cfg net size
 )
 
 YOLOV3_TINY_COCO = ModelConfig(
@@ -386,6 +418,7 @@ VARIANTS = {
     "coco": YOLOV2_COCO,
     "tiny-coco": TINY_YOLOV2_COCO,
     "yolov3": YOLOV3_COCO,
+    "yolov3-spp": YOLOV3_SPP_COCO,
     "yolov3-tiny": YOLOV3_TINY_COCO,
     "yolov4": YOLOV4_COCO,
     "yolov4-tiny": YOLOV4_TINY_COCO,
