@@ -183,3 +183,73 @@ def test_infer_variant_all_pinned_sizes(tmp_path):
         with open(p, "wb") as f:
             f.truncate(zoo.expected_weights_bytes(cfg.layers))
         assert zoo.infer_variant(str(p)) == name, name
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,input_size", [("yolov2", 128),
+                                             ("yolov3", 128)])
+def test_zoo_runbook_offline_e2e(tmp_path, monkeypatch, capsys, name,
+                                 input_size):
+    """The full real-weights runbook, proven offline (VERDICT r1 item 3):
+    synthesize a FULL-SIZE official-byte-count .weights file into the
+    cache, then drive zoo:// resolve -> TOFU sha pin -> corruption
+    detection -> CLI predict -> CLI eval, so the first networked run has
+    zero untested steps (only the download itself is new).
+    """
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+
+    manifest = zoo.load_manifest()
+    entry = manifest[name]
+    cfg = get_variant(entry["variant"])
+
+    # 1. synthetic full-size weights in the cache dir the CLI resolves
+    wdir = tmp_path / "cache"
+    wdir.mkdir()
+    monkeypatch.setenv("YOLO_TPU_WEIGHTS_DIR", str(wdir))
+    wpath = wdir / entry["filename"]
+    dw.save(str(wpath), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(7),
+                             scale=0.05))
+    assert os.path.getsize(wpath) == entry["size_bytes"]  # official count
+
+    # 2. resolve passes on size alone (the shipped manifest pins no sha)
+    assert zoo.resolve(f"zoo://{name}") == str(wpath)
+
+    # 3. TOFU pin into a manifest COPY (never mutate the shipped one),
+    #    then verify the pinned sha gates future resolves
+    mp = tmp_path / "manifest.json"
+    zoo.save_manifest(manifest, str(mp))
+    sha = zoo.record_sha(name, str(wpath), manifest_path=str(mp))
+    assert zoo.load_manifest(str(mp))[name]["sha256"] == sha
+    assert zoo.resolve(f"zoo://{name}", manifest_path=str(mp)) == str(wpath)
+    with open(wpath, "r+b") as f:         # flip one payload byte
+        f.seek(entry["size_bytes"] // 2)
+        b = f.read(1)
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="sha256"):
+        zoo.resolve(f"zoo://{name}", manifest_path=str(mp))
+    with open(wpath, "r+b") as f:         # restore
+        f.seek(entry["size_bytes"] // 2)
+        f.write(b)
+
+    # 4. CLI predict through zoo:// (load -> detect -> report)
+    import cv2
+
+    img = tmp_path / "frame.png"
+    cv2.imwrite(str(img), np.random.default_rng(0).integers(
+        0, 255, (96, 120, 3), dtype=np.uint8))
+    cli.main(["predict", "--model", entry["variant"],
+              "--weights", f"zoo://{name}", "--image", str(img),
+              "--input-size", str(input_size), "--precision", "fp32"])
+    capsys.readouterr()
+
+    # 5. CLI eval through zoo:// (detect over a VOC split -> mAP JSON)
+    root = make_voc_root(tmp_path, n_images=2, size=(80, 90))
+    cli.main(["eval", "--model", entry["variant"],
+              "--weights", f"zoo://{name}", "--voc-root", root,
+              "--split", "train", "--batch", "2",
+              "--input-size", str(input_size), "--precision", "fp32"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "map" in res and 0.0 <= res["map"] <= 1.0
