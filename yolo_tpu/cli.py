@@ -427,11 +427,16 @@ def cmd_train(args) -> None:
                            iou_normalizer=cfg.iou_normalizer,
                            cls_normalizer=cfg.cls_normalizer),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
-    if args.loader == "grain" and (args.multi_scale or args.augment
-                                   or args.mosaic):
-        raise SystemExit("--loader grain supports fixed-size, "
-                         "unaugmented epochs (see "
-                         "data/grain_pipeline.py)")
+    if args.loader == "grain" and args.multi_scale:
+        raise SystemExit("--loader grain is fixed-net-size (multi-scale "
+                         "changes batch shapes per step, which grain's "
+                         "per-record operations can't express) — drop "
+                         "--multi-scale or use --loader threads")
+    if args.loader == "grain" and args.mosaic:
+        raise SystemExit("--mosaic needs cross-record access (4-image "
+                         "composites); grain transforms are per-record "
+                         "— use --loader threads (--augment alone works "
+                         "under grain)")
     if args.eval_split and args.coco_json:
         raise SystemExit("--eval-split is a VOC concept; for COCO use "
                          "--eval-coco-json with a held-out "
@@ -505,34 +510,75 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.profiling import maybe_trace
 
     step = int(np.asarray(state["step"]))
+    start_step = step
+    steps_per_epoch = max(len(pairs) // args.batch, 1)
     best_map = -1.0
     import time as _time
+
+    aug_cfg = None
+    if args.augment or args.mosaic:
+        from yolo_tpu.data.augment import AugmentConfig
+
+        aug_cfg = AugmentConfig(mosaic=args.mosaic)
+
+    grain_iter = None
+    if args.loader == "grain":
+        # one checkpointable iterator spanning ALL epochs (grain's own
+        # num_epochs): its position travels with the model state —
+        # every `step_N` orbax save gets a sibling `step_N.grain` file
+        # and --resume restores both (SURVEY.md §5.2/§5.4)
+        from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+        grain_iter = grain_train_batches(
+            pairs, class_names=cfg.class_names,
+            anchors=cfg.anchors, num_classes=cfg.num_classes,
+            net_size=cfg.input_size, batch_size=args.batch,
+            seed=args.seed, num_epochs=args.epochs,
+            worker_count=args.loader_workers, model_cfg=cfg,
+            augment_cfg=aug_cfg)
+        if args.resume:
+            gpath = args.resume.rstrip("/") + ".grain"
+            if os.path.exists(gpath):
+                with open(gpath, "rb") as f:
+                    grain_iter.set_state(f.read())
+                print(f"restored grain data-iterator position from "
+                      f"{gpath}", file=sys.stderr)
+            else:
+                print(f"no {gpath}: grain iterator restarts from the "
+                      f"beginning (model state still resumed)",
+                      file=sys.stderr)
+
+    def _save_ckpt(name: str) -> str:
+        """orbax model/opt state + (grain) the matching data position:
+        the state that regenerates the first UNTRAINED batch, even with
+        the prefetcher pulled ahead."""
+        path = os.path.join(args.checkpoint_dir, name)
+        ckpt.save(path, jax.device_get(dict(state)))
+        if grain_iter is not None:
+            with open(path.rstrip("/") + ".grain", "wb") as f:
+                f.write(grain_iter.state_for_pull(step - start_step))
+        return path
+
     t_last = _time.perf_counter()
     with maybe_trace(args.profile_dir):
-        for epoch in range(args.epochs):
-            size_fn = (lambda bi: pick_scale(bi, rng, tcfg.multi_scale_every,
-                                             tcfg.multi_scale_sizes)) \
-                if args.multi_scale else None
-            aug_cfg = None
-            if args.augment or args.mosaic:
-                from yolo_tpu.data.augment import AugmentConfig
-
-                aug_cfg = AugmentConfig(mosaic=args.mosaic)
-            if args.loader == "grain":
-                from yolo_tpu.data.grain_pipeline import grain_train_batches
-
-                host_iter = grain_train_batches(
+        if args.loader == "grain":
+            # grain spans epochs internally; log epoch from step count
+            epoch_iters = [(None, grain_iter)]
+        else:
+            def _thread_iter(epoch):
+                size_fn = (lambda bi: pick_scale(
+                    bi, rng, tcfg.multi_scale_every,
+                    tcfg.multi_scale_sizes)) if args.multi_scale else None
+                return train_batches(
                     pairs, class_names=cfg.class_names,
                     anchors=cfg.anchors, num_classes=cfg.num_classes,
                     net_size=cfg.input_size, batch_size=args.batch,
-                    seed=args.seed + epoch,
-                    worker_count=args.loader_workers, model_cfg=cfg)
-            else:
-                host_iter = train_batches(
-                    pairs, class_names=cfg.class_names, anchors=cfg.anchors,
-                    num_classes=cfg.num_classes, net_size=cfg.input_size,
-                    batch_size=args.batch, rng=rng, size_for_batch=size_fn,
+                    rng=rng, size_for_batch=size_fn,
                     augment_cfg=aug_cfg, model_cfg=cfg)
+
+            epoch_iters = ((e, _thread_iter(e))
+                           for e in range(args.epochs))
+        for epoch, host_iter in epoch_iters:
             for batch in DevicePrefetcher(host_iter, depth=2,
                                           sharding=sharding):
                 state, metrics = step_fn(state, batch)
@@ -540,7 +586,9 @@ def cmd_train(args) -> None:
                 now = _time.perf_counter()
                 img_s = args.batch / max(now - t_last, 1e-9)
                 t_last = now
-                logger.log(step, metrics, epoch=epoch,
+                ep = (epoch if epoch is not None
+                      else (step - 1) // steps_per_epoch)
+                logger.log(step, metrics, epoch=ep,
                            size=batch["images"].shape[1],
                            img_s=round(img_s, 1))
                 if args.eval_every and step % args.eval_every == 0:
@@ -556,25 +604,20 @@ def cmd_train(args) -> None:
                           file=sys.stderr)
                     if args.checkpoint_dir and m > best_map:
                         best_map = m
-                        ckpt.save(os.path.join(args.checkpoint_dir,
-                                               "best"),
-                                  jax.device_get(dict(state)))
+                        _save_ckpt("best")
                         print(f"new best mAP {m:.4f} -> "
                               f"{args.checkpoint_dir}/best",
                               file=sys.stderr)
                     t_last = _time.perf_counter()
                 if args.checkpoint_dir and step % args.checkpoint_every == 0:
-                    ckpt.save(
-                        os.path.join(args.checkpoint_dir, f"step_{step}"),
-                        jax.device_get(dict(state)))
+                    _save_ckpt(f"step_{step}")
                     t_last = _time.perf_counter()  # don't bill save to img/s
                 if args.fail_after_step and step >= args.fail_after_step:
                     raise SystemExit(
                         f"--fail-after-step {args.fail_after_step} reached "
                         f"(fault-injection debug flag, SURVEY.md §5.3)")
     if args.checkpoint_dir:
-        ckpt.save(os.path.join(args.checkpoint_dir, "final"),
-                  jax.device_get(dict(state)))
+        _save_ckpt("final")
         print(f"saved final checkpoint to {args.checkpoint_dir}/final",
               file=sys.stderr)
     logger.close()

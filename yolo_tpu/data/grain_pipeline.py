@@ -6,24 +6,34 @@ An alternative to `pipeline.train_batches` for production hosts:
  * deterministic global shuffle per epoch (IndexSampler, seeded);
  * real multiprocess workers (`worker_count`) — the thread loader is
    GIL-bound for the pure-Python XML/GT-encode portion;
- * a checkpointable iterator (grain's PyGrainCheckpointHandler) so the
-   data position can resume with the model state.
+ * darknet augmentation (jitter/flip/HSV) via grain's seeded
+   RandomMapTransform — deterministic AND restart-safe (the rng travels
+   with the iterator state);
+ * a checkpointable iterator: `grain_train_batches` returns a
+   `CheckpointableGrainIterator` whose get_state/set_state wrap grain's
+   native iterator checkpointing, with a small state history so the
+   position of the last CONSUMED batch can be saved even when a
+   DevicePrefetcher has pulled ahead. `cli train --loader grain
+   --checkpoint-dir d` writes `<ckpt>.grain` next to each orbax
+   checkpoint and `--resume` restores both together.
 
-Constraints vs the thread loader (documented, enforced): fixed net
-size only (multi-scale changes batch shapes per step, which grain's
-per-record operations can't express) and no darknet augmentation hook
-yet. `cli train --loader grain` selects it.
+Constraints vs the thread loader (documented, enforced): fixed net size
+only (multi-scale changes batch shapes per step, which grain's
+per-record operations can't express — `cli train` rejects the combo),
+and no mosaic (a 4-image composite needs cross-record access; grain
+transforms are per-record). `cli train --loader grain` selects it.
 """
 
 from __future__ import annotations
 
+import collections
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
 
 def _prepare(sample, *, class_names, anchors, num_classes, net_size,
-             model_cfg=None):
+             model_cfg=None, augment_cfg=None, rng=None):
     """(image_path, annotation) -> one fixed-shape training record."""
     from yolo_tpu.data import targets as tgt
     from yolo_tpu.data.pipeline import letterbox_boxes, load_image_rgb
@@ -38,6 +48,11 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
     else:
         ann = parse_annotation(ann, class_names)
         boxes, classes = ann["boxes"], ann["classes"]
+    if augment_cfg is not None:
+        from yolo_tpu.data.augment import augment
+
+        img, boxes, classes = augment(img, boxes, classes, rng,
+                                      augment_cfg)
     h, w = img.shape[:2]
     image = letterbox_batch(img[None], net_size, n_threads=1)[0]
     boxes = letterbox_boxes(boxes, w, h, net_size)
@@ -51,11 +66,75 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
     return enc
 
 
+class CheckpointableGrainIterator:
+    """Iterator over grain batches with checkpoint/resume support.
+
+    Wraps grain's PyGrainDatasetIterator. Before every pull it records
+    (pull_index, iterator_state); `state_for_pull(k)` returns the state
+    that, when restored via `set_state`, reproduces batch k onward.
+    This matters behind a prefetcher: when the training loop has
+    CONSUMED n batches, the underlying iterator has already been pulled
+    n+depth times — checkpointing `state_for_pull(n)` resumes exactly
+    after the last trained batch, losing nothing to the prefetch queue.
+    """
+
+    def __init__(self, it, history: int = 16):
+        import threading
+
+        self._it = it
+        self._states = collections.deque(maxlen=history)
+        self._pulls = 0
+        # a DevicePrefetcher pulls from a background thread while the
+        # training loop checkpoints from the main thread — serialize
+        # next() against the state accessors (grain iterators are not
+        # thread-safe for concurrent get_state + next)
+        self._lock = threading.Lock()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        with self._lock:
+            self._states.append((self._pulls, self._it.get_state()))
+            self._pulls += 1
+            return next(self._it)
+
+    @property
+    def pulls(self) -> int:
+        return self._pulls
+
+    def state_for_pull(self, k: int) -> bytes:
+        """State that regenerates batch k onward (k = batches consumed
+        so far). Only the most recent `history` pull states are kept —
+        enough for any sane prefetch depth."""
+        with self._lock:
+            if k == self._pulls:  # checkpoint at the exact frontier
+                return self._it.get_state()
+            for i, s in self._states:
+                if i == k:
+                    return s
+            raise KeyError(
+                f"no recorded state for pull {k} (have "
+                f"{[i for i, _ in self._states]}; history too short or "
+                f"batch already evicted)")
+
+    def get_state(self) -> bytes:
+        with self._lock:
+            return self._it.get_state()
+
+    def set_state(self, state: bytes) -> None:
+        with self._lock:
+            self._it.set_state(state)
+            # history predating the restore is meaningless
+            self._states.clear()
+
+
 def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         class_names, anchors, num_classes: int,
                         net_size: int, batch_size: int, seed: int = 0,
                         num_epochs: Optional[int] = 1,
-                        worker_count: int = 0, model_cfg=None) -> Iterator:
+                        worker_count: int = 0, model_cfg=None,
+                        augment_cfg=None) -> CheckpointableGrainIterator:
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
 
@@ -63,11 +142,15 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     real worker processes — standard multiprocessing rules apply (the
     entry script must be importable: a real file with an
     `if __name__ == "__main__"` guard, not stdin/REPL).
-    num_epochs=None repeats forever.
+    num_epochs=None repeats forever. augment_cfg enables darknet
+    jitter/flip/HSV per record (mosaic is rejected: cross-record).
     """
-    import functools
-
     import grain.python as gp
+
+    if augment_cfg is not None and augment_cfg.mosaic:
+        raise ValueError("mosaic needs cross-record access; grain "
+                         "transforms are per-record — use the thread "
+                         "loader for --mosaic")
 
     class _Source:
         def __init__(self, pairs):
@@ -79,22 +162,42 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
         def __getitem__(self, i):
             return self._pairs[int(i)]
 
+        def __repr__(self):
+            # grain validates checkpoints against repr(data_source):
+            # make it content-derived (stable across processes, and a
+            # DIFFERENT dataset is correctly rejected on restore)
+            import hashlib
+
+            h = hashlib.sha256()
+            for p, _ in self._pairs:
+                h.update(str(p).encode())
+            return (f"yolo_tpu._Source(n={len(self._pairs)}, "
+                    f"paths_sha={h.hexdigest()[:16]})")
+
+    kw = dict(class_names=class_names,
+              anchors=np.asarray(anchors, np.float32),
+              num_classes=num_classes, net_size=net_size,
+              model_cfg=model_cfg)
+
     class _Prepare(gp.MapTransform):
         def map(self, sample):
-            return _prepare(sample, class_names=class_names,
-                            anchors=np.asarray(anchors, np.float32),
-                            num_classes=num_classes, net_size=net_size,
-                            model_cfg=model_cfg)
+            return _prepare(sample, **kw)
 
+    class _PrepareAugmented(gp.RandomMapTransform):
+        def random_map(self, sample, rng):
+            return _prepare(sample, augment_cfg=augment_cfg, rng=rng,
+                            **kw)
+
+    prepare = _Prepare() if augment_cfg is None else _PrepareAugmented()
     sampler = gp.IndexSampler(
         num_records=len(pairs), shard_options=gp.NoSharding(),
         shuffle=True, num_epochs=num_epochs, seed=seed)
     loader = gp.DataLoader(
         data_source=_Source(pairs),
         sampler=sampler,
-        operations=[_Prepare(),
+        operations=[prepare,
                     gp.Batch(batch_size=batch_size,
                              drop_remainder=True)],
         worker_count=worker_count,
     )
-    return iter(loader)
+    return CheckpointableGrainIterator(iter(loader))
