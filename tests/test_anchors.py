@@ -3,8 +3,11 @@
 import json
 
 import numpy as np
+import pytest
 
 from yolo_tpu.data.anchors import _iou_wh, collect_wh, kmeans_anchors
+
+pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
 
 
 class TestIoUWH:

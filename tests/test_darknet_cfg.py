@@ -7,6 +7,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
+
 from yolo_tpu.configs.darknet_cfg import (config_from_cfg, load_names,
                                           parse_cfg)
 from yolo_tpu.configs.variants import (COCO_ANCHORS, TINY_VOC_ANCHORS,

@@ -8,6 +8,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
+
 import jax.numpy as jnp
 
 from yolo_tpu.configs.variants import TINY_YOLOV2_VOC

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
+
 import jax.numpy as jnp
 
 from yolo_tpu.ops import numpy_ref as npr

@@ -6,6 +6,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
+
 from yolo_tpu.configs.specs import Conv, MaxPool
 from yolo_tpu.io import darknet_weights as dw
 from yolo_tpu.models.graph import fold_params

@@ -15,7 +15,11 @@ import numpy as np
 
 
 def sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # exp(-x) overflows for large negative x; the result saturates to
+    # the correct limit (0.0), so the warning is noise by design —
+    # suppress it HERE so real numeric regressions elsewhere still warn
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-x))
 
 
 def softmax(x, axis=-1):
@@ -120,8 +124,14 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
     cy = np.arange(h, dtype=np.float64)[:, None, None]
     bx = (sigmoid(t[..., 0]) + cx) / w
     by = (sigmoid(t[..., 1]) + cy) / h
-    bw = anchors[None, None, :, 0] * np.exp(t[..., 2]) / w
-    bh = anchors[None, None, :, 1] * np.exp(t[..., 3]) / h
+    # SURVEY.md §7.2 no-clamp policy: darknet does not clamp tw/th, so
+    # neither do we — exp overflows to inf on extreme random logits
+    # (test inputs, never trained nets) and downstream thresholding
+    # still agrees with the jax path. Suppress the expected overflow
+    # warning explicitly so a NEW warning would still surface.
+    with np.errstate(over="ignore"):
+        bw = anchors[None, None, :, 0] * np.exp(t[..., 2]) / w
+        bh = anchors[None, None, :, 1] * np.exp(t[..., 3]) / h
     conf = sigmoid(t[..., 4])
     probs = softmax(t[..., 5:], axis=-1)
     scores = conf[..., None] * probs
@@ -157,8 +167,10 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                     off = (s_xy - 1.0) / 2.0
                     bx = (sigmoid(tx) * s_xy - off + i) / w
                     by = (sigmoid(ty) * s_xy - off + j) / h
-                    bw = pw * np.exp(tw) / net_size
-                    bh = ph * np.exp(th) / net_size
+                    # same no-clamp policy as decode_region above
+                    with np.errstate(over="ignore"):
+                        bw = pw * np.exp(tw) / net_size
+                        bh = ph * np.exp(th) / net_size
                     conf = sigmoid(to)
                     probs = sigmoid(t[j, i, n, 5:])
                     boxes_out.append([bx, by, bw, bh])
@@ -178,9 +190,13 @@ def iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
     bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
     iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
     ih = max(0.0, min(ay2, by2) - max(ay1, by1))
-    inter = iw * ih
-    union = a[2] * a[3] + b[2] * b[3] - inter
-    return inter / union if union > 0 else 0.0
+    # inf-sized boxes (no-clamp exp overflow on random test logits,
+    # SURVEY.md §7.2) give inf*0 -> nan here; both stacks agree after
+    # thresholding, so silence only the expected invalid-op warning
+    with np.errstate(invalid="ignore"):
+        inter = iw * ih
+        union = a[2] * a[3] + b[2] * b[3] - inter
+        return inter / union if union > 0 else 0.0
 
 
 def nms_per_class(boxes, scores, conf_threshold, iou_threshold):
