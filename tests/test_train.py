@@ -227,3 +227,40 @@ def test_remat_matches_no_remat():
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
     np.testing.assert_allclose(results[0][1], results[1][1],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_bn_stats_dtype_ab():
+    """TrainConfig(bn_stats_fp32=False) is a functioning A/B (measured
+    slower on TPU, docs/PERF.md 'Training roofline'): in fp32 compute it
+    is bit-identical to the default (the cast is the identity), and in
+    bf16 it still trains to a finite decreasing loss."""
+    from tests.test_map_integration import _dataset
+
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(np.repeat(v[None], 4, 0))
+             for k, v in tgt.encode(
+                 np.array([[0.5, 0.45, 0.4, 0.5]]), np.array([1]),
+                 grid=MICRO.grid_size, anchors=MICRO.anchors,
+                 num_classes=MICRO.num_classes).items()}
+    img = np.zeros((64, 64, 3), np.float32) + 0.2
+    batch["images"] = jnp.asarray(np.repeat(img[None], 4, 0))
+    params = dw.random_params(MICRO.layers, rng)
+
+    t_on = TrainConfig(learning_rate=1e-3, weight_decay=0.0)
+    t_off = TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                        bn_stats_fp32=False)
+    s_on, m_on = make_train_step(MICRO, t_on)(
+        init_state(params, t_on), batch)
+    s_off, m_off = make_train_step(MICRO, t_off)(
+        init_state(params, t_off), batch)
+    assert float(m_on["loss"]) == pytest.approx(float(m_off["loss"]),
+                                                rel=1e-6)
+
+    state = init_state(params, t_off)
+    step = make_train_step(MICRO, t_off, compute_dtype=jnp.bfloat16)
+    first = None
+    for _ in range(20):
+        state, metrics = step(state, batch)
+        first = first if first is not None else float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < first

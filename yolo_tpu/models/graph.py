@@ -78,7 +78,7 @@ def _activate(x, act: str):
 
 def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
                train: bool, compute_dtype, conv_impl: str = "xla",
-               input_layout: str = "NHWC"
+               input_layout: str = "NHWC", bn_stats_fp32: bool = True
                ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """conv (+BN) (+bias) + activation. Returns (y, new_bn_stats|None).
 
@@ -106,12 +106,20 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
     new_stats = None
     if "gamma" in p:
         if train:
-            y = y.astype(jnp.float32)  # batch-stat math in fp32
+            # batch-stat math defaults to fp32 (bf16 mean/var over big
+            # B*S*S populations loses mantissa); bn_stats_fp32=False is
+            # the measured A/B that keeps stats in the compute dtype —
+            # see docs/PERF.md training roofline for the verdict. The
+            # EMA accumulators are always stored fp32.
+            if bn_stats_fp32:
+                y = y.astype(jnp.float32)
             mean = jnp.mean(y, axis=(0, 1, 2))
             var = jnp.var(y, axis=(0, 1, 2))
             new_stats = {
-                "mean": BN_MOMENTUM * p["mean"] + (1 - BN_MOMENTUM) * mean,
-                "var": BN_MOMENTUM * p["var"] + (1 - BN_MOMENTUM) * var,
+                "mean": (BN_MOMENTUM * p["mean"]
+                         + (1 - BN_MOMENTUM) * mean.astype(jnp.float32)),
+                "var": (BN_MOMENTUM * p["var"]
+                        + (1 - BN_MOMENTUM) * var.astype(jnp.float32)),
             }
         else:
             mean, var = p["mean"], p["var"]
@@ -129,7 +137,7 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
                  compute_dtype=jnp.float32, conv_impl: str = "xla",
                  return_all: bool = False, remat: bool = False,
-                 input_layout: str = "NHWC"):
+                 input_layout: str = "NHWC", bn_stats_fp32: bool = True):
     """Run the layer list. x: (B, H, W, 3) float.
 
     input_layout="NHCW" marks x as the fused entry kernel's native
@@ -160,7 +168,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                     functools.partial(conv_block, eps=eps, train=train,
                                       compute_dtype=compute_dtype,
                                       conv_impl=conv_impl,
-                                      input_layout=layout),
+                                      input_layout=layout,
+                                      bn_stats_fp32=bn_stats_fp32),
                     static_argnums=(2,))
                 x, stats = block(x, params[conv_i], layer)
             else:
@@ -168,7 +177,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                                       train=train,
                                       compute_dtype=compute_dtype,
                                       conv_impl=conv_impl,
-                                      input_layout=layout)
+                                      input_layout=layout,
+                                      bn_stats_fp32=bn_stats_fp32)
             if stats is not None:
                 bn_updates[conv_i] = stats
             conv_i += 1

@@ -36,6 +36,9 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 5e-4      # darknet decay, applied to kernels only
     remat: bool = False             # jax.checkpoint per conv block
+    # fp32 batch-stat math (cast per conv in bf16 training); False keeps
+    # the stats in the compute dtype — measured A/B in docs/PERF.md
+    bn_stats_fp32: bool = True
     # darknet policy=steps: burn-in ramp then step decays
     # (yolov2-voc.cfg: burn_in=1000, steps=40000,60000, scales=.1,.1)
     burn_in_steps: int = 0          # lr * (step/burn_in)^4 ramp when > 0
@@ -119,7 +122,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     def loss_fn(params):
         logits, bn_updates = graph.apply_layers(
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
-            train=True, compute_dtype=compute_dtype, remat=tcfg.remat)
+            train=True, compute_dtype=compute_dtype, remat=tcfg.remat,
+            bn_stats_fp32=tcfg.bn_stats_fp32)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
             total, parts = yolo_loss(
