@@ -240,7 +240,9 @@ def test_cli_eval_coco_metric(tmp_path):
                   str(tmp_path / "inst.json"), "--metric", "coco",
                   "--batch", "2", "--precision", "fp32"])
     res = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert set(res) == {"map", "map50", "map75", "ar", "ap"}
+    assert set(res) == {"map", "map50", "map75", "map_small",
+                        "map_medium", "map_large", "ar1", "ar10", "ar",
+                        "ar_small", "ar_medium", "ar_large", "ap"}
     assert 0.0 <= res["map"] <= res["map50"] <= 1.0
 
 
@@ -456,3 +458,71 @@ class TestMetricInvariances:
         gt2[999] = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0),
                     "difficult": np.zeros(0)}
         assert evaluate_coco(dets, gt, 2) == evaluate_coco(dets, gt2, 2)
+
+
+class TestAreaRanges:
+    """pycocotools areaRng breakdowns (small <32^2, medium 32^2..96^2,
+    large >96^2 px^2) with the real COCOeval ignore semantics."""
+
+    def _one(self, side, det_side=None):
+        det_side = det_side or side
+        gt = {0: {"boxes": np.array([[0.0, 0.0, side, side]]),
+                  "classes": np.array([0]),
+                  "difficult": np.array([0])}}
+        dets = {0: [(0, 0.9, 0.0, 0.0, det_side, det_side)]}
+        return dets, gt
+
+    def test_perfect_per_range(self):
+        for side, rng in ((20, "small"), (50, "medium"), (200, "large")):
+            dets, gt = self._one(side)
+            r = evaluate_coco(dets, gt, 1)
+            assert r[f"map_{rng}"] == 1.0, (side, rng)
+            assert r[f"ar_{rng}"] == 1.0
+            # the other two ranges have no GT: excluded from the mean
+            others = [n for n in ("small", "medium", "large") if n != rng]
+            for o in others:
+                assert r[f"map_{o}"] == 0.0  # no classes had GT -> 0.0
+
+    def test_out_of_range_gt_is_ignored_not_fp(self):
+        """A detection matched to an out-of-range GT is DROPPED from
+        that range's PR curve (ignored), not counted as a false
+        positive — the COCOeval._ignore semantics."""
+        # one small GT (20x20, area 400) + one large GT, each detected
+        gt = {0: {"boxes": np.array([[0, 0, 20, 20], [40, 40, 240, 240]],
+                                    np.float64),
+                  "classes": np.array([0, 0]),
+                  "difficult": np.array([0, 0])}}
+        dets = {0: [(0, 0.9, 0, 0, 20, 20), (0, 0.8, 40, 40, 240, 240)]}
+        r = evaluate_coco(dets, gt, 1)
+        # small range: the large GT + its detection are both ignored ->
+        # perfect AP on the one small GT
+        assert r["map_small"] == 1.0
+        assert r["map_large"] == 1.0
+        assert r["map"] == 1.0
+
+    def test_unmatched_det_outside_range_ignored(self):
+        """An unmatched detection whose own area is out of range must
+        not poison that range's precision."""
+        gt = {0: {"boxes": np.array([[0, 0, 20, 20]], np.float64),
+                  "classes": np.array([0]),
+                  "difficult": np.array([0])}}
+        # perfect small det + a spurious LARGE det far away
+        dets = {0: [(0, 0.9, 0, 0, 20, 20),
+                    (0, 0.95, 300, 300, 500, 500)]}
+        r = evaluate_coco(dets, gt, 1)
+        assert r["map_small"] == 1.0  # large spurious det ignored here
+        assert r["map"] < 1.0         # but it IS an FP for 'all'
+
+    def test_ar_maxdets_ladder(self):
+        """AR@1 < AR@10 = AR@100 when one image has two GTs and the
+        top-scoring detection covers only one of them."""
+        gt = {0: {"boxes": np.array([[0, 0, 50, 50], [100, 100, 150, 150]],
+                                    np.float64),
+                  "classes": np.array([0, 0]),
+                  "difficult": np.array([0, 0])}}
+        dets = {0: [(0, 0.9, 0, 0, 50, 50),
+                    (0, 0.8, 100, 100, 150, 150)]}
+        r = evaluate_coco(dets, gt, 1, iou_thresholds=[0.5])
+        assert r["ar1"] == 0.5
+        assert r["ar10"] == 1.0
+        assert r["ar"] == 1.0

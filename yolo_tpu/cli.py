@@ -709,11 +709,13 @@ def cmd_eval(args) -> None:
         result = evaluate_coco(detections, gt, cfg.num_classes)
         per_class = {cfg.class_names[c]: round(a, 4)
                      for c, a in result["ap"].items()}
-        print(json.dumps({"map": round(result["map"], 4),
-                          "map50": round(result["map50"], 4),
-                          "map75": round(result["map75"], 4),
-                          "ar": round(result["ar"], 4),
-                          "ap": per_class}))
+        # the full pycocotools 12-cell summary surface
+        out = {k: round(result[k], 4) for k in (
+            "map", "map50", "map75", "map_small", "map_medium",
+            "map_large", "ar1", "ar10", "ar", "ar_small", "ar_medium",
+            "ar_large") if k in result}
+        out["ap"] = per_class
+        print(json.dumps(out))
         return
     result = evaluate(detections, gt, cfg.num_classes,
                       use_07_metric=metric == "voc07",

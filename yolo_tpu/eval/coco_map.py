@@ -2,23 +2,30 @@
 full-YOLOv2 variant is COCO-80, BASELINE.json:8 — YOLO9000 Table 5
 reports COCO AP, so the framework must be able to compute it).
 
-Implements the pycocotools `bbox` protocol for the standard all-areas /
-maxDets=100 cell:
+Implements the pycocotools `bbox` protocol, including the full 12-cell
+summary surface:
 
 * AP averaged over IoU thresholds 0.50:0.05:0.95 (``map``), plus the
   ``map50`` / ``map75`` slices;
+* area-range breakdowns ``map_small/medium/large`` (GT box area in
+  [0,32²), [32²,96²), [96²,1e10) px² — pycocotools areaRng) with the
+  matching/ignore semantics of COCOeval.evaluateImg: out-of-range GTs
+  are *ignored* (not removed) — a detection matched to an ignored GT is
+  dropped from the PR curve, and an UNMATCHED detection whose own area
+  is out of range is dropped too;
+* average recall ``ar`` (= AR@max_dets, default 100), ``ar1``/``ar10``
+  (matches computed once at the top-``max_dets`` cap, then re-sliced to
+  the first 1/10 detections per image per class — pycocotools
+  accumulate), and ``ar_small/medium/large``;
 * 101-point interpolated precision (precision envelope sampled at
   recalls linspace(0, 1, 101));
-* greedy matching per detection (score-descending) to the *unmatched*
-  same-class GT with the highest IoU >= threshold;
-* ``iscrowd`` GT (carried in the ``difficult`` field) never counts as a
-  false positive: a detection whose only qualifying overlap is a crowd
-  region is dropped from the PR curve, and crowd IoU is computed as
-  intersection / detection-area (pycocotools' crowd convention).
+* greedy matching per detection (score-descending) iterating GTs
+  ignored-last; a detection may upgrade to a later equal-or-better IoU
+  GT exactly as COCOeval does, and crowd GTs (``iscrowd``, carried in
+  the ``difficult`` field) stay matchable after a first match;
+* crowd IoU = intersection / detection-area (pycocotools convention).
 
-Deliberate simplification vs pycocotools (documented, not silent):
-area-range breakdowns (small/medium/large) are not computed. The
-maxDets cap follows pycocotools' actual implementation
+The maxDets cap follows pycocotools' actual implementation
 (COCOeval.evaluateImg runs per category and truncates dt[0:maxDet]
 there): top ``max_dets`` by score per image PER CLASS — note this
 differs from the "100 detections per image" phrasing in the paper-style
@@ -27,7 +34,7 @@ summaries.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -35,6 +42,13 @@ from yolo_tpu.eval.voc_map import _iou_xyxy
 
 COCO_IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05).round(2)
 _RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+# pycocotools areaRng (px^2), on the GT/detection box area
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
 
 def _crowd_iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
@@ -61,86 +75,148 @@ def _ap_101pt(recall: np.ndarray, precision: np.ndarray) -> float:
                           0.0).sum() / len(_RECALL_POINTS))
 
 
+def _box_areas(boxes: np.ndarray) -> np.ndarray:
+    if len(boxes) == 0:
+        return np.zeros(0)
+    return np.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0)
+
+
+def _match_image(ious: np.ndarray, gt_crowd: np.ndarray,
+                 gt_ig: np.ndarray, dt_areas: np.ndarray,
+                 area_rng: Tuple[float, float],
+                 thr: float) -> Tuple[np.ndarray, np.ndarray]:
+    """COCOeval.evaluateImg matching for one (image, class, areaRng,
+    IoU threshold). Returns (matched (D,) bool, dt_ignored (D,) bool).
+    GTs are iterated ignored-last (stable); crowd GTs stay available
+    after matching; a det keeps upgrading to any GT with IoU >= its
+    current best (ties resolve to the last examined, as pycocotools)."""
+    n_dt, n_gt = ious.shape
+    order = np.argsort(gt_ig, kind="stable")
+    gtm = np.zeros(n_gt, bool)
+    dtm = np.full(n_dt, -1, np.int64)
+    dt_ig = np.zeros(n_dt, bool)
+    for d in range(n_dt):
+        best = min(thr, 1.0 - 1e-10)
+        m = -1
+        for g in order:
+            if gtm[g] and not gt_crowd[g]:
+                continue
+            # GTs sorted ignored-last: once we hold a real (non-ignored)
+            # match, stop at the first ignored GT
+            if m > -1 and not gt_ig[m] and gt_ig[g]:
+                break
+            if ious[d, g] < best:
+                continue
+            best = ious[d, g]
+            m = g
+        if m == -1:
+            continue
+        dtm[d] = m
+        dt_ig[d] = gt_ig[m]
+        gtm[m] = True
+    # unmatched detections whose own area is out of range are ignored
+    out = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
+    dt_ig |= (dtm == -1) & out
+    return dtm >= 0, dt_ig
+
+
 def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
                   num_classes: int,
                   iou_thresholds: Optional[Sequence[float]] = None,
-                  max_dets: int = 100) -> Dict:
+                  max_dets: int = 100,
+                  area_ranges: Optional[Sequence[str]] = None) -> Dict:
     """Same input schema as `voc_map.evaluate`:
     detections: {image_id: [(class_id, score, x1, y1, x2, y2), ...]}
     ground_truth: {image_id: {'boxes' (G,4) xyxy pixel, 'classes' (G,),
                               'difficult' (G,)}}  (difficult == iscrowd)
-    Returns {'map', 'map50', 'map75', 'ar' (average recall at max_dets,
-    pycocotools AR@100), 'ap': {class_id: ap_over_ious}}.
+    Returns {'map', 'map50', 'map75', 'ar' (AR@max_dets), 'ar1', 'ar10',
+    'map_small/medium/large', 'ar_small/medium/large',
+    'ap': {class_id: ap_over_ious (all-range)}}.
     """
     thresholds = np.asarray(
         COCO_IOU_THRESHOLDS if iou_thresholds is None else iou_thresholds,
         np.float64)
-    ap = np.full((len(thresholds), num_classes), np.nan)
-    ar = np.full((len(thresholds), num_classes), np.nan)
+    rng_names = list(area_ranges or AREA_RANGES)
+    n_thr, n_rng = len(thresholds), len(rng_names)
+    ap = np.full((n_rng, n_thr, num_classes), np.nan)
+    # recall for the maxDets ladder (1, 10, max_dets) on every range;
+    # only the 'all' range's 1/10 slices are reported (pycocotools)
+    det_caps = sorted({1, 10, max_dets})
+    ar = np.full((n_rng, len(det_caps), n_thr, num_classes), np.nan)
 
     for cls in range(num_classes):
-        # pycocotools maxDets: evaluateImg truncates per (image, class)
-        recs = []
-        for img_id, dets in detections.items():
-            mine = sorted((d for d in dets if d[0] == cls),
-                          key=lambda d: -d[1])[:max_dets]
-            recs.extend((img_id, d[1], np.asarray(d[2:6], np.float64))
-                        for d in mine)
-        recs.sort(key=lambda r: -r[1])
-
-        gt_cls = {}
-        npos = 0
+        # per-image data, matching done once per (areaRng, thr) at the
+        # top-max_dets cap; smaller caps re-slice (pycocotools
+        # accumulate semantics)
+        imgs = []
+        any_gt = False
         for img_id, gt in ground_truth.items():
             mask = np.asarray(gt["classes"]) == cls
-            boxes = np.asarray(gt["boxes"], np.float64)[mask]
+            g_boxes = np.asarray(gt["boxes"], np.float64)[mask]
             crowd = np.asarray(
                 gt.get("difficult", np.zeros(len(mask))))[mask].astype(bool)
-            gt_cls[img_id] = {"boxes": boxes[~crowd],
-                              "crowd_boxes": boxes[crowd]}
-            npos += int((~crowd).sum())
-        if npos == 0:
+            dets = sorted((d for d in detections.get(img_id, [])
+                           if d[0] == cls), key=lambda d: -d[1])[:max_dets]
+            d_boxes = np.asarray([d[2:6] for d in dets],
+                                 np.float64).reshape(len(dets), 4)
+            scores = np.asarray([d[1] for d in dets], np.float64)
+            ious = np.zeros((len(dets), len(g_boxes)))
+            for di, box in enumerate(d_boxes):
+                if len(g_boxes) == 0:
+                    continue
+                std = _iou_xyxy(box, g_boxes)
+                crw = _crowd_iou(box, g_boxes)
+                ious[di] = np.where(crowd, crw, std)
+            imgs.append({
+                "scores": scores,
+                "dt_areas": _box_areas(d_boxes),
+                "gt_areas": _box_areas(g_boxes),
+                "crowd": crowd,
+                "ious": ious,
+            })
+            any_gt = any_gt or (~crowd).sum() > 0
+        if not any_gt:
             continue
 
-        # IoUs once per (detection, class) — reused across all 10
-        # thresholds (pycocotools computeIoU does the same hoisting)
-        det_ious = []
-        for img_id, _score, box in recs:
-            g = gt_cls.get(img_id)
-            det_ious.append((
-                _iou_xyxy(box, g["boxes"])
-                if g is not None and len(g["boxes"]) else None,
-                float(_crowd_iou(box, g["crowd_boxes"]).max())
-                if g is not None and len(g["crowd_boxes"]) else -1.0))
-
-        for ti, thr in enumerate(thresholds):
-            matched = {i: np.zeros(len(g["boxes"]), bool)
-                       for i, g in gt_cls.items()}
-            tp, fp = [], []
-            for (img_id, _score, _box), (ious, crowd_iou) in zip(recs,
-                                                                 det_ious):
-                if ious is not None:
-                    avail = np.where(matched[img_id], -1.0, ious)
-                    j = int(np.argmax(avail))
-                    if avail[j] >= thr:
-                        matched[img_id][j] = True
-                        tp.append(1.0)
-                        fp.append(0.0)
-                        continue
-                if crowd_iou >= thr:
-                    continue  # crowd hit: drop from the PR curve
-                tp.append(0.0)
-                fp.append(1.0)
-
-            tp_c = np.cumsum(tp)
-            fp_c = np.cumsum(fp)
-            if len(tp_c) == 0:
-                ap[ti, cls] = 0.0
-                ar[ti, cls] = 0.0
+        for ri, rname in enumerate(rng_names):
+            lo, hi = AREA_RANGES[rname]
+            npos = 0
+            per_img = []  # (scores, matched[T,D], ignored[T,D])
+            for im in imgs:
+                gt_ig = im["crowd"] | (im["gt_areas"] < lo) | (
+                    im["gt_areas"] > hi)
+                npos += int((~gt_ig).sum())
+                mt = np.zeros((n_thr, len(im["scores"])), bool)
+                ig = np.zeros((n_thr, len(im["scores"])), bool)
+                for ti, thr in enumerate(thresholds):
+                    mt[ti], ig[ti] = _match_image(
+                        im["ious"], im["crowd"], gt_ig, im["dt_areas"],
+                        (lo, hi), float(thr))
+                per_img.append((im["scores"], mt, ig))
+            if npos == 0:
                 continue
-            recall = tp_c / npos
-            precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
-            ap[ti, cls] = _ap_101pt(recall, precision)
-            ar[ti, cls] = recall[-1]  # recall at max_dets
+
+            for ci, cap in enumerate(det_caps):
+                scores = np.concatenate([s[:cap] for s, _, _ in per_img])
+                order = np.argsort(-scores, kind="stable")
+                for ti in range(n_thr):
+                    mt = np.concatenate(
+                        [m[ti, :cap] for _, m, _ in per_img])[order]
+                    ig = np.concatenate(
+                        [g[ti, :cap] for _, _, g in per_img])[order]
+                    tp = np.cumsum(mt & ~ig)
+                    fp = np.cumsum(~mt & ~ig)
+                    if tp.size == 0:
+                        if cap == max_dets:
+                            ap[ri, ti, cls] = 0.0
+                        ar[ri, ci, ti, cls] = 0.0
+                        continue
+                    recall = tp / npos
+                    precision = tp / np.maximum(tp + fp, 1e-12)
+                    if cap == max_dets:
+                        ap[ri, ti, cls] = _ap_101pt(recall, precision)
+                    ar[ri, ci, ti, cls] = recall[-1]
 
     def _mean(rows: np.ndarray) -> float:
         v = rows[~np.isnan(rows)]
@@ -148,11 +224,23 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
 
     i50 = int(np.argmin(np.abs(thresholds - 0.5)))
     i75 = int(np.argmin(np.abs(thresholds - 0.75)))
-    return {
-        "map": _mean(ap),
-        "map50": _mean(ap[i50]),
-        "map75": _mean(ap[i75]),
-        "ar": _mean(ar),
-        "ap": {c: _mean(ap[:, c]) for c in range(num_classes)
-               if not np.isnan(ap[:, c]).all()},
+    ra = rng_names.index("all") if "all" in rng_names else 0
+    cmax = det_caps.index(max_dets)
+    out = {
+        "map": _mean(ap[ra]),
+        "map50": _mean(ap[ra, i50]),
+        "map75": _mean(ap[ra, i75]),
+        "ar": _mean(ar[ra, cmax]),
+        "ap": {c: _mean(ap[ra, :, c]) for c in range(num_classes)
+               if not np.isnan(ap[ra, :, c]).all()},
     }
+    if 1 in det_caps:
+        out["ar1"] = _mean(ar[ra, det_caps.index(1)])
+    if 10 in det_caps:
+        out["ar10"] = _mean(ar[ra, det_caps.index(10)])
+    for rname in ("small", "medium", "large"):
+        if rname in rng_names:
+            ri = rng_names.index(rname)
+            out[f"map_{rname}"] = _mean(ap[ri])
+            out[f"ar_{rname}"] = _mean(ar[ri, cmax])
+    return out
