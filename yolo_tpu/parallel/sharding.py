@@ -25,7 +25,13 @@ def maybe_init_distributed() -> bool:
     """Multi-host hook (SURVEY.md §5.9): call jax.distributed.initialize
     when launched under a multi-host coordinator (env-driven). The 8-chip
     target configs are single-host over ICI and never need this; DCN
-    enters only on multi-host scale-out."""
+    enters only on multi-host scale-out.
+
+    Tested as a REAL capability, not just a no-op:
+    tests/test_parallel.py::test_multihost_dp_two_processes runs two OS
+    processes x 4 fake devices through this hook, forms the global
+    8-device mesh, and verifies one cross-process DP train step matches
+    the single-process loss (Gloo collectives on CPU stand in for DCN)."""
     import os
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
