@@ -143,3 +143,109 @@ def test_calibrate_rejects_unknown_method():
     with pytest.raises(ValueError, match="calibration method"):
         quantize.calibrate(cfg.layers, folded, x, cfg.bn_eps,
                            method="entropy")
+
+
+class TestChainedInt8:
+    """Chained int8 serving: int8 activations between sole-consumer
+    conv pairs (models/quantize._chain_out_scales). Measured +7% e2e
+    over bf16 intermediates (docs/PERF.md)."""
+
+    def test_straight_chain_exact_vs_unchained(self):
+        """On straight conv/pool topologies the chained forward is
+        BIT-IDENTICAL to unchained int8 in fp32 intermediates (direct
+        requant == dequant+requant at the same scale; max-pooling
+        commutes with the monotone quantization)."""
+        import jax
+
+        from yolo_tpu.configs import get_variant
+
+        for name in ("tiny-voc", "yolov3-tiny"):
+            cfg = get_variant(name, input_size=128)
+            rng = np.random.default_rng(3)
+            raw = dw.random_params(cfg.layers, rng, scale=0.05)
+            x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)
+                                        ).astype(np.float32))
+            q0 = quantize.prepare_int8(cfg, raw, x, chain=False)
+            q1 = quantize.prepare_int8(cfg, raw, x, chain=True)
+            o0 = graph.apply_layers(cfg.layers, q0, x,
+                                    compute_dtype=jnp.float32)
+            o1 = graph.apply_layers(cfg.layers, q1, x,
+                                    compute_dtype=jnp.float32)
+            o0 = o0 if isinstance(o0, tuple) else (o0,)
+            o1 = o1 if isinstance(o1, tuple) else (o1,)
+            for a, b in zip(o0, o1):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b), err_msg=name)
+
+    def test_chain_respects_route_consumers(self):
+        """yolov2's passthrough source (conv 512 consumed by route -9
+        AND the next pool) and the conv before route (-1,-4) must NOT
+        be chained — the round-2 prototype quantized them with the
+        sequential next conv's scale and saturated the whole head."""
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.configs.specs import Conv, Route, resolve_route
+
+        cfg = get_variant("coco")
+        rng = np.random.default_rng(4)
+        raw = dw.random_params(cfg.layers, rng, scale=0.05)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)
+                                    ).astype(np.float32))
+        q = quantize.prepare_int8(
+            dataclasses.replace(cfg, input_size=128), raw, x, chain=True)
+        conv_at = [i for i, l in enumerate(cfg.layers)
+                   if isinstance(l, Conv)]
+        route_srcs = set()
+        for idx, l in enumerate(cfg.layers):
+            if isinstance(l, Route):
+                for r in l.layers:
+                    route_srcs.add(resolve_route(idx, r))
+        for ci, layer_idx in enumerate(conv_at):
+            if layer_idx in route_srcs:
+                assert "out_scale" not in q[ci], f"conv {ci} feeds a route"
+        # the last conv (final head) is never chained
+        assert "out_scale" not in q[-1]
+        # but most of the backbone is
+        assert sum(1 for p in q if "out_scale" in p) >= 15
+
+    def test_int8_maxpool_matches_float_pool(self):
+        """maxpool on int8 codes == quantize(maxpool(float)): the
+        reduce_window init must be the int8 minimum, not -inf (wrapped
+        garbage in the round-2 prototype)."""
+        from yolo_tpu.ops.pool import maxpool_nhwc
+
+        rng = np.random.default_rng(5)
+        xf = rng.uniform(-2.0, 2.0, (1, 7, 7, 3)).astype(np.float32)
+        scale = 2.0 / 127.0
+        xq = np.clip(np.round(xf / scale), -127, 127).astype(np.int8)
+        for size, stride in ((2, 2), (2, 1), (3, 1)):
+            a = np.asarray(maxpool_nhwc(jnp.asarray(xq), size, stride))
+            b = np.clip(np.round(np.asarray(
+                maxpool_nhwc(jnp.asarray(xf), size, stride)) / scale),
+                -127, 127).astype(np.int8)
+            np.testing.assert_array_equal(a, b, err_msg=f"{size}s{stride}")
+
+    def test_chained_boxes_match_unchained_at_production_thresholds(self):
+        """Full yolov2 (routes + reorg + pool-widened chains): the
+        chained detector's boxes agree with unchained int8 on a real
+        detection drive (int8 is non-parity vs fp32, but chaining must
+        not change WHICH objects are found)."""
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.models.predict import detect
+
+        cfg = dataclasses.replace(get_variant("coco"), input_size=128)
+        rng = np.random.default_rng(6)
+        raw = dw.random_params(cfg.layers, rng, scale=0.03)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)
+                                    ).astype(np.float32))
+        imgs = (np.asarray(x) * 255).astype(np.uint8)
+        q0 = quantize.prepare_int8(cfg, raw, x, chain=False)
+        q1 = quantize.prepare_int8(cfg, raw, x, chain=True)
+        d0 = detect(cfg, q0, jnp.asarray(imgs), conf_threshold=0.3,
+                    head="reference", nms_impl="xla")
+        d1 = detect(cfg, q1, jnp.asarray(imgs), conf_threshold=0.3,
+                    head="reference", nms_impl="xla")
+        v0, v1 = np.asarray(d0["valid"]), np.asarray(d1["valid"])
+        assert v0.sum() == v1.sum()
+        np.testing.assert_allclose(
+            np.asarray(d0["boxes"])[v0.astype(bool)],
+            np.asarray(d1["boxes"])[v1.astype(bool)], rtol=0.1, atol=0.05)

@@ -18,9 +18,14 @@ def maxpool_nhwc(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
     pad = size - 1
     lead = pad // 2
     padding = ((0, 0), (lead, pad - lead), (lead, pad - lead), (0, 0))
+    # identity element for max in x's dtype: -inf for floats, the
+    # integer minimum for int8 activations (the chained-int8 serving
+    # path pools quantized tensors; -inf would wrap)
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype))
     return lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
