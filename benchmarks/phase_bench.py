@@ -23,13 +23,9 @@ def sync(tree):
 
 
 def timeit(f, *args, n=15):
-    sync(f(*args))
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(n):
-        r = f(*args)
-    sync(r)
-    return (time.perf_counter() - t0) / n * 1e3
+    from yolo_tpu.utils.profiling import timeit as _timeit
+
+    return _timeit(f, *args, n=n)
 
 
 def main():

@@ -30,20 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_BF16_PEAK = 197e12
 
 
-def sync(tree):
-    from yolo_tpu.utils.profiling import sync as _sync
-
-    _sync(tree)
-
-
 def timeit(f, *args, n=10):
-    sync(f(*args))
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(n):
-        r = f(*args)
-    sync(r)
-    return (time.perf_counter() - t0) / n * 1e3
+    from yolo_tpu.utils.profiling import timeit as _timeit
+
+    return _timeit(f, *args, n=n)
 
 
 def compiled_flops(jitted, *args):
@@ -130,7 +120,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--sizes", default="416,608")
-    ap.add_argument("--model", default="coco")
+    # region-head (yolov2-family) variants only: bench_point builds
+    # region_loss targets; the yolo-head families' train perf is covered
+    # by docs/PERF.md's multi-head training table
+    ap.add_argument("--model", default="coco",
+                    choices=["coco", "voc", "tiny-coco", "tiny-voc"])
     args = ap.parse_args()
 
     import jax.numpy as jnp

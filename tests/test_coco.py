@@ -526,3 +526,31 @@ class TestAreaRanges:
         assert r["ar1"] == 0.5
         assert r["ar10"] == 1.0
         assert r["ar"] == 1.0
+
+
+def test_detection_on_image_missing_from_gt_is_fp():
+    """A detection on an image the GT dict does not mention must count
+    as a false positive, matching voc_map.evaluate's schema tolerance
+    (review r2: iterating GT images only silently inflated mAP)."""
+    gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+              "classes": np.array([0]), "difficult": np.zeros(1)}}
+    dets_clean = {0: [_det(0, 0.9, 0, 0, 10, 10)]}
+    # same TP plus a higher-scoring FP on an image with no GT entry
+    dets_extra = {0: [_det(0, 0.9, 0, 0, 10, 10)],
+                  7: [_det(0, 0.95, 0, 0, 10, 10)]}
+    r_clean = evaluate_coco(dets_clean, gt, 1, iou_thresholds=[0.5])
+    r_extra = evaluate_coco(dets_extra, gt, 1, iou_thresholds=[0.5])
+    assert r_clean["map"] == 1.0
+    assert r_extra["map"] < 1.0  # the stray detection costs precision
+
+
+def test_area_ranges_validated():
+    import pytest
+
+    gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+              "classes": np.array([0]), "difficult": np.zeros(1)}}
+    dets = {0: [_det(0, 0.9, 0, 0, 10, 10)]}
+    with pytest.raises(ValueError, match="unknown area range"):
+        evaluate_coco(dets, gt, 1, area_ranges=["all", "tiny"])
+    with pytest.raises(ValueError, match="must include 'all'"):
+        evaluate_coco(dets, gt, 1, area_ranges=["small"])

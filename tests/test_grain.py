@@ -181,3 +181,26 @@ def test_cli_grain_fail_resume_restores_data_position(tmp_path, capsys):
     # the resumed iterator continued mid-stream instead of restarting
     assert int(np.asarray(final["step"])) == 4
     assert os.path.exists(os.path.join(ckdir, "final.grain"))
+
+
+def test_set_state_resets_pull_counter(tmp_path):
+    """After an in-place restore, state_for_pull(k) counts batches
+    consumed SINCE the restore (review r2: without resetting _pulls a
+    mid-run restore desyncs checkpoint positions)."""
+    pairs = _mk_pairs(tmp_path)
+    it = grain_train_batches(pairs, seed=13, num_epochs=2, **KW)
+    for _ in range(3):
+        next(it)
+    snap = it.state_for_pull(3)
+
+    # restore IN PLACE on the used iterator, consume 2, checkpoint at 2
+    it.set_state(snap)
+    consumed = [next(it) for _ in range(2)]
+    assert it.pulls == 2
+    snap2 = it.state_for_pull(2)
+
+    it2 = grain_train_batches(pairs, seed=13, num_epochs=2, **KW)
+    it2.set_state(snap2)
+    tail = list(it2)
+    want_total = 6  # 2 epochs x 3 batches
+    assert 3 + len(consumed) + len(tail) == want_total

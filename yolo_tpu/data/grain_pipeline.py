@@ -105,8 +105,9 @@ class CheckpointableGrainIterator:
 
     def state_for_pull(self, k: int) -> bytes:
         """State that regenerates batch k onward (k = batches consumed
-        so far). Only the most recent `history` pull states are kept —
-        enough for any sane prefetch depth."""
+        since construction or the last set_state). Only the most recent
+        `history` pull states are kept — enough for any sane prefetch
+        depth."""
         with self._lock:
             if k == self._pulls:  # checkpoint at the exact frontier
                 return self._it.get_state()
@@ -125,8 +126,13 @@ class CheckpointableGrainIterator:
     def set_state(self, state: bytes) -> None:
         with self._lock:
             self._it.set_state(state)
-            # history predating the restore is meaningless
+            # history predating the restore is meaningless, and pull
+            # counting restarts: state_for_pull(k) is defined as
+            # "k batches consumed since the last restore (or since
+            # construction)" — without the reset, a mid-run restore
+            # desyncs pull indices from the caller's consumed count
             self._states.clear()
+            self._pulls = 0
 
 
 def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,

@@ -138,6 +138,14 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         COCO_IOU_THRESHOLDS if iou_thresholds is None else iou_thresholds,
         np.float64)
     rng_names = list(area_ranges or AREA_RANGES)
+    unknown = [n for n in rng_names if n not in AREA_RANGES]
+    if unknown:
+        raise ValueError(f"unknown area range(s) {unknown} "
+                         f"(have: {', '.join(AREA_RANGES)})")
+    if "all" not in rng_names:
+        # 'map'/'map50'/'ar'/... summarize the 'all' range; without it
+        # they would silently report some other range's numbers
+        raise ValueError("area_ranges must include 'all'")
     n_thr, n_rng = len(thresholds), len(rng_names)
     ap = np.full((n_rng, n_thr, num_classes), np.nan)
     # recall for the maxDets ladder (1, 10, max_dets) on every range;
@@ -151,7 +159,15 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         # accumulate semantics)
         imgs = []
         any_gt = False
-        for img_id, gt in ground_truth.items():
+        # union of images: a detection on an image absent from the GT
+        # dict is a false positive (zero-annotation images are a valid
+        # schema — voc_map.evaluate treats them the same way)
+        img_ids = list(ground_truth)
+        img_ids += [i for i in detections if i not in ground_truth]
+        empty_gt = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0),
+                    "difficult": np.zeros(0)}
+        for img_id in img_ids:
+            gt = ground_truth.get(img_id, empty_gt)
             mask = np.asarray(gt["classes"]) == cls
             g_boxes = np.asarray(gt["boxes"], np.float64)[mask]
             crowd = np.asarray(
@@ -224,7 +240,7 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
 
     i50 = int(np.argmin(np.abs(thresholds - 0.5)))
     i75 = int(np.argmin(np.abs(thresholds - 0.75)))
-    ra = rng_names.index("all") if "all" in rng_names else 0
+    ra = rng_names.index("all")  # presence validated above
     cmax = det_caps.index(max_dets)
     out = {
         "map": _mean(ap[ra]),

@@ -240,7 +240,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     0.5*MSE on the scaled sigmoid when != 1, since the prediction range
     leaves [0, 1]). max_deltas / smooth_eps: per-head overrides of the
     cfg-level max_delta / label_smooth_eps (AlexeyAB parses these per
-    [yolo] section; 0 falls back to the cfg value).
+    [yolo] section; None = unset, falls back to the cfg value, while an
+    EXPLICIT per-head 0 disables the global — the None-sentinel
+    semantics pinned by
+    test_explicit_zero_max_delta_survives_round_trip).
 
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """

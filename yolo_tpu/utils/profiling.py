@@ -25,6 +25,20 @@ def sync(tree) -> None:
             lambda a: a.ravel()[0] if hasattr(a, "ravel") else a, leaves[0])))
 
 
+def timeit(f, *args, n: int = 15) -> float:
+    """Mean wall-clock ms per call: one warmup call (triggers compile),
+    then n timed calls synchronized with the relay-safe sync() — the
+    single timing recipe every benchmark shares (bench.py,
+    benchmarks/*)."""
+    sync(f(*args))
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n):
+        r = f(*args)
+    sync(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
 @contextlib.contextmanager
 def maybe_trace(profile_dir: Optional[str]):
     """`with maybe_trace(flag_dir):` — writes a Perfetto/XPlane trace when
