@@ -462,3 +462,37 @@ def test_pad_zero_3x3_rejected(tmp_path):
                  "[region]\nanchors=1,1\nclasses=3\nnum=1\n")
     with pytest.raises(ValueError, match="pad"):
         config_from_cfg(str(p))
+
+
+def test_nms_kind_parsed_and_round_trips(tmp_path):
+    """AlexeyAB [yolo] nms_kind=diounms + beta_nms flow from cfg text
+    into ModelConfig and survive cfg_to_string round-trip."""
+    p = tmp_path / "d.cfg"
+    p.write_text(
+        "[net]\nwidth=32\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+        "stride=2\npad=1\nactivation=leaky\n"
+        "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+        "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+        "num=2\nnms_kind=diounms\nbeta_nms=0.8\n")
+    cfg = config_from_cfg(str(p))
+    assert cfg.nms_kind == "diou"
+    assert cfg.beta_nms == 0.8
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+    p2 = tmp_path / "rt.cfg"
+    p2.write_text(cfg_to_string(cfg))
+    back = config_from_cfg(str(p2))
+    assert back.nms_kind == "diou" and back.beta_nms == 0.8
+    # greedynms and default both mean plain IoU NMS
+    p3 = tmp_path / "g.cfg"
+    p3.write_text(p.read_text().replace("nms_kind=diounms\nbeta_nms=0.8",
+                                        "nms_kind=greedynms"))
+    assert config_from_cfg(str(p3)).nms_kind == "greedy"
+    # unknown kinds are rejected, not silently ignored
+    import pytest
+
+    p4 = tmp_path / "bad.cfg"
+    p4.write_text(p.read_text().replace("diounms", "cornersnms"))
+    with pytest.raises(ValueError, match="unsupported nms_kind"):
+        config_from_cfg(str(p4))

@@ -87,3 +87,30 @@ def test_fused_head_matches_reference_path_yolov3():
     want = detect(cfg, params, x, head="reference", nms_impl="xla")
     got = detect(cfg, params, x, head="fused")
     _assert_dets_equal(want, got, rtol=1e-5, atol=1e-6)
+
+
+def test_detect_honors_cfg_nms_kind():
+    """A ModelConfig carrying nms_kind=diou (e.g. parsed from an
+    AlexeyAB cfg) flows through detect()'s reference path and can keep
+    boxes that greedy IoU would suppress."""
+    import dataclasses
+
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.models.predict import detect
+
+    base = dataclasses.replace(TINY_YOLOV2_VOC, input_size=96)
+    rng = np.random.default_rng(12)
+    params = graph.params_to_jax(graph.fold_params(
+        base.layers, dw.random_params(base.layers, rng, scale=0.05),
+        base.bn_eps))
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)
+                                   ).astype(np.float32))
+    out_g = detect(base, params, imgs, conf_threshold=0.1,
+                   head="reference", nms_impl="xla")
+    diou_cfg = dataclasses.replace(base, nms_kind="diou", beta_nms=0.6)
+    out_d = detect(diou_cfg, params, imgs, conf_threshold=0.1,
+                   head="reference", nms_impl="xla")
+    # DIoU's metric is <= IoU, so it never suppresses MORE
+    assert (int(np.asarray(out_d["valid"]).sum())
+            >= int(np.asarray(out_g["valid"]).sum()))

@@ -150,3 +150,63 @@ class TestRouteResolution:
 
         assert resolve_route(10, -3) == 7   # darknet relative
         assert resolve_route(10, 4) == 4    # darknet absolute
+
+
+class TestDiouNMS:
+    """AlexeyAB nms_kind=diounms (box.c box_diounms): suppression on
+    IoU - (d/c)^beta_nms instead of plain IoU."""
+
+    def _run_both_diou(self, boxes, scores, conf_t, iou_t, beta=0.6):
+        want = npr.nms_per_class(boxes, scores, conf_t, iou_t,
+                                 kind="diou", beta=beta)
+        got = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                  conf_threshold=conf_t, iou_threshold=iou_t,
+                  top_k=boxes.shape[0],
+                  max_detections=boxes.shape[0] * scores.shape[1],
+                  kind="diou", beta=beta)
+        kept = [(tuple(np.asarray(got["boxes"][i]).round(5)),
+                 round(float(got["scores"][i]), 5), int(got["classes"][i]))
+                for i in range(len(got["valid"])) if got["valid"][i]]
+        want_set = [(tuple(np.asarray(b).round(5)), round(s, 5), c)
+                    for b, s, c in want]
+        assert sorted(kept) == sorted(want_set)
+
+    def test_random_boxes_match_oracle(self):
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            n, c = 40, 3
+            boxes = np.stack([
+                rng.uniform(0.1, 0.9, n), rng.uniform(0.1, 0.9, n),
+                rng.uniform(0.05, 0.4, n), rng.uniform(0.05, 0.4, n),
+            ], axis=-1).astype(np.float32)
+            scores = rng.uniform(0, 1, (n, c)).astype(np.float32)
+            self._run_both_diou(boxes, scores, 0.3, 0.45)
+
+    def test_offset_centers_survive_diou_but_not_greedy(self):
+        """Two overlapping boxes whose centers are apart: greedy IoU
+        (0.47 > 0.45) suppresses the second; the DIoU term (d/c)^0.6
+        drops the metric below threshold, so diounms keeps both — the
+        feature's whole point (crowded-scene recall)."""
+        boxes = np.array([[0.45, 0.5, 0.4, 0.4],
+                          [0.57, 0.5, 0.4, 0.4]], dtype=np.float32)
+        scores = np.array([[0.9], [0.8]], dtype=np.float32)
+        from yolo_tpu.ops.numpy_ref import diou_nms_metric, iou_xywh
+
+        assert iou_xywh(boxes[0], boxes[1]) > 0.45
+        assert diou_nms_metric(boxes[0], boxes[1], 0.6) < 0.45
+        greedy = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                     conf_threshold=0.5, iou_threshold=0.45, top_k=2)
+        diou = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                   conf_threshold=0.5, iou_threshold=0.45, top_k=2,
+                   kind="diou")
+        assert int(np.asarray(greedy["valid"]).sum()) == 1
+        assert int(np.asarray(diou["valid"]).sum()) == 2
+
+    def test_unknown_kind_rejected(self):
+        import pytest
+
+        boxes = np.zeros((2, 4), np.float32)
+        scores = np.ones((2, 1), np.float32)
+        with pytest.raises(ValueError, match="unknown NMS kind"):
+            nms(jnp.asarray(boxes), jnp.asarray(scores),
+                conf_threshold=0.5, iou_threshold=0.45, kind="soft")

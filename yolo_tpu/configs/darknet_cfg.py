@@ -77,6 +77,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
     loss_spec: Optional[Tuple] = None  # [yolo] training-key set
+    nms_spec: Optional[Tuple] = None   # [yolo] (nms_kind, beta_nms)
     region_thresh: Optional[float] = None
     saw_region = False
 
@@ -180,6 +181,18 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError("[yolo] sections must share one "
                                  "iou_loss/normalizer/iou_thresh set")
             loss_spec = new_loss
+            # AlexeyAB nms_kind: default/greedynms -> greedy IoU NMS;
+            # diounms -> DIoU-NMS with beta_nms (box.c box_diounms)
+            nk_raw = kv.get("nms_kind", "default")
+            if nk_raw not in ("default", "greedynms", "diounms"):
+                raise ValueError(f"unsupported nms_kind '{nk_raw}' "
+                                 "(default | greedynms | diounms)")
+            new_nms = ("diou" if nk_raw == "diounms" else "greedy",
+                       float(kv.get("beta_nms", 0.6)))
+            if nms_spec is not None and new_nms != nms_spec:
+                raise ValueError("[yolo] sections must share one "
+                                 "nms_kind/beta_nms set")
+            nms_spec = new_nms
         elif kind == "region":
             saw_region = True
             anchors = _parse_anchors(kv, "[region]")
@@ -259,6 +272,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   assign_iou_thresh=loss_spec[3])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
+    if nms_spec is not None:
+        cfg = dataclasses.replace(cfg, nms_kind=nms_spec[0],
+                                  beta_nms=nms_spec[1])
     return cfg
 
 
@@ -395,6 +411,11 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.cls_normalizer != 1.0 else "")
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
+                       + ("nms_kind=diounms\n"
+                          if cfg.nms_kind == "diou" else "")
+                       + (f"beta_nms={cfg.beta_nms:g}\n"
+                          if cfg.nms_kind == "diou"
+                          and cfg.beta_nms != 0.6 else "")
                        + (f"max_delta={l.max_delta:g}\n"
                           if l.max_delta is not None else "")
                        + (f"label_smooth_eps={l.label_smooth_eps:g}\n"

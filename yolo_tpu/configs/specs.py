@@ -140,6 +140,11 @@ class ModelConfig:
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6
+    # AlexeyAB [yolo] nms_kind: "greedy" (greedynms/default) | "diou"
+    # (diounms: suppression metric IoU - (d/c)^beta_nms, box.c
+    # box_diounms); beta_nms is darknet's default 0.6
+    nms_kind: str = "greedy"
+    beta_nms: float = 0.6
 
     @property
     def num_classes(self) -> int:

@@ -84,13 +84,15 @@ def _postprocess(cfg: ModelConfig, logits, *,
                 conf_threshold=conf_t, iou_threshold=iou_t,
                 pre_top_k=pre, max_detections=max_detections,
                 use_pallas=(jax.default_backend() == "tpu"),
-                scales=scales)
+                scales=scales, nms_kind=cfg.nms_kind,
+                beta_nms=cfg.beta_nms)
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
             cfg.num_classes, cfg.input_size, scales=scales)
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
-            top_k=top_k, max_detections=max_detections, impl=nms_impl)
+            top_k=top_k, max_detections=max_detections, impl=nms_impl,
+            kind=cfg.nms_kind, beta=cfg.beta_nms)
     if head == "fused":
         from yolo_tpu.ops.head import detect_head
 
@@ -102,11 +104,13 @@ def _postprocess(cfg: ModelConfig, logits, *,
             logits, cfg.anchors, cfg.num_classes,
             conf_threshold=conf_t, iou_threshold=iou_t,
             pre_top_k=pre, max_detections=max_detections,
-            use_pallas=(jax.default_backend() == "tpu"))
+            use_pallas=(jax.default_backend() == "tpu"),
+            nms_kind=cfg.nms_kind, beta_nms=cfg.beta_nms)
     boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
     return nms_batch(
         boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
-        top_k=top_k, max_detections=max_detections, impl=nms_impl)
+        top_k=top_k, max_detections=max_detections, impl=nms_impl,
+        kind=cfg.nms_kind, beta=cfg.beta_nms)
 
 
 def _entry_fusable(cfg: ModelConfig, params) -> bool:

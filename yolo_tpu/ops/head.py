@@ -31,7 +31,8 @@ from yolo_tpu.ops.nms import _geom, _package, _suppress
 def detect_head(logits: jnp.ndarray, anchors, num_classes: int, *,
                 conf_threshold: float, iou_threshold: float,
                 pre_top_k: int = 256, max_detections: int = 100,
-                use_pallas: bool = True):
+                use_pallas: bool = True, nms_kind: str = "greedy",
+                beta_nms: float = 0.6):
     """logits (B, H, W, A*(5+C)) -> fixed-shape detections dict
     (boxes in net-normalized xywh)."""
     b, h, w, _ = logits.shape
@@ -71,7 +72,8 @@ def detect_head(logits: jnp.ndarray, anchors, num_classes: int, *,
 
     # 5: suppression + packaging (shared with ops/nms.py)
     keep = _suppress(_geom(boxes_k), scores_k, classes_k,
-                     conf_threshold, iou_threshold, use_pallas=use_pallas)
+                     conf_threshold, iou_threshold, use_pallas=use_pallas,
+                     kind=nms_kind, beta=beta_nms)
     return _package(boxes_k, scores_k, classes_k, keep, max_detections)
 
 
@@ -79,7 +81,8 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
                      net_size: int, *, conf_threshold: float,
                      iou_threshold: float, pre_top_k: int = 256,
                      max_detections: int = 100, use_pallas: bool = True,
-                     scales=None):
+                     scales=None, nms_kind: str = "greedy",
+                     beta_nms: float = 0.6):
     """Fused yolov3 multi-head: objectness prefilter over ALL heads'
     boxes, then decode + sigmoid class scores for the survivors only.
 
@@ -145,5 +148,6 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     boxes_k = jnp.take_along_axis(boxes_kb, box_idx[..., None], axis=1)
 
     keep = _suppress(_geom(boxes_k), scores_k, classes_k,
-                     conf_threshold, iou_threshold, use_pallas=use_pallas)
+                     conf_threshold, iou_threshold, use_pallas=use_pallas,
+                     kind=nms_kind, beta=beta_nms)
     return _package(boxes_k, scores_k, classes_k, keep, max_detections)

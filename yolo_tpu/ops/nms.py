@@ -64,9 +64,16 @@ def _geom(boxes_k: jnp.ndarray) -> jnp.ndarray:
 
 def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
                   classes_k: jnp.ndarray, conf_threshold: float,
-                  iou_threshold: float) -> jnp.ndarray:
+                  iou_threshold: float, kind: str = "greedy",
+                  beta: float = 0.6) -> jnp.ndarray:
     """geom (G, 5, K), scores_k (G, K) sorted desc, classes_k (G, K) ->
-    keep (G, K) float {0,1}. Reference XLA implementation."""
+    keep (G, K) float {0,1}. Reference XLA implementation.
+
+    kind="diou" is AlexeyAB's nms_kind=diounms (box.c box_diounms):
+    the suppression metric becomes IoU - (d/c)^beta with d = squared
+    center distance and c = squared diagonal of the smallest enclosing
+    box — far-apart centers suppress less. beta is the cfg's beta_nms
+    (darknet default 0.6)."""
     g, _, k = geom.shape
     x1, y1, x2, y2, area = (geom[:, i, :] for i in range(5))
     iw = jnp.maximum(0.0, jnp.minimum(x2[:, :, None], x2[:, None, :]) -
@@ -76,6 +83,21 @@ def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
     inter = iw * ih
     union = area[:, :, None] + area[:, None, :] - inter
     iou = jnp.where(union > 0, inter / union, 0.0)     # (G, K, K)
+    if kind == "diou":
+        cx = (x1 + x2) / 2
+        cy = (y1 + y2) / 2
+        d = ((cx[:, :, None] - cx[:, None, :]) ** 2
+             + (cy[:, :, None] - cy[:, None, :]) ** 2)
+        ew = (jnp.maximum(x2[:, :, None], x2[:, None, :])
+              - jnp.minimum(x1[:, :, None], x1[:, None, :]))
+        eh = (jnp.maximum(y2[:, :, None], y2[:, None, :])
+              - jnp.minimum(y1[:, :, None], y1[:, None, :]))
+        c = ew ** 2 + eh ** 2
+        # darknet box_diounms: c == 0 -> plain IoU
+        iou = jnp.where(c > 0, iou - (d / jnp.maximum(c, 1e-12)) ** beta,
+                        iou)
+    elif kind != "greedy":
+        raise ValueError(f"unknown NMS kind {kind!r} (greedy | diou)")
     same = classes_k[:, :, None] == classes_k[:, None, :]
     sup_matrix = same & (iou > iou_threshold)
     rank = jnp.arange(k)
@@ -91,9 +113,11 @@ def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
 
 
 def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
-              use_pallas: bool):
+              use_pallas: bool, kind: str = "greedy", beta: float = 0.6):
     if use_pallas and geom.shape[-1] > 256:
         use_pallas = False  # beyond the kernel's VMEM budget (see kernel)
+    if kind != "greedy":
+        use_pallas = False  # the VMEM kernel computes plain IoU only
     if use_pallas:
         from yolo_tpu.ops.pallas.nms_kernel import suppress
 
@@ -101,7 +125,7 @@ def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
                         conf_threshold=float(conf_threshold),
                         iou_threshold=float(iou_threshold))
     return _suppress_xla(geom, scores_k, classes_k, conf_threshold,
-                         iou_threshold)
+                         iou_threshold, kind=kind, beta=beta)
 
 
 def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections):
@@ -120,7 +144,8 @@ def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections):
 def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
               conf_threshold: float, iou_threshold: float,
               top_k: int = 128, max_detections: int = 100,
-              impl: str = "auto"):
+              impl: str = "auto", kind: str = "greedy",
+              beta: float = 0.6):
     """Class-wise NMS, batched.
 
     boxes (B, N, 4) xywh; scores (B, N, C).
@@ -128,6 +153,8 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
       boxes (B, D, 4), scores (B, D), classes (B, D) int32, valid (B, D).
     """
     b, n, c = scores.shape
+    if kind != "greedy" and impl in ("fused", "pallas"):
+        impl = {"fused": "fused_xla", "pallas": "xla"}[impl]
     if impl == "auto":
         # TPU: fast global-top-K path; elsewhere: exact per-class XLA
         # (keeps low-threshold CPU parity tests oracle-exact)
@@ -144,7 +171,8 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
             boxes.astype(jnp.float32), box_idx[..., None], axis=1)
         keep = _suppress(_geom(boxes_k), scores_k, classes_k,
                          conf_threshold, iou_threshold,
-                         use_pallas=(impl == "fused"))
+                         use_pallas=(impl == "fused"),
+                         kind=kind, beta=beta)
         return _package(boxes_k, scores_k, classes_k, keep, max_detections)
 
     if impl in ("pallas", "xla"):
@@ -161,7 +189,8 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                          scores_k.reshape(b * c, k),
                          classes_k.reshape(b * c, k),
                          conf_threshold, iou_threshold,
-                         use_pallas=(impl == "pallas"))
+                         use_pallas=(impl == "pallas"),
+                         kind=kind, beta=beta)
         return _package(boxes_k.reshape(b, c * k, 4),
                         scores_k.reshape(b, c * k),
                         classes_k.reshape(b, c * k),

@@ -199,14 +199,36 @@ def iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
         return inter / union if union > 0 else 0.0
 
 
-def nms_per_class(boxes, scores, conf_threshold, iou_threshold):
+def diou_nms_metric(a, b, beta: float) -> float:
+    """AlexeyAB box.c box_diounms: IoU - (d/c)^beta with d = squared
+    center distance, c = squared enclosing-box diagonal (c==0 -> IoU)."""
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    ew = max(ax2, bx2) - min(ax1, bx1)
+    eh = max(ay2, by2) - min(ay1, by1)
+    c = ew * ew + eh * eh
+    iou = iou_xywh(a, b)
+    if c <= 0:
+        return iou
+    d = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+    return iou - (d / c) ** beta
+
+
+def nms_per_class(boxes, scores, conf_threshold, iou_threshold,
+                  kind: str = "greedy", beta: float = 0.6):
     """Greedy class-wise NMS.
 
     boxes (N, 4) xywh; scores (N, C). Deterministic tie-break: higher score
     first, then lower box index (SURVEY.md §7.2). Returns a list of
     (box_xywh, score, class_id) sorted by (score desc, class, index).
+    kind="diou" suppresses on the DIoU-NMS metric (diou_nms_metric)
+    instead of plain IoU.
     """
     n, c = scores.shape
+    metric = (iou_xywh if kind == "greedy"
+              else lambda a, b: diou_nms_metric(a, b, beta))
     out = []
     for cls in range(c):
         s = scores[:, cls]
@@ -218,7 +240,7 @@ def nms_per_class(boxes, scores, conf_threshold, iou_threshold):
                 continue
             out.append((boxes[i].copy(), float(s[i]), cls))
             for j in order[oi + 1:]:
-                if not suppressed[j] and iou_xywh(boxes[i], boxes[j]) > iou_threshold:
+                if not suppressed[j] and metric(boxes[i], boxes[j]) > iou_threshold:
                     suppressed[j] = True
     out.sort(key=lambda r: (-r[1], r[2]))
     return out
