@@ -175,3 +175,34 @@ class TestMosaic:
         # mosaics generally contain multiple GTs per image
         total_obj = sum(b["obj_mask"].sum() for b in batches)
         assert total_obj >= 6
+
+
+class TestCfgDrivenAugment:
+    def test_net_training_params_returns_augment_keys(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        p = tmp_path / "a.cfg"
+        p.write_text(
+            "[net]\nwidth=64\nsaturation = 1.5\nexposure = 1.2\n"
+            "hue=.05\nmosaic=1\nflip=0\n"
+            "[convolutional]\nfilters=10\nsize=1\nactivation=linear\n"
+            "[region]\nanchors=1,1,2,2\nclasses=0\nnum=2\njitter=.2\n")
+        hp = net_training_params(str(p))
+        assert hp["saturation"] == 1.5 and hp["exposure"] == 1.2
+        assert hp["hue"] == 0.05 and hp["mosaic"] == 1 and hp["flip"] == 0
+        assert hp["jitter"] == 0.2
+
+    def test_config_from_net_params(self):
+        from yolo_tpu.data.augment import (AugmentConfig,
+                                           config_from_net_params)
+
+        cfg = config_from_net_params(
+            {"jitter": 0.2, "saturation": 1.5, "exposure": 1.2,
+             "hue": 0.05, "flip": 0, "mosaic": 1})
+        assert cfg.jitter == 0.2 and cfg.saturation == 1.5
+        assert cfg.exposure == 1.2 and cfg.hue == 0.05
+        assert cfg.flip is False and cfg.mosaic is True
+        # darknet defaults for an empty cfg; --mosaic forces
+        d = config_from_net_params({})
+        assert d == AugmentConfig()
+        assert config_from_net_params({}, mosaic=True).mosaic is True

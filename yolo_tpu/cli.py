@@ -517,9 +517,21 @@ def cmd_train(args) -> None:
 
     aug_cfg = None
     if args.augment or args.mosaic:
-        from yolo_tpu.data.augment import AugmentConfig
+        # darknet drives augmentation from the cfg: --cfg's
+        # jitter/saturation/exposure/hue/flip/mosaic keys become the
+        # AugmentConfig (darknet defaults when absent or no --cfg);
+        # --mosaic forces mosaic on top
+        from yolo_tpu.data.augment import config_from_net_params
 
-        aug_cfg = AugmentConfig(mosaic=args.mosaic)
+        aug_cfg = config_from_net_params(net_hp, mosaic=args.mosaic)
+        if aug_cfg.mosaic and not args.mosaic:
+            if args.loader == "grain":
+                raise SystemExit(
+                    "the cfg's [net] mosaic=1 needs the thread loader "
+                    "(cross-record); use --loader threads or override "
+                    "augmentation flags")
+            print("cfg [net] mosaic=1: mosaic augmentation enabled",
+                  file=sys.stderr)
 
     grain_iter = None
     if args.loader == "grain":

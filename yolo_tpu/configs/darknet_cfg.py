@@ -296,29 +296,39 @@ def _validate_refs(layers: Sequence) -> None:
 
 
 def net_training_params(cfg_path: str) -> Dict[str, object]:
-    """Training hyperparameters from the [net] section (darknet uses
-    the cfg as the full training config): learning_rate, momentum,
-    decay, burn_in, steps, scales — returned only for keys present, so
-    the CLI can fall back per key (explicit flags win)."""
+    """Training hyperparameters from the cfg (darknet uses the cfg as
+    the full training config): [net] learning_rate, momentum, decay,
+    burn_in, steps, scales, plus the augmentation keys — [net]
+    saturation/exposure/hue/flip/mosaic and the head sections' jitter —
+    returned only for keys present, so the CLI can fall back per key
+    (explicit flags win)."""
     out: Dict[str, object] = {}
     for kind, kv in parse_cfg(cfg_path):
-        if kind != "net":
-            continue
-        for key, cast in (("learning_rate", float), ("momentum", float),
-                          ("decay", float), ("burn_in", int)):
-            if key in kv:
-                out[key] = cast(kv[key])
-        # raw schedule keys + policy; the CLI gates their use (darknet's
-        # default policy is CONSTANT, and steps/scales apply only under
-        # policy=steps) so explicit flags can still override a broken
-        # cfg schedule
-        out["policy"] = kv.get("policy", "constant")
-        if "steps" in kv:
-            out["steps"] = tuple(int(v) for v in kv["steps"].split(","))
-        if "scales" in kv:
-            out["scales"] = tuple(float(v)
-                                  for v in kv["scales"].split(","))
-        break
+        if kind == "net":
+            for key, cast in (("learning_rate", float),
+                              ("momentum", float),
+                              ("decay", float), ("burn_in", int),
+                              ("saturation", float), ("exposure", float),
+                              ("hue", float), ("flip", int),
+                              ("mosaic", int)):
+                if key in kv:
+                    out[key] = cast(kv[key])
+            # raw schedule keys + policy; the CLI gates their use
+            # (darknet's default policy is CONSTANT, and steps/scales
+            # apply only under policy=steps) so explicit flags can
+            # still override a broken cfg schedule
+            out["policy"] = kv.get("policy", "constant")
+            if "steps" in kv:
+                out["steps"] = tuple(int(v)
+                                     for v in kv["steps"].split(","))
+            if "scales" in kv:
+                out["scales"] = tuple(float(v)
+                                      for v in kv["scales"].split(","))
+        elif kind in ("region", "yolo") and "jitter" not in out:
+            # jitter is a per-head key in darknet; heads share it in
+            # every published cfg — take the first
+            if "jitter" in kv:
+                out["jitter"] = float(kv["jitter"])
     return out
 
 

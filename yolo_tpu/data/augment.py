@@ -156,3 +156,19 @@ def mosaic4(samples, net_size: int, rng: np.random.Generator,
     return (canvas,
             np.asarray(out_boxes, np.float64).reshape(-1, 4),
             np.asarray(out_classes, np.int64))
+
+
+def config_from_net_params(net_hp: dict, *,
+                           mosaic: bool = False) -> "AugmentConfig":
+    """AugmentConfig from a darknet cfg's training keys
+    (`configs.darknet_cfg.net_training_params`): [net]
+    saturation/exposure/hue/flip/mosaic + the head sections' jitter,
+    with darknet's defaults for absent keys. mosaic=True forces mosaic
+    on regardless of the cfg (the CLI's --mosaic flag)."""
+    kwargs = {k: float(net_hp[k])
+              for k in ("jitter", "saturation", "exposure", "hue")
+              if k in net_hp}
+    if "flip" in net_hp:
+        kwargs["flip"] = bool(net_hp["flip"])
+    return AugmentConfig(mosaic=mosaic or bool(net_hp.get("mosaic", 0)),
+                         **kwargs)
