@@ -496,3 +496,43 @@ def test_nms_kind_parsed_and_round_trips(tmp_path):
     p4.write_text(p.read_text().replace("diounms", "cornersnms"))
     with pytest.raises(ValueError, match="unsupported nms_kind"):
         config_from_cfg(str(p4))
+
+
+def test_net_training_params_random_and_jitter(tmp_path):
+    from yolo_tpu.configs.darknet_cfg import net_training_params
+
+    p = tmp_path / "r.cfg"
+    p.write_text(
+        "[net]\nwidth=64\n"
+        "[convolutional]\nfilters=10\nsize=1\nactivation=linear\n"
+        "[region]\nanchors=1,1,2,2\nclasses=0\nnum=2\n"
+        "random=1\njitter=.3\n")
+    hp = net_training_params(str(p))
+    assert hp["random"] == 1.0 and hp["jitter"] == 0.3
+
+
+def test_cli_train_cfg_random_enables_multiscale(tmp_path, capsys):
+    """A cfg with random=1 turns on darknet multi-scale training
+    without --multi-scale (and says so)."""
+    import numpy as np
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    text = cfg_to_string(cfg).replace("[region]\n", "[region]\nrandom=1\n",
+                                      1)
+    (tmp_path / "m.cfg").write_text(text)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
+    assert "random=1: multi-scale training enabled" in capsys.readouterr().err

@@ -381,6 +381,16 @@ def cmd_train(args) -> None:
         "learning_rate", 1e-4)
     burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
         "burn_in", 0)
+    if not args.multi_scale and net_hp.get("random", 0) > 0:
+        # darknet head sections' random=1 IS the multi-scale switch
+        if args.loader == "grain":
+            print("cfg random=1 ignored: --loader grain is "
+                  "fixed-net-size (use --loader threads for "
+                  "multi-scale)", file=sys.stderr)
+        else:
+            args.multi_scale = True
+            print("cfg random=1: multi-scale training enabled "
+                  "(darknet 320..608 every 10 batches)", file=sys.stderr)
     decay_steps, decay_scales = (), ()
     if args.lr_scales and not args.lr_steps:
         raise SystemExit("--lr-scales requires --lr-steps (to override "

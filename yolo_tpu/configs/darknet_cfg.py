@@ -324,11 +324,17 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
             if "scales" in kv:
                 out["scales"] = tuple(float(v)
                                       for v in kv["scales"].split(","))
-        elif kind in ("region", "yolo") and "jitter" not in out:
-            # jitter is a per-head key in darknet; heads share it in
-            # every published cfg — take the first
-            if "jitter" in kv:
+        elif kind in ("region", "yolo"):
+            # per-head keys; heads share them in every published cfg —
+            # take the first occurrence
+            if "jitter" in kv and "jitter" not in out:
                 out["jitter"] = float(kv["jitter"])
+            # random enables darknet's multi-scale training (resize
+            # net every 10 batches; AlexeyAB also accepts fractional
+            # values as a resize-range factor — any value > 0 turns
+            # multi-scale on)
+            if "random" in kv and "random" not in out:
+                out["random"] = float(kv["random"])
     return out
 
 
