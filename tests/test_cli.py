@@ -333,3 +333,17 @@ def test_detect_recursive(tiny_weights, tmp_path, capsys):
     recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {os.path.basename(r["image"]) for r in recs} == {"top.png",
                                                             "deep.png"}
+
+
+def test_train_stretch_e2e(tiny_weights, tmp_path, capsys):
+    """train --resize stretch (AlexeyAB letter_box=0 geometry) runs
+    end-to-end, including the stretch-geometry validation eval."""
+    root = make_voc_root(tmp_path, n_images=8, size=(80, 90))
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--lr", "1e-4",
+              "--precision", "fp32", "--epochs", "1",
+              "--resize", "stretch", "--eval-every", "1"])
+    err = capsys.readouterr().err
+    assert "stretch (letter_box=0) geometry" in err
+    assert "validation mAP" in err

@@ -242,3 +242,55 @@ class TestPRCurves:
         assert c["precision"] == [1.0, 0.5]
         # default path stays curve-free
         assert "curves" not in evaluate(dets, gt, 1)
+
+
+class TestStretchTraining:
+    def test_train_batches_stretch_geometry(self, tmp_path):
+        """resize="stretch" (AlexeyAB letter_box=0 training): the image
+        is plain-resized and the normalized GT boxes pass through
+        unchanged (stretch-invariant), unlike letterbox which shifts
+        them into the padded frame."""
+        root = make_voc_root(tmp_path, n_images=2, size=(60, 120))
+        pairs = list_split(root, "train")
+        kw = dict(class_names=("cat", "dog"),
+                  anchors=np.array([[1.0, 1.0], [2.0, 2.0]], np.float32),
+                  num_classes=2, net_size=64, batch_size=2, workers=1,
+                  shuffle=False)
+        lb = next(pipe.train_batches(pairs, rng=np.random.default_rng(0),
+                                     **kw))
+        st = next(pipe.train_batches(pairs, rng=np.random.default_rng(0),
+                                     resize="stretch", **kw))
+        assert st["images"].shape == lb["images"].shape == (2, 64, 64, 3)
+        # letterbox pads a 120x60 image top+bottom: gray rows at y=0;
+        # stretch fills the full frame with image content
+        assert np.allclose(lb["images"][0, 0], 0.5, atol=1e-3)
+        assert not np.allclose(st["images"][0, 0], 0.5, atol=1e-3)
+        # the GT box: make_voc_root puts a dog at pixels (20,20)-(80,70)
+        # of a (h=60,w=120) image -> normalized center (0.4167, 0.75)
+        iy, ix = np.nonzero(st["obj_mask"][0].sum(-1))
+        # stretch: cell = floor(norm * grid); grid=2 -> cell (1, 0)
+        assert (iy[0], ix[0]) == (1, 0)
+
+    def test_grain_stretch_matches_thread_loader(self, tmp_path):
+        import pytest
+
+        pytest.importorskip("grain")
+        from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+        root = make_voc_root(tmp_path, n_images=2, size=(60, 120))
+        pairs = list_split(root, "train")
+        kw = dict(class_names=("cat", "dog"),
+                  anchors=np.array([[1.0, 1.0], [2.0, 2.0]], np.float32),
+                  num_classes=2, net_size=64, batch_size=2)
+        gb = next(iter(grain_train_batches(pairs, seed=1,
+                                           resize="stretch", **kw)))
+        tb = next(pipe.train_batches(pairs,
+                                     rng=np.random.default_rng(1),
+                                     workers=1, shuffle=False,
+                                     resize="stretch", **kw))
+        # same schema and the same stretch geometry (order may differ:
+        # compare as sets of per-image tensors)
+        assert gb["images"].shape == tb["images"].shape
+        g0 = {gb["images"][i].tobytes() for i in range(2)}
+        t0 = {tb["images"][i].tobytes() for i in range(2)}
+        assert g0 == t0

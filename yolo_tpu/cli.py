@@ -24,8 +24,8 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
                    choices=["tiny-voc", "voc", "coco", "tiny-coco",
-                            "yolov3", "yolov3-tiny", "yolov4",
-                            "yolov4-tiny"])
+                            "yolov3", "yolov3-spp", "yolov3-tiny",
+                            "yolov4", "yolov4-tiny"])
     p.add_argument("--cfg", default=None,
                    help="darknet .cfg file (overrides --model; any "
                         "yolov2/v3/v4-family topology)")
@@ -44,8 +44,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["letterbox", "stretch"],
                    help="preprocess geometry: letterbox (pjreddie "
                         "darknet) or stretch = plain resize (AlexeyAB "
-                        "darknet letter_box=0 default; predict/detect/"
-                        "eval/serve — train stays letterbox)")
+                        "darknet letter_box=0 default) — applies to "
+                        "predict/detect/eval/serve AND train")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
 
@@ -364,10 +364,12 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
-    if args.resize != "letterbox":
-        raise SystemExit("train runs the letterbox pipeline only "
-                         "(--resize stretch applies to "
-                         "predict/detect/eval)")
+    if args.resize == "stretch":
+        # AlexeyAB's letter_box=0 default TRAINING geometry: plain
+        # resize, normalized boxes unchanged; validation (quick_map)
+        # evaluates with the same geometry
+        print("training with stretch (letter_box=0) geometry",
+              file=sys.stderr)
     sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
         if args.multi_scale_sizes else None
     # darknet uses the cfg's [net] section as the training config:
@@ -557,7 +559,7 @@ def cmd_train(args) -> None:
             net_size=cfg.input_size, batch_size=args.batch,
             seed=args.seed, num_epochs=args.epochs,
             worker_count=args.loader_workers, model_cfg=cfg,
-            augment_cfg=aug_cfg)
+            augment_cfg=aug_cfg, resize=args.resize)
         if args.resume:
             gpath = args.resume.rstrip("/") + ".grain"
             if os.path.exists(gpath):
@@ -596,7 +598,8 @@ def cmd_train(args) -> None:
                     anchors=cfg.anchors, num_classes=cfg.num_classes,
                     net_size=cfg.input_size, batch_size=args.batch,
                     rng=rng, size_for_batch=size_fn,
-                    augment_cfg=aug_cfg, model_cfg=cfg)
+                    augment_cfg=aug_cfg, model_cfg=cfg,
+                    resize=args.resize)
 
             epoch_iters = ((e, _thread_iter(e))
                            for e in range(args.epochs))
@@ -619,7 +622,8 @@ def cmd_train(args) -> None:
                     m = quick_map(cfg, state["params"], eval_samples,
                                   batch=min(args.batch, 16),
                                   compute_dtype=_compute_dtype(
-                                      args.precision))
+                                      args.precision),
+                                  resize=args.resize)
                     logger.log(step, {"val_map": round(m, 4)},
                                force=True)
                     print(f"step {step}: validation mAP {m:.4f}",

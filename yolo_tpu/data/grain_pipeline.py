@@ -33,7 +33,8 @@ import numpy as np
 
 
 def _prepare(sample, *, class_names, anchors, num_classes, net_size,
-             model_cfg=None, augment_cfg=None, rng=None):
+             model_cfg=None, augment_cfg=None, rng=None,
+             resize="letterbox"):
     """(image_path, annotation) -> one fixed-shape training record."""
     from yolo_tpu.data import targets as tgt
     from yolo_tpu.data.pipeline import letterbox_boxes, load_image_rgb
@@ -54,8 +55,14 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
         img, boxes, classes = augment(img, boxes, classes, rng,
                                       augment_cfg)
     h, w = img.shape[:2]
-    image = letterbox_batch(img[None], net_size, n_threads=1)[0]
-    boxes = letterbox_boxes(boxes, w, h, net_size)
+    if resize == "stretch":
+        # AlexeyAB letter_box=0 geometry: normalized boxes unchanged
+        from yolo_tpu.ops.numpy_ref import stretch_resize
+
+        image = stretch_resize(img, net_size, net_size)
+    else:
+        image = letterbox_batch(img[None], net_size, n_threads=1)[0]
+        boxes = letterbox_boxes(boxes, w, h, net_size)
     if model_cfg is not None:
         enc = tgt.encode_for(model_cfg, boxes, classes,
                              input_size=net_size)
@@ -140,7 +147,9 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         net_size: int, batch_size: int, seed: int = 0,
                         num_epochs: Optional[int] = 1,
                         worker_count: int = 0, model_cfg=None,
-                        augment_cfg=None) -> CheckpointableGrainIterator:
+                        augment_cfg=None,
+                        resize: str = "letterbox"
+                        ) -> CheckpointableGrainIterator:
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
 
@@ -183,7 +192,7 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     kw = dict(class_names=class_names,
               anchors=np.asarray(anchors, np.float32),
               num_classes=num_classes, net_size=net_size,
-              model_cfg=model_cfg)
+              model_cfg=model_cfg, resize=resize)
 
     class _Prepare(gp.MapTransform):
         def map(self, sample):

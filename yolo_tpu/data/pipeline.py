@@ -202,7 +202,8 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                   anchors, num_classes: int, net_size: int, batch_size: int,
                   rng: np.random.Generator, workers: int = 8,
                   shuffle: bool = True, size_for_batch=None,
-                  augment_cfg=None, model_cfg=None) -> Iterator[Dict]:
+                  augment_cfg=None, model_cfg=None,
+                  resize: str = "letterbox") -> Iterator[Dict]:
     """(image, annotation) pairs -> fixed-shape train batches: letterboxed
     images in [0,1] + encoded GT targets (data/targets.py). One epoch.
     The annotation may be a VOC XML path (str) or a pre-parsed dict in
@@ -212,7 +213,11 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     multi-scale switching (new net size every N batches; each distinct
     size is one jit bucket, SURVEY.md §5.7). ``augment_cfg`` (an
     data.augment.AugmentConfig) enables darknet-style jitter/flip/HSV
-    augmentation per sample."""
+    augmentation per sample. ``resize="stretch"`` trains with
+    AlexeyAB's plain-resize geometry (its letter_box=0 default —
+    normalized xywh boxes are stretch-invariant, so only the image
+    transform changes); mosaic composes its own canvas and is
+    unaffected by the mode (as in darknet)."""
     from yolo_tpu.data.voc import parse_annotation
 
     order = np.arange(len(pairs))
@@ -257,6 +262,11 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
             return canvas.astype(np.float32) / 255.0, boxes, classes
         img, boxes, classes = load_sample(idx, (aug_base, int(idx)))
         h, w = img.shape[:2]
+        if resize == "stretch":
+            from yolo_tpu.ops.numpy_ref import stretch_resize
+
+            # plain resize: normalized boxes need no transform
+            return stretch_resize(img, size, size), boxes, classes
         # native C++ letterbox (exact oracle semantics; numpy fallback)
         image = native_letterbox(img[None], size, n_threads=1)[0]
         boxes = letterbox_boxes(boxes, w, h, size)

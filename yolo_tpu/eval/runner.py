@@ -100,7 +100,8 @@ def collect_detections(cfg, folded_params,
 
 def quick_map(cfg, train_params, samples, *, batch: int = 16,
               eval_conf: float = 0.005, compute_dtype=None,
-              use_07_metric: bool = True) -> float:
+              use_07_metric: bool = True,
+              resize: str = "letterbox") -> float:
     """Mid-training validation mAP: fold the CURRENT (unfolded-BN)
     train params and score `samples`. Reuses the same jit bucket on
     every call."""
@@ -115,6 +116,7 @@ def quick_map(cfg, train_params, samples, *, batch: int = 16,
     gt, _ = build_ground_truth(samples, cfg.class_names)
     dets = collect_detections(cfg, folded, samples, batch=batch,
                               eval_conf=eval_conf,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              resize=resize)
     return float(evaluate(dets, gt, cfg.num_classes,
                           use_07_metric=use_07_metric)["map"])
