@@ -347,3 +347,13 @@ def test_train_stretch_e2e(tiny_weights, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "stretch (letter_box=0) geometry" in err
     assert "validation mAP" in err
+
+
+def test_doctor(capsys):
+    """doctor prints one JSON environment report."""
+    cli.main(["doctor"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["device_count"] >= 1
+    assert rep["native_letterbox"] in ("native", "numpy-fallback")
+    assert isinstance(rep["zoo_present"], list)
+    assert rep["cv2"] is True

@@ -899,6 +899,41 @@ def cmd_bench(args) -> None:
     bench.main(batch=args.batch, iters=args.iters)
 
 
+def cmd_doctor(args) -> None:
+    """One JSON report of everything the framework depends on: jax
+    backend + device inventory, the native C++ letterbox (built or
+    numpy fallback), optional deps (grain, TF oracle), and the zoo
+    cache — the first thing to run on a new host."""
+    import importlib.util
+
+    report = {}
+    import jax
+
+    report["jax"] = jax.__version__
+    report["backend"] = jax.default_backend()
+    report["devices"] = [str(d) for d in jax.devices()]
+    report["device_count"] = jax.device_count()
+
+    from yolo_tpu.native import preproc
+
+    report["native_letterbox"] = ("native" if preproc.available()
+                                  else "numpy-fallback")
+    for mod in ("grain", "tensorflow", "cv2", "orbax.checkpoint"):
+        report[mod.split(".")[0]] = importlib.util.find_spec(
+            mod.split(".")[0]) is not None
+    from yolo_tpu.io import zoo
+
+    wdir = zoo.weights_dir()
+    present = []
+    if os.path.isdir(wdir):
+        manifest = zoo.load_manifest()
+        present = [n for n, e in manifest.items()
+                   if os.path.exists(os.path.join(wdir, e["filename"]))]
+    report["weights_dir"] = wdir
+    report["zoo_present"] = present
+    print(json.dumps(report, indent=2))
+
+
 def main(argv: Optional[list] = None) -> None:
     ap = argparse.ArgumentParser(prog="yolo_tpu",
                                  description=__doc__,
@@ -1094,6 +1129,11 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=15)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("doctor",
+                       help="environment diagnostics (backend, devices, "
+                            "native lib, optional deps)")
+    p.set_defaults(fn=cmd_doctor)
 
     args = ap.parse_args(argv)
     args.fn(args)
