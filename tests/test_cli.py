@@ -71,10 +71,8 @@ def test_eval_stretch_resize(tiny_weights, tmp_path, capsys):
     assert "map" in res and 0.0 <= res["map"] <= 1.0
 
 
-def test_train_rejects_stretch(tiny_weights, tmp_path):
-    with pytest.raises(SystemExit, match="letterbox pipeline only"):
-        cli.main(["train", "--model", "tiny-voc", "--weights", tiny_weights,
-                  "--voc-root", str(tmp_path), "--resize", "stretch"])
+# (train --resize stretch is now a supported AlexeyAB-parity mode —
+# covered by test_train_stretch_e2e below)
 
 
 def test_detect_host_preprocess_stretch(tiny_weights, tmp_path, capsys):
