@@ -146,16 +146,22 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                                 parts["coord"] += w * (
                                     xy + 0.5 * ((v[2] - tc[2]) ** 2
                                                 + (v[3] - tc[3]) ** 2))
-                            # AlexeyAB: cls_normalizer scales the
-                            # objectness deltas; class BCE is unscaled
+                            # classic AlexeyAB: cls_normalizer scales
+                            # objectness; modern (obj_normalizer set):
+                            # roles split (see YoloLossConfig)
+                            onm = getattr(cfg, "obj_normalizer", None)
                             cn = getattr(cfg, "cls_normalizer", 1.0)
-                            parts["obj"] += cn * _bce_np(v[4], 1.0)
+                            on = cn if onm is None else onm
+                            cls_n = 1.0 if onm is None else cn
+                            parts["obj"] += on * _bce_np(v[4], 1.0)
                             cls = targets[f"tcls_{h}"][bi, j, i, ai]
                             for k in range(c):
-                                parts["class"] += _bce_np(
+                                parts["class"] += cls_n * _bce_np(
                                     v[5 + k], 1.0 if k == cls else 0.0)
                         elif best_iou < cfg.ignore_thresh:
+                            onm = getattr(cfg, "obj_normalizer", None)
                             cn = getattr(cfg, "cls_normalizer", 1.0)
-                            parts["noobj"] += cn * _bce_np(v[4], 0.0)
+                            on = cn if onm is None else onm
+                            parts["noobj"] += on * _bce_np(v[4], 0.0)
     parts = {k: v / b for k, v in parts.items()}
     return sum(parts.values()), parts

@@ -1469,3 +1469,62 @@ def test_folded_bn_matches_unfolded():
         # with the (residual-amplified) activation magnitude
         np.testing.assert_allclose(np.asarray(f), r, rtol=1e-3,
                                    atol=1e-4 * np.abs(r).max())
+
+
+class TestObjNormalizer:
+    def test_modern_split_matches_oracle(self):
+        """obj_normalizer set (modern AlexeyAB): it scales the
+        objectness BCE and cls_normalizer scales the class BCE —
+        jax loss vs the loop oracle under the split semantics."""
+        from tests.loss_oracle import yolo_loss_np
+
+        rng = np.random.default_rng(31)
+        boxes, classes = _random_v3_scene(rng, 2)
+        targets = tgt.encode_batch_for(MICRO_V3, boxes, classes)
+        heads = [rng.normal(size=(2, 64 // st, 64 // st, 2 * 9)
+                            ).astype(np.float32) * 0.5
+                 for st in MICRO_V3_STRIDES]
+        cfg = YoloLossConfig(obj_normalizer=2.0, cls_normalizer=0.5)
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-4,
+                                                    abs=1e-5), k
+        # the split actually binds: doubling obj_normalizer doubles the
+        # obj term relative to the classic config
+        classic = YoloLossConfig(cls_normalizer=0.5)
+        _, p2 = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, classic)
+        assert float(parts["obj"]) == pytest.approx(
+            4.0 * float(p2["obj"]), rel=1e-4)  # 2.0 vs 0.5 scaling
+
+    def test_cfg_parse_and_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "o.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nobj_normalizer=0.7\ncls_normalizer=0.5\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.obj_normalizer == 0.7
+        assert cfg.cls_normalizer == 0.5
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p2))
+        assert back.obj_normalizer == 0.7
+        # absent key stays None (classic semantics)
+        p3 = tmp_path / "c.cfg"
+        p3.write_text(p.read_text().replace("obj_normalizer=0.7\n", ""))
+        assert config_from_cfg(str(p3)).obj_normalizer is None

@@ -437,7 +437,8 @@ def cmd_train(args) -> None:
                            ignore_thresh=cfg.ignore_thresh,
                            iou_loss=cfg.iou_loss,
                            iou_normalizer=cfg.iou_normalizer,
-                           cls_normalizer=cfg.cls_normalizer),
+                           cls_normalizer=cfg.cls_normalizer,
+                           obj_normalizer=cfg.obj_normalizer),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and args.multi_scale:
         raise SystemExit("--loader grain is fixed-net-size (multi-scale "

@@ -176,7 +176,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(f"unsupported iou_loss '{il}'")
             new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
                         float(kv.get("cls_normalizer", 1.0)),
-                        float(kv.get("iou_thresh", 1.0)))
+                        float(kv.get("iou_thresh", 1.0)),
+                        (float(kv["obj_normalizer"])
+                         if "obj_normalizer" in kv else None))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
                                  "iou_loss/normalizer/iou_thresh set")
@@ -269,7 +271,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         cfg = dataclasses.replace(cfg, iou_loss=loss_spec[0],
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
-                                  assign_iou_thresh=loss_spec[3])
+                                  assign_iou_thresh=loss_spec[3],
+                                  obj_normalizer=loss_spec[4])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     if nms_spec is not None:
@@ -425,6 +428,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.iou_normalizer != 1.0 else "")
                        + (f"cls_normalizer={cfg.cls_normalizer:g}\n"
                           if cfg.cls_normalizer != 1.0 else "")
+                       + (f"obj_normalizer={cfg.obj_normalizer:g}\n"
+                          if cfg.obj_normalizer is not None else "")
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
                        + ("nms_kind=diounms\n"

@@ -134,6 +134,9 @@ class ModelConfig:
     iou_loss: str = "mse"
     iou_normalizer: float = 1.0
     cls_normalizer: float = 1.0
+    # None = classic semantics; a float = the modern AlexeyAB split
+    # (obj_normalizer scales objectness, cls_normalizer the class BCE)
+    obj_normalizer: Optional[float] = None
     # AlexeyAB [yolo] iou_thresh: anchors above this wh-IoU with a
     # truth are ALSO assigned (1.0 = best-anchor-only, darknet default)
     assign_iou_thresh: float = 1.0

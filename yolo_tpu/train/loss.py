@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,9 +147,14 @@ class YoloLossConfig:
     iou_normalizer * (1 - CIoU(pred_box, gt_box)) on the DECODED boxes
     (Zheng et al. arXiv:1911.08287: IoU − center-distance/diag² − αv
     aspect term); cls_normalizer scales the OBJECTNESS deltas (both obj
-    and noobj BCE), matching AlexeyAB's yolo_layer where
+    and noobj BCE), matching the classic AlexeyAB yolo_layer where
     l.cls_normalizer multiplies l.delta[obj_index] — the class BCE is
-    unscaled, as in darknet's delta_yolo_class.
+    unscaled, as in that era's delta_yolo_class. NEWER AlexeyAB builds
+    (scaled-yolov4 cfgs) split the roles: obj_normalizer scales the
+    objectness deltas and cls_normalizer scales the class deltas —
+    setting obj_normalizer (non-None) selects those semantics, exactly
+    as a cfg that writes the key expects. All pinned cfgs use 1.0
+    everywhere, so both conventions agree on them.
 
     Known gradient deviation (documented, not darknet-exact): with
     iou_loss="mse" AND scale_x_y != 1 the xy term is 0.5*MSE on the
@@ -163,6 +168,10 @@ class YoloLossConfig:
     iou_loss: str = "mse"  # "mse" (yolov3) | "iou"|"giou"|"diou"|"ciou"
     iou_normalizer: float = 1.0  # yolov4.cfg: 0.07
     cls_normalizer: float = 1.0
+    # None = classic semantics (cls_normalizer scales objectness);
+    # a float = modern split (it scales objectness, cls_normalizer
+    # scales the class BCE)
+    obj_normalizer: Optional[float] = None
     # AlexeyAB [yolo] max_delta: clamp the per-element box-term gradient
     # (darknet clips the tx/ty/tw/th entries of l.delta); 0 = off
     max_delta: float = 0.0
@@ -297,10 +306,15 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                       * (best_iou < cfg.ignore_thresh).astype(jnp.float32))
         obj_bce = _bce(t[..., 4], 1.0)
         noobj_bce = _bce(t[..., 4], 0.0)
-        cn = cfg.cls_normalizer
-        parts["obj"] = parts["obj"] + cn * jnp.sum(obj * obj_bce) / b
+        # classic AlexeyAB: cls_normalizer scales objectness; modern
+        # (cfg sets obj_normalizer): obj_normalizer scales objectness
+        # and cls_normalizer moves to the class BCE below
+        on = (cfg.cls_normalizer if cfg.obj_normalizer is None
+              else cfg.obj_normalizer)
+        cls_n = 1.0 if cfg.obj_normalizer is None else cfg.cls_normalizer
+        parts["obj"] = parts["obj"] + on * jnp.sum(obj * obj_bce) / b
         parts["noobj"] = (parts["noobj"]
-                          + cn * jnp.sum(noobj_mask * noobj_bce) / b)
+                          + on * jnp.sum(noobj_mask * noobj_bce) / b)
 
         if cfg.iou_loss != "mse":
             # yolov4 family: box regression on the DECODED boxes
@@ -330,7 +344,7 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                else cfg.label_smooth_eps)
         if eps:
             onehot = onehot * (1.0 - eps) + 0.5 * eps
-        parts["class"] = parts["class"] + jnp.sum(
+        parts["class"] = parts["class"] + cls_n * jnp.sum(
             obj[..., None] * _bce(t[..., 5:], onehot)) / b
 
     total = sum(parts.values())
