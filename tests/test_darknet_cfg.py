@@ -536,3 +536,26 @@ def test_cli_train_cfg_random_enables_multiscale(tmp_path, capsys):
               "--voc-root", root, "--split", "train", "--batch", "8",
               "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
     assert "random=1: multi-scale training enabled" in capsys.readouterr().err
+
+
+def test_unsupported_yolo_training_keys_fail_loudly(tmp_path):
+    """focal_loss=1 / truth_thresh!=1 would silently train differently
+    from darknet if ignored — they must raise; the published-cfg values
+    (absent / truth_thresh=1) pass."""
+    base = ("[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n{extra}")
+
+    def parse(extra):
+        p = tmp_path / "k.cfg"
+        p.write_text(base.format(extra=extra))
+        return config_from_cfg(str(p))
+
+    assert parse("truth_thresh = 1\n")  # the published-cfg value: OK
+    with pytest.raises(ValueError, match="focal_loss"):
+        parse("focal_loss=1\n")
+    with pytest.raises(ValueError, match="truth_thresh"):
+        parse("truth_thresh=0.9\n")

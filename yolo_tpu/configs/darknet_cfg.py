@@ -145,6 +145,18 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(
                     "[yolo] new_coords=1 (scaled-yolov4 decode) is not "
                     "supported")
+            # semantically-meaningful keys we do NOT implement must
+            # fail loudly, not silently train differently from darknet
+            if float(kv.get("focal_loss", 0)):
+                raise ValueError(
+                    "[yolo] focal_loss=1 (AlexeyAB focal class loss) is "
+                    "not supported — remove the key (standard BCE) or "
+                    "train with darknet")
+            if float(kv.get("truth_thresh", 1.0)) != 1.0:
+                raise ValueError(
+                    "[yolo] truth_thresh != 1 (multi-truth objectness "
+                    "assignment) is not supported — every published "
+                    "cfg uses 1")
             mask = tuple(int(v) for v in kv["mask"].split(","))
             layers.append(YoloHead(
                 mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
