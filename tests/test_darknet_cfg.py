@@ -559,3 +559,77 @@ def test_unsupported_yolo_training_keys_fail_loudly(tmp_path):
         parse("focal_loss=1\n")
     with pytest.raises(ValueError, match="truth_thresh"):
         parse("truth_thresh=0.9\n")
+
+
+def test_random_jitter_from_last_head(tmp_path):
+    """darknet reads random/jitter from the LAST layer (detector.c:
+    net.layers[net.n-1]) — later [yolo] sections overwrite earlier
+    ones."""
+    from yolo_tpu.configs.darknet_cfg import net_training_params
+
+    p = tmp_path / "two.cfg"
+    p.write_text(
+        "[net]\nwidth=32\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+        "stride=2\npad=1\nactivation=leaky\n"
+        "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+        "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+        "num=2\nrandom=0\njitter=.1\n"
+        "[route]\nlayers = -2\n"
+        "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+        "[yolo]\nmask = 1\nanchors = 10,14, 23,27\nclasses=4\n"
+        "num=2\nrandom=1\njitter=.3\n")
+    hp = net_training_params(str(p))
+    assert hp["random"] == 1.0   # the LAST head's value
+    assert hp["jitter"] == 0.3
+
+
+def test_greedy_heads_with_differing_beta_accepted(tmp_path):
+    """beta_nms is meaningless under greedy NMS: darknet accepts heads
+    that differ only in an unused beta value — so must we."""
+    p = tmp_path / "b.cfg"
+    p.write_text(
+        "[net]\nwidth=32\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+        "stride=2\npad=1\nactivation=leaky\n"
+        "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+        "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+        "num=2\nnms_kind=greedynms\n"
+        "[route]\nlayers = -2\n"
+        "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+        "[yolo]\nmask = 1\nanchors = 10,14, 23,27\nclasses=4\n"
+        "num=2\nnms_kind=greedynms\nbeta_nms=0.9\n")
+    cfg = config_from_cfg(str(p))
+    assert cfg.nms_kind == "greedy"
+
+
+def test_cfg_augment_keys_auto_enable_and_no_augment(tmp_path, capsys):
+    """A cfg carrying augmentation keys enables darknet-style
+    augmentation without --augment (with a note); --no-augment turns
+    it off."""
+    import numpy as np
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    text = cfg_to_string(cfg).replace("[net]\n",
+                                      "[net]\nsaturation=1.3\n", 1)
+    (tmp_path / "m.cfg").write_text(text)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    common = ["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"]
+    cli.main(common)
+    assert "augmentation enabled (disable with --no-augment)" \
+        in capsys.readouterr().err
+    cli.main(common + ["--no-augment"])
+    assert "augmentation enabled" not in capsys.readouterr().err

@@ -529,20 +529,30 @@ def cmd_train(args) -> None:
     import time as _time
 
     aug_cfg = None
-    if args.augment or args.mosaic:
-        # darknet drives augmentation from the cfg: --cfg's
-        # jitter/saturation/exposure/hue/flip/mosaic keys become the
-        # AugmentConfig (darknet defaults when absent or no --cfg);
-        # --mosaic forces mosaic on top
+    _AUG_KEYS = ("jitter", "saturation", "exposure", "hue", "flip",
+                 "mosaic")
+    cfg_wants_aug = any(k in net_hp for k in _AUG_KEYS)
+    if (args.augment or args.mosaic or cfg_wants_aug) \
+            and not args.no_augment:
+        # darknet ALWAYS augments during training, driven by the cfg:
+        # a cfg that writes any augmentation key
+        # (jitter/saturation/exposure/hue/flip/mosaic) enables
+        # augmentation here too, with those values (darknet defaults
+        # for the rest); --augment forces defaults-on without a cfg,
+        # --mosaic forces mosaic on top, --no-augment disables all
         from yolo_tpu.data.augment import config_from_net_params
 
         aug_cfg = config_from_net_params(net_hp, mosaic=args.mosaic)
+        if cfg_wants_aug and not (args.augment or args.mosaic):
+            print("cfg augmentation keys present: darknet-style "
+                  "augmentation enabled (disable with --no-augment)",
+                  file=sys.stderr)
         if aug_cfg.mosaic and not args.mosaic:
             if args.loader == "grain":
                 raise SystemExit(
                     "the cfg's [net] mosaic=1 needs the thread loader "
-                    "(cross-record); use --loader threads or override "
-                    "augmentation flags")
+                    "(cross-record); use --loader threads, or "
+                    "--no-augment to train unaugmented under grain")
             print("cfg [net] mosaic=1: mosaic augmentation enabled",
                   file=sys.stderr)
 
@@ -921,7 +931,7 @@ def cmd_doctor(args) -> None:
                                   else "numpy-fallback")
     for mod in ("grain", "tensorflow", "cv2", "orbax.checkpoint"):
         report[mod.split(".")[0]] = importlib.util.find_spec(
-            mod.split(".")[0]) is not None
+            mod) is not None
     from yolo_tpu.io import zoo
 
     wdir = zoo.weights_dir()
@@ -1008,6 +1018,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="comma-separated decay factors matching --lr-steps")
     p.add_argument("--augment", action="store_true",
                    help="darknet-style jitter/flip/HSV augmentation")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable ALL augmentation, including "
+                        "cfg-driven keys")
     p.add_argument("--mosaic", action="store_true",
                    help="yolov4 mosaic: 4-image composites (implies "
                         "--augment)")

@@ -201,8 +201,12 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if nk_raw not in ("default", "greedynms", "diounms"):
                 raise ValueError(f"unsupported nms_kind '{nk_raw}' "
                                  "(default | greedynms | diounms)")
-            new_nms = ("diou" if nk_raw == "diounms" else "greedy",
-                       float(kv.get("beta_nms", 0.6)))
+            nk = "diou" if nk_raw == "diounms" else "greedy"
+            # beta_nms only means anything under diounms — greedy
+            # sections with differing beta values behave identically
+            # in darknet and must not be rejected
+            new_nms = (nk, float(kv.get("beta_nms", 0.6))
+                       if nk == "diou" else 0.6)
             if nms_spec is not None and new_nms != nms_spec:
                 raise ValueError("[yolo] sections must share one "
                                  "nms_kind/beta_nms set")
@@ -340,15 +344,16 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                 out["scales"] = tuple(float(v)
                                       for v in kv["scales"].split(","))
         elif kind in ("region", "yolo"):
-            # per-head keys; heads share them in every published cfg —
-            # take the first occurrence
-            if "jitter" in kv and "jitter" not in out:
+            # per-head keys: darknet reads them from the LAST layer
+            # (detector.c: l = net.layers[net.n-1]; l.random, l.jitter)
+            # so later sections OVERWRITE earlier ones
+            if "jitter" in kv:
                 out["jitter"] = float(kv["jitter"])
             # random enables darknet's multi-scale training (resize
             # net every 10 batches; AlexeyAB also accepts fractional
             # values as a resize-range factor — any value > 0 turns
             # multi-scale on)
-            if "random" in kv and "random" not in out:
+            if "random" in kv:
                 out["random"] = float(kv["random"])
     return out
 
