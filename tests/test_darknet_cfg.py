@@ -197,7 +197,7 @@ class TestParse:
         with pytest.raises(ValueError, match="unsupported activation"):
             config_from_cfg(write(
                 "[net]\nwidth=416\n[convolutional]\nfilters=8\n"
-                "activation=swish\n"))
+                "activation=elu\n"))
         with pytest.raises(ValueError, match="no \\[region\\]"):
             config_from_cfg(write(
                 "[net]\nwidth=416\n[convolutional]\nfilters=8\nsize=1\n"

@@ -61,6 +61,10 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
                 x = tf.nn.leaky_relu(x, alpha=0.1)
             elif layer.act == "mish":
                 x = x * tf.math.tanh(tf.math.softplus(x))
+            elif layer.act == "logistic":
+                x = tf.math.sigmoid(x)
+            elif layer.act == "swish":
+                x = x * tf.math.sigmoid(x)
         elif isinstance(layer, MaxPool):
             padn = layer.size - 1
             lead = padn // 2

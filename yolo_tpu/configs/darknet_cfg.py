@@ -8,14 +8,15 @@ counts, pruned filters, different anchors — runs unmodified:
 
 Supported sections: [net] (width/height/channels), [convolutional]
 (batch_normalize, filters, size, stride, activation
-leaky|linear|mish), [maxpool] (size, stride — incl. the spp 5/9/13
-stride-1 pools), [route] (layers, plus yolov4 CSP groups/group_id),
-[reorg] (stride), [region] (anchors, classes) — the yolov2 family —
-plus the yolov3/yolov4 families: [shortcut] (from, activation),
-[upsample] (stride), [yolo] (mask, anchors in net-input pixels,
-classes, num, ignore_thresh, scale_x_y). Anything else — including
-scaled-yolov4 new_coords — raises a clear error rather than silently
-mis-building the graph.
+leaky|linear|mish|logistic|swish), [maxpool] (size, stride — incl. the
+spp 5/9/13 stride-1 pools), [route] (layers, plus yolov4 CSP
+groups/group_id), [reorg] (stride), [region] (anchors, classes) — the
+yolov2 family — plus the yolov3/yolov4 families: [shortcut] (from,
+activation), [upsample] (stride), [yolo] (mask, anchors in net-input
+pixels, classes, num, ignore_thresh, scale_x_y, and the scaled-yolov4
+new_coords=1 decode for inference/eval — training with new_coords
+heads is rejected loudly, as are focal_loss/truth_thresh). Anything
+else raises a clear error rather than silently mis-building the graph.
 """
 
 from __future__ import annotations
@@ -96,7 +97,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             input_size = w
         elif kind == "convolutional":
             act = kv.get("activation", "logistic")
-            if act not in ("leaky", "linear", "mish"):
+            if act not in ("leaky", "linear", "mish", "logistic",
+                           "swish"):
                 raise ValueError(f"unsupported activation '{act}'")
             stride = int(kv.get("stride", 1))
             if stride < 1:
@@ -141,10 +143,6 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         elif kind == "upsample":
             layers.append(Upsample(int(kv.get("stride", 2))))
         elif kind == "yolo":
-            if int(kv.get("new_coords", 0)):
-                raise ValueError(
-                    "[yolo] new_coords=1 (scaled-yolov4 decode) is not "
-                    "supported")
             # semantically-meaningful keys we do NOT implement must
             # fail loudly, not silently train differently from darknet
             if float(kv.get("focal_loss", 0)):
@@ -160,6 +158,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             mask = tuple(int(v) for v in kv["mask"].split(","))
             layers.append(YoloHead(
                 mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
+                # scaled-yolov4 decode; the preceding conv must carry
+                # activation=logistic (validated after the walk)
+                new_coords=bool(int(kv.get("new_coords", 0))),
                 # per-layer training options (AlexeyAB parses these
                 # per [yolo] section); absent keys stay None (unset)
                 max_delta=(float(kv["max_delta"])
@@ -250,6 +251,19 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"layer {i - 1}: conv before [yolo] mask={head.mask} "
                     f"must output len(mask)*(5+classes)={expected_out} "
                     f"channels, got {getattr(prev, 'filters', prev)}")
+            # scaled-yolov4 contract: new_coords heads read values the
+            # head conv already passed through logistic; a mismatch
+            # either double-sigmoids or decodes raw logits as [0,1]
+            if head.new_coords and prev.act != "logistic":
+                raise ValueError(
+                    f"layer {i}: [yolo] new_coords=1 requires the head "
+                    f"conv to use activation=logistic (scaled-yolov4 "
+                    f"cfgs), got activation={prev.act}")
+            if not head.new_coords and prev.act == "logistic":
+                raise ValueError(
+                    f"layer {i}: head conv activation=logistic without "
+                    f"[yolo] new_coords=1 would double-sigmoid the "
+                    f"decode — set new_coords=1 or activation=linear")
         _validate_strides(layers, input_size)
     else:
         expected_out = len(anchors) * (5 + num_classes)
@@ -439,6 +453,7 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + f"ignore_thresh = {cfg.ignore_thresh:g}\n"
                        + (f"scale_x_y = {l.scale_xy:g}\n"
                           if l.scale_xy != 1.0 else "")
+                       + ("new_coords=1\n" if l.new_coords else "")
                        + (f"iou_loss={cfg.iou_loss}\n"
                           if cfg.iou_loss != "mse" else "")
                        + (f"iou_normalizer={cfg.iou_normalizer:g}\n"

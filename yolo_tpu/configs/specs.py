@@ -45,7 +45,10 @@ class Conv:
     size: int = 3
     stride: int = 1
     bn: bool = True
-    act: str = "leaky"  # "leaky" (slope 0.1) | "linear" | "mish" (yolov4)
+    # "leaky" (slope 0.1) | "linear" | "mish" (yolov4) | "logistic"
+    # (scaled-yolov4 head convs feeding new_coords [yolo] layers) |
+    # "swish" (yolov4-csp-swish family)
+    act: str = "leaky"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +97,12 @@ class YoloHead:
     # label_smooth_eps smooths this head's class targets
     max_delta: Optional[float] = None
     label_smooth_eps: Optional[float] = None
+    # scaled-yolov4 [yolo] new_coords=1: the preceding conv carries
+    # activation=logistic, so the head input is already sigmoided
+    # everywhere; decode becomes bx = (v*s - (s-1)/2 + cx)/W and
+    # bw = 4*v^2*anchor/net (AlexeyAB yolo_layer.c get_yolo_box) with
+    # raw conf/class values. Inference/eval only — training rejects.
+    new_coords: bool = False
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]

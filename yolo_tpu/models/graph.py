@@ -73,6 +73,10 @@ def _activate(x, act: str):
         return x
     if act == "mish":  # yolov4: x * tanh(softplus(x))
         return x * jnp.tanh(jax.nn.softplus(x))
+    if act == "logistic":  # scaled-yolov4 new_coords head convs
+        return jax.nn.sigmoid(x)
+    if act == "swish":  # yolov4-csp-swish family: x * sigmoid(x)
+        return x * jax.nn.sigmoid(x)
     raise ValueError(f"unknown activation {act!r}")
 
 

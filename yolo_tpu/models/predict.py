@@ -74,6 +74,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
         # yolov3/v4 family: multi-head [yolo] decode (sigmoid classes,
         # pixel anchors, per-head scale_x_y)
         scales = [h.scale_xy for h in cfg.yolo_heads]
+        ncs = [h.new_coords for h in cfg.yolo_heads]
         if head == "fused":
             from yolo_tpu.ops.head import detect_head_yolo
 
@@ -85,10 +86,11 @@ def _postprocess(cfg: ModelConfig, logits, *,
                 pre_top_k=pre, max_detections=max_detections,
                 use_pallas=(jax.default_backend() == "tpu"),
                 scales=scales, nms_kind=cfg.nms_kind,
-                beta_nms=cfg.beta_nms)
+                beta_nms=cfg.beta_nms, new_coords=ncs)
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
-            cfg.num_classes, cfg.input_size, scales=scales)
+            cfg.num_classes, cfg.input_size, scales=scales,
+            new_coords=ncs)
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
             top_k=top_k, max_detections=max_detections, impl=nms_impl,

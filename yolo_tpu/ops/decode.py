@@ -45,7 +45,7 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None):
+                net_size: int, scales=None, new_coords=None):
     """YOLOv3-family [yolo] decode, all heads merged (darknet
     yolo_layer semantics — sigmoid xy/conf, exp wh on PIXEL anchors,
     independent sigmoid class probs; no softmax, no tw/th clamp).
@@ -55,20 +55,27 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
       masks:       per-head index tuples into anchors_px
       scales:      per-head scale_x_y (yolov4 grid-sensitivity fix:
                    xy = sigmoid(t)*s - (s-1)/2); default all 1.0
+      new_coords:  per-head scaled-yolov4 new_coords flags (the head
+                   conv already applied logistic, so all values arrive
+                   in [0,1]: xy uses v directly, wh = 4*v^2*anchor,
+                   conf/class are raw); default all False
 
     Returns boxes (B, N, 4) xywh and scores (B, N, C) normalized to net
     space, N = sum over heads of Hs*Ws*As — same convention as decode(),
     so the NMS/un-letterbox path is shared. fp32 throughout.
     """
     scales = scales or [1.0] * len(masks)
+    new_coords = new_coords or [False] * len(masks)
     all_boxes, all_scores = [], []
-    for logits, mask, s_xy in zip(head_logits, masks, scales):
+    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
+                                      new_coords):
         b, h, w, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
-        boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size)
-        conf = jax.nn.sigmoid(t[..., 4])
-        probs = jax.nn.sigmoid(t[..., 5:])
+        boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size,
+                                  new_coords=nc)
+        conf = t[..., 4] if nc else jax.nn.sigmoid(t[..., 4])
+        probs = t[..., 5:] if nc else jax.nn.sigmoid(t[..., 5:])
         all_boxes.append(boxes.reshape(b, -1, 4))
         all_scores.append(
             (conf[..., None] * probs).reshape(b, -1, num_classes))
@@ -76,17 +83,29 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
             jnp.concatenate(all_scores, axis=1))
 
 
-def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int):
+def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int,
+                      new_coords: bool = False):
     """(B,H,W,A,5+C) fp32 head activations -> (B,H,W,A,4) normalized
     xywh boxes (the [yolo] box math, shared by decode_yolo and the
-    training loss's ignore-mask decode)."""
+    training loss's ignore-mask decode). new_coords=True switches to
+    the scaled-yolov4 box math (AlexeyAB yolo_layer.c get_yolo_box:
+    input already logistic-activated by the head conv; xy skips the
+    sigmoid, wh = (2v)^2 * anchor instead of exp)."""
     _, h, w, _, _ = t.shape
     anch = jnp.asarray(anchors_px, jnp.float32)[jnp.asarray(mask)]
     cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
     cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
     off = (s_xy - 1.0) / 2.0
-    bx = (jax.nn.sigmoid(t[..., 0]) * s_xy - off + cx) / w
-    by = (jax.nn.sigmoid(t[..., 1]) * s_xy - off + cy) / h
-    bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
-    bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+    vx = t[..., 0] if new_coords else jax.nn.sigmoid(t[..., 0])
+    vy = t[..., 1] if new_coords else jax.nn.sigmoid(t[..., 1])
+    bx = (vx * s_xy - off + cx) / w
+    by = (vy * s_xy - off + cy) / h
+    if new_coords:
+        bw = (4.0 * jnp.square(t[..., 2])
+              * anch[None, None, None, :, 0] / net_size)
+        bh = (4.0 * jnp.square(t[..., 3])
+              * anch[None, None, None, :, 1] / net_size)
+    else:
+        bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
+        bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
     return jnp.stack([bx, by, bw, bh], axis=-1)

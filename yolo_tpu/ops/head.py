@@ -82,7 +82,7 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
                      iou_threshold: float, pre_top_k: int = 256,
                      max_detections: int = 100, use_pallas: bool = True,
                      scales=None, nms_kind: str = "greedy",
-                     beta_nms: float = 0.6):
+                     beta_nms: float = 0.6, new_coords=None):
     """Fused yolov3 multi-head: objectness prefilter over ALL heads'
     boxes, then decode + sigmoid class scores for the survivors only.
 
@@ -91,7 +91,12 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     conf_threshold is dropped while fewer than pre_top_k boxes have
     objectness >= threshold. For yolov3/COCO this skips the dense
     (B, 10647, 80) score tensor entirely (~29% of e2e time at batch 64,
-    docs/PERF.md)."""
+    docs/PERF.md).
+
+    new_coords: per-head scaled-yolov4 flags (head conv already applied
+    logistic — conf/class/xy use values directly, wh = (2v)^2 * anchor).
+    The prefilter envelope is unchanged: conf and probs stay in [0,1],
+    so score <= conf still holds."""
     import numpy as np
 
     c = num_classes
@@ -100,9 +105,12 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
 
     # flatten all heads + per-box decode metadata (trace-time constants)
     scales = scales or [1.0] * len(masks)
-    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l, sc_l = ([], [], [], [], [],
-                                                    [], [], [])
-    for logits, mask, s_xy in zip(head_logits, masks, scales):
+    new_coords = new_coords or [False] * len(masks)
+    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l, sc_l, nc_l = ([], [], [], [],
+                                                          [], [], [], [],
+                                                          [])
+    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
+                                      new_coords):
         _, h, w, _ = logits.shape
         a = len(mask)
         ts.append(logits.astype(jnp.float32).reshape(b, h * w * a, 5 + c))
@@ -115,6 +123,7 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
         pw_l.append(anchors_np[np.asarray(mask), 0][aa.reshape(-1)])
         ph_l.append(anchors_np[np.asarray(mask), 1][aa.reshape(-1)])
         sc_l.append(np.full(h * w * a, s_xy, np.float32))
+        nc_l.append(np.full(h * w * a, float(nc), np.float32))
     t = jnp.concatenate(ts, axis=1)                       # (B, N, 5+C)
     n = t.shape[1]
     cx = jnp.asarray(np.concatenate(cx_l))
@@ -124,20 +133,39 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     pw = jnp.asarray(np.concatenate(pw_l))
     ph = jnp.asarray(np.concatenate(ph_l))
     sc = jnp.asarray(np.concatenate(sc_l))
+    any_nc = any(new_coords)
+    all_nc = all(new_coords)
+    ncf = jnp.asarray(np.concatenate(nc_l))               # 1.0 = new_coords
 
-    conf_all = jax.nn.sigmoid(t[..., 4])                  # (B, N)
+    def _mix(nc_val, classic_val, nc_mask):
+        """Per-box select; collapses to one branch when heads agree.
+        jnp.where (not arithmetic blend) so a classic head's exp
+        overflow can't poison a new_coords box with inf*0."""
+        if all_nc:
+            return nc_val
+        if not any_nc:
+            return classic_val
+        return jnp.where(nc_mask > 0, nc_val, classic_val)
+
+    conf_all = _mix(t[..., 4], jax.nn.sigmoid(t[..., 4]), ncf[None, :])
     kb = min(pre_top_k, n)
     conf_k, nidx = lax.top_k(conf_all, kb)                # (B, KB)
     tk = jnp.take_along_axis(t, nidx[..., None], axis=1)  # (B, KB, 5+C)
 
     s_k = sc[nidx]
+    nc_k = ncf[nidx]
     off = (s_k - 1.0) / 2.0
-    bx = (jax.nn.sigmoid(tk[..., 0]) * s_k - off + cx[nidx]) / gw[nidx]
-    by = (jax.nn.sigmoid(tk[..., 1]) * s_k - off + cy[nidx]) / gh[nidx]
-    bw = pw[nidx] * jnp.exp(tk[..., 2]) / net_size
-    bh = ph[nidx] * jnp.exp(tk[..., 3]) / net_size
+    vx = _mix(tk[..., 0], jax.nn.sigmoid(tk[..., 0]), nc_k)
+    vy = _mix(tk[..., 1], jax.nn.sigmoid(tk[..., 1]), nc_k)
+    bx = (vx * s_k - off + cx[nidx]) / gw[nidx]
+    by = (vy * s_k - off + cy[nidx]) / gh[nidx]
+    bw = _mix(4.0 * jnp.square(tk[..., 2]), jnp.exp(tk[..., 2]),
+              nc_k) * pw[nidx] / net_size
+    bh = _mix(4.0 * jnp.square(tk[..., 3]), jnp.exp(tk[..., 3]),
+              nc_k) * ph[nidx] / net_size
     boxes_kb = jnp.stack([bx, by, bw, bh], axis=-1)       # (B, KB, 4)
-    probs = jax.nn.sigmoid(tk[..., 5:])                   # v3: independent
+    probs = _mix(tk[..., 5:], jax.nn.sigmoid(tk[..., 5:]),
+                 nc_k[..., None])                         # v3: independent
     scores_kb = conf_k[..., None] * probs                 # (B, KB, C)
 
     k = kb

@@ -140,11 +140,14 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None):
+                net_size: int, scales=None, new_coords=None):
     """YOLOv3 [yolo]-layer decode oracle for ONE image, loop-level
     (darknet yolo_layer semantics: sigmoid xy/conf, exp wh on pixel
     anchors, INDEPENDENT sigmoid class probs — no softmax; optional
-    per-head yolov4 scale_x_y).
+    per-head yolov4 scale_x_y; optional per-head scaled-yolov4
+    new_coords, where the head conv already applied logistic so xy/conf/
+    class use the value directly and wh = (2v)^2 * anchor — AlexeyAB
+    yolo_layer.c get_yolo_box).
 
       head_logits: list of (Hs, Ws, As*(5+C)) raw head outputs
       anchors_px:  full anchor list in net-input pixels
@@ -155,7 +158,9 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     """
     boxes_out, scores_out = [], []
     scales = scales or [1.0] * len(masks)
-    for logits, mask, s_xy in zip(head_logits, masks, scales):
+    new_coords = new_coords or [False] * len(masks)
+    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
+                                      new_coords):
         h, w, _ = logits.shape
         a = len(mask)
         t = logits.reshape(h, w, a, 5 + num_classes).astype(np.float64)
@@ -165,14 +170,22 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                     pw, ph = anchors_px[mask[n]]
                     tx, ty, tw, th, to = t[j, i, n, :5]
                     off = (s_xy - 1.0) / 2.0
-                    bx = (sigmoid(tx) * s_xy - off + i) / w
-                    by = (sigmoid(ty) * s_xy - off + j) / h
-                    # same no-clamp policy as decode_region above
-                    with np.errstate(over="ignore"):
-                        bw = pw * np.exp(tw) / net_size
-                        bh = ph * np.exp(th) / net_size
-                    conf = sigmoid(to)
-                    probs = sigmoid(t[j, i, n, 5:])
+                    if nc:
+                        bx = (tx * s_xy - off + i) / w
+                        by = (ty * s_xy - off + j) / h
+                        bw = 4.0 * tw * tw * pw / net_size
+                        bh = 4.0 * th * th * ph / net_size
+                        conf = to
+                        probs = t[j, i, n, 5:].copy()
+                    else:
+                        bx = (sigmoid(tx) * s_xy - off + i) / w
+                        by = (sigmoid(ty) * s_xy - off + j) / h
+                        # same no-clamp policy as decode_region above
+                        with np.errstate(over="ignore"):
+                            bw = pw * np.exp(tw) / net_size
+                            bh = ph * np.exp(th) / net_size
+                        conf = sigmoid(to)
+                        probs = sigmoid(t[j, i, n, 5:])
                     boxes_out.append([bx, by, bw, bh])
                     scores_out.append(conf * probs)
     return np.asarray(boxes_out), np.asarray(scores_out)

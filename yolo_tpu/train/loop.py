@@ -126,6 +126,14 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             bn_stats_fp32=tcfg.bn_stats_fp32)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
+            if any(hd.new_coords for hd in heads):
+                # scaled-yolov4 training deltas (yolo_layer.c with
+                # new_coords) differ from the BCE-on-logits math below;
+                # inference/eval support only — fail loudly rather than
+                # silently train non-darknet gradients
+                raise NotImplementedError(
+                    "[yolo] new_coords=1 (scaled-yolov4) training is "
+                    "not supported — inference/eval only")
             total, parts = yolo_loss(
                 logits, batch, mcfg.anchors,
                 [hd.mask for hd in heads], mcfg.num_classes,
