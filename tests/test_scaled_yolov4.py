@@ -335,6 +335,105 @@ class TestEndToEnd:
         assert np.isfinite(np.asarray(out["boxes"])).all()
 
 
+COMPOSITE_CFG = (
+    "[net]\nwidth=64\nheight=64\n"
+    "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\nstride=2\n"
+    "pad=1\nactivation=mish\n"                              # 0  /2
+    "[convolutional]\nbatch_normalize=1\nfilters=32\nsize=3\nstride=2\n"
+    "pad=1\nactivation=swish\n"                             # 1  /4
+    "[route]\nlayers=-1\ngroups=2\ngroup_id=1\n"            # 2  CSP slice
+    "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
+    "activation=leaky\n"                                    # 3
+    "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\nstride=1\n"
+    "pad=1\nactivation=leaky\n"                             # 4
+    "[route]\nlayers=-1,-2\n"                               # 5
+    "[convolutional]\nbatch_normalize=1\nfilters=32\nsize=1\n"
+    "activation=leaky\n"                                    # 6
+    "[route]\nlayers=-6,-1\n"                               # 7  CSP merge
+    "[convolutional]\nbatch_normalize=1\nfilters=32\nsize=1\n"
+    "activation=leaky\n"                                    # 8
+    "[maxpool]\nsize=5\nstride=1\n"                         # 9  SPP
+    "[route]\nlayers=-2\n"                                  # 10
+    "[maxpool]\nsize=9\nstride=1\n"                         # 11
+    "[route]\nlayers=-4\n"                                  # 12
+    "[maxpool]\nsize=13\nstride=1\n"                        # 13
+    "[route]\nlayers=-1,-3,-5,-6\n"                         # 14
+    "[convolutional]\nbatch_normalize=1\nfilters=32\nsize=1\n"
+    "activation=leaky\n"                                    # 15
+    "[sam]\nfrom=-8\n"                                      # 16 x conv8
+    "[convolutional]\nfilters=18\nsize=1\nactivation=logistic\n"  # 17
+    "[yolo]\nmask = 0,1\nanchors = 6,8, 12,10\nclasses=4\nnum=2\n"
+    "scale_x_y = 2.0\nnew_coords=1\n")                      # 18
+
+
+class TestCompositeScaledCfg:
+    """One cfg composing every yolov4/scaled-yolov4 cfg feature: mish +
+    swish activations, CSP grouped route + merge, SPP 5/9/13 stride-1
+    pools, [sam] attention, logistic head conv, new_coords+scale_x_y=2
+    [yolo] — parity-gated against the independent TF oracle and driven
+    through weights round-trip, detect(), and the CLI."""
+
+    def _cfg(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "composite.cfg"
+        p.write_text(COMPOSITE_CFG)
+        return config_from_cfg(str(p)), str(p)
+
+    def test_oracle_parity_and_round_trips(self, tmp_path):
+        from tests import tf_oracle
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        cfg, _ = self._cfg(tmp_path)
+        # structure spot checks: sam multiplies conv15 by conv8 (32ch),
+        # spp concat feeds 128 channels into conv15
+        rng = np.random.default_rng(6)
+        params = dw.random_params(cfg.layers, rng, scale=0.1)
+        assert params[6]["kernel"].shape[2] == 128
+        xin = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(cfg.layers, params, xin,
+                                    eps=cfg.bn_eps)
+        got = graph.apply_layers(cfg.layers, graph.params_to_jax(params),
+                                 jnp.asarray(xin), eps=cfg.bn_eps)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=2e-4,
+                                       atol=2e-4 * np.abs(w).max())
+        # weights file round-trip over the full topology
+        wpath = tmp_path / "c.weights"
+        dw.save(str(wpath), cfg.layers, params)
+        loaded, _hdr = dw.load(str(wpath), cfg.layers)
+        for a, b in zip(params, loaded):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        # cfg text round-trip
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).layers == cfg.layers
+
+    def test_cli_predict_e2e(self, tmp_path, capsys):
+        import json
+
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg, cfg_path = self._cfg(tmp_path)
+        rng = np.random.default_rng(1)
+        wpath = tmp_path / "c.weights"
+        dw.save(str(wpath), cfg.layers,
+                dw.random_params(cfg.layers, rng, scale=0.05))
+        img = tmp_path / "img.png"
+        cv2.imwrite(str(img), rng.integers(0, 255, (60, 80, 3),
+                                           dtype=np.uint8))
+        cli.main(["predict", "--cfg", cfg_path, "--weights", str(wpath),
+                  "--image", str(img), "--conf", "0.05",
+                  "--precision", "fp32"])
+        for line in capsys.readouterr().out.strip().splitlines():
+            d = json.loads(line)
+            assert set(d) == {"class", "score", "box_xyxy"}
+
+
 class TestTrainingRejected:
     def test_train_step_raises(self):
         from yolo_tpu.train.loop import TrainConfig, init_state, train_step

@@ -781,6 +781,82 @@ class TestYolov4Features:
         np.testing.assert_allclose(got, want, rtol=1e-4,
                                    atol=1e-5 * np.abs(want).max())
 
+    def test_sam_matches_tf_oracle(self):
+        """[sam] (AlexeyAB sam_layer): elementwise multiply with the
+        `from` layer's output — yolov4-sam-* spatial attention."""
+        from tests import tf_oracle
+        from yolo_tpu.configs.specs import Sam
+
+        layers = (Conv(8), Conv(8, 1, act="logistic"), Sam(-2))
+        rng = np.random.default_rng(4)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(layers, params, x)
+        got = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(params), jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+        # and the multiply really is vs layer 0's output
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        np.testing.assert_allclose(
+            np.asarray(outs[2]),
+            np.asarray(outs[1]) * np.asarray(outs[0]), rtol=1e-6)
+
+    def test_sam_cfg_parse_and_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+        from yolo_tpu.configs.specs import Sam
+
+        cfg_text = (
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
+            "activation=leaky\n"
+            "[sam]\nfrom=-2\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        p = tmp_path / "sam.cfg"
+        p.write_text(cfg_text)
+        cfg = config_from_cfg(str(p))
+        assert cfg.layers[2] == Sam(-2)
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).layers == cfg.layers
+
+    def test_sam_ref_and_stride_validated(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        base = ("[net]\nwidth=32\nheight=32\n"
+                "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+                "stride=2\npad=1\nactivation=leaky\n"
+                "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+                "stride=2\npad=1\nactivation=leaky\n"
+                "[sam]\nfrom=-2\n"
+                "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+                "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+                "num=2\n")
+        p = tmp_path / "bad.cfg"
+        p.write_text(base)  # sam spans stride 2 vs 4
+        with pytest.raises(ValueError, match="sam across feature"):
+            config_from_cfg(str(p))
+        p.write_text(base.replace("from=-2", "from=-9"))
+        with pytest.raises(ValueError, match="not an earlier layer"):
+            config_from_cfg(str(p))
+
+    def test_sam_breaks_int8_chain(self):
+        """A conv whose output feeds a [sam] (directly or as its `from`
+        source) must emit fp, not chained int8 — sam multiplies in
+        dequantized space."""
+        from yolo_tpu.configs.specs import Sam
+        from yolo_tpu.models.quantize import _chain_out_scales
+
+        layers = (Conv(8), Conv(8, 1), Sam(-2), Conv(4, 1))
+        out_scales, _ = _chain_out_scales(layers, [1.0] * 3)
+        assert out_scales == [None, None, None]
+
     def test_route_groups_slices_channels(self):
         """[route] layers=-1 groups=2 group_id=1 keeps the SECOND half
         of the channels (yolov4-tiny CSP pattern)."""

@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.configs.specs import (Conv, MaxPool, Reorg, Route, Shortcut,
-                                    Upsample, YoloHead, resolve_route)
+from yolo_tpu.configs.specs import (Conv, MaxPool, Reorg, Route, Sam,
+                                    Shortcut, Upsample, YoloHead,
+                                    resolve_route)
 
 
 def _reorg_indices(c: int, h: int, w: int, stride: int) -> np.ndarray:
@@ -93,6 +94,10 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             x = tf.concat(srcs, axis=-1) if len(srcs) > 1 else srcs[0]
         elif isinstance(layer, Shortcut):
             x = x + outputs[resolve_route(idx, layer.frm)]
+            if layer.act == "leaky":
+                x = tf.nn.leaky_relu(x, alpha=0.1)
+        elif isinstance(layer, Sam):
+            x = x * outputs[resolve_route(idx, layer.frm)]
             if layer.act == "leaky":
                 x = tf.nn.leaky_relu(x, alpha=0.1)
         elif isinstance(layer, Upsample):

@@ -12,7 +12,8 @@ leaky|linear|mish|logistic|swish), [maxpool] (size, stride — incl. the
 spp 5/9/13 stride-1 pools), [route] (layers, plus yolov4 CSP
 groups/group_id), [reorg] (stride), [region] (anchors, classes) — the
 yolov2 family — plus the yolov3/yolov4 families: [shortcut] (from,
-activation), [upsample] (stride), [yolo] (mask, anchors in net-input
+activation), [sam] (from, activation — AlexeyAB spatial attention
+multiply), [upsample] (stride), [yolo] (mask, anchors in net-input
 pixels, classes, num, ignore_thresh, scale_x_y, and the scaled-yolov4
 new_coords=1 decode for inference/eval — training with new_coords
 heads is rejected loudly, as are focal_loss/truth_thresh). Anything
@@ -24,10 +25,11 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from yolo_tpu.configs.specs import (Conv, MaxPool, ModelConfig, Reorg,
-                                    Route, Shortcut, Upsample, YoloHead)
+                                    Route, Sam, Shortcut, Upsample,
+                                    YoloHead)
 
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
-              "region", "shortcut", "upsample", "yolo"}
+              "region", "shortcut", "sam", "upsample", "yolo"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -140,6 +142,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if act not in ("leaky", "linear"):
                 raise ValueError(f"unsupported shortcut activation '{act}'")
             layers.append(Shortcut(int(kv["from"]), act=act))
+        elif kind == "sam":
+            act = kv.get("activation", "linear")
+            if act not in ("leaky", "linear"):
+                raise ValueError(f"unsupported sam activation '{act}'")
+            layers.append(Sam(int(kv["from"]), act=act))
         elif kind == "upsample":
             layers.append(Upsample(int(kv.get("stride", 2))))
         elif kind == "yolo":
@@ -319,7 +326,7 @@ def _validate_refs(layers: Sequence) -> None:
 
     for idx, l in enumerate(layers):
         refs = (l.layers if isinstance(l, Route)
-                else (l.frm,) if isinstance(l, Shortcut) else ())
+                else (l.frm,) if isinstance(l, (Shortcut, Sam)) else ())
         for r in refs:
             resolved = resolve_route(idx, r)
             if not 0 <= resolved < idx:
@@ -398,12 +405,12 @@ def layer_strides(layers: Sequence) -> List[int]:
                     f"layer {idx}: route sources have mismatched feature "
                     f"strides {sorted(srcs)} — cannot concatenate")
             cur = srcs.pop()
-        elif isinstance(l, Shortcut):
+        elif isinstance(l, (Shortcut, Sam)):
             src = strides[resolve_route(idx, l.frm)]
             if src != cur:
                 raise ValueError(
-                    f"layer {idx}: shortcut across feature strides "
-                    f"{src} vs {cur}")
+                    f"layer {idx}: {type(l).__name__.lower()} across "
+                    f"feature strides {src} vs {cur}")
         strides.append(cur)
     return strides
 
@@ -442,6 +449,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[reorg]\nstride={l.stride}\n")
         elif isinstance(l, Shortcut):
             out.append(f"[shortcut]\nfrom={l.frm}\nactivation={l.act}\n")
+        elif isinstance(l, Sam):
+            out.append(f"[sam]\nfrom={l.frm}\nactivation={l.act}\n")
         elif isinstance(l, Upsample):
             out.append(f"[upsample]\nstride={l.stride}\n")
         elif isinstance(l, YoloHead):

@@ -80,6 +80,16 @@ class Shortcut:
 
 
 @dataclasses.dataclass(frozen=True)
+class Sam:
+    # darknet [sam] (AlexeyAB sam_layer, yolov4-sam-* cfgs): spatial
+    # attention — elementwise MULTIPLY of this layer's input with an
+    # earlier layer's same-shape output (`from` index, darknet-relative),
+    # then activation (linear in the official cfgs).
+    frm: int
+    act: str = "linear"
+
+
+@dataclasses.dataclass(frozen=True)
 class Upsample:
     stride: int = 2
 
@@ -105,7 +115,8 @@ class YoloHead:
     new_coords: bool = False
 
 
-LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Upsample, YoloHead]
+LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam, Upsample,
+                  YoloHead]
 
 
 def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:

@@ -47,8 +47,8 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
             # yolov4 CSP: darknet slices EACH source into groups
             prev = sum(out_ch[resolve_route(idx, r)] // layer.groups
                        for r in layer.layers)
-        # Shortcut/Upsample/YoloHead (yolov3 family) preserve channels
-        # and carry no weights — prev flows through unchanged.
+        # Shortcut/Sam/Upsample/YoloHead (yolov3/v4 families) preserve
+        # channels and carry no weights — prev flows through unchanged.
         out_ch.append(prev)
     return conv_in
 

@@ -29,7 +29,7 @@ import numpy as np
 from jax import lax
 
 from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
-                                    Shortcut, Upsample, YoloHead,
+                                    Sam, Shortcut, Upsample, YoloHead,
                                     resolve_route)
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
@@ -201,6 +201,10 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
         elif isinstance(layer, Shortcut):
             x = _activate(x + outputs[resolve_route(idx, layer.frm)],
+                          layer.act)
+        elif isinstance(layer, Sam):
+            # darknet sam_layer: elementwise multiply (spatial attention)
+            x = _activate(x * outputs[resolve_route(idx, layer.frm)],
                           layer.act)
         elif isinstance(layer, Upsample):
             s = layer.stride

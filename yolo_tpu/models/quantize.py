@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
-                                    Shortcut, Upsample, resolve_route)
+                                    Sam, Shortcut, Upsample, resolve_route)
 from yolo_tpu.models import graph
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
@@ -98,6 +98,9 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             elif isinstance(layer, Shortcut):
                 x = graph._activate(
                     x + outputs[resolve_route(idx, layer.frm)], layer.act)
+            elif isinstance(layer, Sam):
+                x = graph._activate(
+                    x * outputs[resolve_route(idx, layer.frm)], layer.act)
             elif isinstance(layer, Upsample):
                 x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
                                layer.stride, axis=2)
@@ -147,7 +150,7 @@ def _chain_out_scales(layers: Sequence[LayerSpec],
         if isinstance(l, Route):
             for r in l.layers:
                 consumers[resolve_route(idx, r)].append(idx)
-        elif isinstance(l, Shortcut):
+        elif isinstance(l, (Shortcut, Sam)):
             consumers[resolve_route(idx, l.frm)].append(idx)
             consumers[idx - 1].append(idx)
         elif idx > 0:
