@@ -89,17 +89,20 @@ def _iou_variant_np(p, g, kind, eps=1e-9):
 
 
 def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
-                 net_size, cfg, scales=None):
+                 net_size, cfg, scales=None, new_coords=None):
     """Loop-level numpy oracle for the yolov3 multi-head loss
-    (train/loss.py::yolo_loss), incl. the yolov4 scale_x_y variant."""
+    (train/loss.py::yolo_loss), incl. the yolov4 scale_x_y variant and
+    the scaled-yolov4 new_coords heads (inputs already
+    logistic-activated; 0.5*MSE obj/class terms — see YoloLossConfig)."""
     anchors_px = np.asarray(anchors_px, dtype=np.float64)
     c = num_classes
     b = head_logits[0].shape[0]
     parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class")}
     scales = scales or [1.0] * len(masks)
+    new_coords = new_coords or [False] * len(masks)
 
-    for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
-                                                 scales)):
+    for h, (logits, mask, s_xy, nc) in enumerate(zip(head_logits, masks,
+                                                     scales, new_coords)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
@@ -113,12 +116,20 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                         v = t[bi, j, i, ai]
                         pw, ph = anchors_px[mask[ai]]
                         off = (s_xy - 1.0) / 2.0
-                        pbox = np.array([
-                            (sigmoid(v[0]) * s_xy - off + i) / s,
-                            (sigmoid(v[1]) * s_xy - off + j) / s,
-                            pw * np.exp(v[2]) / net_size,
-                            ph * np.exp(v[3]) / net_size,
-                        ])
+                        if nc:
+                            pbox = np.array([
+                                (v[0] * s_xy - off + i) / s,
+                                (v[1] * s_xy - off + j) / s,
+                                4.0 * v[2] * v[2] * pw / net_size,
+                                4.0 * v[3] * v[3] * ph / net_size,
+                            ])
+                        else:
+                            pbox = np.array([
+                                (sigmoid(v[0]) * s_xy - off + i) / s,
+                                (sigmoid(v[1]) * s_xy - off + j) / s,
+                                pw * np.exp(v[2]) / net_size,
+                                ph * np.exp(v[3]) / net_size,
+                            ])
                         assigned = targets[f"obj_mask_{h}"][bi, j, i, ai] > 0
                         best_iou = max((iou_xywh(pbox, g) for g in gt),
                                        default=0.0)
@@ -153,15 +164,21 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                             cn = getattr(cfg, "cls_normalizer", 1.0)
                             on = cn if onm is None else onm
                             cls_n = 1.0 if onm is None else cn
-                            parts["obj"] += on * _bce_np(v[4], 1.0)
+                            parts["obj"] += on * (
+                                0.5 * (1.0 - v[4]) ** 2 if nc
+                                else _bce_np(v[4], 1.0))
                             cls = targets[f"tcls_{h}"][bi, j, i, ai]
                             for k in range(c):
-                                parts["class"] += cls_n * _bce_np(
-                                    v[5 + k], 1.0 if k == cls else 0.0)
+                                tk = 1.0 if k == cls else 0.0
+                                parts["class"] += cls_n * (
+                                    0.5 * (v[5 + k] - tk) ** 2 if nc
+                                    else _bce_np(v[5 + k], tk))
                         elif best_iou < cfg.ignore_thresh:
                             onm = getattr(cfg, "obj_normalizer", None)
                             cn = getattr(cfg, "cls_normalizer", 1.0)
                             on = cn if onm is None else onm
-                            parts["noobj"] += on * _bce_np(v[4], 0.0)
+                            parts["noobj"] += on * (
+                                0.5 * v[4] ** 2 if nc
+                                else _bce_np(v[4], 0.0))
     parts = {k: v / b for k, v in parts.items()}
     return sum(parts.values()), parts

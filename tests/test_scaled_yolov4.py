@@ -1,13 +1,15 @@
 """Scaled-YOLOv4 support: [yolo] new_coords=1 decode, logistic/swish
-conv activations, cfg parse/round-trip, fused-head parity, and the
-loud training rejection.
+conv activations, cfg parse/round-trip, fused-head parity, and
+new_coords training (oracle-pinned loss; objectness_smooth and the
+mse box-loss combo reject loudly).
 
 Semantics pinned (AlexeyAB yolo_layer.c, get_yolo_box with new_coords):
 the head conv carries activation=logistic, so every head value arrives
 already sigmoided; decode uses the values directly for xy/conf/class
-and wh = (2v)^2 * anchor instead of exp. Inference/eval only — the
-scaled-yolov4 training deltas differ from the BCE-on-logits loss, so
-train_step rejects rather than silently diverging from darknet.
+and wh = (2v)^2 * anchor instead of exp. Training computes darknet's
+delta = (target - activation) as 0.5*MSE on the activations (the head
+conv's logistic backward supplies the derivative factor via autodiff)
+plus the iou-family box loss every scaled cfg uses.
 """
 
 import dataclasses
@@ -212,6 +214,21 @@ class TestScaledCfg:
         p.write_text(cfg_to_string(MICRO_SCALED))
         got = config_from_cfg(str(p))
         assert got.layers == MICRO_SCALED.layers
+
+    def test_objectness_smooth_parses_and_round_trips(self, tmp_path):
+        """[yolo] objectness_smooth=1 (scaled cfgs set it) parses —
+        inference ignores it like darknet's forward; training rejects
+        (TestScaledTraining) — and survives cfg round-trip."""
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "os.cfg"
+        p.write_text(SCALED_CFG.replace("new_coords=1",
+                                        "new_coords=1\nobjectness_smooth=1"))
+        got = config_from_cfg(str(p))
+        assert got.objectness_smooth
+        p.write_text(cfg_to_string(got))
+        assert config_from_cfg(str(p)).objectness_smooth
 
     def test_new_coords_requires_logistic_conv(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
@@ -434,14 +451,108 @@ class TestCompositeScaledCfg:
             assert set(d) == {"class", "score", "box_xyxy"}
 
 
-class TestTrainingRejected:
-    def test_train_step_raises(self):
-        from yolo_tpu.train.loop import TrainConfig, init_state, train_step
+SCALED_MASKS = [(2, 3), (0, 1)]
+SCALED_STRIDES = [8, 4]
 
-        cfg = MICRO_SCALED
+
+def _random_scene(rng, batch):
+    boxes, classes = [], []
+    for _ in range(batch):
+        g = int(rng.integers(1, 4))
+        b = np.stack([
+            rng.uniform(0.2, 0.8, g), rng.uniform(0.2, 0.8, g),
+            rng.uniform(0.08, 0.6, g), rng.uniform(0.08, 0.6, g),
+        ], axis=-1)
+        boxes.append(b)
+        classes.append(rng.integers(0, 4, g))
+    return boxes, classes
+
+
+class TestScaledTraining:
+    """new_coords=1 training (AlexeyAB yolo_layer.c with new_coords):
+    heads arrive logistic-activated, obj/class deltas are
+    (target - activation) i.e. 0.5*MSE here, box loss is the iou
+    family every scaled cfg uses — pinned against the loop oracle."""
+
+    def _heads(self, rng, batch):
+        return [npr.sigmoid(rng.normal(
+            size=(batch, 64 // st, 64 // st, 2 * 9))).astype(np.float32)
+            for st in SCALED_STRIDES]
+
+    def test_loss_matches_oracle(self):
+        from tests.loss_oracle import yolo_loss_np
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loss import YoloLossConfig, yolo_loss
+
+        rng = np.random.default_rng(3)
+        boxes, classes = _random_scene(rng, 2)
+        targets = tgt.encode_batch_for(MICRO_SCALED, boxes, classes)
+        heads = self._heads(rng, 2)
+        cfg = YoloLossConfig(iou_loss="ciou", iou_normalizer=0.07,
+                             cls_normalizer=0.5)
+        ncs = [True, True]
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            SCALED_ANCHORS, SCALED_MASKS, 4, 64, cfg,
+            scales=[2.0, 2.0], new_coords=ncs)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, SCALED_ANCHORS, SCALED_MASKS, 4, 64, cfg,
+            scales=[2.0, 2.0], new_coords=ncs)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-4,
+                                                    abs=1e-5), k
+        assert float(total) == pytest.approx(want_total, rel=1e-4)
+
+    def test_train_step_loss_decreases(self):
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+        from yolo_tpu.train.loss import YoloLossConfig
+
+        rng = np.random.default_rng(11)
+        tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                           yolo_loss=YoloLossConfig(iou_loss="ciou",
+                                                    iou_normalizer=0.07))
+        state = init_state(dw.random_params(MICRO_SCALED.layers, rng,
+                                            scale=0.1), tcfg)
+        step = make_train_step(MICRO_SCALED, tcfg)
+
+        boxes, classes = _random_scene(rng, 4)
+        batch = tgt.encode_batch_for(MICRO_SCALED, boxes, classes)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch["images"] = jnp.asarray(
+            rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+
+        losses = []
+        for _ in range(30):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8
+
+    def test_mse_box_loss_rejected(self):
+        """new_coords + iou_loss=mse (no official cfg): loud error."""
+        from yolo_tpu.train.loss import YoloLossConfig, yolo_loss
+
         rng = np.random.default_rng(1)
-        state = init_state(dw.random_params(cfg.layers, rng),
-                           TrainConfig())
+        heads = self._heads(rng, 1)
+        with pytest.raises(NotImplementedError, match="iou-family"):
+            yolo_loss([jnp.asarray(h) for h in heads], {},
+                      SCALED_ANCHORS, SCALED_MASKS, 4, 64,
+                      YoloLossConfig(iou_loss="mse"),
+                      scales=[2.0, 2.0], new_coords=[True, True])
+
+    def test_objectness_smooth_rejected(self):
+        from yolo_tpu.train.loop import TrainConfig, init_state, train_step
+        from yolo_tpu.train.loss import YoloLossConfig
+
+        cfg = dataclasses.replace(MICRO_SCALED, objectness_smooth=True)
+        tcfg = TrainConfig(yolo_loss=YoloLossConfig(iou_loss="ciou"))
+        rng = np.random.default_rng(1)
+        state = init_state(dw.random_params(cfg.layers, rng), tcfg)
         batch = {"images": jnp.zeros((1, 64, 64, 3), jnp.float32)}
-        with pytest.raises(NotImplementedError, match="new_coords"):
-            train_step(state, batch, mcfg=cfg, tcfg=TrainConfig())
+        with pytest.raises(NotImplementedError,
+                           match="objectness_smooth"):
+            train_step(state, batch, mcfg=cfg, tcfg=tcfg)

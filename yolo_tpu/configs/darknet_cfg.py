@@ -15,9 +15,13 @@ yolov2 family — plus the yolov3/yolov4 families: [shortcut] (from,
 activation), [sam] (from, activation — AlexeyAB spatial attention
 multiply), [upsample] (stride), [yolo] (mask, anchors in net-input
 pixels, classes, num, ignore_thresh, scale_x_y, and the scaled-yolov4
-new_coords=1 decode for inference/eval — training with new_coords
-heads is rejected loudly, as are focal_loss/truth_thresh). Anything
-else raises a clear error rather than silently mis-building the graph.
+new_coords=1 decode — new_coords training is supported with the
+iou-family losses the scaled cfgs use (train/loss.py); the keys whose
+darknet semantics we cannot pin are rejected loudly instead of
+silently training differently: focal_loss, truth_thresh != 1 at parse
+time, objectness_smooth at training time (inference ignores it, as
+darknet's forward does)). Anything else raises a clear error rather
+than silently mis-building the graph.
 """
 
 from __future__ import annotations
@@ -198,7 +202,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                         float(kv.get("cls_normalizer", 1.0)),
                         float(kv.get("iou_thresh", 1.0)),
                         (float(kv["obj_normalizer"])
-                         if "obj_normalizer" in kv else None))
+                         if "obj_normalizer" in kv else None),
+                        bool(int(kv.get("objectness_smooth", 0))))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
                                  "iou_loss/normalizer/iou_thresh set")
@@ -309,7 +314,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   iou_normalizer=loss_spec[1],
                                   cls_normalizer=loss_spec[2],
                                   assign_iou_thresh=loss_spec[3],
-                                  obj_normalizer=loss_spec[4])
+                                  obj_normalizer=loss_spec[4],
+                                  objectness_smooth=loss_spec[5])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     if nms_spec is not None:
@@ -473,6 +479,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.obj_normalizer is not None else "")
                        + (f"iou_thresh={cfg.assign_iou_thresh:g}\n"
                           if cfg.assign_iou_thresh != 1.0 else "")
+                       + ("objectness_smooth=1\n"
+                          if cfg.objectness_smooth else "")
                        + ("nms_kind=diounms\n"
                           if cfg.nms_kind == "diou" else "")
                        + (f"beta_nms={cfg.beta_nms:g}\n"

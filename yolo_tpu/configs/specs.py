@@ -111,7 +111,8 @@ class YoloHead:
     # activation=logistic, so the head input is already sigmoided
     # everywhere; decode becomes bx = (v*s - (s-1)/2 + cx)/W and
     # bw = 4*v^2*anchor/net (AlexeyAB yolo_layer.c get_yolo_box) with
-    # raw conf/class values. Inference/eval only — training rejects.
+    # raw conf/class values. Training uses 0.5*MSE deltas on the
+    # activations + an iou-family box loss (train/loss.py::yolo_loss).
     new_coords: bool = False
 
 
@@ -160,6 +161,12 @@ class ModelConfig:
     # AlexeyAB [yolo] iou_thresh: anchors above this wh-IoU with a
     # truth are ALSO assigned (1.0 = best-anchor-only, darknet default)
     assign_iou_thresh: float = 1.0
+    # AlexeyAB [yolo] objectness_smooth (scaled-yolov4 cfgs set 1):
+    # IoU-derived objectness targets with delta max-merging; parsed so
+    # cfgs round-trip and TRAINING can reject it loudly (no reference
+    # source to pin the semantics) — inference ignores it, as darknet's
+    # forward pass does
+    objectness_smooth: bool = False
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6

@@ -126,21 +126,25 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             bn_stats_fp32=tcfg.bn_stats_fp32)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
-            if any(hd.new_coords for hd in heads):
-                # scaled-yolov4 training deltas (yolo_layer.c with
-                # new_coords) differ from the BCE-on-logits math below;
-                # inference/eval support only — fail loudly rather than
-                # silently train non-darknet gradients
+            if mcfg.objectness_smooth:
+                # AlexeyAB objectness_smooth=1 replaces the sharp
+                # objectness target with an IoU-derived one via delta
+                # max-merging we have no reference source to pin —
+                # fail loudly rather than silently train different
+                # gradients (inference ignores the key, like darknet)
                 raise NotImplementedError(
-                    "[yolo] new_coords=1 (scaled-yolov4) training is "
-                    "not supported — inference/eval only")
+                    "[yolo] objectness_smooth=1 training is not "
+                    "supported — delete the key from the cfg to train "
+                    "with sharp objectness targets "
+                    "(objectness_smooth=0 darknet semantics)")
             total, parts = yolo_loss(
                 logits, batch, mcfg.anchors,
                 [hd.mask for hd in heads], mcfg.num_classes,
                 net_size, tcfg.yolo_loss,
                 scales=[hd.scale_xy for hd in heads],
                 max_deltas=[hd.max_delta for hd in heads],
-                smooth_eps=[hd.label_smooth_eps for hd in heads])
+                smooth_eps=[hd.label_smooth_eps for hd in heads],
+                new_coords=[hd.new_coords for hd in heads])
         else:
             total, parts = region_loss(
                 logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,

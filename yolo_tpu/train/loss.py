@@ -156,14 +156,35 @@ class YoloLossConfig:
     as a cfg that writes the key expects. All pinned cfgs use 1.0
     everywhere, so both conventions agree on them.
 
-    Known gradient deviation (documented, not darknet-exact): with
-    iou_loss="mse" AND scale_x_y != 1 the xy term is 0.5*MSE on the
-    scaled sigmoid, whose gradient to the logit carries a
-    sigmoid-derivative factor; darknet back-propagates
-    delta = (target - scaled_sigmoid) straight to the logit with no
-    sigmoid-derivative. No official cfg hits this combination (the v4
-    cfgs that set scale_x_y all use iou_loss=ciou), so we keep the
-    plain-autodiff form rather than a custom VJP."""
+    Scaled-yolov4 heads ([yolo] new_coords=1, selected per head via
+    yolo_loss's new_coords flags) receive ACTIVATED values — the head
+    conv applied logistic, and darknet's yolo layer computes
+    delta = (target - output) on those activations, which the conv's
+    backward then multiplies by the logistic derivative. Plain autodiff
+    reproduces that exactly when the obj/class terms are 0.5*MSE on the
+    activated outputs (dL/dp = p - target, then the graph's logistic
+    backward applies p(1-p)), so new_coords heads use 0.5*MSE where
+    classic heads use BCE-on-logits. Box regression must be an
+    iou-family loss (every scaled cfg uses ciou); new_coords +
+    iou_loss=mse is rejected (darknet's sqrt wh targets for that combo
+    are not encoded).
+
+    Known gradient deviations (documented, not darknet-exact):
+    * with iou_loss="mse" AND scale_x_y != 1 the xy term is 0.5*MSE on
+      the scaled sigmoid, whose gradient to the logit carries a
+      sigmoid-derivative factor; darknet back-propagates
+      delta = (target - scaled_sigmoid) straight to the logit with no
+      sigmoid-derivative. No official cfg hits this combination (the v4
+      cfgs that set scale_x_y all use iou_loss=ciou), so we keep the
+      plain-autodiff form rather than a custom VJP.
+    * iou-family box terms are the functional loss iou_normalizer *
+      (1 - IoU_kind) differentiated by autodiff through the decode, so
+      the box gradient carries the full chain rule (1/grid, scale_x_y,
+      and for new_coords the d(4v^2·anchor)/dv = 8v·anchor factor);
+      darknet's delta_yolo_box stores the raw dx_box_iou components,
+      omitting the grid/scale factors and (for new_coords, where the
+      chain multiply is commented out in yolo_layer.c) the 8v factor.
+      We keep the mathematically correct gradient of the stated loss."""
     ignore_thresh: float = 0.7
     iou_loss: str = "mse"  # "mse" (yolov3) | "iou"|"giou"|"diou"|"ciou"
     iou_normalizer: float = 1.0  # yolov4.cfg: 0.07
@@ -240,7 +261,7 @@ def _diag_iou_variant(p, g, kind: str, eps: float = 1e-9):
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
               masks, num_classes: int, net_size: int,
               cfg: YoloLossConfig, scales=None, max_deltas=None,
-              smooth_eps=None
+              smooth_eps=None, new_coords=None
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Multi-head yolov3 loss. head_logits: tuple of (B, S, S, A*(5+C))
     raw outputs (graph.apply_layers yolo-family return); targets from
@@ -253,6 +274,11 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     EXPLICIT per-head 0 disables the global — the None-sentinel
     semantics pinned by
     test_explicit_zero_max_delta_survives_round_trip).
+    new_coords: per-head scaled-yolov4 flags — such heads arrive
+    logistic-activated (graph applies the head conv's activation), so
+    obj/class terms become 0.5*MSE on the activations and the box term
+    decodes with the new_coords math; requires an iou-family iou_loss
+    (see the YoloLossConfig docstring).
 
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
@@ -266,9 +292,16 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     scales = scales or [1.0] * n_heads
     max_deltas = max_deltas or [None] * n_heads
     smooth_eps = smooth_eps or [None] * n_heads
+    new_coords = new_coords or [False] * n_heads
+    if any(new_coords) and cfg.iou_loss == "mse":
+        raise NotImplementedError(
+            "[yolo] new_coords=1 training requires an iou-family "
+            "iou_loss (iou/giou/diou/ciou — every scaled-yolov4 cfg "
+            "uses ciou); the mse combination's sqrt wh targets are "
+            "not encoded")
 
-    for h, (logits, mask, s_xy) in enumerate(zip(head_logits, masks,
-                                                 scales)):
+    for h, (logits, mask, s_xy, nc) in enumerate(zip(head_logits, masks,
+                                                     scales, new_coords)):
         _, s, _, _ = logits.shape
         a = len(mask)
         t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
@@ -292,7 +325,7 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         # decoded predicted boxes (normalized) for the ignore mask and
         # the IoU-family box losses — the same [yolo] math inference uses
         pred_boxes = decode_head_boxes(t_box, anchors_px, mask, s_xy,
-                                       net_size)
+                                       net_size, new_coords=nc)
         off = (s_xy - 1.0) / 2.0
 
         iou_all = _iou_xywh_pairwise(pred_boxes.reshape(b, -1, 4),
@@ -304,8 +337,16 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         # objectness: BCE(1) on assigned; BCE(0) unless ignored
         noobj_mask = ((1.0 - obj)
                       * (best_iou < cfg.ignore_thresh).astype(jnp.float32))
-        obj_bce = _bce(t[..., 4], 1.0)
-        noobj_bce = _bce(t[..., 4], 0.0)
+        if nc:
+            # new_coords head: t[..., 4] is the activated objectness p;
+            # darknet's delta is (target - p) on the activation, i.e.
+            # 0.5*MSE here (the head conv's logistic backward supplies
+            # the p(1-p) factor via autodiff — see YoloLossConfig)
+            obj_bce = 0.5 * (1.0 - t[..., 4]) ** 2
+            noobj_bce = 0.5 * jnp.square(t[..., 4])
+        else:
+            obj_bce = _bce(t[..., 4], 1.0)
+            noobj_bce = _bce(t[..., 4], 0.0)
         # classic AlexeyAB: cls_normalizer scales objectness; modern
         # (cfg sets obj_normalizer): obj_normalizer scales objectness
         # and cls_normalizer moves to the class BCE below
@@ -344,8 +385,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                else cfg.label_smooth_eps)
         if eps:
             onehot = onehot * (1.0 - eps) + 0.5 * eps
+        cls_elem = (0.5 * jnp.square(t[..., 5:] - onehot) if nc
+                    else _bce(t[..., 5:], onehot))
         parts["class"] = parts["class"] + cls_n * jnp.sum(
-            obj[..., None] * _bce(t[..., 5:], onehot)) / b
+            obj[..., None] * cls_elem) / b
 
     total = sum(parts.values())
     return total, parts
