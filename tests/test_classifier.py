@@ -1,0 +1,416 @@
+"""Darknet classifier family: [avgpool]/[connected]/[dropout]/[softmax]
+parse + IR + weights IO + forward parity + CLI classify, and the
+classifier->detector pretrained-backbone workflow (darknet19/darknet53
+are the sources of the official .conv.NN init files).
+
+Semantics pinned: [avgpool] is darknet's GLOBAL average pool
+(avgpool_layer.c); [connected] stores biases then (out, in) row-major
+weights (parser.c save_connected_weights) and flattens its input in
+CHW order; [softmax] groups=1 over the flattened features; [cost] is a
+loss marker with no forward effect; classifier preprocess is
+resize_min (min side -> net, INTEGER arithmetic) + center crop
+(classifier.c predict_classifier).
+"""
+
+import io
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+                                    MaxPool, ModelConfig, SoftmaxHead)
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.io import zoo
+from yolo_tpu.models import graph
+
+MICRO_CLS = ModelConfig(
+    name="micro-cls",
+    layers=(Conv(8), MaxPool(2, 2),
+            Conv(16), MaxPool(2, 2),
+            Conv(32),
+            Conv(12, size=1, bn=False, act="linear"),
+            AvgPool(),
+            Dropout(0.5),
+            Connected(6, act="linear"),
+            SoftmaxHead()),
+    anchors=(), class_names=tuple("abcdef"), input_size=32)
+
+MICRO_CLS_CFG = """
+[net]
+width=32
+height=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=12
+size=1
+stride=1
+activation=linear
+
+[avgpool]
+
+[dropout]
+probability=0.5
+
+[connected]
+output=6
+activation=linear
+
+[softmax]
+groups=1
+
+[cost]
+type=sse
+"""
+
+
+@pytest.mark.quick
+class TestClassifierCfg:
+    def test_parse(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "cls.cfg"
+        p.write_text(MICRO_CLS_CFG)
+        got = config_from_cfg(str(p))
+        assert got.layers == MICRO_CLS.layers
+        assert got.head_kind == "softmax"
+        assert got.num_classes == 6
+        assert got.anchors == ()
+
+    def test_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "rt.cfg"
+        p.write_text(cfg_to_string(MICRO_CLS))
+        got = config_from_cfg(str(p))
+        assert got.layers == MICRO_CLS.layers
+        assert got.head_kind == "softmax"
+
+    def test_connected_requires_avgpool(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(MICRO_CLS_CFG.replace("[avgpool]\n", ""))
+        with pytest.raises(ValueError, match="avgpool"):
+            config_from_cfg(str(p))
+
+    def test_connected_bn_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(MICRO_CLS_CFG.replace(
+            "[connected]\noutput=6", "[connected]\nbatch_normalize=1\n"
+            "output=6"))
+        with pytest.raises(ValueError, match="batch_normalize"):
+            config_from_cfg(str(p))
+
+    def test_grouped_softmax_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(MICRO_CLS_CFG.replace("groups=1", "groups=4"))
+        with pytest.raises(ValueError, match="groups"):
+            config_from_cfg(str(p))
+
+    def test_softmax_must_be_last(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(MICRO_CLS_CFG.replace(
+            "[softmax]\ngroups=1\n", "[softmax]\ngroups=1\n\n[avgpool]\n"))
+        with pytest.raises(ValueError, match="final layer"):
+            config_from_cfg(str(p))
+
+
+@pytest.mark.quick
+class TestConnectedWeightsIO:
+    def test_round_trip_bytes(self):
+        rng = np.random.default_rng(3)
+        params = dw.random_params(MICRO_CLS.layers, rng)
+        blob = dw.to_bytes(MICRO_CLS.layers, params)
+        assert len(blob) == zoo.expected_weights_bytes(MICRO_CLS.layers)
+        got, header = dw.load(io.BytesIO(blob), MICRO_CLS.layers)
+        for a, b in zip(params, got):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_connected_file_layout(self):
+        """Byte-level pin of save_connected_weights order: biases[out]
+        then (out, in) row-major weights."""
+        layers = (Conv(2, size=1, bn=False, act="linear"), AvgPool(),
+                  Connected(3), SoftmaxHead())
+        kernel = np.arange(6, dtype=np.float32).reshape(2, 3)  # (in=2, out=3)
+        params = [
+            {"kernel": np.zeros((1, 1, 3, 2), np.float32),
+             "bias": np.zeros(2, np.float32)},
+            {"kernel": kernel, "bias": np.array([9., 8., 7.], np.float32)},
+        ]
+        blob = dw.to_bytes(layers, params)
+        floats = np.frombuffer(blob[20:], np.float32)
+        conn = floats[2 + 6:]  # skip conv bias(2) + conv kernel(6)
+        np.testing.assert_array_equal(conn[:3], [9., 8., 7.])
+        # row-major (out, in): out0 row first = kernel[:, 0]
+        np.testing.assert_array_equal(conn[3:], kernel.T.reshape(-1))
+
+    def test_truncated_mid_connected_raises(self):
+        rng = np.random.default_rng(3)
+        params = dw.random_params(MICRO_CLS.layers, rng)
+        blob = dw.to_bytes(MICRO_CLS.layers, params)
+        with pytest.raises(ValueError, match="connected"):
+            dw.load_partial(io.BytesIO(blob[:-8]), MICRO_CLS.layers)
+
+
+class TestClassifierForward:
+    def test_tf_oracle_parity(self):
+        from tests.tf_oracle import run_layers
+
+        rng = np.random.default_rng(7)
+        params = dw.random_params(MICRO_CLS.layers, rng)
+        x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(graph.apply_layers(
+            MICRO_CLS.layers, graph.params_to_jax(params), x,
+            eps=MICRO_CLS.bn_eps))
+        want = run_layers(MICRO_CLS.layers, params, x, eps=MICRO_CLS.bn_eps)
+        assert got.shape == (2, 6)
+        np.testing.assert_allclose(got.sum(axis=-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_make_classifier_and_topk(self):
+        from yolo_tpu.models.classify import make_classifier, top_k
+
+        rng = np.random.default_rng(7)
+        params = graph.params_to_jax(graph.fold_params(
+            MICRO_CLS.layers, dw.random_params(MICRO_CLS.layers, rng),
+            MICRO_CLS.bn_eps))
+        run = make_classifier(MICRO_CLS)
+        probs = np.asarray(run(params, rng.uniform(0, 1, (1, 32, 32, 3))))
+        ranked = top_k(probs[0], MICRO_CLS.class_names, k=3)
+        assert len(ranked) == 3
+        assert ranked[0][1] >= ranked[1][1] >= ranked[2][1]
+        assert ranked[0][0] in MICRO_CLS.class_names
+
+    def test_make_classifier_rejects_detector(self):
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.models.classify import make_classifier
+
+        with pytest.raises(ValueError, match="not a classifier"):
+            make_classifier(get_variant("tiny-voc"))
+
+
+@pytest.mark.quick
+class TestClassifierPreprocess:
+    def test_resize_min_center_crop(self):
+        from yolo_tpu.models.classify import classifier_preprocess
+
+        img = np.zeros((60, 100, 3), np.uint8)
+        img[:, 48:52] = 255  # vertical stripe at the horizontal center
+        out = classifier_preprocess(img, 32)
+        assert out.shape == (32, 32, 3)
+        # min side 60 -> 32: new size (w*32//60=53, 32); center crop
+        # keeps the stripe centered
+        assert out[:, 15:17].mean() > 0.5
+        assert out[:, :4].max() == 0.0
+
+    def test_darknet_integer_resize_arithmetic(self):
+        """darknet resize_min uses integer division: 100x60 at net 32
+        -> (100*32)//60 = 53 wide, not round(53.33)."""
+        from unittest import mock
+
+        from yolo_tpu.models import classify
+
+        img = np.zeros((60, 100, 3), np.uint8)
+        with mock.patch("cv2.resize", wraps=__import__("cv2").resize
+                        ) as spy:
+            classify.classifier_preprocess(img, 32)
+        (_, size), kwargs = spy.call_args[0][:2], spy.call_args[1]
+        assert size == (53, 32)
+
+
+class TestClassifierVariants:
+    def test_byte_pins(self):
+        """Full classifier sizes derive from the already-pinned partial
+        byte counts + the 1000-way head (the backbone prefixes are the
+        SAME conv lists the detectors fine-tune from)."""
+        from yolo_tpu.configs.variants import (DARKNET19, DARKNET19_448,
+                                               DARKNET53)
+
+        head_1000 = 4 * (1000 + 1000 * 1024)  # conv1000/connected-1000
+        assert zoo.expected_weights_bytes(DARKNET19.layers) == \
+            79327124 + head_1000 == 83427124  # darknet19_448.conv.23 pin
+        assert zoo.expected_weights_bytes(DARKNET19_448.layers) == 83427124
+        assert zoo.expected_weights_bytes(DARKNET53.layers) == \
+            162482580 + head_1000 == 166582580  # darknet53.conv.74 pin
+
+    def test_darknet19_backbone_is_yolov2_trunk(self):
+        """The first 18 convs of the darknet19 classifier equal
+        yolov2's backbone convs — the property that makes `partial`
+        extraction feed detector fine-tuning."""
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.configs.specs import conv_specs
+
+        d19 = conv_specs(get_variant("darknet19").layers)[:18]
+        v2 = conv_specs(get_variant("coco").layers)[:18]
+        assert d19 == v2
+
+    def test_darknet53_backbone_is_yolov3_trunk(self):
+        from yolo_tpu.configs import get_variant
+        from yolo_tpu.configs.specs import conv_specs
+
+        d53 = conv_specs(get_variant("darknet53").layers)[:52]
+        v3 = conv_specs(get_variant("yolov3").layers)[:52]
+        assert d53 == v3
+
+    def test_classifier_partial_initializes_detector(self, tmp_path):
+        """End-to-end classifier->detector transfer on micro models:
+        save a classifier's weights, cut the backbone at the darknet
+        layer boundary, load_partial into a detector sharing the trunk."""
+        rng = np.random.default_rng(5)
+        cls_params = dw.random_params(MICRO_CLS.layers, rng)
+        wpath = tmp_path / "cls.weights"
+        # cut after the 3 shared trunk convs (darknet layer index 5)
+        dw.save(str(wpath), MICRO_CLS.layers, cls_params, cutoff_convs=3)
+
+        det = ModelConfig(
+            name="micro-det",
+            layers=(Conv(8), MaxPool(2, 2),
+                    Conv(16), MaxPool(2, 2),
+                    Conv(32), MaxPool(2, 2),
+                    Conv(64), MaxPool(2, 2), Conv(64), MaxPool(2, 2),
+                    Conv(5 * 7, size=1, bn=False, act="linear")),
+            anchors=((1., 1.),), class_names=("a", "b"), input_size=32)
+        got, header, n = dw.load_partial(str(wpath), det.layers)
+        assert n == 3
+        for a, b in zip(cls_params[:3], got):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+class TestClassifierCli:
+    def _write_model(self, tmp_path):
+        from yolo_tpu import cli  # noqa: F401  (import cost up front)
+
+        cfg_path = tmp_path / "cls.cfg"
+        cfg_path.write_text(MICRO_CLS_CFG)
+        names = tmp_path / "cls.names"
+        names.write_text("".join(f"{c}\n" for c in MICRO_CLS.class_names))
+        self.names_path = str(names)
+        rng = np.random.default_rng(2)
+        wpath = tmp_path / "cls.weights"
+        dw.save(str(wpath), MICRO_CLS.layers,
+                dw.random_params(MICRO_CLS.layers, rng, scale=0.05))
+        import cv2
+
+        img = tmp_path / "img.png"
+        cv2.imwrite(str(img), rng.integers(0, 255, (48, 64, 3),
+                                           dtype=np.uint8))
+        return str(cfg_path), str(wpath), str(img)
+
+    def test_classify_e2e(self, tmp_path, capsys):
+        from yolo_tpu import cli
+
+        cfg_path, wpath, img = self._write_model(tmp_path)
+        cli.main(["classify", "--cfg", cfg_path, "--names",
+                  self.names_path, "--weights", wpath,
+                  "--image", img, "--top", "3", "--precision", "fp32"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 3
+        rows = [json.loads(l) for l in lines]
+        assert all(set(r) == {"class", "prob"} for r in rows)
+        probs = [r["prob"] for r in rows]
+        assert probs == sorted(probs, reverse=True)
+        assert all(r["class"] in MICRO_CLS.class_names for r in rows)
+
+    def test_detection_commands_reject_classifier(self, tmp_path):
+        from yolo_tpu import cli
+
+        cfg_path, wpath, img = self._write_model(tmp_path)
+        with pytest.raises(SystemExit, match="classifier"):
+            cli.main(["predict", "--cfg", cfg_path, "--weights", wpath,
+                      "--image", img])
+
+    def test_classify_rejects_detector(self, tmp_path):
+        from yolo_tpu import cli
+
+        with pytest.raises(SystemExit, match="not a classifier"):
+            cli.main(["classify", "--model", "tiny-voc",
+                      "--weights", "x.weights", "--image", "y.png"])
+
+    def test_classify_rejects_int8(self, tmp_path):
+        from yolo_tpu import cli
+
+        cfg_path, wpath, img = self._write_model(tmp_path)
+        with pytest.raises(SystemExit, match="int8"):
+            cli.main(["classify", "--cfg", cfg_path, "--weights", wpath,
+                      "--image", img, "--precision", "int8"])
+
+
+def test_api_load_rejects_classifier(tmp_path):
+    import yolo_tpu
+
+    rng = np.random.default_rng(2)
+    wpath = tmp_path / "cls.weights"
+    dw.save(str(wpath), MICRO_CLS.layers,
+            dw.random_params(MICRO_CLS.layers, rng))
+    cfg_path = tmp_path / "cls.cfg"
+    cfg_path.write_text(MICRO_CLS_CFG)
+    with pytest.raises(ValueError, match="classifier"):
+        yolo_tpu.load(str(wpath), cfg=str(cfg_path))
+
+
+class TestClassifierTrainingRejected:
+    def test_train_step_raises(self):
+        from yolo_tpu.train.loop import TrainConfig, init_state, train_step
+
+        rng = np.random.default_rng(1)
+        tcfg = TrainConfig()
+        state = init_state(dw.random_params(MICRO_CLS.layers, rng), tcfg)
+        batch = {"images": jnp.zeros((1, 32, 32, 3), jnp.float32)}
+        with pytest.raises(NotImplementedError, match="classifier"):
+            train_step(state, batch, mcfg=MICRO_CLS, tcfg=tcfg)
+
+    def test_int8_calibrate_rejects_classifier(self):
+        from yolo_tpu.models import quantize
+
+        rng = np.random.default_rng(1)
+        folded = graph.fold_params(
+            MICRO_CLS.layers, dw.random_params(MICRO_CLS.layers, rng),
+            MICRO_CLS.bn_eps)
+        with pytest.raises(NotImplementedError, match="classifier"):
+            quantize.calibrate(MICRO_CLS.layers, folded,
+                               np.zeros((1, 32, 32, 3), np.float32))

@@ -26,7 +26,8 @@ class TestExpectedBytes:
                                  "yolov2-tiny", "darknet19-448-conv23",
                                  "yolov3", "yolov3-spp", "yolov3-tiny",
                                  "darknet53-conv74",
-                                 "yolov4", "yolov4-tiny", "yolov4-conv137"}
+                                 "yolov4", "yolov4-tiny", "yolov4-conv137",
+                                 "darknet19", "darknet19-448", "darknet53"}
         for name, e in manifest.items():
             layers = get_variant(e["variant"]).layers
             if e.get("cutoff_layers"):
@@ -182,7 +183,13 @@ def test_infer_variant_all_pinned_sizes(tmp_path):
         p = tmp_path / f"{name}.weights"
         with open(p, "wb") as f:
             f.truncate(zoo.expected_weights_bytes(cfg.layers))
-        assert zoo.infer_variant(str(p)) == name, name
+        got = zoo.infer_variant(str(p))
+        # topology-identical variants at different net sizes
+        # (darknet19 vs darknet19-448) are size-indistinguishable:
+        # accept any variant with the same byte count
+        assert got is not None and (
+            zoo.expected_weights_bytes(VARIANTS[got].layers)
+            == zoo.expected_weights_bytes(cfg.layers)), name
 
 
 @pytest.mark.slow

@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.configs.specs import (Conv, MaxPool, Reorg, Route, Sam,
-                                    Shortcut, Upsample, YoloHead,
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+                                    MaxPool, Reorg, Route, Sam, Shortcut,
+                                    SoftmaxHead, Upsample, YoloHead,
                                     resolve_route)
 
 
@@ -105,6 +106,25 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             b, h, w, c = x.shape
             x = tf.image.resize(x, [int(h) * s, int(w) * s],
                                 method="nearest")
+        elif isinstance(layer, AvgPool):
+            x = tf.reduce_mean(x, axis=[1, 2], keepdims=True)
+        elif isinstance(layer, Connected):
+            p = params[conv_i]
+            conv_i += 1
+            b = x.shape[0]
+            # darknet flattens CHW-order
+            xf = tf.reshape(tf.transpose(x, [0, 3, 1, 2]), [b, -1])
+            y = tf.matmul(xf, p["kernel"].astype(np.float32))
+            y = tf.nn.bias_add(y, p["bias"])
+            if layer.act == "leaky":
+                y = tf.nn.leaky_relu(y, alpha=0.1)
+            elif layer.act == "logistic":
+                y = tf.math.sigmoid(y)
+            x = tf.reshape(y, [b, 1, 1, -1])
+        elif isinstance(layer, Dropout):
+            pass  # inference identity
+        elif isinstance(layer, SoftmaxHead):
+            x = tf.nn.softmax(tf.reshape(x, [x.shape[0], -1]), axis=-1)
         elif isinstance(layer, YoloHead):
             heads.append(x)  # head logits = the [yolo] layer's input
         outputs.append(x)

@@ -96,6 +96,11 @@ def _finish_load(weights_path, cfg, precision, conf_threshold,
     from yolo_tpu.models import graph
     from yolo_tpu.models.predict import make_detector
 
+    if cfg.head_kind == "softmax":
+        raise ValueError(
+            f"{cfg.name} is a classifier — yolo_tpu.load builds "
+            f"detectors; use yolo_tpu.models.classify.make_classifier "
+            f"or `cli classify` for top-k labels")
     if os.path.isdir(weights_path):
         from yolo_tpu.io import checkpoint as ckpt
 

@@ -25,10 +25,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="tiny-voc",
                    choices=["tiny-voc", "voc", "coco", "tiny-coco",
                             "yolov3", "yolov3-spp", "yolov3-tiny",
-                            "yolov4", "yolov4-tiny"])
+                            "yolov4", "yolov4-tiny", "darknet19",
+                            "darknet19-448", "darknet53"])
     p.add_argument("--cfg", default=None,
                    help="darknet .cfg file (overrides --model; any "
-                        "yolov2/v3/v4-family topology)")
+                        "yolov2/v3/v4-family or classifier topology)")
     p.add_argument("--names", default=None,
                    help="darknet .names file (class names for --cfg)")
     p.add_argument("--input-size", type=int, default=None,
@@ -163,6 +164,37 @@ def _get_cfg(args):
     return cfg
 
 
+def _require_detection(cfg, cmd: str) -> None:
+    if cfg.head_kind == "softmax":
+        raise SystemExit(
+            f"{cfg.name} is a classifier (softmax head) — `{cmd}` needs "
+            f"a detection model; use `classify` for top-k labels or "
+            f"`partial` to extract its backbone for detector training")
+
+
+def cmd_classify(args) -> None:
+    """Darknet classifier predict (classifier.c predict_classifier):
+    min-side resize + center crop, forward, top-k labels as JSON."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.models.classify import (classifier_preprocess,
+                                          make_classifier, top_k)
+
+    cfg = _get_cfg(args)
+    if cfg.head_kind != "softmax":
+        raise SystemExit(f"{cfg.name} is not a classifier "
+                         f"(head_kind={cfg.head_kind}) — use `predict`")
+    if args.precision == "int8":
+        raise SystemExit("int8 supports the detection families only — "
+                         "use fp32/bf16 for classifiers")
+    params = _load_params(args, cfg)
+    run = make_classifier(cfg, compute_dtype=_compute_dtype(args.precision))
+    img = load_image_rgb(args.image)
+    x = classifier_preprocess(img, cfg.input_size)
+    probs = np.asarray(run(params, x[None]))[0]
+    for name, p in top_k(probs, cfg.class_names, k=args.top):
+        print(json.dumps({"class": name, "prob": round(p, 6)}))
+
+
 def cmd_predict(args) -> None:
     """Single-image detection (reference 'predict' mode, SURVEY.md §3.1)."""
     import jax.numpy as jnp
@@ -173,6 +205,7 @@ def cmd_predict(args) -> None:
     from yolo_tpu.utils.viz import draw_detections, save_image
 
     cfg = _get_cfg(args)
+    _require_detection(cfg, "predict")
     params = _load_params(args, cfg)
     img = load_image_rgb(args.image)
     params = _maybe_quantize(args, cfg, params, [img])
@@ -207,6 +240,7 @@ def cmd_detect(args) -> None:
     from yolo_tpu.models.predict import make_detector
 
     cfg = _get_cfg(args)
+    _require_detection(cfg, "detect")
     params = _load_params(args, cfg)
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
                         resize=args.resize)
@@ -364,6 +398,7 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
+    _require_detection(cfg, "train")
     if args.resize == "stretch":
         # AlexeyAB's letter_box=0 default TRAINING geometry: plain
         # resize, normalized boxes unchanged; validation (quick_map)
@@ -669,6 +704,7 @@ def cmd_eval(args) -> None:
     from yolo_tpu.eval.voc_map import evaluate
 
     cfg = _get_cfg(args)
+    _require_detection(cfg, "eval")
     if not args.from_detections and not args.weights:
         raise SystemExit("--weights is required (or score a saved "
                          "results file with --from-detections)")
@@ -804,17 +840,16 @@ def cmd_partial(args) -> None:
     """darknet `partial`: write the first N layers' weights (backbone
     extraction for transfer learning, e.g. producing a
     darknet19_448.conv.23-style file)."""
-    from yolo_tpu.configs.specs import Conv
+    from yolo_tpu.configs.specs import weighted_specs
     from yolo_tpu.io import darknet_weights as dw
 
     cfg = _get_cfg(args)
     params, header, n_loaded = dw.load_partial(
         _resolve_weights(args.weights), cfg.layers)
-    n_convs = sum(1 for l in cfg.layers[:args.layers]
-                  if isinstance(l, Conv))
+    n_convs = len(weighted_specs(tuple(cfg.layers[:args.layers])))
     if n_convs > n_loaded:
-        raise SystemExit(f"cutoff needs {n_convs} conv layers; the file "
-                         f"has {n_loaded}")
+        raise SystemExit(f"cutoff needs {n_convs} weighted layers; the "
+                         f"file has {n_loaded}")
     # darknet's partial resets net->seen to 0 before saving
     dw.save(args.output, cfg.layers, params, seen=0,
             cutoff_convs=n_convs)
@@ -875,6 +910,7 @@ def cmd_serve(args) -> None:
     from yolo_tpu.serve import DetectionServer
 
     cfg = _get_cfg(args)
+    _require_detection(cfg, "serve")
     params = _load_params(args, cfg)
     if args.precision == "int8":
         if not args.calibration_image:
@@ -957,6 +993,15 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--image", required=True)
     p.add_argument("--output", default=None, help="write annotated image")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("classify",
+                       help="classifier top-k prediction (darknet19/53)")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--top", type=int, default=5,
+                   help="print the top-k classes (default 5)")
+    p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("detect",
                        help="batched detection over a directory or video")

@@ -20,20 +20,31 @@ iou-family losses the scaled cfgs use (train/loss.py); the keys whose
 darknet semantics we cannot pin are rejected loudly instead of
 silently training differently: focal_loss, truth_thresh != 1 at parse
 time, objectness_smooth at training time (inference ignores it, as
-darknet's forward does)). Anything else raises a clear error rather
-than silently mis-building the graph.
+darknet's forward does)).
+
+Classifier cfgs (darknet19/darknet53 — the pretrained-backbone
+sources): [avgpool] (global), [connected] (output, activation; no BN),
+[dropout] (probability; inference identity), [softmax] (groups=1,
+final layer), [cost] (loss marker, ignored). These produce
+head_kind="softmax" models served by `cli classify`; detection
+commands and train_step reject them loudly.
+
+Anything else raises a clear error rather than silently mis-building
+the graph.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from yolo_tpu.configs.specs import (Conv, MaxPool, ModelConfig, Reorg,
-                                    Route, Sam, Shortcut, Upsample,
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+                                    MaxPool, ModelConfig, Reorg, Route,
+                                    Sam, Shortcut, SoftmaxHead, Upsample,
                                     YoloHead)
 
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
-              "region", "shortcut", "sam", "upsample", "yolo"}
+              "region", "shortcut", "sam", "upsample", "yolo",
+              "avgpool", "connected", "dropout", "softmax", "cost"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -153,6 +164,37 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(Sam(int(kv["from"]), act=act))
         elif kind == "upsample":
             layers.append(Upsample(int(kv.get("stride", 2))))
+        elif kind == "avgpool":
+            layers.append(AvgPool())
+        elif kind == "connected":
+            if int(kv.get("batch_normalize", 0)):
+                raise ValueError(
+                    "[connected] batch_normalize=1 is not supported (no "
+                    "official classifier cfg uses it; its weights-file "
+                    "order also differs from conv)")
+            act = kv.get("activation", "logistic")
+            if act not in ("leaky", "linear", "logistic"):
+                raise ValueError(
+                    f"unsupported connected activation '{act}'")
+            if not any(isinstance(l, (AvgPool, Connected))
+                       for l in layers):
+                raise ValueError(
+                    "[connected] is only supported after [avgpool] "
+                    "(1x1 spatial input — darknet classifier cfgs); "
+                    "a spatial dense layer's input size depends on the "
+                    "net size, which this IR does not encode")
+            layers.append(Connected(int(kv["output"]), act=act))
+        elif kind == "dropout":
+            layers.append(Dropout(float(kv.get("probability", 0.5))))
+        elif kind == "softmax":
+            if int(kv.get("groups", 1)) != 1:
+                raise ValueError("[softmax] groups != 1 (grouped "
+                                 "softmax) is not supported")
+            layers.append(SoftmaxHead())
+        elif kind == "cost":
+            # training-loss marker (classifier cfgs end with it);
+            # no forward effect — parsed and dropped
+            pass
         elif kind == "yolo":
             # semantically-meaningful keys we do NOT implement must
             # fail loudly, not silently train differently from darknet
@@ -235,8 +277,35 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
 
     if not layers:
         raise ValueError(f"{cfg_path}: no layers found")
+    softmax_heads = [i for i, l in enumerate(layers)
+                     if isinstance(l, SoftmaxHead)]
+    if softmax_heads and (saw_region or num_classes is not None):
+        raise ValueError(f"{cfg_path}: [softmax] (classifier) cannot be "
+                         f"mixed with [region]/[yolo] detection heads")
+    if softmax_heads:
+        if len(softmax_heads) > 1 or softmax_heads[0] != len(layers) - 1:
+            raise ValueError(f"{cfg_path}: exactly one [softmax] as the "
+                             f"final layer is supported")
+        # classifier num_classes = features into the softmax: walk back
+        # over the channel-preserving tail to the last weighted layer
+        for l in reversed(layers[:-1]):
+            if isinstance(l, Conv):
+                num_classes = l.filters
+                break
+            if isinstance(l, Connected):
+                num_classes = l.out
+                break
+            if not isinstance(l, (AvgPool, Dropout)):
+                raise ValueError(
+                    f"{cfg_path}: [softmax] must follow a conv/connected "
+                    f"output (optionally through avgpool/dropout), "
+                    f"found {type(l).__name__}")
+        else:
+            raise ValueError(f"{cfg_path}: no weighted layer before "
+                             f"[softmax]")
     if num_classes is None:
-        raise ValueError(f"{cfg_path}: no [region] or [yolo] section")
+        raise ValueError(f"{cfg_path}: no [region], [yolo], or "
+                         f"[softmax] section")
 
     _validate_refs(layers)
     yolo_heads = [(i, l) for i, l in enumerate(layers)
@@ -277,6 +346,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"[yolo] new_coords=1 would double-sigmoid the "
                     f"decode — set new_coords=1 or activation=linear")
         _validate_strides(layers, input_size)
+    elif softmax_heads:
+        pass  # classifier: no anchors/grid contract to validate
     else:
         expected_out = len(anchors) * (5 + num_classes)
         last = layers[-1]
@@ -459,6 +530,15 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[sam]\nfrom={l.frm}\nactivation={l.act}\n")
         elif isinstance(l, Upsample):
             out.append(f"[upsample]\nstride={l.stride}\n")
+        elif isinstance(l, AvgPool):
+            out.append("[avgpool]\n")
+        elif isinstance(l, Connected):
+            out.append(f"[connected]\noutput={l.out}\n"
+                       f"activation={l.act}\n")
+        elif isinstance(l, Dropout):
+            out.append(f"[dropout]\nprobability={l.prob:g}\n")
+        elif isinstance(l, SoftmaxHead):
+            out.append("[softmax]\ngroups=1\n")
         elif isinstance(l, YoloHead):
             out.append("[yolo]\nmask = "
                        + ",".join(str(m) for m in l.mask) + "\n"

@@ -95,6 +95,46 @@ class Upsample:
 
 
 @dataclasses.dataclass(frozen=True)
+class AvgPool:
+    """darknet [avgpool]: GLOBAL average pool (avgpool_layer.c squashes
+    the full H x W extent to 1 x 1 per channel, no size/stride keys).
+    The executor keeps the output 4D (B, 1, 1, C) so 1x1 convs and
+    channel-broadcast layers downstream work unchanged."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Connected:
+    """darknet [connected]: dense layer (classifier cfgs — darknet53's
+    1000-way output). Weights file layout (parser.c
+    save_connected_weights): biases[out], then weights[out*in] row-major
+    (out, in) — NOTE the order differs from conv, whose BN terms precede
+    the kernel; BN connected layers would store scales/mean/var AFTER
+    the weights, and no official classifier cfg uses them, so
+    batch_normalize=1 on [connected] is rejected at parse time.
+    darknet flattens the input in CHW order; the executor reproduces
+    that (irrelevant after the 1x1-spatial [avgpool] the parser
+    enforces, but kept exact)."""
+    out: int
+    act: str = "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class Dropout:
+    """darknet [dropout]: identity at inference (darknet's test-mode
+    forward). Training classifier models is rejected loudly by
+    train_step, so the drop path is never silently skipped."""
+    prob: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftmaxHead:
+    """darknet [softmax] (groups=1): marks the model as a CLASSIFIER;
+    the executor applies softmax over the flattened input and returns
+    (B, num_classes) probabilities. A trailing [cost] section in the
+    cfg is parsed and ignored (loss marker, no forward effect)."""
+
+
+@dataclasses.dataclass(frozen=True)
 class YoloHead:
     # Indices into ModelConfig.anchors for this head's anchor subset.
     mask: Tuple[int, ...]
@@ -117,12 +157,20 @@ class YoloHead:
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam, Upsample,
-                  YoloHead]
+                  AvgPool, Connected, Dropout, SoftmaxHead, YoloHead]
 
 
 def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
     """Conv layers in darknet file order (the weights-file walk order)."""
     return tuple(l for l in layers if isinstance(l, Conv))
+
+
+def weighted_specs(layers: Tuple[LayerSpec, ...]
+                   ) -> Tuple[Union[Conv, Connected], ...]:
+    """Weight-carrying layers (Conv + Connected) in darknet file order —
+    the .weights walk order AND the params-list order consumed by
+    models/graph.apply_layers."""
+    return tuple(l for l in layers if isinstance(l, (Conv, Connected)))
 
 
 def resolve_route(idx: int, rel: int) -> int:
@@ -190,11 +238,16 @@ class ModelConfig:
 
     @property
     def head_kind(self) -> str:
-        """"region" (yolov2 [region], softmax classes, cell-unit anchors)
-        or "yolo" (yolov3 [yolo] multi-head, sigmoid classes, pixel-unit
-        anchors) — derived from the layer list."""
-        return ("yolo" if any(isinstance(l, YoloHead) for l in self.layers)
-                else "region")
+        """"region" (yolov2 [region], softmax classes, cell-unit anchors),
+        "yolo" (yolov3 [yolo] multi-head, sigmoid classes, pixel-unit
+        anchors), or "softmax" (darknet classifier: [softmax] over a
+        global-pooled trunk, anchors empty) — derived from the layer
+        list."""
+        if any(isinstance(l, YoloHead) for l in self.layers):
+            return "yolo"
+        if any(isinstance(l, SoftmaxHead) for l in self.layers):
+            return "softmax"
+        return "region"
 
     @property
     def yolo_heads(self) -> Tuple[YoloHead, ...]:

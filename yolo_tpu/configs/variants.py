@@ -14,8 +14,9 @@ correct layer lists produce (tests/test_zoo.py enforces the derivation).
 from __future__ import annotations
 
 from yolo_tpu.configs.names import COCO_NAMES, VOC_NAMES
-from yolo_tpu.configs.specs import (Conv, MaxPool, ModelConfig, Reorg,
-                                    Route, Shortcut, Upsample, YoloHead)
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, MaxPool,
+                                    ModelConfig, Reorg, Route, Shortcut,
+                                    SoftmaxHead, Upsample, YoloHead)
 
 # Anchors in 13x13-cell units [SURVEY.md §5.6, cfg-pinned].
 TINY_VOC_ANCHORS = (
@@ -412,6 +413,73 @@ YOLOV4_COCO = ModelConfig(
     assign_iou_thresh=0.213,
 )
 
+# ---------------------------------------------------------------------------
+# darknet classifiers (the pretrained-backbone sources: darknet19 is
+# yolov2's trunk, darknet53 is yolov3's — `cli partial` extracts the
+# official .conv.NN initialization files from these full classifiers)
+# ---------------------------------------------------------------------------
+
+# ImageNet-1k placeholder labels; pass --names with the real label list
+# (darknet's data/imagenet.shortnames.list) for human-readable output.
+IMAGENET_PLACEHOLDER_NAMES = tuple(f"imagenet_{i:04d}" for i in range(1000))
+
+
+def _darknet19_layers():
+    """darknet19.cfg: the yolov2 trunk (18 convs, YOLO9000 Table 6 /
+    the cfg) + 1x1 conv-1000 classifier head, global avgpool, softmax.
+    The first 18 convs are byte-identical to yolov2's backbone — that
+    is what makes `partial` extraction (darknet19_448.conv.23) feed
+    yolov2 fine-tuning."""
+    return (
+        Conv(32), MaxPool(),
+        Conv(64), MaxPool(),
+        Conv(128), Conv(64, 1), Conv(128), MaxPool(),
+        Conv(256), Conv(128, 1), Conv(256), MaxPool(),
+        Conv(512), Conv(256, 1), Conv(512), Conv(256, 1), Conv(512),
+        MaxPool(),
+        Conv(1024), Conv(512, 1), Conv(1024), Conv(512, 1), Conv(1024),
+        Conv(1000, size=1, bn=False, act="linear"),
+        AvgPool(),
+        SoftmaxHead(),
+    )
+
+
+def _darknet53_layers():
+    """darknet53.cfg: the yolov3 backbone (52 convs, residual stages of
+    1/2/8/8/4 — reused verbatim from _yolov3_layers so the partial
+    extraction boundary matches darknet53.conv.74) + global avgpool,
+    1000-way [connected], softmax."""
+    return tuple(_yolov3_layers(255)[:75]) + (
+        AvgPool(),
+        Connected(1000, act="linear"),
+        SoftmaxHead(),
+    )
+
+
+DARKNET19 = ModelConfig(
+    name="darknet19",
+    layers=_darknet19_layers(),
+    anchors=(),
+    class_names=IMAGENET_PLACEHOLDER_NAMES,
+    input_size=256,  # darknet19.cfg net size (min-side resize + crop)
+)
+
+DARKNET19_448 = ModelConfig(
+    name="darknet19-448",
+    layers=_darknet19_layers(),
+    anchors=(),
+    class_names=IMAGENET_PLACEHOLDER_NAMES,
+    input_size=448,  # darknet19_448.cfg: the 448-finetuned classifier
+)
+
+DARKNET53 = ModelConfig(
+    name="darknet53",
+    layers=_darknet53_layers(),
+    anchors=(),
+    class_names=IMAGENET_PLACEHOLDER_NAMES,
+    input_size=256,  # darknet53.cfg net size
+)
+
 VARIANTS = {
     "tiny-voc": TINY_YOLOV2_VOC,
     "voc": YOLOV2_VOC,
@@ -422,6 +490,9 @@ VARIANTS = {
     "yolov3-tiny": YOLOV3_TINY_COCO,
     "yolov4": YOLOV4_COCO,
     "yolov4-tiny": YOLOV4_TINY_COCO,
+    "darknet19": DARKNET19,
+    "darknet19-448": DARKNET19_448,
+    "darknet53": DARKNET53,
 }
 
 

@@ -9,11 +9,14 @@ File format (darknet ``parse.c`` save/load order):
     biases[oc]                       (this is BN beta when bn=True)
     if bn: scales[oc] (gamma), rolling_mean[oc], rolling_var[oc]
     kernel fp32, darknet (oc, ic, kh, kw) order -> transposed to HWIO here.
+  per connected layer (classifier cfgs — save_connected_weights):
+    biases[out], weights[out*in] row-major (out, in) -> (in, out) here.
 
 Params pytree produced (and consumed by models/graph.py):
   [{"kernel": HWIO f32, "bias": (oc,)}            for bn=False convs,
-   {"kernel": HWIO f32, "gamma","beta","mean","var": (oc,)} for bn=True]
-ordered like ``conv_specs(cfg.layers)``.
+   {"kernel": HWIO f32, "gamma","beta","mean","var": (oc,)} for bn=True,
+   {"kernel": (in, out) f32, "bias": (out,)}       for connected]
+ordered like ``weighted_specs(cfg.layers)``.
 
 Both load and save are pure numpy — byte-identical on any backend.
 """
@@ -25,11 +28,15 @@ from typing import BinaryIO, List, Optional, Sequence
 
 import numpy as np
 
-from yolo_tpu.configs.specs import Conv, LayerSpec, conv_specs
+from yolo_tpu.configs.specs import (Connected, Conv, LayerSpec,
+                                    weighted_specs)
 
 
 def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> List[int]:
-    """Input-channel count for each Conv, walking the layer graph."""
+    """Input-feature count for each weight-carrying layer (Conv input
+    channels; Connected input features — the cfg parser enforces 1x1
+    spatial before [connected], so channels == flattened features),
+    walking the layer graph."""
     from yolo_tpu.configs.specs import MaxPool, Reorg, Route, resolve_route
 
     out_ch: List[int] = []
@@ -39,6 +46,9 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
         if isinstance(layer, Conv):
             conv_in.append(prev)
             prev = layer.filters
+        elif isinstance(layer, Connected):
+            conv_in.append(prev)
+            prev = layer.out
         elif isinstance(layer, MaxPool):
             pass
         elif isinstance(layer, Reorg):
@@ -47,8 +57,9 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
             # yolov4 CSP: darknet slices EACH source into groups
             prev = sum(out_ch[resolve_route(idx, r)] // layer.groups
                        for r in layer.layers)
-        # Shortcut/Sam/Upsample/YoloHead (yolov3/v4 families) preserve
-        # channels and carry no weights — prev flows through unchanged.
+        # Shortcut/Sam/Upsample/AvgPool/Dropout/SoftmaxHead/YoloHead
+        # preserve channel count and carry no weights — prev flows
+        # through unchanged.
         out_ch.append(prev)
     return conv_in
 
@@ -61,11 +72,11 @@ def load(path_or_file, layers: Sequence[LayerSpec], input_channels: int = 3):
     files go through load_partial()."""
     params, header, n = load_partial(path_or_file, layers,
                                      input_channels=input_channels)
-    total = len(conv_specs(tuple(layers)))
+    total = len(weighted_specs(tuple(layers)))
     if n != total:
         raise ValueError(
-            f"weights file too short: only {n} of {total} conv layers "
-            f"present (partial backbone file? use load_partial)")
+            f"weights file too short: only {n} of {total} weighted "
+            f"layers present (partial backbone file? use load_partial)")
     return params, header
 
 
@@ -100,7 +111,27 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
     pos = 0
     params = []
     conv_in = _infer_in_channels(layers, input_channels)
-    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
+    for spec, ic in zip(weighted_specs(tuple(layers)), conv_in):
+        if isinstance(spec, Connected):
+            # parser.c save_connected_weights: biases[out], then
+            # weights[out*in] row-major (out, in) -> (in, out) here
+            oc = spec.out
+            need = oc + oc * ic
+            if pos == floats.size:
+                break  # clean cutoff boundary
+            if pos + need > floats.size:
+                raise ValueError(
+                    f"weights file too short (ends mid-layer): "
+                    f"connected {len(params)} needs {need} floats, "
+                    f"{floats.size - pos} remain")
+            p = {"bias": floats[pos:pos + oc].copy()}
+            pos += oc
+            w = floats[pos:pos + oc * ic].reshape(oc, ic)
+            pos += oc * ic
+            p["kernel"] = np.ascontiguousarray(w.T)
+            params.append(p)
+            continue
+        conv = spec
         oc, k = conv.filters, conv.size
         need = oc * (4 if conv.bn else 1) + oc * ic * k * k
         if pos == floats.size:
@@ -146,11 +177,16 @@ def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
             f.write(np.asarray([seen], dtype=np.int64).tobytes())
         else:
             f.write(np.asarray([seen], dtype=np.int32).tobytes())
-        convs = conv_specs(tuple(layers))
+        specs = weighted_specs(tuple(layers))
         if cutoff_convs is not None:
-            convs, params = convs[:cutoff_convs], params[:cutoff_convs]
-        for conv, p in zip(convs, params):
-            if conv.bn:
+            specs, params = specs[:cutoff_convs], params[:cutoff_convs]
+        for spec, p in zip(specs, params):
+            if isinstance(spec, Connected):
+                f.write(np.asarray(p["bias"], dtype=np.float32).tobytes())
+                w = np.asarray(p["kernel"], dtype=np.float32)  # (in, out)
+                f.write(np.ascontiguousarray(w.T).tobytes())
+                continue
+            if spec.bn:
                 for key in ("beta", "gamma", "mean", "var"):
                     f.write(np.asarray(p[key], dtype=np.float32).tobytes())
             else:
@@ -169,7 +205,14 @@ def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
     (SURVEY.md §4.2.3)."""
     params = []
     conv_in = _infer_in_channels(layers, input_channels)
-    for conv, ic in zip(conv_specs(tuple(layers)), conv_in):
+    for spec, ic in zip(weighted_specs(tuple(layers)), conv_in):
+        if isinstance(spec, Connected):
+            params.append({
+                "kernel": rng.normal(0, scale,
+                                     (ic, spec.out)).astype(np.float32),
+                "bias": rng.normal(0, 0.1, spec.out).astype(np.float32)})
+            continue
+        conv = spec
         oc, k = conv.filters, conv.size
         p = {"kernel": rng.normal(0, scale, (k, k, ic, oc)).astype(np.float32)}
         if conv.bn:

@@ -26,7 +26,7 @@ import json
 import os
 from typing import Dict, Optional, Sequence
 
-from yolo_tpu.configs.specs import LayerSpec, conv_specs
+from yolo_tpu.configs.specs import Connected, LayerSpec, weighted_specs
 
 _MANIFEST_PATH = os.path.join(os.path.dirname(__file__),
                               "zoo_manifest.json")
@@ -36,22 +36,28 @@ _HEADER_BYTES = 20  # yolov2-era files: major.minor >= 0.2 -> int64 seen
 def expected_weights_bytes(layers: Sequence[LayerSpec],
                            input_channels: int = 3) -> int:
     """Exact .weights file size for a layer topology (darknet parse.c
-    layout: per conv, (4 BN terms | 1 bias) x oc + oc*ic*k*k floats)."""
+    layout: per conv, (4 BN terms | 1 bias) x oc + oc*ic*k*k floats;
+    per connected, out + out*in floats)."""
     from yolo_tpu.io.darknet_weights import _infer_in_channels
 
     n = 0
-    for conv, ic in zip(conv_specs(layers), _infer_in_channels(
+    for spec, ic in zip(weighted_specs(layers), _infer_in_channels(
             layers, input_channels)):
-        n += conv.filters * (4 if conv.bn else 1)
-        n += conv.filters * ic * conv.size * conv.size
+        if isinstance(spec, Connected):
+            n += spec.out + spec.out * ic
+        else:
+            n += spec.filters * (4 if spec.bn else 1)
+            n += spec.filters * ic * spec.size * spec.size
     return _HEADER_BYTES + 4 * n
 
 
 def infer_variant(weights_path: str) -> Optional[str]:
     """Guess the model variant from a .weights file's byte size (exact
-    for the four darknet topologies; 16- and 20-byte headers both
-    accepted). Returns None when no topology matches — e.g. custom
-    class counts."""
+    for the pinned topologies; 16- and 20-byte headers both accepted).
+    Returns None when no topology matches — e.g. custom class counts.
+    Topology-identical variants at different net sizes (darknet19 vs
+    darknet19-448) are indistinguishable by size; the first VARIANTS
+    entry wins."""
     from yolo_tpu.configs.variants import VARIANTS
 
     actual = os.path.getsize(weights_path)

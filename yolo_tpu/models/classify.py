@@ -1,0 +1,71 @@
+"""Darknet classifier inference (darknet classifier.c
+``predict_classifier``): min-side resize + center crop, one jitted
+forward through the softmax-head graph, top-k labels.
+
+Preprocess pins darknet's exact geometry: ``resize_min(im, net->w)``
+scales so the SMALLER side equals the net size (bilinear, cv2
+INTER_LINEAR — the established darknet resize_image equivalence, see
+ops/letterbox.py), then ``crop_image`` takes the centered net x net
+window. The classifier families this serves (darknet19/darknet53) are
+the pretrained-backbone sources for yolov2/yolov3 fine-tuning
+(`cli partial` extracts the .conv.NN files from them).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.configs.specs import ModelConfig
+from yolo_tpu.models import graph
+
+
+def classifier_preprocess(image_u8: np.ndarray, net_size: int
+                          ) -> np.ndarray:
+    """(H, W, 3) uint8 -> (net, net, 3) float32 in [0,1]: darknet
+    resize_min (min side -> net_size, aspect preserved) + center crop."""
+    import cv2
+
+    h, w = image_u8.shape[:2]
+    # darknet resize_min's integer arithmetic, kept exactly
+    if w < h:
+        new_w, new_h = net_size, (h * net_size) // w
+    else:
+        new_w, new_h = (w * net_size) // h, net_size
+    resized = cv2.resize(image_u8.astype(np.float32) / 255.0,
+                         (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    dx, dy = (new_w - net_size) // 2, (new_h - net_size) // 2
+    return resized[dy:dy + net_size, dx:dx + net_size]
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "eps",
+                                             "compute_dtype"))
+def _forward(params, images, *, layers, eps, compute_dtype):
+    return graph.apply_layers(layers, params, images, eps=eps,
+                              compute_dtype=compute_dtype)
+
+
+def make_classifier(cfg: ModelConfig, compute_dtype=jnp.float32):
+    """-> fn(params, images_f32 (B, net, net, 3)) -> (B, C) probs."""
+    if cfg.head_kind != "softmax":
+        raise ValueError(f"{cfg.name} is not a classifier "
+                         f"(head_kind={cfg.head_kind})")
+
+    def run(params, images):
+        return _forward(params, jnp.asarray(images, jnp.float32),
+                        layers=cfg.layers, eps=cfg.bn_eps,
+                        compute_dtype=compute_dtype)
+
+    return run
+
+
+def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
+          ) -> List[Tuple[str, float]]:
+    """One image's probs -> [(name, prob)] best-first."""
+    probs = np.asarray(probs).reshape(-1)
+    idx = np.argsort(-probs)[:k]
+    return [(class_names[i], float(probs[i])) for i in idx]

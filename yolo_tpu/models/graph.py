@@ -28,9 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
-                                    Sam, Shortcut, Upsample, YoloHead,
-                                    resolve_route)
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+                                    LayerSpec, MaxPool, Reorg, Route, Sam,
+                                    Shortcut, SoftmaxHead, Upsample,
+                                    YoloHead, resolve_route)
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
 
@@ -209,6 +210,36 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         elif isinstance(layer, Upsample):
             s = layer.stride
             x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+        elif isinstance(layer, AvgPool):
+            # darknet avgpool_layer: global mean over the full extent;
+            # kept (B, 1, 1, C) so downstream 1x1 convs work unchanged
+            x = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                         keepdims=True)
+            if compute_dtype != jnp.float32:
+                x = x.astype(compute_dtype)
+        elif isinstance(layer, Connected):
+            # darknet connected_layer: flatten CHW-order, dense matmul.
+            # kernel stored (in, out) by the loader; fp32 accumulate.
+            b_dim = x.shape[0]
+            xf = jnp.transpose(x, (0, 3, 1, 2)).reshape(b_dim, -1)
+            k = params[conv_i]["kernel"]
+            if compute_dtype == jnp.float32:
+                y = jnp.dot(xf, k, precision=lax.Precision.HIGHEST)
+            else:
+                y = jnp.dot(xf.astype(compute_dtype),
+                            k.astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+            y = _activate(y + params[conv_i]["bias"], layer.act)
+            x = y.reshape(b_dim, 1, 1, -1)
+            if compute_dtype != jnp.float32:
+                x = x.astype(compute_dtype)
+            conv_i += 1
+        elif isinstance(layer, Dropout):
+            pass  # inference identity (classifier training rejects)
+        elif isinstance(layer, SoftmaxHead):
+            # classifier output: (B, C) probabilities, fp32
+            x = jax.nn.softmax(
+                x.astype(jnp.float32).reshape(x.shape[0], -1), axis=-1)
         elif isinstance(layer, YoloHead):
             head_logits.append(x.astype(jnp.float32))
             # routed output = input (identity), keeping darknet indices

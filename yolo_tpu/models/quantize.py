@@ -59,6 +59,15 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
     if method not in ("absmax", "percentile"):
         raise ValueError(f"unknown calibration method '{method}' "
                          "(absmax | percentile)")
+    from yolo_tpu.configs.specs import (AvgPool, Connected, Dropout,
+                                        SoftmaxHead)
+
+    if any(isinstance(l, (AvgPool, Connected, Dropout, SoftmaxHead))
+           for l in layers):
+        raise NotImplementedError(
+            "int8 quantization supports the detection families only — "
+            "classifier layers (avgpool/connected/softmax) are not "
+            "quantized; run classifiers in fp32/bf16")
     params_jax = graph.params_to_jax(folded_params)
 
     def stats(params, x):

@@ -124,6 +124,12 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat,
             bn_stats_fp32=tcfg.bn_stats_fp32)
+        if mcfg.head_kind == "softmax":
+            raise NotImplementedError(
+                "classifier (softmax-head) training is not supported — "
+                "the classifier variants exist as pretrained-backbone "
+                "sources (`cli partial` extracts .conv.NN files); train "
+                "detectors with the region/yolo families")
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
             if mcfg.objectness_smooth:
