@@ -857,6 +857,132 @@ class TestYolov4Features:
         out_scales, _ = _chain_out_scales(layers, [1.0] * 3)
         assert out_scales == [None, None, None]
 
+    def test_scale_channels_se_block_matches_tf_oracle(self):
+        """[scale_channels] (AlexeyAB scale_channels_layer): the SE
+        multiply — a global-avgpool 1x1-conv attention branch scales
+        the from layer's channels, output adopting the FROM shape."""
+        from tests import tf_oracle
+        from yolo_tpu.configs.specs import AvgPool, ScaleChannels
+
+        layers = (Conv(8),                       # 0: trunk (H, W, 8)
+                  AvgPool(),                     # 1: (1, 1, 8)
+                  Conv(4, 1),                    # 2: squeeze
+                  Conv(8, 1, act="logistic"),    # 3: excite (1, 1, 8)
+                  ScaleChannels(-4))             # 4: scale layer 0
+        rng = np.random.default_rng(6)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(layers, params, x)
+        got = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(params), jnp.asarray(x)))
+        assert got.shape == (2, 8, 8, 8)  # FROM layer's extent
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+        # broadcast semantics: out = trunk * excite per channel
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        np.testing.assert_allclose(
+            np.asarray(outs[4]),
+            np.asarray(outs[0]) * np.asarray(outs[3]), rtol=1e-6)
+
+    def test_scale_channels_spatial_mode(self):
+        """scale_wh=1: a (B, H, W, 1) attention map scales all channels
+        of the from layer (spatial scaling)."""
+        from yolo_tpu.configs.specs import ScaleChannels
+
+        layers = (Conv(8), Conv(1, 1, act="logistic"),
+                  ScaleChannels(-2, scale_wh=1))
+        rng = np.random.default_rng(7)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        assert np.asarray(outs[2]).shape == (1, 8, 8, 8)
+        np.testing.assert_allclose(
+            np.asarray(outs[2]),
+            np.asarray(outs[0]) * np.asarray(outs[1]), rtol=1e-6)
+
+    def test_scale_channels_cfg_parse_and_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+        from yolo_tpu.configs.specs import AvgPool, ScaleChannels
+
+        cfg_text = (
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[avgpool]\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=4\nsize=1\n"
+            "activation=leaky\n"
+            "[convolutional]\nfilters=16\nsize=1\nactivation=logistic\n"
+            "[scale_channels]\nfrom=-4\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        p = tmp_path / "se.cfg"
+        p.write_text(cfg_text)
+        cfg = config_from_cfg(str(p))
+        assert cfg.layers[1] == AvgPool()
+        assert cfg.layers[4] == ScaleChannels(-4)
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).layers == cfg.layers
+        # weights round-trip through the SE block (channel inference
+        # must follow the from layer at the scale_channels)
+        rng = np.random.default_rng(8)
+        params = dw.random_params(cfg.layers, rng)
+        assert params[3]["kernel"].shape[2] == 16  # head conv in-ch
+        import io as _io
+
+        blob = dw.to_bytes(cfg.layers, params)
+        got, _ = dw.load(_io.BytesIO(blob), cfg.layers)
+        for a, b in zip(params, got):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_scale_channels_ref_validated(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[scale_channels]\nfrom=-9\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        with pytest.raises(ValueError, match="not an earlier layer"):
+            config_from_cfg(str(p))
+
+    def test_scale_channels_breaks_int8_chain(self):
+        """Convs feeding a [scale_channels] (as input or `from`) must
+        emit fp — the SE multiply runs in dequantized space."""
+        from yolo_tpu.configs.specs import ScaleChannels
+        from yolo_tpu.models.quantize import _chain_out_scales
+
+        layers = (Conv(8), Conv(8, 1), ScaleChannels(-2), Conv(4, 1))
+        out_scales, _ = _chain_out_scales(layers, [1.0] * 3)
+        assert out_scales == [None, None, None]
+
+    def test_se_block_int8_calibrates(self):
+        """int8 calibration walks SE blocks (avgpool squeeze branch)
+        and returns one finite scale per conv."""
+        from yolo_tpu.configs.specs import AvgPool, ScaleChannels
+        from yolo_tpu.models import quantize
+
+        layers = (Conv(8), AvgPool(), Conv(4, 1),
+                  Conv(8, 1, act="logistic"), ScaleChannels(-4),
+                  Conv(4, 1, bn=False, act="linear"))
+        rng = np.random.default_rng(9)
+        folded = graph.fold_params(
+            layers, dw.random_params(layers, rng), 1e-5)
+        scales = quantize.calibrate(
+            layers, folded, rng.uniform(0, 1, (1, 8, 8, 3)
+                                        ).astype(np.float32))
+        assert len(scales) == 4 and all(np.isfinite(s) and s > 0
+                                        for s in scales)
+
     def test_route_groups_slices_channels(self):
         """[route] layers=-1 groups=2 group_id=1 keeps the SECOND half
         of the channels (yolov4-tiny CSP pattern)."""

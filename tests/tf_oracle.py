@@ -12,9 +12,9 @@ from __future__ import annotations
 import numpy as np
 
 from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
-                                    MaxPool, Reorg, Route, Sam, Shortcut,
-                                    SoftmaxHead, Upsample, YoloHead,
-                                    resolve_route)
+                                    MaxPool, Reorg, Route, Sam,
+                                    ScaleChannels, Shortcut, SoftmaxHead,
+                                    Upsample, YoloHead, resolve_route)
 
 
 def _reorg_indices(c: int, h: int, w: int, stride: int) -> np.ndarray:
@@ -101,6 +101,12 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             x = x * outputs[resolve_route(idx, layer.frm)]
             if layer.act == "leaky":
                 x = tf.nn.leaky_relu(x, alpha=0.1)
+        elif isinstance(layer, ScaleChannels):
+            x = outputs[resolve_route(idx, layer.frm)] * x
+            if layer.act == "leaky":
+                x = tf.nn.leaky_relu(x, alpha=0.1)
+            elif layer.act == "logistic":
+                x = tf.math.sigmoid(x)
         elif isinstance(layer, Upsample):
             s = layer.stride
             b, h, w, c = x.shape

@@ -13,7 +13,9 @@ spp 5/9/13 stride-1 pools), [route] (layers, plus yolov4 CSP
 groups/group_id), [reorg] (stride), [region] (anchors, classes) — the
 yolov2 family — plus the yolov3/yolov4 families: [shortcut] (from,
 activation), [sam] (from, activation — AlexeyAB spatial attention
-multiply), [upsample] (stride), [yolo] (mask, anchors in net-input
+multiply), [scale_channels] (from, scale_wh — the SE /
+squeeze-excitation multiply; works with [avgpool] squeeze branches
+inside detectors), [upsample] (stride), [yolo] (mask, anchors in net-input
 pixels, classes, num, ignore_thresh, scale_x_y, and the scaled-yolov4
 new_coords=1 decode — new_coords training is supported with the
 iou-family losses the scaled cfgs use (train/loss.py); the keys whose
@@ -39,12 +41,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
                                     MaxPool, ModelConfig, Reorg, Route,
-                                    Sam, Shortcut, SoftmaxHead, Upsample,
-                                    YoloHead)
+                                    Sam, ScaleChannels, Shortcut,
+                                    SoftmaxHead, Upsample, YoloHead)
 
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
-              "region", "shortcut", "sam", "upsample", "yolo",
-              "avgpool", "connected", "dropout", "softmax", "cost"}
+              "region", "shortcut", "sam", "scale_channels", "upsample",
+              "yolo", "avgpool", "connected", "dropout", "softmax",
+              "cost"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -162,6 +165,18 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if act not in ("leaky", "linear"):
                 raise ValueError(f"unsupported sam activation '{act}'")
             layers.append(Sam(int(kv["from"]), act=act))
+        elif kind == "scale_channels":
+            act = kv.get("activation", "linear")
+            if act not in ("leaky", "linear", "logistic"):
+                raise ValueError(
+                    f"unsupported scale_channels activation '{act}'")
+            swh = int(kv.get("scale_wh", 0))
+            if swh not in (0, 1):
+                raise ValueError(
+                    f"[scale_channels] scale_wh={swh} (0 = channel SE "
+                    f"scaling, 1 = spatial scaling)")
+            layers.append(ScaleChannels(int(kv["from"]), scale_wh=swh,
+                                        act=act))
         elif kind == "upsample":
             layers.append(Upsample(int(kv.get("stride", 2))))
         elif kind == "avgpool":
@@ -403,7 +418,8 @@ def _validate_refs(layers: Sequence) -> None:
 
     for idx, l in enumerate(layers):
         refs = (l.layers if isinstance(l, Route)
-                else (l.frm,) if isinstance(l, (Shortcut, Sam)) else ())
+                else (l.frm,)
+                if isinstance(l, (Shortcut, Sam, ScaleChannels)) else ())
         for r in refs:
             resolved = resolve_route(idx, r)
             if not 0 <= resolved < idx:
@@ -488,6 +504,10 @@ def layer_strides(layers: Sequence) -> List[int]:
                 raise ValueError(
                     f"layer {idx}: {type(l).__name__.lower()} across "
                     f"feature strides {src} vs {cur}")
+        elif isinstance(l, ScaleChannels):
+            # SE multiply: the output adopts the FROM layer's shape
+            # (the current input is the broadcast attention tensor)
+            cur = strides[resolve_route(idx, l.frm)]
         strides.append(cur)
     return strides
 
@@ -528,6 +548,10 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[shortcut]\nfrom={l.frm}\nactivation={l.act}\n")
         elif isinstance(l, Sam):
             out.append(f"[sam]\nfrom={l.frm}\nactivation={l.act}\n")
+        elif isinstance(l, ScaleChannels):
+            out.append(f"[scale_channels]\nfrom={l.frm}\n"
+                       + (f"scale_wh=1\n" if l.scale_wh else "")
+                       + f"activation={l.act}\n")
         elif isinstance(l, Upsample):
             out.append(f"[upsample]\nstride={l.stride}\n")
         elif isinstance(l, AvgPool):

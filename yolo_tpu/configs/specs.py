@@ -90,6 +90,20 @@ class Sam:
 
 
 @dataclasses.dataclass(frozen=True)
+class ScaleChannels:
+    # darknet [scale_channels] (AlexeyAB scale_channels_layer, the SE /
+    # squeeze-excitation multiply): output = from_layer_output * input,
+    # where the INPUT is the small attention tensor — (B, 1, 1, C) after
+    # an [avgpool]+1x1-conv SE branch when scale_wh=0 (channel scaling),
+    # or (B, H, W, 1) when scale_wh=1 (spatial scaling) — broadcast over
+    # the from layer's full extent; then activation. The output adopts
+    # the FROM layer's shape (scale_channels_layer.c out_w/out_h/out_c).
+    frm: int
+    scale_wh: int = 0
+    act: str = "linear"
+
+
+@dataclasses.dataclass(frozen=True)
 class Upsample:
     stride: int = 2
 
@@ -156,8 +170,9 @@ class YoloHead:
     new_coords: bool = False
 
 
-LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam, Upsample,
-                  AvgPool, Connected, Dropout, SoftmaxHead, YoloHead]
+LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam,
+                  ScaleChannels, Upsample, AvgPool, Connected, Dropout,
+                  SoftmaxHead, YoloHead]
 
 
 def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:

@@ -37,7 +37,8 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
     channels; Connected input features — the cfg parser enforces 1x1
     spatial before [connected], so channels == flattened features),
     walking the layer graph."""
-    from yolo_tpu.configs.specs import MaxPool, Reorg, Route, resolve_route
+    from yolo_tpu.configs.specs import (MaxPool, Reorg, Route,
+                                        ScaleChannels, resolve_route)
 
     out_ch: List[int] = []
     conv_in: List[int] = []
@@ -57,6 +58,9 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
             # yolov4 CSP: darknet slices EACH source into groups
             prev = sum(out_ch[resolve_route(idx, r)] // layer.groups
                        for r in layer.layers)
+        elif isinstance(layer, ScaleChannels):
+            # output adopts the FROM layer's shape (SE multiply)
+            prev = out_ch[resolve_route(idx, layer.frm)]
         # Shortcut/Sam/Upsample/AvgPool/Dropout/SoftmaxHead/YoloHead
         # preserve channel count and carry no weights — prev flows
         # through unchanged.

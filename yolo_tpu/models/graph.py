@@ -30,8 +30,8 @@ from jax import lax
 
 from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
                                     LayerSpec, MaxPool, Reorg, Route, Sam,
-                                    Shortcut, SoftmaxHead, Upsample,
-                                    YoloHead, resolve_route)
+                                    ScaleChannels, Shortcut, SoftmaxHead,
+                                    Upsample, YoloHead, resolve_route)
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
 
@@ -206,6 +206,13 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         elif isinstance(layer, Sam):
             # darknet sam_layer: elementwise multiply (spatial attention)
             x = _activate(x * outputs[resolve_route(idx, layer.frm)],
+                          layer.act)
+        elif isinstance(layer, ScaleChannels):
+            # darknet scale_channels_layer (SE multiply): the CURRENT
+            # input is the small attention tensor ((B,1,1,C) channel
+            # mode / (B,H,W,1) spatial mode), broadcast over the from
+            # layer's extent; output adopts the from layer's shape
+            x = _activate(outputs[resolve_route(idx, layer.frm)] * x,
                           layer.act)
         elif isinstance(layer, Upsample):
             s = layer.stride

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
-                                    Sam, Shortcut, Upsample, resolve_route)
+                                    Sam, ScaleChannels, Shortcut, Upsample,
+                                    resolve_route)
 from yolo_tpu.models import graph
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
@@ -59,15 +60,13 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
     if method not in ("absmax", "percentile"):
         raise ValueError(f"unknown calibration method '{method}' "
                          "(absmax | percentile)")
-    from yolo_tpu.configs.specs import (AvgPool, Connected, Dropout,
-                                        SoftmaxHead)
+    from yolo_tpu.configs.specs import Connected, SoftmaxHead
 
-    if any(isinstance(l, (AvgPool, Connected, Dropout, SoftmaxHead))
-           for l in layers):
+    if any(isinstance(l, (Connected, SoftmaxHead)) for l in layers):
         raise NotImplementedError(
             "int8 quantization supports the detection families only — "
-            "classifier layers (avgpool/connected/softmax) are not "
-            "quantized; run classifiers in fp32/bf16")
+            "classifier heads (connected/softmax) are not quantized; "
+            "run classifiers in fp32/bf16")
     params_jax = graph.params_to_jax(folded_params)
 
     def stats(params, x):
@@ -110,10 +109,18 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             elif isinstance(layer, Sam):
                 x = graph._activate(
                     x * outputs[resolve_route(idx, layer.frm)], layer.act)
+            elif isinstance(layer, ScaleChannels):
+                x = graph._activate(
+                    outputs[resolve_route(idx, layer.frm)] * x, layer.act)
             elif isinstance(layer, Upsample):
                 x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
                                layer.stride, axis=2)
-            # YoloHead: identity passthrough (output = input)
+            else:
+                from yolo_tpu.configs.specs import AvgPool
+
+                if isinstance(layer, AvgPool):  # SE squeeze branch
+                    x = jnp.mean(x, axis=(1, 2), keepdims=True)
+            # YoloHead/Dropout: identity passthrough (output = input)
             outputs.append(x)
         return jnp.stack(maxes), jnp.stack(out_maxes)
 
@@ -159,7 +166,7 @@ def _chain_out_scales(layers: Sequence[LayerSpec],
         if isinstance(l, Route):
             for r in l.layers:
                 consumers[resolve_route(idx, r)].append(idx)
-        elif isinstance(l, (Shortcut, Sam)):
+        elif isinstance(l, (Shortcut, Sam, ScaleChannels)):
             consumers[resolve_route(idx, l.frm)].append(idx)
             consumers[idx - 1].append(idx)
         elif idx > 0:
