@@ -1,0 +1,276 @@
+"""[Gaussian_yolo] support (Gaussian YOLOv3, AlexeyAB
+gaussian_yolo_layer.c — the published Gaussian_yolov3_BDD.cfg/.weights
+family): per-anchor channel layout [x y w h sx sy sw sh obj cls...]
+(9+C), box math identical to [yolo] (sigmoid xy with scale_x_y, exp wh
+on pixel anchors), and detection score = sigmoid(obj) * sigmoid(cls) *
+(1 - uc_aver) where uc_aver = mean(sigmoid(sigma_xywh))
+(get_gaussian_yolo_detections). Inference/eval only; training rejects
+loudly (the Gaussian NLL deltas have no pinnable reference source).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.specs import Conv, ModelConfig, Route, Upsample, YoloHead
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.ops import numpy_ref as npr
+from yolo_tpu.ops.decode import decode_yolo
+
+G_ANCHORS = ((6.0, 8.0), (12.0, 10.0), (24.0, 20.0), (40.0, 36.0))
+C = 4  # classes
+# micro 2-head Gaussian topology; head convs emit a*(9+C) channels
+MICRO_GAUSS = ModelConfig(
+    name="micro-gauss",
+    layers=(
+        Conv(8, stride=2),                                    # 0  /2
+        Conv(16, stride=2),                                   # 1  /4
+        Conv(32, stride=2),                                   # 2  /8
+        Conv(2 * (9 + C), size=1, bn=False, act="linear"),    # 3
+        YoloHead((2, 3), gaussian=True),                      # 4 (8x8)
+        Route((-3,)),                                         # 5 -> 2
+        Conv(8, 1),                                           # 6
+        Upsample(2),                                          # 7  /4
+        Route((-1, 1)),                                       # 8
+        Conv(2 * (9 + C), size=1, bn=False, act="linear"),    # 9
+        YoloHead((0, 1), gaussian=True),                      # 10 (16x16)
+    ),
+    anchors=G_ANCHORS,
+    class_names=("a", "b", "dog", "d"),
+    input_size=64,
+)
+
+GAUSS_CFG = """
+[net]
+width=64
+height=64
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=26
+size=1
+stride=1
+activation=linear
+
+[Gaussian_yolo]
+mask = 2,3
+anchors = 6,8, 12,10, 24,20, 40,36
+classes=4
+num=4
+ignore_thresh = .7
+
+[route]
+layers=-3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[route]
+layers=-1,1
+
+[convolutional]
+filters=26
+size=1
+stride=1
+activation=linear
+
+[Gaussian_yolo]
+mask = 0,1
+anchors = 6,8, 12,10, 24,20, 40,36
+classes=4
+num=4
+ignore_thresh = .7
+"""
+
+
+@pytest.mark.quick
+class TestGaussianDecode:
+    def _heads(self, rng):
+        return [rng.normal(size=(2, 3, 3, 3 * (9 + C))).astype(np.float32),
+                rng.normal(size=(2, 6, 6, 3 * (9 + C))).astype(np.float32)]
+
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(7)
+        masks = [(3, 4, 5), (0, 1, 2)]
+        anchors = ((10, 14), (23, 27), (37, 58), (81, 82), (135, 169),
+                   (344, 319))
+        heads = self._heads(rng)
+        gas = [True, True]
+        boxes, scores = decode_yolo(
+            [jnp.asarray(h) for h in heads], anchors, masks, C, 96,
+            gaussian=gas)
+        for b in range(2):
+            wb, ws = npr.decode_yolo([h[b] for h in heads], anchors,
+                                     masks, C, 96, gaussian=gas)
+            np.testing.assert_allclose(np.asarray(boxes[b]), wb,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(scores[b]), ws,
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_score_formula_explicit(self):
+        """Pin the uc_aver factor at a known activation: all logits 0
+        -> sigmoid = 0.5 everywhere, so score = 0.5 (obj) * 0.5 (cls)
+        * (1 - 0.5) = 0.125, and boxes sit at cell centers."""
+        t = np.zeros((1, 2, 2, 1 * (9 + 1)), np.float32)
+        boxes, scores = decode_yolo(
+            [jnp.asarray(t)], ((10.0, 20.0),), [(0,)], 1, 64,
+            gaussian=[True])
+        np.testing.assert_allclose(np.asarray(scores)[0], 0.125,
+                                   rtol=1e-6)
+        bx, by, bw, bh = np.asarray(boxes)[0, 0]
+        assert np.isclose(bx, 0.25) and np.isclose(by, 0.25)
+        assert np.isclose(bw, 10.0 / 64) and np.isclose(bh, 20.0 / 64)
+
+    def test_uncertainty_lowers_score(self):
+        """Raising the sigma logits (more uncertainty) must lower the
+        detection score, all else equal."""
+        t = np.zeros((1, 1, 1, 10), np.float32)
+        hi = t.copy()
+        hi[..., 4:8] = 4.0  # sigmoid ~ 0.982 -> (1 - uc) ~ 0.018
+        _, s_lo = decode_yolo([jnp.asarray(t)], ((10.0, 20.0),), [(0,)],
+                              1, 64, gaussian=[True])
+        _, s_hi = decode_yolo([jnp.asarray(hi)], ((10.0, 20.0),), [(0,)],
+                              1, 64, gaussian=[True])
+        assert float(s_hi[0, 0, 0]) < 0.2 * float(s_lo[0, 0, 0])
+
+    def test_plain_heads_unchanged(self):
+        """gaussian=None / all-False reproduces the classic path
+        bit-for-bit (flag-plumbing regression gate)."""
+        rng = np.random.default_rng(11)
+        heads = [jnp.asarray(rng.normal(size=(1, 4, 4, 2 * 9))
+                             .astype(np.float32))]
+        b0, s0 = decode_yolo(heads, G_ANCHORS, [(0, 1)], C, 64)
+        b1, s1 = decode_yolo(heads, G_ANCHORS, [(0, 1)], C, 64,
+                             gaussian=[False])
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+@pytest.mark.quick
+class TestGaussianCfg:
+    def test_parse(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "g.cfg"
+        p.write_text(GAUSS_CFG)
+        got = config_from_cfg(str(p))
+        assert got.layers == MICRO_GAUSS.layers
+        assert all(h.gaussian for h in got.yolo_heads)
+        assert got.head_kind == "yolo"
+
+    def test_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "rt.cfg"
+        p.write_text(cfg_to_string(MICRO_GAUSS))
+        assert config_from_cfg(str(p)).layers == MICRO_GAUSS.layers
+
+    def test_head_conv_channels_validated(self, tmp_path):
+        """A [Gaussian_yolo] fed by a 5+C-sized conv (the classic
+        [yolo] sizing) must fail with the 9+classes message."""
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(GAUSS_CFG.replace("filters=26", "filters=18"))
+        with pytest.raises(ValueError, match=r"9\+classes"):
+            config_from_cfg(str(p))
+
+    def test_new_coords_combination_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(GAUSS_CFG.replace(
+            "mask = 2,3", "new_coords=1\nmask = 2,3", 1))
+        with pytest.raises(ValueError, match="new_coords"):
+            config_from_cfg(str(p))
+
+
+class TestGaussianE2E:
+    def test_detect_fused_falls_back_to_reference(self):
+        """head='fused' on a gaussian model must produce the reference
+        path's results (the fused head doesn't know the 9+C layout; the
+        dispatcher reroutes)."""
+        from yolo_tpu.models import graph
+        from yolo_tpu.models.predict import detect
+
+        rng = np.random.default_rng(3)
+        params = graph.params_to_jax(graph.fold_params(
+            MICRO_GAUSS.layers,
+            dw.random_params(MICRO_GAUSS.layers, rng, scale=0.05),
+            MICRO_GAUSS.bn_eps))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3))
+                        .astype(np.float32))
+        a = detect(MICRO_GAUSS, params, x, conf_threshold=0.05,
+                   head="fused")
+        b = detect(MICRO_GAUSS, params, x, conf_threshold=0.05,
+                   head="reference")
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+
+    def test_cli_predict_e2e(self, tmp_path, capsys):
+        import cv2
+
+        from yolo_tpu import cli
+
+        p = tmp_path / "g.cfg"
+        p.write_text(GAUSS_CFG)
+        rng = np.random.default_rng(1)
+        wpath = tmp_path / "g.weights"
+        dw.save(str(wpath), MICRO_GAUSS.layers,
+                dw.random_params(MICRO_GAUSS.layers, rng, scale=0.05))
+        img = tmp_path / "img.png"
+        cv2.imwrite(str(img), rng.integers(0, 255, (60, 80, 3),
+                                           dtype=np.uint8))
+        cli.main(["predict", "--cfg", str(p), "--weights", str(wpath),
+                  "--image", str(img), "--conf", "0.02",
+                  "--precision", "fp32"])
+        for line in capsys.readouterr().out.strip().splitlines():
+            d = json.loads(line)
+            assert set(d) == {"class", "score", "box_xyxy"}
+
+
+class TestGaussianTrainingRejected:
+    def test_train_step_raises(self):
+        from yolo_tpu.train.loop import TrainConfig, init_state, train_step
+
+        rng = np.random.default_rng(1)
+        tcfg = TrainConfig()
+        state = init_state(dw.random_params(MICRO_GAUSS.layers, rng),
+                           tcfg)
+        batch = {"images": jnp.zeros((1, 64, 64, 3), jnp.float32)}
+        with pytest.raises(NotImplementedError, match="Gaussian"):
+            train_step(state, batch, mcfg=MICRO_GAUSS, tcfg=tcfg)

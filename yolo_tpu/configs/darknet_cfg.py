@@ -22,7 +22,10 @@ iou-family losses the scaled cfgs use (train/loss.py); the keys whose
 darknet semantics we cannot pin are rejected loudly instead of
 silently training differently: focal_loss, truth_thresh != 1 at parse
 time, objectness_smooth at training time (inference ignores it, as
-darknet's forward does)).
+darknet's forward does)), and [Gaussian_yolo] (Gaussian YOLOv3
+localization-uncertainty heads: 9+C channel layout, score scaled by
+(1 - mean sigma) — inference/eval; training rejects loudly since the
+Gaussian NLL deltas have no pinnable reference source).
 
 Classifier cfgs (darknet19/darknet53 — the pretrained-backbone
 sources): [avgpool] (global), [connected] (output, activation; no BN),
@@ -46,8 +49,8 @@ from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
 
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
               "region", "shortcut", "sam", "scale_channels", "upsample",
-              "yolo", "avgpool", "connected", "dropout", "softmax",
-              "cost"}
+              "yolo", "gaussian_yolo", "avgpool", "connected", "dropout",
+              "softmax", "cost"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -210,7 +213,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # training-loss marker (classifier cfgs end with it);
             # no forward effect — parsed and dropped
             pass
-        elif kind == "yolo":
+        elif kind in ("yolo", "gaussian_yolo"):
             # semantically-meaningful keys we do NOT implement must
             # fail loudly, not silently train differently from darknet
             if float(kv.get("focal_loss", 0)):
@@ -223,12 +226,18 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     "[yolo] truth_thresh != 1 (multi-truth objectness "
                     "assignment) is not supported — every published "
                     "cfg uses 1")
+            gaussian = kind == "gaussian_yolo"
+            if gaussian and int(kv.get("new_coords", 0)):
+                raise ValueError(
+                    "[Gaussian_yolo] with new_coords=1 does not exist "
+                    "in darknet — drop one of them")
             mask = tuple(int(v) for v in kv["mask"].split(","))
             layers.append(YoloHead(
                 mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
                 # scaled-yolov4 decode; the preceding conv must carry
                 # activation=logistic (validated after the walk)
                 new_coords=bool(int(kv.get("new_coords", 0))),
+                gaussian=gaussian,
                 # per-layer training options (AlexeyAB parses these
                 # per [yolo] section); absent keys stay None (unset)
                 max_delta=(float(kv["max_delta"])
@@ -341,12 +350,17 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         # len(mask)*(5+classes) channels
         for i, head in yolo_heads:
             prev = layers[i - 1] if i else None
-            expected_out = len(head.mask) * (5 + num_classes)
+            # [Gaussian_yolo] carries 4 extra sigma channels per anchor
+            per = (9 if head.gaussian else 5) + num_classes
+            expected_out = len(head.mask) * per
             if not isinstance(prev, Conv) or prev.filters != expected_out:
+                kindname = "Gaussian_yolo" if head.gaussian else "yolo"
                 raise ValueError(
-                    f"layer {i - 1}: conv before [yolo] mask={head.mask} "
-                    f"must output len(mask)*(5+classes)={expected_out} "
-                    f"channels, got {getattr(prev, 'filters', prev)}")
+                    f"layer {i - 1}: conv before [{kindname}] "
+                    f"mask={head.mask} must output "
+                    f"len(mask)*({per - num_classes}+classes)="
+                    f"{expected_out} channels, "
+                    f"got {getattr(prev, 'filters', prev)}")
             # scaled-yolov4 contract: new_coords heads read values the
             # head conv already passed through logistic; a mismatch
             # either double-sigmoids or decodes raw logits as [0,1]
@@ -564,7 +578,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
         elif isinstance(l, SoftmaxHead):
             out.append("[softmax]\ngroups=1\n")
         elif isinstance(l, YoloHead):
-            out.append("[yolo]\nmask = "
+            out.append(("[Gaussian_yolo]" if l.gaussian else "[yolo]")
+                       + "\nmask = "
                        + ",".join(str(m) for m in l.mask) + "\n"
                        + f"anchors = {anchors}\n"
                        + f"classes={cfg.num_classes}\n"

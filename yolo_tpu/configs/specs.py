@@ -168,6 +168,15 @@ class YoloHead:
     # raw conf/class values. Training uses 0.5*MSE deltas on the
     # activations + an iou-family box loss (train/loss.py::yolo_loss).
     new_coords: bool = False
+    # [Gaussian_yolo] (AlexeyAB gaussian_yolo_layer.c, the Gaussian
+    # YOLOv3 localization-uncertainty head): per-anchor channel layout
+    # is [x, y, w, h, sx, sy, sw, sh, obj, classes...] (9+C, not 5+C);
+    # box math matches [yolo] (sigmoid xy with scale_x_y, exp wh on
+    # pixel anchors); detection score = sigmoid(obj) * sigmoid(class)
+    # * (1 - mean(sigmoid(sigma_xywh))) — get_gaussian_yolo_detections'
+    # uc_aver term. Inference/eval only: training rejects loudly (the
+    # Gaussian NLL deltas have no pinnable reference source here).
+    gaussian: bool = False
 
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam,

@@ -75,6 +75,11 @@ def _postprocess(cfg: ModelConfig, logits, *,
         # pixel anchors, per-head scale_x_y)
         scales = [h.scale_xy for h in cfg.yolo_heads]
         ncs = [h.new_coords for h in cfg.yolo_heads]
+        gas = [h.gaussian for h in cfg.yolo_heads]
+        if any(gas):
+            # [Gaussian_yolo] 9+C channel layout + the uc_aver score
+            # factor live in decode_yolo only — take the reference path
+            head = "reference"
         if head == "fused":
             from yolo_tpu.ops.head import detect_head_yolo
 
@@ -90,7 +95,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
             cfg.num_classes, cfg.input_size, scales=scales,
-            new_coords=ncs)
+            new_coords=ncs, gaussian=gas)
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
             top_k=top_k, max_detections=max_detections, impl=nms_impl,

@@ -45,12 +45,14 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None, new_coords=None):
+                net_size: int, scales=None, new_coords=None,
+                gaussian=None):
     """YOLOv3-family [yolo] decode, all heads merged (darknet
     yolo_layer semantics — sigmoid xy/conf, exp wh on PIXEL anchors,
     independent sigmoid class probs; no softmax, no tw/th clamp).
 
       head_logits: sequence of (B, Hs, Ws, As*(5+C)) raw head outputs
+                   (As*(9+C) for gaussian heads)
       anchors_px:  full anchor list, pixel units of the net input
       masks:       per-head index tuples into anchors_px
       scales:      per-head scale_x_y (yolov4 grid-sensitivity fix:
@@ -59,6 +61,11 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                    conv already applied logistic, so all values arrive
                    in [0,1]: xy uses v directly, wh = 4*v^2*anchor,
                    conf/class are raw); default all False
+      gaussian:    per-head [Gaussian_yolo] flags (gaussian_yolo_layer:
+                   channels [x y w h sx sy sw sh obj cls...]; box math
+                   as [yolo]; score = sigmoid(obj) * sigmoid(cls) *
+                   (1 - mean(sigmoid(sigma))) — the uc_aver factor of
+                   get_gaussian_yolo_detections); default all False
 
     Returns boxes (B, N, 4) xywh and scores (B, N, C) normalized to net
     space, N = sum over heads of Hs*Ws*As — same convention as decode(),
@@ -66,19 +73,27 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     """
     scales = scales or [1.0] * len(masks)
     new_coords = new_coords or [False] * len(masks)
+    gaussian = gaussian or [False] * len(masks)
     all_boxes, all_scores = [], []
-    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
-                                      new_coords):
+    for logits, mask, s_xy, nc, ga in zip(head_logits, masks, scales,
+                                          new_coords, gaussian):
         b, h, w, _ = logits.shape
         a = len(mask)
-        t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
+        ch = (9 if ga else 5) + num_classes
+        t = logits.astype(jnp.float32).reshape(b, h, w, a, ch)
         boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size,
                                   new_coords=nc)
-        conf = t[..., 4] if nc else jax.nn.sigmoid(t[..., 4])
-        probs = t[..., 5:] if nc else jax.nn.sigmoid(t[..., 5:])
+        if ga:
+            conf = jax.nn.sigmoid(t[..., 8])
+            probs = jax.nn.sigmoid(t[..., 9:])
+            uc_aver = jnp.mean(jax.nn.sigmoid(t[..., 4:8]), axis=-1)
+            scores = (conf * (1.0 - uc_aver))[..., None] * probs
+        else:
+            conf = t[..., 4] if nc else jax.nn.sigmoid(t[..., 4])
+            probs = t[..., 5:] if nc else jax.nn.sigmoid(t[..., 5:])
+            scores = conf[..., None] * probs
         all_boxes.append(boxes.reshape(b, -1, 4))
-        all_scores.append(
-            (conf[..., None] * probs).reshape(b, -1, num_classes))
+        all_scores.append(scores.reshape(b, -1, num_classes))
     return (jnp.concatenate(all_boxes, axis=1),
             jnp.concatenate(all_scores, axis=1))
 

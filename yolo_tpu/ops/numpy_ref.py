@@ -140,7 +140,8 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None, new_coords=None):
+                net_size: int, scales=None, new_coords=None,
+                gaussian=None):
     """YOLOv3 [yolo]-layer decode oracle for ONE image, loop-level
     (darknet yolo_layer semantics: sigmoid xy/conf, exp wh on pixel
     anchors, INDEPENDENT sigmoid class probs — no softmax; optional
@@ -150,6 +151,10 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     yolo_layer.c get_yolo_box).
 
       head_logits: list of (Hs, Ws, As*(5+C)) raw head outputs
+                   (As*(9+C) for gaussian heads: [x y w h sx sy sw sh
+                   obj cls...], AlexeyAB gaussian_yolo_layer.c — box
+                   math as [yolo], score = sigmoid(obj)*sigmoid(cls)*
+                   (1 - mean(sigmoid(sigma))), the uc_aver factor)
       anchors_px:  full anchor list in net-input pixels
       masks:       per-head tuples of indices into anchors_px
 
@@ -159,17 +164,32 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     boxes_out, scores_out = [], []
     scales = scales or [1.0] * len(masks)
     new_coords = new_coords or [False] * len(masks)
-    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
-                                      new_coords):
+    gaussian = gaussian or [False] * len(masks)
+    for logits, mask, s_xy, nc, ga in zip(head_logits, masks, scales,
+                                          new_coords, gaussian):
         h, w, _ = logits.shape
         a = len(mask)
-        t = logits.reshape(h, w, a, 5 + num_classes).astype(np.float64)
+        ch = (9 if ga else 5) + num_classes
+        t = logits.reshape(h, w, a, ch).astype(np.float64)
         for j in range(h):
             for i in range(w):
                 for n in range(a):
                     pw, ph = anchors_px[mask[n]]
-                    tx, ty, tw, th, to = t[j, i, n, :5]
+                    tx, ty, tw, th = t[j, i, n, :4]
+                    to = t[j, i, n, 8 if ga else 4]
                     off = (s_xy - 1.0) / 2.0
+                    if ga:
+                        bx = (sigmoid(tx) * s_xy - off + i) / w
+                        by = (sigmoid(ty) * s_xy - off + j) / h
+                        with np.errstate(over="ignore"):
+                            bw = pw * np.exp(tw) / net_size
+                            bh = ph * np.exp(th) / net_size
+                        uc_aver = sigmoid(t[j, i, n, 4:8]).mean()
+                        conf = sigmoid(to) * (1.0 - uc_aver)
+                        probs = sigmoid(t[j, i, n, 9:])
+                        boxes_out.append([bx, by, bw, bh])
+                        scores_out.append(conf * probs)
+                        continue
                     if nc:
                         bx = (tx * s_xy - off + i) / w
                         by = (ty * s_xy - off + j) / h

@@ -132,6 +132,15 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                 "detectors with the region/yolo families")
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
+            if any(hd.gaussian for hd in heads):
+                # [Gaussian_yolo] trains a per-coordinate Gaussian NLL
+                # (delta_gaussian_yolo_box) whose exact deltas have no
+                # pinnable reference source here — inference/eval only
+                raise NotImplementedError(
+                    "[Gaussian_yolo] training is not supported — the "
+                    "Gaussian NLL deltas cannot be pinned against a "
+                    "reference; inference/eval of pretrained Gaussian "
+                    "weights is fully supported")
             if mcfg.objectness_smooth:
                 # AlexeyAB objectness_smooth=1 replaces the sharp
                 # objectness target with an IoU-derived one via delta
