@@ -983,6 +983,95 @@ class TestYolov4Features:
         assert len(scales) == 4 and all(np.isfinite(s) and s > 0
                                         for s in scales)
 
+    def test_grouped_conv_matches_tf_oracle(self):
+        """[convolutional] groups=N (grouped conv, efficientnet/enet
+        cfgs): lax feature_group_count vs the oracle's independent
+        split/conv/concat derivation; kernel is (k, k, ic/g, oc)."""
+        from tests import tf_oracle
+
+        layers = (Conv(8), Conv(16, groups=4),
+                  Conv(16, groups=16))  # last = depthwise
+        rng = np.random.default_rng(12)
+        params = dw.random_params(layers, rng)
+        assert params[1]["kernel"].shape == (3, 3, 2, 16)   # 8/4 in
+        assert params[2]["kernel"].shape == (3, 3, 1, 16)   # depthwise
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(layers, params, x)
+        got = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(params), jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+
+    def test_grouped_conv_weights_round_trip(self):
+        import io as _io
+
+        from yolo_tpu.io import zoo
+
+        layers = (Conv(8), Conv(16, groups=4, bn=False, act="linear"))
+        rng = np.random.default_rng(13)
+        params = dw.random_params(layers, rng)
+        blob = dw.to_bytes(layers, params)
+        assert len(blob) == zoo.expected_weights_bytes(layers)
+        got, _ = dw.load(_io.BytesIO(blob), layers)
+        for a, b in zip(params, got):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_grouped_conv_cfg_parse_and_round_trip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        cfg_text = (
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\ngroups=16\n"
+            "size=3\nstride=1\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        p = tmp_path / "g.cfg"
+        p.write_text(cfg_text)
+        cfg = config_from_cfg(str(p))
+        assert cfg.layers[1] == Conv(16, groups=16)
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        assert config_from_cfg(str(p2)).layers == cfg.layers
+        # groups must divide filters
+        p.write_text(cfg_text.replace("groups=16", "groups=5"))
+        with pytest.raises(ValueError, match="groups=5"):
+            config_from_cfg(str(p))
+
+    def test_grouped_conv_in_channel_mismatch_raises(self):
+        """groups must divide the INPUT channels too (caught at the
+        weights walk with a clear message, not a reshape error)."""
+        layers = (Conv(9), Conv(8, groups=2))  # 9 in-ch, groups=2
+        with pytest.raises(ValueError, match="groups=2 must divide"):
+            dw.random_params(layers, np.random.default_rng(0))
+
+    def test_grouped_conv_int8(self):
+        """int8 PTQ through grouped convs: per-out-channel weight
+        scales apply unchanged; dequantized output tracks fp32."""
+        from yolo_tpu.models import quantize
+
+        layers = (Conv(8), Conv(16, groups=4),
+                  Conv(8, 1, bn=False, act="linear"))
+        rng = np.random.default_rng(14)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        folded = graph.fold_params(layers, params, 1e-5)
+        fp = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax(folded), jnp.asarray(x)))
+        scales, om = quantize.calibrate(layers, folded, x,
+                                        return_out_maxes=True)
+        q = quantize.quantize(layers, folded, scales, out_maxes=om)
+        qout = np.asarray(graph.apply_layers(
+            layers, graph.params_to_jax_quant(q), jnp.asarray(x),
+            compute_dtype=jnp.bfloat16))
+        assert np.isfinite(qout).all()
+        scale = max(np.abs(fp).max(), 1e-3)
+        assert np.abs(qout - fp).max() / scale < 0.1
+
     def test_route_groups_slices_channels(self):
         """[route] layers=-1 groups=2 group_id=1 keeps the SECOND half
         of the channels (yolov4-tiny CSP pattern)."""

@@ -52,8 +52,22 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             pad = layer.size // 2
             if pad:
                 x = tf.pad(x, [[0, 0], [pad, pad], [pad, pad], [0, 0]])
-            x = tf.nn.conv2d(x, p["kernel"].astype(np.float32),
-                             strides=layer.stride, padding="VALID")
+            g = getattr(layer, "groups", 1)
+            if g > 1:
+                # grouped conv as explicit split/conv/concat — an
+                # independent derivation vs lax feature_group_count
+                kern = p["kernel"].astype(np.float32)
+                oc_g = kern.shape[-1] // g
+                ins = tf.split(x, g, axis=-1)
+                outs = [tf.nn.conv2d(ins[i],
+                                     kern[..., i * oc_g:(i + 1) * oc_g],
+                                     strides=layer.stride,
+                                     padding="VALID")
+                        for i in range(g)]
+                x = tf.concat(outs, axis=-1)
+            else:
+                x = tf.nn.conv2d(x, p["kernel"].astype(np.float32),
+                                 strides=layer.stride, padding="VALID")
             if "gamma" in p:
                 x = tf.nn.batch_normalization(
                     x, p["mean"], p["var"], p["beta"], p["gamma"], eps)

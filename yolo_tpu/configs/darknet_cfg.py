@@ -7,7 +7,8 @@ counts, pruned filters, different anchors — runs unmodified:
         --weights my.weights --image dog.jpg
 
 Supported sections: [net] (width/height/channels), [convolutional]
-(batch_normalize, filters, size, stride, activation
+(batch_normalize, filters, size, stride, groups — grouped/depthwise
+convs, efficientnet/enet-style cfgs — and activation
 leaky|linear|mish|logistic|swish), [maxpool] (size, stride — incl. the
 spp 5/9/13 stride-1 pools), [route] (layers, plus yolov4 CSP
 groups/group_id), [reorg] (stride), [region] (anchors, classes) — the
@@ -137,12 +138,19 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(
                     f"conv size={size} with padding={padding} is "
                     f"unsupported (only darknet pad=size//2; add pad=1)")
+            cgroups = int(kv.get("groups", 1))
+            filters = int(kv["filters"])
+            if cgroups < 1 or filters % cgroups:
+                raise ValueError(
+                    f"conv groups={cgroups} must divide "
+                    f"filters={filters}")
             layers.append(Conv(
-                filters=int(kv["filters"]),
+                filters=filters,
                 size=size,
                 stride=stride,
                 bn=bool(int(kv.get("batch_normalize", 0))),
-                act=act))
+                act=act,
+                groups=cgroups))
         elif kind == "maxpool":
             size = int(kv.get("size", 2))
             layers.append(MaxPool(size=size,
@@ -546,6 +554,7 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append("[convolutional]\n"
                        + ("batch_normalize=1\n" if l.bn else "")
                        + f"filters={l.filters}\nsize={l.size}\n"
+                       + (f"groups={l.groups}\n" if l.groups > 1 else "")
                        + f"stride={l.stride}\n"
                        + f"pad={1 if l.size > 1 else 0}\n"
                        + f"activation={l.act}\n")

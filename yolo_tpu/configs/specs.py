@@ -49,6 +49,10 @@ class Conv:
     # (scaled-yolov4 head convs feeding new_coords [yolo] layers) |
     # "swish" (yolov4-csp-swish family)
     act: str = "leaky"
+    # darknet [convolutional] groups (grouped/depthwise convolutions —
+    # efficientnet/enet-style cfgs; groups == in_channels = depthwise).
+    # Weights-file kernel is (oc, ic/groups, k, k), out = filters.
+    groups: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,6 +137,11 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
             continue
         conv = spec
         oc, k = conv.filters, conv.size
+        if oc % conv.groups or ic % conv.groups:
+            raise ValueError(
+                f"conv {len(params)}: groups={conv.groups} must divide "
+                f"filters={oc} and in_channels={ic}")
+        ic = ic // conv.groups  # darknet grouped kernel: (oc, ic/g, k, k)
         need = oc * (4 if conv.bn else 1) + oc * ic * k * k
         if pos == floats.size:
             break  # clean cutoff boundary
@@ -218,6 +223,11 @@ def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
             continue
         conv = spec
         oc, k = conv.filters, conv.size
+        if oc % conv.groups or ic % conv.groups:
+            raise ValueError(
+                f"conv {len(params)}: groups={conv.groups} must divide "
+                f"filters={oc} and in_channels={ic}")
+        ic = ic // conv.groups
         p = {"kernel": rng.normal(0, scale, (k, k, ic, oc)).astype(np.float32)}
         if conv.bn:
             p["gamma"] = rng.uniform(0.5, 1.5, oc).astype(np.float32)

@@ -47,7 +47,8 @@ def expected_weights_bytes(layers: Sequence[LayerSpec],
             n += spec.out + spec.out * ic
         else:
             n += spec.filters * (4 if spec.bn else 1)
-            n += spec.filters * ic * spec.size * spec.size
+            n += (spec.filters * (ic // spec.groups)
+                  * spec.size * spec.size)
     return _HEADER_BYTES + 4 * n
 
 

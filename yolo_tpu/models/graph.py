@@ -41,7 +41,7 @@ BN_MOMENTUM = 0.99
 
 
 def _conv2d(x, kernel, stride, compute_dtype, train=False,
-            input_layout="NHWC"):
+            input_layout="NHWC", groups=1):
     k = kernel.shape[0]
     pad = k // 2  # darknet pad = size // 2, symmetric
     if compute_dtype == jnp.float32:
@@ -62,6 +62,7 @@ def _conv2d(x, kernel, stride, compute_dtype, train=False,
         # output (ops/pallas/entry_kernel.py) without a transpose pass;
         # the conv always emits NHWC
         dimension_numbers=(input_layout, "HWIO", "NHWC"),
+        feature_group_count=groups,
         precision=precision,
         preferred_element_type=out_dtype,
     )
@@ -96,7 +97,7 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
         assert not train, "int8 params are inference-only"
         return conv_block_int8(x, p, spec, compute_dtype=compute_dtype), None
     if (conv_impl == "pallas" and not train and "bias" in p
-            and spec.act in ("leaky", "linear")
+            and spec.act in ("leaky", "linear") and spec.groups == 1
             and input_layout == "NHWC"):
         from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
 
@@ -107,7 +108,7 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
                 jnp.asarray(p["bias"]), act=spec.act)
             return y, None
     y = _conv2d(x, p["kernel"], spec.stride, compute_dtype, train=train,
-                input_layout=input_layout)
+                input_layout=input_layout, groups=spec.groups)
     new_stats = None
     if "gamma" in p:
         if train:

@@ -266,6 +266,7 @@ def conv_block_int8(x, p, spec: Conv, compute_dtype=jnp.bfloat16):
         window_strides=(spec.stride, spec.stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=spec.groups,
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (p["x_scale"] * p["w_scale"]) + p["bias"]
     # dequantized value is fp32 — any activation applies directly
