@@ -132,6 +132,111 @@ class TestTrainStep:
         assert not np.allclose(before, after)   # EMA moved
 
 
+class TestEMA:
+    """[net] ema_alpha (AlexeyAB network.c ema_update/ema_apply):
+    ema = alpha*ema + (1-alpha)*w per step for kernel/gamma/beta/bias;
+    BN rolling mean/var stay shared with the live net; checkpoint
+    consumers prefer the EMA track."""
+
+    def _batch(self, rng, batch=2):
+        grid = MICRO.grid_size
+        targets = _random_scene(rng, batch, grid, MICRO.num_classes)
+        batch_dict = {k: jnp.asarray(v) for k, v in targets.items()}
+        batch_dict["images"] = jnp.asarray(
+            rng.uniform(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+        return batch_dict
+
+    def test_recurrence_matches_manual(self):
+        from yolo_tpu.train.loop import ema_params_of
+
+        rng = np.random.default_rng(3)
+        params = dw.random_params(MICRO.layers, rng)
+        alpha = 0.5
+        tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                           weight_decay=0.0, ema_alpha=alpha)
+        state = init_state(params, tcfg)
+        step = make_train_step(MICRO, tcfg)
+        batch = self._batch(rng)
+
+        # manual EMA over the LIVE param trajectory
+        want = np.asarray(state["params"][0]["kernel"])
+        for _ in range(5):
+            state, _ = step(state, batch)
+            live = np.asarray(state["params"][0]["kernel"])
+            want = alpha * want + (1 - alpha) * live
+        got = np.asarray(state["ema_params"][0]["kernel"])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        # EMA lags the live weights (they moved)
+        assert not np.allclose(got, np.asarray(
+            state["params"][0]["kernel"]))
+        # rolling stats are shared with the live net, not EMA'd again
+        np.testing.assert_array_equal(
+            np.asarray(state["ema_params"][0]["mean"]),
+            np.asarray(state["params"][0]["mean"]))
+        # consumer helper returns the EMA track
+        assert ema_params_of(state) is state["ema_params"]
+
+    def test_off_by_default(self):
+        from yolo_tpu.train.loop import ema_params_of
+
+        rng = np.random.default_rng(4)
+        state = init_state(dw.random_params(MICRO.layers, rng),
+                           TrainConfig())
+        assert "ema_params" not in state
+        assert ema_params_of(state) is state["params"]
+
+    def test_export_prefers_ema(self, tmp_path, capsys):
+        """cmd_export writes the EMA track (darknet ema_apply-before-
+        save); --live-weights writes the raw track."""
+        import io as _io
+
+        from yolo_tpu import cli
+        from yolo_tpu.io import checkpoint as ckpt
+
+        from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+        rng = np.random.default_rng(5)
+        tcfg = TrainConfig(learning_rate=5e-3, optimizer="adam",
+                           weight_decay=0.0, ema_alpha=0.6)
+        state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+        step = make_train_step(MICRO, tcfg)
+        for _ in range(3):
+            state, _ = step(state, self._batch(rng))
+        ckpt.save(str(tmp_path / "ck"), jax.device_get(dict(state)))
+        cfg_path = tmp_path / "micro.cfg"
+        cfg_path.write_text(cfg_to_string(MICRO))
+
+        out = tmp_path / "ema.weights"
+        cli.main(["export", "--cfg", str(cfg_path),
+                  "--checkpoint", str(tmp_path / "ck"),
+                  "--output", str(out)])
+        got, _ = dw.load(str(out), MICRO.layers)
+        np.testing.assert_allclose(
+            got[0]["kernel"], np.asarray(state["ema_params"][0]["kernel"]),
+            rtol=1e-6)
+
+        out2 = tmp_path / "live.weights"
+        cli.main(["export", "--cfg", str(cfg_path),
+                  "--checkpoint", str(tmp_path / "ck"),
+                  "--output", str(out2), "--live-weights"])
+        got2, _ = dw.load(str(out2), MICRO.layers)
+        np.testing.assert_allclose(
+            got2[0]["kernel"], np.asarray(state["params"][0]["kernel"]),
+            rtol=1e-6)
+
+    def test_cfg_key_flows(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        p = tmp_path / "e.cfg"
+        p.write_text("[net]\nwidth=64\nheight=64\nema_alpha=0.9998\n"
+                     "[convolutional]\nfilters=30\nsize=1\n"
+                     "activation=linear\n"
+                     "[region]\nanchors = 1,1, 2,2, 3,3, 4,4, 5,5\n"
+                     "classes=1\nnum=5\n")
+        assert net_training_params(str(p))["ema_alpha"] == \
+            pytest.approx(0.9998)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from yolo_tpu.io import checkpoint as ckpt
 

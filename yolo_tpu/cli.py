@@ -99,9 +99,13 @@ def _load_params(args, cfg, folded: bool = True):
         from yolo_tpu.io import checkpoint as ckpt
 
         state = ckpt.restore(weights)
+        source = state.get("ema_params", state["params"])
+        if "ema_params" in state:
+            print("using the checkpoint's EMA weight track (darknet "
+                  "ema_apply semantics)", file=sys.stderr)
         params = [
             {k: np.asarray(v) for k, v in p.items()}
-            for p in state["params"]
+            for p in source
         ]
     else:
         params, header = dw.load(weights, cfg.layers)
@@ -416,6 +420,8 @@ def cmd_train(args) -> None:
         net_hp = net_training_params(args.cfg)
     lr = args.lr if args.lr is not None else net_hp.get(
         "learning_rate", 1e-4)
+    ema_alpha = (args.ema_alpha if args.ema_alpha is not None
+                 else net_hp.get("ema_alpha", 0.0))
     burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
         "burn_in", 0)
     if not args.multi_scale and net_hp.get("random", 0) > 0:
@@ -466,6 +472,7 @@ def cmd_train(args) -> None:
                        lr_decay_scales=decay_scales,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
+                       ema_alpha=ema_alpha,
                        # [region]/[yolo] training keys flow from the cfg
                        loss=LossConfig(iou_thresh=cfg.region_thresh),
                        yolo_loss=YoloLossConfig(
@@ -665,7 +672,9 @@ def cmd_train(args) -> None:
                 if args.eval_every and step % args.eval_every == 0:
                     from yolo_tpu.eval.runner import quick_map
 
-                    m = quick_map(cfg, state["params"], eval_samples,
+                    from yolo_tpu.train.loop import ema_params_of
+
+                    m = quick_map(cfg, ema_params_of(state), eval_samples,
                                   batch=min(args.batch, 16),
                                   compute_dtype=_compute_dtype(
                                       args.precision),
@@ -889,8 +898,14 @@ def cmd_export(args) -> None:
 
     cfg = _get_cfg(args)
     state = ckpt.restore(args.checkpoint)
+    source = state["params"]
+    if "ema_params" in state and not args.live_weights:
+        source = state["ema_params"]
+        print("exporting the EMA weight track (darknet ema_apply "
+              "semantics; --live-weights exports the raw track)",
+              file=sys.stderr)
     params = [{k: np.asarray(v) for k, v in p.items()}
-              for p in state["params"]]
+              for p in source]
     dw.save(args.output, cfg.layers, params, seen=int(state.get("seen", 0)))
     print(f"wrote {args.output}", file=sys.stderr)
     if args.save_cfg:
@@ -1050,6 +1065,11 @@ def main(argv: Optional[list] = None) -> None:
                    help="learning rate (default: the cfg's [net] "
                         "learning_rate, else 1e-4)")
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--ema-alpha", type=float, default=None,
+                   help="per-step weight EMA (darknet [net] ema_alpha, "
+                        "scaled-yolov4 cfgs use 0.9998); checkpoints "
+                        "keep both tracks and consumers prefer the EMA; "
+                        "default from the cfg, else off")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv activations in backward "
                         "(less HBM, more FLOPs; for large batch/608)")
@@ -1157,6 +1177,9 @@ def main(argv: Optional[list] = None) -> None:
     p.set_defaults(fn=cmd_anchors)
 
     p = sub.add_parser("export", help="checkpoint -> darknet .weights")
+    p.add_argument("--live-weights", action="store_true",
+                   help="export the raw weights even when the "
+                        "checkpoint carries an EMA track")
     _add_common(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)

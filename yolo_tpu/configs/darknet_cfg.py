@@ -463,6 +463,7 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
             for key, cast in (("learning_rate", float),
                               ("momentum", float),
                               ("decay", float), ("burn_in", int),
+                              ("ema_alpha", float),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),
                               ("mosaic", int)):

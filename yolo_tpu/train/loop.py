@@ -50,6 +50,16 @@ class TrainConfig:
     multi_scale: bool = False
     multi_scale_every: int = 10     # darknet resizes every 10 batches
     multi_scale_sizes: tuple = MULTISCALE_SIZES
+    # AlexeyAB [net] ema_alpha (scaled-yolov4 cfgs: 0.9998): per-step
+    # exponential moving average of the weights,
+    # ema = alpha*ema + (1-alpha)*w after each update (network.c
+    # ema_update); 0 disables. The EMA tracks kernel/gamma/beta/bias;
+    # BN rolling mean/var are already EMAs and stay shared with the
+    # live net (darknet ema_update covers weights/scales/biases only).
+    # Checkpoint consumers (export, predict/eval on a checkpoint dir,
+    # mid-train validation) prefer the EMA weights when present —
+    # darknet's ema_apply-before-save semantics.
+    ema_alpha: float = 0.0
 
 
 # Train state is a plain dict pytree: {'params', 'opt_state', 'step',
@@ -100,12 +110,24 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def init_state(params, tcfg: TrainConfig, seen: int = 0) -> TrainState:
     params = graph.params_to_jax(params)
     tx = make_optimizer(tcfg)
-    return dict(
+    state = dict(
         params=params,
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         seen=jnp.asarray(seen, jnp.int32),
     )
+    if tcfg.ema_alpha:
+        # darknet ema starts from the initial weights (first
+        # ema_update blends against them)
+        state["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
+    return state
+
+
+def ema_params_of(state: TrainState):
+    """The weights a checkpoint consumer should use: the EMA track when
+    the run maintained one (darknet ema_apply-before-save), else the
+    live params."""
+    return state.get("ema_params", state["params"])
 
 
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
@@ -177,6 +199,16 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
         step=state["step"] + 1,
         seen=state["seen"] + batch_size,
     )
+    if tcfg.ema_alpha:
+        a = tcfg.ema_alpha
+        ema = []
+        for pe, pl in zip(state["ema_params"], params):
+            # rolling mean/var are already EMAs, shared with the live
+            # net (darknet ema_update covers weights/scales/biases)
+            ema.append({k: (v if k in ("mean", "var")
+                            else a * pe[k] + (1.0 - a) * v)
+                        for k, v in pl.items()})
+        new_state["ema_params"] = ema
     metrics = dict(parts)
     metrics["loss"] = loss
     return new_state, metrics
