@@ -215,3 +215,86 @@ def test_serve_stretch_resize():
             assert 0 <= x1 <= x2 <= 110 and 0 <= y1 <= y2 <= 60
     finally:
         srv.stop()
+
+
+class TestClassifierServing:
+    @pytest.fixture(scope="class")
+    def cls_server(self):
+        import jax.numpy as jnp
+
+        from tests.test_classifier import MICRO_CLS
+
+        params = graph.params_to_jax(graph.fold_params(
+            MICRO_CLS.layers,
+            dw.random_params(MICRO_CLS.layers,
+                             np.random.default_rng(3)),
+            MICRO_CLS.bn_eps))
+        srv = DetectionServer(MICRO_CLS, params,
+                              compute_dtype=jnp.float32, port=0)
+        srv.start()
+        yield srv
+        srv.stop()
+
+    def _post(self, srv, path, seed=0):
+        import cv2
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=buf.tobytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def test_classify_roundtrip(self, cls_server):
+        out = self._post(cls_server, "/classify")
+        assert "classes" in out
+        ranked = out["classes"]
+        assert len(ranked) == 5
+        probs = [r["prob"] for r in ranked]
+        assert probs == sorted(probs, reverse=True)
+        # top-5 of 6 classes: all but the smallest class's mass
+        assert 0.5 < sum(probs) <= 1.0 + 1e-6
+        for r in ranked:
+            assert r["class"] in cls_server.cfg.class_names
+
+    def test_detect_rejected_on_classifier(self, cls_server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(cls_server, "/detect")
+        assert ei.value.code == 400
+
+    def test_classify_rejected_on_detector(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server, "/classify")
+        assert ei.value.code == 400
+
+    def test_dp_mesh_rejected(self):
+        import jax
+
+        from tests.test_classifier import MICRO_CLS
+        from yolo_tpu.parallel import sharding as shd
+
+        params = graph.params_to_jax(graph.fold_params(
+            MICRO_CLS.layers,
+            dw.random_params(MICRO_CLS.layers,
+                             np.random.default_rng(3)),
+            MICRO_CLS.bn_eps))
+        mesh = shd.make_mesh(len(jax.devices()))
+        with pytest.raises(ValueError, match="single-device"):
+            DetectionServer(MICRO_CLS, params, port=0, mesh=mesh)
+
+    def test_concurrent_classify_batched(self, cls_server):
+        before = dict(cls_server.stats)
+        with cf.ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(
+                lambda s: self._post(cls_server, "/classify", seed=s),
+                range(8)))
+        assert all("classes" in o for o in outs)
+        made = cls_server.stats["batches"] - before["batches"]
+        assert made < 8  # preprocessed shapes all match -> micro-batched

@@ -925,7 +925,6 @@ def cmd_serve(args) -> None:
     from yolo_tpu.serve import DetectionServer
 
     cfg = _get_cfg(args)
-    _require_detection(cfg, "serve")
     params = _load_params(args, cfg)
     if args.precision == "int8":
         if not args.calibration_image:
@@ -1188,7 +1187,7 @@ def main(argv: Optional[list] = None) -> None:
                         "exported weights")
     p.set_defaults(fn=cmd_export)
 
-    p = sub.add_parser("serve", help="HTTP detection endpoint")
+    p = sub.add_parser("serve", help="HTTP detection/classification endpoint")
     _add_common(p)
     p.add_argument("--weights", required=True)
     p.add_argument("--host", default="127.0.0.1")

@@ -1,6 +1,9 @@
 """Minimal production-style serving endpoint: HTTP in, boxes out.
 
-POST /detect with JPEG/PNG bytes -> JSON detections. Requests are
+POST /detect with JPEG/PNG bytes -> JSON detections (detection
+models); POST /classify -> top-k labels (classifier models — darknet19/
+darknet53; the preprocess runs host-side per request, so every queued
+item shares the net shape and micro-batches perfectly). Requests are
 micro-batched: a collector thread groups same-shape images arriving
 within ``batch_window_ms`` (up to ``max_batch``) into one device call,
 so concurrent clients ride the batched-throughput curve (docs/PERF.md)
@@ -65,7 +68,18 @@ class DetectionServer:
         self.request_timeout = request_timeout
         self.mesh = mesh
         self._min_bucket = 1
-        if mesh is None:
+        self.is_classifier = cfg.head_kind == "softmax"
+        if self.is_classifier:
+            if mesh is not None:
+                raise ValueError("classifier serving is single-device "
+                                 "(no DP detector path) — drop --dp")
+            from yolo_tpu.models.classify import make_classifier
+
+            self.params = params
+            self._classifier = make_classifier(
+                cfg, compute_dtype=compute_dtype or jnp.bfloat16)
+            self._detector = None
+        elif mesh is None:
             self.params = params
             self._detector = make_detector(
                 cfg, compute_dtype=compute_dtype or jnp.bfloat16,
@@ -97,9 +111,15 @@ class DetectionServer:
 
         size = self._min_bucket
         while size <= self.max_batch:
-            imgs = jnp.zeros((size, height, width, 3), jnp.uint8)
-            out = self._detector(self.params, imgs)
-            np.asarray(out["scores"][0, 0])  # sync
+            if self.is_classifier:
+                net = self.cfg.input_size
+                imgs = jnp.zeros((size, net, net, 3), jnp.float32)
+                out = self._classifier(self.params, imgs)
+                np.asarray(out[0, 0])  # sync
+            else:
+                imgs = jnp.zeros((size, height, width, 3), jnp.uint8)
+                out = self._detector(self.params, imgs)
+                np.asarray(out["scores"][0, 0])  # sync
             size *= 2
 
     # -- batching ----------------------------------------------------------
@@ -195,6 +215,19 @@ class DetectionServer:
                     arrays = [i.image for i in items]
                     arrays += [items[-1].image] * (size - n)
                     images = jnp.asarray(np.stack(arrays))
+                    if self.is_classifier:
+                        from yolo_tpu.models.classify import top_k
+
+                        probs = np.asarray(
+                            self._classifier(self.params, images))
+                        for bi, item in enumerate(items):
+                            item.result = [
+                                {"class": name, "prob": round(pr, 6)}
+                                for name, pr in top_k(
+                                    probs[bi], self.cfg.class_names)]
+                        for item in items:
+                            item.event.set()
+                        continue
                     out = self._detector(self.params, images)
                     for bi, item in enumerate(items):
                         valid = np.asarray(out["valid"][bi])
@@ -239,8 +272,13 @@ class DetectionServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/detect":
-                    self._send(404, {"error": "not found"})
+                want = "/classify" if server.is_classifier else "/detect"
+                if self.path != want:
+                    if self.path in ("/detect", "/classify"):
+                        self._send(400, {"error": f"{server.cfg.name} "
+                                         f"serves {want}"})
+                    else:
+                        self._send(404, {"error": "not found"})
                     return
                 import cv2
 
@@ -251,7 +289,13 @@ class DetectionServer:
                 if img is None:
                     self._send(400, {"error": "cannot decode image"})
                     return
-                pending = _Pending(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                if server.is_classifier:
+                    from yolo_tpu.models.classify import classifier_preprocess
+
+                    rgb = classifier_preprocess(rgb,
+                                                server.cfg.input_size)
+                pending = _Pending(rgb)
                 server._q.put(pending)
                 # bounded wait: a dead/stopped worker must yield 503,
                 # not a forever-blocked handler thread
@@ -259,6 +303,8 @@ class DetectionServer:
                     self._send(503, {"error": "detection timed out"})
                 elif pending.error is not None:
                     self._send(500, {"error": pending.error})
+                elif server.is_classifier:
+                    self._send(200, {"classes": pending.result})
                 else:
                     self._send(200, {"detections": pending.result})
 
