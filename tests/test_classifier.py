@@ -129,6 +129,20 @@ class TestClassifierCfg:
         with pytest.raises(ValueError, match="avgpool"):
             config_from_cfg(str(p))
 
+    def test_connected_after_spatial_route_rejected(self, tmp_path):
+        """[avgpool] somewhere earlier is NOT enough: a route back to a
+        spatial map between the avgpool and the [connected] must still
+        reject (the dense input would be H*W*C, which this IR cannot
+        size — code-review finding)."""
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "bad.cfg"
+        p.write_text(MICRO_CLS_CFG.replace(
+            "[connected]\noutput=6",
+            "[route]\nlayers=-4\n\n[connected]\noutput=6"))
+        with pytest.raises(ValueError, match="1x1-spatial"):
+            config_from_cfg(str(p))
+
     def test_connected_bn_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 

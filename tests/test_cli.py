@@ -145,6 +145,41 @@ def test_train_fail_and_resume_e2e(tiny_weights, tmp_path, capsys):
     assert int(np.asarray(final["step"])) == 3  # 1 before fail + 2 after
 
 
+def test_resume_adapts_ema_track_mismatch(tiny_weights, tmp_path, capsys):
+    """A pre-EMA checkpoint resumed with --ema-alpha starts an EMA
+    track from the restored weights; an EMA checkpoint resumed without
+    it drops the track — neither direction dies on a pytree-structure
+    mismatch (code-review finding)."""
+    root = make_voc_root(tmp_path, n_images=16, size=(80, 90))
+    ckdir = str(tmp_path / "ck")
+    common = ["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--lr", "1e-4",
+              "--precision", "fp32", "--checkpoint-dir", ckdir,
+              "--checkpoint-every", "1", "--log-every", "1"]
+    with pytest.raises(SystemExit, match="fail-after-step"):
+        cli.main(common + ["--fail-after-step", "1", "--epochs", "1"])
+
+    from yolo_tpu.io import checkpoint as ckpt
+
+    step1 = os.path.join(ckdir, "step_1")
+    assert not ckpt.has_top_level_key(step1, "ema_params")
+
+    # no-EMA checkpoint + --ema-alpha: track starts from the weights
+    cli.main(common + ["--resume", step1, "--epochs", "1",
+                       "--ema-alpha", "0.9"])
+    assert "starting one from the restored weights" in \
+        capsys.readouterr().err
+    final = os.path.join(ckdir, "final")
+    assert ckpt.has_top_level_key(final, "ema_params")
+
+    # EMA checkpoint resumed withOUT ema: track dropped, no crash;
+    # the new final overwrites the old one without the track
+    cli.main(common + ["--resume", final, "--epochs", "1"])
+    assert "dropping it" in capsys.readouterr().err
+    assert not ckpt.has_top_level_key(final, "ema_params")
+
+
 def test_eval_and_export_e2e(tiny_weights, tmp_path, capsys):
     root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
     pr_file = str(tmp_path / "pr.json")

@@ -142,7 +142,9 @@ class TestGaussianDecode:
     def test_score_formula_explicit(self):
         """Pin the uc_aver factor at a known activation: all logits 0
         -> sigmoid = 0.5 everywhere, so score = 0.5 (obj) * 0.5 (cls)
-        * (1 - 0.5) = 0.125, and boxes sit at cell centers."""
+        * (1 - 0.5) = 0.125, and boxes sit at cell centers (this case
+        is layout-invariant; the interleaving itself is pinned by
+        test_interleaved_channel_layout)."""
         t = np.zeros((1, 2, 2, 1 * (9 + 1)), np.float32)
         boxes, scores = decode_yolo(
             [jnp.asarray(t)], ((10.0, 20.0),), [(0,)], 1, 64,
@@ -153,12 +155,52 @@ class TestGaussianDecode:
         assert np.isclose(bx, 0.25) and np.isclose(by, 0.25)
         assert np.isclose(bw, 10.0 / 64) and np.isclose(bh, 20.0 / 64)
 
+    def test_interleaved_channel_layout(self):
+        """Pin the INTERLEAVED per-anchor layout of
+        gaussian_yolo_layer.c ([x, ux, y, uy, w, uw, h, uh, obj, cls]):
+        get_gaussian_yolo_box reads x/y/w/h at entries 0/2/4/6 and the
+        uncertainties at 1/3/5/7 — perturbing one entry at a time must
+        move exactly the quantity that entry encodes (an explicit gate
+        the jax/numpy cross-check cannot provide, since both could
+        share a wrong layout)."""
+        def run(entry=None, val=2.0):
+            t = np.zeros((1, 1, 1, 10), np.float32)
+            if entry is not None:
+                t[..., entry] = val
+            b, s = decode_yolo([jnp.asarray(t)], ((10.0, 20.0),),
+                               [(0,)], 1, 64, gaussian=[True])
+            return np.asarray(b)[0, 0], float(np.asarray(s)[0, 0, 0])
+
+        base_box, base_score = run()
+        # entry 0 = x mean: only bx moves
+        b, s = run(0)
+        assert b[0] > base_box[0] and np.allclose(b[1:], base_box[1:])
+        # entry 2 = y mean: only by moves
+        b, s = run(2)
+        assert b[1] > base_box[1]
+        assert np.allclose(b[[0, 2, 3]], base_box[[0, 2, 3]])
+        # entry 4 = w mean (exp): only bw moves
+        b, s = run(4)
+        assert b[2] == pytest.approx(np.exp(2.0) * base_box[2])
+        assert np.allclose(b[[0, 1, 3]], base_box[[0, 1, 3]])
+        # entry 6 = h mean: only bh moves
+        b, s = run(6)
+        assert b[3] == pytest.approx(np.exp(2.0) * base_box[3])
+        # entries 1/3/5/7 = uncertainties: box untouched, score drops
+        for e in (1, 3, 5, 7):
+            b, s = run(e)
+            assert np.allclose(b, base_box), e
+            assert s < base_score, e
+        # entry 8 = objectness: box untouched, score rises
+        b, s = run(8)
+        assert np.allclose(b, base_box) and s > base_score
+
     def test_uncertainty_lowers_score(self):
         """Raising the sigma logits (more uncertainty) must lower the
         detection score, all else equal."""
         t = np.zeros((1, 1, 1, 10), np.float32)
         hi = t.copy()
-        hi[..., 4:8] = 4.0  # sigmoid ~ 0.982 -> (1 - uc) ~ 0.018
+        hi[..., [1, 3, 5, 7]] = 4.0  # sigmoid ~0.982 -> (1 - uc) ~0.018
         _, s_lo = decode_yolo([jnp.asarray(t)], ((10.0, 20.0),), [(0,)],
                               1, 64, gaussian=[True])
         _, s_hi = decode_yolo([jnp.asarray(hi)], ((10.0, 20.0),), [(0,)],

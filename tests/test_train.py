@@ -176,6 +176,44 @@ class TestEMA:
         # consumer helper returns the EMA track
         assert ema_params_of(state) is state["ema_params"]
 
+    def test_start_step_mirrors_until_then(self):
+        """Before ema_start_step (darknet: max_batches/2) the EMA track
+        MIRRORS the live weights; blending starts at the boundary."""
+        rng = np.random.default_rng(7)
+        tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                           weight_decay=0.0, ema_alpha=0.9,
+                           ema_start_step=3)
+        state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+        step = make_train_step(MICRO, tcfg)
+        batch = self._batch(rng)
+        for i in range(3):  # steps 0..2 evaluated with step < 3
+            state, _ = step(state, batch)
+            np.testing.assert_array_equal(
+                np.asarray(state["ema_params"][0]["kernel"]),
+                np.asarray(state["params"][0]["kernel"]))
+        state, _ = step(state, batch)  # state["step"] was 3: blends now
+        assert not np.allclose(
+            np.asarray(state["ema_params"][0]["kernel"]),
+            np.asarray(state["params"][0]["kernel"]))
+
+    def test_alpha_range_validated(self):
+        rng = np.random.default_rng(8)
+        params = dw.random_params(MICRO.layers, rng)
+        with pytest.raises(ValueError, match="out of range"):
+            init_state(params, TrainConfig(ema_alpha=1.0))
+        with pytest.raises(ValueError, match="out of range"):
+            init_state(params, TrainConfig(ema_alpha=-0.1))
+
+    def test_has_top_level_key(self, tmp_path):
+        from yolo_tpu.io import checkpoint as ckpt
+
+        rng = np.random.default_rng(9)
+        state = init_state(dw.random_params(MICRO.layers, rng),
+                           TrainConfig(ema_alpha=0.9))
+        ckpt.save(str(tmp_path / "ck"), jax.device_get(dict(state)))
+        assert ckpt.has_top_level_key(str(tmp_path / "ck"), "ema_params")
+        assert not ckpt.has_top_level_key(str(tmp_path / "ck"), "nope")
+
     def test_off_by_default(self):
         from yolo_tpu.train.loop import ema_params_of
 

@@ -422,6 +422,11 @@ def cmd_train(args) -> None:
         "learning_rate", 1e-4)
     ema_alpha = (args.ema_alpha if args.ema_alpha is not None
                  else net_hp.get("ema_alpha", 0.0))
+    # darknet starts the EMA at max_batches/2 (detector.c
+    # ema_start_point); explicit flag wins, else derive from the cfg
+    ema_start = (args.ema_start_step
+                 if args.ema_start_step is not None
+                 else net_hp.get("max_batches", 0) // 2)
     burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
         "burn_in", 0)
     if not args.multi_scale and net_hp.get("random", 0) > 0:
@@ -473,6 +478,7 @@ def cmd_train(args) -> None:
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
                        ema_alpha=ema_alpha,
+                       ema_start_step=ema_start,
                        # [region]/[yolo] training keys flow from the cfg
                        loss=LossConfig(iou_thresh=cfg.region_thresh),
                        yolo_loss=YoloLossConfig(
@@ -503,10 +509,34 @@ def cmd_train(args) -> None:
                          f"{n_dev} devices")
 
     if args.resume:
-        # structure template only; restore() fills in the values
+        # structure template only; restore() fills in the values. The
+        # EMA track may differ between the checkpoint and this run's
+        # config (pre-EMA checkpoint resumed with ema_alpha, or the
+        # reverse) — adapt instead of dying on a pytree mismatch.
         template = init_state(
             dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
-        state = ckpt.restore(args.resume, dict(template))
+        ckpt_has_ema = ckpt.has_top_level_key(args.resume, "ema_params")
+        want_ema = "ema_params" in template
+        if ckpt_has_ema and not want_ema:
+            template["ema_params"] = jax.tree_util.tree_map(
+                lambda a: a, template["params"])
+            state = ckpt.restore(args.resume, dict(template))
+            state.pop("ema_params")
+            print("checkpoint carries an EMA track but this run has "
+                  "ema_alpha=0 — dropping it (pass --ema-alpha to keep "
+                  "blending)", file=sys.stderr)
+        elif want_ema and not ckpt_has_ema:
+            tmpl = {k: v for k, v in template.items()
+                    if k != "ema_params"}
+            state = ckpt.restore(args.resume, tmpl)
+            import jax.numpy as _jnp
+
+            state["ema_params"] = jax.tree_util.tree_map(
+                _jnp.copy, state["params"])
+            print("checkpoint has no EMA track — starting one from the "
+                  "restored weights", file=sys.stderr)
+        else:
+            state = ckpt.restore(args.resume, dict(template))
         print(f"resumed from {args.resume} at step {int(state['step'])}",
               file=sys.stderr)
     else:
@@ -949,8 +979,9 @@ def cmd_serve(args) -> None:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
         print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)
         server.prewarm(h, w)
+    endpoint = "/classify" if cfg.head_kind == "softmax" else "/detect"
     print(f"serving {cfg.name} on http://{args.host}:{args.port} "
-          f"(POST /detect, GET /healthz)", file=sys.stderr)
+          f"(POST {endpoint}, GET /healthz)", file=sys.stderr)
     server.serve_forever()
 
 
@@ -1069,6 +1100,11 @@ def main(argv: Optional[list] = None) -> None:
                         "scaled-yolov4 cfgs use 0.9998); checkpoints "
                         "keep both tracks and consumers prefer the EMA; "
                         "default from the cfg, else off")
+    p.add_argument("--ema-start-step", type=int, default=None,
+                   help="step the EMA starts blending at (darknet: "
+                        "max_batches/2 — derived from the cfg when "
+                        "present; before it the track mirrors the live "
+                        "weights)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv activations in backward "
                         "(less HBM, more FLOPs; for large batch/608)")

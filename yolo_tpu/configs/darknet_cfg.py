@@ -92,6 +92,34 @@ def load_names(path: str) -> Tuple[str, ...]:
         return tuple(line.strip() for line in f if line.strip())
 
 
+def _spatial_is_1x1(layers: Sequence) -> bool:
+    """Whether the LAST layer's output is provably 1x1 spatial —
+    [connected]'s placement contract. Conservative walk: True only when
+    the extent is 1x1 regardless of net size (a global [avgpool]
+    upstream, not undone by upsample or a route back to a spatial
+    map)."""
+    from yolo_tpu.configs.specs import resolve_route
+
+    one: List[bool] = []
+    cur = False  # the net input is spatial
+    for idx, l in enumerate(layers):
+        if isinstance(l, AvgPool):
+            cur = True  # global pool -> 1x1 by definition
+        elif isinstance(l, Upsample):
+            cur = False  # 1x1 upsampled is s x s; spatial stays spatial
+        elif isinstance(l, Route):
+            cur = all(one[resolve_route(idx, r)] for r in l.layers)
+        elif isinstance(l, (Shortcut, Sam)):
+            cur = cur and one[resolve_route(idx, l.frm)]
+        elif isinstance(l, ScaleChannels):
+            # output adopts the FROM layer's extent
+            cur = one[resolve_route(idx, l.frm)]
+        # Conv (SAME padding)/MaxPool/Reorg on 1x1 stay 1x1;
+        # Connected/Dropout/heads preserve — cur flows through
+        one.append(cur)
+    return one[-1]
+
+
 def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     name: Optional[str] = None) -> ModelConfig:
     """Build a ModelConfig from a darknet cfg (+ optional .names)."""
@@ -202,11 +230,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if act not in ("leaky", "linear", "logistic"):
                 raise ValueError(
                     f"unsupported connected activation '{act}'")
-            if not any(isinstance(l, (AvgPool, Connected))
-                       for l in layers):
+            if not (layers and _spatial_is_1x1(layers)):
                 raise ValueError(
-                    "[connected] is only supported after [avgpool] "
-                    "(1x1 spatial input — darknet classifier cfgs); "
+                    "[connected] is only supported on a 1x1-spatial "
+                    "input (after [avgpool], darknet classifier cfgs); "
                     "a spatial dense layer's input size depends on the "
                     "net size, which this IR does not encode")
             layers.append(Connected(int(kv["output"]), act=act))
@@ -464,6 +491,7 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("momentum", float),
                               ("decay", float), ("burn_in", int),
                               ("ema_alpha", float),
+                              ("max_batches", int),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),
                               ("mosaic", int)):

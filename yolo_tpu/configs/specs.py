@@ -174,10 +174,12 @@ class YoloHead:
     new_coords: bool = False
     # [Gaussian_yolo] (AlexeyAB gaussian_yolo_layer.c, the Gaussian
     # YOLOv3 localization-uncertainty head): per-anchor channel layout
-    # is [x, y, w, h, sx, sy, sw, sh, obj, classes...] (9+C, not 5+C);
-    # box math matches [yolo] (sigmoid xy with scale_x_y, exp wh on
-    # pixel anchors); detection score = sigmoid(obj) * sigmoid(class)
-    # * (1 - mean(sigmoid(sigma_xywh))) — get_gaussian_yolo_detections'
+    # INTERLEAVES mean and sigma — [x, ux, y, uy, w, uw, h, uh, obj,
+    # classes...] (9+C, not 5+C); get_gaussian_yolo_box reads x/y/w/h
+    # at entries 0/2/4/6 and the uncertainties sit at 1/3/5/7. Box math
+    # matches [yolo] (sigmoid xy with scale_x_y, exp wh on pixel
+    # anchors); detection score = sigmoid(obj) * sigmoid(class)
+    # * (1 - mean(sigmoid(uc))) — get_gaussian_yolo_detections'
     # uc_aver term. Inference/eval only: training rejects loudly (the
     # Gaussian NLL deltas have no pinnable reference source here).
     gaussian: bool = False

@@ -44,6 +44,24 @@ class AsyncSaver:
         self.close()
 
 
+def has_top_level_key(path: str, key: str) -> bool:
+    """Whether the saved state dict carries ``key`` at its top level —
+    lets resume adapt when the checkpoint's optional tracks (e.g.
+    'ema_params') differ from the current run's template instead of
+    dying on a pytree-structure mismatch."""
+    path = os.path.abspath(path)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            md = ckptr.metadata(path)
+        tree = getattr(md, "item_metadata", None) or md
+        return key in tree
+    except Exception:
+        # metadata API shape varies across orbax versions; fall back to
+        # the on-disk layout (StandardCheckpointer writes one zarr
+        # subtree per top-level key)
+        return os.path.isdir(os.path.join(path, key))
+
+
 def restore(path: str, abstract_state: Optional[Any] = None) -> Any:
     """Restore a pytree; pass a matching abstract/concrete state to pin
     structure, shardings and dtypes."""

@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Reorg, Route,
-                                    Sam, ScaleChannels, Shortcut, Upsample,
-                                    resolve_route)
+from yolo_tpu.configs.specs import (AvgPool, Conv, LayerSpec, MaxPool,
+                                    Reorg, Route, Sam, ScaleChannels,
+                                    Shortcut, Upsample, resolve_route)
 from yolo_tpu.models import graph
 from yolo_tpu.ops.pool import maxpool_nhwc
 from yolo_tpu.ops.reorg import reorg_nhwc
@@ -115,11 +115,8 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             elif isinstance(layer, Upsample):
                 x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
                                layer.stride, axis=2)
-            else:
-                from yolo_tpu.configs.specs import AvgPool
-
-                if isinstance(layer, AvgPool):  # SE squeeze branch
-                    x = jnp.mean(x, axis=(1, 2), keepdims=True)
+            elif isinstance(layer, AvgPool):  # SE squeeze branch
+                x = jnp.mean(x, axis=(1, 2), keepdims=True)
             # YoloHead/Dropout: identity passthrough (output = input)
             outputs.append(x)
         return jnp.stack(maxes), jnp.stack(out_maxes)

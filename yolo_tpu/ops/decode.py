@@ -62,9 +62,12 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                    in [0,1]: xy uses v directly, wh = 4*v^2*anchor,
                    conf/class are raw); default all False
       gaussian:    per-head [Gaussian_yolo] flags (gaussian_yolo_layer:
-                   channels [x y w h sx sy sw sh obj cls...]; box math
-                   as [yolo]; score = sigmoid(obj) * sigmoid(cls) *
-                   (1 - mean(sigmoid(sigma))) — the uc_aver factor of
+                   INTERLEAVED per-anchor channels
+                   [x, ux, y, uy, w, uw, h, uh, obj, cls...] —
+                   get_gaussian_yolo_box reads x/y/w/h at entries
+                   0/2/4/6 and the uncertainties sit at 1/3/5/7; box
+                   math as [yolo]; score = sigmoid(obj) * sigmoid(cls)
+                   * (1 - mean(sigmoid(uc))) — the uc_aver factor of
                    get_gaussian_yolo_detections); default all False
 
     Returns boxes (B, N, 4) xywh and scores (B, N, C) normalized to net
@@ -81,17 +84,25 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
         a = len(mask)
         ch = (9 if ga else 5) + num_classes
         t = logits.astype(jnp.float32).reshape(b, h, w, a, ch)
-        boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size,
-                                  new_coords=nc)
         if ga:
+            # interleaved layout: remap the means to [x y w h ...] so
+            # the shared box math applies (entries 0/2/4/6)
+            t_box = t[..., jnp.asarray([0, 2, 4, 6])]
+            boxes = decode_head_boxes(t_box, anchors_px, mask, s_xy,
+                                      net_size)
             conf = jax.nn.sigmoid(t[..., 8])
             probs = jax.nn.sigmoid(t[..., 9:])
-            uc_aver = jnp.mean(jax.nn.sigmoid(t[..., 4:8]), axis=-1)
+            uc = jax.nn.sigmoid(t[..., jnp.asarray([1, 3, 5, 7])])
+            uc_aver = jnp.mean(uc, axis=-1)
             scores = (conf * (1.0 - uc_aver))[..., None] * probs
-        else:
-            conf = t[..., 4] if nc else jax.nn.sigmoid(t[..., 4])
-            probs = t[..., 5:] if nc else jax.nn.sigmoid(t[..., 5:])
-            scores = conf[..., None] * probs
+            all_boxes.append(boxes.reshape(b, -1, 4))
+            all_scores.append(scores.reshape(b, -1, num_classes))
+            continue
+        boxes = decode_head_boxes(t, anchors_px, mask, s_xy, net_size,
+                                  new_coords=nc)
+        conf = t[..., 4] if nc else jax.nn.sigmoid(t[..., 4])
+        probs = t[..., 5:] if nc else jax.nn.sigmoid(t[..., 5:])
+        scores = conf[..., None] * probs
         all_boxes.append(boxes.reshape(b, -1, 4))
         all_scores.append(scores.reshape(b, -1, num_classes))
     return (jnp.concatenate(all_boxes, axis=1),

@@ -151,10 +151,13 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     yolo_layer.c get_yolo_box).
 
       head_logits: list of (Hs, Ws, As*(5+C)) raw head outputs
-                   (As*(9+C) for gaussian heads: [x y w h sx sy sw sh
-                   obj cls...], AlexeyAB gaussian_yolo_layer.c — box
-                   math as [yolo], score = sigmoid(obj)*sigmoid(cls)*
-                   (1 - mean(sigmoid(sigma))), the uc_aver factor)
+                   (As*(9+C) for gaussian heads — AlexeyAB
+                   gaussian_yolo_layer.c INTERLEAVES mean/sigma:
+                   [x, ux, y, uy, w, uw, h, uh, obj, cls...];
+                   get_gaussian_yolo_box reads x/y/w/h at entries
+                   0/2/4/6, the uncertainties at 1/3/5/7; box math as
+                   [yolo], score = sigmoid(obj)*sigmoid(cls)*
+                   (1 - mean(sigmoid(uc))), the uc_aver factor)
       anchors_px:  full anchor list in net-input pixels
       masks:       per-head tuples of indices into anchors_px
 
@@ -175,21 +178,24 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
             for i in range(w):
                 for n in range(a):
                     pw, ph = anchors_px[mask[n]]
-                    tx, ty, tw, th = t[j, i, n, :4]
-                    to = t[j, i, n, 8 if ga else 4]
                     off = (s_xy - 1.0) / 2.0
                     if ga:
-                        bx = (sigmoid(tx) * s_xy - off + i) / w
-                        by = (sigmoid(ty) * s_xy - off + j) / h
+                        # interleaved entries (get_gaussian_yolo_box):
+                        # x=0, y=2, w=4, h=6; uncertainties 1/3/5/7
+                        v = t[j, i, n]
+                        bx = (sigmoid(v[0]) * s_xy - off + i) / w
+                        by = (sigmoid(v[2]) * s_xy - off + j) / h
                         with np.errstate(over="ignore"):
-                            bw = pw * np.exp(tw) / net_size
-                            bh = ph * np.exp(th) / net_size
-                        uc_aver = sigmoid(t[j, i, n, 4:8]).mean()
-                        conf = sigmoid(to) * (1.0 - uc_aver)
-                        probs = sigmoid(t[j, i, n, 9:])
+                            bw = pw * np.exp(v[4]) / net_size
+                            bh = ph * np.exp(v[6]) / net_size
+                        uc_aver = sigmoid(v[[1, 3, 5, 7]]).mean()
+                        conf = sigmoid(v[8]) * (1.0 - uc_aver)
+                        probs = sigmoid(v[9:])
                         boxes_out.append([bx, by, bw, bh])
                         scores_out.append(conf * probs)
                         continue
+                    tx, ty, tw, th = t[j, i, n, :4]
+                    to = t[j, i, n, 4]
                     if nc:
                         bx = (tx * s_xy - off + i) / w
                         by = (ty * s_xy - off + j) / h

@@ -60,6 +60,12 @@ class TrainConfig:
     # mid-train validation) prefer the EMA weights when present —
     # darknet's ema_apply-before-save semantics.
     ema_alpha: float = 0.0
+    # darknet starts blending at ema_start_point = max_batches/2
+    # (detector.c); before this step the EMA track simply mirrors the
+    # live weights, which is equivalent to initializing the EMA from
+    # the then-current weights at the start point. The CLI derives this
+    # from the cfg's max_batches when present (--ema-start-step wins).
+    ema_start_step: int = 0
 
 
 # Train state is a plain dict pytree: {'params', 'opt_state', 'step',
@@ -108,6 +114,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def init_state(params, tcfg: TrainConfig, seen: int = 0) -> TrainState:
+    if not 0.0 <= tcfg.ema_alpha < 1.0:
+        # alpha=1.0 would freeze the EMA at the initial weights forever
+        # — and every checkpoint consumer silently prefers the EMA track
+        raise ValueError(
+            f"ema_alpha={tcfg.ema_alpha} out of range [0, 1): 0 "
+            f"disables, scaled-yolov4 cfgs use 0.9998; 1.0 would never "
+            f"move off the initial weights")
     params = graph.params_to_jax(params)
     tx = make_optimizer(tcfg)
     state = dict(
@@ -200,7 +213,11 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
         seen=state["seen"] + batch_size,
     )
     if tcfg.ema_alpha:
-        a = tcfg.ema_alpha
+        # before ema_start_step (darknet: max_batches/2) the track
+        # mirrors the live weights — alpha_eff 0 ==> ema = w, which
+        # equals initializing the EMA at the start point
+        a = jnp.where(state["step"] >= tcfg.ema_start_step,
+                      jnp.float32(tcfg.ema_alpha), jnp.float32(0.0))
         ema = []
         for pe, pl in zip(state["ema_params"], params):
             # rolling mean/var are already EMAs, shared with the live
