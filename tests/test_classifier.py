@@ -394,6 +394,36 @@ class TestClassifierCli:
                       "--image", img, "--precision", "int8"])
 
 
+def test_handcrafted_color_classifier_is_deterministic():
+    """Semantic end-to-end gate with KNOWN weights (not random): a 1x1
+    identity conv -> global avgpool -> softmax classifies a solid-color
+    image as its dominant channel, through the real preprocess."""
+    from yolo_tpu.models.classify import (classifier_preprocess,
+                                          make_classifier, top_k)
+
+    cfg = ModelConfig(
+        name="color-cls",
+        layers=(Conv(3, size=1, bn=False, act="linear"),
+                AvgPool(), SoftmaxHead()),
+        anchors=(), class_names=("red", "green", "blue"), input_size=32)
+    # kernel (1,1,3,3): channel-identity scaled so softmax saturates
+    params = [{"kernel": (np.eye(3, dtype=np.float32) * 40.0
+                          ).reshape(1, 1, 3, 3),
+               "bias": np.zeros(3, np.float32)}]
+    run = make_classifier(cfg)
+    from yolo_tpu.models import graph as g
+
+    jparams = g.params_to_jax(params)
+    for ci, name in enumerate(cfg.class_names):
+        img = np.zeros((50, 70, 3), np.uint8)
+        img[..., ci] = 220
+        x = classifier_preprocess(img, cfg.input_size)
+        probs = np.asarray(run(jparams, x[None]))[0]
+        ranked = top_k(probs, cfg.class_names, k=1)
+        assert ranked[0][0] == name
+        assert ranked[0][1] > 0.99
+
+
 def test_api_load_rejects_classifier(tmp_path):
     import yolo_tpu
 

@@ -418,6 +418,17 @@ def cmd_train(args) -> None:
         from yolo_tpu.configs.darknet_cfg import net_training_params
 
         net_hp = net_training_params(args.cfg)
+    if "letter_box" in net_hp:
+        # AlexeyAB [net] letter_box picks the training geometry; the
+        # explicit --resize flag stays authoritative, but a silent
+        # conflict would train different boxes than darknet — say so
+        cfg_geom = "letterbox" if net_hp["letter_box"] else "stretch"
+        if cfg_geom != args.resize:
+            print(f"note: cfg sets letter_box="
+                  f"{net_hp['letter_box']} ({cfg_geom} geometry) but "
+                  f"--resize {args.resize} is active — pass --resize "
+                  f"{cfg_geom} to train like darknet would with this "
+                  f"cfg", file=sys.stderr)
     lr = args.lr if args.lr is not None else net_hp.get(
         "learning_rate", 1e-4)
     ema_alpha = (args.ema_alpha if args.ema_alpha is not None
