@@ -983,6 +983,58 @@ class TestYolov4Features:
         assert len(scales) == 4 and all(np.isfinite(s) and s > 0
                                         for s in scales)
 
+    def test_partial_residual_shortcut(self):
+        """[shortcut] across MISMATCHED channel counts (darknet
+        shortcut_cpu: add over min(c1,c2), pass the rest through — the
+        yolov3-tiny-prn partial-residual family), vs the TF oracle and
+        an explicit channel-slice check."""
+        from tests import tf_oracle
+        from yolo_tpu.configs.specs import Shortcut
+
+        layers = (Conv(16), Conv(8, 1), Shortcut(-2))  # 8ch + 16ch from
+        rng = np.random.default_rng(21)
+        params = dw.random_params(layers, rng)
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        want = tf_oracle.run_layers(layers, params, x)
+        outs = graph.apply_layers(layers, graph.params_to_jax(params),
+                                  jnp.asarray(x), return_all=True)
+        got = np.asarray(outs[2])
+        assert got.shape[-1] == 8  # output keeps the INPUT's channels
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+        np.testing.assert_allclose(
+            got, np.asarray(outs[1]) + np.asarray(outs[0])[..., :8],
+            rtol=1e-6)
+        # larger input than from: tail passes through untouched
+        layers2 = (Conv(8), Conv(16, 1), Shortcut(-2))
+        params2 = dw.random_params(layers2, rng)
+        outs2 = graph.apply_layers(layers2, graph.params_to_jax(params2),
+                                   jnp.asarray(x), return_all=True)
+        got2 = np.asarray(outs2[2])
+        assert got2.shape[-1] == 16
+        np.testing.assert_allclose(
+            got2[..., 8:], np.asarray(outs2[1])[..., 8:], rtol=1e-6)
+        want2 = tf_oracle.run_layers(layers2, params2, x)
+        np.testing.assert_allclose(got2, want2, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want2).max())
+
+    def test_weighted_shortcut_rejected(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "w.cfg"
+        p.write_text(
+            "[net]\nwidth=32\nheight=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
+            "activation=linear\n"
+            "[shortcut]\nfrom=-2\nweights_type=per_feature\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\n")
+        with pytest.raises(ValueError, match="weights_type"):
+            config_from_cfg(str(p))
+
     def test_grouped_conv_matches_tf_oracle(self):
         """[convolutional] groups=N (grouped conv, efficientnet/enet
         cfgs): lax feature_group_count vs the oracle's independent

@@ -108,7 +108,13 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
                         for s in srcs]
             x = tf.concat(srcs, axis=-1) if len(srcs) > 1 else srcs[0]
         elif isinstance(layer, Shortcut):
-            x = x + outputs[resolve_route(idx, layer.frm)]
+            src = outputs[resolve_route(idx, layer.frm)]
+            if int(src.shape[-1]) == int(x.shape[-1]):
+                x = x + src
+            else:  # darknet shortcut_cpu: add over min channels (PRN)
+                minc = min(int(src.shape[-1]), int(x.shape[-1]))
+                x = tf.concat([x[..., :minc] + src[..., :minc],
+                               x[..., minc:]], axis=-1)
             if layer.act == "leaky":
                 x = tf.nn.leaky_relu(x, alpha=0.1)
         elif isinstance(layer, Sam):

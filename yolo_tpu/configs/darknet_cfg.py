@@ -198,6 +198,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             act = kv.get("activation", "linear")
             if act not in ("leaky", "linear"):
                 raise ValueError(f"unsupported shortcut activation '{act}'")
+            if kv.get("weights_type", "none") != "none":
+                # weighted shortcuts carry LEARNED per-feature/channel
+                # weights in the .weights file — silently dropping the
+                # key would desynchronize the whole weights walk
+                raise ValueError(
+                    "[shortcut] weights_type (weighted shortcut, "
+                    "yolov4x-mish-style csp-x cfgs) is not supported — "
+                    "its shortcut weights change the .weights layout")
             layers.append(Shortcut(int(kv["from"]), act=act))
         elif kind == "sam":
             act = kv.get("activation", "linear")

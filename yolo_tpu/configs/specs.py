@@ -78,7 +78,12 @@ class Reorg:
 
 @dataclasses.dataclass(frozen=True)
 class Shortcut:
-    # darknet [shortcut] `from` index (negative = relative, else absolute).
+    # darknet [shortcut] `from` index (negative = relative, else
+    # absolute). Channel-count mismatches follow shortcut_cpu: the add
+    # covers min(c1, c2) channels and the rest passes through (the
+    # partial-residual / yolov3-tiny-prn family); output keeps the
+    # input's channel count. Weighted shortcuts (weights_type) are
+    # rejected at parse (they add weights to the .weights layout).
     frm: int
     act: str = "linear"
 

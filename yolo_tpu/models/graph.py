@@ -202,8 +202,18 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                         * (s.shape[-1] // layer.groups)] for s in srcs]
             x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
         elif isinstance(layer, Shortcut):
-            x = _activate(x + outputs[resolve_route(idx, layer.frm)],
-                          layer.act)
+            src = outputs[resolve_route(idx, layer.frm)]
+            if src.shape[-1] == x.shape[-1]:
+                x = _activate(x + src, layer.act)
+            else:
+                # darknet shortcut_cpu adds over min(c1, c2) channels
+                # and passes the rest through (partial residual — the
+                # yolov3-tiny-prn family); output keeps the INPUT's
+                # channel count
+                minc = min(src.shape[-1], x.shape[-1])
+                x = _activate(jnp.concatenate(
+                    [x[..., :minc] + src[..., :minc], x[..., minc:]],
+                    axis=-1), layer.act)
         elif isinstance(layer, Sam):
             # darknet sam_layer: elementwise multiply (spatial attention)
             x = _activate(x * outputs[resolve_route(idx, layer.frm)],

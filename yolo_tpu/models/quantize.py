@@ -104,8 +104,14 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
                 x = (jnp.concatenate(srcs, axis=-1) if len(srcs) > 1
                      else srcs[0])
             elif isinstance(layer, Shortcut):
-                x = graph._activate(
-                    x + outputs[resolve_route(idx, layer.frm)], layer.act)
+                src = outputs[resolve_route(idx, layer.frm)]
+                if src.shape[-1] == x.shape[-1]:
+                    x = graph._activate(x + src, layer.act)
+                else:  # partial residual: add over min channels (PRN)
+                    minc = min(src.shape[-1], x.shape[-1])
+                    x = graph._activate(jnp.concatenate(
+                        [x[..., :minc] + src[..., :minc], x[..., minc:]],
+                        axis=-1), layer.act)
             elif isinstance(layer, Sam):
                 x = graph._activate(
                     x * outputs[resolve_route(idx, layer.frm)], layer.act)
