@@ -437,6 +437,94 @@ def test_api_load_rejects_classifier(tmp_path):
         yolo_tpu.load(str(wpath), cfg=str(cfg_path))
 
 
+class TestClassifyAccuracyEval:
+    """classify --images DIR: imagefolder top-1/top-5 accuracy
+    (darknet `classifier valid` equivalent), validated with the
+    deterministic color classifier (known ground truth)."""
+
+    COLOR_CFG = """
+[net]
+width=32
+height=32
+
+[convolutional]
+filters=3
+size=1
+stride=1
+activation=linear
+
+[avgpool]
+
+[softmax]
+groups=1
+"""
+
+    def _setup(self, tmp_path):
+        import cv2
+
+        from yolo_tpu.configs.specs import (AvgPool, Conv, ModelConfig,
+                                            SoftmaxHead)
+
+        cfg_path = tmp_path / "color.cfg"
+        cfg_path.write_text(self.COLOR_CFG)
+        names = tmp_path / "color.names"
+        names.write_text("red\ngreen\nblue\n")
+        layers = (Conv(3, size=1, bn=False, act="linear"),
+                  AvgPool(), SoftmaxHead())
+        params = [{"kernel": (np.eye(3, dtype=np.float32) * 40.0
+                              ).reshape(1, 1, 3, 3),
+                   "bias": np.zeros(3, np.float32)}]
+        wpath = tmp_path / "color.weights"
+        dw.save(str(wpath), layers, params)
+
+        root = tmp_path / "val"
+        for ci, cname in enumerate(("red", "green", "blue")):
+            d = root / cname
+            d.mkdir(parents=True)
+            for j in range(3):
+                img = np.zeros((40, 50, 3), np.uint8)
+                img[..., ci] = 200 + j
+                # cv2 writes BGR; load_image_rgb flips back to RGB
+                cv2.imwrite(str(d / f"{j}.png"),
+                            img[..., ::-1])
+        # one deliberately WRONG sample: a green image filed under red
+        img = np.zeros((40, 50, 3), np.uint8)
+        img[..., 1] = 210
+        import cv2 as _cv2
+
+        _cv2.imwrite(str(root / "red" / "wrong.png"), img[..., ::-1])
+        return str(cfg_path), str(names), str(wpath), str(root)
+
+    def test_accuracy_counts(self, tmp_path, capsys):
+        from yolo_tpu import cli
+
+        cfg_path, names, wpath, root = self._setup(tmp_path)
+        cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                  "--weights", wpath, "--images", root,
+                  "--batch", "4", "--precision", "fp32"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["images"] == 10
+        assert out["top1"] == pytest.approx(9 / 10)
+        assert out["top5"] == 1.0  # 3 classes: top-5 always hits
+
+    def test_unknown_class_dir_rejected(self, tmp_path):
+        from yolo_tpu import cli
+
+        cfg_path, names, wpath, root = self._setup(tmp_path)
+        (tmp_path / "val" / "mauve").mkdir()
+        with pytest.raises(SystemExit, match="mauve"):
+            cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                      "--weights", wpath, "--images", root])
+
+    def test_image_and_images_mutually_exclusive(self, tmp_path):
+        from yolo_tpu import cli
+
+        cfg_path, names, wpath, root = self._setup(tmp_path)
+        with pytest.raises(SystemExit, match="exactly one"):
+            cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                      "--weights", wpath])
+
+
 class TestClassifierTrainingRejected:
     def test_train_step_raises(self):
         from yolo_tpu.train.loop import TrainConfig, init_state, train_step

@@ -178,7 +178,10 @@ def _require_detection(cfg, cmd: str) -> None:
 
 def cmd_classify(args) -> None:
     """Darknet classifier predict (classifier.c predict_classifier):
-    min-side resize + center crop, forward, top-k labels as JSON."""
+    min-side resize + center crop, forward, top-k labels as JSON.
+    ``--images DIR`` evaluates an imagefolder tree (each subdirectory
+    named after its true class — darknet `classifier valid` equivalent)
+    and reports top-1/top-5 accuracy."""
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.models.classify import (classifier_preprocess,
                                           make_classifier, top_k)
@@ -190,13 +193,58 @@ def cmd_classify(args) -> None:
     if args.precision == "int8":
         raise SystemExit("int8 supports the detection families only — "
                          "use fp32/bf16 for classifiers")
+    if bool(args.image) == bool(args.images):
+        raise SystemExit("give exactly one of --image / --images")
     params = _load_params(args, cfg)
     run = make_classifier(cfg, compute_dtype=_compute_dtype(args.precision))
-    img = load_image_rgb(args.image)
-    x = classifier_preprocess(img, cfg.input_size)
-    probs = np.asarray(run(params, x[None]))[0]
-    for name, p in top_k(probs, cfg.class_names, k=args.top):
-        print(json.dumps({"class": name, "prob": round(p, 6)}))
+    if args.image:
+        img = load_image_rgb(args.image)
+        x = classifier_preprocess(img, cfg.input_size)
+        probs = np.asarray(run(params, x[None]))[0]
+        for name, p in top_k(probs, cfg.class_names, k=args.top):
+            print(json.dumps({"class": name, "prob": round(p, 6)}))
+        return
+
+    # imagefolder accuracy: <dir>/<class_name>/*.{jpg,png,...}
+    exts = {".jpg", ".jpeg", ".png", ".bmp"}
+    name_to_idx = {n: i for i, n in enumerate(cfg.class_names)}
+    samples = []  # (path, true_idx)
+    for sub in sorted(os.listdir(args.images)):
+        subdir = os.path.join(args.images, sub)
+        if not os.path.isdir(subdir):
+            continue
+        if sub not in name_to_idx:
+            raise SystemExit(
+                f"directory '{sub}' is not a class name of {cfg.name} "
+                f"(imagefolder layout: one subdirectory per class; pass "
+                f"--names for custom label sets)")
+        samples += [(os.path.join(subdir, f), name_to_idx[sub])
+                    for f in sorted(os.listdir(subdir))
+                    if os.path.splitext(f)[1].lower() in exts]
+    if not samples:
+        raise SystemExit(f"no images under {args.images} "
+                         f"(expected <dir>/<class>/<image> layout)")
+    bs = args.batch
+    top1 = top5 = 0
+    for i in range(0, len(samples), bs):
+        chunk = samples[i:i + bs]
+        xs = np.stack([classifier_preprocess(load_image_rgb(p),
+                                             cfg.input_size)
+                       for p, _ in chunk])
+        # pad to the full batch so one jit bucket serves every chunk
+        if len(chunk) < bs:
+            xs = np.concatenate(
+                [xs, np.zeros((bs - len(chunk),) + xs.shape[1:],
+                              xs.dtype)])
+        probs = np.asarray(run(params, xs))[:len(chunk)]
+        order = np.argsort(-probs, axis=-1)
+        for (path, true_idx), o in zip(chunk, order):
+            top1 += int(o[0] == true_idx)
+            top5 += int(true_idx in o[:5])
+    n = len(samples)
+    print(json.dumps({"images": n,
+                      "top1": round(top1 / n, 4),
+                      "top5": round(top5 / n, 4)}))
 
 
 def cmd_predict(args) -> None:
@@ -1054,7 +1102,13 @@ def main(argv: Optional[list] = None) -> None:
                        help="classifier top-k prediction (darknet19/53)")
     _add_common(p)
     p.add_argument("--weights", required=True)
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", default=None)
+    p.add_argument("--images", default=None,
+                   help="imagefolder tree (<dir>/<class>/<image>): "
+                        "report top-1/top-5 accuracy (darknet "
+                        "`classifier valid` equivalent)")
+    p.add_argument("--batch", type=int, default=32,
+                   help="--images batch size (one jit bucket)")
     p.add_argument("--top", type=int, default=5,
                    help="print the top-k classes (default 5)")
     p.set_defaults(fn=cmd_classify)
