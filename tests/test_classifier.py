@@ -394,22 +394,28 @@ class TestClassifierCli:
                       "--image", img, "--precision", "int8"])
 
 
-def test_handcrafted_color_classifier_is_deterministic():
-    """Semantic end-to-end gate with KNOWN weights (not random): a 1x1
-    identity conv -> global avgpool -> softmax classifies a solid-color
-    image as its dominant channel, through the real preprocess."""
-    from yolo_tpu.models.classify import (classifier_preprocess,
-                                          make_classifier, top_k)
-
+def _color_classifier():
+    """A hand-crafted, deterministic classifier (KNOWN weights): a 1x1
+    channel-identity conv (scaled so softmax saturates) -> global
+    avgpool -> softmax classifies a solid-color image as its dominant
+    channel. Shared by the semantic gate and the accuracy-eval tests."""
     cfg = ModelConfig(
         name="color-cls",
         layers=(Conv(3, size=1, bn=False, act="linear"),
                 AvgPool(), SoftmaxHead()),
         anchors=(), class_names=("red", "green", "blue"), input_size=32)
-    # kernel (1,1,3,3): channel-identity scaled so softmax saturates
     params = [{"kernel": (np.eye(3, dtype=np.float32) * 40.0
                           ).reshape(1, 1, 3, 3),
                "bias": np.zeros(3, np.float32)}]
+    return cfg, params
+
+
+def test_handcrafted_color_classifier_is_deterministic():
+    """Semantic end-to-end gate through the real preprocess."""
+    from yolo_tpu.models.classify import (classifier_preprocess,
+                                          make_classifier, top_k)
+
+    cfg, params = _color_classifier()
     run = make_classifier(cfg)
     from yolo_tpu.models import graph as g
 
@@ -462,37 +468,27 @@ groups=1
     def _setup(self, tmp_path):
         import cv2
 
-        from yolo_tpu.configs.specs import (AvgPool, Conv, ModelConfig,
-                                            SoftmaxHead)
-
         cfg_path = tmp_path / "color.cfg"
         cfg_path.write_text(self.COLOR_CFG)
         names = tmp_path / "color.names"
         names.write_text("red\ngreen\nblue\n")
-        layers = (Conv(3, size=1, bn=False, act="linear"),
-                  AvgPool(), SoftmaxHead())
-        params = [{"kernel": (np.eye(3, dtype=np.float32) * 40.0
-                              ).reshape(1, 1, 3, 3),
-                   "bias": np.zeros(3, np.float32)}]
+        cfg, params = _color_classifier()
         wpath = tmp_path / "color.weights"
-        dw.save(str(wpath), layers, params)
+        dw.save(str(wpath), cfg.layers, params)
 
         root = tmp_path / "val"
-        for ci, cname in enumerate(("red", "green", "blue")):
+        for ci, cname in enumerate(cfg.class_names):
             d = root / cname
             d.mkdir(parents=True)
             for j in range(3):
                 img = np.zeros((40, 50, 3), np.uint8)
                 img[..., ci] = 200 + j
                 # cv2 writes BGR; load_image_rgb flips back to RGB
-                cv2.imwrite(str(d / f"{j}.png"),
-                            img[..., ::-1])
+                cv2.imwrite(str(d / f"{j}.png"), img[..., ::-1])
         # one deliberately WRONG sample: a green image filed under red
         img = np.zeros((40, 50, 3), np.uint8)
         img[..., 1] = 210
-        import cv2 as _cv2
-
-        _cv2.imwrite(str(root / "red" / "wrong.png"), img[..., ::-1])
+        cv2.imwrite(str(root / "red" / "wrong.png"), img[..., ::-1])
         return str(cfg_path), str(names), str(wpath), str(root)
 
     def test_accuracy_counts(self, tmp_path, capsys):
@@ -523,6 +519,33 @@ groups=1
         with pytest.raises(SystemExit, match="exactly one"):
             cli.main(["classify", "--cfg", cfg_path, "--names", names,
                       "--weights", wpath])
+        with pytest.raises(SystemExit, match="exactly one"):
+            cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                      "--weights", wpath, "--image", "x.png",
+                      "--images", root])
+
+    def test_bad_batch_rejected(self, tmp_path):
+        from yolo_tpu import cli
+
+        cfg_path, names, wpath, root = self._setup(tmp_path)
+        for bad in ("0", "-1"):
+            with pytest.raises(SystemExit, match="batch"):
+                cli.main(["classify", "--cfg", cfg_path, "--names",
+                          names, "--weights", wpath, "--images", root,
+                          "--batch", bad])
+
+    def test_top_controls_the_metric(self, tmp_path, capsys):
+        """--top k names and sizes the top-k accuracy column (darknet
+        classifier valid's topk)."""
+        from yolo_tpu import cli
+
+        cfg_path, names, wpath, root = self._setup(tmp_path)
+        cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                  "--weights", wpath, "--images", root,
+                  "--batch", "4", "--top", "1", "--precision", "fp32"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert set(out) == {"images", "top1"}
+        assert out["top1"] == pytest.approx(9 / 10)
 
 
 class TestClassifierTrainingRejected:

@@ -225,7 +225,10 @@ def cmd_classify(args) -> None:
         raise SystemExit(f"no images under {args.images} "
                          f"(expected <dir>/<class>/<image> layout)")
     bs = args.batch
-    top1 = top5 = 0
+    if bs < 1:
+        raise SystemExit(f"--batch must be >= 1, got {bs}")
+    k = args.top
+    top1 = topk = 0
     for i in range(0, len(samples), bs):
         chunk = samples[i:i + bs]
         xs = np.stack([classifier_preprocess(load_image_rgb(p),
@@ -240,11 +243,11 @@ def cmd_classify(args) -> None:
         order = np.argsort(-probs, axis=-1)
         for (path, true_idx), o in zip(chunk, order):
             top1 += int(o[0] == true_idx)
-            top5 += int(true_idx in o[:5])
+            topk += int(true_idx in o[:k])
     n = len(samples)
     print(json.dumps({"images": n,
                       "top1": round(top1 / n, 4),
-                      "top5": round(top5 / n, 4)}))
+                      f"top{k}": round(topk / n, 4)}))
 
 
 def cmd_predict(args) -> None:
