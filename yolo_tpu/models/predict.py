@@ -76,10 +76,6 @@ def _postprocess(cfg: ModelConfig, logits, *,
         scales = [h.scale_xy for h in cfg.yolo_heads]
         ncs = [h.new_coords for h in cfg.yolo_heads]
         gas = [h.gaussian for h in cfg.yolo_heads]
-        if any(gas):
-            # [Gaussian_yolo] 9+C channel layout + the uc_aver score
-            # factor live in decode_yolo only — take the reference path
-            head = "reference"
         if head == "fused":
             from yolo_tpu.ops.head import detect_head_yolo
 
@@ -91,7 +87,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
                 pre_top_k=pre, max_detections=max_detections,
                 use_pallas=(jax.default_backend() == "tpu"),
                 scales=scales, nms_kind=cfg.nms_kind,
-                beta_nms=cfg.beta_nms, new_coords=ncs)
+                beta_nms=cfg.beta_nms, new_coords=ncs, gaussian=gas)
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
             cfg.num_classes, cfg.input_size, scales=scales,

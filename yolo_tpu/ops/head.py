@@ -82,7 +82,8 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
                      iou_threshold: float, pre_top_k: int = 256,
                      max_detections: int = 100, use_pallas: bool = True,
                      scales=None, nms_kind: str = "greedy",
-                     beta_nms: float = 0.6, new_coords=None):
+                     beta_nms: float = 0.6, new_coords=None,
+                     gaussian=None):
     """Fused yolov3 multi-head: objectness prefilter over ALL heads'
     boxes, then decode + sigmoid class scores for the survivors only.
 
@@ -96,7 +97,16 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     new_coords: per-head scaled-yolov4 flags (head conv already applied
     logistic — conf/class/xy use values directly, wh = (2v)^2 * anchor).
     The prefilter envelope is unchanged: conf and probs stay in [0,1],
-    so score <= conf still holds."""
+    so score <= conf still holds.
+
+    gaussian: per-head [Gaussian_yolo] flags. Such heads are remapped
+    at flatten time into the shared 5+C view: the interleaved means
+    (entries 0/2/4/6) become xywh slots 0-3 and slot 4 carries the
+    PRE-ACTIVATED confidence sigmoid(obj) * (1 - uc_aver) — classic
+    box/class math applies downstream, only the conf activation is
+    bypassed (the conf-direct flag new_coords heads also use). The
+    envelope still holds: that conf stays in [0,1] and
+    score = conf * sigmoid(cls) <= conf."""
     import numpy as np
 
     c = num_classes
@@ -106,14 +116,28 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     # flatten all heads + per-box decode metadata (trace-time constants)
     scales = scales or [1.0] * len(masks)
     new_coords = new_coords or [False] * len(masks)
-    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l, sc_l, nc_l = ([], [], [], [],
-                                                          [], [], [], [],
-                                                          [])
-    for logits, mask, s_xy, nc in zip(head_logits, masks, scales,
-                                      new_coords):
+    gaussian = gaussian or [False] * len(masks)
+    ts, cx_l, cy_l, gw_l, gh_l, pw_l, ph_l, sc_l, nc_l, cd_l = (
+        [], [], [], [], [], [], [], [], [], [])
+    for logits, mask, s_xy, nc, ga in zip(head_logits, masks, scales,
+                                          new_coords, gaussian):
         _, h, w, _ = logits.shape
         a = len(mask)
-        ts.append(logits.astype(jnp.float32).reshape(b, h * w * a, 5 + c))
+        if ga:
+            # [Gaussian_yolo]: remap the interleaved 9+C layout into
+            # the shared 5+C view — means 0/2/4/6 -> xywh, slot 4 =
+            # precomputed conf (sigmoid(obj) * (1 - uc_aver))
+            raw = logits.astype(jnp.float32).reshape(b, h * w * a,
+                                                     9 + c)
+            uc = jnp.mean(jax.nn.sigmoid(
+                raw[..., jnp.asarray([1, 3, 5, 7])]), axis=-1)
+            conf = jax.nn.sigmoid(raw[..., 8]) * (1.0 - uc)
+            ts.append(jnp.concatenate(
+                [raw[..., jnp.asarray([0, 2, 4, 6])], conf[..., None],
+                 raw[..., 9:]], axis=-1))
+        else:
+            ts.append(logits.astype(jnp.float32).reshape(b, h * w * a,
+                                                         5 + c))
         jj, ii, aa = np.meshgrid(np.arange(h), np.arange(w),
                                  np.arange(a), indexing="ij")
         cx_l.append(ii.reshape(-1).astype(np.float32))
@@ -124,6 +148,8 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
         ph_l.append(anchors_np[np.asarray(mask), 1][aa.reshape(-1)])
         sc_l.append(np.full(h * w * a, s_xy, np.float32))
         nc_l.append(np.full(h * w * a, float(nc), np.float32))
+        # conf-direct: slot 4 is already an activated confidence
+        cd_l.append(np.full(h * w * a, float(nc or ga), np.float32))
     t = jnp.concatenate(ts, axis=1)                       # (B, N, 5+C)
     n = t.shape[1]
     cx = jnp.asarray(np.concatenate(cx_l))
@@ -136,6 +162,9 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     any_nc = any(new_coords)
     all_nc = all(new_coords)
     ncf = jnp.asarray(np.concatenate(nc_l))               # 1.0 = new_coords
+    cds = [n or g for n, g in zip(new_coords, gaussian)]
+    any_cd, all_cd = any(cds), all(cds)
+    cdf = jnp.asarray(np.concatenate(cd_l))               # 1.0 = conf direct
 
     def _mix(nc_val, classic_val, nc_mask):
         """Per-box select; collapses to one branch when heads agree.
@@ -147,7 +176,13 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
             return classic_val
         return jnp.where(nc_mask > 0, nc_val, classic_val)
 
-    conf_all = _mix(t[..., 4], jax.nn.sigmoid(t[..., 4]), ncf[None, :])
+    if all_cd:
+        conf_all = t[..., 4]
+    elif not any_cd:
+        conf_all = jax.nn.sigmoid(t[..., 4])
+    else:
+        conf_all = jnp.where(cdf[None, :] > 0, t[..., 4],
+                             jax.nn.sigmoid(t[..., 4]))
     kb = min(pre_top_k, n)
     conf_k, nidx = lax.top_k(conf_all, kb)                # (B, KB)
     tk = jnp.take_along_axis(t, nidx[..., None], axis=1)  # (B, KB, 5+C)
