@@ -207,6 +207,31 @@ class TestGaussianDecode:
                               1, 64, gaussian=[True])
         assert float(s_hi[0, 0, 0]) < 0.2 * float(s_lo[0, 0, 0])
 
+    def test_scale_xy_combination_matches_oracle(self):
+        """[Gaussian_yolo] with scale_x_y (AlexeyAB's gaussian layer
+        supports the grid-sensitivity fix): jax vs the loop oracle."""
+        rng = np.random.default_rng(17)
+        masks = [(2, 3), (0, 1)]
+        heads = [rng.normal(size=(1, 3, 3, 2 * (9 + C))
+                            ).astype(np.float32),
+                 rng.normal(size=(1, 6, 6, 2 * (9 + C))
+                            ).astype(np.float32)]
+        scales, gas = [1.1, 1.05], [True, True]
+        boxes, scores = decode_yolo(
+            [jnp.asarray(h) for h in heads], G_ANCHORS, masks, C, 96,
+            scales=scales, gaussian=gas)
+        wb, ws = npr.decode_yolo([h[0] for h in heads], G_ANCHORS,
+                                 masks, C, 96, scales=scales,
+                                 gaussian=gas)
+        np.testing.assert_allclose(np.asarray(boxes)[0], wb, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(scores)[0], ws, rtol=1e-5,
+                                   atol=1e-6)
+        # scale != 1 actually changes the gaussian decode
+        b1, _ = decode_yolo([jnp.asarray(h) for h in heads], G_ANCHORS,
+                            masks, C, 96, gaussian=gas)
+        assert np.abs(np.asarray(boxes) - np.asarray(b1)).max() > 1e-4
+
     def test_plain_heads_unchanged(self):
         """gaussian=None / all-False reproduces the classic path
         bit-for-bit (flag-plumbing regression gate)."""
