@@ -118,16 +118,29 @@ def test_bn_fold_unfold_equivalence():
 
 def test_fuzz_random_specs_roundtrip():
     """Property test: random layer specs -> random params -> save -> load
-    must reproduce every tensor exactly."""
+    must reproduce every tensor exactly — including grouped/depthwise
+    convs and classifier tails (avgpool + connected)."""
+    from yolo_tpu.configs.specs import AvgPool, Connected, SoftmaxHead
+
     rng = np.random.default_rng(99)
-    for trial in range(10):
+    for trial in range(12):
         layers = []
+        prev = 3
         for _ in range(int(rng.integers(1, 6))):
-            layers.append(Conv(int(rng.choice([2, 3, 5, 8])),
+            oc = int(rng.choice([2, 4, 8]))
+            # groups must divide both sides: pick from common divisors
+            divs = [g for g in (1, 2, 4) if oc % g == 0 and prev % g == 0]
+            layers.append(Conv(oc,
                                size=int(rng.choice([1, 3])),
-                               bn=bool(rng.integers(0, 2))))
+                               bn=bool(rng.integers(0, 2)),
+                               groups=int(rng.choice(divs))))
+            prev = oc
             if rng.integers(0, 2):
                 layers.append(MaxPool(2, 2))
+        if rng.integers(0, 2):  # classifier tail
+            layers.append(AvgPool())
+            layers.append(Connected(int(rng.integers(2, 7))))
+            layers.append(SoftmaxHead())
         layers = tuple(layers)
         params = dw.random_params(layers, rng)
         blob = dw.to_bytes(layers, params, seen=int(rng.integers(0, 10**6)))
