@@ -1061,12 +1061,34 @@ def cmd_doctor(args) -> None:
     import importlib.util
 
     report = {}
-    import jax
+    # the WHOLE backend interaction runs bounded in a subprocess: a
+    # remote backend (axon relay) can stall at init or at compile, and
+    # either must be diagnosed instead of hanging doctor itself
+    import subprocess
 
-    report["jax"] = jax.__version__
-    report["backend"] = jax.default_backend()
-    report["devices"] = [str(d) for d in jax.devices()]
-    report["device_count"] = jax.device_count()
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import json, jax, jax.numpy as jnp\n"
+             "info = {'jax': jax.__version__,\n"
+             "        'backend': jax.default_backend(),\n"
+             "        'devices': [str(d) for d in jax.devices()],\n"
+             "        'device_count': jax.device_count()}\n"
+             "info['compute_probe'] = ('ok' if float((jnp.ones((8, 8))"
+             " @ jnp.ones((8, 8))).sum()) == 512.0 else 'wrong result')\n"
+             "print(json.dumps(info))"],
+            capture_output=True, text=True, timeout=args.probe_timeout)
+        if probe.returncode == 0 and probe.stdout.strip():
+            report.update(json.loads(
+                probe.stdout.strip().splitlines()[-1]))
+        else:
+            report["compute_probe"] = (
+                f"failed: {probe.stderr.strip()[-200:]}")
+    except subprocess.TimeoutExpired:
+        report["compute_probe"] = (
+            f"STALLED (no backend response in {args.probe_timeout}s — "
+            f"remote compile relay down? work CPU-only and re-probe)")
+    report.setdefault("device_count", 0)
 
     from yolo_tpu.native import preproc
 
@@ -1317,7 +1339,10 @@ def main(argv: Optional[list] = None) -> None:
 
     p = sub.add_parser("doctor",
                        help="environment diagnostics (backend, devices, "
-                            "native lib, optional deps)")
+                            "compute probe, native lib, optional deps)")
+    p.add_argument("--probe-timeout", type=float, default=90.0,
+                   help="seconds to allow the bounded compute probe "
+                        "(first compile on a remote backend is ~40s)")
     p.set_defaults(fn=cmd_doctor)
 
     args = ap.parse_args(argv)
