@@ -145,6 +145,7 @@ def test_train_fail_and_resume_e2e(tiny_weights, tmp_path, capsys):
     assert int(np.asarray(final["step"])) == 3  # 1 before fail + 2 after
 
 
+@pytest.mark.slow
 def test_resume_adapts_ema_track_mismatch(tiny_weights, tmp_path, capsys):
     """A pre-EMA checkpoint resumed with --ema-alpha starts an EMA
     track from the restored weights; an EMA checkpoint resumed without

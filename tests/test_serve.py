@@ -274,8 +274,11 @@ class TestClassifierServing:
             self._post(server, "/classify")
         assert ei.value.code == 400
 
-    def test_dp_mesh_rejected(self):
+    def test_dp_mesh_classify_matches_single_device(self, cls_server):
+        """DP classifier serving over the fake 8-device mesh returns
+        the same top-k as the single-device server."""
         import jax
+        import jax.numpy as jnp
 
         from tests.test_classifier import MICRO_CLS
         from yolo_tpu.parallel import sharding as shd
@@ -286,8 +289,16 @@ class TestClassifierServing:
                              np.random.default_rng(3)),
             MICRO_CLS.bn_eps))
         mesh = shd.make_mesh(len(jax.devices()))
-        with pytest.raises(ValueError, match="single-device"):
-            DetectionServer(MICRO_CLS, params, port=0, mesh=mesh)
+        dp = DetectionServer(MICRO_CLS, params,
+                             compute_dtype=jnp.float32, port=0,
+                             mesh=mesh)
+        dp.start()
+        try:
+            got = self._post(dp, "/classify", seed=4)
+            want = self._post(cls_server, "/classify", seed=4)
+            assert got == want
+        finally:
+            dp.stop()
 
     def test_concurrent_classify_batched(self, cls_server):
         before = dict(cls_server.stats)

@@ -121,3 +121,28 @@ def make_dp_detector(cfg, mesh: Mesh, compute_dtype=None, **det_kw):
 
     return jax.jit(fn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
                    out_shardings=batch_sharding(mesh))
+
+
+def make_dp_classifier(cfg, mesh: Mesh, compute_dtype=None):
+    """Batch-sharded classifier forward (softmax-head models): like
+    make_dp_detector, embarrassingly parallel — replicated params,
+    per-chip batch shards, no collectives. Input is the PREPROCESSED
+    (B, net, net, 3) [0,1] batch (models/classify.classifier_preprocess
+    runs host-side)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.models import graph
+
+    compute_dtype = compute_dtype or jnp.float32
+    if cfg.head_kind != "softmax":
+        raise ValueError(f"{cfg.name} is not a classifier "
+                         f"(head_kind={cfg.head_kind})")
+
+    def fn(params, images):
+        return graph.apply_layers(cfg.layers, params,
+                                  jnp.asarray(images, jnp.float32),
+                                  eps=cfg.bn_eps,
+                                  compute_dtype=compute_dtype)
+
+    return jax.jit(fn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                   out_shardings=batch_sharding(mesh))

@@ -70,15 +70,24 @@ class DetectionServer:
         self._min_bucket = 1
         self.is_classifier = cfg.head_kind == "softmax"
         if self.is_classifier:
-            if mesh is not None:
-                raise ValueError("classifier serving is single-device "
-                                 "(no DP detector path) — drop --dp")
-            from yolo_tpu.models.classify import make_classifier
-
-            self.params = params
-            self._classifier = make_classifier(
-                cfg, compute_dtype=compute_dtype or jnp.bfloat16)
             self._detector = None
+            if mesh is None:
+                from yolo_tpu.models.classify import make_classifier
+
+                self.params = params
+                self._classifier = make_classifier(
+                    cfg, compute_dtype=compute_dtype or jnp.bfloat16)
+            else:
+                # DP classify: replicated params, batch-sharded
+                # preprocessed images, no collectives (same shape as
+                # DP detection serving)
+                from yolo_tpu.parallel import sharding as shd
+
+                self._min_bucket = int(mesh.devices.size)
+                self.max_batch = max(self.max_batch, self._min_bucket)
+                self.params = shd.replicate(mesh, params)
+                self._classifier = shd.make_dp_classifier(
+                    cfg, mesh, compute_dtype=compute_dtype or jnp.bfloat16)
         elif mesh is None:
             self.params = params
             self._detector = make_detector(
