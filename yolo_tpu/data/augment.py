@@ -25,6 +25,11 @@ class AugmentConfig:
     # 4-image composite at a random cut point (pipeline-level; needs
     # the dataset, so train_batches drives it, not augment())
     mosaic: bool = False
+    # AlexeyAB mixup=1: blend each training image 0.5/0.5 with a second
+    # random sample (blend_images_cv) and CONCATENATE the truths —
+    # pipeline-level like mosaic (cross-record); combining with mosaic
+    # is rejected (darknet's mosaic+mixup combos are a separate mode)
+    mixup: bool = False
 
 
 def _rand_scale(rng: np.random.Generator, s: float) -> float:
@@ -158,17 +163,19 @@ def mosaic4(samples, net_size: int, rng: np.random.Generator,
             np.asarray(out_classes, np.int64))
 
 
-def config_from_net_params(net_hp: dict, *,
-                           mosaic: bool = False) -> "AugmentConfig":
+def config_from_net_params(net_hp: dict, *, mosaic: bool = False,
+                           mixup: bool = False) -> "AugmentConfig":
     """AugmentConfig from a darknet cfg's training keys
     (`configs.darknet_cfg.net_training_params`): [net]
-    saturation/exposure/hue/flip/mosaic + the head sections' jitter,
-    with darknet's defaults for absent keys. mosaic=True forces mosaic
-    on regardless of the cfg (the CLI's --mosaic flag)."""
+    saturation/exposure/hue/flip/mosaic/mixup + the head sections'
+    jitter, with darknet's defaults for absent keys. mosaic=True /
+    mixup=True force the mode on regardless of the cfg (the CLI's
+    --mosaic / --mixup flags)."""
     kwargs = {k: float(net_hp[k])
               for k in ("jitter", "saturation", "exposure", "hue")
               if k in net_hp}
     if "flip" in net_hp:
         kwargs["flip"] = bool(net_hp["flip"])
     return AugmentConfig(mosaic=mosaic or bool(net_hp.get("mosaic", 0)),
+                         mixup=mixup or bool(net_hp.get("mixup", 0)),
                          **kwargs)

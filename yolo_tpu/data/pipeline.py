@@ -260,17 +260,35 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
             canvas, boxes, classes = mosaic4(samples, size, rng_m,
                                              augment_cfg)
             return canvas.astype(np.float32) / 255.0, boxes, classes
-        img, boxes, classes = load_sample(idx, (aug_base, int(idx)))
-        h, w = img.shape[:2]
-        if resize == "stretch":
-            from yolo_tpu.ops.numpy_ref import stretch_resize
+        def geom(idx_, key):
+            """One sample through the full geometry -> net-space
+            (img_float, boxes, classes)."""
+            img, boxes, classes = load_sample(idx_, key)
+            h, w = img.shape[:2]
+            if resize == "stretch":
+                from yolo_tpu.ops.numpy_ref import stretch_resize
 
-            # plain resize: normalized boxes need no transform
-            return stretch_resize(img, size, size), boxes, classes
-        # native C++ letterbox (exact oracle semantics; numpy fallback)
-        image = native_letterbox(img[None], size, n_threads=1)[0]
-        boxes = letterbox_boxes(boxes, w, h, size)
-        return image, boxes, classes
+                # plain resize: normalized boxes need no transform
+                return stretch_resize(img, size, size), boxes, classes
+            # native C++ letterbox (oracle semantics; numpy fallback)
+            image = native_letterbox(img[None], size, n_threads=1)[0]
+            return image, letterbox_boxes(boxes, w, h, size), classes
+
+        if augment_cfg is not None and augment_cfg.mixup:
+            # AlexeyAB mixup=1: 0.5/0.5 blend with a second random
+            # sample (blend_images_cv), truths concatenated — applied
+            # after geometry so both live in the same net space
+            rng_x = np.random.default_rng((aug_base, int(idx), 2))
+            other = int(order[rng_x.integers(0, len(order))])
+            img_a, box_a, cls_a = geom(idx, (aug_base, int(idx)))
+            img_b, box_b, cls_b = geom(other, (aug_base, int(idx), 3))
+            image = 0.5 * img_a + 0.5 * img_b
+            boxes = (np.concatenate([box_a, box_b])
+                     if len(box_a) or len(box_b) else box_a)
+            classes = (np.concatenate([cls_a, cls_b])
+                       if len(cls_a) or len(cls_b) else cls_a)
+            return image, boxes, classes
+        return geom(idx, (aug_base, int(idx)))
 
     size = net_size
     with cf.ThreadPoolExecutor(workers) as pool:
