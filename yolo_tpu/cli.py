@@ -499,8 +499,21 @@ def cmd_train(args) -> None:
                   "multi-scale)", file=sys.stderr)
         else:
             args.multi_scale = True
-            print("cfg random=1: multi-scale training enabled "
-                  "(darknet 320..608 every 10 batches)", file=sys.stderr)
+            rf = float(net_hp["random"])
+            if rf > 1.0 and sizes is None:
+                # AlexeyAB fractional random (e.g. 1.3): resize range
+                # [net/f, net*f], snapped to multiples of 32
+                base = cfg.input_size
+                lo = max(32, int(round(base / rf / 32)) * 32)
+                hi = int(round(base * rf / 32)) * 32
+                sizes = tuple(range(lo, hi + 1, 32))
+                print(f"cfg random={rf:g}: multi-scale range "
+                      f"{lo}..{hi} (net/{rf:g} .. net*{rf:g}, "
+                      f"every 10 batches)", file=sys.stderr)
+            else:
+                print("cfg random=1: multi-scale training enabled "
+                      "(darknet 320..608 every 10 batches)",
+                      file=sys.stderr)
     decay_steps, decay_scales = (), ()
     if args.lr_scales and not args.lr_steps:
         raise SystemExit("--lr-scales requires --lr-steps (to override "
