@@ -339,6 +339,63 @@ def test_lr_schedule_burn_in_and_steps():
     assert float(sched(jnp.asarray(2500))) == pytest.approx(1e-5)
 
 
+def test_lr_schedule_poly():
+    """darknet policy=poly: lr * (1 - step/max_batches)^power after the
+    burn-in ramp, clamped at 0 past max_batches."""
+    from yolo_tpu.train.loop import lr_schedule
+
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(learning_rate=1e-2, lr_poly_max_steps=100,
+                      lr_poly_power=4.0)
+    s = lr_schedule(cfg)
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(50))) == pytest.approx(1e-2 * 0.5 ** 4)
+    assert float(s(jnp.asarray(100))) == 0.0
+    assert float(s(jnp.asarray(150))) == 0.0  # clamped, not negative
+    # composes with burn-in: ramp dominates early
+    cfg2 = TrainConfig(learning_rate=1e-2, burn_in_steps=10,
+                       lr_poly_max_steps=100, lr_poly_power=2.0)
+    s2 = lr_schedule(cfg2)
+    assert float(s2(jnp.asarray(5))) == pytest.approx(
+        1e-2 * 0.5 ** 4 * 0.95 ** 2)
+
+
+def test_cli_policy_poly_from_cfg(tmp_path, capsys):
+    """[net] policy=poly max_batches/power flow into the schedule; a
+    poly cfg without max_batches is rejected."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    base = cfg_to_string(cfg)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+
+    (tmp_path / "m.cfg").write_text(base.replace(
+        "[net]\n", "[net]\npolicy=poly\nmax_batches=1000\npower=2\n", 1))
+    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
+    assert "policy=poly" in capsys.readouterr().err
+
+    (tmp_path / "bad.cfg").write_text(base.replace(
+        "[net]\n", "[net]\npolicy=poly\n", 1))
+    with pytest.raises(SystemExit, match="max_batches"):
+        cli.main(["train", "--cfg", str(tmp_path / "bad.cfg"),
+                  "--names", str(tmp_path / "m.names"),
+                  "--weights", str(w), "--voc-root", root,
+                  "--split", "train", "--batch", "8", "--epochs", "1",
+                  "--precision", "fp32", "--lr", "1e-4"])
+
+
 def test_train_step_with_schedule_runs():
     rng = np.random.default_rng(12)
     tcfg = TrainConfig(learning_rate=1e-3, burn_in_steps=5,

@@ -542,6 +542,15 @@ def cmd_train(args) -> None:
         print("note: ignoring [net] steps/scales (policy is "
               "'constant', darknet's default; add policy=steps)",
               file=sys.stderr)
+    poly_max, poly_power = 0, 4.0
+    if net_hp.get("policy") == "poly" and not args.lr_steps:
+        if not net_hp.get("max_batches"):
+            raise SystemExit("[net] policy=poly needs max_batches "
+                             "(darknet's decay horizon)")
+        poly_max = int(net_hp["max_batches"])
+        poly_power = float(net_hp.get("power", 4.0))
+        print(f"cfg policy=poly: lr decays as (1 - step/{poly_max})"
+              f"^{poly_power:g}", file=sys.stderr)
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
     tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
@@ -550,6 +559,8 @@ def cmd_train(args) -> None:
                        burn_in_steps=burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
+                       lr_poly_max_steps=poly_max,
+                       lr_poly_power=poly_power,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
                        ema_alpha=ema_alpha,

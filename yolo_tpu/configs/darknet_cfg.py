@@ -500,6 +500,7 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("decay", float), ("burn_in", int),
                               ("ema_alpha", float),
                               ("max_batches", int),
+                              ("power", float),
                               ("letter_box", int),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),

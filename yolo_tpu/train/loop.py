@@ -44,6 +44,11 @@ class TrainConfig:
     burn_in_steps: int = 0          # lr * (step/burn_in)^4 ramp when > 0
     lr_decay_steps: tuple = ()      # steps at which lr multiplies by...
     lr_decay_scales: tuple = ()     # ...these factors (darknet 'scales')
+    # darknet policy=poly (network.c get_current_rate):
+    # lr * (1 - step/max_batches)^power after the burn-in ramp;
+    # active when lr_poly_max_steps > 0 (mutually exclusive with steps)
+    lr_poly_max_steps: int = 0
+    lr_poly_power: float = 4.0
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     yolo_loss: YoloLossConfig = dataclasses.field(
         default_factory=YoloLossConfig)  # used when the model has [yolo] heads
@@ -78,9 +83,11 @@ def _kernel_mask(params):
 
 
 def lr_schedule(cfg: TrainConfig):
-    """Darknet policy=steps as an optax schedule: quartic burn-in ramp
-    (darknet: lr * (batch/burn_in)^power, power=4), then multiplicative
-    step decays."""
+    """Darknet policy=steps/poly as an optax schedule: quartic burn-in
+    ramp (darknet: lr * (batch/burn_in)^power, power=4), then either
+    multiplicative step decays (policy=steps) or the polynomial decay
+    lr * (1 - step/max_batches)^power (policy=poly), clamped at 0 past
+    max_batches."""
     base = cfg.learning_rate
 
     def schedule(step):
@@ -91,6 +98,11 @@ def lr_schedule(cfg: TrainConfig):
             lr = lr * ramp
         for at, scale in zip(cfg.lr_decay_steps, cfg.lr_decay_scales):
             lr = jnp.where(step >= at, lr * scale, lr)
+        if cfg.lr_poly_max_steps:
+            frac = jnp.maximum(
+                1.0 - step.astype(jnp.float32) / cfg.lr_poly_max_steps,
+                0.0)
+            lr = lr * frac ** cfg.lr_poly_power
         return lr
 
     return schedule
@@ -98,7 +110,8 @@ def lr_schedule(cfg: TrainConfig):
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     lr = (lr_schedule(cfg)
-          if (cfg.burn_in_steps or cfg.lr_decay_steps) else cfg.learning_rate)
+          if (cfg.burn_in_steps or cfg.lr_decay_steps
+              or cfg.lr_poly_max_steps) else cfg.learning_rate)
     if cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
