@@ -310,6 +310,69 @@ num=3
         assert 0 <= d["score"] <= 1
 
 
+def test_fuzz_random_topologies_round_trip(tmp_path):
+    """Property test over the widened layer vocabulary: random valid
+    detection topologies (strided/grouped convs, pools, routes,
+    shortcuts, sam, SE blocks, upsample) emitted by cfg_to_string must
+    parse back to the IDENTICAL layer list — any emit/parse asymmetry
+    in a new section breaks this immediately."""
+    import numpy as np
+
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string, config_from_cfg
+    from yolo_tpu.configs.specs import (AvgPool, Conv, MaxPool,
+                                        ModelConfig, Route, Sam,
+                                        ScaleChannels, Shortcut, Upsample,
+                                        YoloHead)
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        layers = [Conv(16, stride=2)]
+        ch = [16]
+        # random middle section, channel/stride bookkeeping kept simple
+        # by staying at one spatial stride
+        for _ in range(int(rng.integers(2, 6))):
+            kind = rng.integers(0, 6)
+            if kind == 0:
+                oc = int(rng.choice([8, 16]))
+                g = int(rng.choice([1, 1, 8])) if oc % 8 == 0 and \
+                    ch[-1] % 8 == 0 else 1
+                layers.append(Conv(oc, size=int(rng.choice([1, 3])),
+                                   groups=g,
+                                   act=str(rng.choice(
+                                       ["leaky", "mish", "swish"]))))
+                ch.append(oc)
+            elif kind == 1:
+                layers.append(MaxPool(int(rng.choice([2, 3])), 1))
+                ch.append(ch[-1])
+            elif kind == 2 and len(layers) >= 2 and ch[-1] == ch[-2]:
+                layers.append(Shortcut(-2))
+                ch.append(ch[-1])
+            elif kind == 3 and len(layers) >= 2 and ch[-1] == ch[-2]:
+                layers.append(Sam(-2))
+                ch.append(ch[-1])
+            elif kind == 4:
+                layers.append(Route((-1,)))
+                ch.append(ch[-1])
+            elif kind == 5:
+                # SE block: avgpool -> 1x1 conv -> scale the trunk
+                src_ch = ch[-1]
+                layers += [AvgPool(), Conv(src_ch, 1, act="logistic"),
+                           ScaleChannels(-3)]
+                ch += [src_ch, src_ch, src_ch]
+        layers.append(Conv(2 * 9, size=1, bn=False, act="linear"))
+        layers.append(YoloHead((0, 1),
+                               scale_xy=float(rng.choice([1.0, 1.05]))))
+        cfg = ModelConfig(
+            name=f"fuzz{trial}", layers=tuple(layers),
+            anchors=((10, 14), (23, 27)),
+            class_names=("a", "b", "c", "d"), input_size=64)
+        p = tmp_path / f"f{trial}.cfg"
+        p.write_text(cfg_to_string(cfg))
+        got = config_from_cfg(str(p))
+        assert got.layers == cfg.layers, f"trial {trial}"
+        assert got.anchors == cfg.anchors
+
+
 def test_region_thresh_parsed_and_round_trips(tmp_path):
     """[region] thresh (the darknet training noobj threshold) flows to
     ModelConfig.region_thresh and survives cfg export."""
