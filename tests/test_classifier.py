@@ -385,13 +385,22 @@ class TestClassifierCli:
             cli.main(["classify", "--model", "tiny-voc",
                       "--weights", "x.weights", "--image", "y.png"])
 
-    def test_classify_rejects_int8(self, tmp_path):
+    def test_classify_int8_e2e(self, tmp_path, capsys):
+        """--precision int8 quantizes the convs (the [connected] tail
+        stays fp) and still produces a ranked top-k."""
         from yolo_tpu import cli
 
         cfg_path, wpath, img = self._write_model(tmp_path)
-        with pytest.raises(SystemExit, match="int8"):
-            cli.main(["classify", "--cfg", cfg_path, "--weights", wpath,
-                      "--image", img, "--precision", "int8"])
+        cli.main(["classify", "--cfg", cfg_path, "--names",
+                  self.names_path, "--weights", wpath,
+                  "--image", img, "--top", "3", "--precision", "int8"])
+        out = capsys.readouterr()
+        assert "int8 PTQ: calibrated" in out.err
+        rows = [json.loads(l) for l in out.out.strip().splitlines()]
+        assert len(rows) == 3
+        probs = [r["prob"] for r in rows]
+        assert probs == sorted(probs, reverse=True)
+        assert all(np.isfinite(p) for p in probs)
 
 
 def _color_classifier():
@@ -559,13 +568,45 @@ class TestClassifierTrainingRejected:
         with pytest.raises(NotImplementedError, match="classifier"):
             train_step(state, batch, mcfg=MICRO_CLS, tcfg=tcfg)
 
-    def test_int8_calibrate_rejects_classifier(self):
+    def test_int8_quantizes_convs_keeps_connected_fp(self):
+        """Classifier int8: one scale per CONV, the [connected] params
+        pass through fp, and the quantized forward tracks fp32."""
+        import jax.numpy as jnp
+
         from yolo_tpu.models import quantize
 
         rng = np.random.default_rng(1)
         folded = graph.fold_params(
             MICRO_CLS.layers, dw.random_params(MICRO_CLS.layers, rng),
             MICRO_CLS.bn_eps)
-        with pytest.raises(NotImplementedError, match="classifier"):
-            quantize.calibrate(MICRO_CLS.layers, folded,
-                               np.zeros((1, 32, 32, 3), np.float32))
+        x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        scales, om = quantize.calibrate(MICRO_CLS.layers, folded, x,
+                                        return_out_maxes=True)
+        assert len(scales) == 4  # 4 convs; connected not counted
+        q = quantize.quantize(MICRO_CLS.layers, folded, scales,
+                              out_maxes=om)
+        assert len(q) == 5
+        assert "kernel_q" in q[0] and "kernel_q" not in q[4]
+        np.testing.assert_array_equal(q[4]["kernel"],
+                                      np.asarray(folded[4]["kernel"]))
+        fp = np.asarray(graph.apply_layers(
+            MICRO_CLS.layers, graph.params_to_jax(folded), x))
+        qp = np.asarray(graph.apply_layers(
+            MICRO_CLS.layers, graph.params_to_jax_quant(q), x,
+            compute_dtype=jnp.bfloat16))
+        assert np.isfinite(qp).all()
+        # probabilities: int8 tracks fp32 within a loose budget
+        assert np.abs(qp - fp).max() < 0.15
+
+    def test_int8_color_classifier_stays_exact(self, tmp_path, capsys):
+        """The deterministic color model's saturated decision survives
+        int8 end-to-end: --images accuracy is unchanged."""
+        from yolo_tpu import cli
+
+        eval_cls = TestClassifyAccuracyEval()
+        cfg_path, names, wpath, root = eval_cls._setup(tmp_path)
+        cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                  "--weights", wpath, "--images", root,
+                  "--batch", "4", "--precision", "int8"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["top1"] == pytest.approx(9 / 10)

@@ -190,16 +190,33 @@ def cmd_classify(args) -> None:
     if cfg.head_kind != "softmax":
         raise SystemExit(f"{cfg.name} is not a classifier "
                          f"(head_kind={cfg.head_kind}) — use `predict`")
-    if args.precision == "int8":
-        raise SystemExit("int8 supports the detection families only — "
-                         "use fp32/bf16 for classifiers")
     if bool(args.image) == bool(args.images):
         raise SystemExit("give exactly one of --image / --images")
     params = _load_params(args, cfg)
+
+    def _quantize_on(calib_01):
+        """int8 PTQ calibrated on already-preprocessed [0,1] images
+        (the convs quantize; the [connected] tail stays fp)."""
+        import jax.numpy as jnp
+
+        from yolo_tpu.models import quantize
+
+        q = quantize.prepare_int8(cfg, params, jnp.asarray(calib_01))
+        print(f"int8 PTQ: calibrated on {len(calib_01)} images",
+              file=sys.stderr)
+        return graph_quant(q)
+
+    def graph_quant(q):
+        from yolo_tpu.models import graph
+
+        return graph.params_to_jax_quant(q)
+
     run = make_classifier(cfg, compute_dtype=_compute_dtype(args.precision))
     if args.image:
         img = load_image_rgb(args.image)
         x = classifier_preprocess(img, cfg.input_size)
+        if args.precision == "int8":
+            params = _quantize_on(x[None])
         probs = np.asarray(run(params, x[None]))[0]
         for name, p in top_k(probs, cfg.class_names, k=args.top):
             print(json.dumps({"class": name, "prob": round(p, 6)}))
@@ -239,6 +256,8 @@ def cmd_classify(args) -> None:
             xs = np.concatenate(
                 [xs, np.zeros((bs - len(chunk),) + xs.shape[1:],
                               xs.dtype)])
+        if i == 0 and args.precision == "int8":
+            params = _quantize_on(xs)  # first batch = calibration set
         probs = np.asarray(run(params, xs))[:len(chunk)]
         order = np.argsort(-probs, axis=-1)
         for (path, true_idx), o in zip(chunk, order):

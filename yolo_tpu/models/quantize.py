@@ -61,12 +61,6 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
         raise ValueError(f"unknown calibration method '{method}' "
                          "(absmax | percentile)")
     from yolo_tpu.configs.specs import Connected, SoftmaxHead
-
-    if any(isinstance(l, (Connected, SoftmaxHead)) for l in layers):
-        raise NotImplementedError(
-            "int8 quantization supports the detection families only — "
-            "classifier heads (connected/softmax) are not quantized; "
-            "run classifiers in fp32/bf16")
     params_jax = graph.params_to_jax(folded_params)
 
     def stats(params, x):
@@ -121,8 +115,19 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             elif isinstance(layer, Upsample):
                 x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
                                layer.stride, axis=2)
-            elif isinstance(layer, AvgPool):  # SE squeeze branch
+            elif isinstance(layer, AvgPool):  # SE/classifier squeeze
                 x = jnp.mean(x, axis=(1, 2), keepdims=True)
+            elif isinstance(layer, Connected):
+                # classifier tail: stays fp (not quantized), but the
+                # walk must produce its real output for completeness
+                q = params[conv_i]
+                conv_i += 1
+                bdim = x.shape[0]
+                xf = jnp.transpose(x, (0, 3, 1, 2)).reshape(bdim, -1)
+                y = jnp.dot(xf, q["kernel"]) + q["bias"]
+                x = graph._activate(y, layer.act).reshape(bdim, 1, 1, -1)
+            elif isinstance(layer, SoftmaxHead):
+                x = jax.nn.softmax(x.reshape(x.shape[0], -1), axis=-1)
             # YoloHead/Dropout: identity passthrough (output = input)
             outputs.append(x)
         return jnp.stack(maxes), jnp.stack(out_maxes)
@@ -224,15 +229,24 @@ def quantize(layers: Sequence[LayerSpec], folded_params,
     `calibrate(..., return_out_maxes=True)` to widen safely — without
     it they fall back to fp boundaries); chain=False reproduces the
     unchained blocks (bf16 intermediates everywhere)."""
-    convs = [l for l in layers if isinstance(l, Conv)]
+    from yolo_tpu.configs.specs import weighted_specs
+
+    n_convs = sum(1 for l in layers if isinstance(l, Conv))
     if chain:
         out_scales, act_scales = _chain_out_scales(layers, act_scales,
                                                    out_maxes)
     else:
-        out_scales = [None] * len(convs)
+        out_scales = [None] * n_convs
     out = []
-    for spec, p, x_scale, o_scale in zip(convs, folded_params, act_scales,
-                                         out_scales):
+    ci = 0
+    for spec, p in zip(weighted_specs(tuple(layers)), folded_params):
+        if not isinstance(spec, Conv):
+            # classifier [connected] tail: stays fp (a single tiny
+            # matmul — not worth a quantization error budget)
+            out.append({k: np.asarray(v) for k, v in p.items()})
+            continue
+        x_scale, o_scale = act_scales[ci], out_scales[ci]
+        ci += 1
         kernel = np.asarray(p["kernel"], np.float32)
         w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-8) / 127.0
         kq = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
