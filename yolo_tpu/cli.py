@@ -1078,8 +1078,24 @@ def cmd_serve(args) -> None:
     if args.precision == "int8":
         if not args.calibration_image:
             raise SystemExit("--precision int8 needs --calibration-image")
-        params = _maybe_quantize(args, cfg, params,
-                                 [load_image_rgb(args.calibration_image)])
+        if cfg.head_kind == "softmax":
+            # classifier: calibration must see the SAME geometry the
+            # /classify endpoint applies (resize_min + center crop)
+            import jax.numpy as jnp
+
+            from yolo_tpu.models import quantize
+            from yolo_tpu.models.classify import classifier_preprocess
+            from yolo_tpu.models.graph import params_to_jax_quant
+
+            calib = classifier_preprocess(
+                load_image_rgb(args.calibration_image), cfg.input_size)
+            params = params_to_jax_quant(quantize.prepare_int8(
+                cfg, params, jnp.asarray(calib[None])))
+            print("int8 PTQ: calibrated on 1 image", file=sys.stderr)
+        else:
+            params = _maybe_quantize(
+                args, cfg, params,
+                [load_image_rgb(args.calibration_image)])
     mesh = None
     if args.dp:
         from yolo_tpu.parallel import sharding as shd
