@@ -8,7 +8,8 @@ import numpy as np
 from yolo_tpu.ops.numpy_ref import iou_xywh, sigmoid, softmax
 
 
-def region_loss_np(logits, targets, anchors, num_classes, cfg, seen):
+def region_loss_np(logits, targets, anchors, num_classes, cfg, seen,
+                   tree=None):
     b, s, _, _ = logits.shape
     a = len(anchors)
     c = num_classes
@@ -43,9 +44,28 @@ def region_loss_np(logits, targets, anchors, num_classes, cfg, seen):
                         iou_t = iou_xywh(pbox, targets["tiou_boxes"][bi, j, i, ai])
                         tgt = iou_t if cfg.rescore else 1.0
                         parts["obj"] += cfg.object_scale * (tgt - conf) ** 2
-                        onehot = np.zeros(c)
-                        onehot[targets["tcls"][bi, j, i, ai]] = 1.0
-                        parts["class"] += cfg.class_scale * np.sum((probs - onehot) ** 2)
+                        tcls = targets["tcls"][bi, j, i, ai]
+                        if tree is not None:
+                            # YOLO9000: squared error within each
+                            # sibling-softmax group on the target's
+                            # root path (groups off the path untouched)
+                            from yolo_tpu.ops.numpy_ref import tree_softmax
+
+                            cond = tree_softmax(v[5:], tree)
+                            acc = 0.0
+                            node = int(tcls)
+                            while node >= 0:
+                                members = list(tree.group_members(
+                                    tree.node_group[node]))
+                                oh = np.zeros(len(members))
+                                oh[members.index(node)] = 1.0
+                                acc += np.sum((cond[members] - oh) ** 2)
+                                node = tree.parents[node]
+                            parts["class"] += cfg.class_scale * acc
+                        else:
+                            onehot = np.zeros(c)
+                            onehot[tcls] = 1.0
+                            parts["class"] += cfg.class_scale * np.sum((probs - onehot) ** 2)
                     else:
                         if best_iou < cfg.iou_thresh:
                             parts["noobj"] += cfg.noobject_scale * conf ** 2

@@ -49,6 +49,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "predict/detect/eval/serve AND train")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--hier-thresh", type=float, default=None,
+                   help="YOLO9000 tree models: hierarchy traversal "
+                        "threshold (descend while the path probability "
+                        "product exceeds this; darknet -hier, default "
+                        "0.5)")
+    p.add_argument("--use-tree-map", action="store_true",
+                   help="YOLO9000 tree models: decode through the "
+                        "[region] map= projection (score = conf * "
+                        "absolute tree prob of each mapped node — the "
+                        "darknet COCO-eval path) instead of the "
+                        "hierarchy traversal")
 
 
 def _compute_dtype(precision: str):
@@ -130,17 +141,20 @@ def _resolve_weights(spec: str) -> str:
         raise SystemExit(str(e).strip("'\""))
 
 
-def _dataset_samples(args, cfg):
+def _dataset_samples(args, cfg, names=None):
     """(image_path, annotation) samples from --voc-root or --coco-json.
     The annotation is a VOC XML path (str) or a pre-parsed dict (COCO,
-    `data/coco.load_coco`); both downstream paths accept either."""
+    `data/coco.load_coco`); both downstream paths accept either.
+    ``names`` overrides the class vocabulary GT labels map onto (the
+    tree-map eval projection); default cfg.class_names."""
     if bool(args.voc_root) == bool(args.coco_json):
         raise SystemExit("give exactly one of --voc-root / --coco-json")
     if args.coco_json:
         from yolo_tpu.data.coco import load_coco
 
         root = args.image_root or os.path.dirname(args.coco_json)
-        return load_coco(args.coco_json, cfg.class_names, image_root=root)
+        return load_coco(args.coco_json, names or cfg.class_names,
+                         image_root=root)
     from yolo_tpu.data.voc import list_split
 
     return list_split(args.voc_root, args.split)
@@ -176,6 +190,22 @@ def _require_detection(cfg, cmd: str) -> None:
             f"`partial` to extract its backbone for detector training")
 
 
+def _tree_kw(args, cfg) -> dict:
+    """YOLO9000 hierarchy knobs for predict/detect/eval: validated
+    loudly (the flags mean nothing without a [region] tree=), returned
+    as the make_detector*/collect_detections kwargs."""
+    use_map = getattr(args, "use_tree_map", False)
+    hier = getattr(args, "hier_thresh", None)
+    if (use_map or hier is not None) and cfg.tree is None:
+        raise SystemExit("--use-tree-map/--hier-thresh apply only to "
+                         "YOLO9000 tree models ([region] tree=<file>); "
+                         f"{cfg.name} has no tree")
+    if use_map and cfg.tree_map is None:
+        raise SystemExit("--use-tree-map needs a [region] map=<file> "
+                         f"projection in the cfg; {cfg.name} has none")
+    return {"use_tree_map": use_map, "hier_thresh": hier}
+
+
 def cmd_classify(args) -> None:
     """Darknet classifier predict (classifier.c predict_classifier):
     min-side resize + center crop, forward, top-k labels as JSON.
@@ -184,6 +214,8 @@ def cmd_classify(args) -> None:
     and reports top-1/top-5 accuracy."""
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.models.classify import (classifier_preprocess,
+                                          hierarchy_leaf_probs,
+                                          hierarchy_path,
                                           make_classifier, top_k)
 
     cfg = _get_cfg(args)
@@ -192,6 +224,12 @@ def cmd_classify(args) -> None:
                          f"(head_kind={cfg.head_kind}) — use `predict`")
     if bool(args.image) == bool(args.images):
         raise SystemExit("give exactly one of --image / --images")
+    if args.hierarchy and cfg.tree is None:
+        raise SystemExit("--hierarchy applies only to tree classifiers "
+                         f"([softmax] tree=<file>); {cfg.name} has none")
+    if args.hierarchy and args.images:
+        raise SystemExit("--hierarchy prints one image's tree path — "
+                         "use it with --image")
     params = _load_params(args, cfg)
 
     def _quantize_on(calib_01):
@@ -218,6 +256,16 @@ def cmd_classify(args) -> None:
         if args.precision == "int8":
             params = _quantize_on(x[None])
         probs = np.asarray(run(params, x[None]))[0]
+        if cfg.tree is not None:
+            # the graph emits per-group conditionals; top-k runs over
+            # leaf-masked absolute probs (the imagenet-9k protocol)
+            if args.hierarchy:
+                for name, c, p in hierarchy_path(probs, cfg.tree):
+                    print(json.dumps({"node": name,
+                                      "conditional": round(c, 6),
+                                      "prob": round(p, 6)}))
+                return
+            probs = hierarchy_leaf_probs(probs[None], cfg.tree)[0]
         for name, p in top_k(probs, cfg.class_names, k=args.top):
             print(json.dumps({"class": name, "prob": round(p, 6)}))
         return
@@ -259,6 +307,8 @@ def cmd_classify(args) -> None:
         if i == 0 and args.precision == "int8":
             params = _quantize_on(xs)  # first batch = calibration set
         probs = np.asarray(run(params, xs))[:len(chunk)]
+        if cfg.tree is not None:
+            probs = hierarchy_leaf_probs(probs, cfg.tree)
         order = np.argsort(-probs, axis=-1)
         for (path, true_idx), o in zip(chunk, order):
             top1 += int(o[0] == true_idx)
@@ -280,11 +330,13 @@ def cmd_predict(args) -> None:
 
     cfg = _get_cfg(args)
     _require_detection(cfg, "predict")
+    tree_kw = _tree_kw(args, cfg)
+    names = cfg.detection_names(tree_kw["use_tree_map"])
     params = _load_params(args, cfg)
     img = load_image_rgb(args.image)
     params = _maybe_quantize(args, cfg, params, [img])
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
-                        resize=args.resize)
+                        resize=args.resize, **tree_kw)
     with maybe_trace(args.profile_dir):
         out = det(params, jnp.asarray(img[None]))
     boxes = np.asarray(out["boxes"][0])
@@ -295,14 +347,14 @@ def cmd_predict(args) -> None:
     for i in np.nonzero(valid)[0]:
         x1, y1, x2, y2 = boxes[i]
         print(json.dumps({
-            "class": cfg.class_names[int(classes[i])],
+            "class": names[int(classes[i])],
             "score": round(float(scores[i]), 4),
             "box_xyxy": [round(float(v), 1) for v in (x1, y1, x2, y2)],
         }))
     if args.output:
         save_image(args.output,
                    draw_detections(img, boxes, scores, classes,
-                                   cfg.class_names, valid))
+                                   names, valid))
         print(f"wrote {args.output}", file=sys.stderr)
 
 
@@ -315,9 +367,11 @@ def cmd_detect(args) -> None:
 
     cfg = _get_cfg(args)
     _require_detection(cfg, "detect")
+    tree_kw = _tree_kw(args, cfg)
+    names = cfg.detection_names(tree_kw["use_tree_map"])
     params = _load_params(args, cfg)
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
-                        resize=args.resize)
+                        resize=args.resize, **tree_kw)
 
     if args.video:
         if args.precision == "int8":
@@ -329,7 +383,7 @@ def cmd_detect(args) -> None:
                                        max_frames=8))
             params = _maybe_quantize(args, cfg, params,
                                      list(first["images"]))
-        _detect_video(args, cfg, params, det)
+        _detect_video(args, cfg, params, det, names=names)
         return
 
     exts = (".jpg", ".jpeg", ".png", ".bmp")
@@ -358,7 +412,8 @@ def cmd_detect(args) -> None:
         from yolo_tpu.ops.letterbox import letterbox_geometry
 
         det = make_detector_preprocessed(
-            cfg, compute_dtype=_compute_dtype(args.precision))
+            cfg, compute_dtype=_compute_dtype(args.precision),
+            **tree_kw)
         host_iter = inference_batches(paths, args.batch,
                                       net_size=cfg.input_size,
                                       resize=args.resize)
@@ -387,7 +442,7 @@ def cmd_detect(args) -> None:
             else:
                 xyxy = np.asarray(out["boxes"][bi], np.float64)[valid]
             dets = [{
-                "class": cfg.class_names[int(out["classes"][bi][i])],
+                "class": names[int(out["classes"][bi][i])],
                 "score": round(float(out["scores"][bi][i]), 4),
                 "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
             } for j, i in enumerate(valid)]
@@ -413,10 +468,10 @@ def cmd_detect(args) -> None:
                         src, xyxy,
                         np.asarray(out["scores"][bi])[valid],
                         np.asarray(out["classes"][bi])[valid],
-                        cfg.class_names))
+                        names))
 
 
-def _detect_video(args, cfg, params, det) -> None:
+def _detect_video(args, cfg, params, det, names=None) -> None:
     """Video/webcam detection: fixed frame shape = ONE jit bucket for
     the whole stream (data/video.py). Prints one JSON line per frame;
     --save-video writes an annotated MJPG copy."""
@@ -442,7 +497,8 @@ def _detect_video(args, cfg, params, det) -> None:
                 valid = np.nonzero(valid_mask)[0]
                 boxes = np.asarray(out["boxes"][bi], np.float64)
                 dets = [{
-                    "class": cfg.class_names[int(out["classes"][bi][i])],
+                    "class": (names or cfg.class_names)[
+                        int(out["classes"][bi][i])],
                     "score": round(float(out["scores"][bi][i]), 4),
                     "box_xyxy": [round(float(v), 1) for v in boxes[i]],
                 } for i in valid]
@@ -452,7 +508,7 @@ def _detect_video(args, cfg, params, det) -> None:
                     writer.write(np.asarray(batch["images"][bi]),
                                  boxes, np.asarray(out["scores"][bi]),
                                  np.asarray(out["classes"][bi]),
-                                 cfg.class_names, valid_mask)
+                                 names or cfg.class_names, valid_mask)
     finally:
         if writer is not None:
             writer.close()
@@ -863,14 +919,19 @@ def cmd_eval(args) -> None:
 
     cfg = _get_cfg(args)
     _require_detection(cfg, "eval")
+    tree_kw = _tree_kw(args, cfg)
+    # tree-map eval scores the projected class list (the darknet
+    # COCO-on-9k protocol); otherwise the model's own vocabulary
+    names = cfg.detection_names(tree_kw["use_tree_map"])
+    ncls = len(names)
     if not args.from_detections and not args.weights:
         raise SystemExit("--weights is required (or score a saved "
                          "results file with --from-detections)")
-    pairs = _dataset_samples(args, cfg)
+    pairs = _dataset_samples(args, cfg, names=names)
 
     from yolo_tpu.eval.runner import build_ground_truth, collect_detections
 
-    gt, orig_ids = build_ground_truth(pairs, cfg.class_names)
+    gt, orig_ids = build_ground_truth(pairs, names)
 
     if args.from_detections:
         # score a saved results file (pycocotools loadRes schema) with
@@ -879,9 +940,9 @@ def cmd_eval(args) -> None:
             from yolo_tpu.data.coco import category_ids
 
             cls_of = {v: k for k, v in category_ids(
-                args.coco_json, cfg.class_names).items()}
+                args.coco_json, names).items()}
         else:
-            cls_of = {c: c for c in range(cfg.num_classes)}
+            cls_of = {c: c for c in range(ncls)}
         inv = {orig: i for i, orig in orig_ids.items()}
         detections = {i: [] for i in orig_ids}
         with open(args.from_detections) as f:
@@ -905,7 +966,7 @@ def cmd_eval(args) -> None:
             cfg, params, pairs, batch=args.batch,
             eval_conf=args.eval_conf,
             compute_dtype=_compute_dtype(args.precision),
-            resize=args.resize)
+            resize=args.resize, **tree_kw)
 
     if args.save_detections:
         # pycocotools loadRes format: original image/category ids,
@@ -915,9 +976,9 @@ def cmd_eval(args) -> None:
 
             # only the dataset's own categories are expressible in a
             # COCO results file; detections of other classes are dropped
-            cat_of = category_ids(args.coco_json, cfg.class_names)
+            cat_of = category_ids(args.coco_json, names)
         else:
-            cat_of = {c: c for c in range(cfg.num_classes)}
+            cat_of = {c: c for c in range(ncls)}
         results = [
             {"image_id": orig_ids[img_id], "category_id": cat_of[c],
              "bbox": [round(x1, 2), round(y1, 2),
@@ -937,8 +998,8 @@ def cmd_eval(args) -> None:
     if metric == "coco":
         from yolo_tpu.eval.coco_map import evaluate_coco
 
-        result = evaluate_coco(detections, gt, cfg.num_classes)
-        per_class = {cfg.class_names[c]: round(a, 4)
+        result = evaluate_coco(detections, gt, ncls)
+        per_class = {names[c]: round(a, 4)
                      for c, a in result["ap"].items()}
         # the full pycocotools 12-cell summary surface
         out = {k: round(result[k], 4) for k in (
@@ -948,15 +1009,15 @@ def cmd_eval(args) -> None:
         out["ap"] = per_class
         print(json.dumps(out))
         return
-    result = evaluate(detections, gt, cfg.num_classes,
+    result = evaluate(detections, gt, ncls,
                       use_07_metric=metric == "voc07",
                       return_curves=bool(args.save_pr))
     if args.save_pr:
         with open(args.save_pr, "w") as f:
-            json.dump({cfg.class_names[c]: v
+            json.dump({names[c]: v
                        for c, v in result["curves"].items()}, f)
         print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
-    per_class = {cfg.class_names[c]: round(a, 4)
+    per_class = {names[c]: round(a, 4)
                  for c, a in result["ap"].items() if not np.isnan(a)}
     print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
 
@@ -1209,6 +1270,10 @@ def main(argv: Optional[list] = None) -> None:
                    help="--images batch size (one jit bucket)")
     p.add_argument("--top", type=int, default=5,
                    help="print the top-k classes (default 5)")
+    p.add_argument("--hierarchy", action="store_true",
+                   help="tree classifiers ([softmax] tree=): print the "
+                        "greedy root-to-leaf path with conditional and "
+                        "absolute probabilities instead of flat top-k")
     p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("detect",

@@ -133,6 +133,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     nms_spec: Optional[Tuple] = None   # [yolo] (nms_kind, beta_nms)
     region_thresh: Optional[float] = None
     saw_region = False
+    tree_file: Optional[str] = None   # [region] tree= (YOLO9000)
+    map_file: Optional[str] = None    # [region] map=
 
     for kind, kv in sections:
         if kind not in _SUPPORTED:
@@ -251,6 +253,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if int(kv.get("groups", 1)) != 1:
                 raise ValueError("[softmax] groups != 1 (grouped "
                                  "softmax) is not supported")
+            # darknet9000 classifier hierarchy: [softmax] tree=<file>
+            # (the tree is parsed below, once num_classes is known)
+            if "tree" in kv:
+                tree_file = kv["tree"]
             layers.append(SoftmaxHead())
         elif kind == "cost":
             # training-loss marker (classifier cfgs end with it);
@@ -341,6 +347,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # threshold (NOT the detection confidence — use --conf);
             # it flows to LossConfig.iou_thresh via region_thresh
             region_thresh = float(kv.get("thresh", 0.6))
+            # YOLO9000 hierarchy: tree=<.tree file> switches class
+            # softmax to per-sibling-group; map=<.map file> records the
+            # COCO-eval projection (its use is a predict-layer opt-in,
+            # as darknet's validation callers choose). Paths resolve
+            # against the cfg's directory first (self-contained model
+            # dirs), then as given (darknet's cwd-relative habit).
+            tree_file = kv.get("tree")
+            map_file = kv.get("map")
 
     if not layers:
         raise ValueError(f"{cfg_path}: no layers found")
@@ -381,7 +395,35 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         raise ValueError(f"{cfg_path}: [region] and [yolo] sections "
                          f"cannot be mixed")
 
+    tree = tree_map = None
+    if map_file and not tree_file:
+        raise ValueError(f"{cfg_path}: [region] map= requires tree= "
+                         f"(the map projects onto tree nodes)")
+    if tree_file:
+        import os as _os
+
+        from yolo_tpu.configs.tree import parse_map, parse_tree
+
+        def _resolve(p: str) -> str:
+            local = _os.path.join(_os.path.dirname(cfg_path), p)
+            return local if _os.path.exists(local) else p
+
+        tree = parse_tree(_resolve(tree_file))
+        if tree.n_nodes != num_classes:
+            section = "[softmax]" if softmax_heads else "[region]"
+            raise ValueError(
+                f"{cfg_path}: {section} head has {num_classes} classes "
+                f"but the tree has {tree.n_nodes} nodes — they must "
+                f"match (every tree node is a class)")
+        if map_file:
+            tree_map = parse_map(_resolve(map_file), tree)
+        if softmax_heads:
+            # the executor applies the per-group softmax in-graph, so
+            # the head layer itself carries the tree
+            layers[-1] = SoftmaxHead(tree=tree)
+
     class_names = (load_names(names_path) if names_path
+                   else tree.names if tree is not None
                    else tuple(f"class{i}" for i in range(num_classes)))
     if len(class_names) != num_classes:
         raise ValueError(
@@ -461,6 +503,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   objectness_smooth=loss_spec[5])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
+    if tree is not None:
+        cfg = dataclasses.replace(cfg, tree=tree, tree_map=tree_map,
+                                  tree_file=tree_file,
+                                  map_file=map_file)
     if nms_spec is not None:
         cfg = dataclasses.replace(cfg, nms_kind=nms_spec[0],
                                   beta_nms=nms_spec[1])
@@ -624,7 +670,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
         elif isinstance(l, Dropout):
             out.append(f"[dropout]\nprobability={l.prob:g}\n")
         elif isinstance(l, SoftmaxHead):
-            out.append("[softmax]\ngroups=1\n")
+            out.append("[softmax]\ngroups=1\n"
+                       + (f"tree={cfg.tree_file}\n"
+                          if cfg.tree_file else ""))
         elif isinstance(l, YoloHead):
             out.append(("[Gaussian_yolo]" if l.gaussian else "[yolo]")
                        + "\nmask = "
@@ -660,5 +708,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
     if cfg.head_kind == "region":
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"
-                   f"thresh = {cfg.region_thresh:g}\n")
+                   f"thresh = {cfg.region_thresh:g}\n"
+                   + (f"tree={cfg.tree_file}\n"
+                      if cfg.tree_file else "")
+                   + (f"map={cfg.map_file}\n"
+                      if cfg.map_file else ""))
     return "\n".join(out)

@@ -154,7 +154,15 @@ class SoftmaxHead:
     """darknet [softmax] (groups=1): marks the model as a CLASSIFIER;
     the executor applies softmax over the flattened input and returns
     (B, num_classes) probabilities. A trailing [cost] section in the
-    cfg is parsed and ignored (loss marker, no forward effect)."""
+    cfg is parsed and ignored (loss marker, no forward effect).
+
+    tree ([softmax] tree=<file>, the darknet9000/imagenet-9k
+    classifier): the output becomes the YOLO9000 CONDITIONAL
+    probabilities (one softmax per sibling group —
+    ops/decode.tree_conditional_probs); consumers turn them into
+    leaf-masked absolute probs for top-k (models/classify
+    hierarchy_leaf_probs)."""
+    tree: Optional[object] = None   # configs.tree.SoftmaxTree
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,10 +266,38 @@ class ModelConfig:
     # box_diounms); beta_nms is darknet's default 0.6
     nms_kind: str = "greedy"
     beta_nms: float = 0.6
+    # YOLO9000 hierarchy ([region] tree=<file>): class logits are
+    # soft-maxed per sibling group; decode either projects through
+    # tree_map ([region] map=<file>, the COCO-eval projection — opt-in
+    # via use_tree_map at the predict layer) or greedily descends the
+    # tree while the path product stays above hier_thresh (darknet's
+    # -hier flag default 0.5). tree_file/map_file keep the cfg's
+    # verbatim path strings so cfg_to_string round-trips.
+    tree: Optional["object"] = None          # configs.tree.SoftmaxTree
+    tree_map: Optional[Tuple[int, ...]] = None
+    tree_file: Optional[str] = None
+    map_file: Optional[str] = None
+    hier_thresh: float = 0.5
 
     @property
     def num_classes(self) -> int:
         return len(self.class_names)
+
+    def num_detection_classes(self, use_tree_map: bool = False) -> int:
+        """Width of the score/class axis detections carry: the map's
+        class count when decoding through the tree projection, else
+        num_classes (tree traversal predicts over ALL tree nodes)."""
+        if use_tree_map and self.tree_map is not None:
+            return len(self.tree_map)
+        return self.num_classes
+
+    def detection_names(self, use_tree_map: bool = False
+                        ) -> Tuple[str, ...]:
+        """Display names for detection class indices. Under the map
+        projection these are the mapped tree nodes' names."""
+        if use_tree_map and self.tree_map is not None:
+            return tuple(self.class_names[m] for m in self.tree_map)
+        return self.class_names
 
     @property
     def num_anchors(self) -> int:

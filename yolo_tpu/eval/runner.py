@@ -39,7 +39,9 @@ def collect_detections(cfg, folded_params,
                        samples: Sequence[Tuple[str, object]], *,
                        batch: int = 32, eval_conf: float = 0.005,
                        compute_dtype=None,
-                       resize: str = "letterbox") -> Dict[int, List]:
+                       resize: str = "letterbox",
+                       use_tree_map: bool = False,
+                       hier_thresh=None) -> Dict[int, List]:
     """Run the exact reference decode + per-class NMS path over the
     samples; returns {img_id: [(cls, score, x1, y1, x2, y2) pixel], ...}.
 
@@ -56,7 +58,8 @@ def collect_detections(cfg, folded_params,
 
     det = make_detector_preprocessed(
         cfg, compute_dtype=compute_dtype or jnp.float32,
-        conf_threshold=eval_conf, head="reference", nms_impl="xla")
+        conf_threshold=eval_conf, head="reference", nms_impl="xla",
+        use_tree_map=use_tree_map, hier_thresh=hier_thresh)
     path_to_id = {p: i for i, (p, _) in enumerate(samples)}
     host_iter = inference_batches([p for p, _ in samples], batch,
                                   net_size=cfg.input_size, resize=resize)

@@ -69,3 +69,35 @@ def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
     probs = np.asarray(probs).reshape(-1)
     idx = np.argsort(-probs)[:k]
     return [(class_names[i], float(probs[i])) for i in idx]
+
+
+def hierarchy_leaf_probs(cond, tree) -> np.ndarray:
+    """Tree-classifier conditionals (B, C) -> ABSOLUTE probs with the
+    internal nodes zeroed: the YOLO9000 classification protocol
+    (paper §4 — classification assumes an object is present, so the
+    probability mass lands on the leaves; darknet masks non-leaves for
+    imagenet-9k top-k). Output still sums to <= 1 over the leaves."""
+    from yolo_tpu.ops.decode import tree_absolute_probs
+
+    absolute = np.asarray(tree_absolute_probs(jnp.asarray(cond), tree))
+    leaf = np.array([tree.leaf(i) for i in range(tree.n_nodes)])
+    return np.where(leaf, absolute, 0.0)
+
+
+def hierarchy_path(cond_row: np.ndarray, tree
+                   ) -> List[Tuple[str, float, float]]:
+    """One image's conditionals -> the greedy root-to-leaf path as
+    [(name, conditional, absolute)] — the `classify --hierarchy`
+    display (each split takes the max-conditional child)."""
+    cond_row = np.asarray(cond_row).reshape(-1)
+    out: List[Tuple[str, float, float]] = []
+    group, p = 0, 1.0
+    while True:
+        members = list(tree.group_members(group))
+        node = members[int(np.argmax(cond_row[members]))]
+        c = float(cond_row[node])
+        p *= c
+        out.append((tree.names[node], c, p))
+        if tree.leaf(node):
+            return out
+        group = tree.child_group[node]

@@ -255,9 +255,19 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         elif isinstance(layer, Dropout):
             pass  # inference identity (classifier training rejects)
         elif isinstance(layer, SoftmaxHead):
-            # classifier output: (B, C) probabilities, fp32
-            x = jax.nn.softmax(
-                x.astype(jnp.float32).reshape(x.shape[0], -1), axis=-1)
+            # classifier output: (B, C) probabilities, fp32. With a
+            # hierarchy ([softmax] tree=, darknet9000) the output is
+            # the per-sibling-group CONDITIONAL probabilities — the
+            # forward pass mirrors darknet's softmax_tree; consumers
+            # derive leaf-masked absolute probs for top-k
+            # (models/classify.hierarchy_leaf_probs).
+            flat = x.astype(jnp.float32).reshape(x.shape[0], -1)
+            if layer.tree is not None:
+                from yolo_tpu.ops.decode import tree_conditional_probs
+
+                x = tree_conditional_probs(flat, layer.tree)
+            else:
+                x = jax.nn.softmax(flat, axis=-1)
         elif isinstance(layer, YoloHead):
             head_logits.append(x.astype(jnp.float32))
             # routed output = input (identity), keeping darknet indices

@@ -42,19 +42,25 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
            conf_threshold: Optional[float] = None,
            nms_threshold: Optional[float] = None,
            top_k: int = 128, max_detections: int = 100,
-           nms_impl: str = "auto", head: str = "auto"):
+           nms_impl: str = "auto", head: str = "auto",
+           use_tree_map: bool = False,
+           hier_thresh: Optional[float] = None):
     """Preprocessed images -> fixed-shape detections (net-space xywh).
 
     head="fused" runs the objectness-prefiltered decode+NMS
     (ops/head.py, exact at production thresholds, TPU default);
     head="reference" runs full decode + per-class NMS (parity path,
     CPU default).
+
+    use_tree_map / hier_thresh apply to YOLO9000 tree models only
+    (ops/decode.decode): map projection vs hierarchy traversal.
     """
     logits = forward(cfg, params, images_01, compute_dtype=compute_dtype)
     return _postprocess(cfg, logits, conf_threshold=conf_threshold,
                         nms_threshold=nms_threshold, top_k=top_k,
                         max_detections=max_detections, nms_impl=nms_impl,
-                        head=head)
+                        head=head, use_tree_map=use_tree_map,
+                        hier_thresh=hier_thresh)
 
 
 def _postprocess(cfg: ModelConfig, logits, *,
@@ -62,14 +68,24 @@ def _postprocess(cfg: ModelConfig, logits, *,
                  conf_threshold: Optional[float] = None,
                  nms_threshold: Optional[float] = None,
                  top_k: int = 128, max_detections: int = 100,
-                 nms_impl: str = "auto", head: str = "auto"):
+                 nms_impl: str = "auto", head: str = "auto",
+                 use_tree_map: bool = False,
+                 hier_thresh: Optional[float] = None):
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.nms_threshold if nms_threshold is None else nms_threshold
+    if use_tree_map and cfg.tree_map is None:
+        raise ValueError("use_tree_map=True but the model has no "
+                         "[region] map= projection")
     if head == "auto":
         # fused heads are exact only while few boxes clear the
-        # threshold; at PR-curve thresholds take the reference path
+        # threshold; at PR-curve thresholds take the reference path.
+        # YOLO9000 tree models always decode on the reference path (the
+        # hierarchy traversal has no fused-head equivalent).
         head = ("fused" if jax.default_backend() == "tpu"
-                and conf_t >= 0.1 else "reference")
+                and conf_t >= 0.1 and cfg.tree is None else "reference")
+    if cfg.tree is not None and head == "fused":
+        raise ValueError("head='fused' does not support YOLO9000 tree "
+                         "models — use head='reference' (auto does)")
     if cfg.head_kind == "yolo":
         # yolov3/v4 family: multi-head [yolo] decode (sigmoid classes,
         # pixel anchors, per-head scale_x_y)
@@ -109,7 +125,11 @@ def _postprocess(cfg: ModelConfig, logits, *,
             pre_top_k=pre, max_detections=max_detections,
             use_pallas=(jax.default_backend() == "tpu"),
             nms_kind=cfg.nms_kind, beta_nms=cfg.beta_nms)
-    boxes, scores = decode(logits, cfg.anchors, cfg.num_classes)
+    boxes, scores = decode(
+        logits, cfg.anchors, cfg.num_classes, tree=cfg.tree,
+        tree_map=cfg.tree_map if use_tree_map else None,
+        hier_thresh=(cfg.hier_thresh if hier_thresh is None
+                     else hier_thresh))
     return nms_batch(
         boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
         top_k=top_k, max_detections=max_detections, impl=nms_impl,
@@ -184,14 +204,15 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
 @functools.lru_cache(maxsize=32)
 def _jitted_detect_pre(cfg: ModelConfig, compute_dtype, conf_threshold,
                        nms_threshold, top_k, max_detections, nms_impl,
-                       head):
+                       head, use_tree_map=False, hier_thresh=None):
     def fn(params, images_01):
         return detect(cfg, params, images_01.astype(compute_dtype),
                       compute_dtype=compute_dtype,
                       conf_threshold=conf_threshold,
                       nms_threshold=nms_threshold,
                       top_k=top_k, max_detections=max_detections,
-                      nms_impl=nms_impl, head=head)
+                      nms_impl=nms_impl, head=head,
+                      use_tree_map=use_tree_map, hier_thresh=hier_thresh)
     return jax.jit(fn)
 
 
@@ -200,7 +221,9 @@ def make_detector_preprocessed(cfg: ModelConfig, *,
                                conf_threshold: Optional[float] = None,
                                nms_threshold: Optional[float] = None,
                                top_k: int = 128, max_detections: int = 100,
-                               nms_impl: str = "auto", head: str = "auto"):
+                               nms_impl: str = "auto", head: str = "auto",
+                               use_tree_map: bool = False,
+                               hier_thresh: Optional[float] = None):
     """Jitted detector for host-letterboxed (B, net, net, 3) [0,1] input:
     ONE compiled program regardless of source image shapes (the
     heterogeneous-directory mode, data/pipeline.py net_size=...).
@@ -210,13 +233,14 @@ def make_detector_preprocessed(cfg: ModelConfig, *,
         cfg, compute_dtype,
         cfg.conf_threshold if conf_threshold is None else conf_threshold,
         cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k, max_detections, nms_impl, head)
+        top_k, max_detections, nms_impl, head, use_tree_map, hier_thresh)
 
 
 @functools.lru_cache(maxsize=32)
 def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
                        nms_threshold, top_k, max_detections, nms_impl,
-                       head, entry, resize):
+                       head, entry, resize, use_tree_map=False,
+                       hier_thresh=None):
     def fn(params, images_u8):
         return detect_raw(cfg, params, images_u8,
                           compute_dtype=compute_dtype,
@@ -224,7 +248,8 @@ def _jitted_detect_raw(cfg: ModelConfig, compute_dtype, conf_threshold,
                           nms_threshold=nms_threshold,
                           top_k=top_k, max_detections=max_detections,
                           nms_impl=nms_impl, head=head, entry=entry,
-                          resize=resize)
+                          resize=resize, use_tree_map=use_tree_map,
+                          hier_thresh=hier_thresh)
     return jax.jit(fn)
 
 
@@ -233,11 +258,14 @@ def make_detector(cfg: ModelConfig, *, compute_dtype=jnp.float32,
                   nms_threshold: Optional[float] = None,
                   top_k: int = 128, max_detections: int = 100,
                   nms_impl: str = "auto", head: str = "auto",
-                  entry: str = "auto", resize: str = "letterbox"):
+                  entry: str = "auto", resize: str = "letterbox",
+                  use_tree_map: bool = False,
+                  hier_thresh: Optional[float] = None):
     """Jitted raw-RGB detector; recompiles only per (source-shape, batch)
     bucket."""
     return _jitted_detect_raw(
         cfg, compute_dtype,
         cfg.conf_threshold if conf_threshold is None else conf_threshold,
         cfg.nms_threshold if nms_threshold is None else nms_threshold,
-        top_k, max_detections, nms_impl, head, entry, resize)
+        top_k, max_detections, nms_impl, head, entry, resize,
+        use_tree_map, hier_thresh)

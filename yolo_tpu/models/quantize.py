@@ -127,7 +127,13 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
                 y = jnp.dot(xf, q["kernel"]) + q["bias"]
                 x = graph._activate(y, layer.act).reshape(bdim, 1, 1, -1)
             elif isinstance(layer, SoftmaxHead):
-                x = jax.nn.softmax(x.reshape(x.shape[0], -1), axis=-1)
+                flat = x.reshape(x.shape[0], -1)
+                if layer.tree is not None:
+                    from yolo_tpu.ops.decode import tree_conditional_probs
+
+                    x = tree_conditional_probs(flat, layer.tree)
+                else:
+                    x = jax.nn.softmax(flat, axis=-1)
             # YoloHead/Dropout: identity passthrough (output = input)
             outputs.append(x)
         return jnp.stack(maxes), jnp.stack(out_maxes)

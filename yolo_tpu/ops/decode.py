@@ -14,17 +14,33 @@ No tw/th clamp — matches the oracle exactly (SURVEY.md §7.2).
 
 from __future__ import annotations
 
+import functools
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 
 
-def decode(logits: jnp.ndarray, anchors, num_classes: int):
+def decode(logits: jnp.ndarray, anchors, num_classes: int,
+           tree=None, tree_map: Optional[Tuple[int, ...]] = None,
+           hier_thresh: float = 0.5):
     """logits: (B, H, W, A*(5+C)) raw head output.
 
     Returns:
       boxes  (B, H*W*A, 4)  (cx, cy, w, h) normalized to net space
       scores (B, H*W*A, C)  conf * class prob
     Compute in fp32 regardless of input dtype (parity gate, SURVEY.md §7.2).
+
+    tree (configs.tree.SoftmaxTree) switches the class math to the
+    YOLO9000 hierarchy (paper §4): per-sibling-group softmax gives
+    conditional probabilities. Then either
+      * tree_map (a darknet .map projection): score_j = conf *
+        absolute_prob[map[j]] over the map's class list (the COCO-eval
+        projection), scores shape (B, N, len(map)); or
+      * no map: greedy root-to-leaf traversal — at each split take the
+        max-conditional child while the cumulative path product stays
+        above hier_thresh — and the predicted node scores conf
+        (one-hot over the tree's nodes), scores shape (B, N, C).
     """
     b, h, w, _ = logits.shape
     a = len(anchors)
@@ -38,10 +54,123 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int):
     bw = anchors[None, None, None, :, 0] * jnp.exp(t[..., 2]) / w
     bh = anchors[None, None, None, :, 1] * jnp.exp(t[..., 3]) / h
     conf = jax.nn.sigmoid(t[..., 4])
-    probs = jax.nn.softmax(t[..., 5:], axis=-1)
-    scores = conf[..., None] * probs
+    if tree is not None:
+        cond = tree_conditional_probs(t[..., 5:], tree)
+        if tree_map is not None:
+            absolute = tree_absolute_probs(cond, tree)
+            scores = conf[..., None] * absolute[..., jnp.asarray(tree_map)]
+            out_c = len(tree_map)
+        else:
+            node = tree_top_prediction(cond, tree, hier_thresh)
+            scores = (jax.nn.one_hot(node, num_classes, dtype=jnp.float32)
+                      * conf[..., None])
+            out_c = num_classes
+    else:
+        probs = jax.nn.softmax(t[..., 5:], axis=-1)
+        scores = conf[..., None] * probs
+        out_c = num_classes
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-    return boxes.reshape(b, -1, 4), scores.reshape(b, -1, num_classes)
+    return boxes.reshape(b, -1, 4), scores.reshape(b, -1, out_c)
+
+
+@functools.lru_cache(maxsize=8)
+def _tree_np_consts(tree):
+    """Constant tables for one SoftmaxTree, as NUMPY arrays. Cached as
+    host arrays on purpose: jnp values created during a jit trace are
+    tracers, and caching those across traces leaks them — callers
+    convert with jnp.asarray per use (XLA constant-folds them)."""
+    import numpy as np
+
+    from yolo_tpu.configs.tree import group_members_padded
+
+    levels = np.zeros(tree.n_nodes, dtype=np.int32)
+    for i, p in enumerate(tree.parents):
+        levels[i] = 0 if p < 0 else levels[p] + 1
+    return {
+        "node_group": np.asarray(tree.node_group, np.int32),
+        "parents": np.asarray(tree.parents, np.int32),
+        "levels": levels,
+        "child_group": np.asarray(tree.child_group, np.int32),
+        "members": group_members_padded(tree),
+    }
+
+
+def _tree_consts(tree):
+    """jnp views of _tree_np_consts, safe inside or outside jit."""
+    return {k: jnp.asarray(v) for k, v in _tree_np_consts(tree).items()}
+
+
+def tree_conditional_probs(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
+    """(..., C) class logits -> per-sibling-group softmax (YOLO9000
+    conditional probabilities Pr(node | parent)). Scatter/gather over
+    the static group id table; fully batched, static shapes."""
+    k = _tree_consts(tree)
+    g = k["node_group"]
+    t = logits_c.astype(jnp.float32)
+    shape_g = t.shape[:-1] + (tree.n_groups,)
+    gmax = (jnp.full(shape_g, -jnp.inf, jnp.float32)
+            .at[..., g].max(t))
+    e = jnp.exp(t - gmax[..., g])
+    gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(e)
+    return e / gsum[..., g]
+
+
+def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
+    """Conditional -> absolute probabilities: product of conditionals
+    along each node's path to the root (paper §4 'absolute
+    probability ... multiply the conditional probabilities along the
+    path'). Computed level-by-level (max_depth gathers) instead of a
+    per-node (C, depth) gather table to bound memory at 9k-node scale."""
+    k = _tree_consts(tree)
+    parents = jnp.maximum(k["parents"], 0)
+    absolute = cond
+    for d in range(1, tree.max_depth):
+        par = absolute[..., parents]
+        absolute = jnp.where(k["levels"] == d, cond * par, absolute)
+    return absolute
+
+
+def tree_top_prediction(cond: jnp.ndarray, tree,
+                        thresh: float) -> jnp.ndarray:
+    """Greedy hierarchy prediction on conditionals (paper §4: 'traverse
+    the tree down, taking the highest confidence path at every split
+    until we reach some threshold and we predict that object class').
+
+    Start at the root group; at each split pick the max-conditional
+    node; descend while the cumulative product of conditionals (= the
+    node's absolute probability) exceeds ``thresh``; predict the last
+    accepted node. Below threshold at the ROOT split the root argmax is
+    still returned (there is no shallower fallback). Returns int32 node
+    indices, shape = cond.shape[:-1]. Unrolled max_depth times — depth
+    is static and small (14 for the official 9k tree)."""
+    k = _tree_consts(tree)
+    members = k["members"]                      # (G, K) pad -1
+    child_group = k["child_group"]
+    batch_shape = cond.shape[:-1]
+    group = jnp.zeros(batch_shape, jnp.int32)
+    p = jnp.ones(batch_shape, jnp.float32)
+    result = jnp.full(batch_shape, -1, jnp.int32)
+    done = jnp.zeros(batch_shape, bool)
+    for step in range(tree.max_depth):
+        cand = members[group]                   # (..., K)
+        val = jnp.where(
+            cand >= 0,
+            jnp.take_along_axis(cond, jnp.maximum(cand, 0), axis=-1),
+            -1.0)
+        arg = jnp.argmax(val, axis=-1)
+        mx = jnp.max(val, axis=-1)
+        node = jnp.take_along_axis(cand, arg[..., None],
+                                   axis=-1)[..., 0]
+        active = ~done
+        accept = active & (p * mx > thresh)
+        # the root argmax is recorded even below threshold (there is no
+        # shallower node to fall back to); deeper nodes only on accept
+        result = jnp.where(active if step == 0 else accept, node, result)
+        p = jnp.where(accept, p * mx, p)
+        is_leaf = child_group[node] < 0
+        group = jnp.where(accept & ~is_leaf, child_group[node], group)
+        done = done | ~accept | (accept & is_leaf)
+    return result
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,

@@ -139,6 +139,89 @@ def decode(logits: np.ndarray, anchors, num_classes: int):
     return boxes.reshape(-1, 4), scores.reshape(-1, num_classes)
 
 
+# ---------------------------------------------------------------------------
+# YOLO9000 hierarchical softmax tree (paper §4 'Hierarchical
+# classification'; darknet .tree/.map file formats). Loop-level,
+# independent of the vectorized ops/decode.py implementation.
+# ---------------------------------------------------------------------------
+
+def tree_softmax(logits_c: np.ndarray, tree) -> np.ndarray:
+    """(C,) class logits -> conditional probs: one softmax per sibling
+    group (configs.tree.SoftmaxTree group structure)."""
+    out = np.zeros_like(logits_c, dtype=np.float64)
+    for g in range(tree.n_groups):
+        members = list(tree.group_members(g))
+        out[members] = softmax(logits_c[members].astype(np.float64))
+    return out
+
+
+def tree_absolute(cond: np.ndarray, tree) -> np.ndarray:
+    """Conditional -> absolute probs: product along each node's root
+    path (paper: 'multiply the conditional probabilities along the
+    path'). Recomputed per node from scratch — O(C * depth), obvious."""
+    out = np.zeros_like(cond, dtype=np.float64)
+    for i in range(len(cond)):
+        p = 1.0
+        node = i
+        while node >= 0:
+            p *= cond[node]
+            node = tree.parents[node]
+        out[i] = p
+    return out
+
+
+def tree_top_prediction(cond: np.ndarray, tree, thresh: float) -> int:
+    """Greedy descent: at each split take the max-conditional node;
+    stop when the cumulative path product would drop to <= thresh and
+    predict the last accepted node (the root argmax is returned even
+    below threshold — nothing shallower exists)."""
+    group = 0
+    p = 1.0
+    result = -1
+    while True:
+        members = list(tree.group_members(group))
+        vals = cond[members]
+        node = members[int(np.argmax(vals))]
+        mx = float(np.max(vals))
+        if result < 0:
+            result = node          # root argmax, unconditional
+        if p * mx <= thresh:
+            return result
+        p *= mx
+        result = node
+        if tree.child_group[node] < 0:
+            return result
+        group = tree.child_group[node]
+
+
+def decode_tree(logits: np.ndarray, anchors, tree, hier_thresh: float,
+                tree_map=None):
+    """Region decode for ONE image with the YOLO9000 class hierarchy.
+    Box/conf math identical to decode(); class scores follow the tree:
+    with tree_map, score_j = conf * absolute[map[j]]; without, the
+    traversal's predicted node scores conf (one-hot over the tree)."""
+    h, w, _ = logits.shape
+    a = len(anchors)
+    c = tree.n_nodes
+    boxes, _ = decode(logits, anchors, c)
+    t = logits.reshape(h, w, a, 5 + c).astype(np.float64)
+    out_c = len(tree_map) if tree_map is not None else c
+    scores = np.zeros((h, w, a, out_c), dtype=np.float64)
+    for j in range(h):
+        for i in range(w):
+            for n in range(a):
+                conf = sigmoid(t[j, i, n, 4])
+                cond = tree_softmax(t[j, i, n, 5:], tree)
+                if tree_map is not None:
+                    absolute = tree_absolute(cond, tree)
+                    for k, m in enumerate(tree_map):
+                        scores[j, i, n, k] = conf * absolute[m]
+                else:
+                    node = tree_top_prediction(cond, tree, hier_thresh)
+                    scores[j, i, n, node] = conf
+    return boxes, scores.reshape(-1, out_c)
+
+
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                 net_size: int, scales=None, new_coords=None,
                 gaussian=None):

@@ -225,10 +225,16 @@ class DetectionServer:
                     arrays += [items[-1].image] * (size - n)
                     images = jnp.asarray(np.stack(arrays))
                     if self.is_classifier:
-                        from yolo_tpu.models.classify import top_k
+                        from yolo_tpu.models.classify import (
+                            hierarchy_leaf_probs, top_k)
 
                         probs = np.asarray(
                             self._classifier(self.params, images))
+                        if self.cfg.tree is not None:
+                            # darknet9000 classifier: conditionals ->
+                            # leaf-masked absolute probs for top-k
+                            probs = hierarchy_leaf_probs(probs,
+                                                         self.cfg.tree)
                         for bi, item in enumerate(items):
                             item.result = [
                                 {"class": name, "prob": round(pr, 6)}

@@ -211,7 +211,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
         else:
             total, parts = region_loss(
                 logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
-                state["seen"])
+                state["seen"], tree=mcfg.tree)
         return total, (bn_updates, parts)
 
     (loss, (bn_updates, parts)), grads = jax.value_and_grad(

@@ -58,14 +58,46 @@ def _iou_xywh_pairwise(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def _tree_class_sq(logits_c: jnp.ndarray, tcls: jnp.ndarray,
+                   tree) -> jnp.ndarray:
+    """Hierarchical class squared error per anchor (region_loss tree
+    branch). For target node t, summed over sibling groups g on
+    path(t): ||cond_g - onehot_g||^2 = sumsq(g) - 2*cond[node_g] + 1
+    (onehot is the path's node within each group). (..., C) logits +
+    (...,) int targets -> (...,)."""
+    from yolo_tpu.configs.tree import tree_paths_padded
+    from yolo_tpu.ops.decode import _tree_consts, tree_conditional_probs
+
+    cond = tree_conditional_probs(logits_c, tree)
+    g = _tree_consts(tree)["node_group"]
+    shape_g = cond.shape[:-1] + (tree.n_groups,)
+    sumsq = jnp.zeros(shape_g, jnp.float32).at[..., g].add(cond ** 2)
+    paths = jnp.asarray(tree_paths_padded(tree))   # (C, max_depth)
+    pnodes = paths[tcls]                           # (..., max_depth)
+    mask = (pnodes >= 0).astype(jnp.float32)
+    safe = jnp.maximum(pnodes, 0)
+    cond_at = jnp.take_along_axis(cond, safe, axis=-1)
+    sumsq_at = jnp.take_along_axis(sumsq, g[safe], axis=-1)
+    return jnp.sum(mask * (sumsq_at - 2.0 * cond_at + 1.0), axis=-1)
+
+
 def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
                 anchors, num_classes: int, cfg: LossConfig,
-                seen: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                seen: jnp.ndarray, tree=None
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """logits (B, S, S, A*(5+C)); targets from data.targets.encode_batch.
 
     Returns (total_loss_mean_per_image, parts dict) — parts are the
     per-term scalars the reference-class trainers log per step
     (SURVEY.md §5.5: coord/obj/noobj/class separately).
+
+    tree (configs.tree.SoftmaxTree, YOLO9000 [region] tree=) swaps the
+    class term for the hierarchical one: the squared error is taken
+    within each sibling-softmax group ALONG THE TARGET'S ROOT PATH only
+    (target node 1, its siblings 0) — groups off the path carry no
+    class gradient, mirroring the paper's "only backpropagate loss at
+    or above the level of the label" and keeping this repo's documented
+    squared-error-on-softmax convention for the region family.
     """
     b, s, _, _ = logits.shape
     a = len(anchors)
@@ -112,9 +144,13 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     loss_coord = cfg.coord_scale * jnp.sum(obj * coord_w * sq)
 
     # --- class on assigned anchors ---
-    onehot = jax.nn.one_hot(targets["tcls"], c, dtype=jnp.float32)
-    loss_cls = cfg.class_scale * jnp.sum(
-        obj[..., None] * (probs - onehot) ** 2)
+    if tree is not None:
+        loss_cls = cfg.class_scale * jnp.sum(
+            obj * _tree_class_sq(t[..., 5:], targets["tcls"], tree))
+    else:
+        onehot = jax.nn.one_hot(targets["tcls"], c, dtype=jnp.float32)
+        loss_cls = cfg.class_scale * jnp.sum(
+            obj[..., None] * (probs - onehot) ** 2)
 
     # --- warmup prior matching (darknet seen < 12800) ---
     warm = (seen < cfg.warmup_seen).astype(jnp.float32)
