@@ -684,3 +684,52 @@ class TestClassifier:
             cli.main(["classify", "--model", "darknet19",
                       "--input-size", "32", "--weights", wpath,
                       "--image", "x.png", "--hierarchy"])
+
+
+class TestFuzz:
+    def _random_tree(self, rng, tmp_path, idx):
+        """Random topology honoring the file invariants: parents before
+        children, contiguous sibling runs (children are appended in
+        parent order), roots first."""
+        n_roots = int(rng.integers(1, 4))
+        parents = [-1] * n_roots
+        frontier = list(range(n_roots))
+        while frontier and len(parents) < 40:
+            nxt = []
+            for node in frontier:
+                kids = int(rng.integers(0, 4))
+                for _ in range(kids):
+                    parents.append(node)
+                    nxt.append(len(parents) - 1)
+            frontier = nxt
+        text = "".join(f"n{i} {p}\n" for i, p in enumerate(parents))
+        p = tmp_path / f"fuzz{idx}.tree"
+        p.write_text(text)
+        return parse_tree(str(p))
+
+    def test_random_trees_match_oracle(self, tmp_path):
+        from yolo_tpu.ops.decode import (tree_absolute_probs,
+                                         tree_conditional_probs,
+                                         tree_top_prediction)
+
+        rng = np.random.default_rng(42)
+        for idx in range(12):
+            tree = self._random_tree(rng, tmp_path, idx)
+            c = tree.n_nodes
+            logits = rng.normal(size=(8, c)).astype(np.float32) * 3
+            cond = tree_conditional_probs(logits, tree)
+            cond_np = np.asarray(cond, np.float64)
+            absolute = np.asarray(tree_absolute_probs(cond, tree))
+            thresh = float(rng.uniform(0.05, 0.95))
+            top = np.asarray(tree_top_prediction(cond, tree, thresh))
+            for b in range(8):
+                want_c = numpy_ref.tree_softmax(
+                    logits[b].astype(np.float64), tree)
+                np.testing.assert_allclose(cond_np[b], want_c,
+                                           rtol=1e-5, atol=1e-6)
+                want_a = numpy_ref.tree_absolute(cond_np[b], tree)
+                np.testing.assert_allclose(absolute[b], want_a,
+                                           rtol=1e-5, atol=1e-7)
+                want_t = numpy_ref.tree_top_prediction(
+                    cond_np[b], tree, thresh)
+                assert top[b] == want_t, (idx, b, thresh)
