@@ -1,0 +1,313 @@
+"""Classifier (softmax-head) training: softmax cross-entropy loss
+(darknet softmax_x_ent semantics) against a loop-level numpy oracle,
+the jitted train step, the hierarchical (tree) CE, and the full CLI
+workflow train -> export -> classify-accuracy."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+CLS_CFG = """\
+[net]
+width=32
+height=32
+channels=3
+learning_rate=0.02
+momentum=0.9
+decay=0.0
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[avgpool]
+
+[convolutional]
+filters=3
+size=1
+activation=linear
+
+[softmax]
+groups=1
+
+[cost]
+type=sse
+"""
+
+
+def _write_cls_cfg(tmp_path, text=CLS_CFG):
+    p = tmp_path / "cls.cfg"
+    p.write_text(text)
+    names = tmp_path / "cls.names"
+    names.write_text("red\ngreen\nblue\n")
+    return str(p), str(names)
+
+
+def _color_batch(rng, n=12):
+    """Solid-color images labeled by dominant channel."""
+    labels = rng.integers(0, 3, n)
+    imgs = np.zeros((n, 32, 32, 3), np.float32)
+    for i, c in enumerate(labels):
+        imgs[i, :, :, c] = rng.uniform(0.6, 1.0)
+        imgs[i, :, :, (c + 1) % 3] = rng.uniform(0.0, 0.3)
+    return imgs, labels.astype(np.int32)
+
+
+class TestLoss:
+    @pytest.mark.quick
+    def test_matches_loop_oracle(self):
+        import jax.numpy as jnp
+
+        from yolo_tpu.train.loss import classifier_loss
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(0, 2, (6, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, 6).astype(np.int32)
+        total, parts = classifier_loss(jnp.asarray(logits),
+                                       jnp.asarray(labels))
+        want = 0.0
+        for b in range(6):
+            z = logits[b] - logits[b].max()
+            p = np.exp(z) / np.exp(z).sum()
+            want += -np.log(p[labels[b]])
+        want /= 6
+        assert float(total) == pytest.approx(want, rel=1e-5)
+        acc = np.mean(np.argmax(logits, -1) == labels)
+        assert float(parts["top1"]) == pytest.approx(acc)
+
+    @pytest.mark.quick
+    def test_gradient_is_softmax_minus_onehot(self):
+        """darknet softmax_x_ent backward: delta = truth - p on the
+        logits; our CE gradient must be (p - onehot)/B exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.train.loss import classifier_loss
+
+        rng = np.random.default_rng(1)
+        logits = rng.normal(0, 1, (4, 3)).astype(np.float32)
+        labels = np.array([0, 2, 1, 1], np.int32)
+        g = jax.grad(lambda l: classifier_loss(l, jnp.asarray(labels))[0]
+                     )(jnp.asarray(logits))
+        z = logits - logits.max(-1, keepdims=True)
+        p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        onehot = np.eye(3)[labels]
+        np.testing.assert_allclose(np.asarray(g), (p - onehot) / 4,
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.quick
+    def test_tree_ce_matches_oracle_and_masks_offpath(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.configs.tree import parse_tree
+        from yolo_tpu.ops.numpy_ref import tree_softmax
+        from yolo_tpu.train.loss import classifier_loss
+
+        (tmp_path / "t.tree").write_text(TREE_TEXT)
+        tree = parse_tree(str(tmp_path / "t.tree"))
+        rng = np.random.default_rng(2)
+        logits = rng.normal(0, 2, (5, 8)).astype(np.float32)
+        labels = np.array([7, 4, 3, 1, 5], np.int32)  # leaves AND inner
+        total, parts = classifier_loss(jnp.asarray(logits),
+                                       jnp.asarray(labels), tree=tree)
+        want = 0.0
+        for b in range(5):
+            cond = tree_softmax(logits[b].astype(np.float64), tree)
+            node = int(labels[b])
+            while node >= 0:
+                want += -np.log(cond[node])
+                node = tree.parents[node]
+        want /= 5
+        assert float(total) == pytest.approx(want, rel=1e-5)
+        # gradient w.r.t. groups off every label's path is zero:
+        # label 4 (cat) -> path 0,1,4; car/truck group untouched
+        g = jax.grad(
+            lambda l: classifier_loss(l, jnp.asarray([4]), tree=tree)[0]
+        )(jnp.asarray(logits[:1]))
+        assert float(jnp.abs(g[0, 5])) == 0.0
+        assert float(jnp.abs(g[0, 6])) == 0.0
+
+
+class TestTrainStep:
+    def test_overfit_colors(self, tmp_path):
+        import jax.numpy as jnp
+
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        cfg = config_from_cfg(cfg_path, names_path=names)
+        rng = np.random.default_rng(0)
+        params = dw.random_params(cfg.layers, rng, scale=0.05)
+        tcfg = TrainConfig(learning_rate=0.05, optimizer="adam",
+                           weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(cfg, tcfg)
+        imgs, labels = _color_batch(rng)
+        batch = {"images": jnp.asarray(imgs),
+                 "labels": jnp.asarray(labels)}
+        hist = []
+        for _ in range(25):
+            state, m = step(state, batch)
+            hist.append((float(m["loss"]), float(m["top1"])))
+        assert hist[-1][0] < hist[0][0] * 0.5
+        assert hist[-1][1] == 1.0
+        assert int(state["seen"]) == 25 * 12
+
+    def test_dropout_cfg_rejected(self, tmp_path):
+        import jax.numpy as jnp
+
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        text = CLS_CFG.replace("[avgpool]",
+                               "[dropout]\nprobability=.5\n\n[avgpool]")
+        cfg_path, names = _write_cls_cfg(tmp_path, text)
+        cfg = config_from_cfg(cfg_path, names_path=names)
+        params = dw.random_params(cfg.layers, np.random.default_rng(0))
+        tcfg = TrainConfig()
+        state = init_state(params, tcfg)
+        step = make_train_step(cfg, tcfg)
+        imgs, labels = _color_batch(np.random.default_rng(1), 4)
+        with pytest.raises(NotImplementedError, match="dropout"):
+            step(state, {"images": jnp.asarray(imgs),
+                         "labels": jnp.asarray(labels)})
+
+    def test_tree_classifier_trains(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        (tmp_path / "micro.tree").write_text(TREE_TEXT)
+        text = CLS_CFG.replace("filters=3\nsize=1",
+                               "filters=8\nsize=1").replace(
+            "[softmax]\ngroups=1", "[softmax]\ngroups=1\ntree=micro.tree")
+        p = tmp_path / "cls9k.cfg"
+        p.write_text(text)
+        cfg = config_from_cfg(str(p))
+        params = dw.random_params(cfg.layers, np.random.default_rng(0),
+                                  scale=0.05)
+        tcfg = TrainConfig(learning_rate=0.05, optimizer="adam",
+                           weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(cfg, tcfg)
+        rng = np.random.default_rng(3)
+        imgs, _ = _color_batch(rng, 8)
+        # labels include an INTERNAL node (3 = dog) — paper: labels at
+        # any tree level train the path above them
+        labels = np.array([7, 4, 3, 5, 6, 7, 4, 3], np.int32)
+        batch = {"images": jnp.asarray(imgs),
+                 "labels": jnp.asarray(labels)}
+        losses = []
+        for _ in range(20):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+
+
+class TestImagefolder:
+    @pytest.mark.quick
+    def test_batches_wrap_and_shuffle(self, tmp_path):
+        import cv2
+
+        from yolo_tpu.data.imagefolder import (classifier_train_batches,
+                                               list_imagefolder)
+
+        rng = np.random.default_rng(0)
+        for cls in ("red", "green"):
+            os.makedirs(tmp_path / "data" / cls)
+        for i in range(5):
+            cv2.imwrite(str(tmp_path / "data" / "red" / f"{i}.png"),
+                        rng.integers(0, 255, (16, 16, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / "data" / "green" / "0.png"),
+                    rng.integers(0, 255, (16, 16, 3), np.uint8))
+        samples = list_imagefolder(str(tmp_path / "data"),
+                                   ("red", "green"))
+        assert len(samples) == 6
+        batches = list(classifier_train_batches(
+            samples, 4, 32, epochs=2, seed=0))
+        # 6 samples / batch 4 -> 2 batches per epoch (last wraps)
+        assert len(batches) == 4
+        for b in batches:
+            assert b["images"].shape == (4, 32, 32, 3)
+            assert b["labels"].shape == (4,)
+
+    @pytest.mark.quick
+    def test_unknown_class_dir_rejected(self, tmp_path):
+        from yolo_tpu.data.imagefolder import list_imagefolder
+
+        os.makedirs(tmp_path / "data" / "typo")
+        with pytest.raises(ValueError, match="typo"):
+            list_imagefolder(str(tmp_path / "data"), ("red",))
+
+
+class TestCli:
+    def test_train_export_classify_loop(self, tmp_path, capsys):
+        """The full in-framework pretrain workflow: train a classifier
+        from scratch on a color imagefolder, export the checkpoint to
+        darknet .weights, and verify classify --images accuracy."""
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        rng = np.random.default_rng(0)
+        data = tmp_path / "data"
+        for ci, cls in enumerate(("red", "green", "blue")):
+            os.makedirs(data / cls)
+            for i in range(6):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = rng.integers(160, 255)  # BGR write
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        ckdir = str(tmp_path / "ck")
+        cli.main(["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--epochs", "12",
+                  "--batch", "8", "--lr", "0.05", "--optimizer", "adam",
+                  "--precision", "fp32", "--seed", "0",
+                  "--checkpoint-dir", ckdir])
+        capsys.readouterr()
+        wpath = str(tmp_path / "trained.weights")
+        cli.main(["export", "--cfg", cfg_path, "--names", names,
+                  "--checkpoint", os.path.join(ckdir, "final"),
+                  "--output", wpath])
+        capsys.readouterr()
+        cli.main(["classify", "--cfg", cfg_path, "--names", names,
+                  "--weights", wpath, "--images", str(data),
+                  "--precision", "fp32", "--batch", "8"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["images"] == 18
+        assert out["top1"] >= 0.9
+
+    def test_detector_rejects_imagefolder_and_classifier_rejects_voc(
+            self, tmp_path):
+        from yolo_tpu import cli
+
+        with pytest.raises(SystemExit, match="imagefolder"):
+            cli.main(["train", "--model", "tiny-voc", "--weights",
+                      "w.weights", "--imagefolder", str(tmp_path)])
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        with pytest.raises(SystemExit, match="imagefolder"):
+            cli.main(["train", "--cfg", cfg_path, "--names", names,
+                      "--voc-root", str(tmp_path)])
+
+    def test_detector_still_requires_weights(self):
+        from yolo_tpu import cli
+
+        with pytest.raises(SystemExit, match="--weights is required"):
+            cli.main(["train", "--model", "tiny-voc",
+                      "--voc-root", "/nonexistent"])

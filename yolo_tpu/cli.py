@@ -515,6 +515,203 @@ def _detect_video(args, cfg, params, det, names=None) -> None:
             print(f"wrote {args.save_video}", file=sys.stderr)
 
 
+def _train_classifier(args, cfg) -> None:
+    """Classifier (softmax-head) training: imagefolder data, softmax
+    cross-entropy (darknet softmax_x_ent semantics — train/loss.py::
+    classifier_loss), sharing the detector trainer's optimizer, LR
+    schedules, EMA, DP mesh, checkpointing, and fault injection.
+    Completes the darknet pretrain workflow in-framework:
+    train classifier -> `partial` -> detector fine-tune."""
+    import time as _time
+
+    import jax
+
+    from yolo_tpu.data.imagefolder import (classifier_train_batches,
+                                           list_imagefolder)
+    from yolo_tpu.data.pipeline import DevicePrefetcher
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.parallel import sharding as shd
+    from yolo_tpu.train.loop import TrainConfig, init_state
+    from yolo_tpu.utils.metrics import MetricsLogger
+
+    if not args.imagefolder:
+        raise SystemExit(f"{cfg.name} is a classifier — training data "
+                         "is an imagefolder (--imagefolder DIR with "
+                         "<dir>/<class>/<image> layout), not "
+                         "--voc-root/--coco-json")
+    if args.voc_root or args.coco_json:
+        raise SystemExit("classifier training takes --imagefolder, not "
+                         "--voc-root/--coco-json")
+    for flag, name in ((args.multi_scale, "--multi-scale"),
+                       (args.mosaic, "--mosaic"),
+                       (args.mixup, "--mixup"),
+                       (args.eval_every, "--eval-every"),
+                       (args.loader == "grain", "--loader grain")):
+        if flag:
+            raise SystemExit(f"{name} applies to detector training "
+                             "only (classifier top-1 is logged every "
+                             "step; held-out accuracy: `classify "
+                             "--images` on a checkpoint export)")
+
+    net_hp = {}
+    if args.cfg:
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        net_hp = net_training_params(args.cfg)
+    lr = args.lr if args.lr is not None else net_hp.get(
+        "learning_rate", 1e-3)
+    burn_in = args.burn_in if args.burn_in is not None else net_hp.get(
+        "burn_in", 0)
+    ema_alpha = (args.ema_alpha if args.ema_alpha is not None
+                 else net_hp.get("ema_alpha", 0.0))
+    ema_start = (args.ema_start_step
+                 if args.ema_start_step is not None
+                 else net_hp.get("max_batches", 0) // 2)
+    decay_steps, decay_scales, poly_max, poly_power = \
+        _lr_schedule_from(args, net_hp)
+    tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
+                       remat=args.remat, burn_in_steps=burn_in,
+                       lr_decay_steps=decay_steps,
+                       lr_decay_scales=decay_scales,
+                       lr_poly_max_steps=poly_max,
+                       lr_poly_power=poly_power,
+                       momentum=net_hp.get("momentum", 0.9),
+                       weight_decay=net_hp.get("decay", 5e-4),
+                       ema_alpha=ema_alpha, ema_start_step=ema_start)
+
+    mesh = shd.make_mesh()
+    n_dev = mesh.devices.size
+    if args.batch % n_dev:
+        raise SystemExit(f"--batch {args.batch} not divisible by "
+                         f"{n_dev} devices")
+
+    if args.resume:
+        template = init_state(
+            dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
+        state = ckpt.restore(args.resume, dict(template))
+        print(f"resumed from {args.resume} at step "
+              f"{int(state['step'])}", file=sys.stderr)
+    elif args.weights:
+        # full weights or a darknet partial (fine-tune / resume-from-
+        # export); remaining layers randomly initialized
+        params, header, n_loaded = dw.load_partial(
+            _resolve_weights(args.weights), cfg.layers)
+        from yolo_tpu.configs.specs import weighted_specs
+
+        n_total = len(weighted_specs(cfg.layers))
+        if n_loaded < n_total:
+            fresh = dw.random_params(
+                cfg.layers, np.random.default_rng(args.seed), scale=0.03)
+            params = params + fresh[n_loaded:]
+            print(f"partial init: {n_loaded}/{n_total} weighted layers "
+                  f"from {args.weights}, rest randomly initialized",
+                  file=sys.stderr)
+        state = init_state(params, tcfg,
+                           seen=header["seen"] if args.keep_seen else 0)
+    else:
+        # darknet classifiers train from scratch by default
+        params = dw.random_params(cfg.layers,
+                                  np.random.default_rng(args.seed),
+                                  scale=0.03)
+        state = init_state(params, tcfg)
+        print("no --weights: training from random initialization "
+              f"(seed {args.seed})", file=sys.stderr)
+
+    state = shd.replicate(mesh, state)
+    step_fn = shd.make_dp_train_step(
+        cfg, tcfg, mesh, compute_dtype=_compute_dtype(args.precision))
+    samples = list_imagefolder(args.imagefolder, cfg.class_names)
+    print(f"{len(samples)} images, {cfg.num_classes} classes",
+          file=sys.stderr)
+    flip = not args.no_augment
+    host_iter = classifier_train_batches(
+        samples, args.batch, cfg.input_size, epochs=args.epochs,
+        seed=args.seed, flip=flip)
+    logger = MetricsLogger(path=args.log_file, every=args.log_every)
+    sharding = shd.batch_sharding(mesh)
+    steps_per_epoch = max(len(samples) // args.batch, 1)
+
+    def _save_ckpt(name: str) -> str:
+        path = os.path.join(args.checkpoint_dir, name)
+        ckpt.save(path, jax.device_get(dict(state)))
+        return path
+
+    step = int(np.asarray(state["step"]))
+    t_last = _time.perf_counter()
+    from yolo_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        for batch in DevicePrefetcher(host_iter, depth=2,
+                                      sharding=sharding):
+            state, metrics = step_fn(state, batch)
+            step += 1
+            now = _time.perf_counter()
+            img_s = args.batch / max(now - t_last, 1e-9)
+            t_last = now
+            logger.log(step, metrics,
+                       epoch=(step - 1) // steps_per_epoch,
+                       size=batch["images"].shape[1],
+                       img_s=round(img_s, 1))
+            if args.checkpoint_dir and step % args.checkpoint_every == 0:
+                _save_ckpt(f"step_{step}")
+                t_last = _time.perf_counter()
+            if args.fail_after_step and step >= args.fail_after_step:
+                raise SystemExit(
+                    f"--fail-after-step {args.fail_after_step} reached "
+                    f"(fault-injection debug flag, SURVEY.md §5.3)")
+    if args.checkpoint_dir:
+        _save_ckpt("final")
+        print(f"saved final checkpoint to {args.checkpoint_dir}/final",
+              file=sys.stderr)
+    logger.close()
+
+
+def _lr_schedule_from(args, net_hp):
+    """Darknet LR-schedule resolution shared by detector and classifier
+    training: explicit --lr-steps/--lr-scales win, then the cfg's [net]
+    policy (steps | poly), else constant. Returns
+    (decay_steps, decay_scales, poly_max, poly_power)."""
+    decay_steps, decay_scales = (), ()
+    if args.lr_scales and not args.lr_steps:
+        raise SystemExit("--lr-scales requires --lr-steps (to override "
+                         "a cfg's [net] schedule, give both)")
+    if args.lr_steps:
+        decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
+        if args.lr_scales:
+            decay_scales = tuple(float(s) for s in args.lr_scales.split(","))
+            if len(decay_steps) != len(decay_scales):
+                raise SystemExit("--lr-steps and --lr-scales lengths differ")
+        else:
+            decay_scales = (0.1,) * len(decay_steps)  # darknet default
+    elif net_hp.get("policy") == "steps":
+        # darknet hard-errors on policy=steps without steps+scales
+        if "steps" not in net_hp or "scales" not in net_hp:
+            raise SystemExit("[net] policy=steps needs both steps and "
+                             "scales (darknet refuses this cfg too); "
+                             "or give --lr-steps/--lr-scales")
+        decay_steps = net_hp["steps"]
+        decay_scales = net_hp["scales"]
+        if len(decay_steps) != len(decay_scales):
+            raise SystemExit("[net] steps and scales lengths differ")
+    elif "steps" in net_hp:
+        # steps/scales present but policy is constant (darknet's
+        # default when the key is absent) — darknet would ignore them
+        print("note: ignoring [net] steps/scales (policy is "
+              "'constant', darknet's default; add policy=steps)",
+              file=sys.stderr)
+    poly_max, poly_power = 0, 4.0
+    if net_hp.get("policy") == "poly" and not args.lr_steps:
+        if not net_hp.get("max_batches"):
+            raise SystemExit("[net] policy=poly needs max_batches "
+                             "(darknet's decay horizon)")
+        poly_max = int(net_hp["max_batches"])
+        poly_power = float(net_hp.get("power", 4.0))
+        print(f"cfg policy=poly: lr decays as (1 - step/{poly_max})"
+              f"^{poly_power:g}", file=sys.stderr)
+    return decay_steps, decay_scales, poly_max, poly_power
+
+
 def cmd_train(args) -> None:
     """Fine-tuning with the multi-part loss (BASELINE.json:10-11)."""
     import jax
@@ -528,7 +725,17 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
-    _require_detection(cfg, "train")
+    if cfg.head_kind == "softmax":
+        _train_classifier(args, cfg)
+        return
+    if not args.weights:
+        raise SystemExit("--weights is required for detector training "
+                         "(a full .weights file or a darknet `partial` "
+                         "backbone, e.g. zoo://darknet19-448-conv23)")
+    if args.imagefolder:
+        raise SystemExit("--imagefolder is classifier training data — "
+                         f"{cfg.name} is a detector; use --voc-root or "
+                         "--coco-json")
     if args.resize == "stretch":
         # AlexeyAB's letter_box=0 default TRAINING geometry: plain
         # resize, normalized boxes unchanged; validation (quick_map)
@@ -589,43 +796,8 @@ def cmd_train(args) -> None:
                 print("cfg random=1: multi-scale training enabled "
                       "(darknet 320..608 every 10 batches)",
                       file=sys.stderr)
-    decay_steps, decay_scales = (), ()
-    if args.lr_scales and not args.lr_steps:
-        raise SystemExit("--lr-scales requires --lr-steps (to override "
-                         "a cfg's [net] schedule, give both)")
-    if args.lr_steps:
-        decay_steps = tuple(int(s) for s in args.lr_steps.split(","))
-        if args.lr_scales:
-            decay_scales = tuple(float(s) for s in args.lr_scales.split(","))
-            if len(decay_steps) != len(decay_scales):
-                raise SystemExit("--lr-steps and --lr-scales lengths differ")
-        else:
-            decay_scales = (0.1,) * len(decay_steps)  # darknet default
-    elif net_hp.get("policy") == "steps":
-        # darknet hard-errors on policy=steps without steps+scales
-        if "steps" not in net_hp or "scales" not in net_hp:
-            raise SystemExit("[net] policy=steps needs both steps and "
-                             "scales (darknet refuses this cfg too); "
-                             "or give --lr-steps/--lr-scales")
-        decay_steps = net_hp["steps"]
-        decay_scales = net_hp["scales"]
-        if len(decay_steps) != len(decay_scales):
-            raise SystemExit("[net] steps and scales lengths differ")
-    elif "steps" in net_hp:
-        # steps/scales present but policy is constant (darknet's
-        # default when the key is absent) — darknet would ignore them
-        print("note: ignoring [net] steps/scales (policy is "
-              "'constant', darknet's default; add policy=steps)",
-              file=sys.stderr)
-    poly_max, poly_power = 0, 4.0
-    if net_hp.get("policy") == "poly" and not args.lr_steps:
-        if not net_hp.get("max_batches"):
-            raise SystemExit("[net] policy=poly needs max_batches "
-                             "(darknet's decay horizon)")
-        poly_max = int(net_hp["max_batches"])
-        poly_power = float(net_hp.get("power", 4.0))
-        print(f"cfg policy=poly: lr decays as (1 - step/{poly_max})"
-              f"^{poly_power:g}", file=sys.stderr)
+    decay_steps, decay_scales, poly_max, poly_power = \
+        _lr_schedule_from(args, net_hp)
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
     tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
@@ -1315,7 +1487,13 @@ def main(argv: Optional[list] = None) -> None:
 
     p = sub.add_parser("train", help="fine-tune on VOC or COCO data")
     _add_common(p)
-    p.add_argument("--weights", required=True, help=".weights init")
+    p.add_argument("--weights", default=None,
+                   help=".weights init (full file or darknet partial; "
+                        "required for detectors, optional for "
+                        "classifiers — scratch init without it)")
+    p.add_argument("--imagefolder", default=None,
+                   help="classifier training data: <dir>/<class>/"
+                        "<image> imagefolder (softmax-head models)")
     _add_dataset(p, "train")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=32)

@@ -1,0 +1,82 @@
+"""Imagefolder classifier datasets: ``<root>/<class_name>/<image>``
+(the layout `cli classify --images` evaluates and `cli train` consumes
+for softmax-head models — darknet's classifier train/valid list files
+express the same mapping as paths + label names).
+
+Training batches use darknet's deterministic inference geometry
+(resize_min + center crop, models/classify.classifier_preprocess) plus
+a seeded horizontal flip — NOT darknet's random-crop/HSV classifier
+augmentation (random_augment_image), whose exact parameter
+distributions have no pinnable reference here; the deviation is
+documented rather than approximated silently.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+
+
+def list_imagefolder(root: str, class_names: Sequence[str]
+                     ) -> List[Tuple[str, int]]:
+    """(path, class_idx) samples; every subdirectory must be a known
+    class name (fail loudly on a stray directory — a typo'd class would
+    otherwise silently vanish from the dataset)."""
+    name_to_idx = {n: i for i, n in enumerate(class_names)}
+    samples: List[Tuple[str, int]] = []
+    for sub in sorted(os.listdir(root)):
+        subdir = os.path.join(root, sub)
+        if not os.path.isdir(subdir):
+            continue
+        if sub not in name_to_idx:
+            raise ValueError(
+                f"directory '{sub}' is not a class name of this model "
+                f"(imagefolder layout: one subdirectory per class; pass "
+                f"--names for custom label sets)")
+        samples += [(os.path.join(subdir, f), name_to_idx[sub])
+                    for f in sorted(os.listdir(subdir))
+                    if os.path.splitext(f)[1].lower() in IMAGE_EXTS]
+    if not samples:
+        raise ValueError(f"no images under {root} "
+                         f"(expected <dir>/<class>/<image> layout)")
+    return samples
+
+
+def classifier_train_batches(samples: Sequence[Tuple[str, int]],
+                             batch: int, net_size: int, *,
+                             epochs: int = 1, seed: int = 0,
+                             flip: bool = True
+                             ) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled epochs of {"images" (B, net, net, 3) f32 [0,1],
+    "labels" (B,) i32}. The trailing partial batch of each epoch WRAPS
+    with the epoch's leading samples (static batch shape keeps one jit
+    bucket; every sample is seen each epoch)."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.models.classify import classifier_preprocess
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    if len(samples) < batch:
+        raise ValueError(f"dataset has {len(samples)} images but "
+                         f"batch={batch} — need at least one full batch")
+    rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        order = rng.permutation(len(samples))
+        for i in range(0, len(order), batch):
+            idx = order[i:i + batch]
+            if len(idx) < batch:
+                idx = np.concatenate([idx, order[:batch - len(idx)]])
+            imgs, labels = [], []
+            for j in idx:
+                path, cls = samples[j]
+                x = classifier_preprocess(load_image_rgb(path), net_size)
+                if flip and rng.random() < 0.5:
+                    x = x[:, ::-1]
+                imgs.append(x)
+                labels.append(cls)
+            yield {"images": np.stack(imgs).astype(np.float32),
+                   "labels": np.asarray(labels, np.int32)}

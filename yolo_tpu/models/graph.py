@@ -143,7 +143,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  *, eps: float = 1e-5, train: bool = False,
                  compute_dtype=jnp.float32, conv_impl: str = "xla",
                  return_all: bool = False, remat: bool = False,
-                 input_layout: str = "NHWC", bn_stats_fp32: bool = True):
+                 input_layout: str = "NHWC", bn_stats_fp32: bool = True,
+                 softmax_logits: bool = False):
     """Run the layer list. x: (B, H, W, 3) float.
 
     input_layout="NHCW" marks x as the fused entry kernel's native
@@ -261,8 +262,13 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             # forward pass mirrors darknet's softmax_tree; consumers
             # derive leaf-masked absolute probs for top-k
             # (models/classify.hierarchy_leaf_probs).
+            # softmax_logits=True returns the PRE-softmax flat logits
+            # instead: the classifier-training loss computes its CE via
+            # log-softmax for stability (train/loss.classifier_loss).
             flat = x.astype(jnp.float32).reshape(x.shape[0], -1)
-            if layer.tree is not None:
+            if softmax_logits:
+                x = flat
+            elif layer.tree is not None:
                 from yolo_tpu.ops.decode import tree_conditional_probs
 
                 x = tree_conditional_probs(flat, layer.tree)

@@ -115,6 +115,22 @@ def tree_conditional_probs(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
     return e / gsum[..., g]
 
 
+def tree_log_conditional(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
+    """(..., C) class logits -> log of the per-sibling-group softmax,
+    computed as shifted-logit minus log-sum-exp per group (numerically
+    stable for the classifier-training CE — never takes log of a
+    formed probability)."""
+    k = _tree_consts(tree)
+    g = k["node_group"]
+    t = logits_c.astype(jnp.float32)
+    shape_g = t.shape[:-1] + (tree.n_groups,)
+    gmax = (jnp.full(shape_g, -jnp.inf, jnp.float32)
+            .at[..., g].max(t))
+    z = t - gmax[..., g]
+    gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(jnp.exp(z))
+    return z - jnp.log(gsum)[..., g]
+
+
 def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
     """Conditional -> absolute probabilities: product of conditionals
     along each node's path to the root (paper §4 'absolute

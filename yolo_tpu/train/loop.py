@@ -22,7 +22,8 @@ import optax
 
 from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
-from yolo_tpu.train.loss import (LossConfig, YoloLossConfig, region_loss,
+from yolo_tpu.train.loss import (LossConfig, YoloLossConfig,
+                                 classifier_loss, region_loss,
                                  yolo_loss)
 
 # Darknet multi-scale training sizes (yolov2.cfg random=1: {320..608}/32).
@@ -171,13 +172,24 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
         logits, bn_updates = graph.apply_layers(
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat,
-            bn_stats_fp32=tcfg.bn_stats_fp32)
+            bn_stats_fp32=tcfg.bn_stats_fp32,
+            softmax_logits=mcfg.head_kind == "softmax")
         if mcfg.head_kind == "softmax":
-            raise NotImplementedError(
-                "classifier (softmax-head) training is not supported — "
-                "the classifier variants exist as pretrained-backbone "
-                "sources (`cli partial` extracts .conv.NN files); train "
-                "detectors with the region/yolo families")
+            from yolo_tpu.configs.specs import Dropout
+
+            if any(isinstance(l, Dropout) and l.prob > 0
+                   for l in mcfg.layers):
+                # the executor's [dropout] is inference-identity;
+                # training through it would silently skip the drop —
+                # refuse rather than train a different regularizer
+                raise NotImplementedError(
+                    "training a classifier cfg with [dropout] is not "
+                    "supported (the executor has no stochastic drop "
+                    "path) — remove the [dropout] section or set "
+                    "probability=0")
+            total, parts = classifier_loss(logits, batch["labels"],
+                                           tree=mcfg.tree)
+            return total, (bn_updates, parts)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
             if any(hd.gaussian for hd in heads):

@@ -58,6 +58,56 @@ def _iou_xywh_pairwise(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                    tree=None) -> Tuple[jnp.ndarray,
+                                        Dict[str, jnp.ndarray]]:
+    """Softmax cross-entropy for classifier (softmax-head) training.
+
+    Darknet's softmax layer trains with softmax_x_ent semantics: error
+    -log(p_truth), delta (truth - p) straight on the logits — exactly
+    the standard CE gradient, so this is jax.nn.log_softmax CE.
+
+    With a YOLO9000 tree ([softmax] tree=): the label's ROOT PATH
+    contributes one CE term per sibling group (darknet9000 marks every
+    ancestor as truth during data loading; paper §4 'backpropagate at
+    or above the level of the label') — groups off the path carry no
+    gradient. Labels may be leaves or internal nodes.
+
+    logits: (B, C) PRE-softmax head output
+    (graph.apply_layers(softmax_logits=True)); labels: (B,) int.
+    Returns (mean CE, {"ce": mean CE, "top1": batch accuracy}) — top1
+    is diagnostic only (with a tree it is leaf-masked-absolute top-1,
+    the inference protocol)."""
+    logits = logits.astype(jnp.float32)
+    if tree is None:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        pred = jnp.argmax(logits, axis=-1)
+    else:
+        from yolo_tpu.configs.tree import tree_paths_padded
+        from yolo_tpu.ops.decode import (tree_absolute_probs,
+                                         tree_conditional_probs,
+                                         tree_log_conditional)
+
+        logc = tree_log_conditional(logits, tree)
+        paths = jnp.asarray(tree_paths_padded(tree))
+        pnodes = paths[labels]                     # (B, max_depth)
+        mask = (pnodes >= 0).astype(jnp.float32)
+        safe = jnp.maximum(pnodes, 0)
+        ce = -jnp.sum(mask * jnp.take_along_axis(logc, safe, axis=-1),
+                      axis=-1)
+        absolute = tree_absolute_probs(
+            tree_conditional_probs(logits, tree), tree)
+        import numpy as np
+
+        leaf = jnp.asarray(np.array(
+            [tree.leaf(i) for i in range(tree.n_nodes)]))
+        pred = jnp.argmax(jnp.where(leaf, absolute, 0.0), axis=-1)
+    mean_ce = jnp.mean(ce)
+    top1 = jnp.mean((pred == labels).astype(jnp.float32))
+    return mean_ce, {"ce": mean_ce, "top1": top1}
+
+
 def _tree_class_sq(logits_c: jnp.ndarray, tcls: jnp.ndarray,
                    tree) -> jnp.ndarray:
     """Hierarchical class squared error per anchor (region_loss tree
