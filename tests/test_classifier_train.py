@@ -165,7 +165,53 @@ class TestTrainStep:
         assert hist[-1][1] == 1.0
         assert int(state["seen"]) == 25 * 12
 
-    def test_dropout_cfg_rejected(self, tmp_path):
+    def test_dropout_semantics(self, tmp_path):
+        """Inverted dropout: identity at inference; under training
+        ~prob of activations zeroed and survivors scaled 1/(1-prob),
+        deterministic per key, fresh masks per key."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.models import graph
+
+        text = CLS_CFG.replace("[avgpool]",
+                               "[dropout]\nprobability=.5\n\n[avgpool]")
+        cfg_path, names = _write_cls_cfg(tmp_path, text)
+        cfg = config_from_cfg(cfg_path, names_path=names)
+        params = graph.params_to_jax(
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (2, 32, 32, 3)).astype(np.float32))
+        # inference: no key, no drop — twice identical
+        a = graph.apply_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        b = graph.apply_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # training: drop on the pre-avgpool feature map. Fetch it via
+        # return_all with and without the key
+        k1 = jax.random.PRNGKey(7)
+        full_plain = graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps, train=True,
+            return_all=True)
+        full_drop = graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps, train=True,
+            return_all=True, dropout_rng=k1)
+        pre, post = np.asarray(full_plain[1]), np.asarray(full_drop[1])
+        zero_frac = (post == 0).mean()
+        assert 0.35 < zero_frac < 0.65
+        nz = post != 0
+        np.testing.assert_allclose(post[nz], pre[nz] * 2.0, rtol=1e-5)
+        # deterministic per key; different key -> different mask
+        again = graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps, train=True,
+            return_all=True, dropout_rng=k1)
+        np.testing.assert_array_equal(post, np.asarray(again[1]))
+        other = graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps, train=True,
+            return_all=True, dropout_rng=jax.random.PRNGKey(8))
+        assert ((post == 0) != (np.asarray(other[1]) == 0)).any()
+
+    def test_dropout_cfg_trains(self, tmp_path):
         import jax.numpy as jnp
 
         from yolo_tpu.io import darknet_weights as dw
@@ -173,17 +219,24 @@ class TestTrainStep:
                                          make_train_step)
 
         text = CLS_CFG.replace("[avgpool]",
-                               "[dropout]\nprobability=.5\n\n[avgpool]")
+                               "[dropout]\nprobability=.3\n\n[avgpool]")
         cfg_path, names = _write_cls_cfg(tmp_path, text)
         cfg = config_from_cfg(cfg_path, names_path=names)
-        params = dw.random_params(cfg.layers, np.random.default_rng(0))
-        tcfg = TrainConfig()
+        params = dw.random_params(cfg.layers, np.random.default_rng(0),
+                                  scale=0.05)
+        tcfg = TrainConfig(learning_rate=0.05, optimizer="adam",
+                           weight_decay=0.0)
         state = init_state(params, tcfg)
         step = make_train_step(cfg, tcfg)
-        imgs, labels = _color_batch(np.random.default_rng(1), 4)
-        with pytest.raises(NotImplementedError, match="dropout"):
-            step(state, {"images": jnp.asarray(imgs),
-                         "labels": jnp.asarray(labels)})
+        rng = np.random.default_rng(1)
+        imgs, labels = _color_batch(rng)
+        batch = {"images": jnp.asarray(imgs),
+                 "labels": jnp.asarray(labels)}
+        losses = []
+        for _ in range(25):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
 
     def test_tree_classifier_trains(self, tmp_path):
         import jax.numpy as jnp

@@ -144,8 +144,10 @@ class Connected:
 @dataclasses.dataclass(frozen=True)
 class Dropout:
     """darknet [dropout]: identity at inference (darknet's test-mode
-    forward). Training classifier models is rejected loudly by
-    train_step, so the drop path is never silently skipped."""
+    forward); under training the executor applies darknet's inverted
+    dropout exactly (dropout_layer: zero with prob, survivors scaled
+    by 1/(1-prob)), with deterministic per-step masks keyed on the
+    train step (models/graph.apply_layers dropout_rng)."""
     prob: float = 0.5
 
 

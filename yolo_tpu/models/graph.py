@@ -144,7 +144,7 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                  compute_dtype=jnp.float32, conv_impl: str = "xla",
                  return_all: bool = False, remat: bool = False,
                  input_layout: str = "NHWC", bn_stats_fp32: bool = True,
-                 softmax_logits: bool = False):
+                 softmax_logits: bool = False, dropout_rng=None):
     """Run the layer list. x: (B, H, W, 3) float.
 
     input_layout="NHCW" marks x as the fused entry kernel's native
@@ -254,7 +254,18 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                 x = x.astype(compute_dtype)
             conv_i += 1
         elif isinstance(layer, Dropout):
-            pass  # inference identity (classifier training rejects)
+            # inference: identity (darknet test-mode forward). Training
+            # with a key: inverted dropout exactly as darknet's
+            # dropout_layer — zero with prob p, scale survivors by
+            # 1/(1-p) so the expected activation is unchanged. The key
+            # folds in the layer index (independent masks per [dropout])
+            # and the caller folds in the step (fresh masks per step).
+            if train and dropout_rng is not None and layer.prob > 0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, idx),
+                    1.0 - layer.prob, x.shape)
+                x = jnp.where(keep, x / (1.0 - layer.prob),
+                              jnp.zeros((), x.dtype))
         elif isinstance(layer, SoftmaxHead):
             # classifier output: (B, C) probabilities, fp32. With a
             # hierarchy ([softmax] tree=, darknet9000) the output is

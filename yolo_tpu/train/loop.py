@@ -173,20 +173,13 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat,
             bn_stats_fp32=tcfg.bn_stats_fp32,
-            softmax_logits=mcfg.head_kind == "softmax")
+            softmax_logits=mcfg.head_kind == "softmax",
+            # fresh, deterministic dropout masks each step (darknet
+            # dropout_layer trains stochastically; inference stays
+            # identity) — keyed on the step so resume reproduces them
+            dropout_rng=jax.random.fold_in(jax.random.PRNGKey(0),
+                                           state["step"]))
         if mcfg.head_kind == "softmax":
-            from yolo_tpu.configs.specs import Dropout
-
-            if any(isinstance(l, Dropout) and l.prob > 0
-                   for l in mcfg.layers):
-                # the executor's [dropout] is inference-identity;
-                # training through it would silently skip the drop —
-                # refuse rather than train a different regularizer
-                raise NotImplementedError(
-                    "training a classifier cfg with [dropout] is not "
-                    "supported (the executor has no stochastic drop "
-                    "path) — remove the [dropout] section or set "
-                    "probability=0")
             total, parts = classifier_loss(logits, batch["labels"],
                                            tree=mcfg.tree)
             return total, (bn_updates, parts)
