@@ -557,16 +557,20 @@ groups=1
         assert out["top1"] == pytest.approx(9 / 10)
 
 
-class TestClassifierTrainingRejected:
-    def test_train_step_raises(self):
+class TestClassifierTrainSmoke:
+    def test_train_step_now_supported(self):
+        """Classifier training is a supported path since the softmax-CE
+        trainer landed (tests/test_classifier_train.py has the full
+        coverage) — one step must run and produce finite CE here."""
         from yolo_tpu.train.loop import TrainConfig, init_state, train_step
 
         rng = np.random.default_rng(1)
         tcfg = TrainConfig()
         state = init_state(dw.random_params(MICRO_CLS.layers, rng), tcfg)
-        batch = {"images": jnp.zeros((1, 32, 32, 3), jnp.float32)}
-        with pytest.raises(NotImplementedError, match="classifier"):
-            train_step(state, batch, mcfg=MICRO_CLS, tcfg=tcfg)
+        batch = {"images": jnp.zeros((2, 32, 32, 3), jnp.float32),
+                 "labels": jnp.zeros((2,), jnp.int32)}
+        _, metrics = train_step(state, batch, mcfg=MICRO_CLS, tcfg=tcfg)
+        assert np.isfinite(float(metrics["loss"]))
 
     def test_int8_quantizes_convs_keeps_connected_fp(self):
         """Classifier int8: one scale per CONV, the [connected] params

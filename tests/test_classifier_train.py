@@ -364,3 +364,36 @@ class TestCli:
         with pytest.raises(SystemExit, match="--weights is required"):
             cli.main(["train", "--model", "tiny-voc",
                       "--voc-root", "/nonexistent"])
+
+
+class TestEvalDuringTrain:
+    def test_eval_every_logs_and_saves_best(self, tmp_path, capsys):
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        rng = np.random.default_rng(0)
+        data = tmp_path / "data"
+        for ci, cls in enumerate(("red", "green", "blue")):
+            os.makedirs(data / cls)
+            for i in range(4):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = rng.integers(160, 255)
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        ckdir = str(tmp_path / "ck")
+        cli.main(["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--epochs", "8",
+                  "--batch", "8", "--lr", "0.05", "--optimizer", "adam",
+                  "--precision", "fp32", "--seed", "0",
+                  "--checkpoint-dir", ckdir, "--eval-every", "4"])
+        err = capsys.readouterr().err
+        assert "validation top-1" in err
+        assert os.path.isdir(os.path.join(ckdir, "best"))
+
+    def test_detector_rejects_eval_imagefolder(self):
+        from yolo_tpu import cli
+
+        with pytest.raises(SystemExit, match="imagefolder"):
+            cli.main(["train", "--model", "tiny-voc", "--weights",
+                      "w.weights", "--eval-imagefolder", "/x"])

@@ -153,3 +153,36 @@ def test_multihost_dp_two_processes(mesh):
     _, metrics = shd.make_dp_train_step(MICRO, tcfg, mesh)(
         state, shd.shard_batch(mesh, batch))
     assert losses[0] == pytest.approx(float(metrics["loss"]), rel=1e-5)
+
+
+def test_dp_classifier_train_matches_single_device(mesh, tmp_path):
+    """Classifier (softmax CE) DP training: replicated state +
+    batch-sharded {images, labels} produce the single-device loss and
+    params bit-for-bit within tolerance (one gradient allreduce)."""
+    from tests.test_classifier_train import (CLS_CFG, _color_batch,
+                                             _write_cls_cfg)
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+    cfg_path, names = _write_cls_cfg(tmp_path)
+    cfg = config_from_cfg(cfg_path, names_path=names)
+    rng = np.random.default_rng(0)
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    tcfg = TrainConfig(learning_rate=1e-2, weight_decay=0.0)
+    imgs, labels = _color_batch(rng, 16)
+    batch = {"images": jnp.asarray(imgs), "labels": jnp.asarray(labels)}
+
+    single_state = init_state(params, tcfg)
+    single_state, m1 = make_train_step(cfg, tcfg)(single_state, batch)
+
+    dp_state = shd.replicate(mesh, init_state(params, tcfg))
+    dp_batch = shd.shard_batch(mesh, batch)
+    dp_step = shd.make_dp_train_step(cfg, tcfg, mesh)
+    dp_state, m2 = dp_step(dp_state, dp_batch)
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]),
+                                              rel=1e-5)
+    assert float(m2["top1"]) == pytest.approx(float(m1["top1"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        single_state["params"], dp_state["params"])

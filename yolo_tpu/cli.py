@@ -271,52 +271,22 @@ def cmd_classify(args) -> None:
         return
 
     # imagefolder accuracy: <dir>/<class_name>/*.{jpg,png,...}
-    exts = {".jpg", ".jpeg", ".png", ".bmp"}
-    name_to_idx = {n: i for i, n in enumerate(cfg.class_names)}
-    samples = []  # (path, true_idx)
-    for sub in sorted(os.listdir(args.images)):
-        subdir = os.path.join(args.images, sub)
-        if not os.path.isdir(subdir):
-            continue
-        if sub not in name_to_idx:
-            raise SystemExit(
-                f"directory '{sub}' is not a class name of {cfg.name} "
-                f"(imagefolder layout: one subdirectory per class; pass "
-                f"--names for custom label sets)")
-        samples += [(os.path.join(subdir, f), name_to_idx[sub])
-                    for f in sorted(os.listdir(subdir))
-                    if os.path.splitext(f)[1].lower() in exts]
-    if not samples:
-        raise SystemExit(f"no images under {args.images} "
-                         f"(expected <dir>/<class>/<image> layout)")
-    bs = args.batch
-    if bs < 1:
-        raise SystemExit(f"--batch must be >= 1, got {bs}")
-    k = args.top
-    top1 = topk = 0
-    for i in range(0, len(samples), bs):
-        chunk = samples[i:i + bs]
-        xs = np.stack([classifier_preprocess(load_image_rgb(p),
-                                             cfg.input_size)
-                       for p, _ in chunk])
-        # pad to the full batch so one jit bucket serves every chunk
-        if len(chunk) < bs:
-            xs = np.concatenate(
-                [xs, np.zeros((bs - len(chunk),) + xs.shape[1:],
-                              xs.dtype)])
-        if i == 0 and args.precision == "int8":
-            params = _quantize_on(xs)  # first batch = calibration set
-        probs = np.asarray(run(params, xs))[:len(chunk)]
-        if cfg.tree is not None:
-            probs = hierarchy_leaf_probs(probs, cfg.tree)
-        order = np.argsort(-probs, axis=-1)
-        for (path, true_idx), o in zip(chunk, order):
-            top1 += int(o[0] == true_idx)
-            topk += int(true_idx in o[:k])
-    n = len(samples)
-    print(json.dumps({"images": n,
-                      "top1": round(top1 / n, 4),
-                      f"top{k}": round(topk / n, 4)}))
+    from yolo_tpu.data.imagefolder import list_imagefolder
+    from yolo_tpu.models.classify import imagefolder_accuracy
+
+    try:
+        samples = list_imagefolder(args.images, cfg.class_names)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    try:
+        out = imagefolder_accuracy(
+            cfg, params, samples, batch=args.batch, k=args.top,
+            compute_dtype=_compute_dtype(args.precision),
+            quantize_first_batch=(_quantize_on
+                                  if args.precision == "int8" else None))
+    except ValueError as e:
+        raise SystemExit(f"--batch: {e}" if "batch" in str(e) else str(e))
+    print(json.dumps(out))
 
 
 def cmd_predict(args) -> None:
@@ -546,13 +516,22 @@ def _train_classifier(args, cfg) -> None:
     for flag, name in ((args.multi_scale, "--multi-scale"),
                        (args.mosaic, "--mosaic"),
                        (args.mixup, "--mixup"),
-                       (args.eval_every, "--eval-every"),
                        (args.loader == "grain", "--loader grain")):
         if flag:
             raise SystemExit(f"{name} applies to detector training "
-                             "only (classifier top-1 is logged every "
-                             "step; held-out accuracy: `classify "
-                             "--images` on a checkpoint export)")
+                             "only (classifier training augments with "
+                             "a seeded flip; --no-augment disables)")
+    eval_samples = None
+    if args.eval_every:
+        from yolo_tpu.data.imagefolder import list_imagefolder
+
+        eval_dir = args.eval_imagefolder or args.imagefolder
+        if not args.eval_imagefolder:
+            print("--eval-every without --eval-imagefolder scores the "
+                  "TRAINING images", file=sys.stderr)
+        eval_samples = list_imagefolder(eval_dir, cfg.class_names)
+        if args.eval_max_images:
+            eval_samples = eval_samples[:args.eval_max_images]
 
     net_hp = {}
     if args.cfg:
@@ -638,6 +617,7 @@ def _train_classifier(args, cfg) -> None:
         return path
 
     step = int(np.asarray(state["step"]))
+    best_top1 = -1.0
     t_last = _time.perf_counter()
     from yolo_tpu.utils.profiling import maybe_trace
 
@@ -653,6 +633,23 @@ def _train_classifier(args, cfg) -> None:
                        epoch=(step - 1) // steps_per_epoch,
                        size=batch["images"].shape[1],
                        img_s=round(img_s, 1))
+            if args.eval_every and step % args.eval_every == 0:
+                from yolo_tpu.models.classify import imagefolder_accuracy
+                from yolo_tpu.train.loop import ema_params_of
+
+                acc = imagefolder_accuracy(
+                    cfg, ema_params_of(state), eval_samples,
+                    batch=min(args.batch, 32),
+                    compute_dtype=_compute_dtype(args.precision))
+                logger.log(step, {"val_top1": acc["top1"]}, force=True)
+                print(f"step {step}: validation top-1 {acc['top1']:.4f}",
+                      file=sys.stderr)
+                if args.checkpoint_dir and acc["top1"] > best_top1:
+                    best_top1 = acc["top1"]
+                    _save_ckpt("best")
+                    print(f"new best top-1 {acc['top1']:.4f} -> "
+                          f"{args.checkpoint_dir}/best", file=sys.stderr)
+                t_last = _time.perf_counter()
             if args.checkpoint_dir and step % args.checkpoint_every == 0:
                 _save_ckpt(f"step_{step}")
                 t_last = _time.perf_counter()
@@ -732,10 +729,10 @@ def cmd_train(args) -> None:
         raise SystemExit("--weights is required for detector training "
                          "(a full .weights file or a darknet `partial` "
                          "backbone, e.g. zoo://darknet19-448-conv23)")
-    if args.imagefolder:
-        raise SystemExit("--imagefolder is classifier training data — "
-                         f"{cfg.name} is a detector; use --voc-root or "
-                         "--coco-json")
+    if args.imagefolder or args.eval_imagefolder:
+        raise SystemExit("--imagefolder/--eval-imagefolder are "
+                         f"classifier training data — {cfg.name} is a "
+                         "detector; use --voc-root or --coco-json")
     if args.resize == "stretch":
         # AlexeyAB's letter_box=0 default TRAINING geometry: plain
         # resize, normalized boxes unchanged; validation (quick_map)
@@ -1494,6 +1491,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--imagefolder", default=None,
                    help="classifier training data: <dir>/<class>/"
                         "<image> imagefolder (softmax-head models)")
+    p.add_argument("--eval-imagefolder", default=None,
+                   help="held-out imagefolder scored every --eval-every "
+                        "steps during classifier training (top-1; best "
+                        "checkpoint saved as 'best')")
     _add_dataset(p, "train")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=32)

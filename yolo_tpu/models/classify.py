@@ -71,6 +71,44 @@ def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
     return [(class_names[i], float(probs[i])) for i in idx]
 
 
+def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
+                         batch: int = 32, k: int = 5,
+                         compute_dtype=jnp.float32,
+                         quantize_first_batch=None) -> dict:
+    """Top-1/top-k accuracy over (path, label) samples (darknet
+    `classifier valid` protocol): darknet preprocess, ONE padded jit
+    bucket, tree classifiers scored on leaf-masked absolute probs.
+    quantize_first_batch(xs) -> params hooks int8 PTQ calibration on
+    the first batch (cli classify --precision int8)."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    run = make_classifier(cfg, compute_dtype=compute_dtype)
+    top1 = topk = 0
+    for i in range(0, len(samples), batch):
+        chunk = samples[i:i + batch]
+        xs = np.stack([classifier_preprocess(load_image_rgb(p),
+                                             cfg.input_size)
+                       for p, _ in chunk])
+        if len(chunk) < batch:
+            xs = np.concatenate(
+                [xs, np.zeros((batch - len(chunk),) + xs.shape[1:],
+                              xs.dtype)])
+        if i == 0 and quantize_first_batch is not None:
+            params = quantize_first_batch(xs)
+        probs = np.asarray(run(params, xs))[:len(chunk)]
+        if cfg.tree is not None:
+            probs = hierarchy_leaf_probs(probs, cfg.tree)
+        order = np.argsort(-probs, axis=-1)
+        for (path, true_idx), o in zip(chunk, order):
+            top1 += int(o[0] == true_idx)
+            topk += int(true_idx in o[:k])
+    n = len(samples)
+    return {"images": n, "top1": round(top1 / n, 4),
+            f"top{k}": round(topk / n, 4)}
+
+
 def hierarchy_leaf_probs(cond, tree) -> np.ndarray:
     """Tree-classifier conditionals (B, C) -> ABSOLUTE probs with the
     internal nodes zeroed: the YOLO9000 classification protocol
