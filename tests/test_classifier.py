@@ -121,27 +121,34 @@ class TestClassifierCfg:
         assert got.layers == MICRO_CLS.layers
         assert got.head_kind == "softmax"
 
-    def test_connected_requires_avgpool(self, tmp_path):
+    def test_connected_spatial_input_pins_features(self, tmp_path):
+        """A [connected] over a SPATIAL map (no [avgpool]) is supported
+        since the yolov1 family landed: the parser pins the flattened
+        CHW feature count (8x8x12 here) and the model carries a fixed
+        input size (resizing rejects)."""
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
-        p = tmp_path / "bad.cfg"
+        p = tmp_path / "spatial.cfg"
         p.write_text(MICRO_CLS_CFG.replace("[avgpool]\n", ""))
-        with pytest.raises(ValueError, match="avgpool"):
-            config_from_cfg(str(p))
+        cfg = config_from_cfg(str(p))
+        conn = [l for l in cfg.layers if isinstance(l, Connected)][0]
+        assert conn.in_features == 8 * 8 * 12
+        with pytest.raises(ValueError, match="fixed input size"):
+            cfg.with_input_size(64)
 
-    def test_connected_after_spatial_route_rejected(self, tmp_path):
-        """[avgpool] somewhere earlier is NOT enough: a route back to a
-        spatial map between the avgpool and the [connected] must still
-        reject (the dense input would be H*W*C, which this IR cannot
-        size — code-review finding)."""
+    def test_connected_after_spatial_route_pins_features(self, tmp_path):
+        """A route back to a spatial map between the avgpool and the
+        [connected] sizes the dense input from the ROUTED shape."""
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
-        p = tmp_path / "bad.cfg"
+        p = tmp_path / "routed.cfg"
         p.write_text(MICRO_CLS_CFG.replace(
             "[connected]\noutput=6",
             "[route]\nlayers=-4\n\n[connected]\noutput=6"))
-        with pytest.raises(ValueError, match="1x1-spatial"):
-            config_from_cfg(str(p))
+        cfg = config_from_cfg(str(p))
+        conn = [l for l in cfg.layers if isinstance(l, Connected)][0]
+        # route -4 reaches the 8x8x32 conv output
+        assert conn.in_features == 8 * 8 * 32
 
     def test_connected_bn_rejected(self, tmp_path):
         from yolo_tpu.configs.darknet_cfg import config_from_cfg

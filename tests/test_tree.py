@@ -733,3 +733,45 @@ class TestFuzz:
                 want_t = numpy_ref.tree_top_prediction(
                     cond_np[b], tree, thresh)
                 assert top[b] == want_t, (idx, b, thresh)
+
+
+class TestEvalCli:
+    def test_eval_use_tree_map_projects_gt(self, tmp_path, capsys):
+        """eval --use-tree-map: ground truth maps onto the PROJECTED
+        vocabulary (mapped tree-node names) and per-class AP keys carry
+        those names — the darknet COCO-on-9k validation protocol shape."""
+        import cv2
+
+        from tests.test_data_eval import _write_xml
+        from yolo_tpu import cli
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+        from yolo_tpu.io import darknet_weights as dw
+
+        cfg_path = _write_tree_model(tmp_path)
+        cfg = config_from_cfg(cfg_path)
+        wpath = str(tmp_path / "w.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        root = tmp_path / "VOC"
+        for d in ("Annotations", "JPEGImages", "ImageSets/Main"):
+            (root / d).mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        ids = []
+        # GT labels use the MAPPED names (cat/collie/car/truck)
+        for i, cls in enumerate(("cat", "collie", "car")):
+            name = f"{i:06d}"
+            ids.append(name)
+            cv2.imwrite(str(root / "JPEGImages" / f"{name}.jpg"),
+                        rng.integers(0, 255, (60, 80, 3), np.uint8))
+            _write_xml(root / "Annotations" / f"{name}.xml",
+                       [(cls, 0, 10, 10, 50, 40)], w=80, h=60)
+        (root / "ImageSets/Main/test.txt").write_text("\n".join(ids))
+
+        cli.main(["eval", "--cfg", cfg_path, "--weights", wpath,
+                  "--voc-root", str(root), "--split", "test",
+                  "--precision", "fp32", "--batch", "3",
+                  "--use-tree-map"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert set(out) == {"map", "ap"}
+        # AP keys come from the projected names, never tree internals
+        assert set(out["ap"]) <= {"cat", "collie", "car", "truck"}

@@ -1,0 +1,337 @@
+"""YOLOv1 family: [crop]/[local]/[detection] sections, spatial
+[connected] layers, the v1 decode, and the weights-IO walk for
+locally-connected layers. Semantics pinned to the YOLOv1 paper
+(arXiv:1506.02640 §2) and the darknet cfg/weights formats; the flat
+[detection] layout and the [local] weight-block order are
+format-derived (reference tree absent, SURVEY.md §0) and cross-checked
+three ways: vectorized jax vs a loop-level numpy oracle vs a TF
+extract_patches derivation with a DIFFERENT patch order."""
+
+import io as _io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.configs.darknet_cfg import cfg_to_string, config_from_cfg
+from yolo_tpu.configs.specs import (Connected, Crop, DetectionHead,
+                                    Local)
+from yolo_tpu.io import darknet_weights as dw
+from yolo_tpu.io import zoo
+from yolo_tpu.ops import numpy_ref
+
+V1_CFG = """\
+[net]
+width=64
+height=64
+channels=3
+
+[crop]
+crop_height=64
+crop_width=64
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[maxpool]
+size=2
+stride=2
+
+[maxpool]
+size=2
+stride=2
+
+[local]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[dropout]
+probability=0.5
+
+[connected]
+output=208
+activation=linear
+
+[detection]
+classes=3
+coords=4
+side=4
+num=2
+sqrt=1
+rescore=1
+"""
+
+
+def _write_v1(tmp_path):
+    p = tmp_path / "v1.cfg"
+    p.write_text(V1_CFG)
+    return str(p)
+
+
+@pytest.mark.quick
+class TestCfg:
+    def test_parse(self, tmp_path):
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        assert cfg.head_kind == "detection"
+        assert cfg.num_classes == 3
+        assert isinstance(cfg.layers[0], Crop)
+        loc = [l for l in cfg.layers if isinstance(l, Local)][0]
+        # 64 -> pools -> 4x4, local input channels 16
+        assert (loc.out_h, loc.out_w, loc.in_c) == (4, 4, 16)
+        conn = [l for l in cfg.layers if isinstance(l, Connected)][0]
+        # spatial dense input: 4*4*8 flattened features pinned
+        assert conn.in_features == 4 * 4 * 8
+        d = cfg.detection_head
+        assert (d.side, d.num, d.classes, d.sqrt) == (4, 2, 3, True)
+        # head width contract: 4²*(3 + 2*5) = 208
+        assert conn.out == d.side ** 2 * (d.classes + d.num * 5)
+
+    def test_round_trip(self, tmp_path):
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        text = cfg_to_string(cfg)
+        again = tmp_path / "again.cfg"
+        again.write_text(text)
+        cfg2 = config_from_cfg(str(again), name=cfg.name)
+        assert cfg2 == cfg
+
+    def test_head_width_mismatch_rejected(self, tmp_path):
+        p = tmp_path / "bad.cfg"
+        p.write_text(V1_CFG.replace("output=208", "output=200"))
+        with pytest.raises(ValueError, match="200 features.*208"):
+            config_from_cfg(str(p))
+
+    def test_resize_rejected(self, tmp_path):
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        with pytest.raises(ValueError, match="fixed input size"):
+            cfg.with_input_size(96)
+
+    def test_detection_must_be_last(self, tmp_path):
+        p = tmp_path / "bad.cfg"
+        p.write_text(V1_CFG + "\n[avgpool]\n")
+        with pytest.raises(ValueError, match="final layer"):
+            config_from_cfg(str(p))
+
+    def test_mixing_rejected(self, tmp_path):
+        p = tmp_path / "bad.cfg"
+        p.write_text(V1_CFG.replace(
+            "[detection]",
+            "[region]\nanchors=1,1\nclasses=3\nnum=1\n\n[detection]"))
+        with pytest.raises(ValueError, match="cannot be mixed"):
+            config_from_cfg(str(p))
+
+
+@pytest.mark.quick
+class TestLocalLayer:
+    def test_matches_loop_oracle(self):
+        import jax.numpy as jnp
+
+        from yolo_tpu.models.graph import _local_layer
+
+        rng = np.random.default_rng(0)
+        spec = Local(filters=5, size=3, stride=1, pad=True, act="leaky",
+                     out_h=4, out_w=4, in_c=6)
+        x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+        p = {"kernel": rng.normal(size=(4, 4, 5, 6, 3, 3)).astype(
+                 np.float32),
+             "bias": rng.normal(size=(4, 4, 5)).astype(np.float32)}
+        got = np.asarray(_local_layer(jnp.asarray(x), p, spec))
+        for b in range(2):
+            want = numpy_ref.local_forward(
+                x[b].astype(np.float64), p["kernel"].astype(np.float64),
+                p["bias"].astype(np.float64), stride=1, pad=1)
+            np.testing.assert_allclose(got[b], want, rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_strided_no_pad(self):
+        import jax.numpy as jnp
+
+        from yolo_tpu.models.graph import _local_layer
+
+        rng = np.random.default_rng(1)
+        # 6x6 input, k=2 s=2 no pad -> 3x3 output
+        spec = Local(filters=4, size=2, stride=2, pad=False,
+                     act="linear", out_h=3, out_w=3, in_c=2)
+        x = rng.normal(size=(1, 6, 6, 2)).astype(np.float32)
+        p = {"kernel": rng.normal(size=(3, 3, 4, 2, 2, 2)).astype(
+                 np.float32),
+             "bias": np.zeros((3, 3, 4), np.float32)}
+        got = np.asarray(_local_layer(jnp.asarray(x), p, spec))[0]
+        want = numpy_ref.local_forward(
+            x[0].astype(np.float64), p["kernel"].astype(np.float64),
+            p["bias"].astype(np.float64), stride=2, pad=0, act="linear")
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.quick
+class TestDecode:
+    def test_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.decode import decode_detection
+
+        head = DetectionHead(side=4, num=2, classes=3, sqrt=True)
+        rng = np.random.default_rng(2)
+        flat = rng.normal(size=(2, 4 * 4 * (3 + 2 * 5))).astype(
+            np.float32)
+        jb, js = decode_detection(jnp.asarray(flat), head)
+        assert np.asarray(jb).shape == (2, 32, 4)
+        assert np.asarray(js).shape == (2, 32, 3)
+        for b in range(2):
+            nb, ns = numpy_ref.decode_detection(
+                flat[b], side=4, num=2, classes=3, sqrt=True)
+            np.testing.assert_allclose(np.asarray(jb)[b], nb,
+                                       rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(js)[b], ns,
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_sqrt_flag(self):
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.decode import decode_detection
+
+        head = DetectionHead(side=2, num=1, classes=1, sqrt=False)
+        flat = np.zeros((1, 2 * 2 * (1 + 1 * 5)), np.float32)
+        base = 2 * 2 * (1 + 1)  # classes + conf blocks
+        flat[0, base + 2] = 0.5  # first box tw
+        jb, _ = decode_detection(jnp.asarray(flat), head)
+        assert float(np.asarray(jb)[0, 0, 2]) == pytest.approx(0.5)
+        head_sq = DetectionHead(side=2, num=1, classes=1, sqrt=True)
+        jb, _ = decode_detection(jnp.asarray(flat), head_sq)
+        assert float(np.asarray(jb)[0, 0, 2]) == pytest.approx(0.25)
+
+
+@pytest.mark.quick
+class TestWeightsIO:
+    def test_round_trip_and_byte_count(self, tmp_path):
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        rng = np.random.default_rng(3)
+        params = dw.random_params(cfg.layers, rng)
+        blob = dw.to_bytes(cfg.layers, params)
+        assert len(blob) == zoo.expected_weights_bytes(cfg.layers)
+        got, header = dw.load(_io.BytesIO(blob), cfg.layers)
+        for a, b in zip(params, got):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_local_block_layout(self):
+        """Byte-level pin of the format-derived [local] block: biases
+        in CHW (filters, locations) order, then location-major
+        (filters, in_c, k, k) filter blocks."""
+        layers = (Local(filters=2, size=1, stride=1, pad=False,
+                        act="linear", out_h=1, out_w=2, in_c=1),)
+        kernel = np.arange(4, dtype=np.float32).reshape(1, 2, 2, 1, 1, 1)
+        bias = np.array([[[10., 20.], [30., 40.]]], np.float32)
+        blob = dw.to_bytes(layers, [{"kernel": kernel, "bias": bias}])
+        floats = np.frombuffer(blob[20:], np.float32)
+        # biases: CHW = (filters, loc): f0 at loc0, loc1; then f1
+        np.testing.assert_array_equal(floats[:4], [10., 30., 20., 40.])
+        # weights: loc-major, (f, c, k, k) inside
+        np.testing.assert_array_equal(floats[4:], [0., 1., 2., 3.])
+
+    def test_truncated_mid_local_raises(self, tmp_path):
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        params = dw.random_params(cfg.layers, np.random.default_rng(0))
+        blob = dw.to_bytes(cfg.layers, params)
+        # cut INSIDE the local block: header + conv1 (4*8 + 8*3*3*3 =
+        # 248 floats) + conv2 (4*16 + 16*8*3*3 = 1216) + 100
+        cut = 20 + 4 * (248 + 1216 + 100)
+        with pytest.raises(ValueError, match="local"):
+            dw.load_partial(_io.BytesIO(blob[:cut]), cfg.layers)
+
+
+class TestForward:
+    def test_tf_oracle_parity(self, tmp_path):
+        """Full v1 graph vs the TF oracle — the Local cross-check uses
+        extract_patches' DIFFERENT patch order, so agreement pins the
+        executor's im2col (c, ky, kx) assumption."""
+        from tests.tf_oracle import run_layers
+        from yolo_tpu.models import graph
+
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        rng = np.random.default_rng(4)
+        params = dw.random_params(cfg.layers, rng)
+        x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(graph.apply_layers(
+            cfg.layers, graph.params_to_jax(params), x, eps=cfg.bn_eps))
+        want = run_layers(cfg.layers, params, x, eps=cfg.bn_eps)
+        np.testing.assert_allclose(got.reshape(2, -1),
+                                   np.asarray(want).reshape(2, -1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_detect_e2e_and_fused_rejected(self, tmp_path):
+        from yolo_tpu.models import predict
+
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        params = dw.random_params(cfg.layers, np.random.default_rng(0))
+        imgs = np.random.default_rng(1).uniform(
+            size=(2, 64, 64, 3)).astype(np.float32)
+        dets = predict.detect(cfg, params, imgs, conf_threshold=0.05,
+                              head="reference")
+        cls = np.asarray(dets["classes"])
+        valid = np.asarray(dets["valid"]).astype(bool)
+        assert ((cls[valid] >= 0) & (cls[valid] < 3)).all()
+        with pytest.raises(ValueError, match="fused"):
+            predict.detect(cfg, params, imgs, head="fused")
+
+    def test_train_and_int8_reject(self, tmp_path):
+        import jax.numpy as jnp
+
+        from yolo_tpu.models import quantize
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        params = dw.random_params(cfg.layers, np.random.default_rng(0))
+        state = init_state(params, TrainConfig())
+        step = make_train_step(cfg, TrainConfig())
+        with pytest.raises(NotImplementedError, match="yolov1"):
+            step(state, {"images": jnp.zeros((1, 64, 64, 3))})
+        with pytest.raises(NotImplementedError, match="yolov1"):
+            quantize.prepare_int8(cfg, params,
+                                  jnp.zeros((1, 64, 64, 3)))
+
+    def test_predict_cli_e2e(self, tmp_path, capsys):
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg_path = _write_v1(tmp_path)
+        cfg = config_from_cfg(cfg_path)
+        wpath = str(tmp_path / "v1.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        img = str(tmp_path / "in.png")
+        cv2.imwrite(img, np.random.default_rng(1).integers(
+            0, 255, (48, 80, 3), dtype=np.uint8))
+        cli.main(["predict", "--cfg", cfg_path, "--weights", wpath,
+                  "--image", img, "--precision", "fp32",
+                  "--conf", "0.05"])
+        for line in capsys.readouterr().out.strip().splitlines():
+            if line:
+                d = json.loads(line)
+                assert d["class"] in ("class0", "class1", "class2")

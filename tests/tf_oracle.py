@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Crop,
+                                    DetectionHead, Dropout, Local,
                                     MaxPool, Reorg, Route, Sam,
                                     ScaleChannels, Shortcut, SoftmaxHead,
                                     Upsample, YoloHead, resolve_route)
@@ -147,6 +148,39 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             elif layer.act == "logistic":
                 y = tf.math.sigmoid(y)
             x = tf.reshape(y, [b, 1, 1, -1])
+        elif isinstance(layer, Crop):
+            _, ih, iw, _ = x.shape
+            dy = (ih - layer.crop_h) // 2
+            dx = (iw - layer.crop_w) // 2
+            x = x[:, dy:dy + layer.crop_h, dx:dx + layer.crop_w, :]
+        elif isinstance(layer, Local):
+            # independent derivation via tf.image.extract_patches,
+            # whose patch order is (ky, kx, c) — the loader's
+            # (c, ky, kx) kernels are REORDERED here, cross-checking
+            # the executor's patch-order assumption
+            p = params[conv_i]
+            conv_i += 1
+            k, s = layer.size, layer.stride
+            pad = k // 2 if layer.pad else 0
+            xp = tf.pad(x, [[0, 0], [pad, pad], [pad, pad], [0, 0]])
+            patches = tf.image.extract_patches(
+                xp, sizes=[1, k, k, 1], strides=[1, s, s, 1],
+                rates=[1, 1, 1, 1], padding="VALID")
+            kern = p["kernel"].astype(np.float32)  # (H',W',F,C,k,k)
+            kt = np.ascontiguousarray(
+                kern.transpose(0, 1, 2, 4, 5, 3)).reshape(
+                layer.out_h, layer.out_w, layer.filters, -1)
+            y = tf.einsum("bhwp,hwfp->bhwf",
+                          tf.cast(patches, tf.float32),
+                          tf.constant(kt))
+            y = y + p["bias"].astype(np.float32)
+            if layer.act == "leaky":
+                y = tf.nn.leaky_relu(y, alpha=0.1)
+            elif layer.act == "relu":
+                y = tf.nn.relu(y)
+            x = y
+        elif isinstance(layer, DetectionHead):
+            pass  # identity: the connected output IS the v1 tensor
         elif isinstance(layer, Dropout):
             pass  # inference identity
         elif isinstance(layer, SoftmaxHead):

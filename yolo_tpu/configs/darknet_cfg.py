@@ -30,10 +30,18 @@ Gaussian NLL deltas have no pinnable reference source).
 
 Classifier cfgs (darknet19/darknet53 — the pretrained-backbone
 sources): [avgpool] (global), [connected] (output, activation; no BN),
-[dropout] (probability; inference identity), [softmax] (groups=1,
-final layer), [cost] (loss marker, ignored). These produce
-head_kind="softmax" models served by `cli classify`; detection
-commands and train_step reject them loudly.
+[dropout] (probability; inference identity, real inverted dropout under
+training), [softmax] (groups=1, final layer, YOLO9000 tree= hierarchy),
+[cost] (loss marker, ignored). These produce head_kind="softmax"
+models served by `cli classify` and trained by `cli train
+--imagefolder`.
+
+YOLOv1 cfgs (inference/eval): [crop] (test-mode center crop, first
+layer), [local] (locally-connected conv — geometry pinned at parse
+because the weight size depends on it), SPATIAL [connected] (flattened
+CHW features pinned via _resolve_spatial), [detection] (final layer;
+the connected output's width contract is validated). Training and int8
+reject loudly.
 
 Anything else raises a clear error rather than silently mis-building
 the graph.
@@ -43,7 +51,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Crop,
+                                    DetectionHead, Dropout, Local,
                                     MaxPool, ModelConfig, Reorg, Route,
                                     Sam, ScaleChannels, Shortcut,
                                     SoftmaxHead, Upsample, YoloHead)
@@ -51,7 +60,7 @@ from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
 _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
               "region", "shortcut", "sam", "scale_channels", "upsample",
               "yolo", "gaussian_yolo", "avgpool", "connected", "dropout",
-              "softmax", "cost"}
+              "softmax", "cost", "crop", "local", "detection"}
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -92,34 +101,6 @@ def load_names(path: str) -> Tuple[str, ...]:
         return tuple(line.strip() for line in f if line.strip())
 
 
-def _spatial_is_1x1(layers: Sequence) -> bool:
-    """Whether the LAST layer's output is provably 1x1 spatial —
-    [connected]'s placement contract. Conservative walk: True only when
-    the extent is 1x1 regardless of net size (a global [avgpool]
-    upstream, not undone by upsample or a route back to a spatial
-    map)."""
-    from yolo_tpu.configs.specs import resolve_route
-
-    one: List[bool] = []
-    cur = False  # the net input is spatial
-    for idx, l in enumerate(layers):
-        if isinstance(l, AvgPool):
-            cur = True  # global pool -> 1x1 by definition
-        elif isinstance(l, Upsample):
-            cur = False  # 1x1 upsampled is s x s; spatial stays spatial
-        elif isinstance(l, Route):
-            cur = all(one[resolve_route(idx, r)] for r in l.layers)
-        elif isinstance(l, (Shortcut, Sam)):
-            cur = cur and one[resolve_route(idx, l.frm)]
-        elif isinstance(l, ScaleChannels):
-            # output adopts the FROM layer's extent
-            cur = one[resolve_route(idx, l.frm)]
-        # Conv (SAME padding)/MaxPool/Reorg on 1x1 stay 1x1;
-        # Connected/Dropout/heads preserve — cur flows through
-        one.append(cur)
-    return one[-1]
-
-
 def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     name: Optional[str] = None) -> ModelConfig:
     """Build a ModelConfig from a darknet cfg (+ optional .names)."""
@@ -133,6 +114,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     nms_spec: Optional[Tuple] = None   # [yolo] (nms_kind, beta_nms)
     region_thresh: Optional[float] = None
     saw_region = False
+    saw_detection = False
+    detection_spec: Optional[DetectionHead] = None
     tree_file: Optional[str] = None   # [region] tree= (YOLO9000)
     map_file: Optional[str] = None    # [region] map=
 
@@ -152,7 +135,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         elif kind == "convolutional":
             act = kv.get("activation", "logistic")
             if act not in ("leaky", "linear", "mish", "logistic",
-                           "swish"):
+                           "swish", "relu", "ramp"):
                 raise ValueError(f"unsupported activation '{act}'")
             stride = int(kv.get("stride", 1))
             if stride < 1:
@@ -237,15 +220,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     "official classifier cfg uses it; its weights-file "
                     "order also differs from conv)")
             act = kv.get("activation", "logistic")
-            if act not in ("leaky", "linear", "logistic"):
+            if act not in ("leaky", "linear", "logistic", "relu",
+                           "ramp"):
                 raise ValueError(
                     f"unsupported connected activation '{act}'")
-            if not (layers and _spatial_is_1x1(layers)):
-                raise ValueError(
-                    "[connected] is only supported on a 1x1-spatial "
-                    "input (after [avgpool], darknet classifier cfgs); "
-                    "a spatial dense layer's input size depends on the "
-                    "net size, which this IR does not encode")
+            if not layers:
+                raise ValueError("[connected] cannot be the first layer")
+            # spatial inputs (the yolov1 head) get their flattened
+            # feature count pinned by _resolve_spatial below
             layers.append(Connected(int(kv["output"]), act=act))
         elif kind == "dropout":
             layers.append(Dropout(float(kv.get("probability", 0.5))))
@@ -258,6 +240,42 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if "tree" in kv:
                 tree_file = kv["tree"]
             layers.append(SoftmaxHead())
+        elif kind == "crop":
+            ch = int(kv.get("crop_height", 0))
+            cw = int(kv.get("crop_width", 0))
+            if ch <= 0 or cw <= 0:
+                raise ValueError("[crop] needs crop_height and "
+                                 "crop_width")
+            if layers:
+                raise ValueError("[crop] must be the first layer "
+                                 "(the yolov1 input layer)")
+            # flip/angle/saturation/exposure are train-time jitter keys
+            # (inference center-crops; training v1 graphs rejects)
+            layers.append(Crop(ch, cw))
+        elif kind == "local":
+            act = kv.get("activation", "logistic")
+            if act not in ("leaky", "linear", "relu", "ramp",
+                           "logistic"):
+                raise ValueError(f"unsupported local activation '{act}'")
+            layers.append(Local(
+                filters=int(kv.get("filters", 1)),
+                size=int(kv.get("size", 1)),
+                stride=int(kv.get("stride", 1)),
+                pad=bool(int(kv.get("pad", 0))),
+                act=act))
+        elif kind == "detection":
+            if saw_detection:
+                raise ValueError("multiple [detection] sections")
+            saw_detection = True
+            num_classes = int(kv.get("classes", 1))
+            detection_spec = DetectionHead(
+                side=int(kv.get("side", 7)),
+                num=int(kv.get("num", 1)),
+                classes=num_classes,
+                sqrt=bool(int(kv.get("sqrt", 0))),
+                coords=int(kv.get("coords", 4)),
+                rescore=bool(int(kv.get("rescore", 0))))
+            layers.append(detection_spec)
         elif kind == "cost":
             # training-loss marker (classifier cfgs end with it);
             # no forward effect — parsed and dropped
@@ -388,12 +406,32 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         raise ValueError(f"{cfg_path}: no [region], [yolo], or "
                          f"[softmax] section")
 
+    layers = _resolve_spatial(layers, input_size)
     _validate_refs(layers)
     yolo_heads = [(i, l) for i, l in enumerate(layers)
                   if isinstance(l, YoloHead)]
-    if saw_region and yolo_heads:
-        raise ValueError(f"{cfg_path}: [region] and [yolo] sections "
-                         f"cannot be mixed")
+    heads_present = [n for n, flag in (
+        ("[region]", saw_region), ("[yolo]", bool(yolo_heads)),
+        ("[softmax]", bool(softmax_heads)),
+        ("[detection]", saw_detection)) if flag]
+    if len(heads_present) > 1:
+        raise ValueError(f"{cfg_path}: {' and '.join(heads_present)} "
+                         f"sections cannot be mixed")
+    if saw_detection:
+        if not isinstance(layers[-1], DetectionHead):
+            raise ValueError(f"{cfg_path}: [detection] must be the "
+                             f"final layer (yolov1 cfgs)")
+        d = detection_spec
+        need = d.side * d.side * (d.classes + d.num * (1 + d.coords))
+        prev = layers[-2] if len(layers) > 1 else None
+        feats = None
+        if isinstance(prev, Connected):
+            feats = prev.out
+        if feats is not None and feats != need:
+            raise ValueError(
+                f"{cfg_path}: the layer before [detection] outputs "
+                f"{feats} features but side²*(classes+num*(1+coords)) "
+                f"= {need}")
 
     tree = tree_map = None
     if map_file and not tree_file:
@@ -460,8 +498,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"[yolo] new_coords=1 would double-sigmoid the "
                     f"decode — set new_coords=1 or activation=linear")
         _validate_strides(layers, input_size)
-    elif softmax_heads:
-        pass  # classifier: no anchors/grid contract to validate
+    elif softmax_heads or saw_detection:
+        pass  # classifier / yolov1: validated above, no region contract
     else:
         expected_out = len(anchors) * (5 + num_classes)
         last = layers[-1]
@@ -669,6 +707,18 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        f"activation={l.act}\n")
         elif isinstance(l, Dropout):
             out.append(f"[dropout]\nprobability={l.prob:g}\n")
+        elif isinstance(l, Crop):
+            out.append(f"[crop]\ncrop_height={l.crop_h}\n"
+                       f"crop_width={l.crop_w}\n")
+        elif isinstance(l, Local):
+            out.append(f"[local]\nfilters={l.filters}\nsize={l.size}\n"
+                       f"stride={l.stride}\npad={1 if l.pad else 0}\n"
+                       f"activation={l.act}\n")
+        elif isinstance(l, DetectionHead):
+            out.append(f"[detection]\nclasses={l.classes}\n"
+                       f"coords={l.coords}\nside={l.side}\nnum={l.num}\n"
+                       f"sqrt={1 if l.sqrt else 0}\n"
+                       f"rescore={1 if l.rescore else 0}\n")
         elif isinstance(l, SoftmaxHead):
             out.append("[softmax]\ngroups=1\n"
                        + (f"tree={cfg.tree_file}\n"

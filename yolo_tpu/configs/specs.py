@@ -135,10 +135,15 @@ class Connected:
     the weights, and no official classifier cfg uses them, so
     batch_normalize=1 on [connected] is rejected at parse time.
     darknet flattens the input in CHW order; the executor reproduces
-    that (irrelevant after the 1x1-spatial [avgpool] the parser
-    enforces, but kept exact)."""
+    that — it matters for SPATIAL inputs (the yolov1 head's dense
+    layers consume 7x7 maps). For spatial inputs the parser pins the
+    flattened feature count in ``in_features`` (the weight size depends
+    on the cfg input size, so such models cannot be resized);
+    in_features=None means the input is 1x1-spatial and features ==
+    channels (the classifier-family case)."""
     out: int
     act: str = "linear"
+    in_features: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +154,62 @@ class Dropout:
     by 1/(1-prob)), with deterministic per-step masks keyed on the
     train step (models/graph.apply_layers dropout_rng)."""
     prob: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class Crop:
+    """darknet [crop] (the yolov1 input layer): at inference darknet
+    center-crops to (crop_height, crop_width) with no jitter/flip (the
+    crop_layer test-mode path); every official v1 cfg crops to the full
+    [net] size, making it an identity. The train-time random
+    crop/angle/exposure jitter is unimplemented — training a graph with
+    [crop] rejects loudly (train/loop.py)."""
+    crop_h: int
+    crop_w: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Local:
+    """darknet [local] (locally-connected conv — the yolov1 head):
+    per-output-position UNSHARED filters (local_layer semantics), out
+    (H', W', filters), darknet pad flag (=> size//2), always biased,
+    no BN. Weight-file block: biases[outputs = H'*W'*filters] in CHW
+    order, then location-major per-position filter blocks
+    (filters, in_c, k, k) — derived from the darknet format (parser
+    save order + the im2col (c, ky, kx) patch order); the reference
+    tree is absent, so this layout is format-derived and pinned by
+    round-trip + TF LocallyConnected2D parity tests, not official
+    bytes. The spatial geometry (out_h/out_w/in_c) is pinned at cfg
+    parse because the weight size depends on it — models with [local]
+    cannot be resized (with_input_size rejects)."""
+    filters: int
+    size: int = 3
+    stride: int = 1
+    pad: bool = True   # darknet pad key: pad=1 -> size//2 zero padding
+    act: str = "leaky"
+    out_h: int = 0
+    out_w: int = 0
+    in_c: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionHead:
+    """darknet [detection] (the yolov1 head): marks its INPUT — the
+    final [connected] layer's side*side*(classes + num*(1+coords))
+    activations — as the v1 detection tensor. Flat buffer layout
+    (detection_layer get_detection_boxes, format-derived):
+    [side²·classes class probs][side²·num confidences]
+    [side²·num·coords boxes], boxes decoded as
+    x=(tx+col)/side, y=(ty+row)/side, w=tw² h=th² (sqrt=1, the paper's
+    sqrt-wh parameterization; tw/th directly when sqrt=0);
+    score = confidence · class prob. Inference/eval only: the v1
+    multi-part loss is not implemented (training rejects loudly)."""
+    side: int
+    num: int
+    classes: int
+    sqrt: bool = True
+    coords: int = 4
+    rescore: bool = False   # training key; kept for cfg round-trip
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,7 +263,7 @@ class YoloHead:
 
 LayerSpec = Union[Conv, MaxPool, Route, Reorg, Shortcut, Sam,
                   ScaleChannels, Upsample, AvgPool, Connected, Dropout,
-                  SoftmaxHead, YoloHead]
+                  Crop, Local, DetectionHead, SoftmaxHead, YoloHead]
 
 
 def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
@@ -211,11 +272,12 @@ def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
 
 
 def weighted_specs(layers: Tuple[LayerSpec, ...]
-                   ) -> Tuple[Union[Conv, Connected], ...]:
-    """Weight-carrying layers (Conv + Connected) in darknet file order —
-    the .weights walk order AND the params-list order consumed by
-    models/graph.apply_layers."""
-    return tuple(l for l in layers if isinstance(l, (Conv, Connected)))
+                   ) -> Tuple[Union[Conv, Connected, Local], ...]:
+    """Weight-carrying layers (Conv + Connected + Local) in darknet
+    file order — the .weights walk order AND the params-list order
+    consumed by models/graph.apply_layers."""
+    return tuple(l for l in layers
+                 if isinstance(l, (Conv, Connected, Local)))
 
 
 def resolve_route(idx: int, rel: int) -> int:
@@ -313,14 +375,25 @@ class ModelConfig:
     def head_kind(self) -> str:
         """"region" (yolov2 [region], softmax classes, cell-unit anchors),
         "yolo" (yolov3 [yolo] multi-head, sigmoid classes, pixel-unit
-        anchors), or "softmax" (darknet classifier: [softmax] over a
-        global-pooled trunk, anchors empty) — derived from the layer
-        list."""
+        anchors), "detection" (yolov1 [detection] over a connected
+        head, anchors empty), or "softmax" (darknet classifier:
+        [softmax] over a global-pooled trunk, anchors empty) — derived
+        from the layer list."""
         if any(isinstance(l, YoloHead) for l in self.layers):
             return "yolo"
         if any(isinstance(l, SoftmaxHead) for l in self.layers):
             return "softmax"
+        if any(isinstance(l, DetectionHead) for l in self.layers):
+            return "detection"
         return "region"
+
+    @property
+    def detection_head(self) -> Optional["DetectionHead"]:
+        """The yolov1 [detection] spec (None for other families)."""
+        for l in self.layers:
+            if isinstance(l, DetectionHead):
+                return l
+        return None
 
     @property
     def yolo_heads(self) -> Tuple[YoloHead, ...]:
@@ -330,4 +403,13 @@ class ModelConfig:
     def with_input_size(self, size: int) -> "ModelConfig":
         if size % 32 != 0:
             raise ValueError(f"input size must be a multiple of 32, got {size}")
+        if any(isinstance(l, (Local, Crop)) for l in self.layers) or \
+                any(isinstance(l, Connected) and l.in_features is not None
+                    for l in self.layers):
+            # spatial dense/local weights are sized by the cfg input —
+            # resizing would desynchronize the .weights layout
+            raise ValueError(
+                f"{self.name} has a fixed input size "
+                f"({self.input_size}): [local]/[crop]/spatial "
+                f"[connected] weights are sized by it")
         return dataclasses.replace(self, input_size=size)

@@ -28,7 +28,7 @@ from typing import BinaryIO, List, Optional, Sequence
 
 import numpy as np
 
-from yolo_tpu.configs.specs import (Connected, Conv, LayerSpec,
+from yolo_tpu.configs.specs import (Connected, Conv, LayerSpec, Local,
                                     weighted_specs)
 
 
@@ -48,8 +48,14 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
             conv_in.append(prev)
             prev = layer.filters
         elif isinstance(layer, Connected):
-            conv_in.append(prev)
+            # spatial dense input: the parser pinned the flattened
+            # feature count (yolov1 head); else features == channels
+            conv_in.append(layer.in_features
+                           if layer.in_features is not None else prev)
             prev = layer.out
+        elif isinstance(layer, Local):
+            conv_in.append(prev)
+            prev = layer.filters
         elif isinstance(layer, MaxPool):
             pass
         elif isinstance(layer, Reorg):
@@ -135,6 +141,34 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
             p["kernel"] = np.ascontiguousarray(w.T)
             params.append(p)
             continue
+        if isinstance(spec, Local):
+            # local_layer block (format-derived, see specs.Local):
+            # biases[outputs] in CHW (filters, locations) order, then
+            # location-major (filters, in_c, k, k) filter blocks
+            hh, ww, oc, k = spec.out_h, spec.out_w, spec.filters, spec.size
+            if not (hh and ww and spec.in_c):
+                raise ValueError(
+                    f"local layer {len(params)} has unpinned geometry "
+                    f"(out_h/out_w/in_c) — build configs through the "
+                    f"cfg parser, which sizes [local] from the input")
+            loc = hh * ww
+            need = oc * loc + loc * oc * spec.in_c * k * k
+            if pos == floats.size:
+                break  # clean cutoff boundary
+            if pos + need > floats.size:
+                raise ValueError(
+                    f"weights file too short (ends mid-layer): local "
+                    f"{len(params)} needs {need} floats, "
+                    f"{floats.size - pos} remain")
+            bias = floats[pos:pos + oc * loc].reshape(oc, hh, ww)
+            pos += oc * loc
+            w = floats[pos:pos + loc * oc * spec.in_c * k * k].reshape(
+                hh, ww, oc, spec.in_c, k, k)
+            pos += loc * oc * spec.in_c * k * k
+            params.append({"bias": np.ascontiguousarray(
+                               bias.transpose(1, 2, 0)),
+                           "kernel": w.copy()})
+            continue
         conv = spec
         oc, k = conv.filters, conv.size
         if oc % conv.groups or ic % conv.groups:
@@ -195,6 +229,13 @@ def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
                 w = np.asarray(p["kernel"], dtype=np.float32)  # (in, out)
                 f.write(np.ascontiguousarray(w.T).tobytes())
                 continue
+            if isinstance(spec, Local):
+                bias = np.asarray(p["bias"], np.float32)  # (H', W', F)
+                f.write(np.ascontiguousarray(
+                    bias.transpose(2, 0, 1)).tobytes())
+                f.write(np.asarray(p["kernel"],
+                                   np.float32).tobytes())
+                continue
             if spec.bn:
                 for key in ("beta", "gamma", "mean", "var"):
                     f.write(np.asarray(p[key], dtype=np.float32).tobytes())
@@ -220,6 +261,16 @@ def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
                 "kernel": rng.normal(0, scale,
                                      (ic, spec.out)).astype(np.float32),
                 "bias": rng.normal(0, 0.1, spec.out).astype(np.float32)})
+            continue
+        if isinstance(spec, Local):
+            params.append({
+                "kernel": rng.normal(
+                    0, scale, (spec.out_h, spec.out_w, spec.filters,
+                               spec.in_c, spec.size, spec.size)
+                ).astype(np.float32),
+                "bias": rng.normal(
+                    0, 0.1, (spec.out_h, spec.out_w, spec.filters)
+                ).astype(np.float32)})
             continue
         conv = spec
         oc, k = conv.filters, conv.size

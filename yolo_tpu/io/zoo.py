@@ -40,11 +40,17 @@ def expected_weights_bytes(layers: Sequence[LayerSpec],
     per connected, out + out*in floats)."""
     from yolo_tpu.io.darknet_weights import _infer_in_channels
 
+    from yolo_tpu.configs.specs import Local
+
     n = 0
     for spec, ic in zip(weighted_specs(layers), _infer_in_channels(
             layers, input_channels)):
         if isinstance(spec, Connected):
             n += spec.out + spec.out * ic
+        elif isinstance(spec, Local):
+            loc = spec.out_h * spec.out_w
+            n += spec.filters * loc
+            n += loc * spec.filters * spec.in_c * spec.size * spec.size
         else:
             n += spec.filters * (4 if spec.bn else 1)
             n += (spec.filters * (ic // spec.groups)

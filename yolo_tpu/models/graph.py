@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Dropout,
+from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Crop,
+                                    DetectionHead, Dropout, Local,
                                     LayerSpec, MaxPool, Reorg, Route, Sam,
                                     ScaleChannels, Shortcut, SoftmaxHead,
                                     Upsample, YoloHead, resolve_route)
@@ -79,6 +80,10 @@ def _activate(x, act: str):
         return jax.nn.sigmoid(x)
     if act == "swish":  # yolov4-csp-swish family: x * sigmoid(x)
         return x * jax.nn.sigmoid(x)
+    if act == "relu":
+        return jnp.maximum(x, 0.0)
+    if act == "ramp":  # darknet ramp_activate: x*(x>0) + 0.1*x
+        return jnp.maximum(x, 0.0) + 0.1 * x
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -137,6 +142,37 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
     if compute_dtype != jnp.float32:
         y = y.astype(compute_dtype)
     return y, new_stats
+
+
+def _local_layer(x, p, layer, *, compute_dtype=jnp.float32):
+    """darknet local_layer forward: per-output-position unshared conv.
+    Patches are built in darknet's im2col (c, ky, kx) order so the
+    loader's location-major (filters, in_c, k, k) blocks line up;
+    fp32 accumulate, per-element biases (outputs-sized, see
+    io/darknet_weights)."""
+    k, s = layer.size, layer.stride
+    pad = layer.size // 2 if layer.pad else 0
+    xin = x.astype(jnp.float32)
+    if pad:
+        xin = jnp.pad(xin, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hh, ww = layer.out_h, layer.out_w
+    rows = []
+    for ky in range(k):
+        cols = []
+        for kx in range(k):
+            cols.append(xin[:, ky:ky + hh * s:s, kx:kx + ww * s:s, :])
+        rows.append(jnp.stack(cols, axis=-1))          # (B,H,W,C,k)
+    patches = jnp.stack(rows, axis=-2)                 # (B,H,W,C,ky,kx)
+    b_dim = x.shape[0]
+    patches = patches.reshape(b_dim, hh, ww, -1)       # (c,ky,kx) order
+    kern = jnp.asarray(p["kernel"], jnp.float32).reshape(
+        hh, ww, layer.filters, -1)
+    y = jnp.einsum("bhwp,hwfp->bhwf", patches, kern,
+                   precision=lax.Precision.HIGHEST)
+    y = _activate(y + jnp.asarray(p["bias"], jnp.float32), layer.act)
+    if compute_dtype != jnp.float32:
+        y = y.astype(compute_dtype)
+    return y
 
 
 def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
@@ -236,6 +272,22 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
                          keepdims=True)
             if compute_dtype != jnp.float32:
                 x = x.astype(compute_dtype)
+        elif isinstance(layer, Crop):
+            # darknet crop_layer test mode: center crop, no jitter/flip
+            # (identity in every official v1 cfg, where crop == input)
+            _, ih, iw, _ = x.shape
+            dy, dx = (ih - layer.crop_h) // 2, (iw - layer.crop_w) // 2
+            if dy or dx or (ih, iw) != (layer.crop_h, layer.crop_w):
+                x = x[:, dy:dy + layer.crop_h, dx:dx + layer.crop_w, :]
+        elif isinstance(layer, Local):
+            x = _local_layer(x, params[conv_i], layer,
+                             compute_dtype=compute_dtype)
+            conv_i += 1
+        elif isinstance(layer, DetectionHead):
+            # yolov1 [detection]: the INPUT (the connected head's flat
+            # activations) IS the detection tensor — identity, decoded
+            # by ops/decode.decode_detection in the predict path
+            pass
         elif isinstance(layer, Connected):
             # darknet connected_layer: flatten CHW-order, dense matmul.
             # kernel stored (in, out) by the loader; fp32 accumulate.

@@ -82,10 +82,24 @@ def _postprocess(cfg: ModelConfig, logits, *,
         # YOLO9000 tree models always decode on the reference path (the
         # hierarchy traversal has no fused-head equivalent).
         head = ("fused" if jax.default_backend() == "tpu"
-                and conf_t >= 0.1 and cfg.tree is None else "reference")
+                and conf_t >= 0.1 and cfg.tree is None
+                and cfg.head_kind != "detection" else "reference")
     if cfg.tree is not None and head == "fused":
         raise ValueError("head='fused' does not support YOLO9000 tree "
                          "models — use head='reference' (auto does)")
+    if cfg.head_kind == "detection":
+        # yolov1 [detection]: reference decode path only (tiny 7x7*num
+        # candidate set — a fused prefilter has nothing to save)
+        if head == "fused":
+            raise ValueError("head='fused' does not support yolov1 "
+                             "[detection] models")
+        from yolo_tpu.ops.decode import decode_detection
+
+        boxes, scores = decode_detection(logits, cfg.detection_head)
+        return nms_batch(
+            boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
+            top_k=top_k, max_detections=max_detections, impl=nms_impl,
+            kind=cfg.nms_kind, beta=cfg.beta_nms)
     if cfg.head_kind == "yolo":
         # yolov3/v4 family: multi-head [yolo] decode (sigmoid classes,
         # pixel anchors, per-head scale_x_y)

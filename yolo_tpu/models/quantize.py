@@ -307,6 +307,13 @@ def prepare_int8(cfg, params, calibration_images,
     calibration_images: (B, S, S, 3) preprocessed [0,1] fp32 batch.
     method: calibration statistic, see `calibrate`. chain: int8
     activations between sole-consumer conv pairs (see quantize)."""
+    from yolo_tpu.configs.specs import Crop, DetectionHead, Local
+
+    if any(isinstance(l, (Crop, Local, DetectionHead))
+           for l in cfg.layers):
+        raise NotImplementedError(
+            "int8 PTQ does not support the yolov1 family "
+            "([crop]/[local]/[detection] layers) — use fp32/bf16")
     folded = graph.fold_params(cfg.layers, params, cfg.bn_eps)
     scales, out_maxes = calibrate(cfg.layers, folded, calibration_images,
                                   cfg.bn_eps, method=method,

@@ -280,3 +280,30 @@ def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int,
         bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
         bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
     return jnp.stack([bx, by, bw, bh], axis=-1)
+
+
+def decode_detection(flat: jnp.ndarray, head) -> tuple:
+    """yolov1 [detection] decode (configs.specs.DetectionHead layout):
+    flat (B, side²·(classes + num·(1+coords))) activations ->
+      boxes  (B, side²·num, 4) normalized xywh
+      scores (B, side²·num, classes) = confidence · class prob
+    x=(tx+col)/side, y=(ty+row)/side, w=tw², h=th² under the paper's
+    sqrt-wh parameterization (sqrt=0: tw/th directly). fp32."""
+    s, n, c = head.side, head.num, head.classes
+    b = flat.shape[0]
+    t = flat.astype(jnp.float32).reshape(b, -1)
+    probs = t[:, :s * s * c].reshape(b, s * s, 1, c)
+    conf = t[:, s * s * c:s * s * (c + n)].reshape(b, s * s, n)
+    boxes = t[:, s * s * (c + n):].reshape(b, s * s, n, head.coords)
+    col = (jnp.arange(s * s, dtype=jnp.float32) % s)[None, :, None]
+    row = (jnp.arange(s * s, dtype=jnp.float32) // s)[None, :, None]
+    bx = (boxes[..., 0] + col) / s
+    by = (boxes[..., 1] + row) / s
+    if head.sqrt:
+        bw = jnp.square(boxes[..., 2])
+        bh = jnp.square(boxes[..., 3])
+    else:
+        bw, bh = boxes[..., 2], boxes[..., 3]
+    scores = conf[..., None] * probs
+    out_boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    return (out_boxes.reshape(b, -1, 4), scores.reshape(b, -1, c))

@@ -427,3 +427,58 @@ def unletterbox_boxes(boxes_xywh: np.ndarray, scale: float, px: int, py: int,
     x2 = np.clip(cx + bw / 2, 0, img_w)
     y2 = np.clip(cy + bh / 2, 0, img_h)
     return np.stack([x1, y1, x2, y2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# yolov1 [detection] decode (paper arXiv:1506.02640 §2 + the darknet
+# detection_layer flat layout — format-derived, reference tree absent).
+# Loop-level, one image.
+# ---------------------------------------------------------------------------
+
+def decode_detection(flat: np.ndarray, side: int, num: int,
+                     classes: int, sqrt: bool = True, coords: int = 4):
+    """flat (side²·(classes+num·(1+coords)),) -> (boxes (side²·num, 4)
+    normalized xywh, scores (side²·num, classes))."""
+    flat = flat.astype(np.float64)
+    boxes_out, scores_out = [], []
+    for i in range(side * side):
+        row, col = i // side, i % side
+        for nn in range(num):
+            conf = flat[side * side * classes + i * num + nn]
+            bi = side * side * (classes + num) + (i * num + nn) * coords
+            bx = (flat[bi + 0] + col) / side
+            by = (flat[bi + 1] + row) / side
+            bw = flat[bi + 2] ** 2 if sqrt else flat[bi + 2]
+            bh = flat[bi + 3] ** 2 if sqrt else flat[bi + 3]
+            probs = np.array([conf * flat[i * classes + j]
+                              for j in range(classes)])
+            boxes_out.append([bx, by, bw, bh])
+            scores_out.append(probs)
+    return np.asarray(boxes_out), np.asarray(scores_out)
+
+
+def local_forward(x: np.ndarray, kernel: np.ndarray, bias: np.ndarray,
+                  stride: int = 1, pad: int = 0, act: str = "leaky"):
+    """darknet local_layer oracle, loop-level, ONE image:
+    x (H, W, C); kernel (H', W', F, C, k, k) per-position filters;
+    bias (H', W', F). Zero padding, leaky/linear activation."""
+    h, w, c = x.shape
+    oh, ow, f, _, k, _ = kernel.shape
+    xp = np.zeros((h + 2 * pad, w + 2 * pad, c), dtype=np.float64)
+    xp[pad:pad + h, pad:pad + w] = x
+    out = np.zeros((oh, ow, f), dtype=np.float64)
+    for j in range(oh):
+        for i in range(ow):
+            patch = xp[j * stride:j * stride + k,
+                       i * stride:i * stride + k]      # (k, k, C)
+            for ff in range(f):
+                acc = 0.0
+                for cc in range(c):
+                    for ky in range(k):
+                        for kx in range(k):
+                            acc += (kernel[j, i, ff, cc, ky, kx]
+                                    * patch[ky, kx, cc])
+                out[j, i, ff] = acc + bias[j, i, ff]
+    if act == "leaky":
+        out = np.where(out > 0, out, 0.1 * out)
+    return out

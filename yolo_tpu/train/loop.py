@@ -183,6 +183,12 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             total, parts = classifier_loss(logits, batch["labels"],
                                            tree=mcfg.tree)
             return total, (bn_updates, parts)
+        if mcfg.head_kind == "detection":
+            raise NotImplementedError(
+                "yolov1 [detection] training is not supported "
+                "(inference/eval of pretrained v1 weights only) — the "
+                "v1 multi-part loss and the [crop] training jitter are "
+                "unimplemented; train the v2/v3/v4 families instead")
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
             if any(hd.gaussian for hd in heads):
