@@ -397,3 +397,61 @@ class TestEvalDuringTrain:
         with pytest.raises(SystemExit, match="imagefolder"):
             cli.main(["train", "--model", "tiny-voc", "--weights",
                       "w.weights", "--eval-imagefolder", "/x"])
+
+
+class TestTemperature:
+    @pytest.mark.quick
+    def test_forward_and_round_trip(self, tmp_path):
+        """[softmax] temperature=T: probs == softmax(logits/T), key
+        survives cfg round-trip, T<=0 rejected."""
+        import jax.numpy as jnp
+
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.models import graph
+
+        text = CLS_CFG.replace("[softmax]\ngroups=1",
+                               "[softmax]\ngroups=1\ntemperature=3")
+        cfg_path, names = _write_cls_cfg(tmp_path, text)
+        cfg = config_from_cfg(cfg_path, names_path=names)
+        assert cfg.layers[-1].temperature == 3.0
+        assert "temperature=3" in cfg_to_string(cfg)
+        params = graph.params_to_jax(
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (2, 32, 32, 3)).astype(np.float32))
+        probs = np.asarray(graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps))
+        logits = np.asarray(graph.apply_layers(
+            cfg.layers, params, x, eps=cfg.bn_eps, softmax_logits=True))
+        z = logits / 3.0
+        z = z - z.max(-1, keepdims=True)
+        want = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        np.testing.assert_allclose(probs, want, rtol=1e-5, atol=1e-7)
+
+        bad = text.replace("temperature=3", "temperature=0")
+        (tmp_path / "cls.cfg").write_text(bad)
+        with pytest.raises(ValueError, match="temperature"):
+            config_from_cfg(cfg_path, names_path=names)
+
+    @pytest.mark.quick
+    def test_training_gradient_carries_1_over_T(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.train.loss import classifier_loss
+
+        rng = np.random.default_rng(2)
+        logits = rng.normal(0, 1, (3, 4)).astype(np.float32)
+        labels = np.array([0, 2, 1], np.int32)
+        g = jax.grad(lambda l: classifier_loss(
+            l, jnp.asarray(labels), temperature=2.0)[0]
+        )(jnp.asarray(logits))
+        z = logits / 2.0
+        z = z - z.max(-1, keepdims=True)
+        p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        onehot = np.eye(4)[labels]
+        np.testing.assert_allclose(np.asarray(g),
+                                   (p - onehot) / (3 * 2.0),
+                                   rtol=1e-5, atol=1e-7)

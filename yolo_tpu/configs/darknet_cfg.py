@@ -101,6 +101,69 @@ def load_names(path: str) -> Tuple[str, ...]:
         return tuple(line.strip() for line in f if line.strip())
 
 
+def _resolve_spatial(layers: List, input_size: int) -> List:
+    """Shape-resolution pass: walk (h, w, c) through the layer list and
+    pin the geometry the weight layout depends on — Local.out_h/out_w/
+    in_c and, for SPATIAL dense inputs, Connected.in_features (darknet
+    flattens h*w*c; 1x1 inputs keep in_features=None, the classifier
+    case). Returns the rewritten layer list."""
+    import dataclasses as _dc
+
+    from yolo_tpu.configs.specs import resolve_route
+
+    shapes: List[Tuple[int, int, int]] = []   # (h, w, c) per layer
+    h = w = input_size
+    c = 3
+    out = []
+    for idx, l in enumerate(layers):
+        if isinstance(l, Conv):
+            pad = l.size // 2
+            h = (h + 2 * pad - l.size) // l.stride + 1
+            w = (w + 2 * pad - l.size) // l.stride + 1
+            c = l.filters
+        elif isinstance(l, MaxPool):
+            # darknet maxpool: pad = size-1 -> out = (dim-1)//stride + 1
+            h = (h - 1) // l.stride + 1
+            w = (w - 1) // l.stride + 1
+        elif isinstance(l, Local):
+            pad = l.size // 2 if l.pad else 0
+            oh = (h + 2 * pad - l.size) // l.stride + 1
+            ow = (w + 2 * pad - l.size) // l.stride + 1
+            l = _dc.replace(l, out_h=oh, out_w=ow, in_c=c)
+            h, w, c = oh, ow, l.filters
+        elif isinstance(l, Crop):
+            if l.crop_h > h or l.crop_w > w:
+                raise ValueError(
+                    f"[crop] {l.crop_h}x{l.crop_w} exceeds the "
+                    f"{h}x{w} input")
+            h, w = l.crop_h, l.crop_w
+        elif isinstance(l, Connected):
+            if h * w > 1:
+                l = _dc.replace(l, in_features=h * w * c)
+            h = w = 1
+            c = l.out
+        elif isinstance(l, AvgPool):
+            h = w = 1
+        elif isinstance(l, Reorg):
+            h //= l.stride
+            w //= l.stride
+            c *= l.stride * l.stride
+        elif isinstance(l, Upsample):
+            h *= l.stride
+            w *= l.stride
+        elif isinstance(l, Route):
+            srcs = [shapes[resolve_route(idx, r)] for r in l.layers]
+            h, w = srcs[0][0], srcs[0][1]
+            c = sum(s[2] // l.groups for s in srcs)
+        elif isinstance(l, ScaleChannels):
+            h, w, c = shapes[resolve_route(idx, l.frm)]
+        # Shortcut/Sam/Dropout/SoftmaxHead/YoloHead/DetectionHead keep
+        # the running shape
+        shapes.append((h, w, c))
+        out.append(l)
+    return out
+
+
 def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     name: Optional[str] = None) -> ModelConfig:
     """Build a ModelConfig from a darknet cfg (+ optional .names)."""
@@ -239,7 +302,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # (the tree is parsed below, once num_classes is known)
             if "tree" in kv:
                 tree_file = kv["tree"]
-            layers.append(SoftmaxHead())
+            temp = float(kv.get("temperature", 1.0))
+            if temp <= 0:
+                raise ValueError(f"[softmax] temperature={temp:g} must "
+                                 f"be > 0")
+            layers.append(SoftmaxHead(temperature=temp))
         elif kind == "crop":
             ch = int(kv.get("crop_height", 0))
             cw = int(kv.get("crop_width", 0))
@@ -458,7 +525,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         if softmax_heads:
             # the executor applies the per-group softmax in-graph, so
             # the head layer itself carries the tree
-            layers[-1] = SoftmaxHead(tree=tree)
+            layers[-1] = SoftmaxHead(
+                tree=tree, temperature=layers[-1].temperature)
 
     class_names = (load_names(names_path) if names_path
                    else tree.names if tree is not None
@@ -721,6 +789,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        f"rescore={1 if l.rescore else 0}\n")
         elif isinstance(l, SoftmaxHead):
             out.append("[softmax]\ngroups=1\n"
+                       + (f"temperature={l.temperature:g}\n"
+                          if l.temperature != 1.0 else "")
                        + (f"tree={cfg.tree_file}\n"
                           if cfg.tree_file else ""))
         elif isinstance(l, YoloHead):

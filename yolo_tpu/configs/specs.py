@@ -226,6 +226,11 @@ class SoftmaxHead:
     leaf-masked absolute probs for top-k (models/classify
     hierarchy_leaf_probs)."""
     tree: Optional[object] = None   # configs.tree.SoftmaxTree
+    # [softmax] temperature=T (darknet softmax_layer): logits are
+    # divided by T before the (tree-)softmax — T>1 softens the
+    # distribution; training divides the same way, so the CE gradient
+    # carries the 1/T factor darknet's backward does
+    temperature: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

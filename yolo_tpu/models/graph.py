@@ -329,6 +329,10 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             # instead: the classifier-training loss computes its CE via
             # log-softmax for stability (train/loss.classifier_loss).
             flat = x.astype(jnp.float32).reshape(x.shape[0], -1)
+            if layer.temperature != 1.0 and not softmax_logits:
+                # darknet softmax temperature: logits / T (training
+                # applies it inside classifier_loss on the raw logits)
+                flat = flat / layer.temperature
             if softmax_logits:
                 x = flat
             elif layer.tree is not None:

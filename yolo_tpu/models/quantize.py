@@ -128,6 +128,8 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
                 x = graph._activate(y, layer.act).reshape(bdim, 1, 1, -1)
             elif isinstance(layer, SoftmaxHead):
                 flat = x.reshape(x.shape[0], -1)
+                if layer.temperature != 1.0:
+                    flat = flat / layer.temperature
                 if layer.tree is not None:
                     from yolo_tpu.ops.decode import tree_conditional_probs
 

@@ -180,8 +180,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             dropout_rng=jax.random.fold_in(jax.random.PRNGKey(0),
                                            state["step"]))
         if mcfg.head_kind == "softmax":
-            total, parts = classifier_loss(logits, batch["labels"],
-                                           tree=mcfg.tree)
+            total, parts = classifier_loss(
+                logits, batch["labels"], tree=mcfg.tree,
+                temperature=mcfg.layers[-1].temperature)
             return total, (bn_updates, parts)
         if mcfg.head_kind == "detection":
             raise NotImplementedError(

@@ -59,8 +59,8 @@ def _iou_xywh_pairwise(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                    tree=None) -> Tuple[jnp.ndarray,
-                                        Dict[str, jnp.ndarray]]:
+                    tree=None, temperature: float = 1.0
+                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Softmax cross-entropy for classifier (softmax-head) training.
 
     Darknet's softmax layer trains with softmax_x_ent semantics: error
@@ -79,6 +79,11 @@ def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     is diagnostic only (with a tree it is leaf-masked-absolute top-1,
     the inference protocol)."""
     logits = logits.astype(jnp.float32)
+    if temperature != 1.0:
+        # [softmax] temperature: darknet scales the forward by 1/T and
+        # its backward inherits the same factor — dividing the logits
+        # here reproduces both
+        logits = logits / temperature
     if tree is None:
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
