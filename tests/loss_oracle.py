@@ -202,3 +202,58 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                                 else _bce_np(v[4], 0.0))
     parts = {k: v / b for k, v in parts.items()}
     return sum(parts.values()), parts
+
+
+def detection_loss_np(flat, targets, head):
+    """Loop-level yolov1 loss oracle (paper eq. 3; independent of the
+    vectorized train/loss.detection_loss). flat (B, F), targets from
+    data.targets.encode_v1 (batched)."""
+    s, n, c = head.side, head.num, head.classes
+    b = flat.shape[0]
+    t = flat.reshape(b, -1).astype(np.float64)
+    parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class")}
+    for bi in range(b):
+        probs = t[bi, :s * s * c].reshape(s * s, c)
+        conf = t[bi, s * s * c:s * s * (c + n)].reshape(s * s, n)
+        boxes = t[bi, s * s * (c + n):].reshape(s * s, n, head.coords)
+        for i in range(s * s):
+            row, col = i // s, i % s
+            has_obj = targets["v1_obj"][bi, i] > 0
+            if has_obj:
+                gx, gy, gw, gh = targets["v1_box"][bi, i]
+                # responsible predictor: live max-IoU vs the GT
+                ious = []
+                for j in range(n):
+                    px = (boxes[i, j, 0] + col) / s
+                    py = (boxes[i, j, 1] + row) / s
+                    pw = boxes[i, j, 2] ** 2 if head.sqrt else boxes[i, j, 2]
+                    ph = boxes[i, j, 3] ** 2 if head.sqrt else boxes[i, j, 3]
+                    ious.append(iou_xywh(
+                        np.array([px, py, pw, ph]),
+                        np.array([gx, gy, gw, gh])))
+                resp = int(np.argmax(ious))
+                xr, yr = gx * s - col, gy * s - row
+                tw = np.sqrt(gw) if head.sqrt else gw
+                th = np.sqrt(gh) if head.sqrt else gh
+                parts["coord"] += head.coord_scale * (
+                    (boxes[i, resp, 0] - xr) ** 2
+                    + (boxes[i, resp, 1] - yr) ** 2
+                    + (boxes[i, resp, 2] - tw) ** 2
+                    + (boxes[i, resp, 3] - th) ** 2)
+                ct = ious[resp] if head.rescore else 1.0
+                parts["obj"] += head.object_scale * (
+                    (ct - conf[i, resp]) ** 2)
+                for j in range(n):
+                    if j != resp:
+                        parts["noobj"] += head.noobject_scale * (
+                            conf[i, j] ** 2)
+                onehot = np.zeros(c)
+                onehot[targets["v1_cls"][bi, i]] = 1.0
+                parts["class"] += head.class_scale * np.sum(
+                    (probs[i] - onehot) ** 2)
+            else:
+                for j in range(n):
+                    parts["noobj"] += head.noobject_scale * (
+                        conf[i, j] ** 2)
+    parts = {k: v / b for k, v in parts.items()}
+    return sum(parts.values()), parts

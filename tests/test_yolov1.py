@@ -298,19 +298,13 @@ class TestForward:
         with pytest.raises(ValueError, match="fused"):
             predict.detect(cfg, params, imgs, head="fused")
 
-    def test_train_and_int8_reject(self, tmp_path):
+    def test_int8_rejects(self, tmp_path):
         import jax.numpy as jnp
 
         from yolo_tpu.models import quantize
-        from yolo_tpu.train.loop import (TrainConfig, init_state,
-                                         make_train_step)
 
         cfg = config_from_cfg(_write_v1(tmp_path))
         params = dw.random_params(cfg.layers, np.random.default_rng(0))
-        state = init_state(params, TrainConfig())
-        step = make_train_step(cfg, TrainConfig())
-        with pytest.raises(NotImplementedError, match="yolov1"):
-            step(state, {"images": jnp.zeros((1, 64, 64, 3))})
         with pytest.raises(NotImplementedError, match="yolov1"):
             quantize.prepare_int8(cfg, params,
                                   jnp.zeros((1, 64, 64, 3)))
@@ -335,3 +329,134 @@ class TestForward:
             if line:
                 d = json.loads(line)
                 assert d["class"] in ("class0", "class1", "class2")
+
+
+class TestTraining:
+    def _encoded(self, rng, b=2, side=4):
+        from yolo_tpu.data import targets as tgt
+
+        boxes, classes = [], []
+        for _ in range(b):
+            g = rng.integers(1, 4)
+            bx = np.stack([
+                rng.uniform(0.1, 0.9, g), rng.uniform(0.1, 0.9, g),
+                rng.uniform(0.05, 0.4, g), rng.uniform(0.05, 0.4, g),
+            ], axis=-1)
+            boxes.append(bx)
+            classes.append(rng.integers(0, 3, g))
+        enc = [tgt.encode_v1(bx, cl, side)
+               for bx, cl in zip(boxes, classes)]
+        return {k: np.stack([e[k] for e in enc]) for k in enc[0]}
+
+    @pytest.mark.quick
+    def test_loss_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from tests.loss_oracle import detection_loss_np
+        from yolo_tpu.train.loss import detection_loss
+
+        head = DetectionHead(side=4, num=2, classes=3, sqrt=True,
+                             rescore=True)
+        rng = np.random.default_rng(5)
+        targets = self._encoded(rng)
+        flat = rng.uniform(0, 1, (2, 4 * 4 * (3 + 2 * 5))).astype(
+            np.float32)
+        want_total, want_parts = detection_loss_np(flat, targets, head)
+        got_total, got_parts = detection_loss(
+            jnp.asarray(flat),
+            {k: jnp.asarray(v) for k, v in targets.items()}, head)
+        for k in want_parts:
+            assert float(got_parts[k]) == pytest.approx(
+                want_parts[k], rel=1e-4, abs=1e-6), k
+        assert float(got_total) == pytest.approx(want_total, rel=1e-4)
+
+    @pytest.mark.quick
+    def test_loss_matches_oracle_no_rescore_no_sqrt(self):
+        import jax.numpy as jnp
+
+        from tests.loss_oracle import detection_loss_np
+        from yolo_tpu.train.loss import detection_loss
+
+        head = DetectionHead(side=3, num=3, classes=2, sqrt=False,
+                             rescore=False, coord_scale=5.0,
+                             noobject_scale=0.5)
+        rng = np.random.default_rng(6)
+        from yolo_tpu.data import targets as tgt
+
+        boxes = [np.array([[0.5, 0.5, 0.4, 0.3]])]
+        classes = [np.array([1])]
+        enc = tgt.encode_v1(boxes[0], classes[0], 3)
+        targets = {k: v[None] for k, v in enc.items()}
+        flat = rng.uniform(0, 1, (1, 3 * 3 * (2 + 3 * 5))).astype(
+            np.float32)
+        want_total, _ = detection_loss_np(flat, targets, head)
+        got_total, _ = detection_loss(
+            jnp.asarray(flat),
+            {k: jnp.asarray(v) for k, v in targets.items()}, head)
+        assert float(got_total) == pytest.approx(want_total, rel=1e-4)
+
+    def test_train_step_overfits(self, tmp_path):
+        import jax.numpy as jnp
+
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        cfg = config_from_cfg(_write_v1(tmp_path))
+        rng = np.random.default_rng(0)
+        params = dw.random_params(cfg.layers, rng, scale=0.05)
+        tcfg = TrainConfig(learning_rate=1e-3, optimizer="adam",
+                           weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(cfg, tcfg)
+        boxes = [np.array([[0.5, 0.5, 0.5, 0.5]]),
+                 np.array([[0.3, 0.3, 0.2, 0.2]])]
+        classes = [np.array([1]), np.array([2])]
+        enc = [tgt.encode_for(cfg, b, c) for b, c in zip(boxes, classes)]
+        batch = {k: jnp.asarray(np.stack([e[k] for e in enc]))
+                 for k in enc[0]}
+        batch["images"] = jnp.asarray(rng.uniform(
+            0, 1, (2, 64, 64, 3)).astype(np.float32))
+        losses = []
+        for _ in range(20):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5
+
+    @pytest.mark.quick
+    def test_encoder_first_object_wins(self):
+        from yolo_tpu.data import targets as tgt
+
+        boxes = np.array([[0.5, 0.5, 0.2, 0.2], [0.52, 0.52, 0.3, 0.3],
+                          [0.1, 0.1, 0.1, 0.1]])
+        classes = np.array([0, 1, 2])
+        enc = tgt.encode_v1(boxes, classes, 4)
+        assert enc["v1_obj"].sum() == 2  # two cells occupied
+        i = 2 * 4 + 2  # cell of (0.5, 0.5) on a 4-grid
+        assert enc["v1_cls"][i] == 0     # FIRST box kept
+        np.testing.assert_allclose(enc["v1_box"][i], [0.5, 0.5, 0.2, 0.2])
+
+
+class TestCliTrain:
+    def test_train_cli_e2e_and_multiscale_rejected(self, tmp_path,
+                                                   capsys):
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+
+        cfg_path = _write_v1(tmp_path)
+        cfg = config_from_cfg(cfg_path)
+        wpath = str(tmp_path / "v1.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        names = tmp_path / "v1.names"
+        names.write_text("cat\ndog\nbird\n")
+        root = make_voc_root(tmp_path, n_images=8, size=(64, 64))
+        cli.main(["train", "--cfg", cfg_path, "--names", str(names),
+                  "--weights", wpath, "--voc-root", root,
+                  "--split", "train", "--epochs", "1", "--batch", "8",
+                  "--lr", "1e-4", "--precision", "fp32"])
+        with pytest.raises(SystemExit, match="FIXED input size"):
+            cli.main(["train", "--cfg", cfg_path, "--names", str(names),
+                      "--weights", wpath, "--voc-root", root,
+                      "--split", "train", "--multi-scale",
+                      "--epochs", "1", "--batch", "8"])

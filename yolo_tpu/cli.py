@@ -733,6 +733,11 @@ def cmd_train(args) -> None:
         raise SystemExit("--imagefolder/--eval-imagefolder are "
                          f"classifier training data — {cfg.name} is a "
                          "detector; use --voc-root or --coco-json")
+    if cfg.head_kind == "detection" and (args.multi_scale
+                                         or args.multi_scale_sizes):
+        raise SystemExit("yolov1 models have a FIXED input size (the "
+                         "[local]/[connected] weights are sized by it) "
+                         "— drop --multi-scale")
     if args.resize == "stretch":
         # AlexeyAB's letter_box=0 default TRAINING geometry: plain
         # resize, normalized boxes unchanged; validation (quick_map)

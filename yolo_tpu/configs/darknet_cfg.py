@@ -36,12 +36,12 @@ training), [softmax] (groups=1, final layer, YOLO9000 tree= hierarchy),
 models served by `cli classify` and trained by `cli train
 --imagefolder`.
 
-YOLOv1 cfgs (inference/eval): [crop] (test-mode center crop, first
-layer), [local] (locally-connected conv — geometry pinned at parse
-because the weight size depends on it), SPATIAL [connected] (flattened
-CHW features pinned via _resolve_spatial), [detection] (final layer;
-the connected output's width contract is validated). Training and int8
-reject loudly.
+YOLOv1 cfgs: [crop] (test-mode center crop, first layer), [local]
+(locally-connected conv — geometry pinned at parse because the weight
+size depends on it), SPATIAL [connected] (flattened CHW features
+pinned via _resolve_spatial), [detection] (final layer; the connected
+output's width contract is validated; training runs the paper's
+multi-part loss — train/loss.detection_loss). int8 rejects loudly.
 
 Anything else raises a clear error rather than silently mis-building
 the graph.
@@ -341,7 +341,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 classes=num_classes,
                 sqrt=bool(int(kv.get("sqrt", 0))),
                 coords=int(kv.get("coords", 4)),
-                rescore=bool(int(kv.get("rescore", 0))))
+                rescore=bool(int(kv.get("rescore", 0))),
+                object_scale=float(kv.get("object_scale", 1.0)),
+                noobject_scale=float(kv.get("noobject_scale", 0.5)),
+                class_scale=float(kv.get("class_scale", 1.0)),
+                coord_scale=float(kv.get("coord_scale", 5.0)))
             layers.append(detection_spec)
         elif kind == "cost":
             # training-loss marker (classifier cfgs end with it);
@@ -786,7 +790,11 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[detection]\nclasses={l.classes}\n"
                        f"coords={l.coords}\nside={l.side}\nnum={l.num}\n"
                        f"sqrt={1 if l.sqrt else 0}\n"
-                       f"rescore={1 if l.rescore else 0}\n")
+                       f"rescore={1 if l.rescore else 0}\n"
+                       f"object_scale={l.object_scale:g}\n"
+                       f"noobject_scale={l.noobject_scale:g}\n"
+                       f"class_scale={l.class_scale:g}\n"
+                       f"coord_scale={l.coord_scale:g}\n")
         elif isinstance(l, SoftmaxHead):
             out.append("[softmax]\ngroups=1\n"
                        + (f"temperature={l.temperature:g}\n"

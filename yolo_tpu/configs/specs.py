@@ -161,9 +161,10 @@ class Crop:
     """darknet [crop] (the yolov1 input layer): at inference darknet
     center-crops to (crop_height, crop_width) with no jitter/flip (the
     crop_layer test-mode path); every official v1 cfg crops to the full
-    [net] size, making it an identity. The train-time random
-    crop/angle/exposure jitter is unimplemented — training a graph with
-    [crop] rejects loudly (train/loop.py)."""
+    [net] size, making it an identity. Training uses the SAME center
+    crop — darknet's train-time random crop/angle/exposure jitter is a
+    documented deviation (augment with the shared pipeline's
+    flip/HSV instead)."""
     crop_h: int
     crop_w: int
 
@@ -202,14 +203,28 @@ class DetectionHead:
     [side²·num·coords boxes], boxes decoded as
     x=(tx+col)/side, y=(ty+row)/side, w=tw² h=th² (sqrt=1, the paper's
     sqrt-wh parameterization; tw/th directly when sqrt=0);
-    score = confidence · class prob. Inference/eval only: the v1
-    multi-part loss is not implemented (training rejects loudly)."""
+    score = confidence · class prob.
+
+    Training (train/loss.detection_loss) is the PAPER's multi-part sum
+    (arXiv:1506.02640 eq. 3): per object cell the max-IoU predictor is
+    responsible — coord_scale (λcoord) weights its xy + sqrt-wh squared
+    errors, its confidence targets the live IoU (rescore=1) or 1,
+    every NON-responsible predictor pays noobject_scale (λnoobj) on its
+    confidence, and the CELL's class probs pay a squared error. The
+    scale keys mirror the darknet [detection] cfg keys; [crop] training
+    jitter is NOT reproduced (center crop at train too — documented
+    deviation, see Crop)."""
     side: int
     num: int
     classes: int
     sqrt: bool = True
     coords: int = 4
-    rescore: bool = False   # training key; kept for cfg round-trip
+    rescore: bool = False
+    # paper λs (darknet [detection] keys): coord 5, noobject 0.5
+    object_scale: float = 1.0
+    noobject_scale: float = 0.5
+    class_scale: float = 1.0
+    coord_scale: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)

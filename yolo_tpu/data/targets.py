@@ -207,6 +207,9 @@ def encode_for(model_cfg, boxes, classes,
                            strides=_head_strides(model_cfg),
                            assign_iou_thresh=getattr(
                                model_cfg, "assign_iou_thresh", 1.0))
+    if model_cfg.head_kind == "detection":
+        return encode_v1(boxes, classes,
+                         side=model_cfg.detection_head.side)
     return encode(boxes, classes, grid=size // 32,
                   anchors=model_cfg.anchors,
                   num_classes=model_cfg.num_classes)
@@ -219,3 +222,35 @@ def encode_batch_for(model_cfg, batch_boxes, batch_classes,
     encoded = [encode_for(model_cfg, b, c, input_size=input_size)
                for b, c in zip(batch_boxes, batch_classes)]
     return {k: np.stack([e[k] for e in encoded]) for k in encoded[0]}
+
+
+def encode_v1(boxes: np.ndarray, classes: np.ndarray, side: int
+              ) -> Dict[str, np.ndarray]:
+    """YOLOv1 ground-truth encoder (paper arXiv:1506.02640 §2: the cell
+    containing an object's center is responsible; ONE object per cell
+    — the first box landing in a cell wins, later ones are dropped,
+    matching darknet's fill_truth skip-if-occupied behavior).
+
+    boxes (G, 4) normalized xywh; classes (G,) ints. Returns flat
+    side²-indexed targets:
+      v1_obj (S*S,)   cell has an object
+      v1_box (S*S, 4) the object's normalized xywh
+      v1_cls (S*S,)   its class (0 where empty)
+    """
+    s2 = side * side
+    obj = np.zeros(s2, np.float32)
+    tbox = np.zeros((s2, 4), np.float32)
+    tcls = np.zeros(s2, np.int32)
+    for g in range(len(boxes)):
+        x, y, w, h = boxes[g]
+        if w <= 0 or h <= 0:
+            continue
+        col = min(int(x * side), side - 1)
+        row = min(int(y * side), side - 1)
+        i = row * side + col
+        if obj[i]:
+            continue  # first object in the cell wins
+        obj[i] = 1.0
+        tbox[i] = (x, y, w, h)
+        tcls[i] = classes[g]
+    return {"v1_obj": obj, "v1_box": tbox, "v1_cls": tcls}

@@ -23,8 +23,8 @@ import optax
 from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
 from yolo_tpu.train.loss import (LossConfig, YoloLossConfig,
-                                 classifier_loss, region_loss,
-                                 yolo_loss)
+                                 classifier_loss, detection_loss,
+                                 region_loss, yolo_loss)
 
 # Darknet multi-scale training sizes (yolov2.cfg random=1: {320..608}/32).
 MULTISCALE_SIZES = tuple(range(320, 609, 32))
@@ -185,11 +185,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                 temperature=mcfg.layers[-1].temperature)
             return total, (bn_updates, parts)
         if mcfg.head_kind == "detection":
-            raise NotImplementedError(
-                "yolov1 [detection] training is not supported "
-                "(inference/eval of pretrained v1 weights only) — the "
-                "v1 multi-part loss and the [crop] training jitter are "
-                "unimplemented; train the v2/v3/v4 families instead")
+            total, parts = detection_loss(logits, batch,
+                                          mcfg.detection_head)
+            return total, (bn_updates, parts)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
             if any(hd.gaussian for hd in heads):

@@ -136,6 +136,79 @@ def _tree_class_sq(logits_c: jnp.ndarray, tcls: jnp.ndarray,
     return jnp.sum(mask * (sumsq_at - 2.0 * cond_at + 1.0), axis=-1)
 
 
+def detection_loss(flat: jnp.ndarray, targets: Dict[str, jnp.ndarray],
+                   head) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """YOLOv1 multi-part loss — the paper's eq. 3 (arXiv:1506.02640)
+    with the darknet [detection] scale keys:
+
+      coord_scale    Σ 1^obj_ij [(tx-x̂rel)² + (ty-ŷrel)²
+                                 + (tw-√ŵ)² + (th-√ĥ)²]   (sqrt=1)
+      object_scale   Σ 1^obj_ij (Ĉ - conf)²   Ĉ = live IoU (rescore=1)
+                                               or 1
+      noobject_scale Σ 1^noobj_ij conf²        every NON-responsible
+                                               predictor, incl. the
+                                               losers in object cells
+      class_scale    Σ 1^obj_i ||probs - onehot||²   per CELL
+
+    The responsible predictor j is the cell's max-IoU box against its
+    ground truth, computed live from the decoded predictions (the
+    paper's 1^obj_ij). flat: (B, side²(classes+num(1+coords))) raw
+    connected activations; targets from data.targets.encode_v1.
+    Oracle: tests/loss_oracle.py::detection_loss_np.
+    """
+    s, n, c = head.side, head.num, head.classes
+    b = flat.shape[0]
+    t = flat.astype(jnp.float32).reshape(b, -1)
+    probs = t[:, :s * s * c].reshape(b, s * s, c)
+    conf = t[:, s * s * c:s * s * (c + n)].reshape(b, s * s, n)
+    boxt = t[:, s * s * (c + n):].reshape(b, s * s, n, head.coords)
+
+    obj = targets["v1_obj"]                    # (B, S²)
+    tbox = targets["v1_box"]                   # (B, S², 4) image xywh
+    tcls = targets["v1_cls"]                   # (B, S²)
+
+    col = (jnp.arange(s * s, dtype=jnp.float32) % s)[None, :, None]
+    row = (jnp.arange(s * s, dtype=jnp.float32) // s)[None, :, None]
+    px = (boxt[..., 0] + col) / s
+    py = (boxt[..., 1] + row) / s
+    pw = jnp.square(boxt[..., 2]) if head.sqrt else boxt[..., 2]
+    ph = jnp.square(boxt[..., 3]) if head.sqrt else boxt[..., 3]
+    pred = jnp.stack([px, py, pw, ph], axis=-1)      # (B, S², N, 4)
+
+    iou = _iou_xywh_pairwise(pred, tbox[:, :, None, :])[..., 0]
+    resp = jax.nn.one_hot(jnp.argmax(iou, axis=-1), n,
+                          dtype=jnp.float32)          # (B, S², N)
+    resp = resp * obj[..., None]
+
+    xr = tbox[..., 0] * s - col[..., 0]   # in-cell x target
+    yr = tbox[..., 1] * s - row[..., 0]   # in-cell y target
+    tw = jnp.sqrt(tbox[..., 2]) if head.sqrt else tbox[..., 2]
+    th = jnp.sqrt(tbox[..., 3]) if head.sqrt else tbox[..., 3]
+    sq = ((boxt[..., 0] - xr[..., None]) ** 2
+          + (boxt[..., 1] - yr[..., None]) ** 2
+          + (boxt[..., 2] - tw[..., None]) ** 2
+          + (boxt[..., 3] - th[..., None]) ** 2)
+    loss_coord = head.coord_scale * jnp.sum(resp * sq)
+
+    ctarget = (jax.lax.stop_gradient(iou) if head.rescore
+               else jnp.ones_like(iou))
+    loss_obj = head.object_scale * jnp.sum(resp * (ctarget - conf) ** 2)
+    loss_noobj = head.noobject_scale * jnp.sum((1.0 - resp) * conf ** 2)
+
+    onehot = jax.nn.one_hot(tcls, c, dtype=jnp.float32)
+    loss_cls = head.class_scale * jnp.sum(
+        obj[..., None] * (probs - onehot) ** 2)
+
+    parts = {
+        "coord": loss_coord / b,
+        "obj": loss_obj / b,
+        "noobj": loss_noobj / b,
+        "class": loss_cls / b,
+    }
+    total = sum(parts.values())
+    return total, parts
+
+
 def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
                 anchors, num_classes: int, cfg: LossConfig,
                 seen: jnp.ndarray, tree=None
