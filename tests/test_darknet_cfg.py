@@ -727,3 +727,71 @@ def test_cfg_augment_keys_auto_enable_and_no_augment(tmp_path, capsys):
         in capsys.readouterr().err
     cli.main(common + ["--no-augment"])
     assert "augmentation enabled" not in capsys.readouterr().err
+
+
+def test_fuzz_v1_and_classifier_topologies_round_trip(tmp_path):
+    """Property test over the v1/classifier vocabulary: random
+    crop/conv/pool trunks with local + spatial-connected + detection
+    heads, or classifier tails with temperature, must survive
+    cfg_to_string -> config_from_cfg identically (including the
+    parse-time geometry pinning, which the emitted cfg must
+    re-derive)."""
+    import numpy as np
+
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string, config_from_cfg
+    from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Crop,
+                                        DetectionHead, Dropout, Local,
+                                        MaxPool, ModelConfig,
+                                        SoftmaxHead)
+
+    rng = np.random.default_rng(321)
+    for trial in range(10):
+        size = 64
+        layers = []
+        if rng.integers(0, 2):
+            layers.append(Crop(size, size))
+        h = size
+        ch = 3
+        for _ in range(int(rng.integers(1, 3))):
+            oc = int(rng.choice([4, 8]))
+            layers.append(Conv(oc, size=3,
+                               act=str(rng.choice(["leaky", "relu",
+                                                   "ramp"]))))
+            ch = oc
+            layers.append(MaxPool(2, 2))
+            h //= 2
+        # shrink to a small grid
+        while h > 4:
+            layers.append(MaxPool(2, 2))
+            h //= 2
+        classifier = bool(rng.integers(0, 2))
+        if classifier:
+            nclasses = int(rng.integers(2, 6))
+            layers += [AvgPool(), Connected(nclasses),
+                       SoftmaxHead(temperature=float(
+                           rng.choice([1.0, 2.0, 3.0])))]
+            names = tuple(f"class{i}" for i in range(nclasses))
+            cfg = ModelConfig(name=f"fz{trial}", layers=tuple(layers),
+                              anchors=(), class_names=names,
+                              input_size=size)
+        else:
+            lf = int(rng.choice([4, 8]))
+            layers.append(Local(filters=lf, size=3, stride=1, pad=True,
+                                out_h=h, out_w=h, in_c=ch))
+            if rng.integers(0, 2):
+                layers.append(Dropout(0.3))
+            side, num, ncl = h, int(rng.integers(1, 3)), 3
+            out = side * side * (ncl + num * 5)
+            layers.append(Connected(out, in_features=h * h * lf))
+            layers.append(DetectionHead(
+                side=side, num=num, classes=ncl,
+                sqrt=bool(rng.integers(0, 2)),
+                rescore=bool(rng.integers(0, 2))))
+            cfg = ModelConfig(name=f"fz{trial}", layers=tuple(layers),
+                              anchors=(),
+                              class_names=("a", "b", "c"),
+                              input_size=size)
+        p = tmp_path / f"fz{trial}.cfg"
+        p.write_text(cfg_to_string(cfg))
+        got = config_from_cfg(str(p), name=cfg.name)
+        assert got.layers == cfg.layers, f"trial {trial}"

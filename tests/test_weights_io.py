@@ -202,3 +202,42 @@ class TestPartialWeights:
         (tmp_path / "bad3.weights").write_bytes(data[:len(data) - 13])
         with pytest.raises(ValueError, match="mid-float"):
             dw.load_partial(str(tmp_path / "bad3.weights"), cfg.layers)
+
+
+def test_fuzz_v1_specs_roundtrip():
+    """Property test over the v1 weight vocabulary: random [local]
+    layers (varying geometry) and SPATIAL connected layers must
+    save -> load bit-exactly, and the byte size must match the zoo
+    derivation."""
+    from yolo_tpu.configs.specs import Connected, Local
+    from yolo_tpu.io.zoo import expected_weights_bytes
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        layers = []
+        prev = 3
+        for _ in range(int(rng.integers(1, 4))):
+            oc = int(rng.choice([2, 4, 8]))
+            layers.append(Conv(oc, size=int(rng.choice([1, 3])),
+                               bn=bool(rng.integers(0, 2))))
+            prev = oc
+        # a local layer with random pinned geometry
+        lf = int(rng.choice([2, 4]))
+        hh, ww = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+        layers.append(Local(filters=lf, size=int(rng.choice([1, 3])),
+                            stride=1, pad=True, out_h=hh, out_w=ww,
+                            in_c=prev))
+        prev = lf
+        if rng.integers(0, 2):  # spatial dense tail
+            feats = hh * ww * prev
+            layers.append(Connected(int(rng.integers(4, 9)),
+                                    in_features=feats))
+        layers = tuple(layers)
+        params = dw.random_params(layers, rng)
+        blob = dw.to_bytes(layers, params)
+        assert len(blob) == expected_weights_bytes(layers), trial
+        loaded, _ = dw.load(io.BytesIO(blob), layers)
+        for p, q in zip(params, loaded):
+            assert set(p) == set(q)
+            for key in p:
+                np.testing.assert_array_equal(p[key], q[key])
