@@ -94,7 +94,10 @@ def _maybe_quantize(args, cfg, params, sample_images_u8):
             letterbox_batch(im[None], cfg.input_size)[0]
             for im in sample_images_u8]))
     # prepare_int8 folds BN itself; already-folded params fold to identity
-    qparams = quantize.prepare_int8(cfg, params, calib)
+    try:
+        qparams = quantize.prepare_int8(cfg, params, calib)
+    except NotImplementedError as e:
+        raise SystemExit(str(e))  # e.g. yolov1 topologies
     print(f"int8 PTQ: calibrated on {len(sample_images_u8)} images",
           file=sys.stderr)
     return qparams
