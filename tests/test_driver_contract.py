@@ -27,7 +27,7 @@ def _scrubbed_env():
     return env
 
 
-def _run(code, timeout=600):
+def _run(code, timeout=900):  # four DP programs on one slow core
     return subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=_scrubbed_env(),
         capture_output=True, text=True, timeout=timeout)

@@ -477,8 +477,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
         raise ValueError(f"{cfg_path}: no [region], [yolo], or "
                          f"[softmax] section")
 
+    _validate_refs(layers)   # clear ref errors BEFORE the shape walk
     layers = _resolve_spatial(layers, input_size)
-    _validate_refs(layers)
     yolo_heads = [(i, l) for i, l in enumerate(layers)
                   if isinstance(l, YoloHead)]
     heads_present = [n for n, flag in (
