@@ -621,3 +621,35 @@ class TestClassifierTrainSmoke:
                   "--batch", "4", "--precision", "int8"])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["top1"] == pytest.approx(9 / 10)
+
+
+def test_api_load_classifier(tmp_path):
+    """yolo_tpu.load_classifier: weights + cfg -> callable top-k model
+    (the deterministic color classifier gives a known ground truth);
+    detectors reject symmetrically."""
+    import yolo_tpu
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+
+    cfg, params = _color_classifier()
+    cfg_path = tmp_path / "color.cfg"
+    cfg_path.write_text(cfg_to_string(cfg))
+    names = tmp_path / "color.names"
+    names.write_text("red\ngreen\nblue\n")
+    wpath = tmp_path / "color.weights"
+    dw.save(str(wpath), cfg.layers, params)
+    clf = yolo_tpu.load_classifier(str(wpath), cfg=str(cfg_path),
+                                   names=str(names), precision="fp32",
+                                   k=2)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[..., 1] = 230  # green-dominant
+    out = clf([img])
+    assert out[0][0][0] == "green"
+    assert out[0][0][1] > 0.99
+
+    from yolo_tpu.configs import get_variant
+    det = get_variant("tiny-voc")
+    dpath = tmp_path / "det.weights"
+    dw.save(str(dpath), det.layers,
+            dw.random_params(det.layers, np.random.default_rng(0)))
+    with pytest.raises(ValueError, match="detector"):
+        yolo_tpu.load_classifier(str(dpath), "tiny-voc")

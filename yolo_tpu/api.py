@@ -6,6 +6,11 @@
     detections = model(images_u8)            # (B, H, W, 3) raw RGB
     # {'boxes' (B,D,4) pixel xyxy, 'scores', 'classes', 'valid'}
 
+Classifiers load symmetrically:
+
+    clf = yolo_tpu.load_classifier("darknet19.weights", "darknet19")
+    top = clf(images_u8)          # [(name, prob), ...] per image
+
 Everything else (training, eval, serving, quantization) is reachable
 from the subpackages or the CLI (python -m yolo_tpu.cli --help).
 """
@@ -105,7 +110,9 @@ def _finish_load(weights_path, cfg, precision, conf_threshold,
         from yolo_tpu.io import checkpoint as ckpt
 
         state = ckpt.restore(weights_path)
-        params = state["params"]
+        # training runs with ema_alpha carry two weight tracks; every
+        # consumer prefers the EMA (darknet ema_apply-before-save)
+        params = state.get("ema_params", state["params"])
     else:
         params, _ = dw.load(weights_path, cfg.layers)
     folded = graph.params_to_jax(
@@ -115,3 +122,77 @@ def _finish_load(weights_path, cfg, precision, conf_threshold,
         compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16,
         conf_threshold=conf_threshold, nms_threshold=nms_threshold)
     return Model(cfg, folded, detector)
+
+
+class Classifier:
+    """A loaded classifier: callable on raw uint8 RGB batches, returns
+    per-image top-k [(name, prob), ...] using the darknet preprocess
+    (resize_min + center crop) and, for tree classifiers, leaf-masked
+    absolute probabilities."""
+
+    def __init__(self, cfg, params, run, k: int = 5):
+        self.cfg = cfg
+        self.params = params
+        self._run = run
+        self.k = k
+
+    def __call__(self, images_u8):
+        import numpy as np
+
+        from yolo_tpu.models.classify import (classifier_preprocess,
+                                              hierarchy_leaf_probs,
+                                              top_k)
+
+        xs = np.stack([classifier_preprocess(im, self.cfg.input_size)
+                       for im in images_u8])
+        probs = np.asarray(self._run(self.params, xs))
+        if self.cfg.tree is not None:
+            probs = hierarchy_leaf_probs(probs, self.cfg.tree)
+        return [top_k(p, self.cfg.class_names, k=self.k)
+                for p in probs]
+
+
+def load_classifier(weights_path: str, variant: Optional[str] = None, *,
+                    cfg: Optional[str] = None,
+                    names: Optional[str] = None,
+                    precision: str = "bf16", k: int = 5) -> Classifier:
+    """Load a darknet classifier (.weights file, orbax checkpoint dir,
+    or zoo:// entry) into a callable top-k model — the API twin of
+    `cli classify`."""
+    import os
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.models.classify import make_classifier
+
+    if cfg is not None:
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        mcfg = config_from_cfg(cfg, names_path=names)
+    else:
+        if variant is None:
+            raise ValueError("load_classifier needs a variant name "
+                             "(e.g. 'darknet19') or cfg=")
+        mcfg = get_variant(variant)
+    if mcfg.head_kind != "softmax":
+        raise ValueError(f"{mcfg.name} is a detector — use yolo_tpu.load")
+    if weights_path.startswith("zoo://"):
+        from yolo_tpu.io import zoo
+
+        weights_path = zoo.resolve(weights_path)
+    if os.path.isdir(weights_path):
+        from yolo_tpu.io import checkpoint as ckpt
+
+        state = ckpt.restore(weights_path)
+        params = state.get("ema_params", state["params"])
+    else:
+        params, _ = dw.load(weights_path, mcfg.layers)
+    folded = graph.params_to_jax(
+        graph.fold_params(mcfg.layers, params, mcfg.bn_eps))
+    run = make_classifier(
+        mcfg,
+        compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16)
+    return Classifier(mcfg, folded, run, k=k)
