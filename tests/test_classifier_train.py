@@ -455,3 +455,63 @@ class TestTemperature:
         np.testing.assert_allclose(np.asarray(g),
                                    (p - onehot) / (3 * 2.0),
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestResumeDataPosition:
+    @pytest.mark.quick
+    def test_start_step_resumes_exact_stream(self, tmp_path):
+        import cv2
+
+        from yolo_tpu.data.imagefolder import (classifier_train_batches,
+                                               list_imagefolder)
+
+        rng = np.random.default_rng(0)
+        for cls in ("red", "green"):
+            os.makedirs(tmp_path / "d" / cls)
+        for i in range(5):
+            cv2.imwrite(str(tmp_path / "d" / "red" / f"{i}.png"),
+                        rng.integers(0, 255, (16, 16, 3), np.uint8))
+        for i in range(2):
+            cv2.imwrite(str(tmp_path / "d" / "green" / f"{i}.png"),
+                        rng.integers(0, 255, (16, 16, 3), np.uint8))
+        samples = list_imagefolder(str(tmp_path / "d"),
+                                   ("red", "green"))
+        full = list(classifier_train_batches(samples, 4, 32, epochs=3,
+                                             seed=7))
+        assert len(full) == 6  # ceil(7/4)=2 per epoch * 3
+        for k in (1, 3, 5):
+            tail = list(classifier_train_batches(
+                samples, 4, 32, epochs=3, seed=7, start_step=k))
+            assert len(tail) == len(full) - k
+            for a, b in zip(full[k:], tail):
+                np.testing.assert_array_equal(a["labels"], b["labels"])
+                np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_cli_fail_then_resume(self, tmp_path, capsys):
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        rng = np.random.default_rng(0)
+        data = tmp_path / "data"
+        for ci, cls in enumerate(("red", "green", "blue")):
+            os.makedirs(data / cls)
+            for i in range(4):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = rng.integers(160, 255)
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        ckdir = str(tmp_path / "ck")
+        common = ["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--batch", "8",
+                  "--lr", "0.05", "--optimizer", "adam",
+                  "--precision", "fp32", "--seed", "0",
+                  "--checkpoint-dir", ckdir, "--checkpoint-every", "2"]
+        with pytest.raises(SystemExit, match="fail-after-step"):
+            cli.main(common + ["--epochs", "4", "--fail-after-step", "2"])
+        capsys.readouterr()
+        cli.main(common + ["--epochs", "4", "--resume",
+                           os.path.join(ckdir, "step_2")])
+        err = capsys.readouterr().err
+        assert "resuming the stream at step 2" in err
+        assert os.path.isdir(os.path.join(ckdir, "final"))

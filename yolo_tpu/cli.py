@@ -607,12 +607,19 @@ def _train_classifier(args, cfg) -> None:
     print(f"{len(samples)} images, {cfg.num_classes} classes",
           file=sys.stderr)
     flip = not args.no_augment
+    resume_step = int(np.asarray(state["step"]))
+    if resume_step:
+        print(f"data position: resuming the stream at step "
+              f"{resume_step} (position-independent shuffle/flip keys)",
+              file=sys.stderr)
     host_iter = classifier_train_batches(
         samples, args.batch, cfg.input_size, epochs=args.epochs,
-        seed=args.seed, flip=flip)
+        seed=args.seed, flip=flip, start_step=resume_step)
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
-    steps_per_epoch = max(len(samples) // args.batch, 1)
+    from yolo_tpu.data.imagefolder import steps_per_epoch as _spe
+
+    steps_per_epoch = _spe(len(samples), args.batch)
 
     def _save_ckpt(name: str) -> str:
         path = os.path.join(args.checkpoint_dir, name)

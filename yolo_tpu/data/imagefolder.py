@@ -46,15 +46,27 @@ def list_imagefolder(root: str, class_names: Sequence[str]
     return samples
 
 
+def steps_per_epoch(n_samples: int, batch: int) -> int:
+    """Batches yielded per epoch (the trailing partial batch wraps)."""
+    return -(-n_samples // batch)
+
+
 def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                              batch: int, net_size: int, *,
                              epochs: int = 1, seed: int = 0,
-                             flip: bool = True
+                             flip: bool = True, start_step: int = 0
                              ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epochs of {"images" (B, net, net, 3) f32 [0,1],
     "labels" (B,) i32}. The trailing partial batch of each epoch WRAPS
     with the epoch's leading samples (static batch shape keeps one jit
-    bucket; every sample is seen each epoch)."""
+    bucket; every sample is seen each epoch).
+
+    Randomness is POSITION-INDEPENDENT — the epoch's shuffle order and
+    per-sample flips derive from (seed, epoch) alone, never from how
+    many batches were consumed — so ``start_step`` resumes the exact
+    stream a crashed run would have produced next (cli train --resume
+    restores the data position together with the model state, the
+    imagefolder counterpart of the grain data-position resume)."""
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.models.classify import classifier_preprocess
 
@@ -63,10 +75,16 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
     if len(samples) < batch:
         raise ValueError(f"dataset has {len(samples)} images but "
                          f"batch={batch} — need at least one full batch")
-    rng = np.random.default_rng(seed)
-    for epoch in range(epochs):
-        order = rng.permutation(len(samples))
-        for i in range(0, len(order), batch):
+    spe = steps_per_epoch(len(samples), batch)
+    first_epoch, skip_batches = divmod(start_step, spe)
+    for epoch in range(first_epoch, epochs):
+        order = np.random.default_rng(
+            (seed, 1, epoch)).permutation(len(samples))
+        flips = (np.random.default_rng(
+            (seed, 2, epoch)).random(len(samples)) < 0.5)
+        start = skip_batches if epoch == first_epoch else 0
+        for bi in range(start, spe):
+            i = bi * batch
             idx = order[i:i + batch]
             if len(idx) < batch:
                 idx = np.concatenate([idx, order[:batch - len(idx)]])
@@ -74,7 +92,7 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
             for j in idx:
                 path, cls = samples[j]
                 x = classifier_preprocess(load_image_rgb(path), net_size)
-                if flip and rng.random() < 0.5:
+                if flip and flips[j]:
                     x = x[:, ::-1]
                 imgs.append(x)
                 labels.append(cls)
