@@ -460,3 +460,41 @@ class TestCliTrain:
                       "--weights", wpath, "--voc-root", root,
                       "--split", "train", "--multi-scale",
                       "--epochs", "1", "--batch", "8"])
+
+
+class TestEvalCli:
+    def test_eval_v1_runs(self, tmp_path, capsys):
+        """eval on a v1 model over a synthetic VOC split: the full
+        collect->score pipeline runs on the [detection] decode path and
+        emits the mAP JSON shape."""
+        import cv2
+
+        from tests.test_data_eval import _write_xml
+        from yolo_tpu import cli
+
+        cfg_path = _write_v1(tmp_path)
+        cfg = config_from_cfg(cfg_path)
+        wpath = str(tmp_path / "w.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        names = tmp_path / "v1.names"
+        names.write_text("cat\ndog\nbird\n")
+        root = tmp_path / "VOC"
+        for d in ("Annotations", "JPEGImages", "ImageSets/Main"):
+            (root / d).mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        ids = []
+        for i, cls in enumerate(("cat", "dog")):
+            name = f"{i:06d}"
+            ids.append(name)
+            cv2.imwrite(str(root / "JPEGImages" / f"{name}.jpg"),
+                        rng.integers(0, 255, (60, 80, 3), np.uint8))
+            _write_xml(root / "Annotations" / f"{name}.xml",
+                       [(cls, 0, 10, 10, 50, 40)], w=80, h=60)
+        (root / "ImageSets/Main/test.txt").write_text("\n".join(ids))
+        cli.main(["eval", "--cfg", cfg_path, "--names", str(names),
+                  "--weights", wpath, "--voc-root", str(root),
+                  "--split", "test", "--precision", "fp32",
+                  "--batch", "2"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert set(out) == {"map", "ap"}
