@@ -515,3 +515,57 @@ class TestResumeDataPosition:
         err = capsys.readouterr().err
         assert "resuming the stream at step 2" in err
         assert os.path.isdir(os.path.join(ckdir, "final"))
+
+
+class TestAugment:
+    @pytest.mark.quick
+    def test_hsv_augment_position_independent(self, tmp_path):
+        """augment_cfg distorts deterministically per (epoch, sample):
+        the stream equals itself under start_step resume, and differs
+        from the unaugmented stream."""
+        import cv2
+
+        from yolo_tpu.data.augment import AugmentConfig
+        from yolo_tpu.data.imagefolder import (classifier_train_batches,
+                                               list_imagefolder)
+
+        rng = np.random.default_rng(0)
+        os.makedirs(tmp_path / "d" / "red")
+        for i in range(6):
+            cv2.imwrite(str(tmp_path / "d" / "red" / f"{i}.png"),
+                        rng.integers(30, 225, (20, 20, 3), np.uint8))
+        samples = list_imagefolder(str(tmp_path / "d"), ("red",))
+        aug = AugmentConfig(hue=0.1, saturation=1.5, exposure=1.5)
+        full = list(classifier_train_batches(
+            samples, 3, 32, epochs=2, seed=5, augment_cfg=aug))
+        tail = list(classifier_train_batches(
+            samples, 3, 32, epochs=2, seed=5, augment_cfg=aug,
+            start_step=2))
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(a["images"], b["images"])
+        plain = list(classifier_train_batches(
+            samples, 3, 32, epochs=2, seed=5))
+        assert any((a["images"] != b["images"]).any()
+                   for a, b in zip(full, plain))
+
+    def test_cli_cfg_keys_enable_augment(self, tmp_path, capsys):
+        import cv2
+
+        from yolo_tpu import cli
+
+        text = CLS_CFG.replace(
+            "momentum=0.9", "momentum=0.9\nsaturation=1.5\n"
+                            "exposure=1.5\nhue=.1")
+        cfg_path, names = _write_cls_cfg(tmp_path, text)
+        rng = np.random.default_rng(0)
+        data = tmp_path / "data"
+        for ci, cls in enumerate(("red", "green", "blue")):
+            os.makedirs(data / cls)
+            for i in range(3):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = rng.integers(160, 255)
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        cli.main(["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--epochs", "1",
+                  "--batch", "8", "--precision", "fp32"])
+        assert "HSV+flip augmentation enabled" in capsys.readouterr().err

@@ -607,6 +607,20 @@ def _train_classifier(args, cfg) -> None:
     print(f"{len(samples)} images, {cfg.num_classes} classes",
           file=sys.stderr)
     flip = not args.no_augment
+    aug_cfg = None
+    _CLS_AUG_KEYS = ("saturation", "exposure", "hue", "flip")
+    if (args.augment or any(k in net_hp for k in _CLS_AUG_KEYS)) \
+            and not args.no_augment:
+        # darknet classifier training distorts HSV too; cfg keys (or
+        # --augment) enable the shared pinned distortion
+        from yolo_tpu.data.augment import config_from_net_params
+
+        aug_cfg = config_from_net_params(net_hp)
+        if aug_cfg.mosaic or aug_cfg.mixup:
+            raise SystemExit("mosaic/mixup are detection augmentations "
+                             "— classifier training supports HSV+flip")
+        print("classifier HSV+flip augmentation enabled",
+              file=sys.stderr)
     resume_step = int(np.asarray(state["step"]))
     if resume_step:
         print(f"data position: resuming the stream at step "
@@ -614,7 +628,8 @@ def _train_classifier(args, cfg) -> None:
               file=sys.stderr)
     host_iter = classifier_train_batches(
         samples, args.batch, cfg.input_size, epochs=args.epochs,
-        seed=args.seed, flip=flip, start_step=resume_step)
+        seed=args.seed, flip=flip, start_step=resume_step,
+        augment_cfg=aug_cfg)
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
     from yolo_tpu.data.imagefolder import steps_per_epoch as _spe

@@ -5,10 +5,11 @@ express the same mapping as paths + label names).
 
 Training batches use darknet's deterministic inference geometry
 (resize_min + center crop, models/classify.classifier_preprocess) plus
-a seeded horizontal flip — NOT darknet's random-crop/HSV classifier
-augmentation (random_augment_image), whose exact parameter
-distributions have no pinnable reference here; the deviation is
-documented rather than approximated silently.
+a seeded horizontal flip and, with an AugmentConfig, the SAME pinned
+HSV distortion the detector pipeline trains with (data/augment.py
+rand_scale/hue math). darknet's random-crop/angle classifier jitter
+(random_augment_image) is NOT reproduced — a documented deviation
+rather than a silent approximation.
 """
 
 from __future__ import annotations
@@ -54,7 +55,8 @@ def steps_per_epoch(n_samples: int, batch: int) -> int:
 def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                              batch: int, net_size: int, *,
                              epochs: int = 1, seed: int = 0,
-                             flip: bool = True, start_step: int = 0
+                             flip: bool = True, start_step: int = 0,
+                             augment_cfg=None
                              ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epochs of {"images" (B, net, net, 3) f32 [0,1],
     "labels" (B,) i32}. The trailing partial batch of each epoch WRAPS
@@ -66,7 +68,13 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
     many batches were consumed — so ``start_step`` resumes the exact
     stream a crashed run would have produced next (cli train --resume
     restores the data position together with the model state, the
-    imagefolder counterpart of the grain data-position resume)."""
+    imagefolder counterpart of the grain data-position resume).
+
+    augment_cfg (data.augment.AugmentConfig) applies darknet's HSV
+    distortion (the SAME pinned rand_scale/hue math the detector
+    pipeline uses) to the raw image before the preprocess, with
+    per-(epoch, sample) keys — also position-independent. Its flip
+    field overrides ``flip``."""
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.models.classify import classifier_preprocess
 
@@ -77,6 +85,8 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                          f"batch={batch} — need at least one full batch")
     spe = steps_per_epoch(len(samples), batch)
     first_epoch, skip_batches = divmod(start_step, spe)
+    if augment_cfg is not None:
+        flip = augment_cfg.flip
     for epoch in range(first_epoch, epochs):
         order = np.random.default_rng(
             (seed, 1, epoch)).permutation(len(samples))
@@ -91,7 +101,14 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
             imgs, labels = [], []
             for j in idx:
                 path, cls = samples[j]
-                x = classifier_preprocess(load_image_rgb(path), net_size)
+                img = load_image_rgb(path)
+                if augment_cfg is not None:
+                    from yolo_tpu.data.augment import distort_hsv
+
+                    img = distort_hsv(
+                        img, np.random.default_rng(
+                            (seed, 3, epoch, int(j))), augment_cfg)
+                x = classifier_preprocess(img, net_size)
                 if flip and flips[j]:
                     x = x[:, ::-1]
                 imgs.append(x)
