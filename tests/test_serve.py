@@ -309,3 +309,67 @@ class TestClassifierServing:
         assert all("classes" in o for o in outs)
         made = cls_server.stats["batches"] - before["batches"]
         assert made < 8  # preprocessed shapes all match -> micro-batched
+
+
+class TestNewFamiliesServe:
+    def _post(self, srv, path="/detect", seed=1, shape=(60, 80)):
+        import cv2
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=buf.tobytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def test_tree_model_serves_tree_names(self, tmp_path):
+        """A YOLO9000 tree model serves /detect with the hierarchy
+        traversal: detection class names come from the tree vocabulary."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        from tests.test_tree import _write_tree_model
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg = dataclasses.replace(
+            config_from_cfg(_write_tree_model(tmp_path)),
+            conf_threshold=0.05)
+        params = graph.params_to_jax(graph.fold_params(
+            cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)),
+            cfg.bn_eps))
+        srv = DetectionServer(cfg, params, compute_dtype=jnp.float32,
+                              port=0)
+        srv.start()
+        try:
+            out = self._post(srv)
+            vocab = set(cfg.tree.names)
+            assert all(d["class"] in vocab for d in out["detections"])
+        finally:
+            srv.stop()
+
+    def test_v1_model_serves(self, tmp_path):
+        import dataclasses
+        import jax.numpy as jnp
+
+        from tests.test_yolov1 import _write_v1
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg = dataclasses.replace(config_from_cfg(_write_v1(tmp_path)),
+                                  conf_threshold=0.05)
+        params = graph.params_to_jax(graph.fold_params(
+            cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)),
+            cfg.bn_eps))
+        srv = DetectionServer(cfg, params, compute_dtype=jnp.float32,
+                              port=0)
+        srv.start()
+        try:
+            out = self._post(srv)
+            assert all(d["class"] in ("class0", "class1", "class2")
+                       for d in out["detections"])
+        finally:
+            srv.stop()

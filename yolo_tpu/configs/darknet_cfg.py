@@ -153,6 +153,11 @@ def _resolve_spatial(layers: List, input_size: int) -> List:
             w *= l.stride
         elif isinstance(l, Route):
             srcs = [shapes[resolve_route(idx, r)] for r in l.layers]
+            if len({(s[0], s[1]) for s in srcs}) != 1:
+                raise ValueError(
+                    f"layer {idx}: route concatenates sources with "
+                    f"mismatched spatial extents "
+                    f"{[(s[0], s[1]) for s in srcs]}")
             h, w = srcs[0][0], srcs[0][1]
             c = sum(s[2] // l.groups for s in srcs)
         elif isinstance(l, ScaleChannels):
