@@ -351,7 +351,12 @@ class TestEndToEnd:
         valid_m = np.asarray(dets_m["valid"]).astype(bool)
         assert ((cls_m[valid_m] >= 0) & (cls_m[valid_m] < 4)).all()
 
-    def test_fused_head_rejected(self, tmp_path):
+    @pytest.mark.parametrize("use_map", [False, True])
+    def test_fused_head_matches_reference_path(self, tmp_path, use_map):
+        """The fused YOLO9000 head (objectness prefilter + hierarchy on
+        the survivors) must be box/score/class-identical to the
+        reference decode+NMS at production thresholds — in traversal
+        mode the candidate cut is EXACT (score == conf)."""
         import numpy as np
 
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
@@ -360,9 +365,30 @@ class TestEndToEnd:
 
         cfg = config_from_cfg(_write_tree_model(tmp_path))
         params = dw.random_params(cfg.layers, np.random.default_rng(0))
-        imgs = np.zeros((1, 32, 32, 3), np.float32)
-        with pytest.raises(ValueError, match="fused"):
-            predict.detect(cfg, params, imgs, head="fused")
+        imgs = np.random.default_rng(2).uniform(
+            size=(2, 32, 32, 3)).astype(np.float32)
+        ref = predict.detect(cfg, params, imgs, conf_threshold=0.3,
+                             head="reference", use_tree_map=use_map)
+        fus = predict.detect(cfg, params, imgs, conf_threshold=0.3,
+                             head="fused", use_tree_map=use_map)
+        # output PADDING widths differ between paths; the sets of
+        # valid detections must be identical per image
+        for bi in range(2):
+            rv = np.asarray(ref["valid"][bi]).astype(bool)
+            fv = np.asarray(fus["valid"][bi]).astype(bool)
+            assert rv.sum() == fv.sum()
+            rrows = np.concatenate(
+                [np.asarray(ref["boxes"][bi])[rv],
+                 np.asarray(ref["scores"][bi])[rv, None],
+                 np.asarray(ref["classes"][bi])[rv, None]], axis=-1)
+            frows = np.concatenate(
+                [np.asarray(fus["boxes"][bi])[fv],
+                 np.asarray(fus["scores"][bi])[fv, None],
+                 np.asarray(fus["classes"][bi])[fv, None]], axis=-1)
+            order_r = np.lexsort(rrows.T)
+            order_f = np.lexsort(frows.T)
+            np.testing.assert_allclose(rrows[order_r], frows[order_f],
+                                       rtol=1e-5, atol=1e-5)
 
     def test_use_tree_map_requires_map(self, tmp_path):
         import numpy as np

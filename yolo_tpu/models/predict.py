@@ -78,15 +78,27 @@ def _postprocess(cfg: ModelConfig, logits, *,
                          "[region] map= projection")
     if head == "auto":
         # fused heads are exact only while few boxes clear the
-        # threshold; at PR-curve thresholds take the reference path.
-        # YOLO9000 tree models always decode on the reference path (the
-        # hierarchy traversal has no fused-head equivalent).
+        # threshold; at PR-curve thresholds take the reference path
         head = ("fused" if jax.default_backend() == "tpu"
-                and conf_t >= 0.1 and cfg.tree is None
+                and conf_t >= 0.1
                 and cfg.head_kind != "detection" else "reference")
-    if cfg.tree is not None and head == "fused":
-        raise ValueError("head='fused' does not support YOLO9000 tree "
-                         "models — use head='reference' (auto does)")
+    if cfg.tree is not None and cfg.head_kind == "region" \
+            and head == "fused":
+        # YOLO9000: the fused head runs the hierarchy math on the
+        # objectness survivors only (skips the dense N x n_nodes score
+        # tensor; traversal-mode candidate cut is EXACT — score == conf)
+        from yolo_tpu.ops.head import detect_head_tree
+
+        pre = top_k if conf_t >= 0.3 else 2 * top_k
+        return detect_head_tree(
+            logits, cfg.anchors, cfg.tree,
+            conf_threshold=conf_t, iou_threshold=iou_t,
+            hier_thresh=(cfg.hier_thresh if hier_thresh is None
+                         else hier_thresh),
+            tree_map=cfg.tree_map if use_tree_map else None,
+            pre_top_k=pre, max_detections=max_detections,
+            use_pallas=(jax.default_backend() == "tpu"),
+            nms_kind=cfg.nms_kind, beta_nms=cfg.beta_nms)
     if cfg.head_kind == "detection":
         # yolov1 [detection]: reference decode path only (tiny 7x7*num
         # candidate set — a fused prefilter has nothing to save)

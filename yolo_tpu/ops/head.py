@@ -214,3 +214,69 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
                      conf_threshold, iou_threshold, use_pallas=use_pallas,
                      kind=nms_kind, beta=beta_nms)
     return _package(boxes_k, scores_k, classes_k, keep, max_detections)
+
+
+def detect_head_tree(logits: jnp.ndarray, anchors, tree, *,
+                     conf_threshold: float, iou_threshold: float,
+                     hier_thresh: float = 0.5, tree_map=None,
+                     pre_top_k: int = 256, max_detections: int = 100,
+                     use_pallas: bool = True, nms_kind: str = "greedy",
+                     beta_nms: float = 0.6):
+    """Fused YOLO9000 head: objectness prefilter, then the hierarchy
+    math on the SURVIVORS only — skips the reference path's dense
+    (B, N, n_nodes) score tensor (32 MB/image at 9k nodes on the
+    real tree) and runs the greedy traversal on pre_top_k boxes.
+
+    Traversal mode (tree_map=None): a box's detection score IS its
+    objectness (ops/decode semantics), so the conf top-k candidate cut
+    is EXACT — box/score/class-identical to decode+NMS whenever fewer
+    than pre_top_k boxes clear conf_threshold (the usual envelope, and
+    tighter: no class term can exceed conf).
+
+    Map mode: score_j = conf * absolute[map[j]] <= conf — the same
+    prefilter envelope as the softmax head, and the same global
+    (box, class) top-K flatten, so multi-class boxes survive exactly
+    as on the reference path at production thresholds."""
+    from yolo_tpu.ops.decode import (tree_absolute_probs,
+                                     tree_conditional_probs,
+                                     tree_top_prediction)
+
+    b, h, w, _ = logits.shape
+    a = len(anchors)
+    c = tree.n_nodes
+    n = h * w * a
+    t = logits.astype(jnp.float32).reshape(b, n, 5 + c)
+    anchors_arr = jnp.asarray(anchors, dtype=jnp.float32)
+
+    conf_all = jax.nn.sigmoid(t[..., 4])
+    kb = min(pre_top_k, n)
+    conf_k, nidx = lax.top_k(conf_all, kb)
+    tk = jnp.take_along_axis(t, nidx[..., None], axis=1)
+
+    ai = nidx % a
+    ci = (nidx // a) % w
+    cj = nidx // (a * w)
+    bx = (jax.nn.sigmoid(tk[..., 0]) + ci.astype(jnp.float32)) / w
+    by = (jax.nn.sigmoid(tk[..., 1]) + cj.astype(jnp.float32)) / h
+    bw = anchors_arr[ai, 0] * jnp.exp(tk[..., 2]) / w
+    bh = anchors_arr[ai, 1] * jnp.exp(tk[..., 3]) / h
+    boxes_k = jnp.stack([bx, by, bw, bh], axis=-1)        # (B, KB, 4)
+
+    cond = tree_conditional_probs(tk[..., 5:], tree)      # (B, KB, C)
+    if tree_map is None:
+        classes_k = tree_top_prediction(cond, tree, hier_thresh)
+        scores_k = conf_k
+    else:
+        absolute = tree_absolute_probs(cond, tree)
+        proj = absolute[..., jnp.asarray(tree_map)]       # (B, KB, M)
+        m = len(tree_map)
+        flat = (conf_k[..., None] * proj).reshape(b, kb * m)
+        scores_k, idx = lax.top_k(flat, kb)
+        classes_k = (idx % m).astype(jnp.int32)
+        boxes_k = jnp.take_along_axis(boxes_k, (idx // m)[..., None],
+                                      axis=1)
+
+    keep = _suppress(_geom(boxes_k), scores_k, classes_k,
+                     conf_threshold, iou_threshold,
+                     use_pallas=use_pallas, kind=nms_kind, beta=beta_nms)
+    return _package(boxes_k, scores_k, classes_k, keep, max_detections)
