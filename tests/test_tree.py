@@ -801,3 +801,69 @@ class TestEvalCli:
         assert set(out) == {"map", "ap"}
         # AP keys come from the projected names, never tree internals
         assert set(out["ap"]) <= {"cat", "collie", "car", "truck"}
+
+
+class TestScale:
+    def test_large_tree_decode_and_fused_identity(self, tmp_path):
+        """A generated ~500-node tree (branching like the real 9k
+        hierarchy's shape): decode matches the loop oracle on a spot
+        check, and the fused head stays identical to the reference
+        path — guards the gather/scatter shapes at depth and width the
+        micro tree can't reach."""
+        rng = np.random.default_rng(11)
+        parents = [-1]
+        frontier = [0]
+        while frontier and len(parents) < 500:
+            nxt = []
+            for node in frontier:
+                for _ in range(int(rng.integers(1, 5))):
+                    if len(parents) >= 500:
+                        break
+                    parents.append(node)
+                    nxt.append(len(parents) - 1)
+            frontier = nxt
+        text = "".join(f"n{i} {p}\n" for i, p in enumerate(parents))
+        (tmp_path / "big.tree").write_text(text)
+        tree = parse_tree(str(tmp_path / "big.tree"))
+        c = tree.n_nodes
+        assert c >= 300 and tree.max_depth >= 4
+
+        from yolo_tpu.ops.decode import decode
+
+        anchors = ((1.0, 1.5), (2.5, 2.0))
+        logits = rng.normal(size=(2, 2, 2 * (5 + c))).astype(np.float32)
+        jb, js = decode(logits[None], anchors, c, tree=tree,
+                        hier_thresh=0.2)
+        nb, ns = numpy_ref.decode_tree(
+            logits.astype(np.float64), anchors, tree, 0.2)
+        np.testing.assert_allclose(np.asarray(js)[0], ns, rtol=1e-4,
+                                   atol=1e-5)
+
+        # fused-vs-reference identity on a full model at this width
+        from yolo_tpu.configs.specs import Conv, ModelConfig
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.models import predict
+
+        cfg = ModelConfig(
+            name="big9000",
+            layers=(Conv(8, stride=2), Conv(8, stride=2),
+                    Conv(8, stride=2), Conv(8, stride=2),
+                    Conv(8, stride=2),
+                    Conv(2 * (5 + c), size=1, bn=False, act="linear")),
+            anchors=anchors, class_names=tree.names, input_size=32,
+            tree=tree, hier_thresh=0.3)
+        params = dw.random_params(cfg.layers, np.random.default_rng(1))
+        imgs = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        ref = predict.detect(cfg, params, imgs, conf_threshold=0.3,
+                             head="reference")
+        fus = predict.detect(cfg, params, imgs, conf_threshold=0.3,
+                             head="fused")
+        rv = np.asarray(ref["valid"][0]).astype(bool)
+        fv = np.asarray(fus["valid"][0]).astype(bool)
+        assert rv.sum() == fv.sum()
+        r = np.concatenate([np.asarray(ref["boxes"][0])[rv],
+                            np.asarray(ref["classes"][0])[rv, None]], -1)
+        f = np.concatenate([np.asarray(fus["boxes"][0])[fv],
+                            np.asarray(fus["classes"][0])[fv, None]], -1)
+        np.testing.assert_allclose(r[np.lexsort(r.T)], f[np.lexsort(f.T)],
+                                   rtol=1e-5, atol=1e-5)
