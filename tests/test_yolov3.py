@@ -483,7 +483,8 @@ class TestCfgParser:
             "[route]\nlayers = -1, -2\n"
             "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
             "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\nnum=2\n")
-        with pytest.raises(ValueError, match="stride"):
+        with pytest.raises(ValueError,
+                           match="stride|mismatched spatial extents"):
             config_from_cfg(str(p))
 
     def test_layer_strides_yolov3(self):
