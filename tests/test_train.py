@@ -464,3 +464,68 @@ def test_bn_stats_dtype_ab():
         first = first if first is not None else float(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < first
+
+
+class TestAdamCfg:
+    @pytest.mark.quick
+    def test_net_adam_keys_parsed(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import net_training_params
+
+        p = tmp_path / "a.cfg"
+        p.write_text("[net]\nwidth=64\nheight=64\nadam=1\nB1=.95\n"
+                     "B2=.99\neps=1e-6\n\n[convolutional]\nfilters=18\n"
+                     "size=1\nactivation=linear\npad=1\n"
+                     "batch_normalize=0\nstride=1\n\n[region]\n"
+                     "anchors=1,1\nclasses=1\nnum=1\n")
+        hp = net_training_params(str(p))
+        assert hp["adam"] == 1
+        assert hp["B1"] == 0.95 and hp["B2"] == 0.99
+        assert hp["eps"] == 1e-6
+
+    @pytest.mark.quick
+    def test_moments_change_the_update(self):
+        """Custom B1/B2/eps must flow into the optax transform: one
+        step from identical grads differs from default-Adam."""
+        import jax.numpy as jnp
+
+        from yolo_tpu.train.loop import TrainConfig, make_optimizer
+
+        params = [{"kernel": jnp.ones((1, 1, 1, 1))}]
+        grads = [{"kernel": jnp.full((1, 1, 1, 1), 0.5)}]
+
+        def one_step(tcfg):
+            tx = make_optimizer(tcfg)
+            st = tx.init(params)
+            upd, _ = tx.update(grads, st, params)
+            return float(upd[0]["kernel"].reshape(()))
+
+        a = one_step(TrainConfig(optimizer="adam", weight_decay=0.0))
+        b = one_step(TrainConfig(optimizer="adam", weight_decay=0.0,
+                                 adam_b1=0.5, adam_b2=0.9,
+                                 adam_eps=1e-2))
+        assert a != b
+
+    def test_cli_cfg_enables_adam(self, tmp_path, capsys):
+        import cv2
+
+        from tests.test_classifier_train import (CLS_CFG,
+                                                 _write_cls_cfg)
+        from yolo_tpu import cli
+
+        text = CLS_CFG.replace("momentum=0.9",
+                               "momentum=0.9\nadam=1\nB1=.95")
+        cfg_path, names = _write_cls_cfg(tmp_path, text)
+        rng = np.random.default_rng(0)
+        data = tmp_path / "data"
+        import os as _os
+
+        for ci, cls in enumerate(("red", "green", "blue")):
+            _os.makedirs(data / cls)
+            for i in range(3):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = 200
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        cli.main(["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--epochs", "1",
+                  "--batch", "8", "--precision", "fp32"])
+        assert "adam=1: Adam optimizer" in capsys.readouterr().err

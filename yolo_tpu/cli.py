@@ -552,7 +552,7 @@ def _train_classifier(args, cfg) -> None:
                  else net_hp.get("max_batches", 0) // 2)
     decay_steps, decay_scales, poly_max, poly_power = \
         _lr_schedule_from(args, net_hp)
-    tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
+    tcfg = TrainConfig(learning_rate=lr, **_optimizer_from(args, net_hp),
                        remat=args.remat, burn_in_steps=burn_in,
                        lr_decay_steps=decay_steps,
                        lr_decay_scales=decay_scales,
@@ -687,6 +687,23 @@ def _train_classifier(args, cfg) -> None:
         print(f"saved final checkpoint to {args.checkpoint_dir}/final",
               file=sys.stderr)
     logger.close()
+
+
+def _optimizer_from(args, net_hp) -> dict:
+    """Optimizer resolution shared by both trainers: the explicit
+    --optimizer flag wins, then the cfg's [net] adam=1 (darknet's
+    switch), else SGD; cfg B1/B2/eps become the Adam moments."""
+    opt = args.optimizer or ("adam" if net_hp.get("adam") else "sgd")
+    kw = {"optimizer": opt}
+    if opt == "adam":
+        kw.update(adam_b1=net_hp.get("B1", 0.9),
+                  adam_b2=net_hp.get("B2", 0.999),
+                  adam_eps=net_hp.get("eps", 1e-7))
+        if net_hp.get("adam") and not args.optimizer:
+            print("cfg [net] adam=1: Adam optimizer "
+                  f"(B1={kw['adam_b1']:g}, B2={kw['adam_b2']:g}, "
+                  f"eps={kw['adam_eps']:g})", file=sys.stderr)
+    return kw
 
 
 def _lr_schedule_from(args, net_hp):
@@ -827,7 +844,7 @@ def cmd_train(args) -> None:
         _lr_schedule_from(args, net_hp)
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
-    tcfg = TrainConfig(learning_rate=lr, optimizer=args.optimizer,
+    tcfg = TrainConfig(learning_rate=lr, **_optimizer_from(args, net_hp),
                        multi_scale=args.multi_scale,
                        remat=args.remat,
                        burn_in_steps=burn_in,
@@ -1531,7 +1548,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--lr", type=float, default=None,
                    help="learning rate (default: the cfg's [net] "
                         "learning_rate, else 1e-4)")
-    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--optimizer", default=None,
+                   choices=["sgd", "adam"],
+                   help="default: the cfg's [net] adam=1 key, else sgd "
+                        "(darknet); cfg B1/B2/eps flow into Adam")
     p.add_argument("--ema-alpha", type=float, default=None,
                    help="per-step weight EMA (darknet [net] ema_alpha, "
                         "scaled-yolov4 cfgs use 0.9998); checkpoints "

@@ -663,6 +663,10 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("max_batches", int),
                               ("power", float),
                               ("letter_box", int),
+                              # darknet [net] adam=1 switches the
+                              # optimizer; B1/B2/eps are its moments
+                              ("adam", int), ("B1", float),
+                              ("B2", float), ("eps", float),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),
                               ("mosaic", int), ("mixup", int)):

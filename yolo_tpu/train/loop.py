@@ -34,6 +34,11 @@ MULTISCALE_SIZES = tuple(range(320, 609, 32))
 class TrainConfig:
     learning_rate: float = 1e-4
     optimizer: str = "sgd"          # "sgd" (darknet) | "adam"
+    # darknet [net] B1/B2/eps (network.c Adam defaults .9/.999/1e-7);
+    # used when optimizer == "adam"
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-7
     momentum: float = 0.9
     weight_decay: float = 5e-4      # darknet decay, applied to kernels only
     remat: bool = False             # jax.checkpoint per conv block
@@ -116,7 +121,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
-        opt = optax.adam(lr)
+        opt = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                         eps=cfg.adam_eps)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.weight_decay:
