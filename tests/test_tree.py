@@ -867,3 +867,27 @@ class TestScale:
                             np.asarray(fus["classes"][0])[fv, None]], -1)
         np.testing.assert_allclose(r[np.lexsort(r.T)], f[np.lexsort(f.T)],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestTrainCli:
+    def test_train_cli_tree_region(self, tmp_path, capsys):
+        """CLI train on a tree [region] model over a synthetic VOC set
+        whose GT names are tree NODES (dog/cat): the hierarchical class
+        loss runs e2e through the full trainer."""
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+        from yolo_tpu.io import darknet_weights as dw
+
+        cfg_path = _write_tree_model(tmp_path)
+        cfg = config_from_cfg(cfg_path)
+        wpath = str(tmp_path / "t.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        names = tmp_path / "t.names"
+        names.write_text("\n".join(cfg.tree.names) + "\n")
+        root = make_voc_root(tmp_path, n_images=8, size=(64, 64))
+        cli.main(["train", "--cfg", cfg_path, "--names", str(names),
+                  "--weights", wpath, "--voc-root", root,
+                  "--split", "train", "--epochs", "1", "--batch", "8",
+                  "--lr", "1e-4", "--precision", "fp32"])
