@@ -569,3 +569,82 @@ class TestAugment:
                   "--imagefolder", str(data), "--epochs", "1",
                   "--batch", "8", "--precision", "fp32"])
         assert "HSV+flip augmentation enabled" in capsys.readouterr().err
+
+
+class TestTreeSourceOfTruth:
+    @pytest.mark.quick
+    def test_programmatic_tree_head_trains_hierarchically(self, tmp_path):
+        """A SoftmaxHead(tree=...) built WITHOUT ModelConfig.tree (the
+        driver-dryrun construction) must still train the hierarchical
+        CE — the head layer is the single source of truth
+        (code-review regression)."""
+        import jax.numpy as jnp
+
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.configs.specs import (AvgPool, Conv, ModelConfig,
+                                            SoftmaxHead)
+        from yolo_tpu.configs.tree import parse_tree
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.ops.numpy_ref import tree_softmax
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         train_step)
+
+        (tmp_path / "t.tree").write_text(TREE_TEXT)
+        tree = parse_tree(str(tmp_path / "t.tree"))
+        cfg = ModelConfig(
+            name="prog-tree-cls",
+            layers=(Conv(4, size=1, bn=False, act="linear"), AvgPool(),
+                    Conv(8, size=1, bn=False, act="linear"),
+                    SoftmaxHead(tree=tree)),
+            anchors=(), class_names=tree.names, input_size=8)
+        assert cfg.tree is None  # deliberately NOT set on the config
+        params = dw.random_params(cfg.layers, np.random.default_rng(0))
+        state = init_state(params, TrainConfig(weight_decay=0.0))
+        batch = {"images": jnp.asarray(np.random.default_rng(1).uniform(
+                     0, 1, (2, 8, 8, 3)).astype(np.float32)),
+                 "labels": jnp.asarray(np.array([7, 4], np.int32))}
+        _, metrics = train_step(state, batch, mcfg=cfg,
+                                tcfg=TrainConfig(weight_decay=0.0))
+        # recompute the HIERARCHICAL CE from the actual logits: the
+        # metric must match it, not the flat-softmax CE
+        from yolo_tpu.models import graph
+
+        logits = np.asarray(graph.apply_layers(
+            cfg.layers, graph.params_to_jax(params), batch["images"],
+            eps=cfg.bn_eps, softmax_logits=True))
+        want = 0.0
+        for b, lab in enumerate([7, 4]):
+            cond = tree_softmax(logits[b].astype(np.float64), tree)
+            node = lab
+            while node >= 0:
+                want += -np.log(cond[node])
+                node = tree.parents[node]
+        want /= 2
+        assert float(metrics["ce"]) == pytest.approx(want, rel=1e-4)
+
+
+class TestHierarchicalAccuracy:
+    @pytest.mark.quick
+    def test_internal_node_labels_score_on_ancestry(self, tmp_path):
+        """Tree top1: an internal-node label (dog) counts correct when
+        the predicted leaf (collie) descends from it — both in the
+        training metric and the imagefolder protocol."""
+        import jax.numpy as jnp
+
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.configs.tree import parse_tree
+        from yolo_tpu.train.loss import classifier_loss
+
+        (tmp_path / "t.tree").write_text(TREE_TEXT)
+        tree = parse_tree(str(tmp_path / "t.tree"))
+        # logits drive the leaf argmax to collie (node 7): boost the
+        # whole path 0->1->3->7
+        logits = np.full((2, 8), -5.0, np.float32)
+        for n in (1, 3, 7):
+            logits[:, n] = 8.0
+        # labels: dog (3, internal — ancestor of collie) and cat (4,
+        # leaf, NOT on collie's path)
+        _, parts = classifier_loss(
+            jnp.asarray(logits), jnp.asarray(np.array([3, 4], np.int32)),
+            tree=tree)
+        assert float(parts["top1"]) == pytest.approx(0.5)

@@ -373,3 +373,31 @@ class TestNewFamiliesServe:
                        for d in out["detections"])
         finally:
             srv.stop()
+
+    def test_tree_map_mode_serves_projected_names(self, tmp_path):
+        """DetectionServer(use_tree_map=True): /detect classes come
+        from the map-projected vocabulary (code-review: the flags must
+        actually reach the detector)."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        from tests.test_tree import _write_tree_model
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg = dataclasses.replace(
+            config_from_cfg(_write_tree_model(tmp_path)),
+            conf_threshold=0.05)
+        params = graph.params_to_jax(graph.fold_params(
+            cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)),
+            cfg.bn_eps))
+        srv = DetectionServer(cfg, params, compute_dtype=jnp.float32,
+                              port=0, use_tree_map=True)
+        srv.start()
+        try:
+            out = self._post(srv)
+            mapped = {"cat", "collie", "car", "truck"}
+            assert out["detections"], "expected low-conf detections"
+            assert all(d["class"] in mapped for d in out["detections"])
+        finally:
+            srv.stop()

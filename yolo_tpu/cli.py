@@ -69,6 +69,26 @@ def _compute_dtype(precision: str):
     return jnp.float32 if precision == "fp32" else jnp.bfloat16
 
 
+def _quantize_classifier(cfg, params, calib_01):
+    """int8 PTQ for CLASSIFIER geometry: calibration images are already
+    classifier-preprocessed [0,1] floats (resize_min + center crop —
+    the /classify and `classify` input path). One implementation for
+    cmd_classify and cmd_serve (code-review dedupe); the detector-
+    geometry sibling is _maybe_quantize."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.models import quantize
+    from yolo_tpu.models.graph import params_to_jax_quant
+
+    try:
+        q = quantize.prepare_int8(cfg, params, jnp.asarray(calib_01))
+    except NotImplementedError as e:
+        raise SystemExit(str(e))
+    print(f"int8 PTQ: calibrated on {len(calib_01)} images",
+          file=sys.stderr)
+    return params_to_jax_quant(q)
+
+
 def _maybe_quantize(args, cfg, params, sample_images_u8):
     """precision=int8: calibrate on the given raw images and return the
     int8 params pytree (models/quantize.py). Otherwise pass through."""
@@ -227,6 +247,10 @@ def cmd_classify(args) -> None:
                          f"(head_kind={cfg.head_kind}) — use `predict`")
     if bool(args.image) == bool(args.images):
         raise SystemExit("give exactly one of --image / --images")
+    if args.use_tree_map or args.hier_thresh is not None:
+        raise SystemExit("--use-tree-map/--hier-thresh shape the "
+                         "DETECTION decode — classify uses leaf-masked "
+                         "absolute probs (--hierarchy prints the path)")
     if args.hierarchy and cfg.tree is None:
         raise SystemExit("--hierarchy applies only to tree classifiers "
                          f"([softmax] tree=<file>); {cfg.name} has none")
@@ -236,21 +260,7 @@ def cmd_classify(args) -> None:
     params = _load_params(args, cfg)
 
     def _quantize_on(calib_01):
-        """int8 PTQ calibrated on already-preprocessed [0,1] images
-        (the convs quantize; the [connected] tail stays fp)."""
-        import jax.numpy as jnp
-
-        from yolo_tpu.models import quantize
-
-        q = quantize.prepare_int8(cfg, params, jnp.asarray(calib_01))
-        print(f"int8 PTQ: calibrated on {len(calib_01)} images",
-              file=sys.stderr)
-        return graph_quant(q)
-
-    def graph_quant(q):
-        from yolo_tpu.models import graph
-
-        return graph.params_to_jax_quant(q)
+        return _quantize_classifier(cfg, params, calib_01)
 
     run = make_classifier(cfg, compute_dtype=_compute_dtype(args.precision))
     if args.image:
@@ -524,9 +534,10 @@ def _train_classifier(args, cfg) -> None:
             raise SystemExit(f"{name} applies to detector training "
                              "only (classifier training augments with "
                              "a seeded flip; --no-augment disables)")
-    eval_samples = None
+    eval_arrays = None
     if args.eval_every:
         from yolo_tpu.data.imagefolder import list_imagefolder
+        from yolo_tpu.models.classify import preprocess_samples
 
         eval_dir = args.eval_imagefolder or args.imagefolder
         if not args.eval_imagefolder:
@@ -535,6 +546,11 @@ def _train_classifier(args, cfg) -> None:
         eval_samples = list_imagefolder(eval_dir, cfg.class_names)
         if args.eval_max_images:
             eval_samples = eval_samples[:args.eval_max_images]
+        # decode+resize ONCE: per-eval re-reading stalls training on
+        # slow hosts (code-review)
+        eval_arrays = preprocess_samples(eval_samples, cfg.input_size)
+        print(f"cached {len(eval_samples)} preprocessed eval images",
+              file=sys.stderr)
 
     net_hp = {}
     if args.cfg:
@@ -659,11 +675,11 @@ def _train_classifier(args, cfg) -> None:
                        size=batch["images"].shape[1],
                        img_s=round(img_s, 1))
             if args.eval_every and step % args.eval_every == 0:
-                from yolo_tpu.models.classify import imagefolder_accuracy
+                from yolo_tpu.models.classify import accuracy_from_arrays
                 from yolo_tpu.train.loop import ema_params_of
 
-                acc = imagefolder_accuracy(
-                    cfg, ema_params_of(state), eval_samples,
+                acc = accuracy_from_arrays(
+                    cfg, ema_params_of(state), *eval_arrays,
                     batch=min(args.batch, 32),
                     compute_dtype=_compute_dtype(args.precision))
                 logger.log(step, {"val_top1": acc["top1"]}, force=True)
@@ -764,6 +780,11 @@ def cmd_train(args) -> None:
     from yolo_tpu.utils.metrics import MetricsLogger
 
     cfg = _get_cfg(args)
+    if args.use_tree_map or args.hier_thresh is not None:
+        raise SystemExit("--use-tree-map/--hier-thresh shape the "
+                         "detection DECODE — training ignores them "
+                         "(the hierarchical loss follows the cfg tree "
+                         "automatically)")
     if cfg.head_kind == "softmax":
         _train_classifier(args, cfg)
         return
@@ -1351,24 +1372,25 @@ def cmd_serve(args) -> None:
     from yolo_tpu.serve import DetectionServer
 
     cfg = _get_cfg(args)
+    if cfg.head_kind == "softmax" and (args.use_tree_map
+                                       or args.hier_thresh is not None):
+        raise SystemExit("--use-tree-map/--hier-thresh shape the "
+                         "DETECTION decode; /classify scores leaf-"
+                         "masked absolute probs with no threshold")
+    tree_kw = ({} if cfg.head_kind == "softmax"
+               else _tree_kw(args, cfg))
     params = _load_params(args, cfg)
     if args.precision == "int8":
         if not args.calibration_image:
             raise SystemExit("--precision int8 needs --calibration-image")
         if cfg.head_kind == "softmax":
-            # classifier: calibration must see the SAME geometry the
-            # /classify endpoint applies (resize_min + center crop)
-            import jax.numpy as jnp
-
-            from yolo_tpu.models import quantize
+            # calibration must see the SAME geometry the /classify
+            # endpoint applies (resize_min + center crop)
             from yolo_tpu.models.classify import classifier_preprocess
-            from yolo_tpu.models.graph import params_to_jax_quant
 
             calib = classifier_preprocess(
                 load_image_rgb(args.calibration_image), cfg.input_size)
-            params = params_to_jax_quant(quantize.prepare_int8(
-                cfg, params, jnp.asarray(calib[None])))
-            print("int8 PTQ: calibrated on 1 image", file=sys.stderr)
+            params = _quantize_classifier(cfg, params, calib[None])
         else:
             params = _maybe_quantize(
                 args, cfg, params,
@@ -1386,7 +1408,7 @@ def cmd_serve(args) -> None:
         batch_window_ms=args.batch_window_ms,
         adaptive_window=not args.no_adaptive_window,
         conf_threshold=args.conf, mesh=mesh,
-        resize=args.resize)
+        resize=args.resize, **tree_kw)
     if args.prewarm_shape:
         h, w = (int(v) for v in args.prewarm_shape.split("x"))
         print(f"prewarming batch buckets for {h}x{w}...", file=sys.stderr)

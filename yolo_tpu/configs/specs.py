@@ -368,12 +368,8 @@ class ModelConfig:
         return len(self.class_names)
 
     def num_detection_classes(self, use_tree_map: bool = False) -> int:
-        """Width of the score/class axis detections carry: the map's
-        class count when decoding through the tree projection, else
-        num_classes (tree traversal predicts over ALL tree nodes)."""
-        if use_tree_map and self.tree_map is not None:
-            return len(self.tree_map)
-        return self.num_classes
+        """len(detection_names(...)) — one rule, stated once."""
+        return len(self.detection_names(use_tree_map))
 
     def detection_names(self, use_tree_map: bool = False
                         ) -> Tuple[str, ...]:

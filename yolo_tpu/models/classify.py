@@ -71,42 +71,73 @@ def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
     return [(class_names[i], float(probs[i])) for i in idx]
 
 
+def preprocess_samples(samples, net_size: int) -> tuple:
+    """(path, label) samples -> (xs (N, net, net, 3) f32, labels (N,)).
+    Factored out so mid-train evaluation can pay the decode+resize cost
+    ONCE instead of per --eval-every invocation (code-review)."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+
+    xs = np.stack([classifier_preprocess(load_image_rgb(p), net_size)
+                   for p, _ in samples]).astype(np.float32)
+    labels = np.asarray([lab for _, lab in samples], np.int64)
+    return xs, labels
+
+
+def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
+                         batch: int = 32, k: int = 5,
+                         compute_dtype=jnp.float32,
+                         quantize_first_batch=None) -> dict:
+    """Top-1/top-k accuracy over preprocessed arrays — the compute
+    core of the darknet `classifier valid` protocol (ONE padded jit
+    bucket; tree classifiers score on leaf-masked absolute probs, with
+    internal-node labels correct when they are ancestors of the
+    predicted leaf). quantize_first_batch(xs) -> params hooks int8 PTQ
+    calibration on the first batch."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    run = make_classifier(cfg, compute_dtype=compute_dtype)
+    n = len(labels)
+    top1 = topk = 0
+    for i in range(0, n, batch):
+        chunk = xs[i:i + batch]
+        real = len(chunk)
+        if real < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - real,) + chunk.shape[1:],
+                                 chunk.dtype)])
+        if i == 0 and quantize_first_batch is not None:
+            params = quantize_first_batch(chunk)
+        probs = np.asarray(run(params, chunk))[:real]
+        if cfg.tree is not None:
+            probs = hierarchy_leaf_probs(probs, cfg.tree)
+        order = np.argsort(-probs, axis=-1)
+        for true_idx, o in zip(labels[i:i + batch], order):
+            if cfg.tree is not None:
+                # hierarchical protocol: predictions are leaves, so an
+                # internal-node label is correct when it is an ancestor
+                # of the predicted leaf (equality for leaf labels)
+                hits = [true_idx in cfg.tree.path(int(p))
+                        for p in o[:k]]
+                top1 += int(hits[0])
+                topk += int(any(hits))
+            else:
+                top1 += int(o[0] == true_idx)
+                topk += int(true_idx in o[:k])
+    return {"images": n, "top1": round(top1 / n, 4),
+            f"top{k}": round(topk / n, 4)}
+
+
 def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
                          batch: int = 32, k: int = 5,
                          compute_dtype=jnp.float32,
                          quantize_first_batch=None) -> dict:
-    """Top-1/top-k accuracy over (path, label) samples (darknet
-    `classifier valid` protocol): darknet preprocess, ONE padded jit
-    bucket, tree classifiers scored on leaf-masked absolute probs.
-    quantize_first_batch(xs) -> params hooks int8 PTQ calibration on
-    the first batch (cli classify --precision int8)."""
-    from yolo_tpu.data.pipeline import load_image_rgb
-
-    if batch < 1:
-        raise ValueError(f"batch must be >= 1, got {batch}")
-    run = make_classifier(cfg, compute_dtype=compute_dtype)
-    top1 = topk = 0
-    for i in range(0, len(samples), batch):
-        chunk = samples[i:i + batch]
-        xs = np.stack([classifier_preprocess(load_image_rgb(p),
-                                             cfg.input_size)
-                       for p, _ in chunk])
-        if len(chunk) < batch:
-            xs = np.concatenate(
-                [xs, np.zeros((batch - len(chunk),) + xs.shape[1:],
-                              xs.dtype)])
-        if i == 0 and quantize_first_batch is not None:
-            params = quantize_first_batch(xs)
-        probs = np.asarray(run(params, xs))[:len(chunk)]
-        if cfg.tree is not None:
-            probs = hierarchy_leaf_probs(probs, cfg.tree)
-        order = np.argsort(-probs, axis=-1)
-        for (path, true_idx), o in zip(chunk, order):
-            top1 += int(o[0] == true_idx)
-            topk += int(true_idx in o[:k])
-    n = len(samples)
-    return {"images": n, "top1": round(top1 / n, 4),
-            f"top{k}": round(topk / n, 4)}
+    """accuracy_from_arrays over freshly preprocessed (path, label)
+    samples — the one-shot `cli classify --images` entry point."""
+    xs, labels = preprocess_samples(samples, cfg.input_size)
+    return accuracy_from_arrays(
+        cfg, params, xs, labels, batch=batch, k=k,
+        compute_dtype=compute_dtype,
+        quantize_first_batch=quantize_first_batch)
 
 
 def hierarchy_leaf_probs(cond, tree) -> np.ndarray:

@@ -50,7 +50,9 @@ class DetectionServer:
                  adaptive_window: bool = True,
                  conf_threshold: Optional[float] = None,
                  request_timeout: float = 120.0, mesh=None,
-                 resize: str = "letterbox"):
+                 resize: str = "letterbox",
+                 use_tree_map: bool = False,
+                 hier_thresh: Optional[float] = None):
         """``mesh``: a 1-D jax Mesh to scale serving data-parallel —
         micro-batches are padded to a devices-multiple bucket and
         batch-sharded over the mesh (no collectives on the hot path,
@@ -92,7 +94,8 @@ class DetectionServer:
             self.params = params
             self._detector = make_detector(
                 cfg, compute_dtype=compute_dtype or jnp.bfloat16,
-                conf_threshold=conf_threshold, resize=resize)
+                conf_threshold=conf_threshold, resize=resize,
+                use_tree_map=use_tree_map, hier_thresh=hier_thresh)
         else:
             from yolo_tpu.parallel import sharding as shd
 
@@ -103,10 +106,14 @@ class DetectionServer:
                 cfg, mesh, compute_dtype=compute_dtype or jnp.bfloat16,
                 conf_threshold=(conf_threshold if conf_threshold is not None
                                 else cfg.conf_threshold),
-                resize=resize)
+                resize=resize, use_tree_map=use_tree_map,
+                hier_thresh=hier_thresh)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
+        # detection class indices map onto the projected vocabulary
+        # under the tree-map mode (cfg.detection_names)
+        self._det_names = cfg.detection_names(use_tree_map)
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "max_batch_seen": 0, "window_skips": 0,
                       "ewma_batch": 1.0}
@@ -247,7 +254,7 @@ class DetectionServer:
                     for bi, item in enumerate(items):
                         valid = np.asarray(out["valid"][bi])
                         item.result = [{
-                            "class": self.cfg.class_names[
+                            "class": self._det_names[
                                 int(out["classes"][bi][i])],
                             "score": round(float(out["scores"][bi][i]), 4),
                             "box_xyxy": [round(float(v), 1) for v in

@@ -186,9 +186,16 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             dropout_rng=jax.random.fold_in(jax.random.PRNGKey(0),
                                            state["step"]))
         if mcfg.head_kind == "softmax":
+            # the SoftmaxHead layer is the single source of truth for
+            # the hierarchy and temperature — inference reads them from
+            # the layer, so training must too (a programmatically built
+            # SoftmaxHead(tree=...) with ModelConfig.tree=None would
+            # otherwise silently train FLAT CE against a hierarchical
+            # forward pass — code-review finding)
+            shead = mcfg.layers[-1]
             total, parts = classifier_loss(
-                logits, batch["labels"], tree=mcfg.tree,
-                temperature=mcfg.layers[-1].temperature)
+                logits, batch["labels"], tree=shead.tree,
+                temperature=shead.temperature)
             return total, (bn_updates, parts)
         if mcfg.head_kind == "detection":
             total, parts = detection_loss(logits, batch,

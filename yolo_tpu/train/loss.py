@@ -108,6 +108,15 @@ def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
         leaf = jnp.asarray(np.array(
             [tree.leaf(i) for i in range(tree.n_nodes)]))
         pred = jnp.argmax(jnp.where(leaf, absolute, 0.0), axis=-1)
+        # hierarchical top1: the prediction is a LEAF, so an internal-
+        # node label counts correct when it lies on the predicted
+        # leaf's root path (leaf labels reduce to equality) — without
+        # this, internal-node labels could never score (code-review)
+        pred_paths = paths[pred]                   # (B, max_depth)
+        hit = jnp.any(pred_paths == labels[:, None], axis=-1)
+        mean_ce = jnp.mean(ce)
+        return mean_ce, {"ce": mean_ce,
+                         "top1": jnp.mean(hit.astype(jnp.float32))}
     mean_ce = jnp.mean(ce)
     top1 = jnp.mean((pred == labels).astype(jnp.float32))
     return mean_ce, {"ce": mean_ce, "top1": top1}
