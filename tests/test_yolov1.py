@@ -454,7 +454,8 @@ class TestCliTrain:
         cli.main(["train", "--cfg", cfg_path, "--names", str(names),
                   "--weights", wpath, "--voc-root", root,
                   "--split", "train", "--epochs", "1", "--batch", "8",
-                  "--lr", "1e-4", "--precision", "fp32"])
+                  "--lr", "1e-4", "--precision", "fp32",
+                  "--eval-every", "1", "--eval-max-images", "4"])
         with pytest.raises(SystemExit, match="FIXED input size"):
             cli.main(["train", "--cfg", cfg_path, "--names", str(names),
                       "--weights", wpath, "--voc-root", root,
