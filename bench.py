@@ -8,19 +8,53 @@ RGB: device letterbox -> backbone+head -> decode -> class-wise NMS
 that preserves box-level parity, SURVEY.md §7.2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Relay-outage resilience: the axon TPU relay can go fully down for
+hours (CLAUDE.md gotchas) and a bare compile then hangs forever —
+which would leave the driver's BENCH record EMPTY. main() first probes
+the backend with a trivial matmul in a BOUNDED subprocess; if the
+probe fails, the benchmark reruns itself on the CPU backend and tags
+the line with "backend": "cpu_fallback_relay_down" so a recorded
+number is honest about what it measured instead of silently absent.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_S_PER_CHIP = 250.0
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+
+
+def _backend_alive(timeout_s: float = 150.0) -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"64.0" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def main(batch: int = 128, iters: int = 15, warmup: int = 3) -> None:
+    fallback = os.environ.get("YOLO_TPU_BENCH_CPU") == "1"
+    if not fallback and not _backend_alive():
+        # relay down: re-exec on the CPU backend (jax must not have
+        # been initialized to switch platforms, hence the subprocess)
+        env = dict(os.environ, YOLO_TPU_BENCH_CPU="1")
+        os.execve(sys.executable, [sys.executable, __file__], env)
     import jax
     import jax.numpy as jnp
+
+    if fallback:
+        jax.config.update("jax_platforms", "cpu")
+        # the full workload takes hours on one CPU core; a tiny run
+        # still yields an honest liveness record for the round
+        batch, iters, warmup = 4, 2, 1
 
     from yolo_tpu.configs import get_variant
     from yolo_tpu.io import darknet_weights as dw
@@ -55,12 +89,15 @@ def main(batch: int = 128, iters: int = 15, warmup: int = 3) -> None:
     dt = time.perf_counter() - t0
 
     img_s = batch * iters / dt
-    print(json.dumps({
+    line = {
         "metric": "yolov2_coco_416_batch_inference",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / BASELINE_IMG_S_PER_CHIP, 3),
-    }))
+    }
+    if fallback:
+        line["backend"] = "cpu_fallback_relay_down"
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
