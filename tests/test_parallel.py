@@ -186,3 +186,32 @@ def test_dp_classifier_train_matches_single_device(mesh, tmp_path):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         single_state["params"], dp_state["params"])
+
+
+def test_sharded_tree_inference_matches_unsharded(mesh, tmp_path):
+    """DP inference over a YOLO9000 tree model with the map projection:
+    the use_tree_map/hier_thresh kwargs ride make_dp_detector (the
+    serve --dp path) and match single-device bit-for-bit."""
+    from tests.test_tree import _write_tree_model
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+    cfg = config_from_cfg(_write_tree_model(tmp_path))
+    rng = np.random.default_rng(2)
+    params = graph.params_to_jax(
+        graph.fold_params(cfg.layers, dw.random_params(cfg.layers, rng),
+                          cfg.bn_eps))
+    images = rng.integers(0, 256, (8, 48, 64, 3), dtype=np.uint8)
+
+    det = make_detector(cfg, conf_threshold=0.05, use_tree_map=True)
+    want = det(params, jnp.asarray(images))
+
+    dp_det = shd.make_dp_detector(cfg, mesh, conf_threshold=0.05,
+                                  compute_dtype=jnp.float32,
+                                  use_tree_map=True)
+    got = dp_det(shd.replicate(mesh, params),
+                 jax.device_put(jnp.asarray(images),
+                                shd.batch_sharding(mesh)))
+    for key in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]),
+                                   rtol=1e-4, atol=1e-5)
