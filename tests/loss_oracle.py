@@ -108,8 +108,18 @@ def _iou_variant_np(p, g, kind, eps=1e-9):
     return iou - rho2 / c2 - alpha * v
 
 
+def gaussian_nll_np(x, mu, sigma, eps=1e-9):
+    """Gaussian YOLOv3 NLL oracle: -log(N(x|mu, sigma^2) + eps), the
+    variance stabilized by the same eps (arXiv:1904.04620 eq. 9)."""
+    var = sigma * sigma + eps
+    pdf = np.exp(-(x - mu) ** 2 / (2.0 * var)) / np.sqrt(
+        2.0 * np.pi * var)
+    return -np.log(pdf + eps)
+
+
 def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
-                 net_size, cfg, scales=None, new_coords=None):
+                 net_size, cfg, scales=None, new_coords=None,
+                 gaussian=None):
     """Loop-level numpy oracle for the yolov3 multi-head loss
     (train/loss.py::yolo_loss), incl. the yolov4 scale_x_y variant and
     the scaled-yolov4 new_coords heads (inputs already
@@ -120,12 +130,21 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
     parts = {k: 0.0 for k in ("coord", "obj", "noobj", "class")}
     scales = scales or [1.0] * len(masks)
     new_coords = new_coords or [False] * len(masks)
+    gaussian = gaussian or [False] * len(masks)
 
     for h, (logits, mask, s_xy, nc) in enumerate(zip(head_logits, masks,
                                                      scales, new_coords)):
         _, s, _, _ = logits.shape
         a = len(mask)
-        t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
+        ga = gaussian[h]
+        if ga:
+            # interleaved (9+C): remap to [x y w h obj cls...] + sigmas
+            raw = logits.reshape(b, s, s, a, 9 + c).astype(np.float64)
+            t = np.concatenate([raw[..., [0, 2, 4, 6]], raw[..., 8:]],
+                               axis=-1)
+            sig_all = sigmoid(raw[..., [1, 3, 5, 7]])
+        else:
+            t = logits.reshape(b, s, s, a, 5 + c).astype(np.float64)
         for bi in range(b):
             gt = [targets["gt_boxes"][bi][g]
                   for g in range(len(targets["gt_mask"][bi]))
@@ -157,7 +176,21 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                             tc = targets[f"tcoord_{h}"][bi, j, i, ai]
                             w = targets[f"coord_w_{h}"][bi, j, i, ai]
                             kind = getattr(cfg, "iou_loss", "mse")
-                            if kind != "mse":
+                            if ga:
+                                # Gaussian NLL over the encoded coords,
+                                # weighted by (2 - w*h)
+                                sg = sig_all[bi, j, i, ai]
+                                mux = sigmoid(v[0]) * s_xy - off
+                                muy = sigmoid(v[1]) * s_xy - off
+                                nll = (gaussian_nll_np(tc[0], mux, sg[0])
+                                       + gaussian_nll_np(tc[1], muy,
+                                                         sg[1])
+                                       + gaussian_nll_np(tc[2], v[2],
+                                                         sg[2])
+                                       + gaussian_nll_np(tc[3], v[3],
+                                                         sg[3]))
+                                parts["coord"] += w * nll
+                            elif kind != "mse":
                                 gbox = targets[f"tbox_{h}"][bi, j, i, ai]
                                 parts["coord"] += (
                                     cfg.iou_normalizer

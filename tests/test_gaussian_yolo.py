@@ -4,7 +4,7 @@ family): per-anchor channel layout [x y w h sx sy sw sh obj cls...]
 (9+C), box math identical to [yolo] (sigmoid xy with scale_x_y, exp wh
 on pixel anchors), and detection score = sigmoid(obj) * sigmoid(cls) *
 (1 - uc_aver) where uc_aver = mean(sigmoid(sigma_xywh))
-(get_gaussian_yolo_detections). Inference/eval only; training rejects
+(get_gaussian_yolo_detections). Training uses the paper's NLL
 loudly (the Gaussian NLL deltas have no pinnable reference source).
 """
 
@@ -334,14 +334,87 @@ class TestGaussianE2E:
             assert set(d) == {"class", "score", "box_xyxy"}
 
 
-class TestGaussianTrainingRejected:
-    def test_train_step_raises(self):
-        from yolo_tpu.train.loop import TrainConfig, init_state, train_step
+class TestGaussianTraining:
+    """[Gaussian_yolo] trains with the paper's per-coordinate NLL
+    (arXiv:1904.04620) — pinned by the loop oracle and an overfit run
+    (this replaced the former loud rejection)."""
 
-        rng = np.random.default_rng(1)
-        tcfg = TrainConfig()
-        state = init_state(dw.random_params(MICRO_GAUSS.layers, rng),
-                           tcfg)
-        batch = {"images": jnp.zeros((1, 64, 64, 3), jnp.float32)}
-        with pytest.raises(NotImplementedError, match="Gaussian"):
-            train_step(state, batch, mcfg=MICRO_GAUSS, tcfg=tcfg)
+    def _scene(self, rng, b=2):
+        from yolo_tpu.data import targets as tgt
+
+        boxes, classes = [], []
+        for _ in range(b):
+            g = rng.integers(1, 3)
+            bx = np.stack([
+                rng.uniform(0.2, 0.8, g), rng.uniform(0.2, 0.8, g),
+                rng.uniform(0.1, 0.5, g), rng.uniform(0.1, 0.5, g),
+            ], axis=-1)
+            boxes.append(bx)
+            classes.append(rng.integers(0, C, g))
+        enc = [tgt.encode_for(MICRO_GAUSS, bx, cl)
+               for bx, cl in zip(boxes, classes)]
+        return {k: np.stack([e[k] for e in enc]) for k in enc[0]}
+
+    def test_loss_matches_oracle(self):
+        from tests.loss_oracle import yolo_loss_np
+        from yolo_tpu.train.loss import YoloLossConfig, yolo_loss
+
+        rng = np.random.default_rng(3)
+        targets = self._scene(rng)
+        heads = [rng.normal(0, 1, (2, s, s, 2 * (9 + C))).astype(
+                     np.float32) for s in (8, 16)]
+        cfg = YoloLossConfig()
+        masks = [h.mask for h in MICRO_GAUSS.yolo_heads]
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, G_ANCHORS, masks, C, 64, cfg,
+            gaussian=[True, True])
+        got_total, got_parts = yolo_loss(
+            tuple(jnp.asarray(h) for h in heads),
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            G_ANCHORS, masks, C, 64, cfg, gaussian=[True, True])
+        for k in want_parts:
+            assert float(got_parts[k]) == pytest.approx(
+                want_parts[k], rel=1e-4, abs=1e-6), k
+        assert float(got_total) == pytest.approx(want_total, rel=1e-4)
+
+    def test_train_step_overfits_and_sigma_shrinks(self):
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loop import (TrainConfig, init_state,
+                                         make_train_step)
+
+        rng = np.random.default_rng(0)
+        params = dw.random_params(MICRO_GAUSS.layers, rng, scale=0.05)
+        tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                           weight_decay=0.0)
+        state = init_state(params, tcfg)
+        step = make_train_step(MICRO_GAUSS, tcfg)
+        boxes = [np.array([[0.5, 0.5, 0.4, 0.4]]),
+                 np.array([[0.3, 0.6, 0.2, 0.3]])]
+        classes = [np.array([2]), np.array([1])]
+        enc = [tgt.encode_for(MICRO_GAUSS, b_, c_)
+               for b_, c_ in zip(boxes, classes)]
+        batch = {k: jnp.asarray(np.stack([e[k] for e in enc]))
+                 for k in enc[0]}
+        batch["images"] = jnp.asarray(rng.uniform(
+            0, 1, (2, 64, 64, 3)).astype(np.float32))
+
+        def mean_sigma(st):
+            # assigned-anchor mean sigma on head 0 (consistent targets
+            # should drive the predicted uncertainty DOWN)
+            from yolo_tpu.models import graph
+
+            outs = graph.apply_layers(
+                MICRO_GAUSS.layers, st["params"], batch["images"],
+                eps=MICRO_GAUSS.bn_eps)
+            t = np.asarray(outs[0]).reshape(2, 8, 8, 2, 9 + C)
+            sig = 1 / (1 + np.exp(-t[..., [1, 3, 5, 7]]))
+            m = np.asarray(batch["obj_mask_0"]) > 0
+            return float(sig[m].mean()) if m.any() else 0.0
+
+        s0 = mean_sigma(state)
+        losses = []
+        for _ in range(25):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+        assert mean_sigma(state) < s0

@@ -25,8 +25,8 @@ silently training differently: focal_loss, truth_thresh != 1 at parse
 time, objectness_smooth at training time (inference ignores it, as
 darknet's forward does)), and [Gaussian_yolo] (Gaussian YOLOv3
 localization-uncertainty heads: 9+C channel layout, score scaled by
-(1 - mean sigma) — inference/eval; training rejects loudly since the
-Gaussian NLL deltas have no pinnable reference source).
+(1 - mean sigma); training runs the paper's per-coordinate Gaussian
+NLL — arXiv:1904.04620, the pinned source).
 
 Classifier cfgs (darknet19/darknet53 — the pretrained-backbone
 sources): [avgpool] (global), [connected] (output, activation; no BN),

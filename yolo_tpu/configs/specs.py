@@ -276,8 +276,10 @@ class YoloHead:
     # matches [yolo] (sigmoid xy with scale_x_y, exp wh on pixel
     # anchors); detection score = sigmoid(obj) * sigmoid(class)
     # * (1 - mean(sigmoid(uc))) — get_gaussian_yolo_detections'
-    # uc_aver term. Inference/eval only: training rejects loudly (the
-    # Gaussian NLL deltas have no pinnable reference source here).
+    # uc_aver term. Training runs the PAPER's per-coordinate Gaussian
+    # NLL (arXiv:1904.04620; train/loss.gaussian_nll) over the encoded
+    # targets with sigma = sigmoid(u) — the paper, not darknet's delta
+    # file, is the pinned source (reference absent).
     gaussian: bool = False
 
 

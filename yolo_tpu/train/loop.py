@@ -203,15 +203,6 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             return total, (bn_updates, parts)
         if mcfg.head_kind == "yolo":
             heads = mcfg.yolo_heads
-            if any(hd.gaussian for hd in heads):
-                # [Gaussian_yolo] trains a per-coordinate Gaussian NLL
-                # (delta_gaussian_yolo_box) whose exact deltas have no
-                # pinnable reference source here — inference/eval only
-                raise NotImplementedError(
-                    "[Gaussian_yolo] training is not supported — the "
-                    "Gaussian NLL deltas cannot be pinned against a "
-                    "reference; inference/eval of pretrained Gaussian "
-                    "weights is fully supported")
             if mcfg.objectness_smooth:
                 # AlexeyAB objectness_smooth=1 replaces the sharp
                 # objectness target with an IoU-derived one via delta
@@ -230,7 +221,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                 scales=[hd.scale_xy for hd in heads],
                 max_deltas=[hd.max_delta for hd in heads],
                 smooth_eps=[hd.label_smooth_eps for hd in heads],
-                new_coords=[hd.new_coords for hd in heads])
+                new_coords=[hd.new_coords for hd in heads],
+                gaussian=[hd.gaussian for hd in heads])
         else:
             total, parts = region_loss(
                 logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,

@@ -431,10 +431,25 @@ def _diag_iou_variant(p, g, kind: str, eps: float = 1e-9):
     return iou - rho2 / c2 - alpha * v
 
 
+def gaussian_nll(target: jnp.ndarray, mu: jnp.ndarray,
+                 sigma: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Gaussian YOLOv3 per-coordinate negative log likelihood
+    (arXiv:1904.04620 eq. 9): -log(N(target | mu, sigma^2) + eps),
+    with the variance also stabilized by eps. sigma arrives already
+    sigmoid-activated (the decode convention, ops/decode.decode_yolo).
+    Computed in log space — no pdf under/overflow."""
+    var = jnp.square(sigma) + eps
+    log_pdf = (-0.5 * jnp.log(2.0 * jnp.pi * var)
+               - jnp.square(target - mu) / (2.0 * var))
+    # -log(pdf + eps) without forming the pdf: logaddexp is stable for
+    # arbitrarily small pdfs (a naive log1p(eps*exp(-log_pdf)) overflows)
+    return -jnp.logaddexp(log_pdf, jnp.log(jnp.float32(eps)))
+
+
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
               masks, num_classes: int, net_size: int,
               cfg: YoloLossConfig, scales=None, max_deltas=None,
-              smooth_eps=None, new_coords=None
+              smooth_eps=None, new_coords=None, gaussian=None
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Multi-head yolov3 loss. head_logits: tuple of (B, S, S, A*(5+C))
     raw outputs (graph.apply_layers yolo-family return); targets from
@@ -453,6 +468,16 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     decodes with the new_coords math; requires an iou-family iou_loss
     (see the YoloLossConfig docstring).
 
+    gaussian: per-head [Gaussian_yolo] flags. Such heads carry the
+    INTERLEAVED (9+C) layout [x,ux,y,uy,w,uw,h,uh,obj,cls...]; the box
+    term becomes the paper's per-coordinate Gaussian NLL
+    (arXiv:1904.04620 — mean in the SAME encoded space as the [yolo]
+    targets: sigmoid-cell xy, log-ratio wh; sigma = sigmoid(u)),
+    weighted by the (2 - w*h) scale like the mse box term, while
+    obj/class stay BCE at their shifted slots. The paper's loss, not
+    darknet's delta file, is the pinned source (reference absent) —
+    iou_loss/max_delta do not apply to gaussian heads.
+
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
     from yolo_tpu.ops.decode import decode_head_boxes
@@ -466,6 +491,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     max_deltas = max_deltas or [None] * n_heads
     smooth_eps = smooth_eps or [None] * n_heads
     new_coords = new_coords or [False] * n_heads
+    gaussian = gaussian or [False] * n_heads
+    if any(gaussian) and any(new_coords):
+        raise NotImplementedError(
+            "[Gaussian_yolo] + new_coords heads cannot be combined")
     if any(new_coords) and cfg.iou_loss == "mse":
         raise NotImplementedError(
             "[yolo] new_coords=1 training requires an iou-family "
@@ -477,9 +506,20 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                                                      scales, new_coords)):
         _, s, _, _ = logits.shape
         a = len(mask)
-        t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
-        md = (max_deltas[h] if max_deltas[h] is not None
-              else cfg.max_delta)
+        ga = gaussian[h]
+        if ga:
+            # interleaved (9+C): remap to the shared views
+            tg = logits.astype(jnp.float32).reshape(b, s, s, a, 9 + c)
+            means = tg[..., jnp.asarray([0, 2, 4, 6])]
+            sig = jax.nn.sigmoid(tg[..., jnp.asarray([1, 3, 5, 7])])
+            # build a (5+C) view [x y w h obj cls...] so the shared
+            # obj/class/ignore machinery applies unchanged
+            t = jnp.concatenate([means, tg[..., 8:]], axis=-1)
+        else:
+            t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+        md = (None if ga else
+              (max_deltas[h] if max_deltas[h] is not None
+               else cfg.max_delta))
         if md:
             # clamp the box-term gradient only (darknet clips the
             # tx/ty/tw/th entries of the PER-IMAGE l.delta; our loss is
@@ -530,7 +570,21 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         parts["noobj"] = (parts["noobj"]
                           + on * jnp.sum(noobj_mask * noobj_bce) / b)
 
-        if cfg.iou_loss != "mse":
+        if ga:
+            # Gaussian NLL over the four encoded coordinates; xy means
+            # pass through the same sigmoid(+scale_x_y) the decode uses
+            off_g = (s_xy - 1.0) / 2.0
+            mu_x = jax.nn.sigmoid(t_box[..., 0]) * s_xy - off_g
+            mu_y = jax.nn.sigmoid(t_box[..., 1]) * s_xy - off_g
+            nll = (gaussian_nll(tc[..., 0], mu_x, sig[..., 0])
+                   + gaussian_nll(tc[..., 1], mu_y, sig[..., 1])
+                   + gaussian_nll(tc[..., 2], t_box[..., 2],
+                                  sig[..., 2])
+                   + gaussian_nll(tc[..., 3], t_box[..., 3],
+                                  sig[..., 3]))
+            parts["coord"] = parts["coord"] + jnp.sum(
+                obj * coord_w * nll) / b
+        elif cfg.iou_loss != "mse":
             # yolov4 family: box regression on the DECODED boxes
             iou_k = _diag_iou_variant(pred_boxes, targets[f"tbox_{h}"],
                                       cfg.iou_loss)
