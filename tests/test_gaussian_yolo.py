@@ -418,3 +418,56 @@ class TestGaussianTraining:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.7
         assert mean_sigma(state) < s0
+
+
+class TestGaussianTrainingMore:
+    def test_loss_matches_oracle_with_scale_xy(self):
+        """Gaussian NLL under a yolov4-style scale_x_y: the xy means
+        pass through the scaled sigmoid exactly as decode does."""
+        import numpy as np
+
+        from tests.loss_oracle import yolo_loss_np
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loss import YoloLossConfig, yolo_loss
+
+        rng = np.random.default_rng(9)
+        boxes = [np.array([[0.4, 0.6, 0.3, 0.2]])]
+        classes = [np.array([1])]
+        enc = tgt.encode_for(MICRO_GAUSS, boxes[0], classes[0])
+        targets = {k: v[None] for k, v in enc.items()}
+        heads = [rng.normal(0, 1, (1, s, s, 2 * (9 + C))).astype(
+                     np.float32) for s in (8, 16)]
+        cfg = YoloLossConfig()
+        masks = [h.mask for h in MICRO_GAUSS.yolo_heads]
+        want_total, _ = yolo_loss_np(
+            heads, targets, G_ANCHORS, masks, C, 64, cfg,
+            scales=[1.05, 1.1], gaussian=[True, True])
+        got_total, _ = yolo_loss(
+            tuple(jnp.asarray(h) for h in heads),
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            G_ANCHORS, masks, C, 64, cfg,
+            scales=[1.05, 1.1], gaussian=[True, True])
+        assert float(got_total) == pytest.approx(want_total, rel=1e-4)
+
+    def test_train_cli_e2e(self, tmp_path, capsys):
+        """CLI train on a [Gaussian_yolo] cfg end-to-end (the former
+        loud rejection's replacement, through the full trainer)."""
+        import numpy as np
+
+        from tests.test_data_eval import make_voc_root
+        from yolo_tpu import cli
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        cfg_path = tmp_path / "gauss.cfg"
+        cfg_path.write_text(GAUSS_CFG)
+        cfg = config_from_cfg(str(cfg_path))
+        wpath = str(tmp_path / "g.weights")
+        dw.save(wpath, cfg.layers,
+                dw.random_params(cfg.layers, np.random.default_rng(0)))
+        names = tmp_path / "g.names"
+        names.write_text("\n".join(cfg.class_names) + "\n")
+        root = make_voc_root(tmp_path, n_images=8, size=(64, 64))
+        cli.main(["train", "--cfg", str(cfg_path), "--names",
+                  str(names), "--weights", wpath, "--voc-root", root,
+                  "--split", "train", "--epochs", "1", "--batch", "8",
+                  "--lr", "1e-4", "--precision", "fp32"])

@@ -891,3 +891,24 @@ class TestTrainCli:
                   "--weights", wpath, "--voc-root", root,
                   "--split", "train", "--epochs", "1", "--batch", "8",
                   "--lr", "1e-4", "--precision", "fp32"])
+
+
+class TestTfOracleParity:
+    def test_tree_classifier_full_graph_tf_parity(self, tmp_path):
+        """Full tree-classifier graph vs the TF oracle, whose per-group
+        softmax is an INDEPENDENT slice+concat derivation (the jax path
+        scatters over a group-id table)."""
+        from tests.tf_oracle import run_layers
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+        from yolo_tpu.io import darknet_weights as dw
+        from yolo_tpu.models import graph
+
+        cfg = config_from_cfg(_write_tree_classifier(tmp_path))
+        rng = np.random.default_rng(6)
+        params = dw.random_params(cfg.layers, rng)
+        x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(graph.apply_layers(
+            cfg.layers, graph.params_to_jax(params), x, eps=cfg.bn_eps))
+        want = np.asarray(run_layers(cfg.layers, params, x,
+                                     eps=cfg.bn_eps))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)

@@ -184,7 +184,23 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
         elif isinstance(layer, Dropout):
             pass  # inference identity
         elif isinstance(layer, SoftmaxHead):
-            x = tf.nn.softmax(tf.reshape(x, [x.shape[0], -1]), axis=-1)
+            flat = tf.reshape(x, [x.shape[0], -1])
+            if layer.temperature != 1.0:
+                flat = flat / layer.temperature
+            if layer.tree is not None:
+                # independent per-sibling-group softmax: slice + concat
+                # with tf.nn.softmax per group (the jax path scatters
+                # over a group-id table instead)
+                pieces = [None] * layer.tree.n_nodes
+                for g in range(layer.tree.n_groups):
+                    members = list(layer.tree.group_members(g))
+                    sm = tf.nn.softmax(
+                        tf.gather(flat, members, axis=-1), axis=-1)
+                    for slot, node in enumerate(members):
+                        pieces[node] = sm[:, slot:slot + 1]
+                x = tf.concat(pieces, axis=-1)
+            else:
+                x = tf.nn.softmax(flat, axis=-1)
         elif isinstance(layer, YoloHead):
             heads.append(x)  # head logits = the [yolo] layer's input
         outputs.append(x)
