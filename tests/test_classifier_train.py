@@ -648,3 +648,42 @@ class TestHierarchicalAccuracy:
             jnp.asarray(logits), jnp.asarray(np.array([3, 4], np.int32)),
             tree=tree)
         assert float(parts["top1"]) == pytest.approx(0.5)
+
+
+class TestSoftmaxTreeProperty:
+    @pytest.mark.quick
+    def test_eval_paths_use_the_head_tree(self, tmp_path):
+        """accuracy over a PROGRAMMATIC tree head (ModelConfig.tree
+        unset) must run the hierarchical protocol — eval reads the same
+        source of truth training does (code-review follow-up)."""
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.configs.specs import (AvgPool, Conv, ModelConfig,
+                                            SoftmaxHead)
+        from yolo_tpu.configs.tree import parse_tree
+        from yolo_tpu.models.classify import accuracy_from_arrays
+
+        (tmp_path / "t.tree").write_text(TREE_TEXT)
+        tree = parse_tree(str(tmp_path / "t.tree"))
+        cfg = ModelConfig(
+            name="prog-tree-eval",
+            layers=(Conv(8, size=1, bn=False, act="linear"), AvgPool(),
+                    SoftmaxHead(tree=tree)),
+            anchors=(), class_names=tree.names, input_size=8)
+        assert cfg.tree is None and cfg.softmax_tree is tree
+        # identity-ish conv: channel 0 dominant drives node-0 logit
+        # high... craft params so logits favor the collie path: only
+        # feasible via direct kernel design — kernel maps 3 input
+        # channels onto 8 outputs; set rows for nodes 1,3,7 high
+        import numpy as np
+
+        kernel = np.zeros((1, 1, 3, 8), np.float32)
+        kernel[0, 0, :, 1] = 10.0
+        kernel[0, 0, :, 3] = 10.0
+        kernel[0, 0, :, 7] = 10.0
+        params = [{"kernel": kernel, "bias": np.zeros(8, np.float32)}]
+        xs = np.full((2, 8, 8, 3), 0.8, np.float32)
+        # labels: dog (internal, ancestor of predicted leaf collie) and
+        # cat (leaf, off-path)
+        out = accuracy_from_arrays(cfg, params, xs,
+                                   np.array([3, 4]), batch=2, k=1)
+        assert out["top1"] == pytest.approx(0.5)

@@ -4,8 +4,10 @@ family): per-anchor channel layout [x y w h sx sy sw sh obj cls...]
 (9+C), box math identical to [yolo] (sigmoid xy with scale_x_y, exp wh
 on pixel anchors), and detection score = sigmoid(obj) * sigmoid(cls) *
 (1 - uc_aver) where uc_aver = mean(sigmoid(sigma_xywh))
-(get_gaussian_yolo_detections). Training uses the paper's NLL
-loudly (the Gaussian NLL deltas have no pinnable reference source).
+(get_gaussian_yolo_detections). Training runs the paper's
+per-coordinate Gaussian NLL (arXiv:1904.04620 — the pinned source;
+darknet's exact delta file is unverifiable offline), loop-oracle-gated
+below.
 """
 
 import json

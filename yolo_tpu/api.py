@@ -146,8 +146,9 @@ class Classifier:
         xs = np.stack([classifier_preprocess(im, self.cfg.input_size)
                        for im in images_u8])
         probs = np.asarray(self._run(self.params, xs))
-        if self.cfg.tree is not None:
-            probs = hierarchy_leaf_probs(probs, self.cfg.tree)
+        tree = self.cfg.softmax_tree
+        if tree is not None:
+            probs = hierarchy_leaf_probs(probs, tree)
         return [top_k(p, self.cfg.class_names, k=self.k)
                 for p in probs]
 

@@ -251,7 +251,7 @@ def cmd_classify(args) -> None:
         raise SystemExit("--use-tree-map/--hier-thresh shape the "
                          "DETECTION decode — classify uses leaf-masked "
                          "absolute probs (--hierarchy prints the path)")
-    if args.hierarchy and cfg.tree is None:
+    if args.hierarchy and cfg.softmax_tree is None:
         raise SystemExit("--hierarchy applies only to tree classifiers "
                          f"([softmax] tree=<file>); {cfg.name} has none")
     if args.hierarchy and args.images:
@@ -269,16 +269,18 @@ def cmd_classify(args) -> None:
         if args.precision == "int8":
             params = _quantize_on(x[None])
         probs = np.asarray(run(params, x[None]))[0]
-        if cfg.tree is not None:
+        if cfg.softmax_tree is not None:
             # the graph emits per-group conditionals; top-k runs over
             # leaf-masked absolute probs (the imagenet-9k protocol)
             if args.hierarchy:
-                for name, c, p in hierarchy_path(probs, cfg.tree):
+                for name, c, p in hierarchy_path(probs,
+                                                 cfg.softmax_tree):
                     print(json.dumps({"node": name,
                                       "conditional": round(c, 6),
                                       "prob": round(p, 6)}))
                 return
-            probs = hierarchy_leaf_probs(probs[None], cfg.tree)[0]
+            probs = hierarchy_leaf_probs(probs[None],
+                                         cfg.softmax_tree)[0]
         for name, p in top_k(probs, cfg.class_names, k=args.top):
             print(json.dumps({"class": name, "prob": round(p, 6)}))
         return

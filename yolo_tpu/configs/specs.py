@@ -373,6 +373,18 @@ class ModelConfig:
         """len(detection_names(...)) — one rule, stated once."""
         return len(self.detection_names(use_tree_map))
 
+    @property
+    def softmax_tree(self):
+        """The hierarchy CLASSIFIER consumers must use: the SoftmaxHead
+        layer's tree — the single source of truth training also reads
+        (cfg-parsed models mirror it in .tree, but programmatic configs
+        may set only the layer — code-review finding). None for
+        non-classifier models and flat classifiers."""
+        for l in self.layers:
+            if isinstance(l, SoftmaxHead):
+                return l.tree
+        return None
+
     def detection_names(self, use_tree_map: bool = False
                         ) -> Tuple[str, ...]:
         """Display names for detection class indices. Under the map

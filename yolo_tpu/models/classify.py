@@ -108,15 +108,16 @@ def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
         if i == 0 and quantize_first_batch is not None:
             params = quantize_first_batch(chunk)
         probs = np.asarray(run(params, chunk))[:real]
-        if cfg.tree is not None:
-            probs = hierarchy_leaf_probs(probs, cfg.tree)
+        tree = cfg.softmax_tree
+        if tree is not None:
+            probs = hierarchy_leaf_probs(probs, tree)
         order = np.argsort(-probs, axis=-1)
         for true_idx, o in zip(labels[i:i + batch], order):
-            if cfg.tree is not None:
+            if tree is not None:
                 # hierarchical protocol: predictions are leaves, so an
                 # internal-node label is correct when it is an ancestor
                 # of the predicted leaf (equality for leaf labels)
-                hits = [true_idx in cfg.tree.path(int(p))
+                hits = [true_idx in tree.path(int(p))
                         for p in o[:k]]
                 top1 += int(hits[0])
                 topk += int(any(hits))
@@ -131,13 +132,40 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
                          batch: int = 32, k: int = 5,
                          compute_dtype=jnp.float32,
                          quantize_first_batch=None) -> dict:
-    """accuracy_from_arrays over freshly preprocessed (path, label)
-    samples — the one-shot `cli classify --images` entry point."""
-    xs, labels = preprocess_samples(samples, cfg.input_size)
-    return accuracy_from_arrays(
-        cfg, params, xs, labels, batch=batch, k=k,
-        compute_dtype=compute_dtype,
-        quantize_first_batch=quantize_first_batch)
+    """Streaming accuracy over (path, label) samples — the one-shot
+    `cli classify --images` entry point. Decodes ONE batch at a time
+    (O(batch) memory: a 50k-image folder must not materialize a ~40 GB
+    array — code-review finding); the mid-train eval path instead
+    caches arrays once and calls accuracy_from_arrays directly."""
+    from yolo_tpu.data.pipeline import load_image_rgb
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    n_done = 0
+    acc1 = acck = 0.0
+    for i in range(0, len(samples), batch):
+        chunk = samples[i:i + batch]
+        xs = np.stack([classifier_preprocess(load_image_rgb(p),
+                                             cfg.input_size)
+                       for p, _ in chunk]).astype(np.float32)
+        labels = np.asarray([lab for _, lab in chunk], np.int64)
+        if i == 0 and quantize_first_batch is not None:
+            # calibrate ONCE on the first (zero-padded) batch, then
+            # every chunk runs the quantized params
+            calib = xs
+            if len(chunk) < batch:
+                calib = np.concatenate(
+                    [xs, np.zeros((batch - len(chunk),) + xs.shape[1:],
+                                  xs.dtype)])
+            params = quantize_first_batch(calib)
+        part = accuracy_from_arrays(
+            cfg, params, xs, labels, batch=batch, k=k,
+            compute_dtype=compute_dtype)
+        n_done += part["images"]
+        acc1 += part["top1"] * part["images"]
+        acck += part[f"top{k}"] * part["images"]
+    return {"images": n_done, "top1": round(acc1 / n_done, 4),
+            f"top{k}": round(acck / n_done, 4)}
 
 
 def hierarchy_leaf_probs(cond, tree) -> np.ndarray:

@@ -237,11 +237,11 @@ class DetectionServer:
 
                         probs = np.asarray(
                             self._classifier(self.params, images))
-                        if self.cfg.tree is not None:
+                        if self.cfg.softmax_tree is not None:
                             # darknet9000 classifier: conditionals ->
                             # leaf-masked absolute probs for top-k
-                            probs = hierarchy_leaf_probs(probs,
-                                                         self.cfg.tree)
+                            probs = hierarchy_leaf_probs(
+                                probs, self.cfg.softmax_tree)
                         for bi, item in enumerate(items):
                             item.result = [
                                 {"class": name, "prob": round(pr, 6)}
