@@ -1,6 +1,7 @@
 """Darknet-style augmentation tests (data/augment.py)."""
 
 import numpy as np
+import pytest
 
 from yolo_tpu.data.augment import (AugmentConfig, augment, flip_horizontal,
                                    jitter_crop)
@@ -289,7 +290,28 @@ class TestCfgDrivenAugment:
         assert cfg.jitter == 0.2 and cfg.saturation == 1.5
         assert cfg.exposure == 1.2 and cfg.hue == 0.05
         assert cfg.flip is False and cfg.mosaic is True
-        # darknet defaults for an empty cfg; --mosaic forces
+        # empty cfg fills with darknet PARSE defaults (no HSV
+        # distortion); force_defaults keeps the classic values
         d = config_from_net_params({})
-        assert d == AugmentConfig()
+        assert d.saturation == 1.0 and d.hue == 0.0
+        assert config_from_net_params(
+            {}, force_defaults=True) == AugmentConfig()
         assert config_from_net_params({}, mosaic=True).mosaic is True
+
+
+@pytest.mark.quick
+def test_cfg_driven_fill_uses_darknet_parse_defaults():
+    """A cfg that sets ONLY flip=0 must not gain HSV distortion: absent
+    keys fill with darknet's parse defaults (sat/exp 1, hue 0), while
+    force_defaults=True (bare --augment) keeps the classic values
+    (code-review regression)."""
+    from yolo_tpu.data.augment import config_from_net_params
+
+    cfg = config_from_net_params({"flip": 0})
+    assert cfg.flip is False
+    assert cfg.saturation == 1.0 and cfg.exposure == 1.0
+    assert cfg.hue == 0.0 and cfg.jitter == 0.2
+
+    forced = config_from_net_params({}, force_defaults=True)
+    assert forced.saturation == 1.5 and forced.exposure == 1.5
+    assert forced.hue == 0.1 and forced.flip is True

@@ -353,12 +353,16 @@ def test_lr_schedule_poly():
     assert float(s(jnp.asarray(50))) == pytest.approx(1e-2 * 0.5 ** 4)
     assert float(s(jnp.asarray(100))) == 0.0
     assert float(s(jnp.asarray(150))) == 0.0  # clamped, not negative
-    # composes with burn-in: ramp dominates early
+    # darknet get_current_rate: while batch < burn_in the RAMP alone
+    # applies (exponent = net.power), the policy term only after — the
+    # two never compound (code-review fix)
     cfg2 = TrainConfig(learning_rate=1e-2, burn_in_steps=10,
                        lr_poly_max_steps=100, lr_poly_power=2.0)
     s2 = lr_schedule(cfg2)
-    assert float(s2(jnp.asarray(5))) == pytest.approx(
-        1e-2 * 0.5 ** 4 * 0.95 ** 2)
+    assert float(s2(jnp.asarray(5))) == pytest.approx(1e-2 * 0.5 ** 2)
+    assert float(s2(jnp.asarray(50))) == pytest.approx(1e-2 * 0.5 ** 2)
+    # end of warm-up: full LR times the (tiny) poly decay only
+    assert float(s2(jnp.asarray(10))) == pytest.approx(1e-2 * 0.9 ** 2)
 
 
 def test_cli_policy_poly_from_cfg(tmp_path, capsys):

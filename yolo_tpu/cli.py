@@ -78,15 +78,15 @@ def _quantize_classifier(cfg, params, calib_01):
     import jax.numpy as jnp
 
     from yolo_tpu.models import quantize
-    from yolo_tpu.models.graph import params_to_jax_quant
 
     try:
+        # prepare_int8 returns an already device-placed quant pytree
         q = quantize.prepare_int8(cfg, params, jnp.asarray(calib_01))
     except NotImplementedError as e:
         raise SystemExit(str(e))
     print(f"int8 PTQ: calibrated on {len(calib_01)} images",
           file=sys.stderr)
-    return params_to_jax_quant(q)
+    return q
 
 
 def _maybe_quantize(args, cfg, params, sample_images_u8):
@@ -548,11 +548,19 @@ def _train_classifier(args, cfg) -> None:
         eval_samples = list_imagefolder(eval_dir, cfg.class_names)
         if args.eval_max_images:
             eval_samples = eval_samples[:args.eval_max_images]
-        # decode+resize ONCE: per-eval re-reading stalls training on
-        # slow hosts (code-review)
-        eval_arrays = preprocess_samples(eval_samples, cfg.input_size)
-        print(f"cached {len(eval_samples)} preprocessed eval images",
-              file=sys.stderr)
+        # decode+resize ONCE — but only while the cache is small (a
+        # 50k-image folder would materialize tens of GB); past the cap
+        # each eval streams from disk instead (code-review)
+        if len(eval_samples) <= 2048:
+            eval_arrays = preprocess_samples(eval_samples,
+                                             cfg.input_size)
+            print(f"cached {len(eval_samples)} preprocessed eval "
+                  f"images", file=sys.stderr)
+        else:
+            print(f"{len(eval_samples)} eval images exceed the 2048 "
+                  f"preprocess cache cap — each eval streams from "
+                  f"disk (--eval-max-images to cache a subset)",
+                  file=sys.stderr)
 
     net_hp = {}
     if args.cfg:
@@ -633,7 +641,9 @@ def _train_classifier(args, cfg) -> None:
         # --augment) enable the shared pinned distortion
         from yolo_tpu.data.augment import config_from_net_params
 
-        aug_cfg = config_from_net_params(net_hp)
+        aug_cfg = config_from_net_params(
+            net_hp,
+            force_defaults=not any(k in net_hp for k in _CLS_AUG_KEYS))
         if aug_cfg.mosaic or aug_cfg.mixup:
             raise SystemExit("mosaic/mixup are detection augmentations "
                              "— classifier training supports HSV+flip")
@@ -677,13 +687,20 @@ def _train_classifier(args, cfg) -> None:
                        size=batch["images"].shape[1],
                        img_s=round(img_s, 1))
             if args.eval_every and step % args.eval_every == 0:
-                from yolo_tpu.models.classify import accuracy_from_arrays
+                from yolo_tpu.models.classify import (
+                    accuracy_from_arrays, imagefolder_accuracy)
                 from yolo_tpu.train.loop import ema_params_of
 
-                acc = accuracy_from_arrays(
-                    cfg, ema_params_of(state), *eval_arrays,
-                    batch=min(args.batch, 32),
-                    compute_dtype=_compute_dtype(args.precision))
+                if eval_arrays is not None:
+                    acc = accuracy_from_arrays(
+                        cfg, ema_params_of(state), *eval_arrays,
+                        batch=min(args.batch, 32),
+                        compute_dtype=_compute_dtype(args.precision))
+                else:
+                    acc = imagefolder_accuracy(
+                        cfg, ema_params_of(state), eval_samples,
+                        batch=min(args.batch, 32),
+                        compute_dtype=_compute_dtype(args.precision))
                 logger.log(step, {"val_top1": acc["top1"]}, force=True)
                 print(f"step {step}: validation top-1 {acc['top1']:.4f}",
                       file=sys.stderr)
@@ -1014,8 +1031,11 @@ def cmd_train(args) -> None:
         # --mosaic forces mosaic on top, --no-augment disables all
         from yolo_tpu.data.augment import config_from_net_params
 
-        aug_cfg = config_from_net_params(net_hp, mosaic=args.mosaic,
-                                         mixup=args.mixup)
+        aug_cfg = config_from_net_params(
+            net_hp, mosaic=args.mosaic, mixup=args.mixup,
+            # bare --augment (no cfg aug keys) means the classic
+            # defaults-on values; cfg keys mean darknet parse semantics
+            force_defaults=not cfg_wants_aug)
         if aug_cfg.mosaic and aug_cfg.mixup:
             raise SystemExit(
                 "mosaic and mixup together (darknet's combined "

@@ -163,17 +163,31 @@ def mosaic4(samples, net_size: int, rng: np.random.Generator,
             np.asarray(out_classes, np.int64))
 
 
+# darknet's PARSE defaults for absent keys (parse_net_options /
+# parse_region: saturation=1, exposure=1, hue=0 — i.e. NO HSV
+# distortion unless the cfg asks; flip=1; jitter=0.2)
+_DARKNET_PARSE_DEFAULTS = {"jitter": 0.2, "saturation": 1.0,
+                           "exposure": 1.0, "hue": 0.0, "flip": True}
+
+
 def config_from_net_params(net_hp: dict, *, mosaic: bool = False,
-                           mixup: bool = False) -> "AugmentConfig":
+                           mixup: bool = False,
+                           force_defaults: bool = False
+                           ) -> "AugmentConfig":
     """AugmentConfig from a darknet cfg's training keys
     (`configs.darknet_cfg.net_training_params`): [net]
     saturation/exposure/hue/flip/mosaic/mixup + the head sections'
-    jitter, with darknet's defaults for absent keys. mosaic=True /
-    mixup=True force the mode on regardless of the cfg (the CLI's
-    --mosaic / --mixup flags)."""
-    kwargs = {k: float(net_hp[k])
-              for k in ("jitter", "saturation", "exposure", "hue")
-              if k in net_hp}
+    jitter. Absent keys fall back to DARKNET'S PARSE DEFAULTS
+    (saturation/exposure 1, hue 0 — a cfg that sets only e.g. flip=0
+    must NOT silently gain HSV distortion; code-review finding).
+    force_defaults=True (the CLI's bare --augment with no cfg keys)
+    instead fills them with the classic yolov2-voc training values
+    (the AugmentConfig field defaults). mosaic=True / mixup=True force
+    the mode on regardless of the cfg (--mosaic / --mixup)."""
+    kwargs = {} if force_defaults else dict(_DARKNET_PARSE_DEFAULTS)
+    for k in ("jitter", "saturation", "exposure", "hue"):
+        if k in net_hp:
+            kwargs[k] = float(net_hp[k])
     if "flip" in net_hp:
         kwargs["flip"] = bool(net_hp["flip"])
     return AugmentConfig(mosaic=mosaic or bool(net_hp.get("mosaic", 0)),

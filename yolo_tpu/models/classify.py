@@ -83,16 +83,18 @@ def preprocess_samples(samples, net_size: int) -> tuple:
     return xs, labels
 
 
-def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
-                         batch: int = 32, k: int = 5,
-                         compute_dtype=jnp.float32,
-                         quantize_first_batch=None) -> dict:
-    """Top-1/top-k accuracy over preprocessed arrays — the compute
-    core of the darknet `classifier valid` protocol (ONE padded jit
-    bucket; tree classifiers score on leaf-masked absolute probs, with
-    internal-node labels correct when they are ancestors of the
-    predicted leaf). quantize_first_batch(xs) -> params hooks int8 PTQ
-    calibration on the first batch."""
+def accuracy_counts(cfg: ModelConfig, params, xs, labels, *,
+                    batch: int = 32, k: int = 5,
+                    compute_dtype=jnp.float32,
+                    quantize_first_batch=None):
+    """(n, top1_hits, topk_hits) integer counts over preprocessed
+    arrays — the compute core of the darknet `classifier valid`
+    protocol (ONE padded jit bucket; tree classifiers score on
+    leaf-masked absolute probs, with internal-node labels correct when
+    they are ancestors of the predicted leaf). Counts stay EXACT so
+    streaming callers can aggregate without rounding error.
+    quantize_first_batch(xs) -> params hooks int8 PTQ calibration on
+    the first batch."""
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
     run = make_classifier(cfg, compute_dtype=compute_dtype)
@@ -124,6 +126,18 @@ def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
             else:
                 top1 += int(o[0] == true_idx)
                 topk += int(true_idx in o[:k])
+    return n, top1, topk
+
+
+def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
+                         batch: int = 32, k: int = 5,
+                         compute_dtype=jnp.float32,
+                         quantize_first_batch=None) -> dict:
+    """accuracy_counts rendered as the `classify --images` JSON dict."""
+    n, top1, topk = accuracy_counts(
+        cfg, params, xs, labels, batch=batch, k=k,
+        compute_dtype=compute_dtype,
+        quantize_first_batch=quantize_first_batch)
     return {"images": n, "top1": round(top1 / n, 4),
             f"top{k}": round(topk / n, 4)}
 
@@ -141,8 +155,7 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
 
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
-    n_done = 0
-    acc1 = acck = 0.0
+    n_done = hits1 = hitsk = 0
     for i in range(0, len(samples), batch):
         chunk = samples[i:i + batch]
         xs = np.stack([classifier_preprocess(load_image_rgb(p),
@@ -158,14 +171,14 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
                     [xs, np.zeros((batch - len(chunk),) + xs.shape[1:],
                                   xs.dtype)])
             params = quantize_first_batch(calib)
-        part = accuracy_from_arrays(
+        n, h1, hk = accuracy_counts(
             cfg, params, xs, labels, batch=batch, k=k,
             compute_dtype=compute_dtype)
-        n_done += part["images"]
-        acc1 += part["top1"] * part["images"]
-        acck += part[f"top{k}"] * part["images"]
-    return {"images": n_done, "top1": round(acc1 / n_done, 4),
-            f"top{k}": round(acck / n_done, 4)}
+        n_done += n
+        hits1 += h1
+        hitsk += hk
+    return {"images": n_done, "top1": round(hits1 / n_done, 4),
+            f"top{k}": round(hitsk / n_done, 4)}
 
 
 def hierarchy_leaf_probs(cond, tree) -> np.ndarray:
@@ -174,11 +187,12 @@ def hierarchy_leaf_probs(cond, tree) -> np.ndarray:
     (paper §4 — classification assumes an object is present, so the
     probability mass lands on the leaves; darknet masks non-leaves for
     imagenet-9k top-k). Output still sums to <= 1 over the leaves."""
-    from yolo_tpu.ops.decode import tree_absolute_probs
+    from yolo_tpu.ops.decode import _tree_np_consts, tree_absolute_probs
 
     absolute = np.asarray(tree_absolute_probs(jnp.asarray(cond), tree))
-    leaf = np.array([tree.leaf(i) for i in range(tree.n_nodes)])
-    return np.where(leaf, absolute, 0.0)
+    # leaf mask cached per tree (the 9k-iteration Python rebuild per
+    # /classify request was a measured hot-path cost — code-review)
+    return np.where(_tree_np_consts(tree)["leaf"], absolute, 0.0)
 
 
 def hierarchy_path(cond_row: np.ndarray, tree

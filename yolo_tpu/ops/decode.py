@@ -92,6 +92,8 @@ def _tree_np_consts(tree):
         "levels": levels,
         "child_group": np.asarray(tree.child_group, np.int32),
         "members": group_members_padded(tree),
+        "leaf": np.asarray([tree.leaf(i)
+                            for i in range(tree.n_nodes)], bool),
     }
 
 

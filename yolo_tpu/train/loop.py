@@ -89,27 +89,36 @@ def _kernel_mask(params):
 
 
 def lr_schedule(cfg: TrainConfig):
-    """Darknet policy=steps/poly as an optax schedule: quartic burn-in
-    ramp (darknet: lr * (batch/burn_in)^power, power=4), then either
-    multiplicative step decays (policy=steps) or the polynomial decay
-    lr * (1 - step/max_batches)^power (policy=poly), clamped at 0 past
-    max_batches."""
+    """Darknet LR schedule (network.c get_current_rate): while
+    batch < burn_in the function RETURNS the ramp
+    lr * (batch/burn_in)^power alone — the policy term applies only
+    after burn-in (the old version compounded them, understating the
+    end-of-warm-up LR by orders of magnitude under policy=poly —
+    code-review finding). The ramp exponent is net.power (darknet
+    default 4, shared with the poly policy). After burn-in: either
+    multiplicative step decays (policy=steps) or
+    lr * (1 - step/max_batches)^power (policy=poly, clamped at 0)."""
     base = cfg.learning_rate
+    power = cfg.lr_poly_power  # net.power, darknet default 4.0
 
     def schedule(step):
         lr = jnp.asarray(base, jnp.float32)
-        if cfg.burn_in_steps:
-            ramp = jnp.minimum(
-                (step.astype(jnp.float32) / cfg.burn_in_steps) ** 4, 1.0)
-            lr = lr * ramp
+        # post-burn-in policy value
+        policy_lr = lr
         for at, scale in zip(cfg.lr_decay_steps, cfg.lr_decay_scales):
-            lr = jnp.where(step >= at, lr * scale, lr)
+            policy_lr = jnp.where(step >= at, policy_lr * scale,
+                                  policy_lr)
         if cfg.lr_poly_max_steps:
             frac = jnp.maximum(
                 1.0 - step.astype(jnp.float32) / cfg.lr_poly_max_steps,
                 0.0)
-            lr = lr * frac ** cfg.lr_poly_power
-        return lr
+            policy_lr = policy_lr * frac ** power
+        if not cfg.burn_in_steps:
+            return policy_lr
+        ramp_lr = lr * jnp.minimum(
+            (step.astype(jnp.float32) / cfg.burn_in_steps) ** power,
+            1.0)
+        return jnp.where(step < cfg.burn_in_steps, ramp_lr, policy_lr)
 
     return schedule
 
@@ -191,8 +200,12 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             # the layer, so training must too (a programmatically built
             # SoftmaxHead(tree=...) with ModelConfig.tree=None would
             # otherwise silently train FLAT CE against a hierarchical
-            # forward pass — code-review finding)
-            shead = mcfg.layers[-1]
+            # forward pass — code-review finding). Located by SCAN,
+            # the same rule head_kind/softmax_tree use.
+            from yolo_tpu.configs.specs import SoftmaxHead
+
+            shead = next(l for l in mcfg.layers
+                         if isinstance(l, SoftmaxHead))
             total, parts = classifier_loss(
                 logits, batch["labels"], tree=shead.tree,
                 temperature=shead.temperature)

@@ -103,10 +103,9 @@ def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                       axis=-1)
         absolute = tree_absolute_probs(
             tree_conditional_probs(logits, tree), tree)
-        import numpy as np
+        from yolo_tpu.ops.decode import _tree_np_consts
 
-        leaf = jnp.asarray(np.array(
-            [tree.leaf(i) for i in range(tree.n_nodes)]))
+        leaf = jnp.asarray(_tree_np_consts(tree)["leaf"])
         pred = jnp.argmax(jnp.where(leaf, absolute, 0.0), axis=-1)
         # hierarchical top1: the prediction is a LEAF, so an internal-
         # node label counts correct when it lies on the predicted
