@@ -795,3 +795,40 @@ def test_fuzz_v1_and_classifier_topologies_round_trip(tmp_path):
         p.write_text(cfg_to_string(cfg))
         got = config_from_cfg(str(p), name=cfg.name)
         assert got.layers == cfg.layers, f"trial {trial}"
+
+
+@pytest.mark.quick
+def test_upsample_scale_and_maxpool_padding_guard(tmp_path):
+    """[upsample] scale multiplies the values (upsample_layer.c) and
+    round-trips; an explicit non-default [maxpool] padding rejects
+    loudly instead of silently building the wrong geometry."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                              config_from_cfg)
+    from yolo_tpu.configs.specs import Upsample
+    from yolo_tpu.models import graph
+
+    base = ("[net]\nwidth=64\nheight=64\nchannels=3\n\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n\n"
+            "[upsample]\nstride=2\nscale=2.5\n\n"
+            "[convolutional]\nfilters=12\nsize=1\nactivation=linear\n\n"
+            "[yolo]\nmask=0,1\nanchors=10,14, 23,27\nclasses=1\nnum=2\n")
+    p = tmp_path / "up.cfg"
+    p.write_text(base)
+    cfg = config_from_cfg(str(p))
+    up = [l for l in cfg.layers if isinstance(l, Upsample)][0]
+    assert up.scale == 2.5
+    assert "scale=2.5" in cfg_to_string(cfg)
+    # executor multiplies the upsampled values
+    x = jnp.ones((1, 2, 2, 3))
+    y = graph.apply_layers((Upsample(2, scale=2.5),), [], x)
+    np.testing.assert_allclose(np.asarray(y), 2.5)
+
+    bad = tmp_path / "mp.cfg"
+    bad.write_text(base.replace(
+        "[upsample]\nstride=2\nscale=2.5\n",
+        "[maxpool]\nsize=2\nstride=1\npadding=0\n"))
+    with pytest.raises(ValueError, match="padding=0"):
+        config_from_cfg(str(bad))

@@ -68,6 +68,20 @@ class TestLayerOps:
         want = x.repeat(2, axis=1).repeat(2, axis=2)
         np.testing.assert_array_equal(got, want)
 
+    def test_upsample_scale_matches_tf_oracle(self):
+        # [upsample] scale= multiplies the values (upsample_layer.c
+        # l.scale); cross-checked against the independent TF derivation.
+        from tests import tf_oracle
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 3, 4, 2)).astype(np.float32)
+        layers = (Upsample(2, scale=2.5),)
+        got = np.asarray(graph.apply_layers(layers, [], jnp.asarray(x)))
+        want = tf_oracle.run_layers(layers, [], x)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            got, x.repeat(2, axis=1).repeat(2, axis=2) * 2.5,
+            rtol=1e-6, atol=1e-6)
+
     def test_shortcut_residual_add(self):
         rng = np.random.default_rng(1)
         x = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)

@@ -133,6 +133,8 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             b, h, w, c = x.shape
             x = tf.image.resize(x, [int(h) * s, int(w) * s],
                                 method="nearest")
+            if layer.scale != 1.0:
+                x = x * layer.scale
         elif isinstance(layer, AvgPool):
             x = tf.reduce_mean(x, axis=[1, 2], keepdims=True)
         elif isinstance(layer, Connected):

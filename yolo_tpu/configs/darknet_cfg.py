@@ -234,6 +234,15 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 groups=cgroups))
         elif kind == "maxpool":
             size = int(kv.get("size", 2))
+            # darknet's default maxpool padding is size-1 (with the
+            # -(pad//2) origin shift) — the convention all three
+            # implementations pin. An EXPLICIT different padding would
+            # silently mis-build, so reject it loudly.
+            if "padding" in kv and int(kv["padding"]) != size - 1:
+                raise ValueError(
+                    f"[maxpool] padding={kv['padding']} is unsupported "
+                    f"(only darknet's default padding=size-1={size - 1} "
+                    f"is implemented — see ops/pool.py)")
             layers.append(MaxPool(size=size,
                                   stride=int(kv.get("stride", size))))
         elif kind == "route":
@@ -278,7 +287,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(ScaleChannels(int(kv["from"]), scale_wh=swh,
                                         act=act))
         elif kind == "upsample":
-            layers.append(Upsample(int(kv.get("stride", 2))))
+            layers.append(Upsample(int(kv.get("stride", 2)),
+                                   scale=float(kv.get("scale", 1.0))))
         elif kind == "avgpool":
             layers.append(AvgPool())
         elif kind == "connected":
@@ -780,7 +790,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + (f"scale_wh=1\n" if l.scale_wh else "")
                        + f"activation={l.act}\n")
         elif isinstance(l, Upsample):
-            out.append(f"[upsample]\nstride={l.stride}\n")
+            out.append(f"[upsample]\nstride={l.stride}\n"
+                       + (f"scale={l.scale:g}\n"
+                          if l.scale != 1.0 else ""))
         elif isinstance(l, AvgPool):
             out.append("[avgpool]\n")
         elif isinstance(l, Connected):

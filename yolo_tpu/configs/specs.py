@@ -114,7 +114,11 @@ class ScaleChannels:
 
 @dataclasses.dataclass(frozen=True)
 class Upsample:
+    # darknet [upsample]: nearest-neighbor x stride; the optional
+    # scale key multiplies the VALUES (upsample_layer.c l.scale,
+    # default 1 — yolov3 cfgs never set it, kept for cfg completeness)
     stride: int = 2
+    scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -265,6 +265,8 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
         elif isinstance(layer, Upsample):
             s = layer.stride
             x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+            if layer.scale != 1.0:
+                x = x * jnp.asarray(layer.scale, x.dtype)
         elif isinstance(layer, AvgPool):
             # darknet avgpool_layer: global mean over the full extent;
             # kept (B, 1, 1, C) so downstream 1x1 convs work unchanged

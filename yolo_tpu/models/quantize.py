@@ -115,6 +115,8 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
             elif isinstance(layer, Upsample):
                 x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
                                layer.stride, axis=2)
+                if layer.scale != 1.0:
+                    x = x * layer.scale
             elif isinstance(layer, AvgPool):  # SE/classifier squeeze
                 x = jnp.mean(x, axis=(1, 2), keepdims=True)
             elif isinstance(layer, Connected):
