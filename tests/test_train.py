@@ -365,6 +365,99 @@ def test_lr_schedule_poly():
     assert float(s2(jnp.asarray(10))) == pytest.approx(1e-2 * 0.9 ** 2)
 
 
+def test_lr_schedule_step_exp_sigmoid():
+    """The remaining deterministic network.c get_current_rate policies:
+    STEP lr*scale^(batch//step), EXP lr*gamma^batch,
+    SIG lr/(1+e^(gamma*(batch-step)))."""
+    import math
+
+    from yolo_tpu.train.loop import lr_schedule
+
+    s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_step_size=100,
+                                lr_step_scale=0.5))
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(99))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(100))) == pytest.approx(5e-3)
+    assert float(s(jnp.asarray(250))) == pytest.approx(2.5e-3)
+
+    s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_exp_gamma=0.99))
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(100))) == pytest.approx(1e-2 * 0.99 ** 100,
+                                                       rel=1e-5)
+
+    s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_sig_gamma=0.1,
+                                lr_sig_step=50))
+    assert float(s(jnp.asarray(50))) == pytest.approx(5e-3)
+    assert float(s(jnp.asarray(0))) == pytest.approx(
+        1e-2 / (1 + math.exp(-5.0)), rel=1e-5)
+    assert float(s(jnp.asarray(1000))) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_lr_schedule_sgdr():
+    """AlexeyAB policy=sgdr: cosine from lr to lr_min within each
+    cycle; cycle length multiplies by sgdr_mult at each restart."""
+    import math
+
+    from yolo_tpu.train.loop import lr_schedule
+
+    cfg = TrainConfig(learning_rate=1e-2, lr_sgdr_cycle=100,
+                      lr_sgdr_mult=2, lr_min=1e-4)
+    s = lr_schedule(cfg)
+    mid = 1e-4 + 0.5 * (1e-2 - 1e-4)
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(50))) == pytest.approx(mid, rel=1e-5)
+    assert float(s(jnp.asarray(100))) == pytest.approx(1e-2)  # restart
+    # second cycle spans [100, 300): its midpoint is 200
+    assert float(s(jnp.asarray(200))) == pytest.approx(mid, rel=1e-5)
+    # third cycle starts at 300 with size 400
+    assert float(s(jnp.asarray(300))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(400))) == pytest.approx(
+        1e-4 + 0.5 * (1e-2 - 1e-4) * (1 + math.cos(math.pi * 0.25)),
+        rel=1e-5)
+    # mult=1: equal cycles via the closed form
+    s1 = lr_schedule(TrainConfig(learning_rate=1e-2, lr_sgdr_cycle=100,
+                                 lr_sgdr_mult=1, lr_min=1e-4))
+    assert float(s1(jnp.asarray(250))) == pytest.approx(mid, rel=1e-5)
+    assert float(s1(jnp.asarray(300))) == pytest.approx(1e-2)
+
+
+def test_cli_policy_resolution_new_policies(tmp_path):
+    """[net] policy step/exp/sigmoid/sgdr resolve into TrainConfig
+    kwargs; policy=random rejects; unknown policies warn to constant."""
+    import argparse
+
+    from yolo_tpu.cli import _lr_schedule_from
+
+    args = argparse.Namespace(lr_steps=None, lr_scales=None)
+    kw = _lr_schedule_from(args, {"policy": "step", "step": 200,
+                                  "scale": 0.5})
+    assert kw["lr_step_size"] == 200 and kw["lr_step_scale"] == 0.5
+    kw = _lr_schedule_from(args, {"policy": "exp", "gamma": 0.998})
+    assert kw["lr_exp_gamma"] == pytest.approx(0.998)
+    kw = _lr_schedule_from(args, {"policy": "sigmoid", "gamma": 0.2,
+                                  "step": 400})
+    assert kw["lr_sig_gamma"] == pytest.approx(0.2)
+    assert kw["lr_sig_step"] == 400
+    kw = _lr_schedule_from(args, {"policy": "sgdr",
+                                  "max_batches": 1000})
+    assert kw["lr_sgdr_cycle"] == 1000  # sgdr_cycle defaults to it
+    assert kw["lr_sgdr_mult"] == 2 and kw["lr_min"] == pytest.approx(1e-5)
+    with pytest.raises(SystemExit, match="random"):
+        _lr_schedule_from(args, {"policy": "random"})
+    with pytest.raises(SystemExit, match="sgdr_cycle"):
+        _lr_schedule_from(args, {"policy": "sgdr"})
+    # [net] power reaches the burn-in ramp exponent under ANY policy
+    # (network.c uses net.power for the warm-up ramp unconditionally)
+    kw = _lr_schedule_from(args, {"policy": "constant", "power": 2.0})
+    assert kw["lr_poly_power"] == 2.0
+    # explicit --lr-steps wins over everything
+    args2 = argparse.Namespace(lr_steps="10,20", lr_scales=None)
+    kw = _lr_schedule_from(args2, {"policy": "sgdr",
+                                   "max_batches": 100})
+    assert kw["lr_decay_steps"] == (10, 20)
+    assert "lr_sgdr_cycle" not in kw
+
+
 def test_cli_policy_poly_from_cfg(tmp_path, capsys):
     """[net] policy=poly max_batches/power flow into the schedule; a
     poly cfg without max_batches is rejected."""

@@ -576,14 +576,9 @@ def _train_classifier(args, cfg) -> None:
     ema_start = (args.ema_start_step
                  if args.ema_start_step is not None
                  else net_hp.get("max_batches", 0) // 2)
-    decay_steps, decay_scales, poly_max, poly_power = \
-        _lr_schedule_from(args, net_hp)
     tcfg = TrainConfig(learning_rate=lr, **_optimizer_from(args, net_hp),
+                       **_lr_schedule_from(args, net_hp),
                        remat=args.remat, burn_in_steps=burn_in,
-                       lr_decay_steps=decay_steps,
-                       lr_decay_scales=decay_scales,
-                       lr_poly_max_steps=poly_max,
-                       lr_poly_power=poly_power,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
                        ema_alpha=ema_alpha, ema_start_step=ema_start)
@@ -744,9 +739,12 @@ def _optimizer_from(args, net_hp) -> dict:
 def _lr_schedule_from(args, net_hp):
     """Darknet LR-schedule resolution shared by detector and classifier
     training: explicit --lr-steps/--lr-scales win, then the cfg's [net]
-    policy (steps | poly), else constant. Returns
-    (decay_steps, decay_scales, poly_max, poly_power)."""
-    decay_steps, decay_scales = (), ()
+    policy (the full network.c get_current_rate set: steps | poly |
+    step | exp | sigmoid | sgdr | constant; the stochastic 'random'
+    policy rejects — its per-step rand_uniform draw has no
+    deterministic equivalent). Returns TrainConfig schedule kwargs."""
+    kw = {"lr_decay_steps": (), "lr_decay_scales": ()}
+    policy = net_hp.get("policy", "constant")
     if args.lr_scales and not args.lr_steps:
         raise SystemExit("--lr-scales requires --lr-steps (to override "
                          "a cfg's [net] schedule, give both)")
@@ -758,7 +756,13 @@ def _lr_schedule_from(args, net_hp):
                 raise SystemExit("--lr-steps and --lr-scales lengths differ")
         else:
             decay_scales = (0.1,) * len(decay_steps)  # darknet default
-    elif net_hp.get("policy") == "steps":
+        kw.update(lr_decay_steps=decay_steps,
+                  lr_decay_scales=decay_scales)
+        return kw
+    # [net] power feeds both the burn-in ramp and the poly decay
+    # (network.c net.power, default 4) whatever the policy
+    kw["lr_poly_power"] = float(net_hp.get("power", 4.0))
+    if policy == "steps":
         # darknet hard-errors on policy=steps without steps+scales
         if "steps" not in net_hp or "scales" not in net_hp:
             raise SystemExit("[net] policy=steps needs both steps and "
@@ -768,22 +772,61 @@ def _lr_schedule_from(args, net_hp):
         decay_scales = net_hp["scales"]
         if len(decay_steps) != len(decay_scales):
             raise SystemExit("[net] steps and scales lengths differ")
+        kw.update(lr_decay_steps=decay_steps,
+                  lr_decay_scales=decay_scales)
     elif "steps" in net_hp:
-        # steps/scales present but policy is constant (darknet's
-        # default when the key is absent) — darknet would ignore them
-        print("note: ignoring [net] steps/scales (policy is "
-              "'constant', darknet's default; add policy=steps)",
+        # steps/scales present but the policy doesn't use them
+        # (darknet's default policy when the key is absent is constant)
+        print(f"note: ignoring [net] steps/scales (policy is "
+              f"'{policy}'; steps apply under policy=steps)",
               file=sys.stderr)
-    poly_max, poly_power = 0, 4.0
-    if net_hp.get("policy") == "poly" and not args.lr_steps:
+    if policy == "poly":
         if not net_hp.get("max_batches"):
             raise SystemExit("[net] policy=poly needs max_batches "
                              "(darknet's decay horizon)")
-        poly_max = int(net_hp["max_batches"])
-        poly_power = float(net_hp.get("power", 4.0))
-        print(f"cfg policy=poly: lr decays as (1 - step/{poly_max})"
-              f"^{poly_power:g}", file=sys.stderr)
-    return decay_steps, decay_scales, poly_max, poly_power
+        kw["lr_poly_max_steps"] = int(net_hp["max_batches"])
+        print(f"cfg policy=poly: lr decays as "
+              f"(1 - step/{kw['lr_poly_max_steps']})"
+              f"^{kw['lr_poly_power']:g}", file=sys.stderr)
+    elif policy == "step":
+        # darknet STEP: lr * scale^(batch//step) (parser defaults 1/1)
+        kw["lr_step_size"] = int(net_hp.get("step", 1))
+        kw["lr_step_scale"] = float(net_hp.get("scale", 1.0))
+        print(f"cfg policy=step: lr *= {kw['lr_step_scale']:g} every "
+              f"{kw['lr_step_size']} steps", file=sys.stderr)
+    elif policy == "exp":
+        kw["lr_exp_gamma"] = float(net_hp.get("gamma", 1.0))
+        print(f"cfg policy=exp: lr * {kw['lr_exp_gamma']:g}^step",
+              file=sys.stderr)
+    elif policy == "sigmoid":
+        kw["lr_sig_gamma"] = float(net_hp.get("gamma", 1.0))
+        kw["lr_sig_step"] = int(net_hp.get("step", 1))
+        print(f"cfg policy=sigmoid: lr / (1 + e^({kw['lr_sig_gamma']:g}"
+              f"*(step - {kw['lr_sig_step']})))", file=sys.stderr)
+    elif policy == "sgdr":
+        # AlexeyAB SGDR (cosine warm restarts): sgdr_cycle defaults to
+        # max_batches, sgdr_mult to 2, learning_rate_min to 1e-5
+        cycle = int(net_hp.get("sgdr_cycle",
+                               net_hp.get("max_batches", 0)))
+        if not cycle:
+            raise SystemExit("[net] policy=sgdr needs sgdr_cycle or "
+                             "max_batches (the first cycle length)")
+        kw["lr_sgdr_cycle"] = cycle
+        kw["lr_sgdr_mult"] = int(net_hp.get("sgdr_mult", 2))
+        kw["lr_min"] = float(net_hp.get("learning_rate_min", 1e-5))
+        print(f"cfg policy=sgdr: cosine warm restarts, first cycle "
+              f"{cycle}, mult {kw['lr_sgdr_mult']}, "
+              f"lr_min {kw['lr_min']:g}", file=sys.stderr)
+    elif policy == "random":
+        raise SystemExit("[net] policy=random draws a fresh "
+                         "rand_uniform^power LR every step — "
+                         "nondeterministic by design, not supported "
+                         "(use any other darknet policy)")
+    elif policy not in ("constant", "steps"):
+        # darknet get_policy: unknown strings warn and fall back
+        print(f"note: unknown [net] policy '{policy}', going with "
+              "constant (darknet does the same)", file=sys.stderr)
+    return kw
 
 
 def cmd_train(args) -> None:
@@ -880,18 +923,13 @@ def cmd_train(args) -> None:
                 print("cfg random=1: multi-scale training enabled "
                       "(darknet 320..608 every 10 batches)",
                       file=sys.stderr)
-    decay_steps, decay_scales, poly_max, poly_power = \
-        _lr_schedule_from(args, net_hp)
     from yolo_tpu.train.loss import LossConfig, YoloLossConfig
 
     tcfg = TrainConfig(learning_rate=lr, **_optimizer_from(args, net_hp),
+                       **_lr_schedule_from(args, net_hp),
                        multi_scale=args.multi_scale,
                        remat=args.remat,
                        burn_in_steps=burn_in,
-                       lr_decay_steps=decay_steps,
-                       lr_decay_scales=decay_scales,
-                       lr_poly_max_steps=poly_max,
-                       lr_poly_power=poly_power,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
                        ema_alpha=ema_alpha,

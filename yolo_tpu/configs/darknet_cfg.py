@@ -672,6 +672,12 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("ema_alpha", float),
                               ("max_batches", int),
                               ("power", float),
+                              # policy=step/exp/sigmoid/sgdr keys
+                              # (parser.c parse_net_options)
+                              ("step", int), ("scale", float),
+                              ("gamma", float),
+                              ("sgdr_cycle", int), ("sgdr_mult", int),
+                              ("learning_rate_min", float),
                               ("letter_box", int),
                               # darknet [net] adam=1 switches the
                               # optimizer; B1/B2/eps are its moments

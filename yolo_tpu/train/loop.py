@@ -55,6 +55,26 @@ class TrainConfig:
     # active when lr_poly_max_steps > 0 (mutually exclusive with steps)
     lr_poly_max_steps: int = 0
     lr_poly_power: float = 4.0
+    # darknet policy=step ([net] step/scale): lr * scale^(batch//step)
+    # — unbounded repeated decay; active when lr_step_size > 0
+    lr_step_size: int = 0
+    lr_step_scale: float = 1.0
+    # darknet policy=exp ([net] gamma): lr * gamma^batch; active > 0
+    lr_exp_gamma: float = 0.0
+    # darknet policy=sigmoid ([net] gamma, step):
+    # lr / (1 + exp(gamma*(batch - step))); active when gamma > 0
+    lr_sig_gamma: float = 0.0
+    lr_sig_step: int = 0
+    # AlexeyAB policy=sgdr (cosine annealing with warm restarts,
+    # Loshchilov & Hutter arXiv:1608.03983; network.c get_current_rate
+    # SGDR case): within each cycle of size c,
+    # lr_min + 0.5*(lr - lr_min)*(1 + cos(pi*(batch - cycle_start)/c));
+    # cycles grow geometrically, c *= sgdr_mult at each restart
+    # ([net] sgdr_cycle default max_batches, sgdr_mult default 2,
+    # learning_rate_min default 1e-5). Active when lr_sgdr_cycle > 0.
+    lr_sgdr_cycle: int = 0
+    lr_sgdr_mult: int = 2
+    lr_min: float = 1e-5
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     yolo_loss: YoloLossConfig = dataclasses.field(
         default_factory=YoloLossConfig)  # used when the model has [yolo] heads
@@ -95,14 +115,18 @@ def lr_schedule(cfg: TrainConfig):
     after burn-in (the old version compounded them, understating the
     end-of-warm-up LR by orders of magnitude under policy=poly —
     code-review finding). The ramp exponent is net.power (darknet
-    default 4, shared with the poly policy). After burn-in: either
-    multiplicative step decays (policy=steps) or
-    lr * (1 - step/max_batches)^power (policy=poly, clamped at 0)."""
+    default 4, shared with the poly policy). After burn-in, the policy
+    term: multiplicative decays at given steps (policy=steps),
+    lr * (1 - step/max_batches)^power (policy=poly, clamped at 0),
+    lr * scale^(step//size) (policy=step), lr * gamma^step
+    (policy=exp), lr / (1 + e^(gamma*(step - s))) (policy=sigmoid), or
+    SGDR cosine warm restarts (see TrainConfig.lr_sgdr_cycle)."""
     base = cfg.learning_rate
     power = cfg.lr_poly_power  # net.power, darknet default 4.0
 
     def schedule(step):
         lr = jnp.asarray(base, jnp.float32)
+        fstep = step.astype(jnp.float32)
         # post-burn-in policy value
         policy_lr = lr
         for at, scale in zip(cfg.lr_decay_steps, cfg.lr_decay_scales):
@@ -110,9 +134,42 @@ def lr_schedule(cfg: TrainConfig):
                                   policy_lr)
         if cfg.lr_poly_max_steps:
             frac = jnp.maximum(
-                1.0 - step.astype(jnp.float32) / cfg.lr_poly_max_steps,
-                0.0)
+                1.0 - fstep / cfg.lr_poly_max_steps, 0.0)
             policy_lr = policy_lr * frac ** power
+        if cfg.lr_step_size:
+            # darknet STEP: pow(scale, batch_num/step), int division
+            policy_lr = policy_lr * jnp.asarray(
+                cfg.lr_step_scale, jnp.float32) ** (
+                    step // cfg.lr_step_size).astype(jnp.float32)
+        if cfg.lr_exp_gamma:
+            policy_lr = policy_lr * jnp.asarray(
+                cfg.lr_exp_gamma, jnp.float32) ** fstep
+        if cfg.lr_sig_gamma:
+            policy_lr = policy_lr / (
+                1.0 + jnp.exp(cfg.lr_sig_gamma
+                              * (fstep - cfg.lr_sig_step)))
+        if cfg.lr_sgdr_cycle:
+            lo = jnp.asarray(cfg.lr_min, jnp.float32)
+            if cfg.lr_sgdr_mult <= 1:
+                # equal cycles: closed form
+                start = (step // cfg.lr_sgdr_cycle) * cfg.lr_sgdr_cycle
+                size = jnp.asarray(cfg.lr_sgdr_cycle, jnp.float32)
+            else:
+                # geometric cycles: boundaries are static, so a
+                # where-cascade covers any int32 step (sizes at least
+                # double — under 64 stages)
+                start = jnp.zeros((), step.dtype)
+                size = jnp.asarray(float(cfg.lr_sgdr_cycle), jnp.float32)
+                s0, c = 0, cfg.lr_sgdr_cycle
+                while s0 + c < 2 ** 31:
+                    nxt_start, nxt_size = s0 + c, c * cfg.lr_sgdr_mult
+                    past = step >= nxt_start
+                    start = jnp.where(past, nxt_start, start)
+                    size = jnp.where(past, float(nxt_size), size)
+                    s0, c = nxt_start, nxt_size
+            frac = (fstep - start.astype(jnp.float32)) / size
+            policy_lr = lo + 0.5 * (policy_lr - lo) * (
+                1.0 + jnp.cos(jnp.pi * frac))
         if not cfg.burn_in_steps:
             return policy_lr
         ramp_lr = lr * jnp.minimum(
@@ -126,7 +183,9 @@ def lr_schedule(cfg: TrainConfig):
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     lr = (lr_schedule(cfg)
           if (cfg.burn_in_steps or cfg.lr_decay_steps
-              or cfg.lr_poly_max_steps) else cfg.learning_rate)
+              or cfg.lr_poly_max_steps or cfg.lr_step_size
+              or cfg.lr_exp_gamma or cfg.lr_sig_gamma
+              or cfg.lr_sgdr_cycle) else cfg.learning_rate)
     if cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
