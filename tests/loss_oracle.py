@@ -80,6 +80,18 @@ def _bce_np(logit, target):
     return max(logit, 0.0) - logit * target + np.log1p(np.exp(-abs(logit)))
 
 
+def _cls_np(logit, tk, nc, cfg):
+    """One class element: MSE (new_coords heads), focal (paper form,
+    alpha=0.5 gamma=2 — darknet's constants), or plain BCE."""
+    if nc:
+        return 0.5 * (logit - tk) ** 2
+    if getattr(cfg, "focal_loss", False):
+        p = sigmoid(logit)
+        pt = tk * p + (1.0 - tk) * (1.0 - p)
+        return 0.5 * (1.0 - pt) ** 2 * _bce_np(logit, tk)
+    return _bce_np(logit, tk)
+
+
 def _iou_variant_np(p, g, kind, eps=1e-9):
     """Scalar IoU/GIoU/DIoU/CIoU oracle for two xywh boxes."""
     px1, py1, px2, py2 = (p[0] - p[2] / 2, p[1] - p[3] / 2,
@@ -149,6 +161,10 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
             gt = [targets["gt_boxes"][bi][g]
                   for g in range(len(targets["gt_mask"][bi]))
                   if targets["gt_mask"][bi][g] > 0]
+            gt_cls = [int(targets["gt_cls"][bi][g])
+                      for g in range(len(targets["gt_mask"][bi]))
+                      if targets["gt_mask"][bi][g] > 0
+                      ] if "gt_cls" in targets else []
             for j in range(s):
                 for i in range(s):
                     for ai in range(a):
@@ -223,9 +239,51 @@ def yolo_loss_np(head_logits, targets, anchors_px, masks, num_classes,
                             cls = targets[f"tcls_{h}"][bi, j, i, ai]
                             for k in range(c):
                                 tk = 1.0 if k == cls else 0.0
-                                parts["class"] += cls_n * (
-                                    0.5 * (v[5 + k] - tk) ** 2 if nc
-                                    else _bce_np(v[5 + k], tk))
+                                parts["class"] += cls_n * _cls_np(
+                                    v[5 + k], tk, nc, cfg)
+                        elif (getattr(cfg, "truth_thresh", 1.0) < 1.0
+                              and best_iou > cfg.truth_thresh):
+                            # multi-truth pass: positive toward the
+                            # best truth at this anchor's own cell
+                            onm = getattr(cfg, "obj_normalizer", None)
+                            cn = getattr(cfg, "cls_normalizer", 1.0)
+                            on = cn if onm is None else onm
+                            cls_n = 1.0 if onm is None else cn
+                            bg = int(np.argmax([iou_xywh(pbox, g)
+                                                for g in gt]))
+                            gbox, gcls = gt[bg], gt_cls[bg]
+                            parts["obj"] += on * (
+                                0.5 * (1.0 - v[4]) ** 2 if nc
+                                else _bce_np(v[4], 1.0))
+                            for k in range(c):
+                                tk = 1.0 if k == gcls else 0.0
+                                parts["class"] += cls_n * _cls_np(
+                                    v[5 + k], tk, nc, cfg)
+                            kind = getattr(cfg, "iou_loss", "mse")
+                            if kind != "mse":
+                                parts["coord"] += (
+                                    cfg.iou_normalizer
+                                    * (1.0 - _iou_variant_np(pbox, gbox,
+                                                             kind)))
+                            else:
+                                txm = gbox[0] * s - i
+                                tym = gbox[1] * s - j
+                                twm = np.log(max(
+                                    gbox[2] * net_size / pw, 1e-9))
+                                thm = np.log(max(
+                                    gbox[3] * net_size / ph, 1e-9))
+                                if s_xy == 1.0:
+                                    xy = (_bce_np(v[0], txm)
+                                          + _bce_np(v[1], tym))
+                                else:
+                                    px = sigmoid(v[0]) * s_xy - off
+                                    py = sigmoid(v[1]) * s_xy - off
+                                    xy = 0.5 * ((px - txm) ** 2
+                                                + (py - tym) ** 2)
+                                wmt = 2.0 - gbox[2] * gbox[3]
+                                parts["coord"] += wmt * (
+                                    xy + 0.5 * ((v[2] - twm) ** 2
+                                                + (v[3] - thm) ** 2))
                         elif best_iou < cfg.ignore_thresh:
                             onm = getattr(cfg, "obj_normalizer", None)
                             cn = getattr(cfg, "cls_normalizer", 1.0)

@@ -632,10 +632,11 @@ def test_cli_train_fractional_random_sets_resize_range(tmp_path, capsys):
     assert "multi-scale range 64..96" in capsys.readouterr().err
 
 
-def test_unsupported_yolo_training_keys_fail_loudly(tmp_path):
-    """focal_loss=1 / truth_thresh!=1 would silently train differently
-    from darknet if ignored — they must raise; the published-cfg values
-    (absent / truth_thresh=1) pass."""
+def test_yolo_training_keys_parse(tmp_path):
+    """focal_loss / truth_thresh now PARSE into the model config (their
+    training semantics are pinned in train/loss.py — see
+    tests/test_yolov3.py::TestFocalAndTruthThresh); the published-cfg
+    values (absent / truth_thresh=1) stay the defaults."""
     base = ("[net]\nwidth=32\n"
             "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
             "stride=2\npad=1\nactivation=leaky\n"
@@ -648,11 +649,12 @@ def test_unsupported_yolo_training_keys_fail_loudly(tmp_path):
         p.write_text(base.format(extra=extra))
         return config_from_cfg(str(p))
 
-    assert parse("truth_thresh = 1\n")  # the published-cfg value: OK
-    with pytest.raises(ValueError, match="focal_loss"):
-        parse("focal_loss=1\n")
-    with pytest.raises(ValueError, match="truth_thresh"):
-        parse("truth_thresh=0.9\n")
+    d = parse("truth_thresh = 1\n")  # the published-cfg value
+    assert d.truth_thresh == 1.0 and d.focal_loss is False
+    f = parse("focal_loss=1\n")
+    assert f.focal_loss is True
+    t = parse("truth_thresh=0.9\n")
+    assert t.truth_thresh == pytest.approx(0.9)
 
 
 def test_random_jitter_from_last_head(tmp_path):

@@ -42,6 +42,25 @@ class TestVOCParse:
         assert ann["classes"].tolist() == [0]
         assert ann["difficult"].tolist() == [1]
 
+    def test_all_names_mismatch_warns_once(self, tmp_path, capsys):
+        """A class list that matches NO annotation (the wrong --names
+        footgun) would silently train on background — the pipeline
+        warns once; a matching list stays quiet."""
+        root = make_voc_root(tmp_path, n_images=4)
+        pairs = list_split(root, "train")
+        kw = dict(anchors=((1.0, 1.0),), num_classes=2, net_size=64,
+                  batch_size=2, rng=np.random.default_rng(0), workers=2)
+        list(pipe.train_batches(pairs, class_names=("nope", "nada"),
+                                **kw))
+        err = capsys.readouterr().err
+        assert err.count("ALL dropped") == 1
+        # correct names: no warning (make_voc_root uses VOC names)
+        from yolo_tpu.configs import get_variant
+
+        names = get_variant("tiny-voc").class_names
+        list(pipe.train_batches(pairs, class_names=names, **kw))
+        assert "ALL dropped" not in capsys.readouterr().err
+
 
 class TestLetterboxBoxes:
     def test_geometry_roundtrip(self):

@@ -1886,3 +1886,162 @@ class TestObjNormalizer:
         p3 = tmp_path / "c.cfg"
         p3.write_text(p.read_text().replace("obj_normalizer=0.7\n", ""))
         assert config_from_cfg(str(p3)).obj_normalizer is None
+
+
+class TestFocalAndTruthThresh:
+    """AlexeyAB [yolo] focal_loss=1 (paper-pinned sigmoid focal class
+    loss, arXiv:1708.02002, darknet constants alpha=0.5 gamma=2) and
+    truth_thresh < 1 (yolo_layer.c multi-truth positive pass)."""
+
+    def _targets_heads(self, rng, batch=2):
+        boxes, classes = _random_v3_scene(rng, batch)
+        targets = tgt.encode_batch_for(MICRO_V3, boxes, classes)
+        heads = [rng.normal(size=(batch, 64 // st, 64 // st, 2 * 9)
+                            ).astype(np.float32) * 0.5
+                 for st in MICRO_V3_STRIDES]
+        return targets, heads
+
+    @pytest.mark.parametrize("kind", ["mse", "ciou"])
+    def test_focal_loss_matches_oracle(self, kind):
+        from tests.loss_oracle import yolo_loss_np
+
+        rng = np.random.default_rng(11)
+        targets, heads = self._targets_heads(rng)
+        cfg = YoloLossConfig(iou_loss=kind, focal_loss=True)
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-4, abs=1e-5), k
+        # and focal actually changes (downweights) the class term
+        _, p0 = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+            YoloLossConfig(iou_loss=kind))
+        assert float(parts["class"]) < float(p0["class"])
+
+    def test_focal_gradient_downweights_easy_examples(self):
+        """The focal property: a well-classified (easy) logit receives
+        a much smaller gradient than under plain BCE."""
+        import jax
+
+        def focal(l):
+            p = jax.nn.sigmoid(l)
+            return 0.5 * (1 - p) ** 2 * (jnp.maximum(l, 0) - l
+                                         + jnp.log1p(jnp.exp(-jnp.abs(l))))
+
+        def bce(l):
+            return jnp.maximum(l, 0) - l + jnp.log1p(jnp.exp(-jnp.abs(l)))
+
+        easy = jnp.asarray(4.0)  # p ~ 0.982 toward target 1
+        g_f = float(jax.grad(focal)(easy))
+        g_b = float(jax.grad(bce)(easy))
+        assert abs(g_f) < 0.01 * abs(g_b)
+
+    @pytest.mark.parametrize("kind", ["mse", "ciou"])
+    def test_truth_thresh_matches_oracle(self, kind):
+        from tests.loss_oracle import yolo_loss_np
+
+        rng = np.random.default_rng(12)
+        targets, heads = self._targets_heads(rng)
+        cfg = YoloLossConfig(iou_loss=kind, truth_thresh=0.1,
+                             ignore_thresh=0.5)
+        total, parts = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        want_total, want_parts = yolo_loss_np(
+            heads, targets, V3_ANCHORS, MICRO_V3_MASKS, 4, 64, cfg)
+        for k in want_parts:
+            assert float(parts[k]) == pytest.approx(want_parts[k],
+                                                    rel=1e-3, abs=1e-5), k
+        # the multi-truth pass actually fired: obj/class grow vs tt=1
+        _, p0 = yolo_loss(
+            [jnp.asarray(h) for h in heads],
+            {k: jnp.asarray(v) for k, v in targets.items()},
+            V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+            YoloLossConfig(iou_loss=kind, ignore_thresh=0.5))
+        assert float(parts["obj"]) > float(p0["obj"])
+
+    def test_truth_thresh_trains(self):
+        """Gradients flow through the multi-truth terms: a train step
+        over MICRO_V3 with truth_thresh=0.1 decreases the loss."""
+        tcfg = TrainConfig(learning_rate=5e-4,
+                           yolo_loss=YoloLossConfig(truth_thresh=0.1,
+                                                    focal_loss=True))
+        rng = np.random.default_rng(13)
+        state = init_state(dw.random_params(MICRO_V3.layers, rng,
+                                            scale=0.1), tcfg)
+        step = make_train_step(MICRO_V3, tcfg)
+        boxes, classes = _random_v3_scene(rng, 4)
+        batch = tgt.encode_batch_for(MICRO_V3, boxes, classes)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch["images"] = jnp.asarray(
+            rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+        losses = []
+        for _ in range(8):
+            state, m = step(state, dict(batch))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_unsupported_combinations_reject(self):
+        rng = np.random.default_rng(14)
+        targets, heads = self._targets_heads(rng)
+        j = ([jnp.asarray(h) for h in heads],
+             {k: jnp.asarray(v) for k, v in targets.items()})
+        with pytest.raises(NotImplementedError, match="new_coords"):
+            yolo_loss(j[0], j[1], V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+                      YoloLossConfig(iou_loss="ciou", focal_loss=True),
+                      new_coords=[True, True])
+        with pytest.raises(NotImplementedError, match="smooth"):
+            yolo_loss(j[0], j[1], V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+                      YoloLossConfig(focal_loss=True,
+                                     label_smooth_eps=0.1))
+        with pytest.raises(NotImplementedError, match="Gaussian"):
+            yolo_loss(j[0], j[1], V3_ANCHORS, MICRO_V3_MASKS, 4, 64,
+                      YoloLossConfig(truth_thresh=0.5),
+                      gaussian=[True, True])
+
+    def test_cfg_parse_round_trip_and_region_rejection(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        p = tmp_path / "f.cfg"
+        p.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n"
+            "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
+            "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
+            "num=2\nfocal_loss=1\ntruth_thresh=0.7\n")
+        cfg = config_from_cfg(str(p))
+        assert cfg.focal_loss is True
+        assert cfg.truth_thresh == pytest.approx(0.7)
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        back = config_from_cfg(str(p2))
+        assert back.focal_loss is True
+        assert back.truth_thresh == pytest.approx(0.7)
+        # defaults stay off
+        p3 = tmp_path / "d.cfg"
+        p3.write_text(p.read_text().replace(
+            "focal_loss=1\ntruth_thresh=0.7\n", ""))
+        d = config_from_cfg(str(p3))
+        assert d.focal_loss is False and d.truth_thresh == 1.0
+        # [region] focal_loss has no pinnable source: loud rejection
+        r = tmp_path / "r.cfg"
+        r.write_text(
+            "[net]\nwidth=32\n"
+            "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n" * 5
+            + "[convolutional]\nfilters=45\nsize=1\nactivation=linear\n"
+            "[region]\nanchors = 1,1, 2,2\nclasses=4\nnum=2\n"
+            "focal_loss=1\n")
+        with pytest.raises(ValueError, match="focal_loss"):
+            config_from_cfg(str(r))

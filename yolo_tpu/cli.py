@@ -941,7 +941,9 @@ def cmd_train(args) -> None:
                            iou_loss=cfg.iou_loss,
                            iou_normalizer=cfg.iou_normalizer,
                            cls_normalizer=cfg.cls_normalizer,
-                           obj_normalizer=cfg.obj_normalizer),
+                           obj_normalizer=cfg.obj_normalizer,
+                           focal_loss=cfg.focal_loss,
+                           truth_thresh=cfg.truth_thresh),
                        **({"multi_scale_sizes": sizes} if sizes else {}))
     if args.loader == "grain" and args.multi_scale:
         raise SystemExit("--loader grain is fixed-net-size (multi-scale "

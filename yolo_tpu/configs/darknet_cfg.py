@@ -19,11 +19,13 @@ squeeze-excitation multiply; works with [avgpool] squeeze branches
 inside detectors), [upsample] (stride), [yolo] (mask, anchors in net-input
 pixels, classes, num, ignore_thresh, scale_x_y, and the scaled-yolov4
 new_coords=1 decode — new_coords training is supported with the
-iou-family losses the scaled cfgs use (train/loss.py); the keys whose
-darknet semantics we cannot pin are rejected loudly instead of
-silently training differently: focal_loss, truth_thresh != 1 at parse
-time, objectness_smooth at training time (inference ignores it, as
-darknet's forward does)), and [Gaussian_yolo] (Gaussian YOLOv3
+iou-family losses the scaled cfgs use (train/loss.py); focal_loss=1
+trains with the paper's sigmoid focal class loss and truth_thresh < 1
+with the multi-truth positive pass (train/loss.py pins both); the one
+key whose darknet semantics we cannot pin — objectness_smooth — is
+rejected loudly at training time instead of silently training
+differently (inference ignores it, as darknet's forward does)), and
+[Gaussian_yolo] (Gaussian YOLOv3
 localization-uncertainty heads: 9+C channel layout, score scaled by
 (1 - mean sigma); training runs the paper's per-coordinate Gaussian
 NLL — arXiv:1904.04620, the pinned source).
@@ -367,18 +369,6 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # no forward effect — parsed and dropped
             pass
         elif kind in ("yolo", "gaussian_yolo"):
-            # semantically-meaningful keys we do NOT implement must
-            # fail loudly, not silently train differently from darknet
-            if float(kv.get("focal_loss", 0)):
-                raise ValueError(
-                    "[yolo] focal_loss=1 (AlexeyAB focal class loss) is "
-                    "not supported — remove the key (standard BCE) or "
-                    "train with darknet")
-            if float(kv.get("truth_thresh", 1.0)) != 1.0:
-                raise ValueError(
-                    "[yolo] truth_thresh != 1 (multi-truth objectness "
-                    "assignment) is not supported — every published "
-                    "cfg uses 1")
             gaussian = kind == "gaussian_yolo"
             if gaussian and int(kv.get("new_coords", 0)):
                 raise ValueError(
@@ -422,7 +412,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                         float(kv.get("iou_thresh", 1.0)),
                         (float(kv["obj_normalizer"])
                          if "obj_normalizer" in kv else None),
-                        bool(int(kv.get("objectness_smooth", 0))))
+                        bool(int(kv.get("objectness_smooth", 0))),
+                        bool(float(kv.get("focal_loss", 0))),
+                        float(kv.get("truth_thresh", 1.0)))
             if loss_spec is not None and new_loss != loss_spec:
                 raise ValueError("[yolo] sections must share one "
                                  "iou_loss/normalizer/iou_thresh set")
@@ -445,6 +437,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             nms_spec = new_nms
         elif kind == "region":
             saw_region = True
+            if float(kv.get("focal_loss", 0)):
+                raise ValueError(
+                    "[region] focal_loss=1 is not supported — the "
+                    "region family's class term is pinned to darknet's "
+                    "squared-error-on-softmax convention; AlexeyAB's "
+                    "focal variant on softmax probabilities has no "
+                    "reference source to pin ([yolo] heads DO support "
+                    "focal_loss)")
             anchors = _parse_anchors(kv, "[region]")
             num_classes = int(kv.get("classes", 20))
             # [region] thresh is darknet's TRAINING noobj-suppression
@@ -625,7 +625,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   cls_normalizer=loss_spec[2],
                                   assign_iou_thresh=loss_spec[3],
                                   obj_normalizer=loss_spec[4],
-                                  objectness_smooth=loss_spec[5])
+                                  objectness_smooth=loss_spec[5],
+                                  focal_loss=loss_spec[6],
+                                  truth_thresh=loss_spec[7])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
     if tree is not None:
@@ -851,6 +853,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                           if cfg.assign_iou_thresh != 1.0 else "")
                        + ("objectness_smooth=1\n"
                           if cfg.objectness_smooth else "")
+                       + ("focal_loss=1\n" if cfg.focal_loss else "")
+                       + (f"truth_thresh = {cfg.truth_thresh:g}\n"
+                          if cfg.truth_thresh != 1.0 else "")
                        + ("nms_kind=diounms\n"
                           if cfg.nms_kind == "diou" else "")
                        + (f"beta_nms={cfg.beta_nms:g}\n"

@@ -348,6 +348,17 @@ class ModelConfig:
     # source to pin the semantics) — inference ignores it, as darknet's
     # forward pass does
     objectness_smooth: bool = False
+    # AlexeyAB [yolo] focal_loss=1: the class term becomes the focal
+    # loss (Lin et al. arXiv:1708.02002) with darknet's constants
+    # gamma=2, alpha=0.5 — the PAPER's elementwise sigmoid focal form
+    # is the pinned source (reference absent); inference ignores it
+    focal_loss: bool = False
+    # [yolo] truth_thresh (yolo_layer.c per-position pass): anchors
+    # whose best PREDICTED-box IoU against any truth exceeds it train
+    # as positives toward that truth (obj target 1, class, box) in
+    # addition to the best-anchor assignment; 1.0 (every published
+    # cfg) disables — IoU never exceeds 1
+    truth_thresh: float = 1.0
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6

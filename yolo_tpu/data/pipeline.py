@@ -225,6 +225,12 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
         rng.shuffle(order)
     n_batches = len(order) // batch_size  # drop remainder: fixed shapes
     aug_base = int(rng.integers(0, 2 ** 31))  # per-sample thread-safe rngs
+    # name-mismatch tripwire: objects whose XML name is outside the
+    # model's class list silently become background (correct for a few
+    # stray labels, catastrophic when --names is wrong and EVERY box
+    # drops) — warn once if the first batches keep nothing while the
+    # annotations did contain objects
+    drop_stats = {"kept": 0, "unknown": 0, "warned": False}
 
     def load_sample(idx: int, rng_key):
         """Raw augmented (img, boxes, classes) for one dataset index."""
@@ -238,6 +244,8 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
         else:
             ann = parse_annotation(ann, class_names)
             boxes, classes = ann["boxes"], ann["classes"]
+            drop_stats["kept"] += len(classes)
+            drop_stats["unknown"] += ann.get("n_unknown", 0)
         if augment_cfg is not None:
             from yolo_tpu.data.augment import augment
 
@@ -297,6 +305,18 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                 size = size_for_batch(bi) or size
             idxs = order[bi * batch_size:(bi + 1) * batch_size]
             chunk = list(pool.map(lambda i: prepare(i, size), idxs))
+            if (not drop_stats["warned"] and drop_stats["kept"] == 0
+                    and drop_stats["unknown"] > 0):
+                import sys
+
+                drop_stats["warned"] = True
+                print(
+                    f"WARNING: the first {drop_stats['unknown']} "
+                    "annotated objects were ALL dropped because their "
+                    "class names are not in the model's class list — "
+                    "training would see only background. Check --names "
+                    "(or the cfg's class names) against the dataset.",
+                    file=sys.stderr)
             yield _assemble(chunk, size, anchors, num_classes, model_cfg)
 
 

@@ -115,12 +115,14 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
       coord_w_h  (S,S,A)  [coord scale 2 - w*h]
       tbox_h     (S,S,A,4) raw assigned GT xywh (CIoU box loss)
     plus shared gt_boxes (max_gt, 4) / gt_mask (max_gt,) for the
-    ignore-threshold objectness mask.
+    ignore-threshold objectness mask and gt_cls (max_gt,) for the
+    truth_thresh multi-truth pass (train/loss.py).
     """
     anchors_px = np.asarray(anchors_px, dtype=np.float32)
     out: Dict[str, np.ndarray] = {
         "gt_boxes": np.zeros((max_gt, 4), np.float32),
         "gt_mask": np.zeros((max_gt,), np.float32),
+        "gt_cls": np.zeros((max_gt,), np.int32),
     }
     grids = [input_size // st for st in strides]
     for h, (mask, s) in enumerate(zip(masks, grids)):
@@ -145,6 +147,7 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
             continue
         out["gt_boxes"][g] = box
         out["gt_mask"][g] = 1.0
+        out["gt_cls"][g] = int(cls)
         g += 1
         ious = [_wh_iou(w * input_size, h_ * input_size, pw, ph)
                 for pw, ph in anchors_px]

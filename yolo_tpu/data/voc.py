@@ -26,9 +26,16 @@ def parse_annotation(xml_path: str, class_names: Sequence[str],
     name_to_id = {n: i for i, n in enumerate(class_names)}
 
     boxes, classes, difficult = [], [], []
+    n_unknown = 0
     for obj in root.findall("object"):
         cls = obj.find("name").text.strip()
         if cls not in name_to_id:
+            # objects of names outside the model's class list train as
+            # background (darknet's label files are index-based, so the
+            # mismatch there happens earlier, at label-generation time);
+            # the count lets the pipeline warn when EVERYTHING drops —
+            # the classic wrong/missing --names footgun
+            n_unknown += 1
             continue
         diff = int((obj.find("difficult").text or "0")
                    if obj.find("difficult") is not None else 0)
@@ -53,6 +60,7 @@ def parse_annotation(xml_path: str, class_names: Sequence[str],
         "height": int(h),
         "filename": (root.find("filename").text
                      if root.find("filename") is not None else ""),
+        "n_unknown": n_unknown,
     }
 
 

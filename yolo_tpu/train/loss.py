@@ -371,6 +371,22 @@ class YoloLossConfig:
     # AlexeyAB [yolo] label_smooth_eps: class targets become
     # y*(1-eps) + eps/2; 0 = off
     label_smooth_eps: float = 0.0
+    # AlexeyAB [yolo] focal_loss=1: class term becomes the focal loss
+    # (Lin et al. arXiv:1708.02002) with darknet's hardcoded constants
+    # gamma=2, alpha=0.5. The PAPER's elementwise sigmoid form is the
+    # pinned source (reference absent, same convention as the Gaussian
+    # head): FL = alpha*(1-p_t)^2 * BCE with p_t = y*p + (1-y)*(1-p),
+    # gradient by autodiff through both factors. Darknet's delta-file
+    # variant instead rescales every class delta by the TRUE class's
+    # focal gradient — a different (unpinnable) weighting.
+    focal_loss: bool = False
+    # [yolo] truth_thresh (yolo_layer.c per-position pass): anchors
+    # whose best predicted-box IoU against any truth exceeds it ALSO
+    # train as positives toward that best truth — objectness target 1,
+    # the truth's class, and the box term — on top of the best-anchor
+    # assignment (which wins where both fire, as darknet's later pass
+    # overwrites the delta). 1.0 disables (IoU never exceeds 1).
+    truth_thresh: float = 1.0
 
 
 def _bce(logit, target):
@@ -500,6 +516,23 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
             "iou_loss (iou/giou/diou/ciou — every scaled-yolov4 cfg "
             "uses ciou); the mse combination's sqrt wh targets are "
             "not encoded")
+    if cfg.focal_loss and any(new_coords):
+        raise NotImplementedError(
+            "[yolo] focal_loss=1 with new_coords=1 heads is not "
+            "supported (the scaled family's class term is "
+            "activation-space MSE, not BCE; no published cfg combines "
+            "them)")
+    if cfg.focal_loss and (cfg.label_smooth_eps
+                           or any(e for e in smooth_eps if e)):
+        raise NotImplementedError(
+            "[yolo] focal_loss=1 with label_smooth_eps is not "
+            "supported (darknet's focal branch ignores smoothing; "
+            "the focal p_t is undefined for soft targets)")
+    if cfg.truth_thresh < 1.0 and any(gaussian):
+        raise NotImplementedError(
+            "[yolo] truth_thresh < 1 with [Gaussian_yolo] heads is "
+            "not supported (the multi-truth box term would need the "
+            "Gaussian NLL; no published cfg combines them)")
 
     for h, (logits, mask, s_xy, nc) in enumerate(zip(head_logits, masks,
                                                      scales, new_coords)):
@@ -546,9 +579,23 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         best_iou = jnp.max(iou_all, axis=-1).reshape(b, s, s, a)
         best_iou = jax.lax.stop_gradient(best_iou)
 
+        # multi-truth mask (truth_thresh < 1): anchors whose best
+        # predicted-box IoU beats truth_thresh train as positives
+        # toward that truth; best-anchor assignments win where both
+        # fire (darknet's later pass overwrites the delta), and mt
+        # anchors never count as noobj
+        mt = None
+        if cfg.truth_thresh < 1.0:
+            best_g = jnp.argmax(
+                jax.lax.stop_gradient(iou_all), axis=-1)       # (B, N)
+            mt = ((best_iou > cfg.truth_thresh).astype(jnp.float32)
+                  * (1.0 - obj))
+
         # objectness: BCE(1) on assigned; BCE(0) unless ignored
         noobj_mask = ((1.0 - obj)
                       * (best_iou < cfg.ignore_thresh).astype(jnp.float32))
+        if mt is not None:
+            noobj_mask = noobj_mask * (1.0 - mt)
         if nc:
             # new_coords head: t[..., 4] is the activated objectness p;
             # darknet's delta is (target - p) on the activation, i.e.
@@ -606,15 +653,81 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                 obj * coord_w * (xy + wh)) / b
 
         # classes: per-class BCE vs one-hot on assigned anchors
+        # (focal_loss swaps in the paper's elementwise sigmoid focal
+        # form — alpha=0.5, gamma=2, darknet's constants)
+        def cls_elem_of(onehot_x):
+            if nc:
+                return 0.5 * jnp.square(t[..., 5:] - onehot_x)
+            if cfg.focal_loss:
+                p = jax.nn.sigmoid(t[..., 5:])
+                pt = onehot_x * p + (1.0 - onehot_x) * (1.0 - p)
+                return (0.5 * jnp.square(1.0 - pt)
+                        * _bce(t[..., 5:], onehot_x))
+            return _bce(t[..., 5:], onehot_x)
+
         onehot = jax.nn.one_hot(targets[f"tcls_{h}"], c, dtype=jnp.float32)
         eps = (smooth_eps[h] if smooth_eps[h] is not None
                else cfg.label_smooth_eps)
         if eps:
             onehot = onehot * (1.0 - eps) + 0.5 * eps
-        cls_elem = (0.5 * jnp.square(t[..., 5:] - onehot) if nc
-                    else _bce(t[..., 5:], onehot))
         parts["class"] = parts["class"] + cls_n * jnp.sum(
-            obj[..., None] * cls_elem) / b
+            obj[..., None] * cls_elem_of(onehot)) / b
+
+        if mt is not None:
+            # --- multi-truth positive pass toward the best truth ---
+            gtb = jnp.take_along_axis(
+                targets["gt_boxes"], best_g[..., None], axis=1
+            ).reshape(b, s, s, a, 4)
+            gtc = jnp.take_along_axis(
+                targets["gt_cls"].astype(jnp.int32), best_g, axis=1
+            ).reshape(b, s, s, a)
+            gtb = jax.lax.stop_gradient(gtb)
+            # objectness toward 1 — the same elementwise form and
+            # normalizer as the assigned pass
+            parts["obj"] = parts["obj"] + on * jnp.sum(mt * obj_bce) / b
+            # class toward the truth's class
+            onehot_mt = jax.nn.one_hot(gtc, c, dtype=jnp.float32)
+            if eps:
+                onehot_mt = onehot_mt * (1.0 - eps) + 0.5 * eps
+            parts["class"] = parts["class"] + cls_n * jnp.sum(
+                mt[..., None] * cls_elem_of(onehot_mt)) / b
+            # box toward the truth, at the anchor's OWN cell/anchor
+            # (darknet delta_yolo_box: tx = truth.x*lw - i — the
+            # encoded target may leave [0,1] when the truth's center
+            # sits in another cell; the BCE gradient is still
+            # sigmoid - target, darknet's delta)
+            if cfg.iou_loss != "mse":
+                iou_mt = _diag_iou_variant(pred_boxes, gtb,
+                                           cfg.iou_loss)
+                parts["coord"] = (parts["coord"] + cfg.iou_normalizer
+                                  * jnp.sum(mt * (1.0 - iou_mt)) / b)
+            else:
+                cxi = jnp.arange(s, dtype=jnp.float32)[None, None, :,
+                                                       None]
+                cyj = jnp.arange(s, dtype=jnp.float32)[None, :, None,
+                                                       None]
+                txm = gtb[..., 0] * s - cxi
+                tym = gtb[..., 1] * s - cyj
+                aw = jnp.asarray([anchors_px[m][0] for m in mask],
+                                 jnp.float32)
+                ah = jnp.asarray([anchors_px[m][1] for m in mask],
+                                 jnp.float32)
+                twm = jnp.log(jnp.maximum(
+                    gtb[..., 2] * net_size / aw, 1e-9))
+                thm = jnp.log(jnp.maximum(
+                    gtb[..., 3] * net_size / ah, 1e-9))
+                if s_xy == 1.0:
+                    xy_mt = (_bce(t_box[..., 0], txm)
+                             + _bce(t_box[..., 1], tym))
+                else:
+                    pxm = jax.nn.sigmoid(t_box[..., 0]) * s_xy - off
+                    pym = jax.nn.sigmoid(t_box[..., 1]) * s_xy - off
+                    xy_mt = 0.5 * ((pxm - txm) ** 2 + (pym - tym) ** 2)
+                wh_mt = 0.5 * ((t_box[..., 2] - twm) ** 2
+                               + (t_box[..., 3] - thm) ** 2)
+                w_mt = 2.0 - gtb[..., 2] * gtb[..., 3]
+                parts["coord"] = parts["coord"] + jnp.sum(
+                    mt * w_mt * (xy_mt + wh_mt)) / b
 
     total = sum(parts.values())
     return total, parts
