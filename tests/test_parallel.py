@@ -52,6 +52,31 @@ def test_dp_step_matches_single_device(mesh):
         single_state["params"], dp_state["params"])
 
 
+def test_dp_step_matches_single_device_grad_accum(mesh):
+    """darknet subdivisions under DP: the interleaved sub-batch split
+    (sub i = batch[i::accum]) keeps every sub-batch spread over all
+    devices, and the accumulated step matches the single-device
+    accum=2 step exactly (global per-sub-batch BN stats included)."""
+    rng = np.random.default_rng(7)
+    params = dw.random_params(MICRO.layers, rng)
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                       grad_accum=2)
+    batch = _batch(rng, 16)
+
+    single_state = init_state(params, tcfg)
+    single_state, m1 = make_train_step(MICRO, tcfg)(single_state, batch)
+
+    dp_state = shd.replicate(mesh, init_state(params, tcfg))
+    dp_step = shd.make_dp_train_step(MICRO, tcfg, mesh)
+    dp_state, m2 = dp_step(dp_state, shd.shard_batch(mesh, batch))
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        single_state["params"], dp_state["params"])
+
+
 def test_sharded_inference_matches_unsharded(mesh):
     rng = np.random.default_rng(1)
     params = graph.params_to_jax(

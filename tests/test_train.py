@@ -626,3 +626,128 @@ class TestAdamCfg:
                   "--imagefolder", str(data), "--epochs", "1",
                   "--batch", "8", "--precision", "fp32"])
         assert "adam=1: Adam optimizer" in capsys.readouterr().err
+
+
+class TestGradAccum:
+    """darknet [net] subdivisions: one optimizer step runs `accum`
+    sequential sub-passes (sub i = batch[i::accum]), sums gradients,
+    and chains the BN rolling stats through the sub-passes
+    (network.c train_network; batchnorm_layer.c sees
+    net.batch = batch/subdivisions images per forward)."""
+
+    def _nobn(self):
+        import dataclasses
+
+        return dataclasses.replace(MICRO, name="micro-nobn", layers=tuple(
+            dataclasses.replace(l, bn=False) if isinstance(l, Conv) else l
+            for l in MICRO.layers))
+
+    def _batch(self, rng, model, batch=8):
+        grid = model.grid_size
+        targets = _random_scene(rng, batch, grid, model.num_classes)
+        d = {k: jnp.asarray(v) for k, v in targets.items()}
+        d["images"] = jnp.asarray(
+            rng.uniform(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+        return d
+
+    @pytest.mark.quick
+    def test_no_bn_matches_whole_batch(self):
+        # without BN (per-sub-batch stats) the mean of per-sub-batch
+        # gradients equals the whole-batch gradient, so accum=2 must
+        # reproduce the accum=1 step
+        model = self._nobn()
+        rng = np.random.default_rng(3)
+        params = dw.random_params(model.layers, rng)
+        batch = self._batch(rng, model)
+        states, losses = [], []
+        for accum in (1, 2, 4):
+            tcfg = TrainConfig(learning_rate=1e-2, weight_decay=0.0,
+                               grad_accum=accum)
+            s = init_state(params, tcfg)
+            s, m = make_train_step(model, tcfg)(s, batch)
+            states.append(s)
+            losses.append(float(m["loss"]))
+        for other in losses[1:]:
+            assert other == pytest.approx(losses[0], rel=1e-5)
+        for s in states[1:]:
+            for p_ref, p in zip(states[0]["params"], s["params"]):
+                for k in p_ref:
+                    np.testing.assert_allclose(
+                        np.asarray(p[k]), np.asarray(p_ref[k]),
+                        rtol=2e-5, atol=2e-6)
+            assert int(s["step"]) == 1 and int(s["seen"]) == 8
+
+    @pytest.mark.quick
+    def test_bn_stats_chain_sequentially(self):
+        # rolling mean/var after an accum=2 step equal two manual
+        # sequential apply_layers passes over the interleaved
+        # sub-batches (EMA chained through the first pass's output)
+        from yolo_tpu.models import graph
+
+        rng = np.random.default_rng(4)
+        params = dw.random_params(MICRO.layers, rng)
+        batch = self._batch(rng, MICRO)
+        tcfg = TrainConfig(learning_rate=0.0, momentum=0.0,
+                           weight_decay=0.0, grad_accum=2)
+        state = init_state(params, tcfg)
+        new_state, _ = make_train_step(MICRO, tcfg)(
+            jax.tree_util.tree_map(jnp.copy, state), batch)
+
+        p = state["params"]
+        for i in range(2):
+            _, bn_u = graph.apply_layers(
+                MICRO.layers, p, batch["images"][i::2], eps=MICRO.bn_eps,
+                train=True, compute_dtype=jnp.float32)
+            p = graph.apply_bn_updates(p, bn_u)
+        for got, want in zip(new_state["params"], p):
+            for k in ("mean", "var"):
+                if k in want:
+                    np.testing.assert_allclose(
+                        np.asarray(got[k]), np.asarray(want[k]),
+                        rtol=1e-5, atol=1e-7)
+
+    def test_loss_decreases_with_accum(self):
+        rng = np.random.default_rng(5)
+        tcfg = TrainConfig(learning_rate=5e-3, optimizer="adam",
+                           weight_decay=0.0, grad_accum=2)
+        state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+        step = make_train_step(MICRO, tcfg)
+        batch = self._batch(rng, MICRO)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.9
+        assert int(state["step"]) == 8 and int(state["seen"]) == 64
+
+    @pytest.mark.quick
+    def test_indivisible_batch_rejects(self):
+        rng = np.random.default_rng(6)
+        tcfg = TrainConfig(grad_accum=3)
+        state = init_state(dw.random_params(MICRO.layers, rng), tcfg)
+        with pytest.raises(ValueError, match="divisible"):
+            make_train_step(MICRO, tcfg)(state, self._batch(rng, MICRO))
+
+    @pytest.mark.quick
+    def test_cli_resolution(self):
+        import argparse
+
+        from yolo_tpu.cli import _batch_accum_from
+
+        # cfg [net] batch/subdivisions are the defaults
+        args = argparse.Namespace(batch=None, grad_accum=None)
+        accum = _batch_accum_from(args, {"batch": 64, "subdivisions": 8})
+        assert args.batch == 64 and accum == 8
+        # explicit flags win
+        args = argparse.Namespace(batch=16, grad_accum=1)
+        assert _batch_accum_from(
+            args, {"batch": 64, "subdivisions": 8}) == 1
+        assert args.batch == 16
+        # darknet requires batch % subdivisions == 0
+        args = argparse.Namespace(batch=10, grad_accum=None)
+        with pytest.raises(SystemExit, match="divisible"):
+            _batch_accum_from(args, {"subdivisions": 4})
+        # no cfg keys: 32/1
+        args = argparse.Namespace(batch=None, grad_accum=None)
+        assert _batch_accum_from(args, {}) == 1
+        assert args.batch == 32

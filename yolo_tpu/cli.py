@@ -581,6 +581,7 @@ def _train_classifier(args, cfg) -> None:
                        remat=args.remat, burn_in_steps=burn_in,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
+                       grad_accum=_batch_accum_from(args, net_hp),
                        ema_alpha=ema_alpha, ema_start_step=ema_start)
 
     mesh = shd.make_mesh()
@@ -717,6 +718,32 @@ def _train_classifier(args, cfg) -> None:
         print(f"saved final checkpoint to {args.checkpoint_dir}/final",
               file=sys.stderr)
     logger.close()
+
+
+def _batch_accum_from(args, net_hp) -> int:
+    """--batch/--grad-accum resolution shared by both trainers:
+    explicit flags win, then the cfg's [net] batch/subdivisions (the
+    darknet training config), else 32/1. Mutates args.batch in place
+    (downstream code reads it everywhere) and returns the accumulation
+    count. darknet requires batch % subdivisions == 0; so do we."""
+    if args.batch is None:
+        args.batch = int(net_hp.get("batch", 32))
+        if "batch" in net_hp:
+            print(f"cfg [net] batch={args.batch}", file=sys.stderr)
+    accum = (args.grad_accum if args.grad_accum is not None
+             else int(net_hp.get("subdivisions", 1)))
+    if accum != 1 and args.grad_accum is None:
+        print(f"cfg [net] subdivisions={accum}: accumulating "
+              f"gradients over {accum} sub-batches of "
+              f"{args.batch // max(accum, 1)} (per-sub-batch BN "
+              f"stats, darknet semantics); pass --grad-accum 1 for "
+              f"one whole-batch pass per step", file=sys.stderr)
+    if accum < 1 or args.batch % accum:
+        raise SystemExit(
+            f"--batch {args.batch} is not divisible by grad-accum "
+            f"{accum} (darknet requires batch % subdivisions == 0) — "
+            f"adjust --batch or pass --grad-accum 1")
+    return accum
 
 
 def _optimizer_from(args, net_hp) -> dict:
@@ -932,6 +959,7 @@ def cmd_train(args) -> None:
                        burn_in_steps=burn_in,
                        momentum=net_hp.get("momentum", 0.9),
                        weight_decay=net_hp.get("decay", 5e-4),
+                       grad_accum=_batch_accum_from(args, net_hp),
                        ema_alpha=ema_alpha,
                        ema_start_step=ema_start,
                        # [region]/[yolo] training keys flow from the cfg
@@ -1628,7 +1656,15 @@ def main(argv: Optional[list] = None) -> None:
                         "checkpoint saved as 'best')")
     _add_dataset(p, "train")
     p.add_argument("--epochs", type=int, default=1)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=None,
+                   help="images per optimizer step (default: the "
+                        "cfg's [net] batch, else 32)")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="sequential sub-batches per optimizer step "
+                        "(darknet [net] subdivisions: gradient "
+                        "accumulation with per-sub-batch BN stats; "
+                        "default: the cfg's subdivisions, else 1 — "
+                        "pass 1 to force one whole-batch pass)")
     p.add_argument("--lr", type=float, default=None,
                    help="learning rate (default: the cfg's [net] "
                         "learning_rate, else 1e-4)")

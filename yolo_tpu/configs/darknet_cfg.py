@@ -673,6 +673,12 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("decay", float), ("burn_in", int),
                               ("ema_alpha", float),
                               ("max_batches", int),
+                              # darknet's images-per-iteration and its
+                              # gradient-accumulation split; the CLI
+                              # uses them as --batch/--grad-accum
+                              # defaults
+                              ("batch", int),
+                              ("subdivisions", int),
                               ("power", float),
                               # policy=step/exp/sigmoid/sgdr keys
                               # (parser.c parse_net_options)

@@ -97,6 +97,16 @@ class TrainConfig:
     # the then-current weights at the start point. The CLI derives this
     # from the cfg's max_batches when present (--ema-start-step wins).
     ema_start_step: int = 0
+    # darknet [net] subdivisions: one optimizer step processes `batch`
+    # images as `subdivisions` sequential forward/backward passes of
+    # batch/subdivisions images each, summing gradients (network.c
+    # train_network / update path). BN batch statistics are computed
+    # per SUB-batch and the rolling stats chain sequentially through
+    # the sub-passes — exactly darknet's minibatch-stat semantics
+    # (batchnorm_layer.c sees net.batch = batch/subdivisions images
+    # per forward). 1 = whole-batch step (the TPU default: HBM fits
+    # the full batch, and one big pass is faster).
+    grad_accum: int = 1
 
 
 # Train state is a plain dict pytree: {'params', 'opt_state', 'step',
@@ -241,18 +251,23 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     batch_size = batch["images"].shape[0]
 
     net_size = batch["images"].shape[1]
+    accum = max(1, int(tcfg.grad_accum))
+    if batch_size % accum:
+        raise ValueError(
+            f"batch {batch_size} not divisible by grad_accum {accum} "
+            f"(darknet requires batch % subdivisions == 0 too)")
 
-    def loss_fn(params):
+    def loss_fn(params, sub, dropout_rng, seen):
         logits, bn_updates = graph.apply_layers(
-            mcfg.layers, params, batch["images"], eps=mcfg.bn_eps,
+            mcfg.layers, params, sub["images"], eps=mcfg.bn_eps,
             train=True, compute_dtype=compute_dtype, remat=tcfg.remat,
             bn_stats_fp32=tcfg.bn_stats_fp32,
             softmax_logits=mcfg.head_kind == "softmax",
             # fresh, deterministic dropout masks each step (darknet
             # dropout_layer trains stochastically; inference stays
-            # identity) — keyed on the step so resume reproduces them
-            dropout_rng=jax.random.fold_in(jax.random.PRNGKey(0),
-                                           state["step"]))
+            # identity) — keyed on the step (and the sub-batch index
+            # under gradient accumulation) so resume reproduces them
+            dropout_rng=dropout_rng)
         if mcfg.head_kind == "softmax":
             # the SoftmaxHead layer is the single source of truth for
             # the hierarchy and temperature — inference reads them from
@@ -266,11 +281,11 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
             shead = next(l for l in mcfg.layers
                          if isinstance(l, SoftmaxHead))
             total, parts = classifier_loss(
-                logits, batch["labels"], tree=shead.tree,
+                logits, sub["labels"], tree=shead.tree,
                 temperature=shead.temperature)
             return total, (bn_updates, parts)
         if mcfg.head_kind == "detection":
-            total, parts = detection_loss(logits, batch,
+            total, parts = detection_loss(logits, sub,
                                           mcfg.detection_head)
             return total, (bn_updates, parts)
         if mcfg.head_kind == "yolo":
@@ -287,7 +302,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                     "with sharp objectness targets "
                     "(objectness_smooth=0 darknet semantics)")
             total, parts = yolo_loss(
-                logits, batch, mcfg.anchors,
+                logits, sub, mcfg.anchors,
                 [hd.mask for hd in heads], mcfg.num_classes,
                 net_size, tcfg.yolo_loss,
                 scales=[hd.scale_xy for hd in heads],
@@ -297,15 +312,70 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                 gaussian=[hd.gaussian for hd in heads])
         else:
             total, parts = region_loss(
-                logits, batch, mcfg.anchors, mcfg.num_classes, tcfg.loss,
-                state["seen"], tree=mcfg.tree)
+                logits, sub, mcfg.anchors, mcfg.num_classes, tcfg.loss,
+                seen, tree=mcfg.tree)
         return total, (bn_updates, parts)
 
-    (loss, (bn_updates, parts)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state["params"])
+    step_key = jax.random.fold_in(jax.random.PRNGKey(0), state["step"])
+    if accum == 1:
+        (loss, (bn_updates, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"], batch, step_key,
+                                   state["seen"])
+        params_stats = None
+    else:
+        sub_bs = batch_size // accum
+        def split(a):
+            if a.shape[0] != batch_size:
+                raise ValueError(
+                    f"grad_accum: batch entry with leading dim "
+                    f"{a.shape[0]} != batch size {batch_size}")
+            # interleaved sub-batches (sub i = a[i::accum]): under data
+            # parallelism the batch axis is device-sharded, and the
+            # strided split keeps every sub-batch spread evenly over
+            # all devices (a contiguous split would park whole
+            # sub-batches on a subset of the mesh). Membership order
+            # differs from darknet's contiguous split, but the loader
+            # ordering is arbitrary anyway and the summed gradient is
+            # grouping-invariant.
+            return jnp.moveaxis(
+                a.reshape((sub_bs, accum) + a.shape[1:]), 1, 0)
+        subs = {k: split(v) for k, v in batch.items()}
+        rngs = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+            jnp.arange(accum, dtype=jnp.uint32))
+
+        def body(carry, xs):
+            p, gsum = carry
+            sub, rng, i = xs
+            (l, (bn_u, pp)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, sub, rng,
+                                       state["seen"] + i * sub_bs)
+            # rolling BN stats chain sequentially through the
+            # sub-passes (darknet updates them on every sub-batch
+            # forward); mean/var carry zero gradient, so reusing the
+            # stat-updated params for the next sub-pass leaves the
+            # weight gradients untouched
+            p = graph.apply_bn_updates(p, bn_u)
+            gsum = jax.tree_util.tree_map(lambda a, b: a + b, gsum, g)
+            return (p, gsum), (l, pp)
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+        (params_stats, gsum), (losses, parts_stack) = jax.lax.scan(
+            body, (state["params"], zeros),
+            (subs, rngs, jnp.arange(accum, dtype=jnp.int32)))
+        # each sub-loss is a mean over its own sub-batch, so the mean
+        # of per-sub gradients equals the whole-batch gradient
+        grads = jax.tree_util.tree_map(lambda a: a / accum, gsum)
+        loss = losses.mean()
+        parts = jax.tree_util.tree_map(lambda a: a.mean(), parts_stack)
     updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
     params = optax.apply_updates(state["params"], updates)
-    params = graph.apply_bn_updates(params, bn_updates)
+    if accum == 1:
+        params = graph.apply_bn_updates(params, bn_updates)
+    else:
+        # the final chained rolling stats live in the scan carry
+        params = [{k: (params_stats[i][k] if k in ("mean", "var")
+                       else v) for k, v in pl.items()}
+                  for i, pl in enumerate(params)]
     new_state = dict(
         params=params,
         opt_state=opt_state,
