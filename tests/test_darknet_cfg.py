@@ -834,3 +834,113 @@ def test_upsample_scale_and_maxpool_padding_guard(tmp_path):
         "[maxpool]\nsize=2\nstride=1\npadding=0\n"))
     with pytest.raises(ValueError, match="padding=0"):
         config_from_cfg(str(bad))
+
+
+@pytest.mark.quick
+def test_region_loss_keys_flow(tmp_path, capsys):
+    """[region] object/noobject/class/coord_scale + rescore parse with
+    darknet's PARSE defaults (parser.c parse_region: 1/1/1/1/0 — NOT
+    the official-cfg values), flow into LossConfig via
+    region_loss_config, survive a cfg round-trip; softmax=0 rejects;
+    bias_match=0 notes the static-assignment deviation."""
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.train.loss import region_loss_config
+
+    custom = TINY_VOC_CFG.replace(
+        "thresh=0.6\n",
+        "thresh=0.55\nobject_scale=2.5\nnoobject_scale=0.7\n"
+        "class_scale=1.5\ncoord_scale=3\nrescore=1\n")
+    p = tmp_path / "r.cfg"
+    p.write_text(custom)
+    cfg = config_from_cfg(str(p))
+    assert cfg.region_object_scale == pytest.approx(2.5)
+    assert cfg.region_noobject_scale == pytest.approx(0.7)
+    assert cfg.region_class_scale == pytest.approx(1.5)
+    assert cfg.region_coord_scale == pytest.approx(3.0)
+    assert cfg.region_rescore is True
+    lc = region_loss_config(cfg)
+    assert (lc.object_scale, lc.noobject_scale, lc.class_scale,
+            lc.coord_scale, lc.rescore, lc.iou_thresh) == (
+        2.5, 0.7, 1.5, 3.0, True, pytest.approx(0.55))
+
+    # round-trip preserves the custom values
+    p2 = tmp_path / "rt.cfg"
+    p2.write_text(cfg_to_string(cfg))
+    cfg2 = config_from_cfg(str(p2))
+    assert region_loss_config(cfg2) == lc
+
+    # absent keys: darknet parse defaults, not the official-cfg values
+    p3 = tmp_path / "bare.cfg"
+    p3.write_text(TINY_VOC_CFG)
+    bare = config_from_cfg(str(p3))
+    assert (bare.region_object_scale, bare.region_rescore) == (1.0, False)
+
+    # the pinned variants keep the OFFICIAL yolov2 cfg values
+    from yolo_tpu.configs import get_variant
+
+    v = get_variant("tiny-voc")
+    assert (v.region_object_scale, v.region_rescore) == (5.0, True)
+
+    p4 = tmp_path / "nosoft.cfg"
+    p4.write_text(TINY_VOC_CFG.replace("thresh=0.6\n",
+                                       "thresh=0.6\nsoftmax=0\n"))
+    with pytest.raises(ValueError, match="softmax=0"):
+        config_from_cfg(str(p4))
+
+    p5 = tmp_path / "bm.cfg"
+    p5.write_text(TINY_VOC_CFG.replace("thresh=0.6\n",
+                                       "thresh=0.6\nbias_match=0\n"))
+    config_from_cfg(str(p5))
+    assert "bias_match=0" in capsys.readouterr().err
+
+
+@pytest.mark.quick
+def test_cfg_key_audit(tmp_path, capsys):
+    """Unconsumed cfg keys warn once per (section, key) — darknet
+    trains from the cfg alone, so a silently-dropped key is a silently
+    different run; unimplemented-but-recognized keys stay silent at
+    their darknet no-op value and warn away from it; anisotropic
+    conv/maxpool strides reject."""
+    # typo'd key warns as unrecognized (once, despite two sections
+    # carrying it)
+    p = tmp_path / "typo.cfg"
+    p.write_text(TINY_VOC_CFG.replace(
+        "[convolutional]\n", "[convolutional]\nbatch_normalise=1\n", 2))
+    config_from_cfg(str(p))
+    err = capsys.readouterr().err
+    assert err.count("batch_normalise") == 1
+    assert "not a recognized key" in err
+
+    # [net] angle: silent at darknet's no-op 0, warns at 7
+    p2 = tmp_path / "a0.cfg"
+    p2.write_text(TINY_VOC_CFG.replace("momentum=0.9\n",
+                                       "momentum=0.9\nangle=0\n"))
+    config_from_cfg(str(p2))
+    assert "angle" not in capsys.readouterr().err
+    p3 = tmp_path / "a7.cfg"
+    p3.write_text(TINY_VOC_CFG.replace("momentum=0.9\n",
+                                       "momentum=0.9\nangle=7\n"))
+    config_from_cfg(str(p3))
+    err = capsys.readouterr().err
+    assert "angle=7" in err and "not implemented" in err
+
+    # consumed training keys never warn
+    p4 = tmp_path / "ok.cfg"
+    p4.write_text(TINY_VOC_CFG.replace(
+        "momentum=0.9\n",
+        "momentum=0.9\nbatch=64\nsubdivisions=8\nburn_in=100\n"
+        "policy=steps\nsteps=100,200\nscales=.1,.1\n"))
+    config_from_cfg(str(p4))
+    assert capsys.readouterr().err == ""
+
+    # anisotropic strides reject loudly
+    p5 = tmp_path / "sx.cfg"
+    p5.write_text(TINY_VOC_CFG.replace(
+        "[convolutional]\n", "[convolutional]\nstride_x=2\n", 1))
+    with pytest.raises(ValueError, match="anisotropic"):
+        config_from_cfg(str(p5))
+    p6 = tmp_path / "mp.cfg"
+    p6.write_text(TINY_VOC_CFG.replace(
+        "[maxpool]\n", "[maxpool]\nstride_y=1\n", 1))
+    with pytest.raises(ValueError, match="anisotropic"):
+        config_from_cfg(str(p6))

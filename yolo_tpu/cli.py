@@ -950,7 +950,8 @@ def cmd_train(args) -> None:
                 print("cfg random=1: multi-scale training enabled "
                       "(darknet 320..608 every 10 batches)",
                       file=sys.stderr)
-    from yolo_tpu.train.loss import LossConfig, YoloLossConfig
+    from yolo_tpu.train.loss import (YoloLossConfig,
+                                     region_loss_config)
 
     tcfg = TrainConfig(learning_rate=lr, **_optimizer_from(args, net_hp),
                        **_lr_schedule_from(args, net_hp),
@@ -963,7 +964,7 @@ def cmd_train(args) -> None:
                        ema_alpha=ema_alpha,
                        ema_start_step=ema_start,
                        # [region]/[yolo] training keys flow from the cfg
-                       loss=LossConfig(iou_thresh=cfg.region_thresh),
+                       loss=region_loss_config(cfg),
                        yolo_loss=YoloLossConfig(
                            ignore_thresh=cfg.ignore_thresh,
                            iou_loss=cfg.iou_loss,

@@ -51,6 +51,7 @@ the graph.
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from yolo_tpu.configs.specs import (AvgPool, Connected, Conv, Crop,
@@ -63,6 +64,120 @@ _SUPPORTED = {"net", "convolutional", "maxpool", "route", "reorg",
               "region", "shortcut", "sam", "scale_channels", "upsample",
               "yolo", "gaussian_yolo", "avgpool", "connected", "dropout",
               "softmax", "cost", "crop", "local", "detection"}
+
+# Per-section key audit (darknet's cfg is the FULL training config, so
+# a silently-dropped key can mean silently-different training): keys in
+# the "consumed" set are read somewhere (builder, net_training_params,
+# augmentation config) or are deliberate no-ops documented elsewhere;
+# "noop" keys are recognized-but-unimplemented darknet keys that only
+# matter away from the listed no-op value (warn when they would change
+# behavior, stay silent at the default); anything else warns once as
+# unrecognized. parser.c is the authority for darknet's key set.
+_YOLO_KEYS = frozenset((
+    "anchors", "num", "classes", "mask", "jitter", "random",
+    "ignore_thresh", "truth_thresh", "iou_loss", "iou_normalizer",
+    "cls_normalizer", "obj_normalizer", "iou_thresh",
+    "objectness_smooth", "focal_loss", "label_smooth_eps", "max_delta",
+    "scale_x_y", "new_coords", "nms_kind", "beta_nms"))
+_CONSUMED_KEYS = {
+    "net": frozenset((
+        "width", "height", "channels", "batch", "subdivisions",
+        "momentum", "decay", "learning_rate", "burn_in", "max_batches",
+        "policy", "steps", "scales", "step", "scale", "gamma",
+        "sgdr_cycle", "sgdr_mult", "learning_rate_min", "power",
+        "letter_box", "adam", "B1", "B2", "eps", "saturation",
+        "exposure", "hue", "flip", "mosaic", "mixup", "ema_alpha",
+        # darknet's validation top-k display — `classify --top` here
+        "top")),
+    "convolutional": frozenset((
+        "batch_normalize", "filters", "size", "stride", "stride_x",
+        "stride_y", "pad", "padding", "groups", "activation")),
+    "maxpool": frozenset(("size", "stride", "stride_x", "stride_y",
+                          "padding")),
+    "route": frozenset(("layers", "groups", "group_id")),
+    "reorg": frozenset(("stride",)),
+    "shortcut": frozenset(("from", "activation", "weights_type")),
+    "sam": frozenset(("from", "activation")),
+    "scale_channels": frozenset(("from", "activation", "scale_wh")),
+    "upsample": frozenset(("stride", "scale")),
+    "avgpool": frozenset(),
+    "connected": frozenset(("output", "activation", "batch_normalize")),
+    "dropout": frozenset(("probability",)),
+    "softmax": frozenset(("groups", "temperature", "tree")),
+    # [crop]/[detection] train-time jitter keys are a documented v1
+    # deviation (docs/MIGRATING.md: test-mode center crop; --augment
+    # drives detector jitter) — consumed-silent, not unknown
+    "crop": frozenset(("crop_height", "crop_width", "flip", "angle",
+                       "saturation", "exposure", "shift", "noadjust")),
+    "local": frozenset(("filters", "size", "stride", "pad",
+                        "activation")),
+    "detection": frozenset((
+        "classes", "side", "num", "sqrt", "coords", "rescore",
+        "object_scale", "noobject_scale", "class_scale", "coord_scale",
+        "jitter", "softmax", "forced", "reorg")),
+    "cost": frozenset(("type", "scale")),
+    "yolo": _YOLO_KEYS,
+    "gaussian_yolo": _YOLO_KEYS,
+    "region": frozenset((
+        "anchors", "num", "classes", "thresh", "tree", "map", "jitter",
+        "random", "rescore", "object_scale", "noobject_scale",
+        "class_scale", "coord_scale", "softmax", "bias_match",
+        "focal_loss",
+        # parsed-but-unused in darknet's region_layer forward/backward
+        "absolute", "log")),
+}
+_NOOP_KEYS = {
+    # value at which the unimplemented key is behavior-neutral in
+    # darknet (its parse default)
+    "net": {"angle": 0.0, "aspect": 1.0, "cutmix": 0.0, "blur": 0.0,
+            "gaussian_noise": 0.0, "adversarial_lr": 0.0,
+            "attention": 0.0, "contrastive": 0.0, "track": 0.0,
+            "mosaic_bound": 0.0, "resize_step": 32.0,
+            # classifier random-crop range (load_data_augment): no-op
+            # at darknet's defaults min_crop=w / max_crop=2w... except
+            # that ANY explicit range still randomizes scale in
+            # darknet while we center-crop — so only the exact
+            # degenerate min=max=w is truly silent
+            "min_crop": lambda kv: float(kv.get("width", 416)),
+            "max_crop": lambda kv: float(kv.get("width", 416))},
+    "convolutional": {"dilation": 1.0, "assisted_excitation": 0.0},
+    "yolo": {"resize": 1.0, "counters_per_class": None,
+             "show_details": None},
+    "gaussian_yolo": {"resize": 1.0, "uc_normalizer": 1.0},
+}
+
+
+def _audit_cfg_keys(cfg_path: str, sections) -> None:
+    """Warn once per (section, key) for cfg keys nothing consumes —
+    darknet trains from the cfg alone, so a dropped key is a silently
+    different run. No-op-valued unimplemented keys stay silent."""
+    seen = set()
+    for kind, kv in sections:
+        consumed = _CONSUMED_KEYS.get(kind, frozenset())
+        noop = _NOOP_KEYS.get(kind, {})
+        for key, val in kv.items():
+            if key in consumed or (kind, key) in seen:
+                continue
+            seen.add((kind, key))
+            if key in noop:
+                want = noop[key]
+                if callable(want):
+                    want = want(kv)
+                try:
+                    if want is not None and float(val) == want:
+                        continue
+                except ValueError:
+                    pass
+                print(f"{cfg_path}: [{kind}] {key}={val} is not "
+                      f"implemented — proceeding as if "
+                      f"{key}={'unset' if want is None else f'{want:g}'}"
+                      f" (darknet would behave differently)",
+                      file=sys.stderr)
+            else:
+                print(f"{cfg_path}: [{kind}] {key}={val} is not a "
+                      f"recognized key here — ignored (check the "
+                      f"spelling against darknet's parser.c)",
+                      file=sys.stderr)
 
 
 def parse_cfg(path: str) -> List[Tuple[str, Dict[str, str]]]:
@@ -183,6 +298,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     loss_spec: Optional[Tuple] = None  # [yolo] training-key set
     nms_spec: Optional[Tuple] = None   # [yolo] (nms_kind, beta_nms)
     region_thresh: Optional[float] = None
+    region_spec: Optional[Tuple] = None  # [region] loss scales+rescore
     saw_region = False
     saw_detection = False
     detection_spec: Optional[DetectionHead] = None
@@ -210,6 +326,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             stride = int(kv.get("stride", 1))
             if stride < 1:
                 raise ValueError(f"conv stride must be >= 1, got {stride}")
+            for sk in ("stride_x", "stride_y"):
+                # AlexeyAB per-axis strides: accept only when they
+                # agree with `stride` — anisotropic strides would
+                # silently mis-build the geometry
+                if int(kv.get(sk, stride)) != stride:
+                    raise ValueError(
+                        f"conv {sk}={kv[sk]} != stride={stride} "
+                        f"(anisotropic strides are unsupported)")
             size = int(kv.get("size", 1))
             # darknet: padding = size//2 if pad else explicit `padding`
             # (default 0); the executor supports SAME (size//2) only —
@@ -245,8 +369,14 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"[maxpool] padding={kv['padding']} is unsupported "
                     f"(only darknet's default padding=size-1={size - 1} "
                     f"is implemented — see ops/pool.py)")
-            layers.append(MaxPool(size=size,
-                                  stride=int(kv.get("stride", size))))
+            mp_stride = int(kv.get("stride", size))
+            for sk in ("stride_x", "stride_y"):
+                if int(kv.get(sk, mp_stride)) != mp_stride:
+                    raise ValueError(
+                        f"[maxpool] {sk}={kv[sk]} != stride="
+                        f"{mp_stride} (anisotropic strides are "
+                        f"unsupported)")
+            layers.append(MaxPool(size=size, stride=mp_stride))
         elif kind == "route":
             rels = tuple(int(v) for v in kv["layers"].split(","))
             groups = int(kv.get("groups", 1))
@@ -451,6 +581,33 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # threshold (NOT the detection confidence — use --conf);
             # it flows to LossConfig.iou_thresh via region_thresh
             region_thresh = float(kv.get("thresh", 0.6))
+            # training-loss scales + rescore, with darknet's PARSE
+            # defaults for absent keys (parser.c parse_region:
+            # 1/1/1/1/0 — the official cfgs set 5/…/rescore=1
+            # explicitly), so a custom cfg trains exactly as darknet
+            # would run it
+            region_spec = (float(kv.get("object_scale", 1.0)),
+                           float(kv.get("noobject_scale", 1.0)),
+                           float(kv.get("class_scale", 1.0)),
+                           float(kv.get("coord_scale", 1.0)),
+                           bool(int(kv.get("rescore", 0))))
+            if not int(kv.get("softmax", 1)):
+                # region class probabilities without the softmax
+                # (linear class outputs) have no pinned decode/loss
+                # semantics here — every published cfg sets softmax=1
+                raise ValueError(
+                    "[region] softmax=0 is not supported (class "
+                    "scores are pinned to darknet's softmax "
+                    "convention; delete the key or set softmax=1)")
+            if "bias_match" in kv and not int(kv["bias_match"]):
+                # darknet bias_match=0 assigns truths to anchors by
+                # the LIVE predicted box shape; our GT encoder is
+                # static (anchor-shape wh-IoU = bias_match=1). The
+                # official yolov2 cfgs all set bias_match=1.
+                print("[region] bias_match=0: truth→anchor assignment "
+                      "still uses anchor-shape wh-IoU (bias_match=1 "
+                      "semantics) — prediction-dependent assignment "
+                      "is not supported", file=sys.stderr)
             # YOLO9000 hierarchy: tree=<.tree file> switches class
             # softmax to per-sibling-group; map=<.map file> records the
             # COCO-eval projection (its use is a predict-layer opt-in,
@@ -630,6 +787,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                   truth_thresh=loss_spec[7])
     if region_thresh is not None:
         cfg = dataclasses.replace(cfg, region_thresh=region_thresh)
+    if region_spec is not None:
+        cfg = dataclasses.replace(cfg,
+                                  region_object_scale=region_spec[0],
+                                  region_noobject_scale=region_spec[1],
+                                  region_class_scale=region_spec[2],
+                                  region_coord_scale=region_spec[3],
+                                  region_rescore=region_spec[4])
     if tree is not None:
         cfg = dataclasses.replace(cfg, tree=tree, tree_map=tree_map,
                                   tree_file=tree_file,
@@ -637,6 +801,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     if nms_spec is not None:
         cfg = dataclasses.replace(cfg, nms_kind=nms_spec[0],
                                   beta_nms=nms_spec[1])
+    _audit_cfg_keys(cfg_path, sections)
     return cfg
 
 
@@ -875,6 +1040,15 @@ def cfg_to_string(cfg: ModelConfig) -> str:
         out.append(f"[region]\nanchors = {anchors}\n"
                    f"classes={cfg.num_classes}\nnum={cfg.num_anchors}\n"
                    f"thresh = {cfg.region_thresh:g}\n"
+                   # always explicit (darknet's parse defaults differ
+                   # from the official-cfg values, so omitting them
+                   # would change the parsed training config)
+                   f"object_scale={cfg.region_object_scale:g}\n"
+                   f"noobject_scale={cfg.region_noobject_scale:g}\n"
+                   f"class_scale={cfg.region_class_scale:g}\n"
+                   f"coord_scale={cfg.region_coord_scale:g}\n"
+                   f"rescore={int(cfg.region_rescore)}\n"
+                   f"bias_match=1\nsoftmax=1\n"
                    + (f"tree={cfg.tree_file}\n"
                       if cfg.tree_file else "")
                    + (f"map={cfg.map_file}\n"

@@ -362,6 +362,18 @@ class ModelConfig:
     # [region] thresh (yolov2 family): the training noobj suppression
     # threshold (LossConfig.iou_thresh); darknet default 0.6
     region_thresh: float = 0.6
+    # [region] training-loss scales + rescore (region_layer.c deltas).
+    # Dataclass defaults are the OFFICIAL yolov2 cfg values
+    # (object_scale=5, rescore=1) so the pinned variants train like
+    # the published models; cfg parsing overrides them with darknet's
+    # PARSE defaults (1/1/1/1/0, parser.c parse_region) for absent
+    # keys, so a custom cfg trains exactly as darknet would run it.
+    # They flow into train.loss.LossConfig via region_loss_config.
+    region_object_scale: float = 5.0
+    region_noobject_scale: float = 1.0
+    region_class_scale: float = 1.0
+    region_coord_scale: float = 1.0
+    region_rescore: bool = True
     # AlexeyAB [yolo] nms_kind: "greedy" (greedynms/default) | "diou"
     # (diounms: suppression metric IoU - (d/c)^beta_nms, box.c
     # box_diounms); beta_nms is darknet's default 0.6

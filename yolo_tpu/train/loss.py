@@ -39,6 +39,18 @@ class LossConfig:
     warmup_scale: float = 0.01
 
 
+def region_loss_config(mcfg) -> LossConfig:
+    """LossConfig from a ModelConfig's [region] training keys
+    (cfg-parsed values, or the official-cfg defaults for the pinned
+    variants) — one rule, stated once, shared by the CLI and tests."""
+    return LossConfig(coord_scale=mcfg.region_coord_scale,
+                      object_scale=mcfg.region_object_scale,
+                      noobject_scale=mcfg.region_noobject_scale,
+                      class_scale=mcfg.region_class_scale,
+                      iou_thresh=mcfg.region_thresh,
+                      rescore=mcfg.region_rescore)
+
+
 def _iou_xywh_pairwise(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """pred (..., N, 4), gt (..., G, 4) xywh -> IoU (..., N, G)."""
     px1 = pred[..., :, None, 0] - pred[..., :, None, 2] / 2
