@@ -315,3 +315,102 @@ def test_cfg_driven_fill_uses_darknet_parse_defaults():
     forced = config_from_net_params({}, force_defaults=True)
     assert forced.saturation == 1.5 and forced.exposure == 1.5
     assert forced.hue == 0.1 and forced.flip is True
+
+
+class TestClassifierGeometry:
+    """darknet data.c random_augment_image (classifier [net]
+    angle/aspect/min_crop/max_crop): rotate_scale_crop implements
+    rotate_crop_image's inverse map; linear-gradient images make
+    bilinear sampling analytically exact away from the clamped
+    borders."""
+
+    def _gradient(self, w=32, h=32):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 4
+        img[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 4
+        return img
+
+    @pytest.mark.quick
+    def test_identity(self):
+        from yolo_tpu.data.augment import rotate_scale_crop
+
+        img = self._gradient()
+        out = rotate_scale_crop(img, 32, rad=0.0, scale=1.0,
+                                aspect=1.0, dx=0.0, dy=0.0)
+        np.testing.assert_array_equal(out, img)
+
+    @pytest.mark.quick
+    def test_pure_scale_matches_formula(self):
+        from yolo_tpu.data.augment import rotate_scale_crop
+
+        img = self._gradient()
+        out = rotate_scale_crop(img, 32, rad=0.0, scale=2.0,
+                                aspect=1.0, dx=0.0, dy=0.0)
+        # output x samples input at (x - 16)/2 + 16; channel 0 is 4*ix
+        x = np.arange(32, dtype=np.float64)
+        want = ((x - 16.0) / 2.0 + 16.0) * 4.0
+        got = out[16, :, 0].astype(np.float64)
+        np.testing.assert_allclose(got, want, atol=1.0)
+
+    @pytest.mark.quick
+    def test_rotation_90deg_matches_formula(self):
+        from yolo_tpu.data.augment import rotate_scale_crop
+
+        img = self._gradient()
+        out = rotate_scale_crop(img, 32, rad=np.pi / 2, scale=1.0,
+                                aspect=1.0, dx=0.0, dy=0.0)
+        # rx = -(y - 16) + 16 -> channel 0 value 4*(32 - y); compare
+        # away from the replicated border
+        y = np.arange(2, 30, dtype=np.float64)
+        want = (32.0 - y) * 4.0
+        got = out[2:30, 16, 0].astype(np.float64)
+        np.testing.assert_allclose(got, want, atol=1.5)
+
+    @pytest.mark.quick
+    def test_random_augment_deterministic(self):
+        from yolo_tpu.data.augment import random_augment_classifier
+
+        cfg = AugmentConfig(angle=15.0, aspect=1.2, min_crop=20,
+                            max_crop=40)
+        assert cfg.classifier_geometry
+        img = self._gradient(48, 40)
+        a = random_augment_classifier(
+            img, np.random.default_rng(7), cfg, 32)
+        b = random_augment_classifier(
+            img, np.random.default_rng(7), cfg, 32)
+        c = random_augment_classifier(
+            img, np.random.default_rng(8), cfg, 32)
+        assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    @pytest.mark.quick
+    def test_degenerate_range_is_whole_image_resize(self):
+        from yolo_tpu.data.augment import (random_augment_classifier,
+                                           rotate_scale_crop)
+
+        # square input, min=max=size, no angle/aspect: scale maps the
+        # short side exactly to size and both offsets collapse to 0
+        cfg = AugmentConfig(min_crop=32, max_crop=32)
+        img = self._gradient(40, 40)
+        out = random_augment_classifier(
+            img, np.random.default_rng(0), cfg, 32)
+        want = rotate_scale_crop(img, 32, rad=0.0, scale=32 / 40,
+                                 aspect=1.0, dx=0.0, dy=0.0)
+        np.testing.assert_array_equal(out, want)
+
+    @pytest.mark.quick
+    def test_config_from_net_params_keys(self):
+        from yolo_tpu.data.augment import config_from_net_params
+
+        cfg = config_from_net_params({"angle": 7.0, "aspect": 1.5,
+                                      "min_crop": 20, "max_crop": 40})
+        assert (cfg.angle, cfg.aspect, cfg.min_crop, cfg.max_crop) == (
+            7.0, 1.5, 20, 40)
+        assert cfg.classifier_geometry
+        bare = config_from_net_params({"saturation": 1.5})
+        assert not bare.classifier_geometry
+        # bare --augment (force_defaults) keeps geometry disabled —
+        # the classic yolov2 HSV+flip behavior
+        forced = config_from_net_params({}, force_defaults=True)
+        assert not forced.classifier_geometry

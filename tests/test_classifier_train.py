@@ -687,3 +687,30 @@ class TestSoftmaxTreeProperty:
         out = accuracy_from_arrays(cfg, params, xs,
                                    np.array([3, 4]), batch=2, k=1)
         assert out["top1"] == pytest.approx(0.5)
+
+
+def test_cli_classifier_geometry_augment(tmp_path, capsys):
+    """[net] angle/min_crop/max_crop activate darknet's classifier
+    scale/rotation jitter (random_augment_image) in the CLI train
+    path; training still learns the solid-color task."""
+    import cv2
+
+    from yolo_tpu import cli
+
+    text = CLS_CFG.replace(
+        "momentum=0.9",
+        "momentum=0.9\nangle=10\nmin_crop=24\nmax_crop=40\nflip=1")
+    cfg_path, names = _write_cls_cfg(tmp_path, text)
+    data = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for ci, cls in enumerate(("red", "green", "blue")):
+        os.makedirs(data / cls)
+        for i in range(4):
+            img = rng.integers(0, 40, (40, 48, 3)).astype(np.uint8)
+            img[..., 2 - ci] = 220  # BGR on disk
+            cv2.imwrite(str(data / cls / f"{i}.png"), img)
+    cli.main(["train", "--cfg", cfg_path, "--names", names,
+              "--imagefolder", str(data), "--epochs", "2",
+              "--batch", "8", "--precision", "fp32"])
+    err = capsys.readouterr().err
+    assert "scale/rotation crops" in err

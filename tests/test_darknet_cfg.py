@@ -911,18 +911,18 @@ def test_cfg_key_audit(tmp_path, capsys):
     assert err.count("batch_normalise") == 1
     assert "not a recognized key" in err
 
-    # [net] angle: silent at darknet's no-op 0, warns at 7
-    p2 = tmp_path / "a0.cfg"
+    # [net] cutmix: silent at darknet's no-op 0, warns at 1
+    p2 = tmp_path / "c0.cfg"
     p2.write_text(TINY_VOC_CFG.replace("momentum=0.9\n",
-                                       "momentum=0.9\nangle=0\n"))
+                                       "momentum=0.9\ncutmix=0\n"))
     config_from_cfg(str(p2))
-    assert "angle" not in capsys.readouterr().err
-    p3 = tmp_path / "a7.cfg"
+    assert "cutmix" not in capsys.readouterr().err
+    p3 = tmp_path / "c1.cfg"
     p3.write_text(TINY_VOC_CFG.replace("momentum=0.9\n",
-                                       "momentum=0.9\nangle=7\n"))
+                                       "momentum=0.9\ncutmix=1\n"))
     config_from_cfg(str(p3))
     err = capsys.readouterr().err
-    assert "angle=7" in err and "not implemented" in err
+    assert "cutmix=1" in err and "not implemented" in err
 
     # consumed training keys never warn
     p4 = tmp_path / "ok.cfg"

@@ -630,11 +630,13 @@ def _train_classifier(args, cfg) -> None:
           file=sys.stderr)
     flip = not args.no_augment
     aug_cfg = None
-    _CLS_AUG_KEYS = ("saturation", "exposure", "hue", "flip")
+    _CLS_AUG_KEYS = ("saturation", "exposure", "hue", "flip",
+                     "angle", "aspect", "min_crop", "max_crop")
     if (args.augment or any(k in net_hp for k in _CLS_AUG_KEYS)) \
             and not args.no_augment:
-        # darknet classifier training distorts HSV too; cfg keys (or
-        # --augment) enable the shared pinned distortion
+        # darknet classifier training distorts HSV and (when the cfg
+        # asks) applies random_augment_image's scale/rotation crops;
+        # cfg keys (or --augment for the classic HSV+flip) enable them
         from yolo_tpu.data.augment import config_from_net_params
 
         aug_cfg = config_from_net_params(
@@ -642,8 +644,11 @@ def _train_classifier(args, cfg) -> None:
             force_defaults=not any(k in net_hp for k in _CLS_AUG_KEYS))
         if aug_cfg.mosaic or aug_cfg.mixup:
             raise SystemExit("mosaic/mixup are detection augmentations "
-                             "— classifier training supports HSV+flip")
-        print("classifier HSV+flip augmentation enabled",
+                             "— classifier training supports HSV+flip "
+                             "and [net] angle/aspect/min_crop/max_crop")
+        geom = (" + scale/rotation crops"
+                if aug_cfg.classifier_geometry else "")
+        print(f"classifier HSV+flip augmentation enabled{geom}",
               file=sys.stderr)
     resume_step = int(np.asarray(state["step"]))
     if resume_step:

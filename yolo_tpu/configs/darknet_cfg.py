@@ -88,7 +88,11 @@ _CONSUMED_KEYS = {
         "letter_box", "adam", "B1", "B2", "eps", "saturation",
         "exposure", "hue", "flip", "mosaic", "mixup", "ema_alpha",
         # darknet's validation top-k display — `classify --top` here
-        "top")),
+        "top",
+        # classifier scale/rotation augmentation (data.c
+        # random_augment_image — detector training ignores them, as
+        # darknet's load_data_detection does)
+        "angle", "aspect", "min_crop", "max_crop")),
     "convolutional": frozenset((
         "batch_normalize", "filters", "size", "stride", "stride_x",
         "stride_y", "pad", "padding", "groups", "activation")),
@@ -129,17 +133,10 @@ _CONSUMED_KEYS = {
 _NOOP_KEYS = {
     # value at which the unimplemented key is behavior-neutral in
     # darknet (its parse default)
-    "net": {"angle": 0.0, "aspect": 1.0, "cutmix": 0.0, "blur": 0.0,
+    "net": {"cutmix": 0.0, "blur": 0.0,
             "gaussian_noise": 0.0, "adversarial_lr": 0.0,
             "attention": 0.0, "contrastive": 0.0, "track": 0.0,
-            "mosaic_bound": 0.0, "resize_step": 32.0,
-            # classifier random-crop range (load_data_augment): no-op
-            # at darknet's defaults min_crop=w / max_crop=2w... except
-            # that ANY explicit range still randomizes scale in
-            # darknet while we center-crop — so only the exact
-            # degenerate min=max=w is truly silent
-            "min_crop": lambda kv: float(kv.get("width", 416)),
-            "max_crop": lambda kv: float(kv.get("width", 416))},
+            "mosaic_bound": 0.0, "resize_step": 32.0},
     "convolutional": {"dilation": 1.0, "assisted_excitation": 0.0},
     "yolo": {"resize": 1.0, "counters_per_class": None,
              "show_details": None},
@@ -858,7 +855,11 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               ("B2", float), ("eps", float),
                               ("saturation", float), ("exposure", float),
                               ("hue", float), ("flip", int),
-                              ("mosaic", int), ("mixup", int)):
+                              ("mosaic", int), ("mixup", int),
+                              # classifier scale/rotation augmentation
+                              # (data.c random_augment_image)
+                              ("angle", float), ("aspect", float),
+                              ("min_crop", int), ("max_crop", int)):
                 if key in kv:
                     out[key] = cast(kv[key])
             # raw schedule keys + policy; the CLI gates their use

@@ -30,6 +30,27 @@ class AugmentConfig:
     # pipeline-level like mosaic (cross-record); combining with mosaic
     # is rejected (darknet's mosaic+mixup combos are a separate mode)
     mixup: bool = False
+    # CLASSIFIER scale/rotation augmentation (darknet data.c
+    # random_augment_image, driven by [net] angle/aspect/min_crop/
+    # max_crop in classifier cfgs; detector training ignores them,
+    # like darknet's load_data_detection does): pick a target short
+    # side r ~ U{min_crop..max_crop}, an aspect distortion
+    # rand_scale(aspect), a rotation U(-angle, angle) degrees and a
+    # random center offset, then resample one net-size output with the
+    # rotate_crop_image inverse map. "darknet-style" like jitter_crop:
+    # the geometry is random_augment_image's formula, the resampling
+    # is cv2 bilinear with edge replication (darknet clamps coords).
+    # angle=0/aspect=1/min_crop=max_crop=0 disables.
+    angle: float = 0.0
+    aspect: float = 1.0
+    min_crop: int = 0
+    max_crop: int = 0
+
+    @property
+    def classifier_geometry(self) -> bool:
+        """True when any classifier scale/rotation key is active."""
+        return bool(self.angle or self.aspect != 1.0
+                    or self.min_crop or self.max_crop)
 
 
 def _rand_scale(rng: np.random.Generator, s: float) -> float:
@@ -85,6 +106,59 @@ def jitter_crop(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     out = np.stack([(px1 + px2) / 2 / cw, (py1 + py2) / 2 / ch, nw, nh],
                    axis=-1)[keep].astype(np.float32)
     return crop, out, classes[keep]
+
+
+def rotate_scale_crop(img_u8: np.ndarray, size: int, *, rad: float,
+                      scale: float, aspect: float, dx: float,
+                      dy: float) -> np.ndarray:
+    """darknet image.c rotate_crop_image as one cv2 warpAffine: output
+    pixel (x, y) samples the input at
+      R(rad) @ diag(aspect/scale, 1/scale) @ (x - size/2 + dx,
+                                              y - size/2 + dy) + center
+    (bilinear, coordinates clamped to the image = BORDER_REPLICATE)."""
+    import cv2
+
+    h, w = img_u8.shape[:2]
+    cosr, sinr = float(np.cos(rad)), float(np.sin(rad))
+    ax, ay = aspect / scale, 1.0 / scale
+    ox, oy = dx - size / 2.0, dy - size / 2.0
+    m = np.array(
+        [[cosr * ax, -sinr * ay, w / 2.0 + cosr * ax * ox - sinr * ay * oy],
+         [sinr * ax, cosr * ay, h / 2.0 + sinr * ax * ox + cosr * ay * oy]],
+        np.float32)
+    return cv2.warpAffine(
+        img_u8, m, (size, size),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_REPLICATE)
+
+
+def random_augment_classifier(img_u8: np.ndarray,
+                              rng: np.random.Generator,
+                              cfg: AugmentConfig,
+                              size: int) -> np.ndarray:
+    """darknet data.c random_augment_image: aspect = rand_scale(aspect);
+    r = rand_int(min_crop, max_crop) becomes the scaled short side
+    (scale = r / min(h, w*aspect)); rotation U(-angle, angle) degrees;
+    center offset U(±(scaled_extent - size)/2) per axis; one size×size
+    resample. Returns uint8 (size, size, 3)."""
+    h, w = img_u8.shape[:2]
+    aspect = _rand_scale(rng, cfg.aspect) if cfg.aspect != 1.0 else 1.0
+    lo = cfg.min_crop or size
+    hi = cfg.max_crop or size
+    if lo > hi:
+        raise ValueError(f"min_crop={lo} > max_crop={hi}")
+    r = int(rng.integers(lo, hi + 1))
+    scale = r / min(h, w * aspect)
+    rad = (np.deg2rad(rng.uniform(-cfg.angle, cfg.angle))
+           if cfg.angle else 0.0)
+    # darknet rand_uniform swaps a reversed range, i.e. the offset is
+    # symmetric in |extent|/2 whether the scaled image is larger or
+    # smaller than the output window
+    dxm = abs(w * scale / aspect - size) / 2.0
+    dym = abs(h * scale - size) / 2.0
+    return rotate_scale_crop(
+        img_u8, size, rad=rad, scale=scale, aspect=aspect,
+        dx=float(rng.uniform(-dxm, dxm)), dy=float(rng.uniform(-dym, dym)))
 
 
 def flip_horizontal(img_u8: np.ndarray, boxes: np.ndarray):
@@ -185,9 +259,15 @@ def config_from_net_params(net_hp: dict, *, mosaic: bool = False,
     (the AugmentConfig field defaults). mosaic=True / mixup=True force
     the mode on regardless of the cfg (--mosaic / --mixup)."""
     kwargs = {} if force_defaults else dict(_DARKNET_PARSE_DEFAULTS)
-    for k in ("jitter", "saturation", "exposure", "hue"):
+    for k in ("jitter", "saturation", "exposure", "hue",
+              # classifier scale/rotation keys (disabled by default,
+              # both here and in darknet's parse defaults)
+              "angle", "aspect"):
         if k in net_hp:
             kwargs[k] = float(net_hp[k])
+    for k in ("min_crop", "max_crop"):
+        if k in net_hp:
+            kwargs[k] = int(net_hp[k])
     if "flip" in net_hp:
         kwargs["flip"] = bool(net_hp["flip"])
     return AugmentConfig(mosaic=mosaic or bool(net_hp.get("mosaic", 0)),

@@ -7,9 +7,11 @@ Training batches use darknet's deterministic inference geometry
 (resize_min + center crop, models/classify.classifier_preprocess) plus
 a seeded horizontal flip and, with an AugmentConfig, the SAME pinned
 HSV distortion the detector pipeline trains with (data/augment.py
-rand_scale/hue math). darknet's random-crop/angle classifier jitter
-(random_augment_image) is NOT reproduced — a documented deviation
-rather than a silent approximation.
+rand_scale/hue math). When the cfg activates [net]
+angle/aspect/min_crop/max_crop, darknet's classifier scale/rotation
+jitter (data.c random_augment_image) replaces the deterministic
+geometry (data/augment.random_augment_classifier — darknet-style:
+exact inverse-map geometry, cv2 bilinear resampling).
 """
 
 from __future__ import annotations
@@ -103,12 +105,22 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                 path, cls = samples[j]
                 img = load_image_rgb(path)
                 if augment_cfg is not None:
-                    from yolo_tpu.data.augment import distort_hsv
+                    from yolo_tpu.data.augment import (
+                        distort_hsv, random_augment_classifier)
 
-                    img = distort_hsv(
-                        img, np.random.default_rng(
-                            (seed, 3, epoch, int(j))), augment_cfg)
-                x = classifier_preprocess(img, net_size)
+                    aug_rng = np.random.default_rng(
+                        (seed, 3, epoch, int(j)))
+                    img = distort_hsv(img, aug_rng, augment_cfg)
+                    if augment_cfg.classifier_geometry:
+                        # darknet load_data_augment's scale/rotation
+                        # crop replaces resize_min + center crop
+                        img = random_augment_classifier(
+                            img, aug_rng, augment_cfg, net_size)
+                        x = img.astype(np.float32) / 255.0
+                    else:
+                        x = classifier_preprocess(img, net_size)
+                else:
+                    x = classifier_preprocess(img, net_size)
                 if flip and flips[j]:
                     x = x[:, ::-1]
                 imgs.append(x)
