@@ -499,3 +499,90 @@ class TestEvalCli:
                   "--batch", "2"])
         out = json.loads(capsys.readouterr().out.strip())
         assert set(out) == {"map", "ap"}
+
+
+class TestCropLayer:
+    """darknet crop_layer.c semantics (configs.specs.Crop docstring):
+    output = input*2 - 1 unless noadjust (both modes); test mode
+    center-crops, train mode draws one (dy, dx, flip) per batch."""
+
+    # (graph imported lazily so collection stays light)
+
+    def _x(self, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3))
+                           .astype(np.float32))
+
+    @pytest.mark.quick
+    def test_test_mode_center_crop_and_scale(self):
+        from yolo_tpu.models import graph
+
+        x = self._x()
+        y = np.asarray(graph.apply_layers((Crop(4, 4),), [], x))
+        np.testing.assert_allclose(
+            y, np.asarray(x)[:, 2:6, 2:6, :] * 2.0 - 1.0, rtol=1e-6)
+        y2 = np.asarray(graph.apply_layers(
+            (Crop(4, 4, noadjust=True),), [], x))
+        np.testing.assert_allclose(y2, np.asarray(x)[:, 2:6, 2:6, :],
+                                   rtol=1e-6)
+
+    @pytest.mark.quick
+    def test_train_jitter_per_batch_window(self):
+        import jax
+
+        from yolo_tpu.models import graph
+
+        x = self._x(1)
+        layers = (Crop(4, 4, flip=True),)
+        key = jax.random.PRNGKey(3)
+        y1, _ = graph.apply_layers(layers, [], x, train=True,
+                                   dropout_rng=key)
+        y2, _ = graph.apply_layers(layers, [], x, train=True,
+                                   dropout_rng=key)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        # the output must be SOME (possibly flipped) 4x4 window *2-1,
+        # the same window for every image in the batch
+        xn = np.asarray(x)
+        got = np.asarray(y1)
+        candidates = []
+        for dy in range(5):
+            for dx in range(5):
+                win = xn[:, dy:dy + 4, dx:dx + 4, :]
+                candidates += [win, win[:, :, ::-1]]
+        assert any(np.allclose(got, c * 2.0 - 1.0, rtol=1e-5)
+                   for c in candidates)
+        # different step keys move the window eventually
+        outs = {np.asarray(graph.apply_layers(
+            layers, [], x, train=True,
+            dropout_rng=jax.random.PRNGKey(s))[0]).tobytes()
+            for s in range(6)}
+        assert len(outs) > 1
+
+    @pytest.mark.quick
+    def test_train_without_rng_falls_back_to_center(self):
+        from yolo_tpu.models import graph
+
+        x = self._x(2)
+        y, _ = graph.apply_layers((Crop(4, 4),), [], x, train=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x)[:, 2:6, 2:6, :] * 2.0 - 1.0,
+            rtol=1e-6)
+
+    @pytest.mark.quick
+    def test_cfg_flip_noadjust_roundtrip(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (cfg_to_string,
+                                                  config_from_cfg)
+
+        text = V1_CFG.replace("crop_width=64\n",
+                              "crop_width=64\nflip=1\nnoadjust=1\n")
+        p = tmp_path / "c.cfg"
+        p.write_text(text)
+        cfg = config_from_cfg(str(p))
+        crop = cfg.layers[0]
+        assert crop.flip and crop.noadjust
+        p2 = tmp_path / "rt.cfg"
+        p2.write_text(cfg_to_string(cfg))
+        crop2 = config_from_cfg(str(p2)).layers[0]
+        assert crop2 == crop

@@ -151,10 +151,14 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
                 y = tf.math.sigmoid(y)
             x = tf.reshape(y, [b, 1, 1, -1])
         elif isinstance(layer, Crop):
+            # crop_layer.c test mode: center crop + input*2 - 1 unless
+            # noadjust (independent derivation of the same spec)
             _, ih, iw, _ = x.shape
             dy = (ih - layer.crop_h) // 2
             dx = (iw - layer.crop_w) // 2
             x = x[:, dy:dy + layer.crop_h, dx:dx + layer.crop_w, :]
+            if not layer.noadjust:
+                x = x * 2.0 - 1.0
         elif isinstance(layer, Local):
             # independent derivation via tf.image.extract_patches,
             # whose patch order is (ky, kx, c) — the loader's

@@ -108,9 +108,10 @@ _CONSUMED_KEYS = {
     "connected": frozenset(("output", "activation", "batch_normalize")),
     "dropout": frozenset(("probability",)),
     "softmax": frozenset(("groups", "temperature", "tree")),
-    # [crop]/[detection] train-time jitter keys are a documented v1
-    # deviation (docs/MIGRATING.md: test-mode center crop; --augment
-    # drives detector jitter) — consumed-silent, not unknown
+    # [crop] flip/noadjust are real crop_layer.c CPU semantics
+    # (specs.Crop); angle/saturation/exposure/shift are GPU-kernel
+    # jitter darknet's CPU forward ignores — consumed-silent to match.
+    # [detection] jitter is --augment's job (documented deviation).
     "crop": frozenset(("crop_height", "crop_width", "flip", "angle",
                        "saturation", "exposure", "shift", "noadjust")),
     "local": frozenset(("filters", "size", "stride", "pad",
@@ -460,9 +461,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if layers:
                 raise ValueError("[crop] must be the first layer "
                                  "(the yolov1 input layer)")
-            # flip/angle/saturation/exposure are train-time jitter keys
-            # (inference center-crops; training v1 graphs rejects)
-            layers.append(Crop(ch, cw))
+            # angle/saturation/exposure are GPU-kernel jitter keys
+            # darknet's CPU forward ignores — matched by ignoring them;
+            # flip and noadjust ARE crop_layer.c CPU semantics
+            layers.append(Crop(ch, cw,
+                               flip=bool(int(kv.get("flip", 0))),
+                               noadjust=bool(int(kv.get("noadjust",
+                                                        0)))))
         elif kind == "local":
             act = kv.get("activation", "logistic")
             if act not in ("leaky", "linear", "relu", "ramp",
@@ -982,7 +987,9 @@ def cfg_to_string(cfg: ModelConfig) -> str:
             out.append(f"[dropout]\nprobability={l.prob:g}\n")
         elif isinstance(l, Crop):
             out.append(f"[crop]\ncrop_height={l.crop_h}\n"
-                       f"crop_width={l.crop_w}\n")
+                       f"crop_width={l.crop_w}\n"
+                       + (f"flip={int(l.flip)}\n" if l.flip else "")
+                       + ("noadjust=1\n" if l.noadjust else ""))
         elif isinstance(l, Local):
             out.append(f"[local]\nfilters={l.filters}\nsize={l.size}\n"
                        f"stride={l.stride}\npad={1 if l.pad else 0}\n"

@@ -162,15 +162,23 @@ class Dropout:
 
 @dataclasses.dataclass(frozen=True)
 class Crop:
-    """darknet [crop] (the yolov1 input layer): at inference darknet
-    center-crops to (crop_height, crop_width) with no jitter/flip (the
-    crop_layer test-mode path); every official v1 cfg crops to the full
-    [net] size, making it an identity. Training uses the SAME center
-    crop — darknet's train-time random crop/angle/exposure jitter is a
-    documented deviation (augment with the shared pipeline's
-    flip/HSV instead)."""
+    """darknet [crop] (the yolov1 input layer — crop_layer.c
+    forward_crop_layer): the output is ``input*2 - 1`` unless
+    noadjust=1 (darknet's v1 nets see [-1, 1] inputs — applied in BOTH
+    train and test modes). Test mode center-crops to
+    (crop_height, crop_width) with no flip; train mode draws ONE
+    random (dy, dx) offset and one flip decision PER BATCH (darknet
+    calls rand() once per forward, not per image) — every official v1
+    cfg crops to the full [net] size, collapsing the offsets to 0.
+    darknet's CPU forward ignores the [crop] angle/saturation/exposure
+    keys (they are GPU-kernel jitter only), and so do we.
+    NOTE: semantics recalled from crop_layer.c; the reference tree is
+    absent and the box has no network, so this is pinned by our own
+    unit tests rather than a source citation."""
     crop_h: int
     crop_w: int
+    flip: bool = False
+    noadjust: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

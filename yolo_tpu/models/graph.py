@@ -275,12 +275,37 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             if compute_dtype != jnp.float32:
                 x = x.astype(compute_dtype)
         elif isinstance(layer, Crop):
-            # darknet crop_layer test mode: center crop, no jitter/flip
-            # (identity in every official v1 cfg, where crop == input)
+            # darknet crop_layer (configs.specs.Crop docstring): test
+            # mode center-crops; train mode draws ONE (dy, dx, flip)
+            # per batch — rand() once per forward in crop_layer.c; both
+            # modes emit input*2 - 1 unless noadjust
             _, ih, iw, _ = x.shape
-            dy, dx = (ih - layer.crop_h) // 2, (iw - layer.crop_w) // 2
-            if dy or dx or (ih, iw) != (layer.crop_h, layer.crop_w):
-                x = x[:, dy:dy + layer.crop_h, dx:dx + layer.crop_w, :]
+            jitter = (train and dropout_rng is not None
+                      and (ih > layer.crop_h or iw > layer.crop_w
+                           or layer.flip))
+            if jitter:
+                kdy, kdx, kf = jax.random.split(
+                    jax.random.fold_in(dropout_rng, idx), 3)
+                dy = jax.random.randint(kdy, (), 0,
+                                        ih - layer.crop_h + 1)
+                dx = jax.random.randint(kdx, (), 0,
+                                        iw - layer.crop_w + 1)
+                x = jax.lax.dynamic_slice(
+                    x, (0, dy, dx, 0),
+                    (x.shape[0], layer.crop_h, layer.crop_w,
+                     x.shape[3]))
+                if layer.flip:
+                    x = jnp.where(jax.random.bernoulli(kf),
+                                  x[:, :, ::-1], x)
+            else:
+                dy = (ih - layer.crop_h) // 2
+                dx = (iw - layer.crop_w) // 2
+                if dy or dx or (ih, iw) != (layer.crop_h, layer.crop_w):
+                    x = x[:, dy:dy + layer.crop_h,
+                          dx:dx + layer.crop_w, :]
+            if not layer.noadjust:
+                # crop_layer.c scale=2/trans=-1: v1 nets see [-1, 1]
+                x = x * 2.0 - 1.0
         elif isinstance(layer, Local):
             x = _local_layer(x, params[conv_i], layer,
                              compute_dtype=compute_dtype)
