@@ -944,3 +944,40 @@ def test_cfg_key_audit(tmp_path, capsys):
         "[maxpool]\n", "[maxpool]\nstride_y=1\n", 1))
     with pytest.raises(ValueError, match="anisotropic"):
         config_from_cfg(str(p6))
+
+
+@pytest.mark.quick
+def test_cfg_parser_fuzz_never_crashes(tmp_path):
+    """Deterministic mutation fuzz: random line drops/duplications/
+    value garblings of a real cfg must either build or raise a CLEAN
+    ValueError/KeyError — never an unhandled TypeError/IndexError/
+    ZeroDivisionError (a darknet user's hand-edited cfg is the input
+    surface here)."""
+    rng = np.random.default_rng(0)
+    base_lines = TINY_VOC_CFG.splitlines()
+    garble = ("0", "-1", "1e9", "abc", "", "0.0.1", "999999", "-3.5")
+    built = failed = 0
+    for trial in range(120):
+        lines = list(base_lines)
+        for _ in range(int(rng.integers(1, 4))):
+            kind = rng.integers(0, 3)
+            i = int(rng.integers(0, len(lines)))
+            if kind == 0:
+                lines.pop(i)
+            elif kind == 1:
+                lines.insert(i, lines[int(rng.integers(0, len(lines)))])
+            else:
+                ln = lines[i]
+                if "=" in ln:
+                    key = ln.split("=")[0]
+                    lines[i] = f"{key}={garble[rng.integers(0, len(garble))]}"
+        p = tmp_path / f"f{trial}.cfg"
+        p.write_text("\n".join(lines) + "\n")
+        try:
+            config_from_cfg(str(p))
+            built += 1
+        except (ValueError, KeyError):
+            failed += 1
+    # both outcomes must occur across 120 trials (the fuzz is real),
+    # and nothing else may escape
+    assert built > 0 and failed > 0

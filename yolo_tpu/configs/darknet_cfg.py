@@ -313,6 +313,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             h = int(kv.get("height", w))
             if w != h:
                 raise ValueError(f"non-square net {w}x{h} not supported")
+            if w < 1:
+                raise ValueError(f"[net] width={w} must be >= 1")
             if int(kv.get("channels", 3)) != 3:
                 raise ValueError("only channels=3 input is supported")
             input_size = w
@@ -324,6 +326,10 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             stride = int(kv.get("stride", 1))
             if stride < 1:
                 raise ValueError(f"conv stride must be >= 1, got {stride}")
+            if int(kv.get("size", 1)) < 1 or int(kv["filters"]) < 1:
+                raise ValueError(
+                    f"conv size={kv.get('size', 1)} "
+                    f"filters={kv['filters']}: both must be >= 1")
             for sk in ("stride_x", "stride_y"):
                 # AlexeyAB per-axis strides: accept only when they
                 # agree with `stride` — anisotropic strides would
@@ -358,6 +364,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 groups=cgroups))
         elif kind == "maxpool":
             size = int(kv.get("size", 2))
+            if size < 1 or int(kv.get("stride", size)) < 1:
+                raise ValueError(
+                    f"[maxpool] size={size} "
+                    f"stride={kv.get('stride', size)}: both must be "
+                    f">= 1")
             # darknet's default maxpool padding is size-1 (with the
             # -(pad//2) origin shift) — the convention all three
             # implementations pin. An EXPLICIT different padding would
@@ -385,6 +396,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"groups={groups}")
             layers.append(Route(rels, groups=groups, group_id=group_id))
         elif kind == "reorg":
+            if int(kv.get("stride", 2)) < 1:
+                raise ValueError(f"[reorg] stride={kv['stride']} must "
+                                 f"be >= 1")
             layers.append(Reorg(int(kv.get("stride", 2))))
         elif kind == "shortcut":
             act = kv.get("activation", "linear")
@@ -417,6 +431,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             layers.append(ScaleChannels(int(kv["from"]), scale_wh=swh,
                                         act=act))
         elif kind == "upsample":
+            if int(kv.get("stride", 2)) < 1:
+                raise ValueError(f"[upsample] stride={kv['stride']} "
+                                 f"must be >= 1")
             layers.append(Upsample(int(kv.get("stride", 2)),
                                    scale=float(kv.get("scale", 1.0))))
         elif kind == "avgpool":
@@ -438,7 +455,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # feature count pinned by _resolve_spatial below
             layers.append(Connected(int(kv["output"]), act=act))
         elif kind == "dropout":
-            layers.append(Dropout(float(kv.get("probability", 0.5))))
+            prob = float(kv.get("probability", 0.5))
+            if not 0.0 <= prob < 1.0:
+                # p=1 would zero everything and the inverted-dropout
+                # 1/(1-p) rescale divides by zero
+                raise ValueError(f"[dropout] probability={prob:g} must "
+                                 f"be in [0, 1)")
+            layers.append(Dropout(prob))
         elif kind == "softmax":
             if int(kv.get("groups", 1)) != 1:
                 raise ValueError("[softmax] groups != 1 (grouped "
@@ -473,6 +496,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if act not in ("leaky", "linear", "relu", "ramp",
                            "logistic"):
                 raise ValueError(f"unsupported local activation '{act}'")
+            if (int(kv.get("filters", 1)) < 1
+                    or int(kv.get("size", 1)) < 1
+                    or int(kv.get("stride", 1)) < 1):
+                raise ValueError("[local] filters/size/stride must all "
+                                 "be >= 1")
             layers.append(Local(
                 filters=int(kv.get("filters", 1)),
                 size=int(kv.get("size", 1)),
