@@ -1,0 +1,165 @@
+"""Native image decode + fused decode->letterbox loader
+(native/decode.cpp, the darknet data.c role): decode parity vs cv2,
+batch-loader parity vs the Python host path, failure-slot handling,
+and the CLI --decoder switch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.native import preproc
+
+pytestmark = pytest.mark.skipif(not preproc.available(),
+                                reason="native library unavailable")
+
+
+def _write_images(tmp_path, sizes, ext="png", seed=0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    paths, imgs = [], []
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.{ext}")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+        imgs.append(img)
+    return paths, imgs
+
+
+@pytest.mark.quick
+def test_png_decode_exact_vs_cv2(tmp_path):
+    paths, imgs = _write_images(tmp_path, [(37, 53), (64, 64), (1, 7)])
+    for p, want in zip(paths, imgs):
+        got = preproc.decode_image(p)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.quick
+def test_jpeg_decode_matches_cv2(tmp_path):
+    import cv2
+
+    paths, _ = _write_images(tmp_path, [(48, 80), (123, 97)], ext="jpg")
+    for p in paths:
+        got = preproc.decode_image(p)
+        want = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert got.shape == want.shape
+        # same system libjpeg family — allow a whisker of IDCT slack
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+@pytest.mark.quick
+def test_decode_failures_return_none(tmp_path):
+    assert preproc.decode_image(str(tmp_path / "missing.png")) is None
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0junkjunkjunk")
+    assert preproc.decode_image(str(bad)) is None
+    txt = tmp_path / "not_an_image.png"
+    txt.write_text("hello")
+    assert preproc.decode_image(str(txt)) is None
+
+
+@pytest.mark.quick
+def test_batch_loader_matches_python_path(tmp_path):
+    from yolo_tpu.ops import numpy_ref as npr
+
+    paths, imgs = _write_images(
+        tmp_path, [(40, 60), (60, 40), (64, 64), (100, 30)])
+    out, dims, ok = preproc.decode_letterbox_batch(paths, 64, n_threads=2)
+    assert ok.all()
+    for i, img in enumerate(imgs):
+        assert tuple(dims[i]) == img.shape[:2]
+        ref = npr.letterbox(img, 64, 64)[0]
+        np.testing.assert_allclose(out[i], ref, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_batch_loader_flags_failures(tmp_path):
+    paths, imgs = _write_images(tmp_path, [(32, 32)])
+    out, dims, ok = preproc.decode_letterbox_batch(
+        [paths[0], str(tmp_path / "nope.png")], 32, n_threads=2)
+    assert ok.tolist() == [True, False]
+    assert tuple(dims[1]) == (0, 0)
+
+
+@pytest.mark.quick
+def test_inference_batches_native_equals_cv2(tmp_path):
+    """The fused native path yields batches identical to the Python
+    host-preprocess path — order, shapes metadata, pad semantics, and
+    pixels (PNG decode is exact on both) — including a cv2-fallback
+    slot for a format the native decoder doesn't cover (bmp)."""
+    import cv2
+
+    from yolo_tpu.data import pipeline
+
+    paths, imgs = _write_images(
+        tmp_path, [(40, 60), (64, 48), (52, 52), (30, 90), (64, 64)])
+    bmp = str(tmp_path / "extra.bmp")
+    rng = np.random.default_rng(9)
+    bmp_img = rng.integers(0, 256, (45, 45, 3), dtype=np.uint8)
+    cv2.imwrite(bmp, cv2.cvtColor(bmp_img, cv2.COLOR_RGB2BGR))
+    paths.append(bmp)
+
+    def run():
+        return list(pipeline.inference_batches(
+            paths, batch_size=4, workers=2, net_size=64))
+
+    want = run()
+    pipeline.set_decoder("native")
+    try:
+        got = run()
+    finally:
+        pipeline.set_decoder("cv2")
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g["paths"] == w["paths"]
+        assert g["shapes"] == w["shapes"]
+        assert g.get("pad") == w.get("pad")
+        np.testing.assert_allclose(g["images"], w["images"], atol=1e-6)
+
+
+@pytest.mark.quick
+def test_load_image_rgb_native_switch(tmp_path):
+    from yolo_tpu.data import pipeline
+
+    paths, imgs = _write_images(tmp_path, [(33, 44)])
+    pipeline.set_decoder("native")
+    try:
+        got = pipeline.load_image_rgb(paths[0])
+    finally:
+        pipeline.set_decoder("cv2")
+    np.testing.assert_array_equal(got, imgs[0])
+    # unknown names reject
+    with pytest.raises(ValueError, match="unknown decoder"):
+        pipeline.set_decoder("turbo")
+
+
+def test_cli_detect_decoder_native(tmp_path, capsys):
+    """--decoder native plumbs through `detect` end-to-end and yields
+    the same detections as the cv2 run (PNG decode is exact)."""
+    import json
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    d = tmp_path / "imgs"
+    os.makedirs(d)
+    _write_images(d, [(70, 50), (40, 80), (64, 64)], seed=3)
+
+    def run(dec):
+        cli.main(["detect", "--model", "tiny-voc", "--input-size", "64",
+                  "--weights", str(w), "--images", str(d),
+                  "--batch", "2", "--conf", "0.05", "--decoder", dec,
+                  "--host-preprocess", "--precision", "fp32"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        return sorted(json.loads(l)["image"].split("/")[-1] + ":" +
+                      json.dumps(json.loads(l)["detections"])
+                      for l in lines)
+
+    assert run("native") == run("cv2")

@@ -47,6 +47,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "darknet) or stretch = plain resize (AlexeyAB "
                         "darknet letter_box=0 default) — applies to "
                         "predict/detect/eval/serve AND train")
+    p.add_argument("--decoder", default="cv2",
+                   choices=["cv2", "native"],
+                   help="host image decoder: native = first-party "
+                        "C++ libjpeg/libpng loader (native/decode.cpp;"
+                        " decode-parity-tested vs cv2) with the fused "
+                        "decode+letterbox batch path on "
+                        "--host-preprocess runs")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--hier-thresh", type=float, default=None,
@@ -1842,6 +1849,16 @@ def main(argv: Optional[list] = None) -> None:
     p.set_defaults(fn=cmd_doctor)
 
     args = ap.parse_args(argv)
+    if hasattr(args, "decoder"):
+        # always set (including the cv2 default) so one invocation's
+        # choice never leaks into the next in-process call (tests,
+        # library use of cli.main)
+        from yolo_tpu.data.pipeline import set_decoder
+
+        try:
+            set_decoder(args.decoder)
+        except (ValueError, RuntimeError) as e:
+            raise SystemExit(str(e))
     args.fn(args)
 
 

@@ -25,14 +25,57 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def load_image_rgb(path: str) -> np.ndarray:
-    """Host JPEG/PNG decode -> (H, W, 3) uint8 RGB."""
+# Host image decoder: "cv2" (default) or "native" (native/decode.cpp —
+# libjpeg/libpng in C++, bit-identical to cv2 on this image's libjpeg,
+# decode-parity-tested either way; set via `--decoder native`). The
+# native decoder also unlocks the fused decode->letterbox batch loader
+# in inference_batches (ONE C++ call per batch, the darknet data.c
+# role).
+_DECODER = "cv2"
+
+
+def set_decoder(name: str) -> None:
+    """Select the host image decoder for this process ("cv2" |
+    "native"). Raises if the native library is unavailable rather than
+    silently decoding differently than asked."""
+    global _DECODER
+    if name not in ("cv2", "native"):
+        raise ValueError(f"unknown decoder {name!r} (cv2 | native)")
+    if name == "native":
+        from yolo_tpu.native import preproc
+
+        if not preproc.available():
+            raise RuntimeError(
+                "--decoder native: libyolopreproc.so is unavailable "
+                "(no toolchain?) — build it with `make -C native` or "
+                "use --decoder cv2")
+    _DECODER = name
+
+
+def get_decoder() -> str:
+    return _DECODER
+
+
+def _load_image_cv2(path: str) -> np.ndarray:
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(f"cannot decode image: {path}")
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Host JPEG/PNG decode -> (H, W, 3) uint8 RGB."""
+    if _DECODER == "native":
+        from yolo_tpu.native.preproc import decode_image
+
+        img = decode_image(path)
+        if img is not None:
+            return img
+        # formats the native decoder doesn't cover (e.g. bmp) or a
+        # file cv2 may still salvage — fall through
+    return _load_image_cv2(path)
 
 
 def letterbox_boxes(boxes_xywh: np.ndarray, src_w: int, src_h: int,
@@ -112,6 +155,15 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     unstretch_boxes)."""
     import collections
 
+    if (net_size is not None and resize == "letterbox"
+            and _DECODER == "native"):
+        from yolo_tpu.native import preproc as native_pp
+
+        if native_pp.available():
+            yield from _native_inference_batches(
+                image_paths, batch_size, net_size, workers, skip_errors)
+            return
+
     with cf.ThreadPoolExecutor(workers) as pool:
         # bounded submission: at most ~4 batches of decodes in flight so a
         # slow consumer doesn't buffer the whole dataset's pixels
@@ -184,6 +236,59 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
             yield {"images": images,
                    "paths": [p for p, _ in items],
                    "pad": pad}
+
+
+def _native_inference_batches(image_paths, batch_size: int, net_size: int,
+                              workers: int, skip_errors: bool):
+    """Fused host-preprocess path: ONE native decode->letterbox C++
+    call per batch (native/decode.cpp worker threads — the darknet
+    data.c loader role), double-buffered so the next batch decodes
+    while the device consumes the current one. Failed slots (formats
+    the native decoder doesn't cover, corrupt files) retry on the cv2
+    path; identical batch/pad semantics to the Python host path."""
+    import sys
+
+    from yolo_tpu.native import preproc as native_pp
+
+    def load_chunk(chunk):
+        out, dims, ok = native_pp.decode_letterbox_batch(
+            chunk, net_size, n_threads=workers)
+        items = []
+        for i, p in enumerate(chunk):
+            if ok[i]:
+                items.append((p, (int(dims[i, 0]), int(dims[i, 1])),
+                              out[i]))
+                continue
+            try:
+                img = _load_image_cv2(p)
+            except (FileNotFoundError, OSError) as e:
+                if skip_errors:
+                    print(f"skipping {p}: {e}", file=sys.stderr)
+                    continue
+                raise
+            items.append((p, img.shape[:2], native_pp.letterbox_batch(
+                img[None], net_size, n_threads=1)[0]))
+        return items
+
+    paths = list(image_paths)
+    with cf.ThreadPoolExecutor(1) as pool:
+        chunks = [paths[i:i + batch_size]
+                  for i in range(0, len(paths), batch_size)]
+        futures = [pool.submit(load_chunk, c) for c in chunks[:2]]
+        nxt = 2
+        leftover: List = []
+        while futures:
+            items = futures.pop(0).result()
+            if nxt < len(chunks):
+                futures.append(pool.submit(load_chunk, chunks[nxt]))
+                nxt += 1
+            leftover.extend(items)
+            while len(leftover) >= batch_size:
+                yield _assemble_preprocessed(leftover[:batch_size], 0)
+                leftover = leftover[batch_size:]
+        if leftover:
+            yield _assemble_preprocessed(
+                leftover, batch_size - len(leftover))
 
 
 def _assemble_preprocessed(chunk, pad: int) -> Dict:

@@ -34,14 +34,38 @@ def _load() -> Optional[ctypes.CDLL]:
                 subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "decode_letterbox_batch"):
+                # stale pre-decode build on disk (the .so is
+                # gitignored): force a rebuild and reload
+                subprocess.run(["make", "-s", "-B"], cwd=_NATIVE_DIR,
+                               check=True, capture_output=True,
+                               timeout=120)
+                lib = ctypes.CDLL(_LIB_PATH)
             lib.letterbox_batch.restype = ctypes.c_int
             lib.letterbox_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.c_int,
             ]
+            lib.yolo_decode_alloc.restype = ctypes.c_void_p
+            lib.yolo_decode_alloc.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.yolo_buf_free.restype = None
+            lib.yolo_buf_free.argtypes = [ctypes.c_void_p]
+            lib.decode_letterbox_batch.restype = ctypes.c_int
+            lib.decode_letterbox_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ]
             _lib = lib
-        except (OSError, subprocess.SubprocessError):
+        except (OSError, subprocess.SubprocessError, AttributeError):
+            # AttributeError: a stale .so that even a rebuild could not
+            # refresh in-process (same-inode dlopen reuse) — treat as
+            # unavailable rather than crash callers
             _lib = None
         return _lib
 
@@ -71,3 +95,56 @@ def letterbox_batch(images_u8: np.ndarray, net: int,
     from yolo_tpu.ops import numpy_ref as npr
 
     return np.stack([npr.letterbox(img, net, net)[0] for img in images_u8])
+
+
+def decode_image(path: str) -> Optional[np.ndarray]:
+    """Native JPEG/PNG decode (native/decode.cpp: libjpeg JCS_RGB /
+    libpng PNG_FORMAT_RGB) -> (H, W, 3) uint8 RGB.
+
+    Returns None when the native library is unavailable OR the file
+    cannot be decoded natively (missing, corrupt, unsupported format)
+    — callers fall back to cv2 (data.pipeline.load_image_rgb)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ptr = lib.yolo_decode_alloc(os.fsencode(path),
+                                ctypes.byref(h), ctypes.byref(w))
+    if not ptr:
+        return None
+    try:
+        buf = ctypes.cast(
+            ptr, ctypes.POINTER(ctypes.c_uint8 * (h.value * w.value * 3)))
+        img = np.frombuffer(buf.contents, dtype=np.uint8).reshape(
+            h.value, w.value, 3).copy()
+    finally:
+        lib.yolo_buf_free(ptr)
+    return img
+
+
+def decode_letterbox_batch(paths, net: int, n_threads: int = 8):
+    """Fully-native batch loader (the darknet data.c role): decode N
+    paths and letterbox them in C++ worker threads in ONE call.
+
+    Returns (batch (N, net, net, 3) float32, dims (N, 2) int32
+    (src_h, src_w), ok (N,) bool) — failed slots have ok=False and
+    dims 0 (the caller drops or retries them via the cv2 path); or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, net, net, 3), dtype=np.float32)
+    dims = np.empty((n, 2), dtype=np.int32)
+    ok = np.empty((n,), dtype=np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    rc = lib.decode_letterbox_batch(
+        arr, n, net,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads)
+    if rc < 0:
+        return None
+    return out, dims, ok.astype(bool)
