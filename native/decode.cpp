@@ -110,6 +110,72 @@ uint8_t* decode_png(const char* path, int* out_h, int* out_w) {
     return buf;
 }
 
+uint8_t* decode_jpeg_mem(const uint8_t* data, size_t len, int* out_h,
+                         int* out_w) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    jerr.pub.emit_message = jpeg_err_silent;
+    jerr.pub.output_message = jpeg_err_silent_msg;
+    uint8_t* buf = nullptr;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        std::free(buf);
+        return nullptr;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+                 static_cast<unsigned long>(len));
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    const int w = static_cast<int>(cinfo.output_width);
+    const int h = static_cast<int>(cinfo.output_height);
+    if (w <= 0 || h <= 0 || cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    buf = static_cast<uint8_t*>(
+        std::malloc(static_cast<size_t>(w) * h * 3));
+    if (!buf) {
+        jpeg_destroy_decompress(&cinfo);
+        return nullptr;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = buf + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out_h = h;
+    *out_w = w;
+    return buf;
+}
+
+uint8_t* decode_png_mem(const uint8_t* data, size_t len, int* out_h,
+                        int* out_w) {
+    png_image image;
+    std::memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, data, len))
+        return nullptr;
+    image.format = PNG_FORMAT_RGB;
+    uint8_t* buf = static_cast<uint8_t*>(std::malloc(PNG_IMAGE_SIZE(image)));
+    if (!buf) {
+        png_image_free(&image);
+        return nullptr;
+    }
+    if (!png_image_finish_read(&image, nullptr, buf, 0, nullptr)) {
+        png_image_free(&image);
+        std::free(buf);
+        return nullptr;
+    }
+    *out_h = static_cast<int>(image.height);
+    *out_w = static_cast<int>(image.width);
+    return buf;
+}
+
 uint8_t* decode_path(const char* path, int* out_h, int* out_w) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return nullptr;
@@ -138,6 +204,18 @@ extern "C" {
 // unsupported format).
 uint8_t* yolo_decode_alloc(const char* path, int* out_h, int* out_w) {
     return decode_path(path, out_h, out_w);
+}
+
+// In-memory variant (serving: decode uploaded bytes without touching
+// disk). Same magic dispatch and failure contract as the path API.
+uint8_t* yolo_decode_mem(const uint8_t* data, size_t len, int* out_h,
+                         int* out_w) {
+    if (!data || len < 8) return nullptr;
+    if (data[0] == 0xFF && data[1] == 0xD8)
+        return decode_jpeg_mem(data, len, out_h, out_w);
+    if (std::memcmp(data, "\x89PNG\r\n\x1a\n", 8) == 0)
+        return decode_png_mem(data, len, out_h, out_w);
+    return nullptr;
 }
 
 void yolo_buf_free(uint8_t* p) { std::free(p); }

@@ -163,3 +163,22 @@ def test_cli_detect_decoder_native(tmp_path, capsys):
                       for l in lines)
 
     assert run("native") == run("cv2")
+
+
+@pytest.mark.quick
+def test_decode_image_bytes(tmp_path):
+    import cv2
+
+    paths, imgs = _write_images(tmp_path, [(29, 41)])
+    data = open(paths[0], "rb").read()
+    got = preproc.decode_image_bytes(data)
+    np.testing.assert_array_equal(got, imgs[0])
+    # jpeg bytes match cv2.imdecode
+    jpaths, _ = _write_images(tmp_path, [(50, 34)], ext="jpg", seed=5)
+    jdata = open(jpaths[0], "rb").read()
+    gj = preproc.decode_image_bytes(jdata)
+    cj = cv2.cvtColor(cv2.imdecode(np.frombuffer(jdata, np.uint8),
+                                   cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+    assert np.abs(gj.astype(int) - cj.astype(int)).max() <= 2
+    assert preproc.decode_image_bytes(b"nonsense") is None
+    assert preproc.decode_image_bytes(b"") is None

@@ -401,3 +401,21 @@ class TestNewFamiliesServe:
             assert all(d["class"] in mapped for d in out["detections"])
         finally:
             srv.stop()
+
+
+def test_detect_native_decoder_matches_cv2(server):
+    """--decoder native serving path: the same upload decodes through
+    native/decode.cpp (in-memory libpng) and yields identical
+    detections to the cv2 run (PNG decode is exact)."""
+    from yolo_tpu.data import pipeline
+    from yolo_tpu.native import preproc
+
+    if not preproc.available():
+        pytest.skip("native library unavailable")
+    want = _post_image(server, seed=11)
+    pipeline.set_decoder("native")
+    try:
+        got = _post_image(server, seed=11)
+    finally:
+        pipeline.set_decoder("cv2")
+    assert got == want

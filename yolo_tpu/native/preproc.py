@@ -52,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.yolo_decode_mem.restype = ctypes.c_void_p
+            lib.yolo_decode_mem.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
             lib.yolo_buf_free.restype = None
             lib.yolo_buf_free.argtypes = [ctypes.c_void_p]
             lib.decode_letterbox_batch.restype = ctypes.c_int
@@ -111,6 +117,30 @@ def decode_image(path: str) -> Optional[np.ndarray]:
     w = ctypes.c_int()
     ptr = lib.yolo_decode_alloc(os.fsencode(path),
                                 ctypes.byref(h), ctypes.byref(w))
+    if not ptr:
+        return None
+    try:
+        buf = ctypes.cast(
+            ptr, ctypes.POINTER(ctypes.c_uint8 * (h.value * w.value * 3)))
+        img = np.frombuffer(buf.contents, dtype=np.uint8).reshape(
+            h.value, w.value, 3).copy()
+    finally:
+        lib.yolo_buf_free(ptr)
+    return img
+
+
+def decode_image_bytes(data: bytes) -> Optional[np.ndarray]:
+    """In-memory native JPEG/PNG decode (serving uploads) ->
+    (H, W, 3) uint8 RGB, or None (unavailable/undecodable) — callers
+    fall back to cv2.imdecode."""
+    lib = _load()
+    if lib is None or len(data) < 8:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    buf_in = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    ptr = lib.yolo_decode_mem(buf_in, len(data),
+                              ctypes.byref(h), ctypes.byref(w))
     if not ptr:
         return None
     try:

@@ -302,16 +302,26 @@ class DetectionServer:
                     else:
                         self._send(404, {"error": "not found"})
                     return
-                import cv2
-
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
-                img = cv2.imdecode(np.frombuffer(data, np.uint8),
-                                   cv2.IMREAD_COLOR)
-                if img is None:
-                    self._send(400, {"error": "cannot decode image"})
-                    return
-                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                rgb = None
+                from yolo_tpu.data.pipeline import get_decoder
+
+                if get_decoder() == "native":
+                    # first-party C++ decode for uploads (--decoder
+                    # native); other formats fall through to cv2
+                    from yolo_tpu.native.preproc import decode_image_bytes
+
+                    rgb = decode_image_bytes(data)
+                if rgb is None:
+                    import cv2
+
+                    img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                                       cv2.IMREAD_COLOR)
+                    if img is None:
+                        self._send(400, {"error": "cannot decode image"})
+                        return
+                    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
                 if server.is_classifier:
                     from yolo_tpu.models.classify import classifier_preprocess
 
