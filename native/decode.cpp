@@ -3,9 +3,14 @@
 // compiled graph), built on the system libjpeg/libpng like darknet's
 // own image.c (stb fallback there; real libs here).
 //
-// JPEG via libjpeg (JCS_RGB output), PNG via libpng's simplified API
-// (PNG_FORMAT_RGB: palette/gray/16-bit/alpha all normalized to 8-bit
-// RGB), dispatched on the file's magic bytes.
+// JPEG via libjpeg (JCS_RGB output), PNG via libpng's simplified API,
+// dispatched on the file's magic bytes. Decode parity with cv2 is a
+// CONTRACT (tests/test_native_decode.py): inputs the two libraries
+// would normalize differently are DECLINED (return NULL) so the cv2
+// fallback keeps pixels identical whichever decoder is selected —
+// JPEGs with an EXIF orientation (cv2.imread auto-rotates, libjpeg
+// does not) and PNGs with alpha or 16-bit channels (cv2 drops alpha
+// and >>8s; libpng's simplified API composites/rescales).
 //
 // decode_letterbox_batch: N paths -> one (N, net, net, 3) float32
 // letterboxed batch + per-image source dims (for box un-mapping), a
@@ -47,22 +52,75 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 void jpeg_err_silent(j_common_ptr, int) {}
 void jpeg_err_silent_msg(j_common_ptr) {}
 
-uint8_t* decode_jpeg(FILE* f, int* out_h, int* out_w) {
+// EXIF Orientation (tag 0x0112) from the saved APP1 marker; 1 when
+// absent/unparseable. Bounds-checked TIFF walk, both byte orders.
+int exif_orientation(jpeg_decompress_struct* cinfo) {
+    for (jpeg_saved_marker_ptr m = cinfo->marker_list; m; m = m->next) {
+        if (m->marker != JPEG_APP0 + 1 || m->data_length < 14) continue;
+        const uint8_t* d = m->data;
+        if (std::memcmp(d, "Exif\0\0", 6) != 0) continue;
+        const uint8_t* t = d + 6;  // TIFF header
+        const size_t n = m->data_length - 6;
+        bool le;
+        if (t[0] == 'I' && t[1] == 'I') le = true;
+        else if (t[0] == 'M' && t[1] == 'M') le = false;
+        else continue;
+        auto u16 = [&](size_t off) -> uint32_t {
+            if (off + 2 > n) return 0;
+            return le ? (t[off] | t[off + 1] << 8)
+                      : (t[off] << 8 | t[off + 1]);
+        };
+        auto u32 = [&](size_t off) -> uint32_t {
+            if (off + 4 > n) return 0;
+            return le ? (t[off] | t[off + 1] << 8 | t[off + 2] << 16 |
+                         static_cast<uint32_t>(t[off + 3]) << 24)
+                      : (static_cast<uint32_t>(t[off]) << 24 |
+                         t[off + 1] << 16 | t[off + 2] << 8 | t[off + 3]);
+        };
+        const uint32_t ifd = u32(4);
+        if (ifd == 0 || ifd + 2 > n) continue;
+        const uint32_t cnt = u16(ifd);
+        for (uint32_t i = 0; i < cnt; ++i) {
+            const size_t e = ifd + 2 + static_cast<size_t>(i) * 12;
+            if (e + 12 > n) break;
+            if (u16(e) == 0x0112) {
+                const uint32_t v = u16(e + 8);
+                return v ? static_cast<int>(v) : 1;
+            }
+        }
+    }
+    return 1;
+}
+
+// One JPEG decode body; the source hookup (stdio vs memory) is the
+// only difference between the file and byte entry points.
+template <typename SetSrc>
+uint8_t* decode_jpeg_common(SetSrc set_src, int* out_h, int* out_w) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = jpeg_err_exit;
     jerr.pub.emit_message = jpeg_err_silent;
     jerr.pub.output_message = jpeg_err_silent_msg;
-    uint8_t* buf = nullptr;
+    // volatile: assigned between setjmp and a potential longjmp —
+    // without it the cleanup free() may see a stale register value
+    // and leak the scanline buffer on every corrupt image
+    uint8_t* volatile buf = nullptr;
     if (setjmp(jerr.jb)) {
         jpeg_destroy_decompress(&cinfo);
         std::free(buf);
         return nullptr;
     }
     jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
+    set_src(&cinfo);
+    jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);
     jpeg_read_header(&cinfo, TRUE);
+    if (exif_orientation(&cinfo) != 1) {
+        // cv2.imread applies the EXIF rotation; decline rather than
+        // silently disagree — the cv2 fallback handles these
+        jpeg_destroy_decompress(&cinfo);
+        return nullptr;
+    }
     cinfo.out_color_space = JCS_RGB;
     jpeg_start_decompress(&cinfo);
     const int w = static_cast<int>(cinfo.output_width);
@@ -88,78 +146,23 @@ uint8_t* decode_jpeg(FILE* f, int* out_h, int* out_w) {
     return buf;
 }
 
-uint8_t* decode_png(const char* path, int* out_h, int* out_w) {
+// One PNG decode body over the simplified API; the begin_read call is
+// the only file-vs-memory difference.
+template <typename BeginRead>
+uint8_t* decode_png_common(BeginRead begin_read, int* out_h, int* out_w) {
     png_image image;
     std::memset(&image, 0, sizeof(image));
     image.version = PNG_IMAGE_VERSION;
-    if (!png_image_begin_read_from_file(&image, path)) return nullptr;
-    image.format = PNG_FORMAT_RGB;
-    const size_t size = PNG_IMAGE_SIZE(image);
-    uint8_t* buf = static_cast<uint8_t*>(std::malloc(size));
-    if (!buf) {
+    if (!begin_read(&image)) return nullptr;
+    if ((image.format & PNG_FORMAT_FLAG_ALPHA) ||
+        (image.format & PNG_FORMAT_FLAG_LINEAR)) {
+        // alpha: cv2.IMREAD_COLOR drops the channel, libpng's
+        // simplified API composites it; 16-bit (LINEAR): cv2 >>8s,
+        // libpng rescales — decline both so pixels stay
+        // decoder-independent (cv2 fallback)
         png_image_free(&image);
         return nullptr;
     }
-    if (!png_image_finish_read(&image, nullptr, buf, 0, nullptr)) {
-        png_image_free(&image);
-        std::free(buf);
-        return nullptr;
-    }
-    *out_h = static_cast<int>(image.height);
-    *out_w = static_cast<int>(image.width);
-    return buf;
-}
-
-uint8_t* decode_jpeg_mem(const uint8_t* data, size_t len, int* out_h,
-                         int* out_w) {
-    jpeg_decompress_struct cinfo;
-    JpegErr jerr;
-    cinfo.err = jpeg_std_error(&jerr.pub);
-    jerr.pub.error_exit = jpeg_err_exit;
-    jerr.pub.emit_message = jpeg_err_silent;
-    jerr.pub.output_message = jpeg_err_silent_msg;
-    uint8_t* buf = nullptr;
-    if (setjmp(jerr.jb)) {
-        jpeg_destroy_decompress(&cinfo);
-        std::free(buf);
-        return nullptr;
-    }
-    jpeg_create_decompress(&cinfo);
-    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
-                 static_cast<unsigned long>(len));
-    jpeg_read_header(&cinfo, TRUE);
-    cinfo.out_color_space = JCS_RGB;
-    jpeg_start_decompress(&cinfo);
-    const int w = static_cast<int>(cinfo.output_width);
-    const int h = static_cast<int>(cinfo.output_height);
-    if (w <= 0 || h <= 0 || cinfo.output_components != 3) {
-        jpeg_destroy_decompress(&cinfo);
-        return nullptr;
-    }
-    buf = static_cast<uint8_t*>(
-        std::malloc(static_cast<size_t>(w) * h * 3));
-    if (!buf) {
-        jpeg_destroy_decompress(&cinfo);
-        return nullptr;
-    }
-    while (cinfo.output_scanline < cinfo.output_height) {
-        uint8_t* row = buf + static_cast<size_t>(cinfo.output_scanline) * w * 3;
-        jpeg_read_scanlines(&cinfo, &row, 1);
-    }
-    jpeg_finish_decompress(&cinfo);
-    jpeg_destroy_decompress(&cinfo);
-    *out_h = h;
-    *out_w = w;
-    return buf;
-}
-
-uint8_t* decode_png_mem(const uint8_t* data, size_t len, int* out_h,
-                        int* out_w) {
-    png_image image;
-    std::memset(&image, 0, sizeof(image));
-    image.version = PNG_IMAGE_VERSION;
-    if (!png_image_begin_read_from_memory(&image, data, len))
-        return nullptr;
     image.format = PNG_FORMAT_RGB;
     uint8_t* buf = static_cast<uint8_t*>(std::malloc(PNG_IMAGE_SIZE(image)));
     if (!buf) {
@@ -181,18 +184,44 @@ uint8_t* decode_path(const char* path, int* out_h, int* out_w) {
     if (!f) return nullptr;
     unsigned char magic[8] = {0};
     const size_t got = std::fread(magic, 1, sizeof(magic), f);
-    uint8_t* buf = nullptr;
     if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
         std::rewind(f);
-        buf = decode_jpeg(f, out_h, out_w);
+        uint8_t* buf = decode_jpeg_common(
+            [f](jpeg_decompress_struct* c) { jpeg_stdio_src(c, f); },
+            out_h, out_w);
         std::fclose(f);
         return buf;
     }
     std::fclose(f);
     if (got >= 8 && std::memcmp(magic, "\x89PNG\r\n\x1a\n", 8) == 0) {
-        return decode_png(path, out_h, out_w);
+        return decode_png_common(
+            [path](png_image* im) {
+                return png_image_begin_read_from_file(im, path);
+            },
+            out_h, out_w);
     }
     return nullptr;  // unknown format — Python falls back to cv2
+}
+
+uint8_t* decode_mem(const uint8_t* data, size_t len, int* out_h,
+                    int* out_w) {
+    if (!data || len < 8) return nullptr;
+    if (data[0] == 0xFF && data[1] == 0xD8) {
+        return decode_jpeg_common(
+            [data, len](jpeg_decompress_struct* c) {
+                jpeg_mem_src(c, const_cast<unsigned char*>(data),
+                             static_cast<unsigned long>(len));
+            },
+            out_h, out_w);
+    }
+    if (std::memcmp(data, "\x89PNG\r\n\x1a\n", 8) == 0) {
+        return decode_png_common(
+            [data, len](png_image* im) {
+                return png_image_begin_read_from_memory(im, data, len);
+            },
+            out_h, out_w);
+    }
+    return nullptr;
 }
 
 }  // namespace
@@ -201,21 +230,17 @@ extern "C" {
 
 // Decode one image to malloc'd RGB uint8 (H*W*3); caller frees with
 // yolo_buf_free. Returns NULL on any failure (missing file, bad data,
-// unsupported format).
+// unsupported format, or an input the cv2 fallback must handle for
+// parity — see the header comment).
 uint8_t* yolo_decode_alloc(const char* path, int* out_h, int* out_w) {
     return decode_path(path, out_h, out_w);
 }
 
 // In-memory variant (serving: decode uploaded bytes without touching
-// disk). Same magic dispatch and failure contract as the path API.
+// disk). Same dispatch and failure contract as the path API.
 uint8_t* yolo_decode_mem(const uint8_t* data, size_t len, int* out_h,
                          int* out_w) {
-    if (!data || len < 8) return nullptr;
-    if (data[0] == 0xFF && data[1] == 0xD8)
-        return decode_jpeg_mem(data, len, out_h, out_w);
-    if (std::memcmp(data, "\x89PNG\r\n\x1a\n", 8) == 0)
-        return decode_png_mem(data, len, out_h, out_w);
-    return nullptr;
+    return decode_mem(data, len, out_h, out_w);
 }
 
 void yolo_buf_free(uint8_t* p) { std::free(p); }

@@ -182,3 +182,107 @@ def test_decode_image_bytes(tmp_path):
     assert np.abs(gj.astype(int) - cj.astype(int)).max() <= 2
     assert preproc.decode_image_bytes(b"nonsense") is None
     assert preproc.decode_image_bytes(b"") is None
+
+
+@pytest.mark.quick
+def test_exif_rotated_jpeg_declines_to_cv2(tmp_path):
+    """cv2.imread auto-applies EXIF rotation; the native decoder must
+    DECLINE oriented JPEGs (return None) so the fallback keeps pixels
+    identical whichever decoder is selected — code-review finding."""
+    import struct
+
+    import cv2
+
+    from yolo_tpu.data import pipeline
+
+    paths, _ = _write_images(tmp_path, [(40, 60)], ext="jpg", seed=7)
+    plain = open(paths[0], "rb").read()
+    # splice an APP1 Exif segment with Orientation=6 after SOI
+    tiff = (b"II*\x00\x08\x00\x00\x00"        # little-endian, IFD @ 8
+            b"\x01\x00"                        # 1 entry
+            b"\x12\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00"
+            b"\x00\x00\x00\x00")               # no next IFD
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    rotated = tmp_path / "rot.jpg"
+    rotated.write_bytes(plain[:2] + app1 + plain[2:])
+
+    assert preproc.decode_image(str(rotated)) is None
+    assert preproc.decode_image_bytes(rotated.read_bytes()) is None
+    # the un-oriented original still decodes natively
+    assert preproc.decode_image(paths[0]) is not None
+    # and load_image_rgb under the native decoder equals cv2 via the
+    # fallback
+    pipeline.set_decoder("native")
+    try:
+        got = pipeline.load_image_rgb(str(rotated))
+    finally:
+        pipeline.set_decoder("cv2")
+    want = cv2.cvtColor(cv2.imread(str(rotated)), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.quick
+def test_png_alpha_and_16bit_decline_gray_decodes(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(3)
+    # RGBA: cv2 drops alpha, libpng composites — must decline
+    rgba = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    p_rgba = str(tmp_path / "a.png")
+    cv2.imwrite(p_rgba, rgba)
+    assert preproc.decode_image(p_rgba) is None
+    # 16-bit: cv2 >>8s, libpng rescales — must decline
+    p16 = str(tmp_path / "b.png")
+    cv2.imwrite(p16, rng.integers(0, 65536, (20, 30, 3),
+                                  dtype=np.uint16))
+    assert preproc.decode_image(p16) is None
+    # grayscale: both replicate channels — decodes natively, equal
+    gray = rng.integers(0, 256, (25, 35), dtype=np.uint8)
+    pg = str(tmp_path / "g.png")
+    cv2.imwrite(pg, gray)
+    got = preproc.decode_image(pg)
+    want = cv2.cvtColor(cv2.imread(pg, cv2.IMREAD_COLOR),
+                        cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.quick
+def test_corrupt_jpeg_scan_data_declines(tmp_path):
+    """Header parses but the scan data is truncated/garbled: the
+    longjmp cleanup path must hand back None (and not crash/leak —
+    the volatile-buf fix)."""
+    paths, _ = _write_images(tmp_path, [(60, 80)], ext="jpg", seed=9)
+    data = open(paths[0], "rb").read()
+    for cut in (len(data) // 2, len(data) - 10):
+        bad = tmp_path / f"cut{cut}.jpg"
+        bad.write_bytes(data[:cut])
+        preproc.decode_image(str(bad))  # None or partial-decline; no crash
+    garbled = bytearray(data)
+    garbled[len(data) // 2:len(data) // 2 + 50] = b"\x00" * 50
+    (tmp_path / "garbled.jpg").write_bytes(bytes(garbled))
+    preproc.decode_image(str(tmp_path / "garbled.jpg"))
+
+
+@pytest.mark.quick
+def test_classifier_crop_range_darknet_defaults():
+    """Absent min_crop/max_crop fall back to darknet's parse defaults
+    (net w .. 2*net w) — an angle-only cfg still zooms 1-2x like
+    darknet, not a fixed whole-image resize (code-review finding)."""
+    from yolo_tpu.data.augment import (AugmentConfig,
+                                       random_augment_classifier,
+                                       rotate_scale_crop)
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[..., 0] = np.arange(40, dtype=np.uint8)[None, :] * 6
+    cfg = AugmentConfig(angle=0.0001)  # geometry on, no crop keys
+    whole = rotate_scale_crop(img, 32, rad=0.0, scale=32 / 40,
+                              aspect=1.0, dx=0.0, dy=0.0)
+    zoomed = 0
+    for s in range(8):
+        out = random_augment_classifier(
+            img, np.random.default_rng(s), cfg, 32)
+        if not np.allclose(out, whole, atol=2):
+            zoomed += 1
+    assert zoomed >= 4  # the 1-2x zoom range is actually in play

@@ -143,8 +143,11 @@ def random_augment_classifier(img_u8: np.ndarray,
     resample. Returns uint8 (size, size, 3)."""
     h, w = img_u8.shape[:2]
     aspect = _rand_scale(rng, cfg.aspect) if cfg.aspect != 1.0 else 1.0
+    # darknet PARSE defaults for absent keys (parser.c:
+    # min_crop = net->w, max_crop = net->w * 2): a cfg that activates
+    # the geometry with angle/aspect alone still zooms 1-2x in darknet
     lo = cfg.min_crop or size
-    hi = cfg.max_crop or size
+    hi = cfg.max_crop or 2 * size
     if lo > hi:
         raise ValueError(f"min_crop={lo} > max_crop={hi}")
     r = int(rng.integers(lo, hi + 1))

@@ -110,14 +110,18 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
 
                     aug_rng = np.random.default_rng(
                         (seed, 3, epoch, int(j)))
-                    img = distort_hsv(img, aug_rng, augment_cfg)
                     if augment_cfg.classifier_geometry:
-                        # darknet load_data_augment's scale/rotation
-                        # crop replaces resize_min + center crop
+                        # darknet load_data_augment order: geometry
+                        # crop FIRST, HSV on the net-size crop — also
+                        # ~(src/net)² cheaper than distorting the full
+                        # source (HSV does not commute with bilinear
+                        # resampling, so order is fidelity too)
                         img = random_augment_classifier(
                             img, aug_rng, augment_cfg, net_size)
+                        img = distort_hsv(img, aug_rng, augment_cfg)
                         x = img.astype(np.float32) / 255.0
                     else:
+                        img = distort_hsv(img, aug_rng, augment_cfg)
                         x = classifier_preprocess(img, net_size)
                 else:
                     x = classifier_preprocess(img, net_size)

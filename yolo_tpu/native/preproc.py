@@ -34,9 +34,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "decode_letterbox_batch"):
-                # stale pre-decode build on disk (the .so is
-                # gitignored): force a rebuild and reload
+            if not hasattr(lib, "yolo_decode_mem"):
+                # probe the NEWEST export: a stale build on disk (the
+                # .so is gitignored) may have some-but-not-all symbols;
+                # force a rebuild and reload
                 subprocess.run(["make", "-s", "-B"], cwd=_NATIVE_DIR,
                                check=True, capture_output=True,
                                timeout=120)
