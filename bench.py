@@ -109,6 +109,27 @@ def main(batch: int = 128, iters: int = 15, warmup: int = 3) -> None:
     }
     if fallback:
         line["backend"] = "cpu_fallback_relay_down"
+        # echo the most recent REAL chip measurement (the driver's
+        # BENCH_r*.json records) so the outage-round record carries
+        # the last known TPU number alongside the honest CPU one
+        import glob
+
+        recs = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")))
+        for rec in reversed(recs):
+            try:
+                prev = json.load(open(rec))
+                # the driver wraps the printed line under "parsed"
+                prev = prev.get("parsed", prev)
+                if (prev and prev.get("value") is not None
+                        and prev.get("backend", "tpu")
+                        != "cpu_fallback_relay_down"):
+                    line["last_tpu_value"] = prev["value"]
+                    line["last_tpu_record"] = os.path.basename(rec)
+                    break
+            except (OSError, ValueError, AttributeError):
+                continue
     print(json.dumps(line))
 
 
