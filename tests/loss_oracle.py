@@ -312,8 +312,10 @@ def detection_loss_np(flat, targets, head):
             has_obj = targets["v1_obj"][bi, i] > 0
             if has_obj:
                 gx, gy, gw, gh = targets["v1_box"][bi, i]
-                # responsible predictor: live max-IoU vs the GT
-                ious = []
+                # responsible predictor: live max-IoU vs the GT;
+                # when every IoU is 0, darknet detection_layer.c falls
+                # back to min box_rmse
+                ious, rmses = [], []
                 for j in range(n):
                     px = (boxes[i, j, 0] + col) / s
                     py = (boxes[i, j, 1] + row) / s
@@ -322,7 +324,11 @@ def detection_loss_np(flat, targets, head):
                     ious.append(iou_xywh(
                         np.array([px, py, pw, ph]),
                         np.array([gx, gy, gw, gh])))
-                resp = int(np.argmax(ious))
+                    rmses.append(np.sqrt(
+                        (px - gx) ** 2 + (py - gy) ** 2
+                        + (pw - gw) ** 2 + (ph - gh) ** 2))
+                resp = (int(np.argmax(ious)) if max(ious) > 0
+                        else int(np.argmin(rmses)))
                 xr, yr = gx * s - col, gy * s - row
                 tw = np.sqrt(gw) if head.sqrt else gw
                 th = np.sqrt(gh) if head.sqrt else gh

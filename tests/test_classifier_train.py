@@ -436,7 +436,13 @@ class TestTemperature:
             config_from_cfg(cfg_path, names_path=names)
 
     @pytest.mark.quick
-    def test_training_gradient_carries_1_over_T(self):
+    def test_training_gradient_is_darknet_delta_no_1_over_T(self):
+        """darknet backward_softmax_layer passes the softmax_x_ent
+        delta (truth - p) straight to the input with NO temperature
+        chain factor: gradient must be (p - onehot)/B with p computed
+        at l/T — not (p - onehot)/(B*T) (code-review finding: the
+        plain-scaling version trained the head at 1/T the reference's
+        effective LR)."""
         import jax
         import jax.numpy as jnp
 
@@ -452,8 +458,7 @@ class TestTemperature:
         z = z - z.max(-1, keepdims=True)
         p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
         onehot = np.eye(4)[labels]
-        np.testing.assert_allclose(np.asarray(g),
-                                   (p - onehot) / (3 * 2.0),
+        np.testing.assert_allclose(np.asarray(g), (p - onehot) / 3,
                                    rtol=1e-5, atol=1e-7)
 
 

@@ -326,22 +326,30 @@ def test_prewarm_populates_jit_cache():
 
 
 def test_lr_schedule_burn_in_and_steps():
+    """All values at darknet batch_num = step + 1 (net.seen increments
+    BEFORE update_network, so the first update sees batch_num 1 — the
+    0-based version ran the first burn-in step at LR exactly 0 and
+    lagged every boundary by one batch; second-review finding)."""
     from yolo_tpu.train.loop import lr_schedule
 
     cfg = TrainConfig(learning_rate=1e-3, burn_in_steps=100,
                       lr_decay_steps=(1000, 2000),
                       lr_decay_scales=(0.1, 0.1))
     sched = lr_schedule(cfg)
-    assert float(sched(jnp.asarray(0))) == 0.0
-    assert float(sched(jnp.asarray(50))) == pytest.approx(1e-3 * 0.5 ** 4)
-    assert float(sched(jnp.asarray(100))) == pytest.approx(1e-3)
+    # first update: batch_num 1, ramp (1/100)^4 — NOT zero
+    assert float(sched(jnp.asarray(0))) == pytest.approx(1e-3 * 1e-8)
+    assert float(sched(jnp.asarray(49))) == pytest.approx(1e-3 * 0.5 ** 4)
+    # batch_num 100 == burn_in: the policy value applies (darknet <)
+    assert float(sched(jnp.asarray(99))) == pytest.approx(1e-3)
+    # darknet STEPS decays when batch_num >= steps[i]
+    assert float(sched(jnp.asarray(999))) == pytest.approx(1e-4)
     assert float(sched(jnp.asarray(1500))) == pytest.approx(1e-4)
     assert float(sched(jnp.asarray(2500))) == pytest.approx(1e-5)
 
 
 def test_lr_schedule_poly():
-    """darknet policy=poly: lr * (1 - step/max_batches)^power after the
-    burn-in ramp, clamped at 0 past max_batches."""
+    """darknet policy=poly: lr * (1 - batch_num/max_batches)^power
+    after the burn-in ramp, clamped at 0 past max_batches."""
     from yolo_tpu.train.loop import lr_schedule
 
     import jax.numpy as jnp
@@ -349,26 +357,26 @@ def test_lr_schedule_poly():
     cfg = TrainConfig(learning_rate=1e-2, lr_poly_max_steps=100,
                       lr_poly_power=4.0)
     s = lr_schedule(cfg)
-    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(50))) == pytest.approx(1e-2 * 0.5 ** 4)
-    assert float(s(jnp.asarray(100))) == 0.0
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2 * 0.99 ** 4)
+    assert float(s(jnp.asarray(49))) == pytest.approx(1e-2 * 0.5 ** 4)
+    assert float(s(jnp.asarray(99))) == 0.0
     assert float(s(jnp.asarray(150))) == 0.0  # clamped, not negative
-    # darknet get_current_rate: while batch < burn_in the RAMP alone
-    # applies (exponent = net.power), the policy term only after — the
-    # two never compound (code-review fix)
+    # darknet get_current_rate: while batch_num < burn_in the RAMP
+    # alone applies (exponent = net.power), the policy term only after
+    # — the two never compound (code-review fix)
     cfg2 = TrainConfig(learning_rate=1e-2, burn_in_steps=10,
                        lr_poly_max_steps=100, lr_poly_power=2.0)
     s2 = lr_schedule(cfg2)
-    assert float(s2(jnp.asarray(5))) == pytest.approx(1e-2 * 0.5 ** 2)
-    assert float(s2(jnp.asarray(50))) == pytest.approx(1e-2 * 0.5 ** 2)
-    # end of warm-up: full LR times the (tiny) poly decay only
-    assert float(s2(jnp.asarray(10))) == pytest.approx(1e-2 * 0.9 ** 2)
+    assert float(s2(jnp.asarray(4))) == pytest.approx(1e-2 * 0.5 ** 2)
+    assert float(s2(jnp.asarray(49))) == pytest.approx(1e-2 * 0.5 ** 2)
+    # end of warm-up (batch_num == burn_in): the poly decay alone
+    assert float(s2(jnp.asarray(9))) == pytest.approx(1e-2 * 0.9 ** 2)
 
 
 def test_lr_schedule_step_exp_sigmoid():
-    """The remaining deterministic network.c get_current_rate policies:
-    STEP lr*scale^(batch//step), EXP lr*gamma^batch,
-    SIG lr/(1+e^(gamma*(batch-step)))."""
+    """The remaining deterministic network.c get_current_rate policies
+    at batch_num = step + 1: STEP lr*scale^(bn//step),
+    EXP lr*gamma^bn, SIG lr/(1+e^(gamma*(bn-step)))."""
     import math
 
     from yolo_tpu.train.loop import lr_schedule
@@ -376,26 +384,30 @@ def test_lr_schedule_step_exp_sigmoid():
     s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_step_size=100,
                                 lr_step_scale=0.5))
     assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(99))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(100))) == pytest.approx(5e-3)
-    assert float(s(jnp.asarray(250))) == pytest.approx(2.5e-3)
+    assert float(s(jnp.asarray(98))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(99))) == pytest.approx(5e-3)   # bn 100
+    assert float(s(jnp.asarray(249))) == pytest.approx(2.5e-3)
 
     s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_exp_gamma=0.99))
-    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(100))) == pytest.approx(1e-2 * 0.99 ** 100,
-                                                       rel=1e-5)
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2 * 0.99)
+    assert float(s(jnp.asarray(99))) == pytest.approx(1e-2 * 0.99 ** 100,
+                                                      rel=1e-5)
 
     s = lr_schedule(TrainConfig(learning_rate=1e-2, lr_sig_gamma=0.1,
                                 lr_sig_step=50))
-    assert float(s(jnp.asarray(50))) == pytest.approx(5e-3)
+    assert float(s(jnp.asarray(49))) == pytest.approx(5e-3)   # bn 50
     assert float(s(jnp.asarray(0))) == pytest.approx(
-        1e-2 / (1 + math.exp(-5.0)), rel=1e-5)
+        1e-2 / (1 + math.exp(-4.9)), rel=1e-5)
     assert float(s(jnp.asarray(1000))) == pytest.approx(0.0, abs=1e-9)
 
 
 def test_lr_schedule_sgdr():
     """AlexeyAB policy=sgdr: cosine from lr to lr_min within each
-    cycle; cycle length multiplies by sgdr_mult at each restart."""
+    cycle; cycle length multiplies by sgdr_mult at each restart. The
+    cycle walk advances while (start + size) < batch_num — STRICT, so
+    the boundary batch bottoms out at lr_min in the OLD cycle; the
+    next batch starts the new one (code-review finding: the >= walk
+    restarted at full LR exactly where darknet reaches lr_min)."""
     import math
 
     from yolo_tpu.train.loop import lr_schedule
@@ -404,21 +416,29 @@ def test_lr_schedule_sgdr():
                       lr_sgdr_mult=2, lr_min=1e-4)
     s = lr_schedule(cfg)
     mid = 1e-4 + 0.5 * (1e-2 - 1e-4)
-    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(50))) == pytest.approx(mid, rel=1e-5)
-    assert float(s(jnp.asarray(100))) == pytest.approx(1e-2)  # restart
-    # second cycle spans [100, 300): its midpoint is 200
-    assert float(s(jnp.asarray(200))) == pytest.approx(mid, rel=1e-5)
-    # third cycle starts at 300 with size 400
-    assert float(s(jnp.asarray(300))) == pytest.approx(1e-2)
-    assert float(s(jnp.asarray(400))) == pytest.approx(
-        1e-4 + 0.5 * (1e-2 - 1e-4) * (1 + math.cos(math.pi * 0.25)),
-        rel=1e-5)
+
+    def cosv(frac):
+        return 1e-4 + 0.5 * (1e-2 - 1e-4) * (1 + math.cos(math.pi * frac))
+
+    assert float(s(jnp.asarray(0))) == pytest.approx(cosv(0.01), rel=1e-5)
+    assert float(s(jnp.asarray(49))) == pytest.approx(mid, rel=1e-5)
+    # batch_num 100 == cycle boundary: lr_min, NOT a full-LR restart
+    assert float(s(jnp.asarray(99))) == pytest.approx(1e-4, rel=1e-4)
+    # the next batch opens cycle 2 ([100, 300), size 200)
+    assert float(s(jnp.asarray(100))) == pytest.approx(cosv(1 / 200),
+                                                       rel=1e-5)
+    assert float(s(jnp.asarray(199))) == pytest.approx(mid, rel=1e-5)
+    assert float(s(jnp.asarray(299))) == pytest.approx(1e-4, rel=1e-4)
+    # cycle 3 starts at 300 with size 400
+    assert float(s(jnp.asarray(399))) == pytest.approx(cosv(0.25),
+                                                       rel=1e-5)
     # mult=1: equal cycles via the closed form
     s1 = lr_schedule(TrainConfig(learning_rate=1e-2, lr_sgdr_cycle=100,
                                  lr_sgdr_mult=1, lr_min=1e-4))
-    assert float(s1(jnp.asarray(250))) == pytest.approx(mid, rel=1e-5)
-    assert float(s1(jnp.asarray(300))) == pytest.approx(1e-2)
+    assert float(s1(jnp.asarray(249))) == pytest.approx(mid, rel=1e-5)
+    assert float(s1(jnp.asarray(299))) == pytest.approx(1e-4, rel=1e-4)
+    assert float(s1(jnp.asarray(300))) == pytest.approx(cosv(0.01),
+                                                        rel=1e-5)
 
 
 def test_cli_policy_resolution_new_policies(tmp_path):

@@ -395,6 +395,45 @@ class TestTraining:
             {k: jnp.asarray(v) for k, v in targets.items()}, head)
         assert float(got_total) == pytest.approx(want_total, rel=1e-4)
 
+    @pytest.mark.quick
+    def test_zero_iou_rmse_fallback(self):
+        """darknet detection_layer.c: when every predictor's IoU vs
+        the truth is 0 (sqrt=1 early training: pred w=h~0) the
+        responsible box is the min-RMSE one, not argmax-over-zeros
+        (code-review finding: predictor 0 used to monopolize all
+        object gradients in that regime)."""
+        import jax.numpy as jnp
+
+        from tests.loss_oracle import detection_loss_np
+        from yolo_tpu.train.loss import detection_loss
+        from yolo_tpu.data import targets as tgt
+
+        head = DetectionHead(side=2, num=2, classes=2, sqrt=True,
+                             rescore=True)
+        enc = tgt.encode_v1(np.array([[0.3, 0.3, 0.2, 0.2]]),
+                            np.array([0]), 2)
+        targets = {k: v[None] for k, v in enc.items()}
+        flat = np.zeros((1, 2 * 2 * (2 + 2 * 5)), np.float32)
+        boxes = flat[:, 2 * 2 * (2 + 2):].reshape(1, 4, 2, 4)
+        # cell (0,0) holds the truth; both predictors have w=h=0
+        # (zero IoU); predictor 1 sits ON the truth center, predictor
+        # 0 far away — responsibility must go to 1 by RMSE
+        boxes[0, 0, 0] = [0.9, 0.9, 0.0, 0.0]
+        boxes[0, 0, 1] = [0.6, 0.6, 0.0, 0.0]   # (0.6+0)/2 = 0.3 ✓
+        want_total, want_parts = detection_loss_np(flat, targets, head)
+        got_total, got_parts = detection_loss(
+            jnp.asarray(flat),
+            {k: jnp.asarray(v) for k, v in targets.items()}, head)
+        for k in want_parts:
+            assert float(got_parts[k]) == pytest.approx(
+                want_parts[k], rel=1e-4, abs=1e-6), k
+        # and the coord term is predictor 1's distance, not 0's:
+        # xr = 0.3*2 - 0 = 0.6 -> (0.6-0.6)^2 + ... + sqrt-wh targets
+        sw = np.sqrt(0.2)
+        expect_coord = head.coord_scale * (0.0 + 0.0 + sw ** 2 + sw ** 2)
+        assert float(got_parts["coord"]) == pytest.approx(
+            expect_coord, rel=1e-4)
+
     def test_train_step_overfits(self, tmp_path):
         import jax.numpy as jnp
 

@@ -835,10 +835,23 @@ def _lr_schedule_from(args, net_hp):
               f"{kw['lr_step_size']} steps", file=sys.stderr)
     elif policy == "exp":
         kw["lr_exp_gamma"] = float(net_hp.get("gamma", 1.0))
+        if kw["lr_exp_gamma"] <= 0:
+            # the schedule gates terms on gamma's truthiness, so a 0
+            # would silently become constant-lr here while darknet
+            # computes lr*0^batch = 0 — surely a broken cfg; refuse
+            raise SystemExit(f"[net] policy=exp gamma="
+                             f"{kw['lr_exp_gamma']:g} must be > 0 "
+                             f"(darknet would train at lr*gamma^batch "
+                             f"= 0)")
         print(f"cfg policy=exp: lr * {kw['lr_exp_gamma']:g}^step",
               file=sys.stderr)
     elif policy == "sigmoid":
         kw["lr_sig_gamma"] = float(net_hp.get("gamma", 1.0))
+        if kw["lr_sig_gamma"] <= 0:
+            raise SystemExit(f"[net] policy=sigmoid gamma="
+                             f"{kw['lr_sig_gamma']:g} must be > 0 "
+                             f"(0 would silently train at constant "
+                             f"lr here but lr/2 in darknet)")
         kw["lr_sig_step"] = int(net_hp.get("step", 1))
         print(f"cfg policy=sigmoid: lr / (1 + e^({kw['lr_sig_gamma']:g}"
               f"*(step - {kw['lr_sig_step']})))", file=sys.stderr)

@@ -47,12 +47,9 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int,
     t = logits.astype(jnp.float32).reshape(b, h, w, a, 5 + num_classes)
     anchors = jnp.asarray(anchors, dtype=jnp.float32)  # (A, 2) cell units
 
-    cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
-    cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
-    bx = (jax.nn.sigmoid(t[..., 0]) + cx) / w
-    by = (jax.nn.sigmoid(t[..., 1]) + cy) / h
-    bw = anchors[None, None, None, :, 0] * jnp.exp(t[..., 2]) / w
-    bh = anchors[None, None, None, :, 1] * jnp.exp(t[..., 3]) / h
+    pred_boxes = decode_region_boxes(
+        jax.nn.sigmoid(t[..., 0]), jax.nn.sigmoid(t[..., 1]),
+        t[..., 2], t[..., 3], anchors, h, w)
     conf = jax.nn.sigmoid(t[..., 4])
     if tree is not None:
         cond = tree_conditional_probs(t[..., 5:], tree)
@@ -69,8 +66,26 @@ def decode(logits: jnp.ndarray, anchors, num_classes: int,
         probs = jax.nn.softmax(t[..., 5:], axis=-1)
         scores = conf[..., None] * probs
         out_c = num_classes
-    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-    return boxes.reshape(b, -1, 4), scores.reshape(b, -1, out_c)
+    return pred_boxes.reshape(b, -1, 4), scores.reshape(b, -1, out_c)
+
+
+def decode_region_boxes(sx, sy, tw, th, anchors, h: int, w: int):
+    """[region] box decode (region_layer.c get_region_box), shared by
+    decode() and the training loss's live-IoU terms
+    (train/loss.region_loss) so train-vs-inference box math is ONE
+    implementation (code-review finding: the loss had an inline copy).
+
+    sx/sy: SIGMOIDED xy offsets (B, H, W, A); tw/th raw wh logits;
+    anchors (A, 2) in cell units. Returns (B, H, W, A, 4) normalized
+    (cx, cy, w, h)."""
+    a = jnp.asarray(anchors, dtype=jnp.float32)
+    cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    cy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    bx = (sx + cx) / w
+    by = (sy + cy) / h
+    bw = a[None, None, None, :, 0] * jnp.exp(tw) / w
+    bh = a[None, None, None, :, 1] * jnp.exp(th) / h
+    return jnp.stack([bx, by, bw, bh], axis=-1)
 
 
 @functools.lru_cache(maxsize=8)

@@ -120,72 +120,88 @@ def _kernel_mask(params):
 
 def lr_schedule(cfg: TrainConfig):
     """Darknet LR schedule (network.c get_current_rate): while
-    batch < burn_in the function RETURNS the ramp
-    lr * (batch/burn_in)^power alone — the policy term applies only
-    after burn-in (the old version compounded them, understating the
-    end-of-warm-up LR by orders of magnitude under policy=poly —
+    batch_num < burn_in the function RETURNS the ramp
+    lr * (batch_num/burn_in)^power alone — the policy term applies
+    only after burn-in (the old version compounded them, understating
+    the end-of-warm-up LR by orders of magnitude under policy=poly —
     code-review finding). The ramp exponent is net.power (darknet
     default 4, shared with the poly policy). After burn-in, the policy
     term: multiplicative decays at given steps (policy=steps),
-    lr * (1 - step/max_batches)^power (policy=poly, clamped at 0),
-    lr * scale^(step//size) (policy=step), lr * gamma^step
-    (policy=exp), lr / (1 + e^(gamma*(step - s))) (policy=sigmoid), or
-    SGDR cosine warm restarts (see TrainConfig.lr_sgdr_cycle)."""
+    lr * (1 - bn/max_batches)^power (policy=poly, clamped at 0),
+    lr * scale^(bn//size) (policy=step), lr * gamma^bn (policy=exp),
+    lr / (1 + e^(gamma*(bn - s))) (policy=sigmoid), or SGDR cosine
+    warm restarts (see TrainConfig.lr_sgdr_cycle).
+
+    The optax step counter is the number of COMPLETED updates (0 on
+    the first), while darknet increments net.seen before
+    update_network, so its batch_num is 1 on the first update —
+    batch_num = step + 1 here, making every policy value (burn-in
+    ramp, decay boundaries, poly horizon, SGDR phase) line up with the
+    reference batch-for-batch (a burn-in first step at LR exactly 0
+    was the visible symptom — second-review finding)."""
     base = cfg.learning_rate
     power = cfg.lr_poly_power  # net.power, darknet default 4.0
 
     def schedule(step):
         lr = jnp.asarray(base, jnp.float32)
-        fstep = step.astype(jnp.float32)
+        bnum = step + 1                       # darknet batch_num
+        fb = bnum.astype(jnp.float32)
         # post-burn-in policy value
         policy_lr = lr
         for at, scale in zip(cfg.lr_decay_steps, cfg.lr_decay_scales):
-            policy_lr = jnp.where(step >= at, policy_lr * scale,
+            # darknet STEPS: 'if (steps[i] > batch_num) return' —
+            # the scale applies once batch_num reaches the boundary
+            policy_lr = jnp.where(bnum >= at, policy_lr * scale,
                                   policy_lr)
         if cfg.lr_poly_max_steps:
             frac = jnp.maximum(
-                1.0 - fstep / cfg.lr_poly_max_steps, 0.0)
+                1.0 - fb / cfg.lr_poly_max_steps, 0.0)
             policy_lr = policy_lr * frac ** power
         if cfg.lr_step_size:
             # darknet STEP: pow(scale, batch_num/step), int division
             policy_lr = policy_lr * jnp.asarray(
                 cfg.lr_step_scale, jnp.float32) ** (
-                    step // cfg.lr_step_size).astype(jnp.float32)
+                    bnum // cfg.lr_step_size).astype(jnp.float32)
         if cfg.lr_exp_gamma:
             policy_lr = policy_lr * jnp.asarray(
-                cfg.lr_exp_gamma, jnp.float32) ** fstep
+                cfg.lr_exp_gamma, jnp.float32) ** fb
         if cfg.lr_sig_gamma:
             policy_lr = policy_lr / (
                 1.0 + jnp.exp(cfg.lr_sig_gamma
-                              * (fstep - cfg.lr_sig_step)))
+                              * (fb - cfg.lr_sig_step)))
         if cfg.lr_sgdr_cycle:
+            # AlexeyAB SGDR: 'while (start + cycle_size < batch_num)
+            # advance' — STRICT <, so the boundary batch stays in the
+            # OLD cycle at phase 1 (cos(pi) -> lr_min); the old >=
+            # advanced a step early and restarted at full LR exactly
+            # where darknet bottoms out (code-review finding)
             lo = jnp.asarray(cfg.lr_min, jnp.float32)
             if cfg.lr_sgdr_mult <= 1:
-                # equal cycles: closed form
-                start = (step // cfg.lr_sgdr_cycle) * cfg.lr_sgdr_cycle
+                # equal cycles: closed form of the strict-< walk
+                start = ((bnum - 1) // cfg.lr_sgdr_cycle) \
+                    * cfg.lr_sgdr_cycle
                 size = jnp.asarray(cfg.lr_sgdr_cycle, jnp.float32)
             else:
                 # geometric cycles: boundaries are static, so a
                 # where-cascade covers any int32 step (sizes at least
                 # double — under 64 stages)
-                start = jnp.zeros((), step.dtype)
+                start = jnp.zeros((), bnum.dtype)
                 size = jnp.asarray(float(cfg.lr_sgdr_cycle), jnp.float32)
                 s0, c = 0, cfg.lr_sgdr_cycle
                 while s0 + c < 2 ** 31:
                     nxt_start, nxt_size = s0 + c, c * cfg.lr_sgdr_mult
-                    past = step >= nxt_start
+                    past = bnum > nxt_start
                     start = jnp.where(past, nxt_start, start)
                     size = jnp.where(past, float(nxt_size), size)
                     s0, c = nxt_start, nxt_size
-            frac = (fstep - start.astype(jnp.float32)) / size
+            frac = (fb - start.astype(jnp.float32)) / size
             policy_lr = lo + 0.5 * (policy_lr - lo) * (
                 1.0 + jnp.cos(jnp.pi * frac))
         if not cfg.burn_in_steps:
             return policy_lr
         ramp_lr = lr * jnp.minimum(
-            (step.astype(jnp.float32) / cfg.burn_in_steps) ** power,
-            1.0)
-        return jnp.where(step < cfg.burn_in_steps, ramp_lr, policy_lr)
+            (fb / cfg.burn_in_steps) ** power, 1.0)
+        return jnp.where(bnum < cfg.burn_in_steps, ramp_lr, policy_lr)
 
     return schedule
 

@@ -92,10 +92,17 @@ def classifier_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     the inference protocol)."""
     logits = logits.astype(jnp.float32)
     if temperature != 1.0:
-        # [softmax] temperature: darknet scales the forward by 1/T and
-        # its backward inherits the same factor — dividing the logits
-        # here reproduces both
-        logits = logits / temperature
+        # [softmax] temperature: darknet's FORWARD applies 1/T
+        # (softmax_cpu's temp argument) but backward_softmax_layer
+        # axpy's the softmax_x_ent delta (truth - p) onto the input
+        # with NO 1/T chain factor — the darknet gradient is
+        # (p - onehot)/B with p computed at l/T. A plain l/T here
+        # would add the chain-rule 1/T darknet omits (training the
+        # head at 1/T the reference's effective LR — code-review
+        # finding), so the scaling is STRAIGHT-THROUGH: forward sees
+        # l/T, the backward Jacobian is identity.
+        scaled = logits / temperature
+        logits = logits + jax.lax.stop_gradient(scaled - logits)
     if tree is None:
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
@@ -196,8 +203,17 @@ def detection_loss(flat: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     pred = jnp.stack([px, py, pw, ph], axis=-1)      # (B, S², N, 4)
 
     iou = _iou_xywh_pairwise(pred, tbox[:, :, None, :])[..., 0]
-    resp = jax.nn.one_hot(jnp.argmax(iou, axis=-1), n,
-                          dtype=jnp.float32)          # (B, S², N)
+    # darknet detection_layer.c: the responsible predictor is the
+    # max-IoU box, but when EVERY predictor's IoU is 0 (the common
+    # early-training regime with sqrt=1, where pred w=h≈0) it falls
+    # back to min box_rmse — argmax-over-zeros would park all object
+    # gradients on predictor 0 and break specialization (code-review
+    # finding). argmin over squared distance == argmin RMSE.
+    dist2 = jnp.sum((pred - tbox[:, :, None, :]) ** 2, axis=-1)
+    best = jnp.where(jnp.max(iou, axis=-1) > 0,
+                     jnp.argmax(iou, axis=-1),
+                     jnp.argmin(dist2, axis=-1))
+    resp = jax.nn.one_hot(best, n, dtype=jnp.float32)  # (B, S², N)
     resp = resp * obj[..., None]
 
     xr = tbox[..., 0] * s - col[..., 0]   # in-cell x target
@@ -265,13 +281,11 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     coord_w = targets["coord_w"]
 
     # --- decoded predicted boxes, normalized xywh (for IoU terms) ---
-    cx = jnp.arange(s, dtype=jnp.float32)[None, None, :, None]
-    cy = jnp.arange(s, dtype=jnp.float32)[None, :, None, None]
-    pbx = (sx + cx) / s
-    pby = (sy + cy) / s
-    pbw = anchors_arr[None, None, None, :, 0] * jnp.exp(tw) / s
-    pbh = anchors_arr[None, None, None, :, 1] * jnp.exp(th) / s
-    pred_boxes = jnp.stack([pbx, pby, pbw, pbh], axis=-1)   # (B,S,S,A,4)
+    # the ONE region box decode, shared with inference (ops/decode.py)
+    from yolo_tpu.ops.decode import decode_region_boxes
+
+    pred_boxes = decode_region_boxes(sx, sy, tw, th, anchors_arr,
+                                     s, s)                  # (B,S,S,A,4)
 
     # --- noobj: anchors whose best IoU vs any valid GT < thresh ---
     flat_pred = pred_boxes.reshape(b, -1, 4)
@@ -631,9 +645,8 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         if ga:
             # Gaussian NLL over the four encoded coordinates; xy means
             # pass through the same sigmoid(+scale_x_y) the decode uses
-            off_g = (s_xy - 1.0) / 2.0
-            mu_x = jax.nn.sigmoid(t_box[..., 0]) * s_xy - off_g
-            mu_y = jax.nn.sigmoid(t_box[..., 1]) * s_xy - off_g
+            mu_x = jax.nn.sigmoid(t_box[..., 0]) * s_xy - off
+            mu_y = jax.nn.sigmoid(t_box[..., 1]) * s_xy - off
             nll = (gaussian_nll(tc[..., 0], mu_x, sig[..., 0])
                    + gaussian_nll(tc[..., 1], mu_y, sig[..., 1])
                    + gaussian_nll(tc[..., 2], t_box[..., 2],
