@@ -4,6 +4,7 @@ extension; full-YOLOv2 is COCO-80, BASELINE.json:8)."""
 import json
 
 import numpy as np
+import pytest
 
 from yolo_tpu.data.coco import load_coco
 from yolo_tpu.eval.coco_map import COCO_IOU_THRESHOLDS, evaluate_coco
@@ -554,3 +555,37 @@ def test_area_ranges_validated():
         evaluate_coco(dets, gt, 1, area_ranges=["all", "tiny"])
     with pytest.raises(ValueError, match="must include 'all'"):
         evaluate_coco(dets, gt, 1, area_ranges=["small"])
+
+
+@pytest.mark.quick
+def test_area_buckets_use_segmentation_areas():
+    """pycocotools areaRng buckets GTs by ann['area'] (segmentation
+    area) — a thin/diagonal object with a big bbox but small seg area
+    is 'small' to pycocotools; bbox-area bucketing was a silent
+    divergence (code-review finding). Without 'areas' the evaluator
+    falls back to bbox area."""
+    det = [(0, 0.9, 0.0, 0.0, 200.0, 60.0)]
+    gt_base = {"boxes": np.array([[0.0, 0.0, 200.0, 60.0]]),
+               "classes": np.array([0]),
+               "difficult": np.array([0])}
+    # seg area 800 < 32^2: the GT is small despite the 12000 px bbox
+    gt_seg = dict(gt_base, areas=np.array([800.0]))
+    r = evaluate_coco({0: det}, {0: gt_seg}, 1, iou_thresholds=[0.5])
+    assert r["map_small"] == pytest.approx(1.0)
+    # bbox fallback: 12000 px^2 > 96^2 -> large
+    r2 = evaluate_coco({0: det}, {0: dict(gt_base)}, 1,
+                       iou_thresholds=[0.5])
+    assert r2["map_large"] == pytest.approx(1.0)
+    assert r2["map_small"] == 0.0
+
+
+@pytest.mark.quick
+def test_map50_75_only_for_present_thresholds():
+    det = [(0, 0.9, 0.0, 0.0, 10.0, 10.0)]
+    gt = {0: {"boxes": np.array([[0.0, 0.0, 10.0, 10.0]]),
+              "classes": np.array([0]), "difficult": np.array([0])}}
+    r = evaluate_coco({0: det}, gt, 1, iou_thresholds=[0.6, 0.7])
+    assert "map50" not in r and "map75" not in r
+    r2 = evaluate_coco({0: det}, gt, 1)
+    assert r2["map50"] == pytest.approx(1.0)
+    assert r2["map75"] == pytest.approx(1.0)

@@ -313,3 +313,57 @@ class TestStretchTraining:
         g0 = {gb["images"][i].tobytes() for i in range(2)}
         t0 = {tb["images"][i].tobytes() for i in range(2)}
         assert g0 == t0
+
+
+@pytest.mark.quick
+def test_voc_iou_plus_one_convention():
+    """VOC matching uses the devkit's +1 pixel-inclusive IoU
+    (VOCevaldet.m): a det at continuous IoU 0.475 / devkit IoU 0.515
+    must match at the 0.5 threshold (code-review finding: the
+    continuous convention flipped small-box matches vs published
+    VOC2007 numbers)."""
+    from yolo_tpu.eval.voc_map import (_iou_xyxy, _iou_xyxy_voc,
+                                       evaluate)
+
+    gt_box = np.array([[0.0, 0.0, 9.0, 9.0]])
+    det_box = np.array([3.2, 0.0, 12.2, 9.0])
+    cont = float(_iou_xyxy(det_box, gt_box)[0])
+    voc = float(_iou_xyxy_voc(det_box, gt_box)[0])
+    assert cont < 0.5 < voc
+    r = evaluate({0: [(0, 0.9, *det_box)]},
+                 {0: {"boxes": gt_box, "classes": np.array([0]),
+                      "difficult": np.array([0])}}, 1)
+    assert r["ap"][0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_collect_detections_duplicate_paths():
+    """Two sample ids sharing one image path (a COCO json with
+    duplicate file_names) must BOTH receive the decoded detections —
+    the last-wins dict left earlier ids undetected, silently deflating
+    mAP (code-review finding)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.eval.runner import collect_detections
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph as g
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+    p = f"{d}/one.png"
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    params = g.params_to_jax(g.fold_params(
+        cfg.layers, dw.random_params(cfg.layers, np.random.default_rng(0)),
+        cfg.bn_eps))
+    samples = [(p, None), (p, None)]  # duplicate path, two ids
+    dets = collect_detections(cfg, params, samples, batch=2,
+                              eval_conf=0.05,
+                              compute_dtype=jnp.float32)
+    assert set(dets) == {0, 1}
+    assert dets[0] == dets[1] and len(dets[0]) > 0

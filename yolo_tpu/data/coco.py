@@ -46,7 +46,12 @@ def load_coco(json_path: str, class_names: Sequence[str],
         if cls is None or ann["image_id"] not in per_image:
             continue
         per_image[ann["image_id"]].append(
-            (cls, ann["bbox"], int(ann.get("iscrowd", 0))))
+            (cls, ann["bbox"], int(ann.get("iscrowd", 0)),
+             # pycocotools areaRng buckets by ann['area'] (SEGMENTATION
+             # area), not the bbox area — carry it for the COCO eval's
+             # small/medium/large breakdowns; fall back to bbox area
+             # for jsons that omit it
+             float(ann.get("area", ann["bbox"][2] * ann["bbox"][3]))))
 
     return _samples_from_doc(doc, per_image, image_root)
 
@@ -66,17 +71,19 @@ def _samples_from_doc(doc, per_image, image_root):
     samples = []
     for img in doc["images"]:
         w, h = float(img["width"]), float(img["height"])
-        boxes, classes, difficult = [], [], []
-        for cls, (bx, by, bw, bh), crowd in per_image[img["id"]]:
+        boxes, classes, difficult, areas = [], [], [], []
+        for cls, (bx, by, bw, bh), crowd, area in per_image[img["id"]]:
             # COCO bbox is top-left xywh in pixels -> normalized center xywh
             boxes.append([(bx + bw / 2) / w, (by + bh / 2) / h,
                           bw / w, bh / h])
             classes.append(cls)
             difficult.append(crowd)
+            areas.append(area)
         ann_dict = {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "classes": np.asarray(classes, np.int32),
             "difficult": np.asarray(difficult, np.int32),
+            "areas": np.asarray(areas, np.float64),
             "width": int(w),
             "height": int(h),
             "filename": img["file_name"],

@@ -172,6 +172,13 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
             g_boxes = np.asarray(gt["boxes"], np.float64)[mask]
             crowd = np.asarray(
                 gt.get("difficult", np.zeros(len(mask))))[mask].astype(bool)
+            # pycocotools areaRng buckets GTs by ann['area'] (the
+            # SEGMENTATION area, carried by the COCO loader as
+            # 'areas'); bbox area is only the fallback for VOC-style
+            # GT without it (code-review finding: thin/diagonal
+            # objects land in different size buckets otherwise)
+            g_areas = (np.asarray(gt["areas"], np.float64)[mask]
+                       if "areas" in gt else _box_areas(g_boxes))
             dets = sorted((d for d in detections.get(img_id, [])
                            if d[0] == cls), key=lambda d: -d[1])[:max_dets]
             d_boxes = np.asarray([d[2:6] for d in dets],
@@ -187,7 +194,7 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
             imgs.append({
                 "scores": scores,
                 "dt_areas": _box_areas(d_boxes),
-                "gt_areas": _box_areas(g_boxes),
+                "gt_areas": g_areas,
                 "crowd": crowd,
                 "ious": ious,
             })
@@ -238,18 +245,21 @@ def evaluate_coco(detections: Dict[int, List], ground_truth: Dict[int, Dict],
         v = rows[~np.isnan(rows)]
         return float(v.mean()) if v.size else 0.0
 
-    i50 = int(np.argmin(np.abs(thresholds - 0.5)))
-    i75 = int(np.argmin(np.abs(thresholds - 0.75)))
     ra = rng_names.index("all")  # presence validated above
     cmax = det_caps.index(max_dets)
     out = {
         "map": _mean(ap[ra]),
-        "map50": _mean(ap[ra, i50]),
-        "map75": _mean(ap[ra, i75]),
         "ar": _mean(ar[ra, cmax]),
         "ap": {c: _mean(ap[ra, :, c]) for c in range(num_classes)
                if not np.isnan(ap[ra, :, c]).all()},
     }
+    # map50/map75 only when that threshold is actually in the grid —
+    # nearest-neighbor selection silently mislabeled a different
+    # threshold's AP under custom iou_thresholds (code-review finding)
+    for key, thr in (("map50", 0.5), ("map75", 0.75)):
+        hits = np.nonzero(np.isclose(thresholds, thr))[0]
+        if hits.size:
+            out[key] = _mean(ap[ra, int(hits[0])])
     if 1 in det_caps:
         out["ar1"] = _mean(ar[ra, det_caps.index(1)])
     if 10 in det_caps:

@@ -32,6 +32,11 @@ def build_ground_truth(samples: Sequence[Tuple[str, object]],
             xyxy = np.zeros((0, 4))
         gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
                       "difficult": ann["difficult"]}
+        if "areas" in ann:
+            # COCO segmentation areas (pycocotools areaRng buckets by
+            # ann['area'], not bbox area) — VOC XML has no equivalent,
+            # so the key is optional and the evaluator falls back
+            gt[img_id]["areas"] = ann["areas"]
     return gt, orig_ids
 
 
@@ -60,8 +65,14 @@ def collect_detections(cfg, folded_params,
         cfg, compute_dtype=compute_dtype or jnp.float32,
         conf_threshold=eval_conf, head="reference", nms_impl="xla",
         use_tree_map=use_tree_map, hier_thresh=hier_thresh)
-    path_to_id = {p: i for i, (p, _) in enumerate(samples)}
-    host_iter = inference_batches([p for p, _ in samples], batch,
+    # duplicate paths (e.g. a COCO json with two image records sharing
+    # one file_name) must ALL receive the decoded detections — a plain
+    # dict would keep only the last id and silently score the others'
+    # ground truth as misses (code-review finding)
+    path_to_ids: Dict[str, List[int]] = {}
+    for i, (p, _) in enumerate(samples):
+        path_to_ids.setdefault(p, []).append(i)
+    host_iter = inference_batches(list(path_to_ids), batch,
                                   net_size=cfg.input_size, resize=resize)
     net = cfg.input_size
     detections: Dict[int, List] = {}
@@ -71,10 +82,18 @@ def collect_detections(cfg, folded_params,
     t0, done = None, 0
     for b in DevicePrefetcher(host_iter, depth=2):
         out = det(folded_params, jnp.asarray(b["images"]))
+        # ONE device->host fetch per output array per batch — the axon
+        # relay pays a full round trip per fetch, so per-element
+        # float()/int() pulls would make eval transfer-latency-bound
+        # (code-review finding)
+        valid_np = np.asarray(out["valid"])
+        boxes_np = np.asarray(out["boxes"], np.float64)
+        scores_np = np.asarray(out["scores"])
+        classes_np = np.asarray(out["classes"])
         for bi, path in enumerate(b["paths"]):
             src_h, src_w = b["shapes"][bi]
-            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
-            boxes_net = np.asarray(out["boxes"][bi], np.float64)[valid]
+            valid = np.nonzero(valid_np[bi])[0]
+            boxes_net = boxes_np[bi][valid]
             if resize == "stretch":
                 xyxy = npr.unstretch_boxes(boxes_net, src_w, src_h)
             else:
@@ -82,10 +101,10 @@ def collect_detections(cfg, folded_params,
                                                            net)
                 xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
                                              net, net, src_w, src_h)
-            detections[path_to_id[path]] = [
-                (int(out["classes"][bi][i]),
-                 float(out["scores"][bi][i]), *xyxy[j])
-                for j, i in enumerate(valid)]
+            dets = [(int(classes_np[bi][i]), float(scores_np[bi][i]),
+                     *xyxy[j]) for j, i in enumerate(valid)]
+            for sid in path_to_ids[path]:
+                detections[sid] = list(dets)
         # progress: results for this batch are already fetched above;
         # start the clock after batch 1 so the first-compile ~30 s
         # doesn't poison the rate

@@ -2,7 +2,8 @@
 BASELINE.json:2 'VOC mAP parity').
 
 VOC2007 protocol: per class, detections sorted by score, greedy-matched
-to GT at IoU >= 0.5 (each GT matched at most once, difficult GT ignored),
+to GT at IoU >= 0.5 with the DEVKIT's +1 pixel-inclusive IoU
+(VOCevaldet.m; each GT matched at most once, difficult GT ignored),
 11-point interpolated AP; mAP = mean over classes. ``use_07_metric=False``
 switches to the continuous AUC variant (VOC2010+).
 """
@@ -15,6 +16,8 @@ import numpy as np
 
 
 def _iou_xyxy(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Continuous IoU — the pycocotools bbox convention (COCO eval
+    imports this; w = x2 - x1, no pixel inclusivity)."""
     ix1 = np.maximum(box[0], boxes[:, 0])
     iy1 = np.maximum(box[1], boxes[:, 1])
     ix2 = np.minimum(box[2], boxes[:, 2])
@@ -24,6 +27,27 @@ def _iou_xyxy(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     inter = iw * ih
     area_a = (box[2] - box[0]) * (box[3] - box[1])
     area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = area_a + area_b - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def _iou_xyxy_voc(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """VOC devkit IoU (VOCevaldet.m / py-faster-rcnn voc_eval): the +1
+    pixel-inclusive convention — iw = ixmax - ixmin + 1, areas
+    (x2-x1+1)*(y2-y1+1). Published VOC2007 numbers use this; near the
+    0.5 threshold small-box matches flip vs the continuous form
+    (code-review finding), so the VOC evaluator must not silently use
+    the COCO convention."""
+    ix1 = np.maximum(box[0], boxes[:, 0])
+    iy1 = np.maximum(box[1], boxes[:, 1])
+    ix2 = np.minimum(box[2], boxes[:, 2])
+    iy2 = np.minimum(box[3], boxes[:, 3])
+    iw = np.maximum(ix2 - ix1 + 1.0, 0.0)
+    ih = np.maximum(iy2 - iy1 + 1.0, 0.0)
+    inter = iw * ih
+    area_a = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+    area_b = ((boxes[:, 2] - boxes[:, 0] + 1.0)
+              * (boxes[:, 3] - boxes[:, 1] + 1.0))
     union = area_a + area_b - inter
     return np.where(union > 0, inter / union, 0.0)
 
@@ -91,7 +115,7 @@ def evaluate(detections: Dict[int, List], ground_truth: Dict[int, Dict],
             if g is None or len(g["boxes"]) == 0:
                 fp[i] = 1
                 continue
-            ious = _iou_xyxy(box, g["boxes"])
+            ious = _iou_xyxy_voc(box, g["boxes"])
             j = int(np.argmax(ious))
             if ious[j] >= iou_thresh:
                 if g["difficult"][j]:
