@@ -771,3 +771,32 @@ class TestGradAccum:
         args = argparse.Namespace(batch=None, grad_accum=None)
         assert _batch_accum_from(args, {}) == 1
         assert args.batch == 32
+
+
+@pytest.mark.quick
+def test_bn_batch_variance_is_bessel():
+    """darknet variance_cpu normalizes by 1/(batch*spatial - 1)
+    (Bessel) — the rolling var EMA must carry that factor, not the
+    population 1/n (code-review finding)."""
+    from yolo_tpu.models import graph
+
+    rng = np.random.default_rng(8)
+    layers = (Conv(4),)
+    from yolo_tpu.io import darknet_weights as dw
+
+    params = graph.params_to_jax(dw.random_params(layers, rng))
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 3)).astype(np.float32))
+    _, bn_u = graph.apply_layers(layers, params, x, train=True)
+    # recompute the conv pre-activation independently
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(params[0]["kernel"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n = y.shape[0] * y.shape[1] * y.shape[2]
+    want_var = np.var(np.asarray(y), axis=(0, 1, 2), ddof=1)
+    got = np.asarray(bn_u[0]["var"])
+    m = graph.BN_MOMENTUM
+    expect = m * np.asarray(params[0]["var"]) + (1 - m) * want_var
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+    assert abs(want_var.mean() / max(
+        np.var(np.asarray(y), axis=(0, 1, 2)).mean(), 1e-9)
+        - n / (n - 1)) < 1e-5

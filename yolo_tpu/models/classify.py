@@ -138,6 +138,9 @@ def accuracy_from_arrays(cfg: ModelConfig, params, xs, labels, *,
         cfg, params, xs, labels, batch=batch, k=k,
         compute_dtype=compute_dtype,
         quantize_first_batch=quantize_first_batch)
+    if n == 0:
+        raise ValueError("no images to score (empty input — check the "
+                         "folder layout and --names class list)")
     return {"images": n, "top1": round(top1 / n, 4),
             f"top{k}": round(topk / n, 4)}
 
@@ -155,6 +158,10 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
 
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
+    if not samples:
+        raise ValueError("no images to score (empty imagefolder — "
+                         "check the folder layout and --names class "
+                         "list)")
     n_done = hits1 = hitsk = 0
     for i in range(0, len(samples), batch):
         chunk = samples[i:i + batch]

@@ -125,7 +125,13 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
             if bn_stats_fp32:
                 y = y.astype(jnp.float32)
             mean = jnp.mean(y, axis=(0, 1, 2))
-            var = jnp.var(y, axis=(0, 1, 2))
+            # darknet variance_cpu normalizes by 1/(batch*spatial - 1)
+            # (Bessel), NOT 1/n — both the in-step normalization and
+            # the EMA'd rolling_var inference later uses carry that
+            # factor (code-review finding). n==1 would divide by zero
+            # in darknet too; clamp for safety.
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            var = jnp.var(y, axis=(0, 1, 2)) * (n / max(n - 1, 1))
             new_stats = {
                 "mean": (BN_MOMENTUM * p["mean"]
                          + (1 - BN_MOMENTUM) * mean.astype(jnp.float32)),
@@ -388,12 +394,26 @@ def fold_params(layers: Sequence[LayerSpec], params: Params,
                 eps: float = 1e-5) -> Params:
     """Fold inference BN into conv weight+bias (SURVEY.md §3.4):
     w' = w * g/sqrt(v+eps), b' = beta - mean * g/sqrt(v+eps)."""
+    from yolo_tpu.configs.specs import weighted_specs
+
+    n_weighted = len(weighted_specs(layers))
+    if len(params) != n_weighted:
+        # layers exists in the signature for exactly this check — a
+        # params list from a different topology would fold without
+        # complaint and fail obscurely downstream
+        raise ValueError(f"fold_params: {len(params)} param blocks for "
+                         f"{n_weighted} weighted layers")
     folded = []
     for p in params:
         if "gamma" in p:
             scale = np.asarray(p["gamma"]) / np.sqrt(np.asarray(p["var"]) + eps)
+            k = np.asarray(p["kernel"])
+            # conv kernels are HWIO (scale over O); a BN'd [connected]
+            # kernel is (in, out) — broadcast over the LAST axis for
+            # both (the fixed 4-D index built a (1,1,in,out) kernel
+            # for dense layers)
             folded.append({
-                "kernel": np.asarray(p["kernel"]) * scale[None, None, None, :],
+                "kernel": k * scale.reshape((1,) * (k.ndim - 1) + (-1,)),
                 "bias": np.asarray(p["beta"]) - np.asarray(p["mean"]) * scale,
             })
         else:

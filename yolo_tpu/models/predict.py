@@ -44,7 +44,8 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
            top_k: int = 128, max_detections: int = 100,
            nms_impl: str = "auto", head: str = "auto",
            use_tree_map: bool = False,
-           hier_thresh: Optional[float] = None):
+           hier_thresh: Optional[float] = None,
+           conv_impl: str = "xla"):
     """Preprocessed images -> fixed-shape detections (net-space xywh).
 
     head="fused" runs the objectness-prefiltered decode+NMS
@@ -54,8 +55,15 @@ def detect(cfg: ModelConfig, params, images_01: jnp.ndarray, *,
 
     use_tree_map / hier_thresh apply to YOLO9000 tree models only
     (ops/decode.decode): map projection vs hierarchy traversal.
+
+    conv_impl="pallas" selects the A/B Pallas conv blocks for the
+    backbone (ops/pallas/conv_kernel.py — measured slower than XLA,
+    docs/PERF.md; kept reachable for re-measurement on new toolchains;
+    code-review finding: forward()'s parameter was unreachable from
+    every production entry point).
     """
-    logits = forward(cfg, params, images_01, compute_dtype=compute_dtype)
+    logits = forward(cfg, params, images_01, compute_dtype=compute_dtype,
+                     conv_impl=conv_impl)
     return _postprocess(cfg, logits, conf_threshold=conf_threshold,
                         nms_threshold=nms_threshold, top_k=top_k,
                         max_detections=max_detections, nms_impl=nms_impl,
@@ -163,16 +171,24 @@ def _postprocess(cfg: ModelConfig, logits, *,
 
 
 def _entry_fusable(cfg: ModelConfig, params) -> bool:
-    from yolo_tpu.configs.specs import Route
+    from yolo_tpu.configs.specs import Route, Sam, ScaleChannels, Shortcut
     from yolo_tpu.ops.pallas import entry_kernel as ek
+
+    def refs_ok(idx, refs):
+        # layers[2:] must resolve cross-references without the entry
+        # layers: relative only, never reaching back into layers 0-1
+        # (Shortcut/Sam/ScaleChannels frm included — an absolute or
+        # early reference would silently resolve against the
+        # truncated list, shifted by 2; code-review finding)
+        return all(r < 0 and idx + r >= 2 for r in refs)
 
     return (ek.eligible(cfg.layers)
             and "bias" in params[0] and "kernel_q" not in params[0]
-            # layers[2:] must resolve routes without the entry layers:
-            # relative only, never reaching back into layers 0-1
-            and all(all(r < 0 and idx + r >= 2 for r in l.layers)
-                    for idx, l in enumerate(cfg.layers)
-                    if isinstance(l, Route)))
+            and all(
+                refs_ok(idx, l.layers if isinstance(l, Route)
+                        else (l.frm,))
+                for idx, l in enumerate(cfg.layers)
+                if isinstance(l, (Route, Shortcut, Sam, ScaleChannels))))
 
 
 def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,

@@ -30,12 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_tpu.configs.specs import (AvgPool, Conv, LayerSpec, MaxPool,
-                                    Reorg, Route, Sam, ScaleChannels,
-                                    Shortcut, Upsample, resolve_route)
+from yolo_tpu.configs.specs import (Conv, LayerSpec, MaxPool, Route,
+                                    Sam, ScaleChannels, Shortcut,
+                                    resolve_route)
 from yolo_tpu.models import graph
-from yolo_tpu.ops.pool import maxpool_nhwc
-from yolo_tpu.ops.reorg import reorg_nhwc
 
 
 def calibrate(layers: Sequence[LayerSpec], folded_params, x,
@@ -60,86 +58,31 @@ def calibrate(layers: Sequence[LayerSpec], folded_params, x,
     if method not in ("absmax", "percentile"):
         raise ValueError(f"unknown calibration method '{method}' "
                          "(absmax | percentile)")
-    from yolo_tpu.configs.specs import Connected, SoftmaxHead
     params_jax = graph.params_to_jax(folded_params)
+    conv_idx = [i for i, l in enumerate(layers) if isinstance(l, Conv)]
 
     def stats(params, x):
         """One traced pass collecting every conv's input stat and
         output abs-max — jitted so calibration is ONE compile + ONE
         device round-trip, not per-op eager dispatch (374 s -> ~40 s
-        on the remote-compile relay)."""
-        maxes = []
-        out_maxes = []  # each conv's OUTPUT abs-max (pre-pool)
-        outputs = []
-        conv_i = 0
+        on the remote-compile relay). The forward walk is
+        graph.apply_layers(return_all=True) — the ONE authoritative
+        interpreter — with conv i's input read as outputs[i-1]
+        (code-review finding: a hand-rolled ~75-line mirror walk here
+        silently treated unhandled layer types as identity and had
+        already drifted on [crop]'s input*2-1 scale)."""
         x = jnp.asarray(x, jnp.float32)
-        for idx, layer in enumerate(layers):
-            if isinstance(layer, Conv):
-                ax = jnp.abs(x)
-                maxes.append(jnp.max(ax) if method == "absmax"
-                             else jnp.percentile(ax, percentile))
-                x, _ = graph.conv_block(
-                    x, params[conv_i], layer, eps=eps, train=False,
-                    compute_dtype=jnp.float32)
-                out_maxes.append(jnp.max(jnp.abs(x)))
-                conv_i += 1
-            elif isinstance(layer, MaxPool):
-                x = maxpool_nhwc(x, layer.size, layer.stride)
-            elif isinstance(layer, Reorg):
-                x = reorg_nhwc(x, layer.stride)
-            elif isinstance(layer, Route):
-                srcs = [outputs[resolve_route(idx, r)]
-                        for r in layer.layers]
-                if layer.groups > 1:  # darknet slices EACH source
-                    srcs = [s[..., layer.group_id * (s.shape[-1]
-                            // layer.groups):(layer.group_id + 1)
-                            * (s.shape[-1] // layer.groups)]
-                            for s in srcs]
-                x = (jnp.concatenate(srcs, axis=-1) if len(srcs) > 1
-                     else srcs[0])
-            elif isinstance(layer, Shortcut):
-                src = outputs[resolve_route(idx, layer.frm)]
-                if src.shape[-1] == x.shape[-1]:
-                    x = graph._activate(x + src, layer.act)
-                else:  # partial residual: add over min channels (PRN)
-                    minc = min(src.shape[-1], x.shape[-1])
-                    x = graph._activate(jnp.concatenate(
-                        [x[..., :minc] + src[..., :minc], x[..., minc:]],
-                        axis=-1), layer.act)
-            elif isinstance(layer, Sam):
-                x = graph._activate(
-                    x * outputs[resolve_route(idx, layer.frm)], layer.act)
-            elif isinstance(layer, ScaleChannels):
-                x = graph._activate(
-                    outputs[resolve_route(idx, layer.frm)] * x, layer.act)
-            elif isinstance(layer, Upsample):
-                x = jnp.repeat(jnp.repeat(x, layer.stride, axis=1),
-                               layer.stride, axis=2)
-                if layer.scale != 1.0:
-                    x = x * layer.scale
-            elif isinstance(layer, AvgPool):  # SE/classifier squeeze
-                x = jnp.mean(x, axis=(1, 2), keepdims=True)
-            elif isinstance(layer, Connected):
-                # classifier tail: stays fp (not quantized), but the
-                # walk must produce its real output for completeness
-                q = params[conv_i]
-                conv_i += 1
-                bdim = x.shape[0]
-                xf = jnp.transpose(x, (0, 3, 1, 2)).reshape(bdim, -1)
-                y = jnp.dot(xf, q["kernel"]) + q["bias"]
-                x = graph._activate(y, layer.act).reshape(bdim, 1, 1, -1)
-            elif isinstance(layer, SoftmaxHead):
-                flat = x.reshape(x.shape[0], -1)
-                if layer.temperature != 1.0:
-                    flat = flat / layer.temperature
-                if layer.tree is not None:
-                    from yolo_tpu.ops.decode import tree_conditional_probs
-
-                    x = tree_conditional_probs(flat, layer.tree)
-                else:
-                    x = jax.nn.softmax(flat, axis=-1)
-            # YoloHead/Dropout: identity passthrough (output = input)
-            outputs.append(x)
+        outs = graph.apply_layers(layers, params, x, eps=eps,
+                                  train=False,
+                                  compute_dtype=jnp.float32,
+                                  return_all=True)
+        maxes, out_maxes = [], []
+        for i in conv_idx:
+            inp = x if i == 0 else outs[i - 1]
+            ax = jnp.abs(inp)
+            maxes.append(jnp.max(ax) if method == "absmax"
+                         else jnp.percentile(ax, percentile))
+            out_maxes.append(jnp.max(jnp.abs(outs[i])))
         return jnp.stack(maxes), jnp.stack(out_maxes)
 
     m, om = jax.jit(stats)(params_jax, jnp.asarray(x, jnp.float32))
