@@ -414,3 +414,49 @@ class TestClassifierGeometry:
         # the classic yolov2 HSV+flip behavior
         forced = config_from_net_params({}, force_defaults=True)
         assert not forced.classifier_geometry
+
+
+@pytest.mark.quick
+def test_jitter_crop_zoom_out_pads_with_replication():
+    """darknet crop_image lets the jitter window extend beyond the
+    image (edge-replicated zoom-out); the clamped version collapsed
+    every expansion draw onto a no-op (code-review finding). With
+    jitter=0.5 some draws must produce crops LARGER than the source,
+    and boxes must stay consistent."""
+    from yolo_tpu.data.augment import AugmentConfig, jitter_crop
+
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[:, :, 0] = np.arange(40, dtype=np.uint8)[None, :] * 6
+    boxes = np.array([[0.5, 0.5, 0.3, 0.3]], np.float32)
+    classes = np.array([0])
+    cfg = AugmentConfig(jitter=0.5)
+    grew = 0
+    for s in range(40):
+        crop, b, c = jitter_crop(img, boxes, classes,
+                                 np.random.default_rng(s), cfg)
+        ch, cw = crop.shape[:2]
+        if ch > 40 or cw > 40:
+            grew += 1
+        if len(b):
+            assert (b[:, :2] >= 0).all() and (b[:, :2] <= 1).all()
+            assert (b[:, 2:] > 0).all() and (b[:, 2:] <= 1).all()
+    assert grew > 0
+
+
+@pytest.mark.quick
+def test_distort_hsv_sub_one_saturation_active():
+    """[net] saturation=0.7 (below 1) still distorts in darknet
+    (rand_scale over the reversed range) — the <=1 gate silently
+    disabled it (code-review finding)."""
+    from yolo_tpu.data.augment import AugmentConfig, distort_hsv
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(30, 220, (24, 24, 3), dtype=np.uint8)
+    cfg = AugmentConfig(hue=0.0, saturation=0.7, exposure=1.0)
+    outs = [distort_hsv(img, np.random.default_rng(s), cfg)
+            for s in range(6)]
+    assert any(not np.array_equal(o, img) for o in outs)
+    # exact parse defaults stay a no-op
+    noop = AugmentConfig(hue=0.0, saturation=1.0, exposure=1.0)
+    np.testing.assert_array_equal(
+        distort_hsv(img, np.random.default_rng(0), noop), img)

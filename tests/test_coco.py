@@ -589,3 +589,23 @@ def test_map50_75_only_for_present_thresholds():
     r2 = evaluate_coco({0: det}, gt, 1)
     assert r2["map50"] == pytest.approx(1.0)
     assert r2["map75"] == pytest.approx(1.0)
+
+
+@pytest.mark.quick
+def test_wrong_names_tripwire(tmp_path, capsys):
+    """A class list matching NO category silently drops every
+    annotation — detector training would fit pure background; the
+    loader must warn loudly (code-review finding: only the VOC path
+    had the tripwire)."""
+    doc = {"images": [{"id": 1, "width": 64, "height": 64,
+                       "file_name": "a.jpg"}],
+           "annotations": [{"id": 1, "image_id": 1, "category_id": 5,
+                            "bbox": [1, 1, 10, 10], "area": 100}],
+           "categories": [{"id": 5, "name": "zebra"}]}
+    p = tmp_path / "i.json"
+    p.write_text(json.dumps(doc))
+    load_coco(str(p), ("cat", "dog"), str(tmp_path))
+    assert "all 1 annotations dropped" in capsys.readouterr().err
+    # matching names stay silent
+    load_coco(str(p), ("zebra",), str(tmp_path))
+    assert "dropped" not in capsys.readouterr().err

@@ -800,3 +800,21 @@ def test_bn_batch_variance_is_bessel():
     assert abs(want_var.mean() / max(
         np.var(np.asarray(y), axis=(0, 1, 2)).mean(), 1e-9)
         - n / (n - 1)) < 1e-5
+
+
+@pytest.mark.quick
+def test_gt_encoder_clamps_offimage_centers():
+    """A box center off-image to the left/top must clamp to cell 0,
+    not wrap to the far grid edge via a negative index (darknet
+    fill_truth_detection constrains x,y first — code-review
+    finding)."""
+    enc = tgt.encode(np.array([[-0.2, 0.5, 0.3, 0.3]]),
+                     np.array([0]), grid=4, anchors=ANCHORS3,
+                     num_classes=2)
+    obj = enc["obj_mask"]
+    assert obj[:, 0].sum() == 1.0 and obj[:, 1:].sum() == 0.0
+    enc1 = tgt.encode_v1(np.array([[0.4, -0.3, 0.2, 0.2]]),
+                         np.array([0]), 3)
+    # row 0 (top edge), not the bottom row
+    assert enc1["v1_obj"].reshape(3, 3)[0].sum() == 1.0
+    assert enc1["v1_obj"].reshape(3, 3)[1:].sum() == 0.0

@@ -54,8 +54,11 @@ class AugmentConfig:
 
 
 def _rand_scale(rng: np.random.Generator, s: float) -> float:
-    """darknet rand_scale: uniform in [1, s], inverted half the time."""
-    v = rng.uniform(1.0, s)
+    """darknet rand_scale: uniform in [1, s], inverted half the time.
+    s < 1 samples [s, 1] — darknet's rand_uniform swaps a reversed
+    range (numpy's Generator.uniform rejects it instead)."""
+    lo, hi = (1.0, s) if s >= 1.0 else (s, 1.0)
+    v = rng.uniform(lo, hi)
     return v if rng.uniform() < 0.5 else 1.0 / v
 
 
@@ -63,7 +66,11 @@ def distort_hsv(img_u8: np.ndarray, rng: np.random.Generator,
                 cfg: AugmentConfig) -> np.ndarray:
     import cv2
 
-    if cfg.hue <= 0 and cfg.saturation <= 1 and cfg.exposure <= 1:
+    # no-op ONLY at darknet's parse defaults (sat/exp 1, hue 0):
+    # saturation/exposure BELOW 1 still distort in darknet —
+    # rand_scale over the reversed range (code-review finding: a
+    # <=1 gate silently disabled them)
+    if cfg.hue == 0 and cfg.saturation == 1 and cfg.exposure == 1:
         return img_u8
     hsv = cv2.cvtColor(img_u8, cv2.COLOR_RGB2HSV).astype(np.float32)
     hsv[..., 0] = (hsv[..., 0] + rng.uniform(-cfg.hue, cfg.hue) * 180.0) % 180.0
@@ -82,11 +89,24 @@ def jitter_crop(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     right = rng.integers(-dw, dw + 1)
     top = rng.integers(-dh, dh + 1)
     bottom = rng.integers(-dh, dh + 1)
-    x1, x2 = max(0, left), min(w, w - right)
-    y1, y2 = max(0, top), min(h, h - bottom)
+    # darknet crop_image lets the window extend BEYOND the image
+    # (negative pleft/ptop or swidth past the edge), reading clamped
+    # coordinates = edge replication — the zoom-out half of the
+    # jitter distribution; clamping the window to the image collapsed
+    # every expansion draw onto a no-op (code-review finding)
+    x1, x2 = int(left), int(w - right)
+    y1, y2 = int(top), int(h - bottom)
     if x2 - x1 < w // 4 or y2 - y1 < h // 4:
         return img_u8, boxes, classes
-    crop = img_u8[y1:y2, x1:x2]
+    pad_l, pad_t = max(0, -x1), max(0, -y1)
+    pad_r, pad_b = max(0, x2 - w), max(0, y2 - h)
+    src = img_u8
+    if pad_l or pad_t or pad_r or pad_b:
+        import cv2
+
+        src = cv2.copyMakeBorder(img_u8, pad_t, pad_b, pad_l, pad_r,
+                                 cv2.BORDER_REPLICATE)
+    crop = src[y1 + pad_t:y2 + pad_t, x1 + pad_l:x2 + pad_l]
     cw, ch = x2 - x1, y2 - y1
 
     if len(boxes) == 0:

@@ -41,10 +41,13 @@ def load_coco(json_path: str, class_names: Sequence[str],
                   if c["name"] in name_to_id}
 
     per_image: Dict[int, List] = {img["id"]: [] for img in doc["images"]}
+    n_total = n_kept = 0
     for ann in doc.get("annotations", []):
+        n_total += 1
         cls = cat_to_cls.get(ann["category_id"])
         if cls is None or ann["image_id"] not in per_image:
             continue
+        n_kept += 1
         per_image[ann["image_id"]].append(
             (cls, ann["bbox"], int(ann.get("iscrowd", 0)),
              # pycocotools areaRng buckets by ann['area'] (SEGMENTATION
@@ -53,6 +56,17 @@ def load_coco(json_path: str, class_names: Sequence[str],
              # for jsons that omit it
              float(ann.get("area", ann["bbox"][2] * ann["bbox"][3]))))
 
+    if n_total and not n_kept:
+        # the wrong --names list makes cat_to_cls empty and EVERY
+        # annotation silently drops — training would fit pure
+        # background with no signal (the VOC pipeline has the same
+        # tripwire; code-review finding that this path lacked it)
+        import sys
+
+        print(f"WARNING: {json_path}: all {n_total} annotations "
+              f"dropped — no category name matches the class list "
+              f"(wrong --names?); detector training on this data "
+              f"would fit pure background", file=sys.stderr)
     return _samples_from_doc(doc, per_image, image_root)
 
 

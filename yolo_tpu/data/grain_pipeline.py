@@ -166,6 +166,13 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
         raise ValueError("mosaic needs cross-record access; grain "
                          "transforms are per-record — use the thread "
                          "loader for --mosaic")
+    if augment_cfg is not None and augment_cfg.mixup:
+        # equally cross-record; silently ignoring it would train a
+        # different configuration than requested (code-review finding
+        # — the CLI guards this, but the function is public API)
+        raise ValueError("mixup needs cross-record access; grain "
+                         "transforms are per-record — use the thread "
+                         "loader for --mixup")
 
     class _Source:
         def __init__(self, pairs):
@@ -185,7 +192,10 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
 
             h = hashlib.sha256()
             for p, _ in self._pairs:
-                h.update(str(p).encode())
+                # NUL-terminate each path: separator-free
+                # concatenation lets boundary-shifted path lists
+                # collide (code-review finding)
+                h.update(str(p).encode() + b"\0")
             return (f"yolo_tpu._Source(n={len(self._pairs)}, "
                     f"paths_sha={h.hexdigest()[:16]})")
 

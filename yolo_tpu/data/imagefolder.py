@@ -121,6 +121,13 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                         img = distort_hsv(img, aug_rng, augment_cfg)
                         x = img.astype(np.float32) / 255.0
                     else:
+                        # NOTE: HSV on the full-resolution source is
+                        # ~(src/net)² more host work than distorting
+                        # after the crop, but this path's pixels are
+                        # pinned by tests (classifier_preprocess
+                        # resizes the FLOAT image; reordering would
+                        # change them) — revisit only with a
+                        # measured need on a multi-core host
                         img = distort_hsv(img, aug_rng, augment_cfg)
                         x = classifier_preprocess(img, net_size)
                 else:

@@ -329,6 +329,13 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     if shuffle:
         rng.shuffle(order)
     n_batches = len(order) // batch_size  # drop remainder: fixed shapes
+    if n_batches == 0:
+        # the classifier loader raises for this; silently yielding
+        # zero batches 'completes' a training run that trained
+        # nothing (code-review finding)
+        raise ValueError(f"dataset has {len(pairs)} images but "
+                         f"batch={batch_size} — need at least one "
+                         f"full batch")
     aug_base = int(rng.integers(0, 2 ** 31))  # per-sample thread-safe rngs
     # name-mismatch tripwire: objects whose XML name is outside the
     # model's class list silently become background (correct for a few

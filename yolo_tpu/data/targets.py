@@ -62,8 +62,12 @@ def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid: int,
         out["gt_boxes"][g] = box
         out["gt_mask"][g] = 1.0
         g += 1
-        ci = min(int(cx * s), s - 1)
-        cj = min(int(cy * s), s - 1)
+        # darknet fill_truth_detection constrains x,y to [0,1]
+        # BEFORE the cell computation — without the low clamp a
+        # center off-image to the left/top wraps the numpy index to
+        # the opposite grid edge (code-review finding)
+        ci = min(max(int(cx * s), 0), s - 1)
+        cj = min(max(int(cy * s), 0), s - 1)
         # best anchor by wh-IoU at origin, in cell units
         ious = [_wh_iou(w * s, h * s, pw, ph) for pw, ph in anchors]
         best = int(np.argmax(ious))
@@ -159,8 +163,9 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
             # 0: the truth trains no head, exactly as darknet behaves)
             for hd, slot in anchor_homes.get(anchor, ()):
                 s = grids[hd]
-                ci = min(int(cx * s), s - 1)
-                cj = min(int(cy * s), s - 1)
+                # low clamp too: see encode() (darknet constrains)
+                ci = min(max(int(cx * s), 0), s - 1)
+                cj = min(max(int(cy * s), 0), s - 1)
                 out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
                 out[f"tcoord_{hd}"][cj, ci, slot] = (
                     cx * s - ci,
@@ -248,8 +253,8 @@ def encode_v1(boxes: np.ndarray, classes: np.ndarray, side: int
         x, y, w, h = boxes[g]
         if w <= 0 or h <= 0:
             continue
-        col = min(int(x * side), side - 1)
-        row = min(int(y * side), side - 1)
+        col = min(max(int(x * side), 0), side - 1)
+        row = min(max(int(y * side), 0), side - 1)
         i = row * side + col
         if obj[i]:
             continue  # first object in the cell wins
