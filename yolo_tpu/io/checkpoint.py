@@ -57,9 +57,34 @@ def has_top_level_key(path: str, key: str) -> bool:
         return key in tree
     except Exception:
         # metadata API shape varies across orbax versions; fall back to
-        # the on-disk layout (StandardCheckpointer writes one zarr
-        # subtree per top-level key)
-        return os.path.isdir(os.path.join(path, key))
+        # the _METADATA tree json. NOTE the old per-key-directory probe
+        # was provably wrong for the OCDBT layout this orbax writes (no
+        # per-key subtrees — it reported every key absent, silently
+        # dropping e.g. the EMA track on resume; code-review finding).
+        import json
+
+        meta = os.path.join(path, "_METADATA")
+        try:
+            doc = json.load(open(meta))
+        except (OSError, ValueError):
+            # last resort: ancient layouts did write per-key subtrees
+            return os.path.isdir(os.path.join(path, key))
+
+        def walk(node) -> bool:
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    # keys appear verbatim or inside flattened
+                    # keypath strings like "('ema_params', ...)"
+                    if k == key or (isinstance(k, str)
+                                    and f"'{key}'" in k):
+                        return True
+                    if walk(v):
+                        return True
+            elif isinstance(node, list):
+                return any(walk(v) for v in node)
+            return False
+
+        return walk(doc)
 
 
 def restore(path: str, abstract_state: Optional[Any] = None) -> Any:

@@ -105,18 +105,32 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
     else:
         with open(path_or_file, "rb") as f:
             data = f.read()
-    buf = np.frombuffer(data, dtype=np.uint8)
-    major, minor, revision = np.frombuffer(buf[:12].tobytes(), np.int32)
+    if len(data) < 16:
+        raise ValueError(f"weights file too short ({len(data)} bytes "
+                         f"— no header)")
+    major, minor, revision = np.frombuffer(data, np.int32, 3)
+    if major > 1000 or minor > 1000:
+        # darknet parse.c: versions > 1000 flag the ANCIENT transposed
+        # connected-weight format (transpose = (major>1000)||
+        # (minor>1000)) and keep a 32-bit seen — reject loudly rather
+        # than mis-walk the payload (code-review finding)
+        raise ValueError(
+            f"weights header major={major} minor={minor}: the "
+            f"pre-2016 transposed format is not supported")
+    # parse.c: 64-bit seen iff (major*10+minor) >= 2 (the >1000 guard
+    # above mirrors its '&& major < 1000 && minor < 1000')
     if major * 10 + minor >= 2:
-        seen = int(np.frombuffer(buf[12:20].tobytes(), np.int64)[0])
+        seen = int(np.frombuffer(data, np.int64, 1, 12)[0])
         offset = 20
     else:
-        seen = int(np.frombuffer(buf[12:16].tobytes(), np.int32)[0])
+        seen = int(np.frombuffer(data, np.int32, 1, 12)[0])
         offset = 16
-    if (buf.size - offset) % 4:
+    if (len(data) - offset) % 4:
         raise ValueError("weights file truncated mid-float "
-                         f"({buf.size - offset} payload bytes)")
-    floats = np.frombuffer(buf[offset:].tobytes(), dtype=np.float32)
+                         f"({len(data) - offset} payload bytes)")
+    # zero-copy view of the payload (offset 16/20 is 4-byte aligned);
+    # the old bytes round-trip peaked at ~3x file size on 258 MB files
+    floats = np.frombuffer(data, np.float32, offset=offset)
 
     pos = 0
     params = []
@@ -223,6 +237,14 @@ def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
         specs = weighted_specs(tuple(layers))
         if cutoff_convs is not None:
             specs, params = specs[:cutoff_convs], params[:cutoff_convs]
+        elif len(params) != len(specs):
+            # a short/long params list would silently write a
+            # truncated file (or drop trailing params) that only
+            # fails at the next load — reject loudly like
+            # fold_params does (code-review finding)
+            raise ValueError(
+                f"save: {len(params)} param blocks for {len(specs)} "
+                f"weighted layers (use cutoff_convs for partials)")
         for spec, p in zip(specs, params):
             if isinstance(spec, Connected):
                 f.write(np.asarray(p["bias"], dtype=np.float32).tobytes())

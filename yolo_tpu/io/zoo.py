@@ -152,7 +152,12 @@ def record_sha(name: str, path: str,
     (refuses if the size check fails or a different hash is pinned)."""
     manifest = load_manifest(manifest_path)
     entry = manifest[name]
-    problems = [p for p in verify_file(path, entry) if "size" in p]
+    # size check WITHOUT the pinned-sha pass (verify_file would hash
+    # the file once just to have the result discarded before the
+    # second hash below — 2x the I/O on 250 MB files; code-review
+    # finding)
+    problems = verify_file(path, {k: v for k, v in entry.items()
+                                  if k != "sha256"})
     if problems:
         raise ValueError("; ".join(problems))
     got = sha256_file(path)

@@ -108,6 +108,15 @@ class DetectionServer:
                                 else cfg.conf_threshold),
                 resize=resize, use_tree_map=use_tree_map,
                 hier_thresh=hier_thresh)
+        # round max_batch UP to the power-of-two pad grid so every
+        # bucket the worker's pad loop can produce is one prewarm
+        # compiles — a max_batch off the grid (e.g. 24) let a 17-24
+        # item batch pad to an un-prewarmed 32 and pay the ~30 s lazy
+        # compile under load (code-review finding)
+        size = self._min_bucket
+        while size < self.max_batch:
+            size *= 2
+        self.max_batch = size
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._stop = threading.Event()
@@ -166,21 +175,25 @@ class DetectionServer:
 
         window = self._window()
         if window > 0 and len(batch) < self.max_batch:
-            deadline = threading.Event()
-            timer = threading.Timer(window, deadline.set)
-            timer.start()
-            try:
-                while len(batch) < self.max_batch and not deadline.is_set():
-                    try:
-                        item = self._q.get(timeout=window / 4)
-                    except queue.Empty:
-                        continue
-                    if item is None:
-                        self._q.put(None)
-                        break
-                    batch.append(item)
-            finally:
-                timer.cancel()
+            # exact deadline via q.get timeouts — the previous
+            # Timer+Event+quarter-window polling spawned a thread per
+            # windowed batch and could overshoot by window/4
+            # (code-review finding)
+            import time as _time
+
+            deadline_t = _time.monotonic() + window
+            while len(batch) < self.max_batch:
+                remaining = deadline_t - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._q.put(None)
+                    break
+                batch.append(item)
         elif window == 0:
             self.stats["window_skips"] += 1
 
@@ -251,15 +264,23 @@ class DetectionServer:
                             item.event.set()
                         continue
                     out = self._detector(self.params, images)
+                    # ONE device->host fetch per output array — the
+                    # relay pays a round trip per fetch, and per-
+                    # detection element pulls made latency scale with
+                    # detections x RTT (code-review finding; same fix
+                    # as eval/runner.py)
+                    valid_np = np.asarray(out["valid"])
+                    classes_np = np.asarray(out["classes"])
+                    scores_np = np.asarray(out["scores"])
+                    boxes_np = np.asarray(out["boxes"])
                     for bi, item in enumerate(items):
-                        valid = np.asarray(out["valid"][bi])
                         item.result = [{
                             "class": self._det_names[
-                                int(out["classes"][bi][i])],
-                            "score": round(float(out["scores"][bi][i]), 4),
+                                int(classes_np[bi][i])],
+                            "score": round(float(scores_np[bi][i]), 4),
                             "box_xyxy": [round(float(v), 1) for v in
-                                         np.asarray(out["boxes"][bi][i])],
-                        } for i in np.nonzero(valid)[0]]
+                                         boxes_np[bi][i]],
+                        } for i in np.nonzero(valid_np[bi])[0]]
                 except Exception as e:  # surface to the waiting request
                     self.stats["errors"] += len(items)
                     for item in items:
@@ -302,7 +323,11 @@ class DetectionServer:
                     else:
                         self._send(404, {"error": "not found"})
                     return
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._send(400, {"error": "bad Content-Length"})
+                    return
                 data = self.rfile.read(length)
                 rgb = None
                 from yolo_tpu.data.pipeline import get_decoder
