@@ -522,6 +522,39 @@ class TestResumeDataPosition:
         assert os.path.isdir(os.path.join(ckdir, "final"))
 
 
+    def test_cli_resume_adapts_ema_track(self, tmp_path, capsys):
+        """A classifier checkpoint saved WITHOUT an EMA track resumed
+        with --ema-alpha must start one from the restored weights
+        instead of dying on a pytree mismatch — the adaptation the
+        detector path already had (code-review finding)."""
+        import cv2
+
+        from yolo_tpu import cli
+
+        cfg_path, names = _write_cls_cfg(tmp_path)
+        rng = np.random.default_rng(1)
+        data = tmp_path / "data"
+        for ci, cls in enumerate(("red", "green", "blue")):
+            os.makedirs(data / cls)
+            for i in range(3):
+                img = np.zeros((32, 32, 3), np.uint8)
+                img[:, :, 2 - ci] = rng.integers(160, 255)
+                cv2.imwrite(str(data / cls / f"{i}.png"), img)
+        ckdir = str(tmp_path / "ck")
+        common = ["train", "--cfg", cfg_path, "--names", names,
+                  "--imagefolder", str(data), "--batch", "8",
+                  "--precision", "fp32", "--seed", "0",
+                  "--checkpoint-dir", ckdir, "--checkpoint-every", "2"]
+        with pytest.raises(SystemExit):
+            cli.main(common + ["--epochs", "4",
+                               "--fail-after-step", "2"])
+        capsys.readouterr()
+        cli.main(common + ["--epochs", "4", "--ema-alpha", "0.9",
+                           "--resume", os.path.join(ckdir, "step_2")])
+        err = capsys.readouterr().err
+        assert "checkpoint has no EMA track" in err
+
+
 class TestAugment:
     @pytest.mark.quick
     def test_hsv_augment_position_independent(self, tmp_path):

@@ -49,12 +49,7 @@ def load(weights_path: str, variant: Optional[str] = None, *,
     precision: "fp32" (parity) | "bf16"."""
     import os
 
-    import jax.numpy as jnp
-
     from yolo_tpu.configs import get_variant
-    from yolo_tpu.io import darknet_weights as dw
-    from yolo_tpu.models import graph
-    from yolo_tpu.models.predict import make_detector
 
     if weights_path.startswith("zoo://"):
         from yolo_tpu.io import zoo
@@ -91,21 +86,29 @@ def load(weights_path: str, variant: Optional[str] = None, *,
                         precision, conf_threshold, nms_threshold)
 
 
-def _finish_load(weights_path, cfg, precision, conf_threshold,
-                 nms_threshold) -> Model:
-    import os
-
+def _api_compute_dtype(precision: str):
     import jax.numpy as jnp
+
+    if precision == "fp32":
+        return jnp.float32
+    if precision == "bf16":
+        return jnp.bfloat16
+    # 'int8' (a CLI-only serving mode) or a typo must not silently
+    # run bf16 (code-review finding)
+    raise ValueError(f"precision={precision!r}: the API supports "
+                     f"'fp32' | 'bf16' (int8 PTQ is the CLI/"
+                     f"models.quantize surface)")
+
+
+def _load_folded_params(mcfg, weights_path: str):
+    """Shared .weights-file / checkpoint-dir loading + EMA preference
+    + BN fold (one copy of the 'every consumer prefers the EMA track'
+    rule — code-review finding: it lived in three)."""
+    import os
 
     from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.models import graph
-    from yolo_tpu.models.predict import make_detector
 
-    if cfg.head_kind == "softmax":
-        raise ValueError(
-            f"{cfg.name} is a classifier — yolo_tpu.load builds "
-            f"detectors; use yolo_tpu.models.classify.make_classifier "
-            f"or `cli classify` for top-k labels")
     if os.path.isdir(weights_path):
         from yolo_tpu.io import checkpoint as ckpt
 
@@ -114,12 +117,23 @@ def _finish_load(weights_path, cfg, precision, conf_threshold,
         # consumer prefers the EMA (darknet ema_apply-before-save)
         params = state.get("ema_params", state["params"])
     else:
-        params, _ = dw.load(weights_path, cfg.layers)
-    folded = graph.params_to_jax(
-        graph.fold_params(cfg.layers, params, cfg.bn_eps))
+        params, _ = dw.load(weights_path, mcfg.layers)
+    return graph.params_to_jax(
+        graph.fold_params(mcfg.layers, params, mcfg.bn_eps))
+
+
+def _finish_load(weights_path, cfg, precision, conf_threshold,
+                 nms_threshold) -> Model:
+    from yolo_tpu.models.predict import make_detector
+
+    if cfg.head_kind == "softmax":
+        raise ValueError(
+            f"{cfg.name} is a classifier — yolo_tpu.load builds "
+            f"detectors; use yolo_tpu.models.classify.make_classifier "
+            f"or `cli classify` for top-k labels")
+    folded = _load_folded_params(cfg, weights_path)
     detector = make_detector(
-        cfg,
-        compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16,
+        cfg, compute_dtype=_api_compute_dtype(precision),
         conf_threshold=conf_threshold, nms_threshold=nms_threshold)
     return Model(cfg, folded, detector)
 
@@ -160,13 +174,7 @@ def load_classifier(weights_path: str, variant: Optional[str] = None, *,
     """Load a darknet classifier (.weights file, orbax checkpoint dir,
     or zoo:// entry) into a callable top-k model — the API twin of
     `cli classify`."""
-    import os
-
-    import jax.numpy as jnp
-
     from yolo_tpu.configs import get_variant
-    from yolo_tpu.io import darknet_weights as dw
-    from yolo_tpu.models import graph
     from yolo_tpu.models.classify import make_classifier
 
     if cfg is not None:
@@ -184,16 +192,7 @@ def load_classifier(weights_path: str, variant: Optional[str] = None, *,
         from yolo_tpu.io import zoo
 
         weights_path = zoo.resolve(weights_path)
-    if os.path.isdir(weights_path):
-        from yolo_tpu.io import checkpoint as ckpt
-
-        state = ckpt.restore(weights_path)
-        params = state.get("ema_params", state["params"])
-    else:
-        params, _ = dw.load(weights_path, mcfg.layers)
-    folded = graph.params_to_jax(
-        graph.fold_params(mcfg.layers, params, mcfg.bn_eps))
-    run = make_classifier(
-        mcfg,
-        compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16)
+    folded = _load_folded_params(mcfg, weights_path)
+    run = make_classifier(mcfg,
+                          compute_dtype=_api_compute_dtype(precision))
     return Classifier(mcfg, folded, run, k=k)

@@ -369,10 +369,16 @@ def cmd_detect(args) -> None:
         if args.precision == "int8":
             from yolo_tpu.data.video import video_batches
 
-            # calibrate on the stream's own first frames
-            first = next(video_batches(args.video, 8,
-                                       stride=args.stride,
-                                       max_frames=8))
+            # calibrate on the stream's own first frames; CLOSE the
+            # generator so its VideoCapture releases before
+            # _detect_video reopens the same source (a webcam refuses
+            # a second open while held — code-review finding)
+            gen = video_batches(args.video, 8, stride=args.stride,
+                                max_frames=8)
+            try:
+                first = next(gen)
+            finally:
+                gen.close()
             params = _maybe_quantize(args, cfg, params,
                                      list(first["images"]))
         _detect_video(args, cfg, params, det, names=names)
@@ -418,12 +424,17 @@ def cmd_detect(args) -> None:
     for batch in DevicePrefetcher(host_iter, depth=2):
         out = det(params, jnp.asarray(batch["images"]))
         n_real = len(batch["paths"])
+        # ONE fetch per output array per batch (the relay pays a round
+        # trip per fetch — same fix as serve/eval; code-review finding)
+        valid_np = np.asarray(out["valid"])
+        boxes_all = np.asarray(out["boxes"], np.float64)
+        scores_np = np.asarray(out["scores"])
+        classes_np = np.asarray(out["classes"])
         for bi in range(n_real):
-            valid = np.nonzero(np.asarray(out["valid"][bi]))[0]
+            valid = np.nonzero(valid_np[bi])[0]
             if args.host_preprocess:
                 src_h, src_w = batch["shapes"][bi]
-                boxes_net = np.asarray(out["boxes"][bi],
-                                       np.float64)[valid]
+                boxes_net = boxes_all[bi][valid]
                 if args.resize == "stretch":
                     xyxy = npr.unstretch_boxes(boxes_net, src_w, src_h)
                 else:
@@ -432,10 +443,10 @@ def cmd_detect(args) -> None:
                     xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
                                                  net, net, src_w, src_h)
             else:
-                xyxy = np.asarray(out["boxes"][bi], np.float64)[valid]
+                xyxy = boxes_all[bi][valid]
             dets = [{
-                "class": names[int(out["classes"][bi][i])],
-                "score": round(float(out["scores"][bi][i]), 4),
+                "class": names[int(classes_np[bi][i])],
+                "score": round(float(scores_np[bi][i]), 4),
                 "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
             } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
@@ -457,10 +468,8 @@ def cmd_detect(args) -> None:
                 save_image(
                     dst,
                     draw_detections(
-                        src, xyxy,
-                        np.asarray(out["scores"][bi])[valid],
-                        np.asarray(out["classes"][bi])[valid],
-                        names))
+                        src, xyxy, scores_np[bi][valid],
+                        classes_np[bi][valid], names))
 
 
 def _detect_video(args, cfg, params, det, names=None) -> None:
@@ -484,23 +493,27 @@ def _detect_video(args, cfg, params, det, names=None) -> None:
     try:
         for batch in DevicePrefetcher(host_iter, depth=2):
             out = det(params, jnp.asarray(batch["images"]))
+            # one fetch per output array per batch (relay round trips)
+            valid_np = np.asarray(out["valid"])
+            boxes_np = np.asarray(out["boxes"], np.float64)
+            scores_np = np.asarray(out["scores"])
+            classes_np = np.asarray(out["classes"])
             for bi, frame_idx in enumerate(batch["frames"]):
-                valid_mask = np.asarray(out["valid"][bi])
-                valid = np.nonzero(valid_mask)[0]
-                boxes = np.asarray(out["boxes"][bi], np.float64)
+                valid = np.nonzero(valid_np[bi])[0]
                 dets = [{
                     "class": (names or cfg.class_names)[
-                        int(out["classes"][bi][i])],
-                    "score": round(float(out["scores"][bi][i]), 4),
-                    "box_xyxy": [round(float(v), 1) for v in boxes[i]],
+                        int(classes_np[bi][i])],
+                    "score": round(float(scores_np[bi][i]), 4),
+                    "box_xyxy": [round(float(v), 1)
+                                 for v in boxes_np[bi][i]],
                 } for i in valid]
                 print(json.dumps({"frame": int(frame_idx),
                                   "detections": dets}))
                 if writer is not None:
                     writer.write(np.asarray(batch["images"][bi]),
-                                 boxes, np.asarray(out["scores"][bi]),
-                                 np.asarray(out["classes"][bi]),
-                                 names or cfg.class_names, valid_mask)
+                                 boxes_np[bi], scores_np[bi],
+                                 classes_np[bi],
+                                 names or cfg.class_names, valid_np[bi])
     finally:
         if writer is not None:
             writer.close()
@@ -600,9 +613,7 @@ def _train_classifier(args, cfg) -> None:
     if args.resume:
         template = init_state(
             dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
-        state = ckpt.restore(args.resume, dict(template))
-        print(f"resumed from {args.resume} at step "
-              f"{int(state['step'])}", file=sys.stderr)
+        state = _restore_adapt_ema(args.resume, template)
     elif args.weights:
         # full weights or a darknet partial (fine-tune / resume-from-
         # export); remaining layers randomly initialized
@@ -732,6 +743,43 @@ def _train_classifier(args, cfg) -> None:
     logger.close()
 
 
+def _restore_adapt_ema(resume_path: str, template) -> dict:
+    """Checkpoint restore shared by BOTH trainers: the EMA track may
+    differ between the checkpoint and this run's config (pre-EMA
+    checkpoint resumed with --ema-alpha, or the reverse) — adapt
+    instead of dying on a pytree-structure mismatch (previously only
+    the detector path adapted; the classifier resume raised —
+    code-review finding)."""
+    import jax
+
+    from yolo_tpu.io import checkpoint as ckpt
+
+    ckpt_has_ema = ckpt.has_top_level_key(resume_path, "ema_params")
+    want_ema = "ema_params" in template
+    if ckpt_has_ema and not want_ema:
+        template["ema_params"] = jax.tree_util.tree_map(
+            lambda a: a, template["params"])
+        state = ckpt.restore(resume_path, dict(template))
+        state.pop("ema_params")
+        print("checkpoint carries an EMA track but this run has "
+              "ema_alpha=0 — dropping it (pass --ema-alpha to keep "
+              "blending)", file=sys.stderr)
+    elif want_ema and not ckpt_has_ema:
+        tmpl = {k: v for k, v in template.items() if k != "ema_params"}
+        state = ckpt.restore(resume_path, tmpl)
+        import jax.numpy as _jnp
+
+        state["ema_params"] = jax.tree_util.tree_map(
+            _jnp.copy, state["params"])
+        print("checkpoint has no EMA track — starting one from the "
+              "restored weights", file=sys.stderr)
+    else:
+        state = ckpt.restore(resume_path, dict(template))
+    print(f"resumed from {resume_path} at step {int(state['step'])}",
+          file=sys.stderr)
+    return state
+
+
 def _batch_accum_from(args, net_hp) -> int:
     """--batch/--grad-accum resolution shared by both trainers:
     explicit flags win, then the cfg's [net] batch/subdivisions (the
@@ -784,6 +832,13 @@ def _lr_schedule_from(args, net_hp):
     deterministic equivalent). Returns TrainConfig schedule kwargs."""
     kw = {"lr_decay_steps": (), "lr_decay_scales": ()}
     policy = net_hp.get("policy", "constant")
+    # [net] power feeds both the burn-in ramp and the poly decay
+    # (network.c net.power, default 4) whatever the policy — set
+    # BEFORE the --lr-steps early return, which previously skipped it
+    # and trained the warm-up ramp at the wrong exponent under an
+    # explicit steps override (code-review finding; CLAUDE.md pins
+    # power-under-ALL-policies)
+    kw["lr_poly_power"] = float(net_hp.get("power", 4.0))
     if args.lr_scales and not args.lr_steps:
         raise SystemExit("--lr-scales requires --lr-steps (to override "
                          "a cfg's [net] schedule, give both)")
@@ -798,9 +853,6 @@ def _lr_schedule_from(args, net_hp):
         kw.update(lr_decay_steps=decay_steps,
                   lr_decay_scales=decay_scales)
         return kw
-    # [net] power feeds both the burn-in ramp and the poly decay
-    # (network.c net.power, default 4) whatever the policy
-    kw["lr_poly_power"] = float(net_hp.get("power", 4.0))
     if policy == "steps":
         # darknet hard-errors on policy=steps without steps+scales
         if "steps" not in net_hp or "scales" not in net_hp:
@@ -902,10 +954,13 @@ def cmd_train(args) -> None:
     if cfg.head_kind == "softmax":
         _train_classifier(args, cfg)
         return
-    if not args.weights:
+    if not args.weights and not args.resume:
+        # a checkpoint resume carries all weights — demanding a dummy
+        # .weights file there was pointless (code-review finding)
         raise SystemExit("--weights is required for detector training "
                          "(a full .weights file or a darknet `partial` "
-                         "backbone, e.g. zoo://darknet19-448-conv23)")
+                         "backbone, e.g. zoo://darknet19-448-conv23) — "
+                         "or --resume a checkpoint")
     if args.imagefolder or args.eval_imagefolder:
         raise SystemExit("--imagefolder/--eval-imagefolder are "
                          f"classifier training data — {cfg.name} is a "
@@ -1020,36 +1075,9 @@ def cmd_train(args) -> None:
                          f"{n_dev} devices")
 
     if args.resume:
-        # structure template only; restore() fills in the values. The
-        # EMA track may differ between the checkpoint and this run's
-        # config (pre-EMA checkpoint resumed with ema_alpha, or the
-        # reverse) — adapt instead of dying on a pytree mismatch.
         template = init_state(
             dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
-        ckpt_has_ema = ckpt.has_top_level_key(args.resume, "ema_params")
-        want_ema = "ema_params" in template
-        if ckpt_has_ema and not want_ema:
-            template["ema_params"] = jax.tree_util.tree_map(
-                lambda a: a, template["params"])
-            state = ckpt.restore(args.resume, dict(template))
-            state.pop("ema_params")
-            print("checkpoint carries an EMA track but this run has "
-                  "ema_alpha=0 — dropping it (pass --ema-alpha to keep "
-                  "blending)", file=sys.stderr)
-        elif want_ema and not ckpt_has_ema:
-            tmpl = {k: v for k, v in template.items()
-                    if k != "ema_params"}
-            state = ckpt.restore(args.resume, tmpl)
-            import jax.numpy as _jnp
-
-            state["ema_params"] = jax.tree_util.tree_map(
-                _jnp.copy, state["params"])
-            print("checkpoint has no EMA track — starting one from the "
-                  "restored weights", file=sys.stderr)
-        else:
-            state = ckpt.restore(args.resume, dict(template))
-        print(f"resumed from {args.resume} at step {int(state['step'])}",
-              file=sys.stderr)
+        state = _restore_adapt_ema(args.resume, template)
     else:
         # accepts darknet `partial` files (e.g. darknet19_448.conv.23,
         # also as zoo://darknet19-448-conv23): load the backbone
@@ -1476,7 +1504,10 @@ def cmd_export(args) -> None:
 
         with open(args.save_cfg, "w") as f:
             f.write(cfg_to_string(cfg))
-        names_path = args.save_cfg.rsplit(".", 1)[0] + ".names"
+        # splitext is path-aware: rsplit('.') mangled extension-less
+        # filenames under dotted directories (/out/v2.0/model ->
+        # /out/v2.names; code-review finding)
+        names_path = os.path.splitext(args.save_cfg)[0] + ".names"
         with open(names_path, "w") as f:
             f.write("\n".join(cfg.class_names) + "\n")
         print(f"wrote {args.save_cfg} + {names_path}", file=sys.stderr)

@@ -24,6 +24,15 @@ class MetricsLogger:
         expensive records like validation mAP)."""
         if step % self._every and not force:
             return
+        # fetch all device scalars in ONE transfer — per-metric
+        # float(v) cost one relay round trip each (code-review
+        # finding; same class as the serve/eval fixes)
+        try:
+            import jax
+
+            metrics = jax.device_get(metrics)
+        except Exception:
+            pass  # plain host values (or no jax): log as-is
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         for k, v in {**metrics, **extra}.items():
             try:

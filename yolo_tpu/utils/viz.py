@@ -38,4 +38,9 @@ def draw_detections(image_rgb: np.ndarray, boxes_xyxy, scores, classes,
 def save_image(path: str, image_rgb: np.ndarray) -> None:
     import cv2
 
-    cv2.imwrite(path, cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR))
+    if not cv2.imwrite(path, cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR)):
+        # cv2 returns False (no exception) for missing dirs or
+        # unsupported extensions — callers then printed 'wrote <path>'
+        # with nothing on disk (code-review finding)
+        raise OSError(f"cv2.imwrite failed for {path} (missing "
+                      f"directory or unsupported extension?)")
