@@ -104,9 +104,12 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
     if (conv_impl == "pallas" and not train and "bias" in p
             and spec.act in ("leaky", "linear") and spec.groups == 1
             and input_layout == "NHWC"):
-        from yolo_tpu.ops.pallas.conv_kernel import eligible, fused_conv_bias_act
+        from yolo_tpu.ops.pallas.conv_kernel import (eligible, feasible,
+                                                     fused_conv_bias_act)
 
-        if eligible(p["kernel"], spec.stride):
+        if (eligible(p["kernel"], spec.stride)
+                and feasible(x.shape, p["kernel"].shape,
+                             jnp.dtype(compute_dtype).itemsize)):
             y = fused_conv_bias_act(
                 x.astype(compute_dtype),
                 jnp.asarray(p["kernel"], compute_dtype),

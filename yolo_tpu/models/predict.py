@@ -225,6 +225,16 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
         if not _entry_fusable(cfg, params):
             raise ValueError("entry='fused' needs a conv3x3+pool2x2 "
                              "entry and folded-BN params")
+        if cfg.input_size > 416:
+            # the kernel processes one whole image per program with no
+            # VMEM-driven spatial tiling: 416 fits (~10 MB, the
+            # measured A/B in docs/PERF.md); 608 double-buffers past
+            # the ~16 MB VMEM and dies at Mosaic compile — fail with
+            # the reason instead (code-review finding)
+            raise ValueError(
+                f"entry='fused' supports net sizes <= 416 (whole-image "
+                f"VMEM residency; {cfg.input_size} exceeds it) — use "
+                f"the default entry='xla'")
         planes = ek.letterbox_planes(images_u8, cfg.input_size,
                                      interp_dtype=compute_dtype)
         x = ek.fused_entry_from_planes(

@@ -79,7 +79,12 @@ def maxpool_nhwc(x: np.ndarray, size: int, stride: int) -> np.ndarray:
     lead = pad // 2
     oh = (h + pad - size) // stride + 1
     ow = (w + pad - size) // stride + 1
-    xp = np.full((b, h + pad, w + pad, c), -np.inf, dtype=x.dtype)
+    # dtype-aware identity: np.full(-inf, dtype=int8) silently casts
+    # to 0, disagreeing with ops/pool.py's iinfo-min int branch on
+    # all-negative edge windows (code-review finding)
+    fill = (np.iinfo(x.dtype).min
+            if np.issubdtype(x.dtype, np.integer) else -np.inf)
+    xp = np.full((b, h + pad, w + pad, c), fill, dtype=x.dtype)
     xp[:, lead:lead + h, lead:lead + w, :] = x
     out = np.empty((b, oh, ow, c), dtype=x.dtype)
     for j in range(oh):

@@ -49,20 +49,40 @@ def eligible(kernel_hwio, stride: int) -> bool:
             and co % 128 == 0)
 
 
+def _vmem(tb, tn, hp, wp, h, w, cin, ks, itemsize):
+    return (2 * tb * hp * wp * cin * itemsize         # input blocks
+            + 2 * ks * ks * cin * tn * itemsize       # weight blocks
+            + tb * h * w * tn * 4                     # fp32 accumulator
+            + 2 * tb * h * w * tn * itemsize)         # output blocks
+
+
+def feasible(x_shape, kernel_shape, itemsize: int) -> bool:
+    """Whether even the SMALLEST tile config (tb=1, tn=128) fits the
+    VMEM budget — callers fall back to XLA otherwise. The tile picker
+    used to return an over-budget config once its knobs were
+    exhausted, dying at Mosaic compile instead of routing the layer
+    to XLA as the module docstring promises (code-review finding:
+    e.g. yolov4-608's 76x76 cin-256 1x1 convs at fp32)."""
+    _, h, w, cin = x_shape
+    ks, _, _, co = kernel_shape
+    pad = ks // 2
+    hp, wp = h + 2 * pad, w + 2 * pad
+    tn = min(128, co)
+    return _vmem(1, tn, hp, wp, h, w, cin, ks, itemsize) <= VMEM_BUDGET
+
+
 def _pick_tiles(b, hp, wp, h, w, cin, co, ks, itemsize):
-    """(tb, tn) under the VMEM budget (double-buffered in/w + fp32 acc)."""
+    """(tb, tn) under the VMEM budget (double-buffered in/w + fp32
+    acc); callers gate on feasible() first."""
     tb = 2 if b % 2 == 0 else 1
     tn = min(256, co)
     while co % tn:
         tn //= 2
-    def vmem(tb, tn):
-        return (2 * tb * hp * wp * cin * itemsize         # input blocks
-                + 2 * ks * ks * cin * tn * itemsize       # weight blocks
-                + tb * h * w * tn * 4                     # fp32 accumulator
-                + 2 * tb * h * w * tn * itemsize)         # output blocks
-    while vmem(tb, tn) > VMEM_BUDGET and tb > 1:
+    while _vmem(tb, tn, hp, wp, h, w, cin, ks, itemsize) > VMEM_BUDGET \
+            and tb > 1:
         tb //= 2
-    while vmem(tb, tn) > VMEM_BUDGET and tn > 128:
+    while _vmem(tb, tn, hp, wp, h, w, cin, ks, itemsize) > VMEM_BUDGET \
+            and tn > 128:
         tn //= 2
     return tb, tn
 
