@@ -981,3 +981,83 @@ def test_cfg_parser_fuzz_never_crashes(tmp_path):
     # both outcomes must occur across 120 trials (the fuzz is real),
     # and nothing else may escape
     assert built > 0 and failed > 0
+
+
+@pytest.mark.quick
+def test_darknet_parse_defaults(tmp_path, capsys):
+    """Absent cfg keys get darknet's PARSE defaults, not the values
+    the official cfgs happen to set (code-review findings): bare
+    [maxpool] is stride-1/size-1 (parse_maxpool: stride default 1,
+    size default stride), bare [reorg] is stride 1, maskless [yolo]
+    uses all num anchors, [yolo] ignore_thresh defaults 0.5,
+    [region] thresh defaults 0.5; duplicate [region] sections and
+    [detection] softmax=1 reject."""
+    from yolo_tpu.configs.specs import MaxPool, Reorg, YoloHead
+
+    base = TINY_VOC_CFG
+    # bare maxpool: stride-1 near-identity pool (not size-2/stride-2)
+    # — classifier topology, free of the region head's downsample-32
+    # contract
+    cls_cfg = ("[net]\nwidth=32\nheight=32\nchannels=3\n\n"
+               "[convolutional]\nbatch_normalize=1\nfilters=8\n"
+               "size=3\npad=1\nactivation=leaky\n\n"
+               "[maxpool]\n\n[avgpool]\n\n"
+               "[convolutional]\nfilters=3\nsize=1\n"
+               "activation=linear\n\n[softmax]\n")
+    p = tmp_path / "mp.cfg"
+    p.write_text(cls_cfg)
+    mp = [l for l in config_from_cfg(str(p)).layers
+          if isinstance(l, MaxPool)][0]
+    assert (mp.size, mp.stride) == (1, 1)
+
+    # region thresh parse default 0.5
+    p2 = tmp_path / "th.cfg"
+    p2.write_text(base.replace("thresh=0.6\n", ""))
+    assert config_from_cfg(str(p2)).region_thresh == pytest.approx(0.5)
+
+    # duplicate [region] rejects
+    p3 = tmp_path / "dup.cfg"
+    p3.write_text(base + "\n[region]\nanchors=1,1\nclasses=20\nnum=1\n")
+    with pytest.raises(ValueError, match="multiple \\[region\\]"):
+        config_from_cfg(str(p3))
+
+    # yolo: maskless uses all num anchors; ignore_thresh default 0.5
+    yolo_cfg = """\
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=14
+size=1
+activation=linear
+
+[yolo]
+anchors = 10,14, 23,27
+classes=2
+num=2
+"""
+    p4 = tmp_path / "y.cfg"
+    p4.write_text(yolo_cfg)
+    ycfg = config_from_cfg(str(p4))
+    head = [l for l in ycfg.layers if isinstance(l, YoloHead)][0]
+    assert head.mask == (0, 1)
+    assert ycfg.ignore_thresh == pytest.approx(0.5)
+
+    # [detection] softmax=1 rejects (v1 family pinned to softmax=0)
+    from tests.test_yolov1 import V1_CFG
+
+    p5 = tmp_path / "v1.cfg"
+    p5.write_text(V1_CFG.replace("[detection]\n",
+                                 "[detection]\nsoftmax=1\n", 1))
+    with pytest.raises(ValueError, match="softmax=1"):
+        config_from_cfg(str(p5))

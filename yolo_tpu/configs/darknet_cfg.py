@@ -119,7 +119,7 @@ _CONSUMED_KEYS = {
     "detection": frozenset((
         "classes", "side", "num", "sqrt", "coords", "rescore",
         "object_scale", "noobject_scale", "class_scale", "coord_scale",
-        "jitter", "softmax", "forced", "reorg")),
+        "jitter", "softmax")),
     "cost": frozenset(("type", "scale")),
     "yolo": _YOLO_KEYS,
     "gaussian_yolo": _YOLO_KEYS,
@@ -142,6 +142,9 @@ _NOOP_KEYS = {
     "yolo": {"resize": 1.0, "counters_per_class": None,
              "show_details": None},
     "gaussian_yolo": {"resize": 1.0, "uc_normalizer": 1.0},
+    # parsed by darknet's parse_detection but warn when set — their
+    # forward effects are unimplemented here
+    "detection": {"forced": 0.0, "reorg": 0.0},
 }
 
 
@@ -363,12 +366,16 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 act=act,
                 groups=cgroups))
         elif kind == "maxpool":
-            size = int(kv.get("size", 2))
-            if size < 1 or int(kv.get("stride", size)) < 1:
+            # darknet parse_maxpool defaults: stride=1, size=stride —
+            # NOT size=2/stride=size (a bare [maxpool] is a stride-1
+            # near-identity pool in darknet; the old defaults silently
+            # halved the feature map — code-review finding)
+            mp_stride = int(kv.get("stride", 1))
+            size = int(kv.get("size", mp_stride))
+            if size < 1 or mp_stride < 1:
                 raise ValueError(
-                    f"[maxpool] size={size} "
-                    f"stride={kv.get('stride', size)}: both must be "
-                    f">= 1")
+                    f"[maxpool] size={size} stride={mp_stride}: both "
+                    f"must be >= 1")
             # darknet's default maxpool padding is size-1 (with the
             # -(pad//2) origin shift) — the convention all three
             # implementations pin. An EXPLICIT different padding would
@@ -378,7 +385,6 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"[maxpool] padding={kv['padding']} is unsupported "
                     f"(only darknet's default padding=size-1={size - 1} "
                     f"is implemented — see ops/pool.py)")
-            mp_stride = int(kv.get("stride", size))
             for sk in ("stride_x", "stride_y"):
                 if int(kv.get(sk, mp_stride)) != mp_stride:
                     raise ValueError(
@@ -396,10 +402,12 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"groups={groups}")
             layers.append(Route(rels, groups=groups, group_id=group_id))
         elif kind == "reorg":
-            if int(kv.get("stride", 2)) < 1:
+            # darknet parse_reorg default stride=1 (every official
+            # yolov2 cfg sets stride=2 explicitly)
+            if int(kv.get("stride", 1)) < 1:
                 raise ValueError(f"[reorg] stride={kv['stride']} must "
                                  f"be >= 1")
-            layers.append(Reorg(int(kv.get("stride", 2))))
+            layers.append(Reorg(int(kv.get("stride", 1))))
         elif kind == "shortcut":
             act = kv.get("activation", "linear")
             if act not in ("leaky", "linear"):
@@ -512,17 +520,29 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError("multiple [detection] sections")
             saw_detection = True
             num_classes = int(kv.get("classes", 1))
+            if int(kv.get("softmax", 0)):
+                # darknet's forward would softmax each cell's class
+                # block — unimplemented here, so reject rather than
+                # silently predict differently (the original
+                # yolov1.cfg uses softmax=0; code-review finding)
+                raise ValueError("[detection] softmax=1 is not "
+                                 "supported (the v1 family is pinned "
+                                 "to the softmax=0 forward)")
+            # absent keys get darknet's PARSE defaults (parse_detection:
+            # every scale 1, coords 1) — the paper lambdas (5/0.5) are
+            # what the official cfgs SET, not the parser's fallback
+            # (code-review finding; same rule as the [region] block)
             detection_spec = DetectionHead(
                 side=int(kv.get("side", 7)),
                 num=int(kv.get("num", 1)),
                 classes=num_classes,
                 sqrt=bool(int(kv.get("sqrt", 0))),
-                coords=int(kv.get("coords", 4)),
+                coords=int(kv.get("coords", 1)),
                 rescore=bool(int(kv.get("rescore", 0))),
                 object_scale=float(kv.get("object_scale", 1.0)),
-                noobject_scale=float(kv.get("noobject_scale", 0.5)),
+                noobject_scale=float(kv.get("noobject_scale", 1.0)),
                 class_scale=float(kv.get("class_scale", 1.0)),
-                coord_scale=float(kv.get("coord_scale", 5.0)))
+                coord_scale=float(kv.get("coord_scale", 1.0)))
             layers.append(detection_spec)
         elif kind == "cost":
             # training-loss marker (classifier cfgs end with it);
@@ -534,7 +554,13 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(
                     "[Gaussian_yolo] with new_coords=1 does not exist "
                     "in darknet — drop one of them")
-            mask = tuple(int(v) for v in kv["mask"].split(","))
+            # darknet make_yolo_layer: a maskless [yolo] uses ALL
+            # num anchors (mask = 0..num-1); kv["mask"] raised a bare
+            # KeyError on valid darknet cfgs (code-review finding)
+            if "mask" in kv:
+                mask = tuple(int(v) for v in kv["mask"].split(","))
+            else:
+                mask = tuple(range(int(kv.get("num", 1))))
             layers.append(YoloHead(
                 mask, scale_xy=float(kv.get("scale_x_y", 1.0)),
                 # scaled-yolov4 decode; the preceding conv must carry
@@ -558,16 +584,23 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if any(m < 0 or m >= n for m in mask):
                 raise ValueError(f"[yolo] mask {mask} out of range for "
                                  f"num={n} anchors")
-            if "ignore_thresh" in kv:
-                it = float(kv["ignore_thresh"])
-                if ignore_thresh is not None and it != ignore_thresh:
-                    raise ValueError(
-                        "[yolo] sections must share one ignore_thresh")
-                ignore_thresh = it
+            # absent -> darknet's PARSE default 0.5 (parser.c; the
+            # official cfgs SET .7 explicitly — falling back to the
+            # ModelConfig default 0.7 silently widened the ignore
+            # band for parse-default-reliant cfgs; code-review
+            # finding)
+            it = float(kv.get("ignore_thresh", 0.5))
+            if ignore_thresh is not None and it != ignore_thresh:
+                raise ValueError(
+                    "[yolo] sections must share one ignore_thresh")
+            ignore_thresh = it
             il = kv.get("iou_loss", "mse")
             if il not in ("mse", "iou", "giou", "diou", "ciou"):
                 raise ValueError(f"unsupported iou_loss '{il}'")
-            new_loss = (il, float(kv.get("iou_normalizer", 1.0)),
+            # iou_normalizer parse default is 0.75 in AlexeyAB's
+            # parser.c (official cfgs set 0.07 explicitly); it only
+            # bites with the iou-family losses (code-review finding)
+            new_loss = (il, float(kv.get("iou_normalizer", 0.75)),
                         float(kv.get("cls_normalizer", 1.0)),
                         float(kv.get("iou_thresh", 1.0)),
                         (float(kv["obj_normalizer"])
@@ -596,6 +629,11 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                                  "nms_kind/beta_nms set")
             nms_spec = new_nms
         elif kind == "region":
+            if saw_region:
+                # last-wins would silently overwrite anchors/thresh/
+                # scales and reset tree/map (code-review finding;
+                # [detection] already rejects duplicates)
+                raise ValueError("multiple [region] sections")
             saw_region = True
             if float(kv.get("focal_loss", 0)):
                 raise ValueError(
@@ -610,7 +648,9 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             # [region] thresh is darknet's TRAINING noobj-suppression
             # threshold (NOT the detection confidence — use --conf);
             # it flows to LossConfig.iou_thresh via region_thresh
-            region_thresh = float(kv.get("thresh", 0.6))
+            # parse_region's default is 0.5 — 0.6 is what the
+            # official cfgs SET (code-review finding)
+            region_thresh = float(kv.get("thresh", 0.5))
             # training-loss scales + rescore, with darknet's PARSE
             # defaults for absent keys (parser.c parse_region:
             # 1/1/1/1/0 — the official cfgs set 5/…/rescore=1
@@ -906,7 +946,7 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
             if "scales" in kv:
                 out["scales"] = tuple(float(v)
                                       for v in kv["scales"].split(","))
-        elif kind in ("region", "yolo"):
+        elif kind in ("region", "yolo", "gaussian_yolo"):
             # per-head keys: darknet reads them from the LAST layer
             # (detector.c: l = net.layers[net.n-1]; l.random, l.jitter)
             # so later sections OVERWRITE earlier ones
