@@ -101,19 +101,32 @@ def main():
             pre_top_k=128, max_detections=100,
             use_pallas=jax.default_backend() == "tpu")
 
-    reference(logits)  # compile
-    fused(logits)
-    ms_ref = timeit(lambda: reference(logits))
-    ms_fus = timeit(lambda: fused(logits))
-    print(json.dumps({
+    out = {
         "nodes": c, "depth": tree.max_depth, "net": args.net,
         "batch": args.batch, "mode": args.mode,
         "candidates": s * s * args.anchors,
-        "ms_reference": round(ms_ref, 3),
-        "ms_fused": round(ms_fus, 3),
-        "img_s_reference": round(args.batch / (ms_ref / 1e3), 1),
-        "img_s_fused": round(args.batch / (ms_fus / 1e3), 1),
-    }))
+    }
+    # The reference path's per-class NMS expands boxes over all n_nodes
+    # classes — at 9k nodes it exceeds a 16 GB chip's HBM past batch ~8
+    # (measured: f32[cand x 9418, 4] = 19.75 GB at batch 32). Report
+    # that as the A/B verdict instead of dying: infeasibility IS the
+    # fused head's headline result (docs/PERF.md tree note).
+    try:
+        reference(logits)  # compile
+        ms_ref = timeit(lambda: reference(logits))
+        out["ms_reference"] = round(ms_ref, 3)
+        out["img_s_reference"] = round(args.batch / (ms_ref / 1e3), 1)
+    except Exception as e:  # XlaRuntimeError: relay surfaces OOM as Internal
+        if "exceed memory" not in str(e) and "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        out["ms_reference"] = None
+        out["reference_oom"] = True
+
+    fused(logits)
+    ms_fus = timeit(lambda: fused(logits))
+    out["ms_fused"] = round(ms_fus, 3)
+    out["img_s_fused"] = round(args.batch / (ms_fus / 1e3), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
