@@ -1,8 +1,7 @@
 """YOLO9000 tree-decode benchmark: reference path (dense N x n_nodes
 scores) vs the fused tree head (hierarchy on the objectness survivors)
 at a synthetic 9k-scale hierarchy — the A/B behind the docs/PERF.md
-tree-decode note. Queued for the real chip while the relay is down
-(memory: tpu-relay-outage-pending-verifications).
+tree-decode note (measured on-chip; see PERF.md for the numbers).
 
 Usage: python benchmarks/tree_bench.py [--nodes 9418] [--net 544]
        [--batch 32] [--mode traversal|map]
@@ -106,18 +105,22 @@ def main():
         "batch": args.batch, "mode": args.mode,
         "candidates": s * s * args.anchors,
     }
-    # The reference path's per-class NMS expands boxes over all n_nodes
-    # classes — at 9k nodes it exceeds a 16 GB chip's HBM past batch ~8
-    # (measured: f32[cand x 9418, 4] = 19.75 GB at batch 32). Report
-    # that as the A/B verdict instead of dying: infeasibility IS the
-    # fused head's headline result (docs/PERF.md tree note).
+    # The reference path's per-class NMS builds the pairwise-IoU
+    # matrix f32[B*n_nodes, K, K] (_suppress_xla) — at 9k nodes it
+    # exceeds a 16 GB chip's HBM past batch ~8 (measured: 32*9418
+    # class-rows x 128x128 f32 = 19.75 GB at batch 32). Report that as
+    # the A/B verdict instead of dying: infeasibility IS the fused
+    # head's headline result (docs/PERF.md tree note).
     try:
         reference(logits)  # compile
         ms_ref = timeit(lambda: reference(logits))
         out["ms_reference"] = round(ms_ref, 3)
         out["img_s_reference"] = round(args.batch / (ms_ref / 1e3), 1)
     except Exception as e:  # XlaRuntimeError: relay surfaces OOM as Internal
-        if "exceed memory" not in str(e) and "RESOURCE_EXHAUSTED" not in str(e):
+        msg = str(e).lower()
+        if not any(s in msg for s in
+                   ("exceed memory", "resource_exhausted", "out of memory",
+                    "ran out of memory", "oom")):
             raise
         out["ms_reference"] = None
         out["reference_oom"] = True
