@@ -250,11 +250,11 @@ void yolo_buf_free(uint8_t* p) { std::free(p); }
 // gets 1 per decoded image, 0 per failure (failed slots are gray
 // canvases with dims 0,0 — the caller drops or retries them).
 // Returns the number of failures.
-int decode_letterbox_batch(const char** paths, int n, int net,
-                           float* dst, int* dims, uint8_t* ok,
-                           int n_threads) {
-    if (n <= 0 || net <= 0) return -1;
-    const size_t dst_stride = static_cast<size_t>(net) * net * 3;
+int decode_letterbox_batch_hw(const char** paths, int n, int net_h,
+                              int net_w, float* dst, int* dims,
+                              uint8_t* ok, int n_threads) {
+    if (n <= 0 || net_h <= 0 || net_w <= 0) return -1;
+    const size_t dst_stride = static_cast<size_t>(net_h) * net_w * 3;
     std::atomic<int> failures{0};
     int workers = std::max(1, std::min(n_threads, n));
     std::vector<std::thread> pool;
@@ -272,11 +272,12 @@ int decode_letterbox_batch(const char** paths, int n, int net,
                     failures.fetch_add(1, std::memory_order_relaxed);
                     continue;
                 }
-                const Geometry g = letterbox_geometry(h, w, net);
+                const Geometry g = letterbox_geometry(h, w, net_h,
+                                                      net_w);
                 const Axis ay = make_axis(h, g.rh);
                 const Axis ax = make_axis(w, g.rw);
-                letterbox_one(img, h, w, dst + i * dst_stride, net,
-                              g.rh, g.rw, g.px, g.py, ay, ax);
+                letterbox_one(img, h, w, dst + i * dst_stride, net_h,
+                              net_w, g.rh, g.rw, g.px, g.py, ay, ax);
                 std::free(img);
                 dims[2 * i] = h;
                 dims[2 * i + 1] = w;
@@ -286,6 +287,14 @@ int decode_letterbox_batch(const char** paths, int n, int net,
     }
     for (auto& th : pool) th.join();
     return failures.load();
+}
+
+// Square-canvas entry point (the original export, kept stable).
+int decode_letterbox_batch(const char** paths, int n, int net,
+                           float* dst, int* dims, uint8_t* ok,
+                           int n_threads) {
+    return decode_letterbox_batch_hw(paths, n, net, net, dst, dims, ok,
+                                     n_threads);
 }
 
 }  // extern "C"

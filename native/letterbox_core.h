@@ -42,27 +42,35 @@ struct Geometry {
     int rw, rh, px, py;
 };
 
-inline Geometry letterbox_geometry(int src_h, int src_w, int net) {
+// Rectangular canvas ([net] width != height): scale = min over both
+// axes, pad centered per axis — matches ops/letterbox.letterbox_geometry.
+inline Geometry letterbox_geometry(int src_h, int src_w, int net_h,
+                                   int net_w) {
     const double scale =
-        std::min(static_cast<double>(net) / src_w,
-                 static_cast<double>(net) / src_h);
+        std::min(static_cast<double>(net_w) / src_w,
+                 static_cast<double>(net_h) / src_h);
     // half-to-even to match Python round() in letterbox_geometry —
     // std::lround is half-away-from-zero and disagrees on exact .5
     // products (e.g. 417x832 at net 416: 208.5 -> 208 vs 209)
     Geometry g;
     g.rw = static_cast<int>(std::nearbyint(src_w * scale));
     g.rh = static_cast<int>(std::nearbyint(src_h * scale));
-    g.px = (net - g.rw) / 2;
-    g.py = (net - g.rh) / 2;
+    g.px = (net_w - g.rw) / 2;
+    g.py = (net_h - g.rh) / 2;
     return g;
 }
 
+inline Geometry letterbox_geometry(int src_h, int src_w, int net) {
+    return letterbox_geometry(src_h, src_w, net, net);
+}
+
 inline void letterbox_one(const uint8_t* src, int src_h, int src_w,
-                          float* dst, int net, int rh, int rw, int px,
-                          int py, const Axis& ay, const Axis& ax) {
+                          float* dst, int net_h, int net_w, int rh,
+                          int rw, int px, int py, const Axis& ay,
+                          const Axis& ax) {
     (void)src_h;  // rows are addressed through the clamped axis table
     // fill canvas with gray 0.5
-    std::fill(dst, dst + static_cast<size_t>(net) * net * 3, 0.5f);
+    std::fill(dst, dst + static_cast<size_t>(net_h) * net_w * 3, 0.5f);
     // row-interpolated scratch: two source rows blended -> (rw, 3)
     std::vector<float> row(static_cast<size_t>(rw) * 3);
     const float inv255 = 1.0f / 255.0f;
@@ -79,7 +87,7 @@ inline void letterbox_one(const uint8_t* src, int src_h, int src_w,
                 row[ox * 3 + ch] = (top + wy * (bot - top)) * inv255;
             }
         }
-        float* out = dst + (static_cast<size_t>(py + oy) * net + px) * 3;
+        float* out = dst + (static_cast<size_t>(py + oy) * net_w + px) * 3;
         std::memcpy(out, row.data(), row.size() * sizeof(float));
     }
 }

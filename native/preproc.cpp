@@ -27,16 +27,19 @@ using yolo_native::make_axis;
 
 extern "C" {
 
-// Returns 0 on success. Geometry matches ops/letterbox.letterbox_geometry.
-int letterbox_batch(const uint8_t* src, int batch, int src_h, int src_w,
-                    float* dst, int net, int n_threads) {
-    if (batch <= 0 || src_h <= 0 || src_w <= 0 || net <= 0) return 1;
-    const Geometry g = letterbox_geometry(src_h, src_w, net);
+// Rectangular-canvas variant ([net] width != height). Returns 0 on
+// success. Geometry matches ops/letterbox.letterbox_geometry.
+int letterbox_batch_hw(const uint8_t* src, int batch, int src_h,
+                       int src_w, float* dst, int net_h, int net_w,
+                       int n_threads) {
+    if (batch <= 0 || src_h <= 0 || src_w <= 0 || net_h <= 0 ||
+        net_w <= 0) return 1;
+    const Geometry g = letterbox_geometry(src_h, src_w, net_h, net_w);
     const Axis ay = make_axis(src_h, g.rh);
     const Axis ax = make_axis(src_w, g.rw);
 
     const size_t src_stride = static_cast<size_t>(src_h) * src_w * 3;
-    const size_t dst_stride = static_cast<size_t>(net) * net * 3;
+    const size_t dst_stride = static_cast<size_t>(net_h) * net_w * 3;
 
     int workers = std::max(1, std::min(n_threads, batch));
     std::vector<std::thread> pool;
@@ -45,13 +48,20 @@ int letterbox_batch(const uint8_t* src, int batch, int src_h, int src_w,
         pool.emplace_back([&, t]() {
             for (int b = t; b < batch; b += workers) {
                 letterbox_one(src + b * src_stride, src_h, src_w,
-                              dst + b * dst_stride, net, g.rh, g.rw,
-                              g.px, g.py, ay, ax);
+                              dst + b * dst_stride, net_h, net_w,
+                              g.rh, g.rw, g.px, g.py, ay, ax);
             }
         });
     }
     for (auto& th : pool) th.join();
     return 0;
+}
+
+// Square-canvas entry point (the original export, kept stable).
+int letterbox_batch(const uint8_t* src, int batch, int src_h, int src_w,
+                    float* dst, int net, int n_threads) {
+    return letterbox_batch_hw(src, batch, src_h, src_w, dst, net, net,
+                              n_threads);
 }
 
 }  // extern "C"

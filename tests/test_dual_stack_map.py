@@ -1,0 +1,292 @@
+"""Dual-stack VOC mAP parity proxy (BASELINE.json:2 'VOC mAP parity').
+
+Real weights / real VOC are unavailable offline (SURVEY.md §0), so the
+strongest offline evidence for the accuracy north star is END-TO-END
+protocol agreement between two independent stacks over a synthetic
+VOC-style dataset:
+
+  JAX stack (production): eval.runner.collect_detections — native/host
+    letterbox, jitted forward, reference decode + per-class NMS on
+    device, unletterbox — scored by eval.voc_map.evaluate.
+  TF stack (oracle): numpy_ref letterbox -> tests/tf_oracle.run_layers
+    (TensorFlow forward) -> numpy_ref loop decode -> a loop-level
+    protocol mirror of the per-class NMS (top-128 per-class candidate
+    cap, greedy suppression, global 100-detection cap) -> scored by a
+    clean-room 11-point VOC evaluator written HERE (devkit +1 IoU).
+
+Asserting the two mAPs match to float tolerance localizes protocol
+drift (decode vs NMS vs eval) without real data: hundreds of
+detections per run make any convention mismatch (pixel inclusivity,
+tie-breaks, candidate caps, greedy order) move the number.
+
+Ground truth is synthesized from the model's own high-confidence
+detections (jittered) plus random distractor boxes, so the PR curves
+are non-degenerate (mAP well away from both 0 and 1).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+pytestmark = pytest.mark.slow
+
+N_IMAGES = int(os.environ.get("DUAL_STACK_IMAGES", 100))
+EVAL_CONF = 0.05
+
+
+def _realistic_params(cfg, rng):
+    """Fan-in-scaled random weights (He-style) with near-identity BN:
+    activations stay unit-scale through the full-depth trunk, so the
+    head emits spread-but-sane logits — confidences span (0, 1) and
+    boxes stay finite, unlike flat-scale noise which explodes through
+    1024-channel layers (conf saturates at 1.0, exp(tw) overflows)."""
+    from yolo_tpu.io import darknet_weights as dw
+
+    params = dw.random_params(cfg.layers, rng, scale=0.05)
+    for p in params:
+        if "kernel" not in p:
+            continue
+        k = p["kernel"]
+        fan_in = int(np.prod(k.shape[:-1]))
+        p["kernel"] = rng.normal(
+            0, 1.4 / np.sqrt(fan_in), k.shape).astype(np.float32)
+        if "gamma" in p:
+            p["gamma"] = rng.uniform(0.9, 1.1, p["gamma"].shape
+                                     ).astype(np.float32)
+            p["beta"] = rng.normal(0, 0.1, p["beta"].shape
+                                   ).astype(np.float32)
+            p["mean"] = rng.normal(0, 0.05, p["mean"].shape
+                                   ).astype(np.float32)
+            p["var"] = rng.uniform(0.9, 1.1, p["var"].shape
+                                   ).astype(np.float32)
+        elif "bias" in p:
+            p["bias"] = rng.normal(0, 0.3, p["bias"].shape
+                                   ).astype(np.float32)
+    return params
+
+
+def _make_images(tmp_path, rng, n=N_IMAGES):
+    import cv2
+
+    paths = []
+    for i in range(n):
+        h = int(rng.integers(160, 480))
+        w = int(rng.integers(160, 480))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        # paint a few rectangles so activations aren't pure noise
+        for _ in range(3):
+            x1, y1 = int(rng.integers(0, w - 20)), int(rng.integers(0, h - 20))
+            x2 = int(rng.integers(x1 + 10, min(x1 + w // 2, w)))
+            y2 = int(rng.integers(y1 + 10, min(y1 + h // 2, h)))
+            img[y1:y2, x1:x2] = rng.integers(0, 255, 3)
+        p = str(tmp_path / f"img_{i:03d}.png")
+        cv2.imwrite(p, img[..., ::-1])  # cv2 writes BGR
+        paths.append((p, (h, w)))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# the TF stack: oracle letterbox -> TF forward -> loop decode ->
+# protocol-mirror per-class NMS -> unletterbox
+# ---------------------------------------------------------------------------
+
+def _protocol_nms(boxes, scores, conf, iou, *, top_k=128, max_det=100):
+    """Loop-level mirror of ops/nms.nms_batch(impl='xla') + _package:
+    per class, the top-``top_k`` candidates by (score desc, index asc)
+    enter greedy suppression (kept only at >= conf); the kept set is
+    then globally capped at ``max_det`` by score. Independent
+    derivation for the dual-stack proxy."""
+    from yolo_tpu.ops.numpy_ref import iou_xywh
+
+    n, c = scores.shape
+    out = []
+    for cls in range(c):
+        s = scores[:, cls]
+        order = np.lexsort((np.arange(n), -s))[:top_k]
+        suppressed = np.zeros(n, dtype=bool)
+        for oi, i in enumerate(order):
+            if s[i] < conf or suppressed[i]:
+                continue
+            out.append((boxes[i], float(s[i]), cls))
+            for j in order[oi + 1:]:
+                if not suppressed[j] and iou_xywh(boxes[i],
+                                                  boxes[j]) > iou:
+                    suppressed[j] = True
+    out.sort(key=lambda r: -r[1])
+    return out[:max_det]
+
+
+def _tf_collect(cfg, params, samples, eval_conf):
+    """{img_id: [(cls, score, x1, y1, x2, y2) source pixels]} through
+    the TF stack only."""
+    import tests.tf_oracle as tfo
+    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.ops import numpy_ref as npr
+    from yolo_tpu.ops.letterbox import letterbox_geometry
+
+    net_h, net_w = cfg.input_hw
+    masks = [h.mask for h in cfg.yolo_heads]
+    dets = {}
+    for img_id, (path, (src_h, src_w)) in enumerate(samples):
+        img = load_image_rgb(path)
+        x = npr.letterbox(img, net_w, net_h)[0]
+        logits = tfo.run_layers(cfg.layers, params, x[None],
+                                eps=cfg.bn_eps)
+        if cfg.head_kind == "yolo":
+            boxes, scores = npr.decode_yolo(
+                [np.asarray(l)[0] for l in logits], cfg.anchors, masks,
+                cfg.num_classes, cfg.input_hw,
+                scales=[h.scale_xy for h in cfg.yolo_heads])
+        else:
+            boxes, scores = npr.decode(np.asarray(logits)[0],
+                                       cfg.anchors, cfg.num_classes)
+        kept = _protocol_nms(np.asarray(boxes), np.asarray(scores),
+                             eval_conf, cfg.nms_threshold)
+        if not kept:
+            dets[img_id] = []
+            continue
+        kb = np.stack([k[0] for k in kept])
+        scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
+                                                   (net_h, net_w))
+        xyxy = npr.unletterbox_boxes(kb, scale, px, py, net_w, net_h,
+                                     src_w, src_h)
+        dets[img_id] = [(k[2], k[1], *xyxy[j])
+                        for j, k in enumerate(kept)]
+    return dets
+
+
+# ---------------------------------------------------------------------------
+# clean-room 11-point VOC evaluator (devkit +1 IoU) — the TF stack's
+# own scorer, written loop-level and independently of eval/voc_map.py
+# ---------------------------------------------------------------------------
+
+def _iou_voc(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    iw, ih = max(ix2 - ix1 + 1.0, 0.0), max(iy2 - iy1 + 1.0, 0.0)
+    inter = iw * ih
+    ua = ((a[2] - a[0] + 1.0) * (a[3] - a[1] + 1.0)
+          + (b[2] - b[0] + 1.0) * (b[3] - b[1] + 1.0) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def _voc_map_oracle(detections, ground_truth, num_classes):
+    aps = []
+    for cls in range(num_classes):
+        recs = []
+        for img_id, dets in detections.items():
+            for d in dets:
+                if d[0] == cls:
+                    recs.append((img_id, d[1], d[2:6]))
+        recs.sort(key=lambda r: -r[1])
+        matched = {i: [False] * int((np.asarray(g["classes"]) == cls).sum())
+                   for i, g in ground_truth.items()}
+        npos = sum(int((np.asarray(g["classes"]) == cls).sum())
+                   for g in ground_truth.values())
+        if npos == 0:
+            continue
+        tps, fps = [], []
+        for img_id, _s, box in recs:
+            g = ground_truth[img_id]
+            sel = np.asarray(g["classes"]) == cls
+            gboxes = np.asarray(g["boxes"])[sel]
+            best, bj = 0.0, -1
+            for j, gb in enumerate(gboxes):
+                v = _iou_voc(box, gb)
+                if v > best:
+                    best, bj = v, j
+            if best >= 0.5 and not matched[img_id][bj]:
+                matched[img_id][bj] = True
+                tps.append(1.0); fps.append(0.0)
+            else:
+                tps.append(0.0); fps.append(1.0)
+        tp = np.cumsum(tps)
+        fp = np.cumsum(fps)
+        rec = tp / npos
+        prec = tp / np.maximum(tp + fp, 1e-12)
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            above = prec[rec >= t]
+            ap += (above.max() if above.size else 0.0) / 11.0
+        aps.append(ap)
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def _synth_gt(detections, samples, rng, num_classes):
+    """GT = the model's own detections, box-jittered +- up to 2%, plus
+    one random distractor per image — non-degenerate PR curves with
+    genuine TP/FP mixtures."""
+    gt = {}
+    for img_id, (path, (h, w)) in enumerate(samples):
+        boxes, classes = [], []
+        # the model's top detections per image, whatever their absolute
+        # scores (random weights give scores near conf*1/C ~ 0.025)
+        for (c, s, x1, y1, x2, y2) in detections.get(img_id, [])[:5]:
+            j = rng.uniform(-0.02, 0.02, 4) * [w, h, w, h]
+            boxes.append(np.clip([x1 + j[0], y1 + j[1],
+                                  x2 + j[2], y2 + j[3]],
+                                 0, [w, h, w, h]))
+            classes.append(c)
+        # one distractor box per image (usually an FN/FP source)
+        bw, bh = rng.uniform(0.2, 0.5) * w, rng.uniform(0.2, 0.5) * h
+        x1 = rng.uniform(0, w - bw)
+        y1 = rng.uniform(0, h - bh)
+        boxes.append([x1, y1, x1 + bw, y1 + bh])
+        classes.append(int(rng.integers(0, num_classes)))
+        gt[img_id] = {"boxes": np.asarray(boxes, np.float64),
+                      "classes": np.asarray(classes, np.int64),
+                      "difficult": np.zeros(len(classes), np.int64)}
+    return gt
+
+
+@pytest.mark.parametrize("variant", ["tiny-voc", "yolov3-tiny"])
+def test_dual_stack_voc_map_parity(tmp_path, variant):
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.eval.runner import collect_detections
+    from yolo_tpu.eval.voc_map import evaluate
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+
+    cfg = get_variant(variant, input_size=416)  # full 416, tiny trunks
+    rng = np.random.default_rng(0)
+    params = _realistic_params(cfg, rng)
+    folded = graph.params_to_jax(
+        graph.fold_params(cfg.layers, params, cfg.bn_eps))
+
+    samples = _make_images(tmp_path, rng)
+    run_samples = [(p, None) for p, _ in samples]
+
+    # JAX production stack
+    dets_jax = collect_detections(
+        cfg, folded, run_samples, batch=10, eval_conf=EVAL_CONF,
+        compute_dtype=jnp.float32)
+    n_jax = sum(len(v) for v in dets_jax.values())
+    assert n_jax > 50, f"degenerate run: only {n_jax} jax detections"
+
+    # TF oracle stack (own letterbox/forward/decode/NMS)
+    dets_tf = _tf_collect(cfg, params, samples, EVAL_CONF)
+    n_tf = sum(len(v) for v in dets_tf.values())
+
+    gt = _synth_gt(dets_jax, samples, np.random.default_rng(7),
+                   cfg.num_classes)
+
+    map_jax = evaluate(dets_jax, gt, cfg.num_classes,
+                       use_07_metric=True)["map"]
+    map_tf = _voc_map_oracle(dets_tf, gt, cfg.num_classes)
+
+    # non-vacuous: GT derives from the model's own detections, so real
+    # TP/FP mixtures exist (the 100-detection cap over 100 images keeps
+    # absolute precision low); the distractor boxes keep it < 1
+    assert 0.02 < map_jax < 0.999, map_jax
+    # the parity gate: two fully independent stacks, one number
+    assert abs(map_jax - map_tf) < 2e-3, (
+        f"dual-stack mAP drift: jax {map_jax:.6f} vs tf {map_tf:.6f} "
+        f"({n_jax} vs {n_tf} detections)")
+
+    # cross-scoring isolates the EVALUATOR: both scorers must agree on
+    # the SAME detection set to float tolerance
+    same_jax = _voc_map_oracle(dets_jax, gt, cfg.num_classes)
+    assert abs(map_jax - same_jax) < 1e-6, (map_jax, same_jax)

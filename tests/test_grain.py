@@ -95,13 +95,67 @@ class TestGrainAugment:
         assert not all(np.array_equal(x["images"], y["images"])
                        for x, y in zip(a, plain))
 
-    def test_mosaic_rejected(self, tmp_path):
+    def test_mosaic_deterministic_composites(self, tmp_path):
+        """--mosaic under grain: the seeded transform draws its 3
+        partner records from the random-access source — runs are
+        reproducible, boxes stay normalized to the canvas, and the
+        composites differ from the plain path."""
         from yolo_tpu.data.augment import AugmentConfig
 
-        with pytest.raises(ValueError, match="cross-record"):
-            grain_train_batches(_mk_pairs(tmp_path), seed=0,
-                                augment_cfg=AugmentConfig(mosaic=True),
-                                **KW)
+        pairs = _mk_pairs(tmp_path)
+        aug = AugmentConfig(mosaic=True)
+        a = list(grain_train_batches(pairs, seed=7, augment_cfg=aug,
+                                     **KW))
+        b = list(grain_train_batches(pairs, seed=7, augment_cfg=aug,
+                                     **KW))
+        assert len(a) == len(b) == 3
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["images"], y["images"])
+            assert x["images"].shape[1:] == (64, 64, 3)
+            assert x["images"].min() >= 0.0 and x["images"].max() <= 1.0
+        plain = list(grain_train_batches(pairs, seed=7, **KW))
+        assert not all(np.array_equal(x["images"], y["images"])
+                       for x, y in zip(a, plain))
+        # every source image carries one centered GT box, so a 4-image
+        # composite keeps at least one assigned anchor per record
+        assert any(float(x["obj_mask"].sum()) > 0 for x in a)
+
+    def test_mosaic_resume_reproduces_batches(self, tmp_path):
+        """Mosaic's partner draws travel with grain's iterator state:
+        restoring mid-stream regenerates the SAME composites."""
+        from yolo_tpu.data.augment import AugmentConfig
+
+        pairs = _mk_pairs(tmp_path)
+        aug = AugmentConfig(mosaic=True)
+        it = grain_train_batches(pairs, seed=8, num_epochs=2,
+                                 augment_cfg=aug, **KW)
+        first = [next(it) for _ in range(2)]
+        state = it.get_state()
+        rest = [next(it) for _ in range(2)]
+        it2 = grain_train_batches(pairs, seed=8, num_epochs=2,
+                                  augment_cfg=aug, **KW)
+        it2.set_state(state)
+        rest2 = [next(it2) for _ in range(2)]
+        for x, y in zip(rest, rest2):
+            np.testing.assert_array_equal(x["images"], y["images"])
+        del first
+
+    def test_mixup_blends_and_concatenates(self, tmp_path):
+        """--mixup under grain: 0.5/0.5 blend with one seeded partner,
+        truths concatenated (obj_mask can carry both records' boxes)."""
+        from yolo_tpu.data.augment import AugmentConfig
+
+        pairs = _mk_pairs(tmp_path)
+        aug = AugmentConfig(mixup=True)
+        a = list(grain_train_batches(pairs, seed=9, augment_cfg=aug,
+                                     **KW))
+        b = list(grain_train_batches(pairs, seed=9, augment_cfg=aug,
+                                     **KW))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["images"], y["images"])
+        plain = list(grain_train_batches(pairs, seed=9, **KW))
+        assert not all(np.array_equal(x["images"], y["images"])
+                       for x, y in zip(a, plain))
 
 
 class TestGrainCheckpoint:

@@ -1033,20 +1033,38 @@ class TestYolov4Features:
         np.testing.assert_allclose(got2, want2, rtol=1e-4,
                                    atol=1e-5 * np.abs(want2).max())
 
-    def test_weighted_shortcut_rejected(self, tmp_path):
+    def test_weighted_shortcut_parses(self, tmp_path):
+        """[shortcut] weights_type (scaled-yolov4 csp-x family) parses
+        into a weighted Shortcut since round 3 (it used to reject);
+        forward/layout semantics live in tests/test_weighted_shortcut.py.
+        Unknown weights_type values still reject loudly."""
         from yolo_tpu.configs.darknet_cfg import config_from_cfg
 
         p = tmp_path / "w.cfg"
-        p.write_text(
+        body = (
             "[net]\nwidth=32\nheight=32\n"
             "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\n"
             "stride=2\npad=1\nactivation=leaky\n"
             "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\n"
             "activation=linear\n"
-            "[shortcut]\nfrom=-2\nweights_type=per_feature\n"
+            "[shortcut]\nfrom=-2\nweights_type={wt}\n"
             "[convolutional]\nfilters=9\nsize=1\nactivation=linear\n"
             "[yolo]\nmask = 0\nanchors = 10,14, 23,27\nclasses=4\n"
             "num=2\n")
+        p.write_text(body.format(wt="per_feature"))
+        cfg = config_from_cfg(str(p))
+        sc = [l for l in cfg.layers if isinstance(l, Shortcut)]
+        assert len(sc) == 1
+        assert sc[0].weights_type == "per_feature"
+        assert sc[0].weights_norm == "none"
+
+        # parser.c alias: per_layer == per_feature
+        p.write_text(body.format(wt="per_layer"))
+        cfg = config_from_cfg(str(p))
+        sc = [l for l in cfg.layers if isinstance(l, Shortcut)]
+        assert sc[0].weights_type == "per_feature"
+
+        p.write_text(body.format(wt="per_pixel"))
         with pytest.raises(ValueError, match="weights_type"):
             config_from_cfg(str(p))
 

@@ -110,10 +110,37 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
             x = tf.concat(srcs, axis=-1) if len(srcs) > 1 else srcs[0]
         elif isinstance(layer, Shortcut):
             src = outputs[resolve_route(idx, layer.frm)]
-            if int(src.shape[-1]) == int(x.shape[-1]):
+            minc = min(int(src.shape[-1]), int(x.shape[-1]))
+            if getattr(layer, "weights_type", "none") != "none":
+                # weighted shortcut — independent numpy derivation of
+                # the blend-weight math (specs.Shortcut)
+                wts = params[conv_i]["weights"].astype(np.float64)
+                conv_i += 1
+                if layer.weights_norm == "relu":
+                    lw = np.maximum(wts, 0.001)
+                    wts = lw / (1e-4 + lw.sum(axis=0, keepdims=True))
+                elif layer.weights_norm == "softmax":
+                    e = np.exp(wts - wts.max(axis=0, keepdims=True))
+                    wts = e / (1e-4 + e.sum(axis=0, keepdims=True))
+                wts = wts.astype(np.float32)
+                if layer.weights_type == "per_feature":
+                    w0 = float(wts[0, 0])
+                    w1 = float(wts[1, 0])
+                    y = x * w0
+                    add = src[..., :minc] * w1
+                else:
+                    w0 = tf.constant(wts[0])
+                    w1 = tf.constant(wts[1][:minc])
+                    y = x * w0
+                    add = src[..., :minc] * w1
+                if minc < int(x.shape[-1]):
+                    x = tf.concat([y[..., :minc] + add, y[..., minc:]],
+                                  axis=-1)
+                else:
+                    x = y + add
+            elif int(src.shape[-1]) == int(x.shape[-1]):
                 x = x + src
             else:  # darknet shortcut_cpu: add over min channels (PRN)
-                minc = min(int(src.shape[-1]), int(x.shape[-1]))
                 x = tf.concat([x[..., :minc] + src[..., :minc],
                                x[..., minc:]], axis=-1)
             if layer.act == "leaky":

@@ -157,7 +157,7 @@ class Classifier:
                                               hierarchy_leaf_probs,
                                               top_k)
 
-        xs = np.stack([classifier_preprocess(im, self.cfg.input_size)
+        xs = np.stack([classifier_preprocess(im, self.cfg.input_hw)
                        for im in images_u8])
         probs = np.asarray(self._run(self.params, xs))
         tree = self.cfg.softmax_tree

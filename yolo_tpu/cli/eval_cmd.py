@@ -1,0 +1,128 @@
+"""`eval`/`test` command: VOC/COCO mAP (SURVEY.md §3.5, the parity
+gate)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from yolo_tpu.cli._common import (_compute_dtype, _dataset_samples,
+                                  _get_cfg, _load_params,
+                                  _maybe_quantize, _require_detection,
+                                  _tree_kw)
+
+
+def cmd_eval(args) -> None:
+    """VOC mAP over a split (SURVEY.md §3.5 — the parity gate).
+
+    --resize stretch evaluates with AlexeyAB's plain-resize geometry
+    (its map tool's letter_box=0 default) for mAP parity with that
+    tool family."""
+    from yolo_tpu.eval.voc_map import evaluate
+
+    cfg = _get_cfg(args)
+    _require_detection(cfg, "eval")
+    tree_kw = _tree_kw(args, cfg)
+    # tree-map eval scores the projected class list (the darknet
+    # COCO-on-9k protocol); otherwise the model's own vocabulary
+    names = cfg.detection_names(tree_kw["use_tree_map"])
+    ncls = len(names)
+    if not args.from_detections and not args.weights:
+        raise SystemExit("--weights is required (or score a saved "
+                         "results file with --from-detections)")
+    pairs = _dataset_samples(args, cfg, names=names)
+
+    from yolo_tpu.eval.runner import build_ground_truth, collect_detections
+
+    gt, orig_ids = build_ground_truth(pairs, names)
+
+    if args.from_detections:
+        # score a saved results file (pycocotools loadRes schema) with
+        # no model run — original image/category ids map back here
+        if args.coco_json:
+            from yolo_tpu.data.coco import category_ids
+
+            cls_of = {v: k for k, v in category_ids(
+                args.coco_json, names).items()}
+        else:
+            cls_of = {c: c for c in range(ncls)}
+        inv = {orig: i for i, orig in orig_ids.items()}
+        detections = {i: [] for i in orig_ids}
+        with open(args.from_detections) as f:
+            for r in json.load(f):
+                i = inv.get(r["image_id"])
+                c = cls_of.get(r["category_id"])
+                if i is None or c is None:
+                    continue
+                x, y, bw, bh = r["bbox"]
+                detections[i].append((c, float(r["score"]),
+                                      x, y, x + bw, y + bh))
+    else:
+        params = _load_params(args, cfg)
+        if args.precision == "int8":
+            from yolo_tpu.data.pipeline import load_image_rgb
+
+            params = _maybe_quantize(
+                args, cfg, params,
+                [load_image_rgb(p) for p, _ in pairs[:8]])
+        detections = collect_detections(
+            cfg, params, pairs, batch=args.batch,
+            eval_conf=args.eval_conf,
+            compute_dtype=_compute_dtype(args.precision),
+            resize=args.resize, **tree_kw)
+
+    if args.save_detections:
+        # pycocotools loadRes format: original image/category ids,
+        # top-left-xywh pixel boxes
+        if args.coco_json:
+            from yolo_tpu.data.coco import category_ids
+
+            # only the dataset's own categories are expressible in a
+            # COCO results file; detections of other classes are dropped
+            cat_of = category_ids(args.coco_json, names)
+        else:
+            cat_of = {c: c for c in range(ncls)}
+        results = [
+            {"image_id": orig_ids[img_id], "category_id": cat_of[c],
+             "bbox": [round(x1, 2), round(y1, 2),
+                      round(x2 - x1, 2), round(y2 - y1, 2)],
+             "score": round(s, 5)}
+            for img_id, dets in detections.items()
+            for (c, s, x1, y1, x2, y2) in dets if c in cat_of]
+        with open(args.save_detections, "w") as f:
+            json.dump(results, f)
+        print(f"wrote {len(results)} detections to "
+              f"{args.save_detections}", file=sys.stderr)
+
+    metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
+    if args.save_pr and metric == "coco":
+        raise SystemExit("--save-pr exports VOC-protocol PR curves; "
+                         "use --metric voc07/voc10 with it")
+    if metric == "coco":
+        from yolo_tpu.eval.coco_map import evaluate_coco
+
+        result = evaluate_coco(detections, gt, ncls)
+        per_class = {names[c]: round(a, 4)
+                     for c, a in result["ap"].items()}
+        # the full pycocotools 12-cell summary surface
+        out = {k: round(result[k], 4) for k in (
+            "map", "map50", "map75", "map_small", "map_medium",
+            "map_large", "ar1", "ar10", "ar", "ar_small", "ar_medium",
+            "ar_large") if k in result}
+        out["ap"] = per_class
+        print(json.dumps(out))
+        return
+    result = evaluate(detections, gt, ncls,
+                      use_07_metric=metric == "voc07",
+                      return_curves=bool(args.save_pr))
+    if args.save_pr:
+        with open(args.save_pr, "w") as f:
+            json.dump({names[c]: v
+                       for c, v in result["curves"].items()}, f)
+        print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
+    per_class = {names[c]: round(a, 4)
+                 for c, a in result["ap"].items() if not np.isnan(a)}
+    print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))

@@ -100,7 +100,8 @@ _CONSUMED_KEYS = {
                           "padding")),
     "route": frozenset(("layers", "groups", "group_id")),
     "reorg": frozenset(("stride",)),
-    "shortcut": frozenset(("from", "activation", "weights_type")),
+    "shortcut": frozenset(("from", "activation", "weights_type",
+                           "weights_normalization")),
     "sam": frozenset(("from", "activation")),
     "scale_channels": frozenset(("from", "activation", "scale_wh")),
     "upsample": frozenset(("stride", "scale")),
@@ -219,18 +220,20 @@ def load_names(path: str) -> Tuple[str, ...]:
         return tuple(line.strip() for line in f if line.strip())
 
 
-def _resolve_spatial(layers: List, input_size: int) -> List:
+def _resolve_spatial(layers: List, input_hw: Tuple[int, int]) -> List:
     """Shape-resolution pass: walk (h, w, c) through the layer list and
     pin the geometry the weight layout depends on — Local.out_h/out_w/
     in_c and, for SPATIAL dense inputs, Connected.in_features (darknet
     flattens h*w*c; 1x1 inputs keep in_features=None, the classifier
-    case). Returns the rewritten layer list."""
+    case). Returns the rewritten layer list. input_hw: (net_h, net_w) —
+    the walk is already per-axis, so rectangular nets need no special
+    handling here."""
     import dataclasses as _dc
 
     from yolo_tpu.configs.specs import resolve_route
 
     shapes: List[Tuple[int, int, int]] = []   # (h, w, c) per layer
-    h = w = input_size
+    h, w = input_hw
     c = 3
     out = []
     for idx, l in enumerate(layers):
@@ -292,7 +295,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     """Build a ModelConfig from a darknet cfg (+ optional .names)."""
     sections = parse_cfg(cfg_path)
     layers: List = []
-    input_size = 416
+    net_h = net_w = 416
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
@@ -312,15 +315,30 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 f"[{kind}] is not a supported darknet section "
                 f"(supported: {sorted(_SUPPORTED)})")
         if kind == "net":
+            # darknet [net] width/height are independent keys —
+            # rectangular nets (a normal AlexeyAB video workflow) are
+            # fully supported; every geometry consumer reads
+            # ModelConfig.input_hw = (height, width)
             w = int(kv.get("width", 416))
             h = int(kv.get("height", w))
-            if w != h:
-                raise ValueError(f"non-square net {w}x{h} not supported")
-            if w < 1:
-                raise ValueError(f"[net] width={w} must be >= 1")
+            if w < 1 or h < 1:
+                raise ValueError(f"[net] width={w} height={h} must "
+                                 f"both be >= 1")
             if int(kv.get("channels", 3)) != 3:
-                raise ValueError("only channels=3 input is supported")
-            input_size = w
+                # documented exclusion (docs/MIGRATING.md): the graph
+                # executor and weights walk are channel-generic, but
+                # the HOST pipeline is RGB end-to-end (cv2/native
+                # decode, letterbox canvases, augmentation, serving) —
+                # grayscale cfgs would silently see wrong pixels, so
+                # reject at the door instead
+                raise ValueError(
+                    f"[net] channels={kv['channels']} is not supported "
+                    f"— the host image pipeline (decode, letterbox, "
+                    f"augment, serve) is RGB-only; convert the cfg to "
+                    f"channels=3 (darknet's grayscale conversion is "
+                    f"BT.601 luma) and retrain, or open the cfg's "
+                    f"channels=1 image set as 3-channel")
+            net_w, net_h = w, h
         elif kind == "convolutional":
             act = kv.get("activation", "logistic")
             if act not in ("leaky", "linear", "mish", "logistic",
@@ -412,15 +430,29 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             act = kv.get("activation", "linear")
             if act not in ("leaky", "linear"):
                 raise ValueError(f"unsupported shortcut activation '{act}'")
-            if kv.get("weights_type", "none") != "none":
-                # weighted shortcuts carry LEARNED per-feature/channel
-                # weights in the .weights file — silently dropping the
-                # key would desynchronize the whole weights walk
+            # AlexeyAB weighted shortcuts (scaled-yolov4 csp-x family):
+            # weights_type adds learned blend weights to the .weights
+            # layout (specs.Shortcut pins layout + forward); per_layer
+            # is parser.c's alias for per_feature
+            wt = kv.get("weights_type", "none")
+            if wt == "per_layer":
+                wt = "per_feature"
+            if wt not in ("none", "per_feature", "per_channel"):
                 raise ValueError(
-                    "[shortcut] weights_type (weighted shortcut, "
-                    "yolov4x-mish-style csp-x cfgs) is not supported — "
-                    "its shortcut weights change the .weights layout")
-            layers.append(Shortcut(int(kv["from"]), act=act))
+                    f"[shortcut] weights_type='{wt}' is not a darknet "
+                    f"value (none | per_feature | per_layer | "
+                    f"per_channel)")
+            wn = kv.get("weights_normalization", "none")
+            if wn not in ("none", "relu", "softmax"):
+                raise ValueError(
+                    f"[shortcut] weights_normalization='{wn}' is not a "
+                    f"darknet value (none | relu | softmax)")
+            if wt == "none" and wn != "none":
+                raise ValueError(
+                    "[shortcut] weights_normalization without "
+                    "weights_type has no weights to normalize")
+            layers.append(Shortcut(int(kv["from"]), act=act,
+                                   weights_type=wt, weights_norm=wn))
         elif kind == "sam":
             act = kv.get("activation", "linear")
             if act not in ("leaky", "linear"):
@@ -720,7 +752,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                          f"[softmax] section")
 
     _validate_refs(layers)   # clear ref errors BEFORE the shape walk
-    layers = _resolve_spatial(layers, input_size)
+    layers = _resolve_spatial(layers, (net_h, net_w))
     yolo_heads = [(i, l) for i, l in enumerate(layers)
                   if isinstance(l, YoloHead)]
     heads_present = [n for n, flag in (
@@ -811,7 +843,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                     f"layer {i}: head conv activation=logistic without "
                     f"[yolo] new_coords=1 would double-sigmoid the "
                     f"decode — set new_coords=1 or activation=linear")
-        _validate_strides(layers, input_size)
+        _validate_strides(layers, (net_h, net_w))
     elif softmax_heads or saw_detection:
         pass  # classifier / yolov1: validated above, no region contract
     else:
@@ -841,7 +873,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     cfg = ModelConfig(
         name=name or os.path.splitext(os.path.basename(cfg_path))[0],
         layers=tuple(layers), anchors=anchors, class_names=class_names,
-        input_size=input_size)
+        input_size=net_h, input_width=None if net_w == net_h else net_w)
     import dataclasses
 
     if ignore_thresh is not None:
@@ -1001,19 +1033,21 @@ def layer_strides(layers: Sequence) -> List[int]:
     return strides
 
 
-def _validate_strides(layers: Sequence, input_size: int) -> None:
+def _validate_strides(layers: Sequence, input_hw: Tuple[int, int]) -> None:
+    net_h, net_w = input_hw
     strides = layer_strides(layers)
     for idx, l in enumerate(layers):
-        if isinstance(l, YoloHead) and input_size % strides[idx]:
+        if isinstance(l, YoloHead) and (net_h % strides[idx]
+                                        or net_w % strides[idx]):
             raise ValueError(
                 f"layer {idx}: [yolo] feature stride {strides[idx]} does "
-                f"not divide net size {input_size}")
+                f"not divide net size {net_w}x{net_h}")
 
 
 def cfg_to_string(cfg: ModelConfig) -> str:
     """ModelConfig -> darknet .cfg text (inverse of config_from_cfg; the
     companion of io/darknet_weights.save for full darknet round-trip)."""
-    out = [f"[net]\nwidth={cfg.input_size}\nheight={cfg.input_size}\n"
+    out = [f"[net]\nwidth={cfg.input_w}\nheight={cfg.input_h}\n"
            f"channels=3\n"]
     anchors = ", ".join(f"{w:g},{h:g}" for w, h in cfg.anchors)
     for l in cfg.layers:
@@ -1035,7 +1069,12 @@ def cfg_to_string(cfg: ModelConfig) -> str:
         elif isinstance(l, Reorg):
             out.append(f"[reorg]\nstride={l.stride}\n")
         elif isinstance(l, Shortcut):
-            out.append(f"[shortcut]\nfrom={l.frm}\nactivation={l.act}\n")
+            out.append(f"[shortcut]\nfrom={l.frm}\n"
+                       + (f"weights_type={l.weights_type}\n"
+                          if l.weights_type != "none" else "")
+                       + (f"weights_normalization={l.weights_norm}\n"
+                          if l.weights_norm != "none" else "")
+                       + f"activation={l.act}\n")
         elif isinstance(l, Sam):
             out.append(f"[sam]\nfrom={l.frm}\nactivation={l.act}\n")
         elif isinstance(l, ScaleChannels):

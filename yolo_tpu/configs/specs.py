@@ -78,14 +78,37 @@ class Reorg:
 
 @dataclasses.dataclass(frozen=True)
 class Shortcut:
-    # darknet [shortcut] `from` index (negative = relative, else
-    # absolute). Channel-count mismatches follow shortcut_cpu: the add
-    # covers min(c1, c2) channels and the rest passes through (the
-    # partial-residual / yolov3-tiny-prn family); output keeps the
-    # input's channel count. Weighted shortcuts (weights_type) are
-    # rejected at parse (they add weights to the .weights layout).
+    """darknet [shortcut] `from` index (negative = relative, else
+    absolute). Channel-count mismatches follow shortcut_cpu: the add
+    covers min(c1, c2) channels and the rest passes through (the
+    partial-residual / yolov3-tiny-prn family); output keeps the
+    input's channel count.
+
+    WEIGHTED shortcuts (AlexeyAB weights_type=per_feature|per_channel,
+    the scaled-yolov4 csp-x-family key): the layer carries LEARNED
+    blend weights in the .weights file — nweights = 2 for per_feature
+    (one scalar per merged input: [w_in, w_from]) or 2*C for
+    per_channel (group-major: [w_in[0..C), w_from[0..C)]), written in
+    file order between the surrounding conv blocks
+    (save_shortcut_weights). Forward (blas.c shortcut_multilayer_cpu):
+    out = in * W0 + from * W1 over the min-channel overlap, in * W0
+    alone on passthrough channels, then the activation.
+    weights_normalization rescales the blend weights per position
+    BEFORE use: relu -> lrelu(w) / (1e-4 + sum lrelu(w_j)) with
+    lrelu(w) = max(w, 0.001); softmax -> exp(w - max) /
+    (1e-4 + sum exp(w_j - max)). NOTE: the reference tree is absent
+    and this box has no network — the layout (group-major, file order)
+    follows parser.c's save order and the forward follows
+    shortcut_multilayer_cpu as recalled; both are pinned by byte-level
+    + TF-parity tests here (tests/test_weighted_shortcut.py), and the
+    normalization constants (eps 1e-4, lrelu floor 0.001) are
+    documented as recall-pinned rather than source-cited."""
     frm: int
     act: str = "linear"
+    # "none" | "per_feature" | "per_channel"
+    weights_type: str = "none"
+    # "none" | "relu" | "softmax"
+    weights_norm: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -306,12 +329,15 @@ def conv_specs(layers: Tuple[LayerSpec, ...]) -> Tuple[Conv, ...]:
 
 
 def weighted_specs(layers: Tuple[LayerSpec, ...]
-                   ) -> Tuple[Union[Conv, Connected, Local], ...]:
-    """Weight-carrying layers (Conv + Connected + Local) in darknet
-    file order — the .weights walk order AND the params-list order
-    consumed by models/graph.apply_layers."""
+                   ) -> Tuple[Union[Conv, Connected, Local,
+                                    Shortcut], ...]:
+    """Weight-carrying layers (Conv + Connected + Local + WEIGHTED
+    Shortcut) in darknet file order — the .weights walk order AND the
+    params-list order consumed by models/graph.apply_layers."""
     return tuple(l for l in layers
-                 if isinstance(l, (Conv, Connected, Local)))
+                 if isinstance(l, (Conv, Connected, Local))
+                 or (isinstance(l, Shortcut)
+                     and l.weights_type != "none"))
 
 
 def resolve_route(idx: int, rel: int) -> int:
@@ -333,7 +359,12 @@ class ModelConfig:
     # PIXEL units of the net input for [yolo] heads (yolov3 family).
     anchors: Tuple[Tuple[float, float], ...]
     class_names: Tuple[str, ...]
+    # [net] height (and width too when input_width is None — the square
+    # case every pinned variant uses). Rectangular darknet cfgs
+    # ([net] width != height, a normal AlexeyAB video workflow) set
+    # input_width; geometry consumers read input_h/input_w/input_hw.
     input_size: int = 416
+    input_width: Optional[int] = None
     conf_threshold: float = 0.5
     nms_threshold: float = 0.45
     bn_eps: float = 1e-5  # pinned; see SURVEY.md §3.4 note
@@ -433,8 +464,34 @@ class ModelConfig:
         return len(self.anchors)
 
     @property
+    def input_h(self) -> int:
+        """Net input height ([net] height)."""
+        return self.input_size
+
+    @property
+    def input_w(self) -> int:
+        """Net input width ([net] width; == height for square nets)."""
+        return self.input_width if self.input_width is not None \
+            else self.input_size
+
+    @property
+    def input_hw(self) -> Tuple[int, int]:
+        """(net_h, net_w) — the shape-order geometry every op takes."""
+        return (self.input_h, self.input_w)
+
+    @property
     def grid_size(self) -> int:
+        if self.input_width is not None \
+                and self.input_width != self.input_size:
+            raise ValueError(
+                f"{self.name} is rectangular "
+                f"({self.input_w}x{self.input_h}) — use grid_hw")
         return self.input_size // 32
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        """Region-head grid (gh, gw) = input_hw // 32."""
+        return (self.input_h // 32, self.input_w // 32)
 
     @property
     def head_kind(self) -> str:
@@ -466,8 +523,20 @@ class ModelConfig:
         return tuple(l for l in self.layers if isinstance(l, YoloHead))
 
     def with_input_size(self, size: int) -> "ModelConfig":
-        if size % 32 != 0:
-            raise ValueError(f"input size must be a multiple of 32, got {size}")
+        """Square resize (the --input-size / multi-scale path). On a
+        rectangular config this would silently change the aspect —
+        rejected; use with_input_hw."""
+        if self.input_width is not None and self.input_width != self.input_size:
+            raise ValueError(
+                f"{self.name} is rectangular ({self.input_w}x"
+                f"{self.input_h}): with_input_size would square it — "
+                f"use with_input_hw(h, w)")
+        return self.with_input_hw(size, size)
+
+    def with_input_hw(self, h: int, w: int) -> "ModelConfig":
+        if h % 32 != 0 or w % 32 != 0:
+            raise ValueError(
+                f"input size must be a multiple of 32, got {w}x{h}")
         if any(isinstance(l, (Local, Crop)) for l in self.layers) or \
                 any(isinstance(l, Connected) and l.in_features is not None
                     for l in self.layers):
@@ -477,4 +546,5 @@ class ModelConfig:
                 f"{self.name} has a fixed input size "
                 f"({self.input_size}): [local]/[crop]/spatial "
                 f"[connected] weights are sized by it")
-        return dataclasses.replace(self, input_size=size)
+        return dataclasses.replace(
+            self, input_size=h, input_width=None if w == h else w)

@@ -25,11 +25,14 @@ def _iou_wh(wh: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-12)
 
 
-def kmeans_anchors(wh: np.ndarray, k: int, *, grid: int = 13,
+def kmeans_anchors(wh: np.ndarray, k: int, *, grid=13,
                    iters: int = 300, seed: int = 0) -> Dict:
     """wh: (N, 2) normalized [0, 1] box sizes. Returns
     {'anchors': (k, 2) float in grid units, sorted by area ascending
      (darknet's convention), 'avg_iou': mean best-IoU of the data}.
+    grid: int, or (units_w, units_h) for rectangular nets (w scales by
+    the width units, h by the height units — calc_anchors' per-axis
+    convention).
     """
     wh = np.asarray(wh, np.float64).reshape(-1, 2)
     wh = wh[(wh > 0).all(axis=1)]
@@ -55,7 +58,8 @@ def kmeans_anchors(wh: np.ndarray, k: int, *, grid: int = 13,
     order = np.argsort(centroids[:, 0] * centroids[:, 1])
     centroids = centroids[order]
     avg_iou = float(_iou_wh(wh, centroids).max(axis=1).mean())
-    return {"anchors": (centroids * grid).astype(np.float32),
+    units = np.asarray(grid, np.float64).reshape(-1)  # scalar or (w, h)
+    return {"anchors": (centroids * units).astype(np.float32),
             "avg_iou": avg_iou}
 
 

@@ -204,7 +204,7 @@ def augment(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     return img_u8, boxes, classes
 
 
-def mosaic4(samples, net_size: int, rng: np.random.Generator,
+def mosaic4(samples, net_size, rng: np.random.Generator,
             cfg: AugmentConfig = AugmentConfig()
             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """yolov4 mosaic (AlexeyAB load_data_detection mosaic=1 style):
@@ -215,45 +215,48 @@ def mosaic4(samples, net_size: int, rng: np.random.Generator,
     min_box_visibility of their pre-clip area.
 
     samples: 4 tuples (img_u8 HxWx3, boxes (G,4) normalized xywh,
-    classes (G,)). Returns (canvas u8 (net,net,3), boxes, classes)
-    with boxes normalized to the canvas.
+    classes (G,)). net_size: int or (net_h, net_w) — rectangular nets
+    get a rectangular canvas with per-axis geometry. Returns
+    (canvas u8 (net_h,net_w,3), boxes, classes) with boxes normalized
+    to the canvas.
     """
     import cv2
 
     assert len(samples) == 4
-    n = net_size
-    cx = int(n * rng.uniform(0.25, 0.75))
-    cy = int(n * rng.uniform(0.25, 0.75))
-    canvas = np.zeros((n, n, 3), np.uint8)
-    regions = ((0, 0, cx, cy), (cx, 0, n, cy),
-               (0, cy, cx, n), (cx, cy, n, n))
+    nh, nw = (net_size if isinstance(net_size, (tuple, list))
+              else (net_size, net_size))
+    cx = int(nw * rng.uniform(0.25, 0.75))
+    cy = int(nh * rng.uniform(0.25, 0.75))
+    canvas = np.zeros((nh, nw, 3), np.uint8)
+    regions = ((0, 0, cx, cy), (cx, 0, nw, cy),
+               (0, cy, cx, nh), (cx, cy, nw, nh))
     out_boxes, out_classes = [], []
     for (img, boxes, classes), (x1, y1, x2, y2) in zip(samples, regions):
         # produce only the kept quadrant, but sample the EXACT
         # full-image-stretch mapping (cv2.resize half-pixel centers):
-        # src_x(dst_x) = (dst_x + x1 + 0.5) * w/n - 0.5 — a warpAffine
+        # src_x(dst_x) = (dst_x + x1 + 0.5) * w/nw - 0.5 — a warpAffine
         # with the inverse map, ~4x cheaper than whole-image resize
         h, w = img.shape[:2]
-        m = np.array([[w / n, 0.0, (x1 + 0.5) * w / n - 0.5],
-                      [0.0, h / n, (y1 + 0.5) * h / n - 0.5]],
+        m = np.array([[w / nw, 0.0, (x1 + 0.5) * w / nw - 0.5],
+                      [0.0, h / nh, (y1 + 0.5) * h / nh - 0.5]],
                      np.float64)
         canvas[y1:y2, x1:x2] = cv2.warpAffine(
             img, m, (x2 - x1, y2 - y1),
             flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
             borderMode=cv2.BORDER_REPLICATE)
         for box, cls in zip(np.asarray(boxes, np.float64), classes):
-            bx1 = (box[0] - box[2] / 2) * n
-            by1 = (box[1] - box[3] / 2) * n
-            bx2 = (box[0] + box[2] / 2) * n
-            by2 = (box[1] + box[3] / 2) * n
+            bx1 = (box[0] - box[2] / 2) * nw
+            by1 = (box[1] - box[3] / 2) * nh
+            bx2 = (box[0] + box[2] / 2) * nw
+            by2 = (box[1] + box[3] / 2) * nh
             area = max(bx2 - bx1, 0) * max(by2 - by1, 0)
             nx1, ny1 = max(bx1, x1), max(by1, y1)
             nx2, ny2 = min(bx2, x2), min(by2, y2)
             vis = max(nx2 - nx1, 0) * max(ny2 - ny1, 0)
             if area <= 0 or vis <= 0 or vis / area < cfg.min_box_visibility:
                 continue
-            out_boxes.append([(nx1 + nx2) / 2 / n, (ny1 + ny2) / 2 / n,
-                              (nx2 - nx1) / n, (ny2 - ny1) / n])
+            out_boxes.append([(nx1 + nx2) / 2 / nw, (ny1 + ny2) / 2 / nh,
+                              (nx2 - nx1) / nw, (ny2 - ny1) / nh])
             out_classes.append(int(cls))
     return (canvas,
             np.asarray(out_boxes, np.float64).reshape(-1, 4),

@@ -17,11 +17,13 @@ An alternative to `pipeline.train_batches` for production hosts:
    --checkpoint-dir d` writes `<ckpt>.grain` next to each orbax
    checkpoint and `--resume` restores both together.
 
-Constraints vs the thread loader (documented, enforced): fixed net size
+Constraint vs the thread loader (documented, enforced): fixed net size
 only (multi-scale changes batch shapes per step, which grain's
-per-record operations can't express — `cli train` rejects the combo),
-and no mosaic (a 4-image composite needs cross-record access; grain
-transforms are per-record). `cli train --loader grain` selects it.
+per-record operations can't express — `cli train` rejects the combo).
+Mosaic and mixup ARE supported: the data source is random-access, so
+the seeded per-record transform draws its partner records itself
+(_prepare) — deterministic and restart-safe like every other grain
+augmentation. `cli train --loader grain` selects it.
 """
 
 from __future__ import annotations
@@ -32,14 +34,12 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _prepare(sample, *, class_names, anchors, num_classes, net_size,
-             model_cfg=None, augment_cfg=None, rng=None,
-             resize="letterbox"):
-    """(image_path, annotation) -> one fixed-shape training record."""
-    from yolo_tpu.data import targets as tgt
-    from yolo_tpu.data.pipeline import letterbox_boxes, load_image_rgb
+def _load_raw(sample, *, class_names, augment_cfg=None, rng=None):
+    """(image_path, annotation) -> raw augmented (img_u8, boxes,
+    classes) — the per-sample half shared by the plain, mosaic, and
+    mixup paths."""
+    from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.data.voc import parse_annotation
-    from yolo_tpu.native.preproc import letterbox_batch
 
     img_path, ann = sample
     img = load_image_rgb(img_path)
@@ -54,20 +54,75 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
 
         img, boxes, classes = augment(img, boxes, classes, rng,
                                       augment_cfg)
-    h, w = img.shape[:2]
-    if resize == "stretch":
-        # AlexeyAB letter_box=0 geometry: normalized boxes unchanged
-        from yolo_tpu.ops.numpy_ref import stretch_resize
+    return img, boxes, classes
 
-        image = stretch_resize(img, net_size, net_size)
+
+def _prepare(sample, *, class_names, anchors, num_classes, net_size,
+             model_cfg=None, augment_cfg=None, rng=None,
+             resize="letterbox", all_pairs=None):
+    """(image_path, annotation) -> one fixed-shape training record.
+
+    Mosaic/mixup under grain (cross-record augmentation): the data
+    source is RANDOM-ACCESS (a plain list), so the seeded per-record
+    rng draws the 3 (resp. 1) partner indices deterministically from
+    ``all_pairs`` and the transform loads them itself — restart-safe
+    because the rng travels with grain's iterator state, exactly like
+    the single-record augmentations."""
+    from yolo_tpu.data import targets as tgt
+    from yolo_tpu.data.pipeline import letterbox_boxes
+    from yolo_tpu.native.preproc import letterbox_batch
+
+    nh, nw = (net_size if isinstance(net_size, (tuple, list))
+              else (net_size, net_size))
+
+    def geometry(img, boxes):
+        """source-space (img_u8, boxes) -> net-space (float img, boxes)."""
+        h, w = img.shape[:2]
+        if resize == "stretch":
+            # AlexeyAB letter_box=0: normalized boxes unchanged
+            from yolo_tpu.ops.numpy_ref import stretch_resize
+
+            return stretch_resize(img, nw, nh), boxes
+        image = letterbox_batch(img[None], (nh, nw), n_threads=1)[0]
+        return image, letterbox_boxes(boxes, w, h, (nh, nw))
+
+    if augment_cfg is not None and augment_cfg.mosaic:
+        from yolo_tpu.data.augment import mosaic4
+
+        picks = [sample] + [all_pairs[int(rng.integers(len(all_pairs)))]
+                            for _ in range(3)]
+        samples = [_load_raw(p, class_names=class_names,
+                             augment_cfg=augment_cfg, rng=rng)
+                   for p in picks]
+        canvas, boxes, classes = mosaic4(samples, (nh, nw), rng,
+                                         augment_cfg)
+        image = canvas.astype(np.float32) / 255.0
+    elif augment_cfg is not None and augment_cfg.mixup:
+        # AlexeyAB mixup=1: 0.5/0.5 blend with one random partner
+        # (blend_images_cv), truths concatenated — blended AFTER the
+        # geometry so both live in the same net space (the thread
+        # loader's convention, data/pipeline.py)
+        other = all_pairs[int(rng.integers(len(all_pairs)))]
+        img_a, box_a, cls_a = _load_raw(sample, class_names=class_names,
+                                        augment_cfg=augment_cfg, rng=rng)
+        img_b, box_b, cls_b = _load_raw(other, class_names=class_names,
+                                        augment_cfg=augment_cfg, rng=rng)
+        im_a, box_a = geometry(img_a, box_a)
+        im_b, box_b = geometry(img_b, box_b)
+        image = 0.5 * im_a + 0.5 * im_b
+        boxes = (np.concatenate([box_a, box_b])
+                 if len(box_a) or len(box_b) else box_a)
+        classes = (np.concatenate([cls_a, cls_b])
+                   if len(cls_a) or len(cls_b) else cls_a)
     else:
-        image = letterbox_batch(img[None], net_size, n_threads=1)[0]
-        boxes = letterbox_boxes(boxes, w, h, net_size)
+        img, boxes, classes = _load_raw(sample, class_names=class_names,
+                                        augment_cfg=augment_cfg, rng=rng)
+        image, boxes = geometry(img, boxes)
     if model_cfg is not None:
         enc = tgt.encode_for(model_cfg, boxes, classes,
-                             input_size=net_size)
+                             input_size=(nh, nw))
     else:
-        enc = tgt.encode(boxes, classes, grid=net_size // 32,
+        enc = tgt.encode(boxes, classes, grid=(nh // 32, nw // 32),
                          anchors=anchors, num_classes=num_classes)
     enc["images"] = image
     return enc
@@ -144,7 +199,7 @@ class CheckpointableGrainIterator:
 
 def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         class_names, anchors, num_classes: int,
-                        net_size: int, batch_size: int, seed: int = 0,
+                        net_size, batch_size: int, seed: int = 0,
                         num_epochs: Optional[int] = 1,
                         worker_count: int = 0, model_cfg=None,
                         augment_cfg=None,
@@ -158,21 +213,10 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     entry script must be importable: a real file with an
     `if __name__ == "__main__"` guard, not stdin/REPL).
     num_epochs=None repeats forever. augment_cfg enables darknet
-    jitter/flip/HSV per record (mosaic is rejected: cross-record).
+    jitter/flip/HSV per record, plus mosaic/mixup via seeded
+    random-access partner draws (see _prepare).
     """
     import grain.python as gp
-
-    if augment_cfg is not None and augment_cfg.mosaic:
-        raise ValueError("mosaic needs cross-record access; grain "
-                         "transforms are per-record — use the thread "
-                         "loader for --mosaic")
-    if augment_cfg is not None and augment_cfg.mixup:
-        # equally cross-record; silently ignoring it would train a
-        # different configuration than requested (code-review finding
-        # — the CLI guards this, but the function is public API)
-        raise ValueError("mixup needs cross-record access; grain "
-                         "transforms are per-record — use the thread "
-                         "loader for --mixup")
 
     class _Source:
         def __init__(self, pairs):
@@ -203,6 +247,11 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
               anchors=np.asarray(anchors, np.float32),
               num_classes=num_classes, net_size=net_size,
               model_cfg=model_cfg, resize=resize)
+    if augment_cfg is not None and (augment_cfg.mosaic
+                                    or augment_cfg.mixup):
+        # cross-record augmentation: the transform draws partner
+        # records itself from the random-access pair list (_prepare)
+        kw["all_pairs"] = list(pairs)
 
     class _Prepare(gp.MapTransform):
         def map(self, sample):

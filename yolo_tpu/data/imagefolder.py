@@ -55,7 +55,7 @@ def steps_per_epoch(n_samples: int, batch: int) -> int:
 
 
 def classifier_train_batches(samples: Sequence[Tuple[str, int]],
-                             batch: int, net_size: int, *,
+                             batch: int, net_size, *,
                              epochs: int = 1, seed: int = 0,
                              flip: bool = True, start_step: int = 0,
                              augment_cfg=None
@@ -111,13 +111,24 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                     aug_rng = np.random.default_rng(
                         (seed, 3, epoch, int(j)))
                     if augment_cfg.classifier_geometry:
+                        if isinstance(net_size, (tuple, list)):
+                            if net_size[0] != net_size[1]:
+                                raise ValueError(
+                                    "classifier geometry augmentation "
+                                    "(angle/aspect/min_crop/max_crop) "
+                                    "produces square crops — "
+                                    "rectangular classifier nets must "
+                                    "train without it")
+                            geom_size = int(net_size[0])
+                        else:
+                            geom_size = int(net_size)
                         # darknet load_data_augment order: geometry
                         # crop FIRST, HSV on the net-size crop — also
                         # ~(src/net)² cheaper than distorting the full
                         # source (HSV does not commute with bilinear
                         # resampling, so order is fidelity too)
                         img = random_augment_classifier(
-                            img, aug_rng, augment_cfg, net_size)
+                            img, aug_rng, augment_cfg, geom_size)
                         img = distort_hsv(img, aug_rng, augment_cfg)
                         x = img.astype(np.float32) / 255.0
                     else:

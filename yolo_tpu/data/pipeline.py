@@ -79,18 +79,21 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 
 def letterbox_boxes(boxes_xywh: np.ndarray, src_w: int, src_h: int,
-                    net_size: int) -> np.ndarray:
+                    net_size) -> np.ndarray:
     """Transform normalized source-image xywh boxes into net-space
-    normalized xywh after letterboxing (same geometry as ops/letterbox)."""
-    from yolo_tpu.ops.letterbox import letterbox_geometry
+    normalized xywh after letterboxing (same geometry as ops/letterbox).
+    net_size: int or (net_h, net_w) — x/w normalize through net_w,
+    y/h through net_h."""
+    from yolo_tpu.ops.letterbox import as_hw, letterbox_geometry
 
+    net_h, net_w = as_hw(net_size)
     scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net_size)
     b = np.asarray(boxes_xywh, np.float32).copy()
     out = np.empty_like(b)
-    out[:, 0] = (b[:, 0] * src_w * scale + px) / net_size
-    out[:, 1] = (b[:, 1] * src_h * scale + py) / net_size
-    out[:, 2] = b[:, 2] * src_w * scale / net_size
-    out[:, 3] = b[:, 3] * src_h * scale / net_size
+    out[:, 0] = (b[:, 0] * src_w * scale + px) / net_w
+    out[:, 1] = (b[:, 1] * src_h * scale + py) / net_h
+    out[:, 2] = b[:, 2] * src_w * scale / net_w
+    out[:, 3] = b[:, 3] * src_h * scale / net_h
     return out
 
 
@@ -137,7 +140,7 @@ class DevicePrefetcher:
 
 def inference_batches(image_paths: Sequence[str], batch_size: int,
                       workers: int = 8,
-                      net_size: Optional[int] = None,
+                      net_size=None,
                       skip_errors: bool = True,
                       resize: str = "letterbox") -> Iterator[Dict]:
     """Decode images in parallel and yield inference batches.
@@ -146,7 +149,7 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     source shape — each distinct shape is one jit specialization; right
     for homogeneous streams (cameras, video).
 
-    net_size=<int> (host-preprocess mode): images are preprocessed on
+    net_size=<int or (net_h, net_w)> (host-preprocess mode): images are preprocessed on
     the host to one uniform (net, net) float32 shape — letterboxed
     (native C++ path) or, with resize="stretch", plain-resized
     (AlexeyAB geometry) — so heterogeneous directories (e.g. VOC)
@@ -184,10 +187,12 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                 # preprocess inside the pooled task so the host path
                 # parallelizes like the decode itself
                 if resize == "stretch":
+                    from yolo_tpu.ops.letterbox import as_hw
                     from yolo_tpu.ops.numpy_ref import stretch_resize
 
+                    nh, nw = as_hw(net_size)
                     return q, img.shape[:2], stretch_resize(
-                        img, net_size, net_size)
+                        img, nw, nh)
                 from yolo_tpu.native.preproc import letterbox_batch
 
                 return q, img.shape[:2], letterbox_batch(
@@ -238,7 +243,7 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                    "pad": pad}
 
 
-def _native_inference_batches(image_paths, batch_size: int, net_size: int,
+def _native_inference_batches(image_paths, batch_size: int, net_size,
                               workers: int, skip_errors: bool):
     """Fused host-preprocess path: ONE native decode->letterbox C++
     call per batch (native/decode.cpp worker threads — the darknet
@@ -304,7 +309,7 @@ def _assemble_preprocessed(chunk, pad: int) -> Dict:
 
 
 def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
-                  anchors, num_classes: int, net_size: int, batch_size: int,
+                  anchors, num_classes: int, net_size, batch_size: int,
                   rng: np.random.Generator, workers: int = 8,
                   shuffle: bool = True, size_for_batch=None,
                   augment_cfg=None, model_cfg=None,
@@ -386,10 +391,12 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
             img, boxes, classes = load_sample(idx_, key)
             h, w = img.shape[:2]
             if resize == "stretch":
+                from yolo_tpu.ops.letterbox import as_hw
                 from yolo_tpu.ops.numpy_ref import stretch_resize
 
+                nh, nw = as_hw(size)
                 # plain resize: normalized boxes need no transform
-                return stretch_resize(img, size, size), boxes, classes
+                return stretch_resize(img, nw, nh), boxes, classes
             # native C++ letterbox (oracle semantics; numpy fallback)
             image = native_letterbox(img[None], size, n_threads=1)[0]
             return image, letterbox_boxes(boxes, w, h, size), classes
@@ -440,11 +447,13 @@ def _assemble(chunk, size, anchors, num_classes, model_cfg=None) -> Dict:
 
     images = np.stack([c[0] for c in chunk])
     boxes, classes = [c[1] for c in chunk], [c[2] for c in chunk]
+    nh, nw = (size if isinstance(size, (tuple, list)) else (size, size))
     if model_cfg is not None:
         enc = tgt.encode_batch_for(model_cfg, boxes, classes,
-                                   input_size=size)
+                                   input_size=(nh, nw))
     else:
-        enc = tgt.encode_batch(boxes, classes, grid=size // 32,
+        enc = tgt.encode_batch(boxes, classes,
+                               grid=(nh // 32, nw // 32),
                                anchors=anchors, num_classes=num_classes)
     enc["images"] = images
     return enc

@@ -27,30 +27,42 @@ def _wh_iou(w1, h1, w2, h2) -> float:
     return inter / union if union > 0 else 0.0
 
 
-def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid: int,
+def _as_hw(v) -> tuple:
+    """int -> (v, v); (h, w) kept (same convention as ops.letterbox.as_hw,
+    inlined so the pipeline workers don't import jax-adjacent modules)."""
+    if isinstance(v, (tuple, list)):
+        return int(v[0]), int(v[1])
+    return int(v), int(v)
+
+
+def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid,
            anchors: Sequence, num_classes: int,
            max_gt: int = MAX_GT) -> Dict[str, np.ndarray]:
     """Encode one image's ground truth.
 
     gt_boxes: (G, 4) normalized (cx, cy, w, h) in [0,1]; gt_classes: (G,).
+    grid: int (square) or (gh, gw) — rectangular nets have per-axis cell
+    counts; darknet region_layer compares anchors against
+    (truth.w*l.w, truth.h*l.h) and encodes tw = log(w*l.w/pw),
+    th = log(h*l.h/ph), i.e. each axis uses its OWN grid extent.
 
     Returns fixed-shape arrays:
-      obj_mask   (S, S, A)    1.0 where an anchor is responsible for a GT
-      tcoord     (S, S, A, 4) targets (sx, sy, tw, th) on activation scale
-      tcls       (S, S, A)    int32 class id (0 where unassigned)
-      coord_w    (S, S, A)    darknet coord scale factor (2 - w*h)
-      tiou_boxes (S, S, A, 4) the raw GT xywh for the rescore obj target
+      obj_mask   (GH, GW, A)    1.0 where an anchor is responsible for a GT
+      tcoord     (GH, GW, A, 4) targets (sx, sy, tw, th) on activation scale
+      tcls       (GH, GW, A)    int32 class id (0 where unassigned)
+      coord_w    (GH, GW, A)    darknet coord scale factor (2 - w*h)
+      tiou_boxes (GH, GW, A, 4) the raw GT xywh for the rescore obj target
       gt_boxes   (max_gt, 4)  padded raw GT (for the noobj best-IoU mask)
       gt_mask    (max_gt,)    validity of the padded GT rows
     """
-    s, a = grid, len(anchors)
+    (gh, gw), a = _as_hw(grid), len(anchors)
     anchors = np.asarray(anchors, dtype=np.float32)
     out = {
-        "obj_mask": np.zeros((s, s, a), np.float32),
-        "tcoord": np.zeros((s, s, a, 4), np.float32),
-        "tcls": np.zeros((s, s, a), np.int32),
-        "coord_w": np.zeros((s, s, a), np.float32),
-        "tiou_boxes": np.zeros((s, s, a, 4), np.float32),
+        "obj_mask": np.zeros((gh, gw, a), np.float32),
+        "tcoord": np.zeros((gh, gw, a, 4), np.float32),
+        "tcls": np.zeros((gh, gw, a), np.int32),
+        "coord_w": np.zeros((gh, gw, a), np.float32),
+        "tiou_boxes": np.zeros((gh, gw, a, 4), np.float32),
         "gt_boxes": np.zeros((max_gt, 4), np.float32),
         "gt_mask": np.zeros((max_gt,), np.float32),
     }
@@ -66,17 +78,17 @@ def encode(gt_boxes: np.ndarray, gt_classes: np.ndarray, *, grid: int,
         # BEFORE the cell computation — without the low clamp a
         # center off-image to the left/top wraps the numpy index to
         # the opposite grid edge (code-review finding)
-        ci = min(max(int(cx * s), 0), s - 1)
-        cj = min(max(int(cy * s), 0), s - 1)
-        # best anchor by wh-IoU at origin, in cell units
-        ious = [_wh_iou(w * s, h * s, pw, ph) for pw, ph in anchors]
+        ci = min(max(int(cx * gw), 0), gw - 1)
+        cj = min(max(int(cy * gh), 0), gh - 1)
+        # best anchor by wh-IoU at origin, in cell units (per-axis grid)
+        ious = [_wh_iou(w * gw, h * gh, pw, ph) for pw, ph in anchors]
         best = int(np.argmax(ious))
         out["obj_mask"][cj, ci, best] = 1.0
         out["tcoord"][cj, ci, best] = (
-            cx * s - ci,                       # sigma(tx) target
-            cy * s - cj,                       # sigma(ty) target
-            np.log(max(w * s / anchors[best, 0], 1e-9)),
-            np.log(max(h * s / anchors[best, 1], 1e-9)),
+            cx * gw - ci,                      # sigma(tx) target
+            cy * gh - cj,                      # sigma(ty) target
+            np.log(max(w * gw / anchors[best, 0], 1e-9)),
+            np.log(max(h * gh / anchors[best, 1], 1e-9)),
         )
         out["tcls"][cj, ci, best] = int(cls)
         out["coord_w"][cj, ci, best] = 2.0 - w * h
@@ -97,11 +109,14 @@ MAX_GT_V3 = 90  # darknet yolo_layer reads up to 90 truths per image
 
 
 def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
-                input_size: int, anchors_px: Sequence,
+                input_size, anchors_px: Sequence,
                 masks: Sequence[Sequence[int]], strides: Sequence[int],
                 max_gt: int = MAX_GT_V3,
                 assign_iou_thresh: float = 1.0) -> Dict[str, np.ndarray]:
     """Encode one image's GT for the yolov3 multi-head loss.
+    input_size: int or (net_h, net_w) — rectangular nets get per-axis
+    grids (net/stride) and pixel wh via the matching net extent
+    (darknet delta_yolo_box: tw = log(truth.w*net.w / anchor_w)).
 
     Darknet yolo_layer assignment: each GT box picks the best anchor by
     wh-IoU at origin over ALL anchors (pixel units); EVERY head whose
@@ -122,20 +137,21 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
     ignore-threshold objectness mask and gt_cls (max_gt,) for the
     truth_thresh multi-truth pass (train/loss.py).
     """
+    net_h, net_w = _as_hw(input_size)
     anchors_px = np.asarray(anchors_px, dtype=np.float32)
     out: Dict[str, np.ndarray] = {
         "gt_boxes": np.zeros((max_gt, 4), np.float32),
         "gt_mask": np.zeros((max_gt,), np.float32),
         "gt_cls": np.zeros((max_gt,), np.int32),
     }
-    grids = [input_size // st for st in strides]
-    for h, (mask, s) in enumerate(zip(masks, grids)):
+    grids = [(net_h // st, net_w // st) for st in strides]
+    for h, (mask, (sh, sw)) in enumerate(zip(masks, grids)):
         a = len(mask)
-        out[f"obj_mask_{h}"] = np.zeros((s, s, a), np.float32)
-        out[f"tcoord_{h}"] = np.zeros((s, s, a, 4), np.float32)
-        out[f"tcls_{h}"] = np.zeros((s, s, a), np.int32)
-        out[f"coord_w_{h}"] = np.zeros((s, s, a), np.float32)
-        out[f"tbox_{h}"] = np.zeros((s, s, a, 4), np.float32)
+        out[f"obj_mask_{h}"] = np.zeros((sh, sw, a), np.float32)
+        out[f"tcoord_{h}"] = np.zeros((sh, sw, a, 4), np.float32)
+        out[f"tcls_{h}"] = np.zeros((sh, sw, a), np.int32)
+        out[f"coord_w_{h}"] = np.zeros((sh, sw, a), np.float32)
+        out[f"tbox_{h}"] = np.zeros((sh, sw, a, 4), np.float32)
 
     # anchor index -> [(head, slot), ...]: darknet checks each [yolo]
     # layer's mask independently, so shared anchors train EVERY owner
@@ -153,7 +169,7 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
         out["gt_mask"][g] = 1.0
         out["gt_cls"][g] = int(cls)
         g += 1
-        ious = [_wh_iou(w * input_size, h_ * input_size, pw, ph)
+        ious = [_wh_iou(w * net_w, h_ * net_h, pw, ph)
                 for pw, ph in anchors_px]
         best = int(np.argmax(ious))
         assign = {best} | {ai for ai, iou in enumerate(ious)
@@ -162,17 +178,17 @@ def encode_yolo(gt_boxes: np.ndarray, gt_classes: np.ndarray, *,
             # empty when the anchor is in no mask (yolov3-tiny's anchor
             # 0: the truth trains no head, exactly as darknet behaves)
             for hd, slot in anchor_homes.get(anchor, ()):
-                s = grids[hd]
+                sh, sw = grids[hd]
                 # low clamp too: see encode() (darknet constrains)
-                ci = min(max(int(cx * s), 0), s - 1)
-                cj = min(max(int(cy * s), 0), s - 1)
+                ci = min(max(int(cx * sw), 0), sw - 1)
+                cj = min(max(int(cy * sh), 0), sh - 1)
                 out[f"obj_mask_{hd}"][cj, ci, slot] = 1.0
                 out[f"tcoord_{hd}"][cj, ci, slot] = (
-                    cx * s - ci,
-                    cy * s - cj,
-                    np.log(max(w * input_size / anchors_px[anchor, 0],
+                    cx * sw - ci,
+                    cy * sh - cj,
+                    np.log(max(w * net_w / anchors_px[anchor, 0],
                                1e-9)),
-                    np.log(max(h_ * input_size / anchors_px[anchor, 1],
+                    np.log(max(h_ * net_h / anchors_px[anchor, 1],
                                1e-9)),
                 )
                 out[f"tcls_{hd}"][cj, ci, slot] = int(cls)
@@ -205,11 +221,13 @@ def _head_strides_cached(layers):
 
 
 def encode_for(model_cfg, boxes, classes,
-               input_size: int | None = None) -> Dict[str, np.ndarray]:
-    """Head-kind dispatch, one image (see encode_batch_for)."""
-    size = input_size or model_cfg.input_size
+               input_size=None) -> Dict[str, np.ndarray]:
+    """Head-kind dispatch, one image (see encode_batch_for).
+    input_size: int, (net_h, net_w), or None (the config's input_hw)."""
+    size = input_size if input_size is not None else model_cfg.input_hw
+    net_h, net_w = _as_hw(size)
     if model_cfg.head_kind == "yolo":
-        return encode_yolo(boxes, classes, input_size=size,
+        return encode_yolo(boxes, classes, input_size=(net_h, net_w),
                            anchors_px=model_cfg.anchors,
                            masks=[h.mask for h in model_cfg.yolo_heads],
                            strides=_head_strides(model_cfg),
@@ -218,13 +236,13 @@ def encode_for(model_cfg, boxes, classes,
     if model_cfg.head_kind == "detection":
         return encode_v1(boxes, classes,
                          side=model_cfg.detection_head.side)
-    return encode(boxes, classes, grid=size // 32,
+    return encode(boxes, classes, grid=(net_h // 32, net_w // 32),
                   anchors=model_cfg.anchors,
                   num_classes=model_cfg.num_classes)
 
 
 def encode_batch_for(model_cfg, batch_boxes, batch_classes,
-                     input_size: int | None = None) -> Dict[str, np.ndarray]:
+                     input_size=None) -> Dict[str, np.ndarray]:
     """Head-kind dispatch: encode a batch for ``model_cfg``'s loss
     (region single-head or yolo multi-head)."""
     encoded = [encode_for(model_cfg, b, c, input_size=input_size)

@@ -73,8 +73,8 @@ def collect_detections(cfg, folded_params,
     for i, (p, _) in enumerate(samples):
         path_to_ids.setdefault(p, []).append(i)
     host_iter = inference_batches(list(path_to_ids), batch,
-                                  net_size=cfg.input_size, resize=resize)
-    net = cfg.input_size
+                                  net_size=cfg.input_hw, resize=resize)
+    net_h, net_w = cfg.input_hw
     detections: Dict[int, List] = {}
     import sys
     import time
@@ -97,10 +97,10 @@ def collect_detections(cfg, folded_params,
             if resize == "stretch":
                 xyxy = npr.unstretch_boxes(boxes_net, src_w, src_h)
             else:
-                scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
-                                                           net)
+                scale, rh, rw, px, py = letterbox_geometry(
+                    src_h, src_w, (net_h, net_w))
                 xyxy = npr.unletterbox_boxes(boxes_net, scale, px, py,
-                                             net, net, src_w, src_h)
+                                             net_w, net_h, src_w, src_h)
             dets = [(int(classes_np[bi][i]), float(scores_np[bi][i]),
                      *xyxy[j]) for j, i in enumerate(valid)]
             for sid in path_to_ids[path]:

@@ -29,7 +29,7 @@ from typing import BinaryIO, List, Optional, Sequence
 import numpy as np
 
 from yolo_tpu.configs.specs import (Connected, Conv, LayerSpec, Local,
-                                    weighted_specs)
+                                    Shortcut, weighted_specs)
 
 
 def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> List[int]:
@@ -67,9 +67,15 @@ def _infer_in_channels(layers: Sequence[LayerSpec], input_channels: int = 3) -> 
         elif isinstance(layer, ScaleChannels):
             # output adopts the FROM layer's shape (SE multiply)
             prev = out_ch[resolve_route(idx, layer.frm)]
-        # Shortcut/Sam/Upsample/AvgPool/Dropout/SoftmaxHead/YoloHead
-        # preserve channel count and carry no weights — prev flows
-        # through unchanged.
+        elif (isinstance(layer, Shortcut)
+              and layer.weights_type != "none"):
+            # weighted shortcut: the per_channel weight count is the
+            # layer's OWN channel count (= the input's; shortcut
+            # preserves it even on channel mismatch)
+            conv_in.append(prev)
+        # plain Shortcut/Sam/Upsample/AvgPool/Dropout/SoftmaxHead/
+        # YoloHead preserve channel count and carry no weights — prev
+        # flows through unchanged.
         out_ch.append(prev)
     return conv_in
 
@@ -183,6 +189,23 @@ def load_partial(path_or_file, layers: Sequence[LayerSpec],
                                bias.transpose(1, 2, 0)),
                            "kernel": w.copy()})
             continue
+        if isinstance(spec, Shortcut):
+            # weighted shortcut (save_shortcut_weights): nweights
+            # floats, group-major [w_in..., w_from...] — 2 for
+            # per_feature, 2*C for per_channel (specs.Shortcut)
+            per = 1 if spec.weights_type == "per_feature" else ic
+            need = 2 * per
+            if pos == floats.size:
+                break  # clean cutoff boundary
+            if pos + need > floats.size:
+                raise ValueError(
+                    f"weights file too short (ends mid-layer): "
+                    f"weighted shortcut {len(params)} needs {need} "
+                    f"floats, {floats.size - pos} remain")
+            w = floats[pos:pos + need].reshape(2, per)
+            pos += need
+            params.append({"weights": w.copy()})
+            continue
         conv = spec
         oc, k = conv.filters, conv.size
         if oc % conv.groups or ic % conv.groups:
@@ -258,6 +281,11 @@ def save(path_or_file, layers: Sequence[LayerSpec], params, seen: int = 0,
                 f.write(np.asarray(p["kernel"],
                                    np.float32).tobytes())
                 continue
+            if isinstance(spec, Shortcut):
+                # weighted shortcut: flat group-major blend weights
+                f.write(np.ascontiguousarray(
+                    np.asarray(p["weights"], np.float32)).tobytes())
+                continue
             if spec.bn:
                 for key in ("beta", "gamma", "mean", "var"):
                     f.write(np.asarray(p[key], dtype=np.float32).tobytes())
@@ -293,6 +321,13 @@ def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
                 "bias": rng.normal(
                     0, 0.1, (spec.out_h, spec.out_w, spec.filters)
                 ).astype(np.float32)})
+            continue
+        if isinstance(spec, Shortcut):
+            # darknet inits shortcut blend weights to 1; jitter them so
+            # parity tests exercise the math
+            per = 1 if spec.weights_type == "per_feature" else ic
+            params.append({"weights": rng.uniform(
+                0.5, 1.5, (2, per)).astype(np.float32)})
             continue
         conv = spec
         oc, k = conv.filters, conv.size

@@ -40,12 +40,15 @@ def expected_weights_bytes(layers: Sequence[LayerSpec],
     per connected, out + out*in floats)."""
     from yolo_tpu.io.darknet_weights import _infer_in_channels
 
-    from yolo_tpu.configs.specs import Local
+    from yolo_tpu.configs.specs import Local, Shortcut
 
     n = 0
     for spec, ic in zip(weighted_specs(layers), _infer_in_channels(
             layers, input_channels)):
-        if isinstance(spec, Connected):
+        if isinstance(spec, Shortcut):
+            # weighted shortcut blend weights (specs.Shortcut)
+            n += 2 * (1 if spec.weights_type == "per_feature" else ic)
+        elif isinstance(spec, Connected):
             n += spec.out + spec.out * ic
         elif isinstance(spec, Local):
             loc = spec.out_h * spec.out_w

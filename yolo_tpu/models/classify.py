@@ -24,22 +24,33 @@ from yolo_tpu.configs.specs import ModelConfig
 from yolo_tpu.models import graph
 
 
-def classifier_preprocess(image_u8: np.ndarray, net_size: int
+def classifier_preprocess(image_u8: np.ndarray, net_size
                           ) -> np.ndarray:
-    """(H, W, 3) uint8 -> (net, net, 3) float32 in [0,1]: darknet
-    resize_min (min side -> net_size, aspect preserved) + center crop."""
+    """(H, W, 3) uint8 -> (net_h, net_w, 3) float32 in [0,1]: darknet
+    resize_min (min side -> net_size, aspect preserved) + center crop.
+    net_size: int or (net_h, net_w) — rectangular classifier nets scale
+    so BOTH target extents are covered (the resize_min generalization)
+    then center-crop per axis; the square case keeps darknet's exact
+    integer arithmetic."""
     import cv2
 
     h, w = image_u8.shape[:2]
-    # darknet resize_min's integer arithmetic, kept exactly
-    if w < h:
-        new_w, new_h = net_size, (h * net_size) // w
+    net_h, net_w = (net_size if isinstance(net_size, (tuple, list))
+                    else (net_size, net_size))
+    if net_h == net_w:
+        # darknet resize_min's integer arithmetic, kept exactly
+        if w < h:
+            new_w, new_h = net_w, (h * net_w) // w
+        else:
+            new_w, new_h = (w * net_h) // h, net_h
     else:
-        new_w, new_h = (w * net_size) // h, net_size
+        scale = max(net_w / w, net_h / h)
+        new_w = max(net_w, int(round(w * scale)))
+        new_h = max(net_h, int(round(h * scale)))
     resized = cv2.resize(image_u8.astype(np.float32) / 255.0,
                          (new_w, new_h), interpolation=cv2.INTER_LINEAR)
-    dx, dy = (new_w - net_size) // 2, (new_h - net_size) // 2
-    return resized[dy:dy + net_size, dx:dx + net_size]
+    dx, dy = (new_w - net_w) // 2, (new_h - net_h) // 2
+    return resized[dy:dy + net_h, dx:dx + net_w]
 
 
 @functools.partial(jax.jit, static_argnames=("layers", "eps",
@@ -71,8 +82,8 @@ def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
     return [(class_names[i], float(probs[i])) for i in idx]
 
 
-def preprocess_samples(samples, net_size: int) -> tuple:
-    """(path, label) samples -> (xs (N, net, net, 3) f32, labels (N,)).
+def preprocess_samples(samples, net_size) -> tuple:
+    """(path, label) samples -> (xs (N, net_h, net_w, 3) f32, labels (N,)).
     Factored out so mid-train evaluation can pay the decode+resize cost
     ONCE instead of per --eval-every invocation (code-review)."""
     from yolo_tpu.data.pipeline import load_image_rgb
@@ -166,7 +177,7 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
     for i in range(0, len(samples), batch):
         chunk = samples[i:i + batch]
         xs = np.stack([classifier_preprocess(load_image_rgb(p),
-                                             cfg.input_size)
+                                             cfg.input_hw)
                        for p, _ in chunk]).astype(np.float32)
         labels = np.asarray([lab for _, lab in chunk], np.int64)
         if i == 0 and quantize_first_batch is not None:

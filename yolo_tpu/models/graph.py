@@ -249,14 +249,47 @@ def apply_layers(layers: Sequence[LayerSpec], params: Params, x: jnp.ndarray,
             x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
         elif isinstance(layer, Shortcut):
             src = outputs[resolve_route(idx, layer.frm)]
-            if src.shape[-1] == x.shape[-1]:
+            minc = min(src.shape[-1], x.shape[-1])
+            if layer.weights_type != "none":
+                # weighted shortcut (blas.c shortcut_multilayer_cpu;
+                # layout/normalization pinned in specs.Shortcut):
+                # out = in*W0 + from*W1 on the overlap, in*W0 alone on
+                # passthrough channels; normalization rescales the
+                # (2,)/(2, C) blend weights along the input axis
+                wts = params[conv_i]["weights"].astype(jnp.float32)
+                conv_i += 1
+                if layer.weights_norm == "relu":
+                    lw = jnp.maximum(wts, 0.001)
+                    wts = lw / (1e-4 + jnp.sum(lw, axis=0,
+                                               keepdims=True))
+                elif layer.weights_norm == "softmax":
+                    e = jnp.exp(wts - jnp.max(wts, axis=0,
+                                              keepdims=True))
+                    wts = e / (1e-4 + jnp.sum(e, axis=0,
+                                              keepdims=True))
+                w0 = wts[0] if layer.weights_type == "per_channel" \
+                    else wts[0, 0]
+                w1 = wts[1] if layer.weights_type == "per_channel" \
+                    else wts[1, 0]
+                w1c = w1[:minc] if layer.weights_type == "per_channel" \
+                    else w1
+                y = x.astype(jnp.float32) * w0
+                y = jnp.concatenate(
+                    [y[..., :minc]
+                     + src[..., :minc].astype(jnp.float32) * w1c,
+                     y[..., minc:]], axis=-1) \
+                    if minc < x.shape[-1] else \
+                    y + src[..., :minc].astype(jnp.float32) * w1c
+                x = _activate(y, layer.act)
+                if compute_dtype != jnp.float32:
+                    x = x.astype(compute_dtype)
+            elif src.shape[-1] == x.shape[-1]:
                 x = _activate(x + src, layer.act)
             else:
                 # darknet shortcut_cpu adds over min(c1, c2) channels
                 # and passes the rest through (partial residual — the
                 # yolov3-tiny-prn family); output keeps the INPUT's
                 # channel count
-                minc = min(src.shape[-1], x.shape[-1])
                 x = _activate(jnp.concatenate(
                     [x[..., :minc] + src[..., :minc], x[..., minc:]],
                     axis=-1), layer.act)
@@ -408,6 +441,9 @@ def fold_params(layers: Sequence[LayerSpec], params: Params,
                          f"{n_weighted} weighted layers")
     folded = []
     for p in params:
+        if "weights" in p:  # weighted shortcut: nothing to fold
+            folded.append({"weights": np.asarray(p["weights"])})
+            continue
         if "gamma" in p:
             scale = np.asarray(p["gamma"]) / np.sqrt(np.asarray(p["var"]) + eps)
             k = np.asarray(p["kernel"])

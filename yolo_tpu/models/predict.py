@@ -132,7 +132,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
             pre = top_k if conf_t >= 0.3 else 2 * top_k
             return detect_head_yolo(
                 logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
-                cfg.num_classes, cfg.input_size,
+                cfg.num_classes, cfg.input_hw,
                 conf_threshold=conf_t, iou_threshold=iou_t,
                 pre_top_k=pre, max_detections=max_detections,
                 use_pallas=(jax.default_backend() == "tpu"),
@@ -140,7 +140,7 @@ def _postprocess(cfg: ModelConfig, logits, *,
                 beta_nms=cfg.beta_nms, new_coords=ncs, gaussian=gas)
         boxes, scores = decode_yolo(
             logits, cfg.anchors, [h.mask for h in cfg.yolo_heads],
-            cfg.num_classes, cfg.input_size, scales=scales,
+            cfg.num_classes, cfg.input_hw, scales=scales,
             new_coords=ncs, gaussian=gas)
         return nms_batch(
             boxes, scores, conf_threshold=conf_t, iou_threshold=iou_t,
@@ -214,7 +214,7 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
     if resize == "stretch":
         if entry == "fused":
             raise ValueError("entry='fused' implements letterbox only")
-        x = stretch_resize(images_u8, cfg.input_size, dtype=compute_dtype)
+        x = stretch_resize(images_u8, cfg.input_hw, dtype=compute_dtype)
         dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
         dets["boxes"] = unstretch_boxes_xyxy(dets["boxes"], src_h=h,
                                              src_w=w)
@@ -225,6 +225,13 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
         if not _entry_fusable(cfg, params):
             raise ValueError("entry='fused' needs a conv3x3+pool2x2 "
                              "entry and folded-BN params")
+        if cfg.input_w != cfg.input_h:
+            # the Pallas entry kernel's plane packing and tile picker
+            # are square-net only; rect nets take the XLA path
+            raise ValueError(
+                f"entry='fused' supports square nets only "
+                f"({cfg.input_w}x{cfg.input_h} is rectangular) — use "
+                f"the default entry='xla'")
         if cfg.input_size > 416:
             # the kernel processes one whole image per program with no
             # VMEM-driven spatial tiling: 416 fits (~10 MB, the
@@ -246,10 +253,10 @@ def detect_raw(cfg: ModelConfig, params, images_u8: jnp.ndarray, *,
             compute_dtype=compute_dtype, input_layout="NHCW")
         dets = _postprocess(cfg, logits, compute_dtype=compute_dtype, **kw)
     else:
-        x = letterbox(images_u8, cfg.input_size, dtype=compute_dtype)
+        x = letterbox(images_u8, cfg.input_hw, dtype=compute_dtype)
         dets = detect(cfg, params, x, compute_dtype=compute_dtype, **kw)
     dets["boxes"] = unletterbox_boxes_xyxy(
-        dets["boxes"], src_h=h, src_w=w, net_size=cfg.input_size)
+        dets["boxes"], src_h=h, src_w=w, net_size=cfg.input_hw)
     return dets
 
 

@@ -34,7 +34,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "yolo_decode_mem"):
+            if not hasattr(lib, "letterbox_batch_hw"):
                 # probe the NEWEST export: a stale build on disk (the
                 # .so is gitignored) may have some-but-not-all symbols;
                 # force a rebuild and reload
@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.c_int,
+            ]
+            lib.letterbox_batch_hw.restype = ctypes.c_int
+            lib.letterbox_batch_hw.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
             ]
             lib.yolo_decode_alloc.restype = ctypes.c_void_p
             lib.yolo_decode_alloc.argtypes = [
@@ -68,6 +74,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ]
+            lib.decode_letterbox_batch_hw.restype = ctypes.c_int
+            lib.decode_letterbox_batch_hw.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ]
             _lib = lib
         except (OSError, subprocess.SubprocessError, AttributeError):
             # AttributeError: a stale .so that even a rebuild could not
@@ -81,27 +95,37 @@ def available() -> bool:
     return _load() is not None
 
 
-def letterbox_batch(images_u8: np.ndarray, net: int,
+def _as_hw(net) -> tuple:
+    """int -> (net, net); (h, w) kept (ops.letterbox.as_hw convention)."""
+    if isinstance(net, (tuple, list)):
+        return int(net[0]), int(net[1])
+    return int(net), int(net)
+
+
+def letterbox_batch(images_u8: np.ndarray, net,
                     n_threads: int = 8) -> np.ndarray:
-    """(B, H, W, 3) uint8 RGB -> (B, net, net, 3) float32 in [0, 1].
+    """(B, H, W, 3) uint8 RGB -> (B, net_h, net_w, 3) float32 in [0, 1].
+    net: int (square) or (net_h, net_w).
 
     Native fast path when the library is available, else the numpy/cv2
     oracle per image."""
+    net_h, net_w = _as_hw(net)
     images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
     b, h, w, _ = images_u8.shape
     lib = _load()
     if lib is not None:
-        out = np.empty((b, net, net, 3), dtype=np.float32)
-        rc = lib.letterbox_batch(
+        out = np.empty((b, net_h, net_w, 3), dtype=np.float32)
+        rc = lib.letterbox_batch_hw(
             images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             b, h, w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            net, n_threads)
+            net_h, net_w, n_threads)
         if rc == 0:
             return out
     from yolo_tpu.ops import numpy_ref as npr
 
-    return np.stack([npr.letterbox(img, net, net)[0] for img in images_u8])
+    return np.stack([npr.letterbox(img, net_w, net_h)[0]
+                     for img in images_u8])
 
 
 def decode_image(path: str) -> Optional[np.ndarray]:
@@ -154,24 +178,26 @@ def decode_image_bytes(data: bytes) -> Optional[np.ndarray]:
     return img
 
 
-def decode_letterbox_batch(paths, net: int, n_threads: int = 8):
+def decode_letterbox_batch(paths, net, n_threads: int = 8):
     """Fully-native batch loader (the darknet data.c role): decode N
     paths and letterbox them in C++ worker threads in ONE call.
+    net: int (square) or (net_h, net_w).
 
-    Returns (batch (N, net, net, 3) float32, dims (N, 2) int32
+    Returns (batch (N, net_h, net_w, 3) float32, dims (N, 2) int32
     (src_h, src_w), ok (N,) bool) — failed slots have ok=False and
     dims 0 (the caller drops or retries them via the cv2 path); or
     None when the native library is unavailable."""
+    net_h, net_w = _as_hw(net)
     lib = _load()
     if lib is None:
         return None
     n = len(paths)
-    out = np.empty((n, net, net, 3), dtype=np.float32)
+    out = np.empty((n, net_h, net_w, 3), dtype=np.float32)
     dims = np.empty((n, 2), dtype=np.int32)
     ok = np.empty((n,), dtype=np.uint8)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
-    rc = lib.decode_letterbox_batch(
-        arr, n, net,
+    rc = lib.decode_letterbox_batch_hw(
+        arr, n, net_h, net_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -207,7 +207,7 @@ def tree_top_prediction(cond: jnp.ndarray, tree,
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None, new_coords=None,
+                net_size, scales=None, new_coords=None,
                 gaussian=None):
     """YOLOv3-family [yolo] decode, all heads merged (darknet
     yolo_layer semantics — sigmoid xy/conf, exp wh on PIXEL anchors,
@@ -215,6 +215,9 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
 
       head_logits: sequence of (B, Hs, Ws, As*(5+C)) raw head outputs
                    (As*(9+C) for gaussian heads)
+      net_size:    int or (net_h, net_w) — rectangular nets normalize
+                   bw by net_w and bh by net_h (darknet get_yolo_box's
+                   separate netw/neth divisors)
       anchors_px:  full anchor list, pixel units of the net input
       masks:       per-head index tuples into anchors_px
       scales:      per-head scale_x_y (yolov4 grid-sensitivity fix:
@@ -271,14 +274,18 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
             jnp.concatenate(all_scores, axis=1))
 
 
-def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int,
+def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size,
                       new_coords: bool = False):
     """(B,H,W,A,5+C) fp32 head activations -> (B,H,W,A,4) normalized
     xywh boxes (the [yolo] box math, shared by decode_yolo and the
-    training loss's ignore-mask decode). new_coords=True switches to
+    training loss's ignore-mask decode). net_size: int or
+    (net_h, net_w). new_coords=True switches to
     the scaled-yolov4 box math (AlexeyAB yolo_layer.c get_yolo_box:
     input already logistic-activated by the head conv; xy skips the
     sigmoid, wh = (2v)^2 * anchor instead of exp)."""
+    from yolo_tpu.ops.letterbox import as_hw
+
+    net_h, net_w = as_hw(net_size)
     _, h, w, _, _ = t.shape
     anch = jnp.asarray(anchors_px, jnp.float32)[jnp.asarray(mask)]
     cx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
@@ -290,12 +297,12 @@ def decode_head_boxes(t, anchors_px, mask, s_xy: float, net_size: int,
     by = (vy * s_xy - off + cy) / h
     if new_coords:
         bw = (4.0 * jnp.square(t[..., 2])
-              * anch[None, None, None, :, 0] / net_size)
+              * anch[None, None, None, :, 0] / net_w)
         bh = (4.0 * jnp.square(t[..., 3])
-              * anch[None, None, None, :, 1] / net_size)
+              * anch[None, None, None, :, 1] / net_h)
     else:
-        bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_size
-        bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_size
+        bw = anch[None, None, None, :, 0] * jnp.exp(t[..., 2]) / net_w
+        bh = anch[None, None, None, :, 1] * jnp.exp(t[..., 3]) / net_h
     return jnp.stack([bx, by, bw, bh], axis=-1)
 
 

@@ -78,7 +78,7 @@ def detect_head(logits: jnp.ndarray, anchors, num_classes: int, *,
 
 
 def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
-                     net_size: int, *, conf_threshold: float,
+                     net_size, *, conf_threshold: float,
                      iou_threshold: float, pre_top_k: int = 256,
                      max_detections: int = 100, use_pallas: bool = True,
                      scales=None, nms_kind: str = "greedy",
@@ -106,9 +106,15 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     box/class math applies downstream, only the conf activation is
     bypassed (the conf-direct flag new_coords heads also use). The
     envelope still holds: that conf stays in [0,1] and
-    score = conf * sigmoid(cls) <= conf."""
+    score = conf * sigmoid(cls) <= conf.
+
+    net_size: int or (net_h, net_w) — rectangular nets normalize pw by
+    net_w and ph by net_h, matching ops/decode.decode_head_boxes."""
     import numpy as np
 
+    from yolo_tpu.ops.letterbox import as_hw
+
+    net_h, net_w = as_hw(net_size)
     c = num_classes
     b = head_logits[0].shape[0]
     anchors_np = np.asarray(anchors_px, dtype=np.float32)
@@ -195,9 +201,9 @@ def detect_head_yolo(head_logits, anchors_px, masks, num_classes: int,
     bx = (vx * s_k - off + cx[nidx]) / gw[nidx]
     by = (vy * s_k - off + cy[nidx]) / gh[nidx]
     bw = _mix(4.0 * jnp.square(tk[..., 2]), jnp.exp(tk[..., 2]),
-              nc_k) * pw[nidx] / net_size
+              nc_k) * pw[nidx] / net_w
     bh = _mix(4.0 * jnp.square(tk[..., 3]), jnp.exp(tk[..., 3]),
-              nc_k) * ph[nidx] / net_size
+              nc_k) * ph[nidx] / net_h
     boxes_kb = jnp.stack([bx, by, bw, bh], axis=-1)       # (B, KB, 4)
     probs = _mix(tk[..., 5:], jax.nn.sigmoid(tk[..., 5:]),
                  nc_k[..., None])                         # v3: independent

@@ -40,18 +40,32 @@ def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def letterbox_geometry(src_h: int, src_w: int, net_size: int):
-    """Static geometry: scale, resized (rh, rw), pad offsets (px, py)."""
-    scale = min(net_size / src_w, net_size / src_h)
+def as_hw(net) -> tuple:
+    """Normalize a net-size argument: int -> (net, net); (h, w) kept.
+    Shape order (height, width) everywhere, matching image arrays —
+    the single convention for rectangular ([net] width != height)
+    support across ops/data/train."""
+    if isinstance(net, (tuple, list)):
+        h, w = net
+        return int(h), int(w)
+    return int(net), int(net)
+
+
+def letterbox_geometry(src_h: int, src_w: int, net_size):
+    """Static geometry: scale, resized (rh, rw), pad offsets (px, py).
+    net_size: int (square) or (net_h, net_w)."""
+    net_h, net_w = as_hw(net_size)
+    scale = min(net_w / src_w, net_h / src_h)
     rw, rh = int(round(src_w * scale)), int(round(src_h * scale))
-    px, py = (net_size - rw) // 2, (net_size - rh) // 2
+    px, py = (net_w - rw) // 2, (net_h - rh) // 2
     return scale, rh, rw, px, py
 
 
-def letterbox(images: jnp.ndarray, net_size: int,
+def letterbox(images: jnp.ndarray, net_size,
               dtype=jnp.float32) -> jnp.ndarray:
     """images: (B, H, W, 3) uint8 (or float in [0,255]) raw RGB ->
-    (B, net, net, 3) in [0,1], gray(0.5)-padded.
+    (B, net_h, net_w, 3) in [0,1], gray(0.5)-padded. net_size: int or
+    (net_h, net_w).
 
     dtype=bfloat16 halves the interpolation-matmul cost in the
     throughput path (accumulation stays fp32 via preferred_element_type;
@@ -59,6 +73,7 @@ def letterbox(images: jnp.ndarray, net_size: int,
     only loss is the final rounding — below the fp32-parity tolerance at
     box level)."""
     b, h, w, c = images.shape
+    net_h, net_w = as_hw(net_size)
     scale, rh, rw, px, py = letterbox_geometry(h, w, net_size)
     x = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
     if rh != h:
@@ -71,25 +86,27 @@ def letterbox(images: jnp.ndarray, net_size: int,
                        preferred_element_type=jnp.float32).astype(dtype)
     return jnp.pad(
         x,
-        ((0, 0), (py, net_size - rh - py), (px, net_size - rw - px), (0, 0)),
+        ((0, 0), (py, net_h - rh - py), (px, net_w - rw - px), (0, 0)),
         constant_values=jnp.asarray(0.5, dtype),
     )
 
 
-def stretch_resize(images: jnp.ndarray, net_size: int,
+def stretch_resize(images: jnp.ndarray, net_size,
                    dtype=jnp.float32) -> jnp.ndarray:
-    """images: (B, H, W, 3) uint8 raw RGB -> (B, net, net, 3) in [0,1]
-    by PLAIN bilinear resize, aspect ratio NOT preserved — the
+    """images: (B, H, W, 3) uint8 raw RGB -> (B, net_h, net_w, 3) in
+    [0,1] by PLAIN bilinear resize, aspect ratio NOT preserved — the
     AlexeyAB-darknet default preprocessing (letter_box=0), in contrast
-    to pjreddie's letterbox. Same pinned cv2-INTER_LINEAR filter."""
+    to pjreddie's letterbox. Same pinned cv2-INTER_LINEAR filter.
+    net_size: int or (net_h, net_w)."""
     b, h, w, c = images.shape
+    net_h, net_w = as_hw(net_size)
     x = images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
-    if h != net_size:
-        mh = jnp.asarray(_lerp_matrix(h, net_size), dtype)
+    if h != net_h:
+        mh = jnp.asarray(_lerp_matrix(h, net_h), dtype)
         x = jnp.einsum("oh,bhwc->bowc", mh, x,
                        preferred_element_type=jnp.float32).astype(dtype)
-    if w != net_size:
-        mw = jnp.asarray(_lerp_matrix(w, net_size), dtype)
+    if w != net_w:
+        mw = jnp.asarray(_lerp_matrix(w, net_w), dtype)
         x = jnp.einsum("ow,bhwc->bhoc", mw, x,
                        preferred_element_type=jnp.float32).astype(dtype)
     return x
@@ -110,15 +127,18 @@ def unstretch_boxes_xyxy(boxes_xywh: jnp.ndarray, *, src_h: int,
 
 
 def unletterbox_boxes_xyxy(boxes_xywh: jnp.ndarray, *, src_h: int, src_w: int,
-                           net_size: int) -> jnp.ndarray:
+                           net_size) -> jnp.ndarray:
     """Map net-normalized xywh boxes to original-image pixel xyxy, clipped
-    (same math as numpy_ref.unletterbox_boxes; static geometry)."""
+    (same math as numpy_ref.unletterbox_boxes; static geometry).
+    net_size: int or (net_h, net_w) — x/w unmap through net_w, y/h
+    through net_h."""
+    net_h, net_w = as_hw(net_size)
     scale, rh, rw, px, py = letterbox_geometry(src_h, src_w, net_size)
     b = boxes_xywh
-    cx = (b[..., 0] * net_size - px) / scale
-    cy = (b[..., 1] * net_size - py) / scale
-    bw = b[..., 2] * net_size / scale
-    bh = b[..., 3] * net_size / scale
+    cx = (b[..., 0] * net_w - px) / scale
+    cy = (b[..., 1] * net_h - py) / scale
+    bw = b[..., 2] * net_w / scale
+    bh = b[..., 3] * net_h / scale
     x1 = jnp.clip(cx - bw / 2, 0, src_w)
     y1 = jnp.clip(cy - bh / 2, 0, src_h)
     x2 = jnp.clip(cx + bw / 2, 0, src_w)

@@ -228,7 +228,7 @@ def decode_tree(logits: np.ndarray, anchors, tree, hier_thresh: float,
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
-                net_size: int, scales=None, new_coords=None,
+                net_size, scales=None, new_coords=None,
                 gaussian=None):
     """YOLOv3 [yolo]-layer decode oracle for ONE image, loop-level
     (darknet yolo_layer semantics: sigmoid xy/conf, exp wh on pixel
@@ -252,6 +252,9 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
     Returns (boxes (N, 4) xywh, scores (N, C)) normalized to net space,
     heads concatenated in order.
     """
+    from yolo_tpu.ops.letterbox import as_hw
+
+    net_h, net_w = as_hw(net_size)  # rect nets: bw /= net_w, bh /= net_h
     boxes_out, scores_out = [], []
     scales = scales or [1.0] * len(masks)
     new_coords = new_coords or [False] * len(masks)
@@ -274,8 +277,8 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                         bx = (sigmoid(v[0]) * s_xy - off + i) / w
                         by = (sigmoid(v[2]) * s_xy - off + j) / h
                         with np.errstate(over="ignore"):
-                            bw = pw * np.exp(v[4]) / net_size
-                            bh = ph * np.exp(v[6]) / net_size
+                            bw = pw * np.exp(v[4]) / net_w
+                            bh = ph * np.exp(v[6]) / net_h
                         uc_aver = sigmoid(v[[1, 3, 5, 7]]).mean()
                         conf = sigmoid(v[8]) * (1.0 - uc_aver)
                         probs = sigmoid(v[9:])
@@ -287,8 +290,8 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                     if nc:
                         bx = (tx * s_xy - off + i) / w
                         by = (ty * s_xy - off + j) / h
-                        bw = 4.0 * tw * tw * pw / net_size
-                        bh = 4.0 * th * th * ph / net_size
+                        bw = 4.0 * tw * tw * pw / net_w
+                        bh = 4.0 * th * th * ph / net_h
                         conf = to
                         probs = t[j, i, n, 5:].copy()
                     else:
@@ -296,8 +299,8 @@ def decode_yolo(head_logits, anchors_px, masks, num_classes: int,
                         by = (sigmoid(ty) * s_xy - off + j) / h
                         # same no-clamp policy as decode_region above
                         with np.errstate(over="ignore"):
-                            bw = pw * np.exp(tw) / net_size
-                            bh = ph * np.exp(th) / net_size
+                            bw = pw * np.exp(tw) / net_w
+                            bh = ph * np.exp(th) / net_h
                         conf = sigmoid(to)
                         probs = sigmoid(t[j, i, n, 5:])
                     boxes_out.append([bx, by, bw, bh])

@@ -137,8 +137,8 @@ class DetectionServer:
         size = self._min_bucket
         while size <= self.max_batch:
             if self.is_classifier:
-                net = self.cfg.input_size
-                imgs = jnp.zeros((size, net, net, 3), jnp.float32)
+                net_h, net_w = self.cfg.input_hw
+                imgs = jnp.zeros((size, net_h, net_w, 3), jnp.float32)
                 out = self._classifier(self.params, imgs)
                 np.asarray(out[0, 0])  # sync
             else:
@@ -351,7 +351,7 @@ class DetectionServer:
                     from yolo_tpu.models.classify import classifier_preprocess
 
                     rgb = classifier_preprocess(rgb,
-                                                server.cfg.input_size)
+                                                server.cfg.input_hw)
                 pending = _Pending(rgb)
                 server._q.put(pending)
                 # bounded wait: a dead/stopped worker must yield 503,

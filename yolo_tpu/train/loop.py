@@ -115,7 +115,10 @@ TrainState = Dict[str, Any]
 
 
 def _kernel_mask(params):
-    return [{k: (k == "kernel") for k in p} for p in params]
+    # darknet decays conv/connected/local kernels AND weighted-shortcut
+    # blend weights (update_shortcut_layer axpy's -decay*batch onto
+    # l.weight_updates), never biases/BN terms
+    return [{k: k in ("kernel", "weights") for k in p} for p in params]
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -266,7 +269,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     tx = make_optimizer(tcfg)
     batch_size = batch["images"].shape[0]
 
-    net_size = batch["images"].shape[1]
+    # (net_h, net_w) from the actual batch (rect nets supported)
+    net_size = (batch["images"].shape[1], batch["images"].shape[2])
     accum = max(1, int(tcfg.grad_accum))
     if batch_size % accum:
         raise ValueError(
@@ -314,9 +318,10 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                 # gradients (inference ignores the key, like darknet)
                 raise NotImplementedError(
                     "[yolo] objectness_smooth=1 training is not "
-                    "supported — delete the key from the cfg to train "
-                    "with sharp objectness targets "
-                    "(objectness_smooth=0 darknet semantics)")
+                    "supported — pass `train --allow-deviations` to "
+                    "train this cfg with sharp objectness targets "
+                    "(objectness_smooth=0 darknet semantics) after a "
+                    "warning, or delete the key from the cfg")
             total, parts = yolo_loss(
                 logits, sub, mcfg.anchors,
                 [hd.mask for hd in heads], mcfg.num_classes,
@@ -443,11 +448,13 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
     from yolo_tpu.data import targets as tgt
 
     for size in sizes:
+        net_h, net_w = (size, size) if isinstance(size, int) else size
         enc = tgt.encode_batch_for(
             mcfg, [np.zeros((0, 4))] * batch_size,
-            [np.zeros((0,), np.int32)] * batch_size, input_size=size)
+            [np.zeros((0,), np.int32)] * batch_size,
+            input_size=(net_h, net_w))
         batch = {k: jnp.asarray(v) for k, v in enc.items()}
-        batch["images"] = jnp.zeros((batch_size, size, size, 3),
+        batch["images"] = jnp.zeros((batch_size, net_h, net_w, 3),
                                     jnp.float32)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(

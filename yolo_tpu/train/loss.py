@@ -263,10 +263,10 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     or above the level of the label" and keeping this repo's documented
     squared-error-on-softmax convention for the region family.
     """
-    b, s, _, _ = logits.shape
+    b, sh, sw, _ = logits.shape
     a = len(anchors)
     c = num_classes
-    t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+    t = logits.astype(jnp.float32).reshape(b, sh, sw, a, 5 + c)
     anchors_arr = jnp.asarray(anchors, dtype=jnp.float32)
 
     sx = jax.nn.sigmoid(t[..., 0])
@@ -285,13 +285,13 @@ def region_loss(logits: jnp.ndarray, targets: Dict[str, jnp.ndarray],
     from yolo_tpu.ops.decode import decode_region_boxes
 
     pred_boxes = decode_region_boxes(sx, sy, tw, th, anchors_arr,
-                                     s, s)                  # (B,S,S,A,4)
+                                     sh, sw)              # (B,SH,SW,A,4)
 
     # --- noobj: anchors whose best IoU vs any valid GT < thresh ---
     flat_pred = pred_boxes.reshape(b, -1, 4)
     iou_all = _iou_xywh_pairwise(flat_pred, targets["gt_boxes"])  # (B,N,G)
     iou_all = iou_all * targets["gt_mask"][:, None, :]
-    best_iou = jnp.max(iou_all, axis=-1).reshape(b, s, s, a)
+    best_iou = jnp.max(iou_all, axis=-1).reshape(b, sh, sw, a)
     noobj_mask = (1.0 - obj) * (best_iou < cfg.iou_thresh).astype(jnp.float32)
     loss_noobj = cfg.noobject_scale * jnp.sum(noobj_mask * conf ** 2)
 
@@ -488,7 +488,7 @@ def gaussian_nll(target: jnp.ndarray, mu: jnp.ndarray,
 
 
 def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
-              masks, num_classes: int, net_size: int,
+              masks, num_classes: int, net_size,
               cfg: YoloLossConfig, scales=None, max_deltas=None,
               smooth_eps=None, new_coords=None, gaussian=None
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -522,7 +522,9 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
     Returns (total_loss_mean_per_image, parts) like region_loss.
     """
     from yolo_tpu.ops.decode import decode_head_boxes
+    from yolo_tpu.ops.letterbox import as_hw
 
+    net_h, net_w = as_hw(net_size)  # rect nets: per-axis wh encoding
     c = num_classes
     b = head_logits[0].shape[0]
     zero = jnp.zeros((), jnp.float32)
@@ -562,19 +564,19 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
 
     for h, (logits, mask, s_xy, nc) in enumerate(zip(head_logits, masks,
                                                      scales, new_coords)):
-        _, s, _, _ = logits.shape
+        _, sh, sw, _ = logits.shape
         a = len(mask)
         ga = gaussian[h]
         if ga:
             # interleaved (9+C): remap to the shared views
-            tg = logits.astype(jnp.float32).reshape(b, s, s, a, 9 + c)
+            tg = logits.astype(jnp.float32).reshape(b, sh, sw, a, 9 + c)
             means = tg[..., jnp.asarray([0, 2, 4, 6])]
             sig = jax.nn.sigmoid(tg[..., jnp.asarray([1, 3, 5, 7])])
             # build a (5+C) view [x y w h obj cls...] so the shared
             # obj/class/ignore machinery applies unchanged
             t = jnp.concatenate([means, tg[..., 8:]], axis=-1)
         else:
-            t = logits.astype(jnp.float32).reshape(b, s, s, a, 5 + c)
+            t = logits.astype(jnp.float32).reshape(b, sh, sw, a, 5 + c)
         md = (None if ga else
               (max_deltas[h] if max_deltas[h] is not None
                else cfg.max_delta))
@@ -602,7 +604,7 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
         iou_all = _iou_xywh_pairwise(pred_boxes.reshape(b, -1, 4),
                                      targets["gt_boxes"])
         iou_all = iou_all * targets["gt_mask"][:, None, :]
-        best_iou = jnp.max(iou_all, axis=-1).reshape(b, s, s, a)
+        best_iou = jnp.max(iou_all, axis=-1).reshape(b, sh, sw, a)
         best_iou = jax.lax.stop_gradient(best_iou)
 
         # multi-truth mask (truth_thresh < 1): anchors whose best
@@ -702,10 +704,10 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
             # --- multi-truth positive pass toward the best truth ---
             gtb = jnp.take_along_axis(
                 targets["gt_boxes"], best_g[..., None], axis=1
-            ).reshape(b, s, s, a, 4)
+            ).reshape(b, sh, sw, a, 4)
             gtc = jnp.take_along_axis(
                 targets["gt_cls"].astype(jnp.int32), best_g, axis=1
-            ).reshape(b, s, s, a)
+            ).reshape(b, sh, sw, a)
             gtb = jax.lax.stop_gradient(gtb)
             # objectness toward 1 — the same elementwise form and
             # normalizer as the assigned pass
@@ -727,20 +729,20 @@ def yolo_loss(head_logits, targets: Dict[str, jnp.ndarray], anchors_px,
                 parts["coord"] = (parts["coord"] + cfg.iou_normalizer
                                   * jnp.sum(mt * (1.0 - iou_mt)) / b)
             else:
-                cxi = jnp.arange(s, dtype=jnp.float32)[None, None, :,
-                                                       None]
-                cyj = jnp.arange(s, dtype=jnp.float32)[None, :, None,
-                                                       None]
-                txm = gtb[..., 0] * s - cxi
-                tym = gtb[..., 1] * s - cyj
+                cxi = jnp.arange(sw, dtype=jnp.float32)[None, None, :,
+                                                        None]
+                cyj = jnp.arange(sh, dtype=jnp.float32)[None, :, None,
+                                                        None]
+                txm = gtb[..., 0] * sw - cxi
+                tym = gtb[..., 1] * sh - cyj
                 aw = jnp.asarray([anchors_px[m][0] for m in mask],
                                  jnp.float32)
                 ah = jnp.asarray([anchors_px[m][1] for m in mask],
                                  jnp.float32)
                 twm = jnp.log(jnp.maximum(
-                    gtb[..., 2] * net_size / aw, 1e-9))
+                    gtb[..., 2] * net_w / aw, 1e-9))
                 thm = jnp.log(jnp.maximum(
-                    gtb[..., 3] * net_size / ah, 1e-9))
+                    gtb[..., 3] * net_h / ah, 1e-9))
                 if s_xy == 1.0:
                     xy_mt = (_bce(t_box[..., 0], txm)
                              + _bce(t_box[..., 1], tym))
