@@ -117,7 +117,8 @@ def _load_folded_params(mcfg, weights_path: str):
         # consumer prefers the EMA (darknet ema_apply-before-save)
         params = state.get("ema_params", state["params"])
     else:
-        params, _ = dw.load(weights_path, mcfg.layers)
+        params, _ = dw.load(weights_path, mcfg.layers,
+                            input_channels=mcfg.in_channels)
     return graph.params_to_jax(
         graph.fold_params(mcfg.layers, params, mcfg.bn_eps))
 

@@ -140,7 +140,8 @@ def _load_params(args, cfg, folded: bool = True):
             for p in source
         ]
     else:
-        params, header = dw.load(weights, cfg.layers)
+        params, header = dw.load(weights, cfg.layers,
+                                 input_channels=cfg.in_channels)
         print(f"loaded darknet weights: version "
               f"{header['major']}.{header['minor']}.{header['revision']}, "
               f"seen {header['seen']}", file=sys.stderr)

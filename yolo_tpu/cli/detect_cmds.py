@@ -20,7 +20,7 @@ def cmd_classify(args) -> None:
     ``--images DIR`` evaluates an imagefolder tree (each subdirectory
     named after its true class — darknet `classifier valid` equivalent)
     and reports top-1/top-5 accuracy."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
     from yolo_tpu.models.classify import (classifier_preprocess,
                                           hierarchy_leaf_probs,
                                           hierarchy_path,
@@ -49,7 +49,7 @@ def cmd_classify(args) -> None:
 
     run = make_classifier(cfg, compute_dtype=_compute_dtype(args.precision))
     if args.image:
-        img = load_image_rgb(args.image)
+        img = load_image(args.image, cfg.in_channels)
         x = classifier_preprocess(img, cfg.input_hw)
         if args.precision == "int8":
             params = _quantize_on(x[None])
@@ -93,7 +93,7 @@ def cmd_predict(args) -> None:
     """Single-image detection (reference 'predict' mode, SURVEY.md §3.1)."""
     import jax.numpy as jnp
 
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
     from yolo_tpu.models.predict import make_detector
     from yolo_tpu.utils.profiling import maybe_trace
     from yolo_tpu.utils.viz import draw_detections, save_image
@@ -103,7 +103,7 @@ def cmd_predict(args) -> None:
     tree_kw = _tree_kw(args, cfg)
     names = cfg.detection_names(tree_kw["use_tree_map"])
     params = _load_params(args, cfg)
-    img = load_image_rgb(args.image)
+    img = load_image(args.image, cfg.in_channels)
     params = _maybe_quantize(args, cfg, params, [img])
     det = make_detector(cfg, compute_dtype=_compute_dtype(args.precision),
                         resize=args.resize, **tree_kw)
@@ -152,7 +152,8 @@ def cmd_detect(args) -> None:
             # _detect_video reopens the same source (a webcam refuses
             # a second open while held — code-review finding)
             gen = video_batches(args.video, 8, stride=args.stride,
-                                max_frames=8)
+                                max_frames=8,
+                                channels=cfg.in_channels)
             try:
                 first = next(gen)
             finally:
@@ -175,10 +176,11 @@ def cmd_detect(args) -> None:
     if not paths:
         raise SystemExit(f"no images found in {args.images}")
     if args.precision == "int8":
-        from yolo_tpu.data.pipeline import load_image_rgb
+        from yolo_tpu.data.pipeline import load_image
 
         params = _maybe_quantize(args, cfg, params,
-                                 [load_image_rgb(p) for p in paths[:8]])
+                                 [load_image(p, cfg.in_channels)
+                                  for p in paths[:8]])
 
     if args.host_preprocess:
         # heterogeneous directories: one jit bucket, host preprocessing
@@ -192,9 +194,11 @@ def cmd_detect(args) -> None:
             **tree_kw)
         host_iter = inference_batches(paths, args.batch,
                                       net_size=cfg.input_hw,
-                                      resize=args.resize)
+                                      resize=args.resize,
+                                      channels=cfg.in_channels)
     else:
-        host_iter = inference_batches(paths, args.batch)
+        host_iter = inference_batches(paths, args.batch,
+                                      channels=cfg.in_channels)
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
@@ -268,7 +272,8 @@ def _detect_video(args, cfg, params, det, names=None) -> None:
                                 fps=info["fps"] / max(args.stride, 1),
                                 width=info["width"], height=info["height"])
     host_iter = video_batches(args.video, args.batch, stride=args.stride,
-                              max_frames=args.max_frames or None)
+                              max_frames=args.max_frames or None,
+                              channels=cfg.in_channels)
     try:
         for batch in DevicePrefetcher(host_iter, depth=2):
             out = det(params, jnp.asarray(batch["images"]))

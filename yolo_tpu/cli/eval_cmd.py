@@ -63,11 +63,11 @@ def cmd_eval(args) -> None:
     else:
         params = _load_params(args, cfg)
         if args.precision == "int8":
-            from yolo_tpu.data.pipeline import load_image_rgb
+            from yolo_tpu.data.pipeline import load_image
 
             params = _maybe_quantize(
                 args, cfg, params,
-                [load_image_rgb(p) for p, _ in pairs[:8]])
+                [load_image(p, cfg.in_channels) for p, _ in pairs[:8]])
         detections = collect_detections(
             cfg, params, pairs, batch=args.batch,
             eval_conf=args.eval_conf,

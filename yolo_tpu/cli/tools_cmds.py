@@ -57,7 +57,8 @@ def cmd_partial(args) -> None:
 
     cfg = _get_cfg(args)
     params, header, n_loaded = dw.load_partial(
-        _resolve_weights(args.weights), cfg.layers)
+        _resolve_weights(args.weights), cfg.layers,
+        input_channels=cfg.in_channels)
     n_convs = len(weighted_specs(tuple(cfg.layers[:args.layers])))
     if n_convs > n_loaded:
         raise SystemExit(f"cutoff needs {n_convs} weighted layers; the "
@@ -129,7 +130,7 @@ def cmd_export(args) -> None:
 
 def cmd_serve(args) -> None:
     """HTTP detection endpoint with micro-batching (yolo_tpu/serve.py)."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
     from yolo_tpu.serve import DetectionServer
 
     cfg = _get_cfg(args)
@@ -150,12 +151,13 @@ def cmd_serve(args) -> None:
             from yolo_tpu.models.classify import classifier_preprocess
 
             calib = classifier_preprocess(
-                load_image_rgb(args.calibration_image), cfg.input_hw)
+                load_image(args.calibration_image, cfg.in_channels),
+                cfg.input_hw)
             params = _quantize_classifier(cfg, params, calib[None])
         else:
             params = _maybe_quantize(
                 args, cfg, params,
-                [load_image_rgb(args.calibration_image)])
+                [load_image(args.calibration_image, cfg.in_channels)])
     mesh = None
     if args.dp:
         from yolo_tpu.parallel import sharding as shd

@@ -182,20 +182,23 @@ def cmd_train(args) -> None:
 
     if args.resume:
         template = init_state(
-            dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
+            dw.random_params(cfg.layers, np.random.default_rng(0),
+                             input_channels=cfg.in_channels), tcfg)
         state = _restore_adapt_ema(args.resume, template)
     else:
         # accepts darknet `partial` files (e.g. darknet19_448.conv.23,
         # also as zoo://darknet19-448-conv23): load the backbone
         # prefix, randomly init the remaining layers
         params, header, n_loaded = dw.load_partial(
-            _resolve_weights(args.weights), cfg.layers)
+            _resolve_weights(args.weights), cfg.layers,
+            input_channels=cfg.in_channels)
         from yolo_tpu.configs.specs import conv_specs
 
         n_total = len(conv_specs(cfg.layers))
         if n_loaded < n_total:
             rng_init = np.random.default_rng(args.seed)
-            fresh = dw.random_params(cfg.layers, rng_init, scale=0.03)
+            fresh = dw.random_params(cfg.layers, rng_init, scale=0.03,
+                                     input_channels=cfg.in_channels)
             params = params + fresh[n_loaded:]
             print(f"partial init: {n_loaded}/{n_total} conv layers from "
                   f"{args.weights}, rest randomly initialized "
@@ -304,7 +307,8 @@ def cmd_train(args) -> None:
             net_size=cfg.input_hw, batch_size=args.batch,
             seed=args.seed, num_epochs=args.epochs,
             worker_count=args.loader_workers, model_cfg=cfg,
-            augment_cfg=aug_cfg, resize=args.resize)
+            augment_cfg=aug_cfg, resize=args.resize,
+            channels=cfg.in_channels)
         if args.resume:
             gpath = args.resume.rstrip("/") + ".grain"
             if os.path.exists(gpath):
@@ -344,7 +348,7 @@ def cmd_train(args) -> None:
                     net_size=cfg.input_hw, batch_size=args.batch,
                     rng=rng, size_for_batch=size_fn,
                     augment_cfg=aug_cfg, model_cfg=cfg,
-                    resize=args.resize)
+                    resize=args.resize, channels=cfg.in_channels)
 
             epoch_iters = ((e, _thread_iter(e))
                            for e in range(args.epochs))

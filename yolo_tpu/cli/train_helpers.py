@@ -66,7 +66,8 @@ def _train_classifier(args, cfg) -> None:
         # each eval streams from disk instead (code-review)
         if len(eval_samples) <= 2048:
             eval_arrays = preprocess_samples(eval_samples,
-                                             cfg.input_hw)
+                                             cfg.input_hw,
+                                             cfg.in_channels)
             print(f"cached {len(eval_samples)} preprocessed eval "
                   f"images", file=sys.stderr)
         else:
@@ -105,19 +106,22 @@ def _train_classifier(args, cfg) -> None:
 
     if args.resume:
         template = init_state(
-            dw.random_params(cfg.layers, np.random.default_rng(0)), tcfg)
+            dw.random_params(cfg.layers, np.random.default_rng(0),
+                             input_channels=cfg.in_channels), tcfg)
         state = _restore_adapt_ema(args.resume, template)
     elif args.weights:
         # full weights or a darknet partial (fine-tune / resume-from-
         # export); remaining layers randomly initialized
         params, header, n_loaded = dw.load_partial(
-            _resolve_weights(args.weights), cfg.layers)
+            _resolve_weights(args.weights), cfg.layers,
+            input_channels=cfg.in_channels)
         from yolo_tpu.configs.specs import weighted_specs
 
         n_total = len(weighted_specs(cfg.layers))
         if n_loaded < n_total:
             fresh = dw.random_params(
-                cfg.layers, np.random.default_rng(args.seed), scale=0.03)
+                cfg.layers, np.random.default_rng(args.seed), scale=0.03,
+                input_channels=cfg.in_channels)
             params = params + fresh[n_loaded:]
             print(f"partial init: {n_loaded}/{n_total} weighted layers "
                   f"from {args.weights}, rest randomly initialized",
@@ -128,7 +132,8 @@ def _train_classifier(args, cfg) -> None:
         # darknet classifiers train from scratch by default
         params = dw.random_params(cfg.layers,
                                   np.random.default_rng(args.seed),
-                                  scale=0.03)
+                                  scale=0.03,
+                                  input_channels=cfg.in_channels)
         state = init_state(params, tcfg)
         print("no --weights: training from random initialization "
               f"(seed {args.seed})", file=sys.stderr)
@@ -169,7 +174,7 @@ def _train_classifier(args, cfg) -> None:
     host_iter = classifier_train_batches(
         samples, args.batch, cfg.input_hw, epochs=args.epochs,
         seed=args.seed, flip=flip, start_step=resume_step,
-        augment_cfg=aug_cfg)
+        augment_cfg=aug_cfg, channels=cfg.in_channels)
     logger = MetricsLogger(path=args.log_file, every=args.log_every)
     sharding = shd.batch_sharding(mesh)
     from yolo_tpu.data.imagefolder import steps_per_epoch as _spe

@@ -220,7 +220,8 @@ def load_names(path: str) -> Tuple[str, ...]:
         return tuple(line.strip() for line in f if line.strip())
 
 
-def _resolve_spatial(layers: List, input_hw: Tuple[int, int]) -> List:
+def _resolve_spatial(layers: List, input_hw: Tuple[int, int],
+                     in_channels: int = 3) -> List:
     """Shape-resolution pass: walk (h, w, c) through the layer list and
     pin the geometry the weight layout depends on — Local.out_h/out_w/
     in_c and, for SPATIAL dense inputs, Connected.in_features (darknet
@@ -234,7 +235,7 @@ def _resolve_spatial(layers: List, input_hw: Tuple[int, int]) -> List:
 
     shapes: List[Tuple[int, int, int]] = []   # (h, w, c) per layer
     h, w = input_hw
-    c = 3
+    c = in_channels
     out = []
     for idx, l in enumerate(layers):
         if isinstance(l, Conv):
@@ -296,6 +297,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     sections = parse_cfg(cfg_path)
     layers: List = []
     net_h = net_w = 416
+    net_c = 3
     anchors: Tuple[Tuple[float, float], ...] = ()
     num_classes: Optional[int] = None
     ignore_thresh: Optional[float] = None
@@ -324,20 +326,17 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
             if w < 1 or h < 1:
                 raise ValueError(f"[net] width={w} height={h} must "
                                  f"both be >= 1")
-            if int(kv.get("channels", 3)) != 3:
-                # documented exclusion (docs/MIGRATING.md): the graph
-                # executor and weights walk are channel-generic, but
-                # the HOST pipeline is RGB end-to-end (cv2/native
-                # decode, letterbox canvases, augmentation, serving) —
-                # grayscale cfgs would silently see wrong pixels, so
-                # reject at the door instead
+            net_c = int(kv.get("channels", 3))
+            if net_c not in (1, 3):
+                # darknet's own OpenCV image loader supports exactly
+                # c=1 (cv2.IMREAD_GRAYSCALE) and c=3 (IMREAD_COLOR) —
+                # any other count errors there too ("OpenCV can't
+                # load image with N channels"), so reject at parse
                 raise ValueError(
                     f"[net] channels={kv['channels']} is not supported "
-                    f"— the host image pipeline (decode, letterbox, "
-                    f"augment, serve) is RGB-only; convert the cfg to "
-                    f"channels=3 (darknet's grayscale conversion is "
-                    f"BT.601 luma) and retrain, or open the cfg's "
-                    f"channels=1 image set as 3-channel")
+                    f"— darknet's image loader handles channels=1 "
+                    f"(grayscale, cv2.IMREAD_GRAYSCALE) or channels=3 "
+                    f"(RGB) only, and so does this pipeline")
             net_w, net_h = w, h
         elif kind == "convolutional":
             act = kv.get("activation", "logistic")
@@ -752,7 +751,7 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                          f"[softmax] section")
 
     _validate_refs(layers)   # clear ref errors BEFORE the shape walk
-    layers = _resolve_spatial(layers, (net_h, net_w))
+    layers = _resolve_spatial(layers, (net_h, net_w), in_channels=net_c)
     yolo_heads = [(i, l) for i, l in enumerate(layers)
                   if isinstance(l, YoloHead)]
     heads_present = [n for n, flag in (
@@ -873,7 +872,8 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
     cfg = ModelConfig(
         name=name or os.path.splitext(os.path.basename(cfg_path))[0],
         layers=tuple(layers), anchors=anchors, class_names=class_names,
-        input_size=net_h, input_width=None if net_w == net_h else net_w)
+        input_size=net_h, input_width=None if net_w == net_h else net_w,
+        in_channels=net_c)
     import dataclasses
 
     if ignore_thresh is not None:
@@ -1048,7 +1048,7 @@ def cfg_to_string(cfg: ModelConfig) -> str:
     """ModelConfig -> darknet .cfg text (inverse of config_from_cfg; the
     companion of io/darknet_weights.save for full darknet round-trip)."""
     out = [f"[net]\nwidth={cfg.input_w}\nheight={cfg.input_h}\n"
-           f"channels=3\n"]
+           f"channels={cfg.in_channels}\n"]
     anchors = ", ".join(f"{w:g},{h:g}" for w, h in cfg.anchors)
     for l in cfg.layers:
         if isinstance(l, Conv):

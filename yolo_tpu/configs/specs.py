@@ -365,6 +365,14 @@ class ModelConfig:
     # input_width; geometry consumers read input_h/input_w/input_hw.
     input_size: int = 416
     input_width: Optional[int] = None
+    # [net] channels — 3 (RGB, every published detector) or 1
+    # (grayscale: darknet-OpenCV loads with cv2.IMREAD_GRAYSCALE,
+    # BT.601 luma; our host loaders do the same). The graph executor,
+    # weights walk, letterbox, and decode are channel-generic; this
+    # field sizes the first conv's kernel and selects the host decode
+    # mode. Other counts reject at parse (darknet's OpenCV image
+    # loader itself only supports 1 or 3).
+    in_channels: int = 3
     conf_threshold: float = 0.5
     nms_threshold: float = 0.45
     bn_eps: float = 1e-5  # pinned; see SURVEY.md §3.4 note

@@ -72,6 +72,18 @@ def distort_hsv(img_u8: np.ndarray, rng: np.random.Generator,
     # <=1 gate silently disabled them)
     if cfg.hue == 0 and cfg.saturation == 1 and cfg.exposure == 1:
         return img_u8
+    if img_u8.ndim == 2 or img_u8.shape[-1] == 1:
+        # grayscale ([net] channels=1): AlexeyAB image_data_augmentation
+        # applies ONLY the exposure scale when the image isn't
+        # 3-channel (no HSV space to distort) — recall-pinned like the
+        # weighted-shortcut constants. The hue/saturation draws still
+        # happen, in the RGB path's order, so a seed produces the same
+        # exposure factor in both channel modes.
+        rng.uniform(-cfg.hue, cfg.hue)
+        _rand_scale(rng, cfg.saturation)
+        dexp = _rand_scale(rng, cfg.exposure)
+        return np.clip(np.rint(img_u8.astype(np.float32) * dexp),
+                       0, 255).astype(np.uint8)
     hsv = cv2.cvtColor(img_u8, cv2.COLOR_RGB2HSV).astype(np.float32)
     hsv[..., 0] = (hsv[..., 0] + rng.uniform(-cfg.hue, cfg.hue) * 180.0) % 180.0
     hsv[..., 1] = np.clip(hsv[..., 1] * _rand_scale(rng, cfg.saturation), 0, 255)
@@ -106,6 +118,8 @@ def jitter_crop(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
 
         src = cv2.copyMakeBorder(img_u8, pad_t, pad_b, pad_l, pad_r,
                                  cv2.BORDER_REPLICATE)
+        if src.ndim == 2 and img_u8.ndim == 3:
+            src = src[..., None]   # cv2 drops the C=1 axis (gray)
     crop = src[y1 + pad_t:y2 + pad_t, x1 + pad_l:x2 + pad_l]
     cw, ch = x2 - x1, y2 - y1
 
@@ -146,10 +160,11 @@ def rotate_scale_crop(img_u8: np.ndarray, size: int, *, rad: float,
         [[cosr * ax, -sinr * ay, w / 2.0 + cosr * ax * ox - sinr * ay * oy],
          [sinr * ax, cosr * ay, h / 2.0 + sinr * ax * ox + cosr * ay * oy]],
         np.float32)
-    return cv2.warpAffine(
+    out = cv2.warpAffine(
         img_u8, m, (size, size),
         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
         borderMode=cv2.BORDER_REPLICATE)
+    return out[..., None] if out.ndim == 2 and img_u8.ndim == 3 else out
 
 
 def random_augment_classifier(img_u8: np.ndarray,
@@ -214,10 +229,10 @@ def mosaic4(samples, net_size, rng: np.random.Generator,
     the stretch, are clipped to their quadrant, and are dropped below
     min_box_visibility of their pre-clip area.
 
-    samples: 4 tuples (img_u8 HxWx3, boxes (G,4) normalized xywh,
+    samples: 4 tuples (img_u8 HxWxC, boxes (G,4) normalized xywh,
     classes (G,)). net_size: int or (net_h, net_w) — rectangular nets
     get a rectangular canvas with per-axis geometry. Returns
-    (canvas u8 (net_h,net_w,3), boxes, classes) with boxes normalized
+    (canvas u8 (net_h,net_w,C), boxes, classes) with boxes normalized
     to the canvas.
     """
     import cv2
@@ -227,7 +242,8 @@ def mosaic4(samples, net_size, rng: np.random.Generator,
               else (net_size, net_size))
     cx = int(nw * rng.uniform(0.25, 0.75))
     cy = int(nh * rng.uniform(0.25, 0.75))
-    canvas = np.zeros((nh, nw, 3), np.uint8)
+    c = samples[0][0].shape[2] if samples[0][0].ndim == 3 else 1
+    canvas = np.zeros((nh, nw, c), np.uint8)
     regions = ((0, 0, cx, cy), (cx, 0, nw, cy),
                (0, cy, cx, nh), (cx, cy, nw, nh))
     out_boxes, out_classes = [], []
@@ -240,10 +256,12 @@ def mosaic4(samples, net_size, rng: np.random.Generator,
         m = np.array([[w / nw, 0.0, (x1 + 0.5) * w / nw - 0.5],
                       [0.0, h / nh, (y1 + 0.5) * h / nh - 0.5]],
                      np.float64)
-        canvas[y1:y2, x1:x2] = cv2.warpAffine(
+        quad = cv2.warpAffine(
             img, m, (x2 - x1, y2 - y1),
             flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
             borderMode=cv2.BORDER_REPLICATE)
+        canvas[y1:y2, x1:x2] = (quad[..., None] if quad.ndim == 2
+                                else quad)
         for box, cls in zip(np.asarray(boxes, np.float64), classes):
             bx1 = (box[0] - box[2] / 2) * nw
             by1 = (box[1] - box[3] / 2) * nh

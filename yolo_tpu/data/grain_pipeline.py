@@ -34,15 +34,16 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _load_raw(sample, *, class_names, augment_cfg=None, rng=None):
+def _load_raw(sample, *, class_names, augment_cfg=None, rng=None,
+              channels: int = 3):
     """(image_path, annotation) -> raw augmented (img_u8, boxes,
     classes) — the per-sample half shared by the plain, mosaic, and
     mixup paths."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
     from yolo_tpu.data.voc import parse_annotation
 
     img_path, ann = sample
-    img = load_image_rgb(img_path)
+    img = load_image(img_path, channels)
     if isinstance(ann, dict):
         keep = np.asarray(ann["difficult"]) == 0
         boxes, classes = ann["boxes"][keep], ann["classes"][keep]
@@ -59,7 +60,7 @@ def _load_raw(sample, *, class_names, augment_cfg=None, rng=None):
 
 def _prepare(sample, *, class_names, anchors, num_classes, net_size,
              model_cfg=None, augment_cfg=None, rng=None,
-             resize="letterbox", all_pairs=None):
+             resize="letterbox", all_pairs=None, channels: int = 3):
     """(image_path, annotation) -> one fixed-shape training record.
 
     Mosaic/mixup under grain (cross-record augmentation): the data
@@ -92,7 +93,8 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
         picks = [sample] + [all_pairs[int(rng.integers(len(all_pairs)))]
                             for _ in range(3)]
         samples = [_load_raw(p, class_names=class_names,
-                             augment_cfg=augment_cfg, rng=rng)
+                             augment_cfg=augment_cfg, rng=rng,
+                             channels=channels)
                    for p in picks]
         canvas, boxes, classes = mosaic4(samples, (nh, nw), rng,
                                          augment_cfg)
@@ -104,9 +106,11 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
         # loader's convention, data/pipeline.py)
         other = all_pairs[int(rng.integers(len(all_pairs)))]
         img_a, box_a, cls_a = _load_raw(sample, class_names=class_names,
-                                        augment_cfg=augment_cfg, rng=rng)
+                                        augment_cfg=augment_cfg, rng=rng,
+                             channels=channels)
         img_b, box_b, cls_b = _load_raw(other, class_names=class_names,
-                                        augment_cfg=augment_cfg, rng=rng)
+                                        augment_cfg=augment_cfg, rng=rng,
+                             channels=channels)
         im_a, box_a = geometry(img_a, box_a)
         im_b, box_b = geometry(img_b, box_b)
         image = 0.5 * im_a + 0.5 * im_b
@@ -116,7 +120,8 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
                    if len(cls_a) or len(cls_b) else cls_a)
     else:
         img, boxes, classes = _load_raw(sample, class_names=class_names,
-                                        augment_cfg=augment_cfg, rng=rng)
+                                        augment_cfg=augment_cfg, rng=rng,
+                             channels=channels)
         image, boxes = geometry(img, boxes)
     if model_cfg is not None:
         enc = tgt.encode_for(model_cfg, boxes, classes,
@@ -203,7 +208,8 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         num_epochs: Optional[int] = 1,
                         worker_count: int = 0, model_cfg=None,
                         augment_cfg=None,
-                        resize: str = "letterbox"
+                        resize: str = "letterbox",
+                        channels: int = 3
                         ) -> CheckpointableGrainIterator:
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
@@ -246,7 +252,7 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     kw = dict(class_names=class_names,
               anchors=np.asarray(anchors, np.float32),
               num_classes=num_classes, net_size=net_size,
-              model_cfg=model_cfg, resize=resize)
+              model_cfg=model_cfg, resize=resize, channels=channels)
     if augment_cfg is not None and (augment_cfg.mosaic
                                     or augment_cfg.mixup):
         # cross-record augmentation: the transform draws partner

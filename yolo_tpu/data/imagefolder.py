@@ -58,7 +58,7 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
                              batch: int, net_size, *,
                              epochs: int = 1, seed: int = 0,
                              flip: bool = True, start_step: int = 0,
-                             augment_cfg=None
+                             augment_cfg=None, channels: int = 3
                              ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled epochs of {"images" (B, net, net, 3) f32 [0,1],
     "labels" (B,) i32}. The trailing partial batch of each epoch WRAPS
@@ -77,7 +77,7 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
     pipeline uses) to the raw image before the preprocess, with
     per-(epoch, sample) keys — also position-independent. Its flip
     field overrides ``flip``."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
     from yolo_tpu.models.classify import classifier_preprocess
 
     if batch < 1:
@@ -103,7 +103,7 @@ def classifier_train_batches(samples: Sequence[Tuple[str, int]],
             imgs, labels = [], []
             for j in idx:
                 path, cls = samples[j]
-                img = load_image_rgb(path)
+                img = load_image(path, channels)
                 if augment_cfg is not None:
                     from yolo_tpu.data.augment import (
                         distort_hsv, random_augment_classifier)

@@ -78,6 +78,26 @@ def load_image_rgb(path: str) -> np.ndarray:
     return _load_image_cv2(path)
 
 
+def load_image(path: str, channels: int = 3) -> np.ndarray:
+    """Host decode at the model's channel count ([net] channels) ->
+    (H, W, C) uint8. channels=3 is load_image_rgb; channels=1 decodes
+    with cv2.IMREAD_GRAYSCALE — darknet-OpenCV's exact grayscale path
+    (image_opencv load_image_mat flag 0, BT.601 luma), ALWAYS cv2 (the
+    native decoder is RGB-only; parity with darknet's pixels requires
+    cv2's decoder-integrated conversion, not a post-decode luma)."""
+    if channels == 3:
+        return load_image_rgb(path)
+    if channels != 1:
+        raise ValueError(f"channels={channels}: darknet image loading "
+                         f"supports 1 (grayscale) or 3 (RGB)")
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return img[..., None]
+
+
 def letterbox_boxes(boxes_xywh: np.ndarray, src_w: int, src_h: int,
                     net_size) -> np.ndarray:
     """Transform normalized source-image xywh boxes into net-space
@@ -142,7 +162,8 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
                       workers: int = 8,
                       net_size=None,
                       skip_errors: bool = True,
-                      resize: str = "letterbox") -> Iterator[Dict]:
+                      resize: str = "letterbox",
+                      channels: int = 3) -> Iterator[Dict]:
     """Decode images in parallel and yield inference batches.
 
     net_size=None (device-preprocess mode): raw-RGB batches bucketed by
@@ -159,7 +180,7 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     import collections
 
     if (net_size is not None and resize == "letterbox"
-            and _DECODER == "native"):
+            and _DECODER == "native" and channels == 3):
         from yolo_tpu.native import preproc as native_pp
 
         if native_pp.available():
@@ -175,7 +196,7 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
 
         def load(q):
             try:
-                img = load_image_rgb(q)
+                img = load_image(q, channels)
             except (FileNotFoundError, OSError) as e:
                 if skip_errors:
                     import sys
@@ -313,7 +334,8 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
                   rng: np.random.Generator, workers: int = 8,
                   shuffle: bool = True, size_for_batch=None,
                   augment_cfg=None, model_cfg=None,
-                  resize: str = "letterbox") -> Iterator[Dict]:
+                  resize: str = "letterbox",
+                  channels: int = 3) -> Iterator[Dict]:
     """(image, annotation) pairs -> fixed-shape train batches: letterboxed
     images in [0,1] + encoded GT targets (data/targets.py). One epoch.
     The annotation may be a VOC XML path (str) or a pre-parsed dict in
@@ -352,7 +374,7 @@ def train_batches(pairs: Sequence[Tuple[str, str]], *, class_names,
     def load_sample(idx: int, rng_key):
         """Raw augmented (img, boxes, classes) for one dataset index."""
         img_path, ann = pairs[int(idx)]
-        img = load_image_rgb(img_path)
+        img = load_image(img_path, channels)
         if isinstance(ann, dict):
             # pre-parsed (COCO path): drop crowd/difficult boxes from the
             # training targets, matching parse_annotation's default

@@ -39,10 +39,13 @@ def video_info(path: str) -> Dict:
 
 def video_batches(path: str, batch_size: int,
                   stride: int = 1,
-                  max_frames: Optional[int] = None) -> Iterator[Dict]:
-    """Decode a video into fixed-shape RGB batches.
+                  max_frames: Optional[int] = None,
+                  channels: int = 3) -> Iterator[Dict]:
+    """Decode a video into fixed-shape batches at the model's channel
+    count (channels=1: BGR2GRAY, the same BT.601 luma as
+    cv2.IMREAD_GRAYSCALE still decode).
 
-    Yields {'images': (B, H, W, 3) uint8, 'frames': [frame_index, ...]}
+    Yields {'images': (B, H, W, C) uint8, 'frames': [frame_index, ...]}
     with the final partial batch padded (repeating its last frame) and
     tagged with 'pad' — the schema `cmd_detect`'s loop already consumes.
     ``stride`` samples every Nth frame (e.g. 3 = 10 Hz from 30 fps).
@@ -64,7 +67,10 @@ def video_batches(path: str, batch_size: int,
             if not ok:
                 break
             if idx % stride == 0:
-                chunk.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                chunk.append(
+                    cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)[..., None]
+                    if channels == 1
+                    else cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
                 idxs.append(idx)
                 taken += 1
                 if len(chunk) == batch_size:

@@ -73,7 +73,8 @@ def collect_detections(cfg, folded_params,
     for i, (p, _) in enumerate(samples):
         path_to_ids.setdefault(p, []).append(i)
     host_iter = inference_batches(list(path_to_ids), batch,
-                                  net_size=cfg.input_hw, resize=resize)
+                                  net_size=cfg.input_hw, resize=resize,
+                                  channels=cfg.in_channels)
     net_h, net_w = cfg.input_hw
     detections: Dict[int, List] = {}
     import sys

@@ -72,7 +72,7 @@ def infer_variant(weights_path: str) -> Optional[str]:
 
     actual = os.path.getsize(weights_path)
     for name, cfg in VARIANTS.items():
-        want = expected_weights_bytes(cfg.layers)
+        want = expected_weights_bytes(cfg.layers, cfg.in_channels)
         if actual in (want, want - 4):
             return name
     return None

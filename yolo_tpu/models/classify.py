@@ -49,6 +49,8 @@ def classifier_preprocess(image_u8: np.ndarray, net_size
         new_h = max(net_h, int(round(h * scale)))
     resized = cv2.resize(image_u8.astype(np.float32) / 255.0,
                          (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    if resized.ndim == 2:
+        resized = resized[..., None]   # cv2 drops the C=1 axis (gray)
     dx, dy = (new_w - net_w) // 2, (new_h - net_h) // 2
     return resized[dy:dy + net_h, dx:dx + net_w]
 
@@ -82,13 +84,14 @@ def top_k(probs: np.ndarray, class_names: Tuple[str, ...], k: int = 5
     return [(class_names[i], float(probs[i])) for i in idx]
 
 
-def preprocess_samples(samples, net_size) -> tuple:
-    """(path, label) samples -> (xs (N, net_h, net_w, 3) f32, labels (N,)).
+def preprocess_samples(samples, net_size, channels: int = 3) -> tuple:
+    """(path, label) samples -> (xs (N, net_h, net_w, C) f32, labels (N,)).
     Factored out so mid-train evaluation can pay the decode+resize cost
     ONCE instead of per --eval-every invocation (code-review)."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
 
-    xs = np.stack([classifier_preprocess(load_image_rgb(p), net_size)
+    xs = np.stack([classifier_preprocess(load_image(p, channels),
+                                         net_size)
                    for p, _ in samples]).astype(np.float32)
     labels = np.asarray([lab for _, lab in samples], np.int64)
     return xs, labels
@@ -165,7 +168,7 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
     (O(batch) memory: a 50k-image folder must not materialize a ~40 GB
     array — code-review finding); the mid-train eval path instead
     caches arrays once and calls accuracy_from_arrays directly."""
-    from yolo_tpu.data.pipeline import load_image_rgb
+    from yolo_tpu.data.pipeline import load_image
 
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
@@ -176,8 +179,8 @@ def imagefolder_accuracy(cfg: ModelConfig, params, samples, *,
     n_done = hits1 = hitsk = 0
     for i in range(0, len(samples), batch):
         chunk = samples[i:i + batch]
-        xs = np.stack([classifier_preprocess(load_image_rgb(p),
-                                             cfg.input_hw)
+        xs = np.stack([classifier_preprocess(
+                           load_image(p, cfg.in_channels), cfg.input_hw)
                        for p, _ in chunk]).astype(np.float32)
         labels = np.asarray([lab for _, lab in chunk], np.int64)
         if i == 0 and quantize_first_batch is not None:

@@ -183,6 +183,10 @@ def _entry_fusable(cfg: ModelConfig, params) -> bool:
         return all(r < 0 and idx + r >= 2 for r in refs)
 
     return (ek.eligible(cfg.layers)
+            # the parity-plane letterbox packs exactly 3 RGB channels
+            # (2 column-parities x 3 = 6 planes); grayscale nets stay
+            # on the XLA path
+            and cfg.in_channels == 3
             and "bias" in params[0] and "kernel_q" not in params[0]
             and all(
                 refs_ok(idx, l.layers if isinstance(l, Route)

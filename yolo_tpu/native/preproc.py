@@ -104,16 +104,18 @@ def _as_hw(net) -> tuple:
 
 def letterbox_batch(images_u8: np.ndarray, net,
                     n_threads: int = 8) -> np.ndarray:
-    """(B, H, W, 3) uint8 RGB -> (B, net_h, net_w, 3) float32 in [0, 1].
-    net: int (square) or (net_h, net_w).
+    """(B, H, W, C) uint8 (C=3 RGB, C=1 gray) -> (B, net_h, net_w, C)
+    float32 in [0, 1]. net: int (square) or (net_h, net_w).
 
     Native fast path when the library is available, else the numpy/cv2
     oracle per image."""
     net_h, net_w = _as_hw(net)
     images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
-    b, h, w, _ = images_u8.shape
+    b, h, w, c = images_u8.shape
     lib = _load()
-    if lib is not None:
+    if lib is not None and c == 3:
+        # the C++ kernel is RGB-only; grayscale ([net] channels=1)
+        # takes the numpy/cv2 oracle below (identical semantics)
         out = np.empty((b, net_h, net_w, 3), dtype=np.float32)
         rc = lib.letterbox_batch_hw(
             images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

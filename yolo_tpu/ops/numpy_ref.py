@@ -383,18 +383,22 @@ def nms_per_class(boxes, scores, conf_threshold, iou_threshold,
 # ---------------------------------------------------------------------------
 
 def letterbox(img_u8: np.ndarray, net_w: int, net_h: int):
-    """img_u8: (H, W, 3) uint8 RGB -> (net_h, net_w, 3) float32 in [0,1].
+    """img_u8: (H, W, C) uint8 (C=3 RGB or C=1 grayscale) ->
+    (net_h, net_w, C) float32 in [0,1].
 
     Returns (out, scale, pad_x, pad_y) where pad is in net pixels.
     """
     import cv2
 
     h, w = img_u8.shape[:2]
+    c = 1 if img_u8.ndim == 2 else img_u8.shape[2]
     scale = min(net_w / w, net_h / h)
     rw, rh = int(round(w * scale)), int(round(h * scale))
     resized = cv2.resize(img_u8.astype(np.float32) / 255.0, (rw, rh),
                          interpolation=cv2.INTER_LINEAR)
-    out = np.full((net_h, net_w, 3), 0.5, dtype=np.float32)
+    if resized.ndim == 2:
+        resized = resized[..., None]   # cv2 drops the size-1 C axis
+    out = np.full((net_h, net_w, c), 0.5, dtype=np.float32)
     px, py = (net_w - rw) // 2, (net_h - rh) // 2
     out[py:py + rh, px:px + rw, :] = resized
     return out, scale, px, py
@@ -402,12 +406,13 @@ def letterbox(img_u8: np.ndarray, net_w: int, net_h: int):
 
 def stretch_resize(img_u8: np.ndarray, net_w: int, net_h: int):
     """Plain (aspect-ignoring) resize oracle — the AlexeyAB-darknet
-    default preprocessing (letter_box=0). (H, W, 3) uint8 ->
-    (net_h, net_w, 3) float32 in [0,1]."""
+    default preprocessing (letter_box=0). (H, W, C) uint8 ->
+    (net_h, net_w, C) float32 in [0,1]."""
     import cv2
 
-    return cv2.resize(img_u8.astype(np.float32) / 255.0, (net_w, net_h),
-                      interpolation=cv2.INTER_LINEAR)
+    out = cv2.resize(img_u8.astype(np.float32) / 255.0, (net_w, net_h),
+                     interpolation=cv2.INTER_LINEAR)
+    return out[..., None] if out.ndim == 2 and img_u8.ndim == 3 else out
 
 
 def unstretch_boxes(boxes_xywh: np.ndarray, img_w: int, img_h: int):

@@ -138,11 +138,13 @@ class DetectionServer:
         while size <= self.max_batch:
             if self.is_classifier:
                 net_h, net_w = self.cfg.input_hw
-                imgs = jnp.zeros((size, net_h, net_w, 3), jnp.float32)
+                imgs = jnp.zeros((size, net_h, net_w,
+                                  self.cfg.in_channels), jnp.float32)
                 out = self._classifier(self.params, imgs)
                 np.asarray(out[0, 0])  # sync
             else:
-                imgs = jnp.zeros((size, height, width, 3), jnp.uint8)
+                imgs = jnp.zeros((size, height, width,
+                                  self.cfg.in_channels), jnp.uint8)
                 out = self._detector(self.params, imgs)
                 np.asarray(out["scores"][0, 0])  # sync
             size *= 2
@@ -330,9 +332,10 @@ class DetectionServer:
                     return
                 data = self.rfile.read(length)
                 rgb = None
+                gray = server.cfg.in_channels == 1
                 from yolo_tpu.data.pipeline import get_decoder
 
-                if get_decoder() == "native":
+                if get_decoder() == "native" and not gray:
                     # first-party C++ decode for uploads (--decoder
                     # native); other formats fall through to cv2
                     from yolo_tpu.native.preproc import decode_image_bytes
@@ -341,12 +344,15 @@ class DetectionServer:
                 if rgb is None:
                     import cv2
 
-                    img = cv2.imdecode(np.frombuffer(data, np.uint8),
-                                       cv2.IMREAD_COLOR)
+                    img = cv2.imdecode(
+                        np.frombuffer(data, np.uint8),
+                        cv2.IMREAD_GRAYSCALE if gray
+                        else cv2.IMREAD_COLOR)
                     if img is None:
                         self._send(400, {"error": "cannot decode image"})
                         return
-                    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                    rgb = (img[..., None] if gray
+                           else cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
                 if server.is_classifier:
                     from yolo_tpu.models.classify import classifier_preprocess
 

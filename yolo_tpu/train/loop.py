@@ -454,8 +454,8 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
             [np.zeros((0,), np.int32)] * batch_size,
             input_size=(net_h, net_w))
         batch = {k: jnp.asarray(v) for k, v in enc.items()}
-        batch["images"] = jnp.zeros((batch_size, net_h, net_w, 3),
-                                    jnp.float32)
+        batch["images"] = jnp.zeros(
+            (batch_size, net_h, net_w, mcfg.in_channels), jnp.float32)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, batch_sharding), batch)

@@ -15,9 +15,15 @@ def class_color(cls: int) -> tuple:
 
 def draw_detections(image_rgb: np.ndarray, boxes_xyxy, scores, classes,
                     class_names: Sequence[str], valid=None) -> np.ndarray:
-    """Returns a copy of image_rgb (H, W, 3 uint8) with boxes+labels."""
+    """Returns a copy of image_rgb (H, W, 3 uint8) with boxes+labels.
+    Grayscale model inputs ((H, W, 1) or (H, W)) are expanded to RGB
+    so the annotation colors render."""
     import cv2
 
+    if image_rgb.ndim == 2:
+        image_rgb = image_rgb[..., None]
+    if image_rgb.shape[-1] == 1:
+        image_rgb = np.repeat(image_rgb, 3, axis=-1)
     out = np.ascontiguousarray(image_rgb.copy())
     n = len(boxes_xyxy)
     for i in range(n):
