@@ -27,14 +27,14 @@ class TestKMeans:
         truth = np.array([[0.1, 0.1], [0.3, 0.6], [0.8, 0.4]])
         wh = np.concatenate([
             t * rng.uniform(0.95, 1.05, (200, 2)) for t in truth])
-        res = kmeans_anchors(wh, 3, grid=13, seed=1)
+        res = kmeans_anchors(wh, 3, units_wh=13, seed=1)
         got = np.sort(res["anchors"] / 13, axis=0)
         np.testing.assert_allclose(got, np.sort(truth, axis=0), atol=0.03)
         assert res["avg_iou"] > 0.9
 
     def test_sorted_by_area_and_grid_units(self):
         rng = np.random.default_rng(2)
-        res = kmeans_anchors(rng.uniform(0.05, 0.9, (100, 2)), 5, grid=19)
+        res = kmeans_anchors(rng.uniform(0.05, 0.9, (100, 2)), 5, units_wh=19)
         a = res["anchors"]
         areas = a[:, 0] * a[:, 1]
         assert (np.diff(areas) >= 0).all()

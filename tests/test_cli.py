@@ -328,7 +328,7 @@ def test_train_partial_backbone_init(tiny_weights, tmp_path, capsys):
               "--split", "train", "--batch", "8", "--epochs", "1",
               "--precision", "fp32"])
     err = capsys.readouterr().err
-    assert "partial init: 6/9 conv layers" in err
+    assert "partial init: 6/9 weighted layers" in err
 
 
 def test_train_eval_every(tiny_weights, tmp_path, capsys):

@@ -258,3 +258,83 @@ def test_set_state_resets_pull_counter(tmp_path):
     tail = list(it2)
     want_total = 6  # 2 epochs x 3 batches
     assert 3 + len(consumed) + len(tail) == want_total
+
+
+def test_cli_grain_cfg_driven_mosaic_trains(tmp_path, capsys):
+    """[net] mosaic=1 in the cfg under --loader grain must TRAIN — a
+    stale guard (predating grain mosaic support) rejected cfg-driven
+    mosaic while accepting the identical --mosaic flag (code-review)."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg_text = """
+[net]
+width=64
+height=64
+saturation=1.5
+exposure=1.5
+hue=.1
+mosaic=1
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=21
+activation=linear
+
+[region]
+anchors = 1.08,1.19, 3.42,4.41, 6.63,11.38
+classes=2
+num=3
+"""
+    cfg_path = tmp_path / "mosaic.cfg"
+    cfg_path.write_text(cfg_text)
+    names = tmp_path / "m.names"
+    names.write_text("cat\ndog\n")
+    cfg = config_from_cfg(str(cfg_path))
+    w = tmp_path / "init.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0),
+                             scale=0.05))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--cfg", str(cfg_path), "--names", str(names),
+              "--weights", str(w), "--voc-root", root, "--loader",
+              "grain", "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32"])
+    err = capsys.readouterr().err
+    assert "cfg [net] mosaic=1: mosaic augmentation enabled" in err

@@ -291,3 +291,47 @@ def test_int8_ptq_runs_with_weighted_shortcut(tmp_path):
         # int8 is approximate; just require same shape + sane range
         assert np.asarray(a).shape == np.asarray(b).shape
         assert np.isfinite(np.asarray(a)).all()
+
+
+@pytest.mark.quick
+def test_random_params_blend_init_is_darknet_ones(tmp_path):
+    """random_params seeds the PRODUCTION partial-init tail (cli
+    train), so blend weights must start at darknet's exact init of 1.0
+    (make_shortcut_layer) — a jittered init silently diverged fine-tune
+    runs from darknet (code-review)."""
+    cfg = _wcfg(tmp_path, "per_channel", "softmax")
+    params = dw.random_params(cfg.layers, np.random.default_rng(3))
+    np.testing.assert_array_equal(params[2]["weights"],
+                                  np.ones_like(params[2]["weights"]))
+
+
+def test_train_partial_backbone_counts_weighted_layers(tmp_path, capsys):
+    """Training from a darknet partial whose cutoff includes a weighted
+    SHORTCUT: the fresh-tail init must count weighted layers (convs +
+    weighted shortcuts), not convs — len(conv_specs) undercounts here
+    and the old code skipped the tail init entirely, leaving a short
+    params list to crash downstream (code-review)."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+
+    text = WCFG.format(wt="per_feature", wn="")
+    cfg_path = tmp_path / "wsc.cfg"
+    cfg_path.write_text(text)
+    names = tmp_path / "wsc.names"
+    names.write_text("cat\ndog\n")
+    cfg = config_from_cfg(str(cfg_path))
+    # full weighted walk: conv0, conv1, shortcut, conv2 -> 4 weighted,
+    # but only 3 convs. Partial cutoff 3 = both backbone convs + the
+    # shortcut blend weights; the head conv must be randomly appended.
+    params = dw.random_params(cfg.layers, np.random.default_rng(0),
+                              scale=0.05)
+    backbone = str(tmp_path / "wsc.conv.3")
+    dw.save(backbone, cfg.layers, params, cutoff_convs=3)
+
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--cfg", str(cfg_path), "--names", str(names),
+              "--weights", backbone, "--voc-root", root,
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32"])
+    err = capsys.readouterr().err
+    assert "partial init: 3/4 weighted layers" in err

@@ -83,7 +83,7 @@ def cmd_anchors(args) -> None:
     # h by the height units, darknet calc_anchors' convention)
     units = ((cfg.input_w, cfg.input_h) if cfg.head_kind == "yolo"
              else (cfg.input_w // 32, cfg.input_h // 32))
-    res = kmeans_anchors(wh, args.num_anchors, grid=units,
+    res = kmeans_anchors(wh, args.num_anchors, units_wh=units,
                          seed=args.seed)
     # darknet-style flat anchor line, ready for a config/cfg file
     flat = ", ".join(f"{w:.4f},{h:.4f}" for w, h in res["anchors"])

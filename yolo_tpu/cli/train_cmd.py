@@ -192,16 +192,20 @@ def cmd_train(args) -> None:
         params, header, n_loaded = dw.load_partial(
             _resolve_weights(args.weights), cfg.layers,
             input_channels=cfg.in_channels)
-        from yolo_tpu.configs.specs import conv_specs
+        from yolo_tpu.configs.specs import weighted_specs
 
-        n_total = len(conv_specs(cfg.layers))
+        # count WEIGHTED layers (convs + connected/local/weighted
+        # shortcuts), matching load_partial's walk — len(conv_specs)
+        # undercounts on topologies with non-conv weighted layers and
+        # would silently skip the random tail init (code-review)
+        n_total = len(weighted_specs(cfg.layers))
         if n_loaded < n_total:
             rng_init = np.random.default_rng(args.seed)
             fresh = dw.random_params(cfg.layers, rng_init, scale=0.03,
                                      input_channels=cfg.in_channels)
             params = params + fresh[n_loaded:]
-            print(f"partial init: {n_loaded}/{n_total} conv layers from "
-                  f"{args.weights}, rest randomly initialized "
+            print(f"partial init: {n_loaded}/{n_total} weighted layers "
+                  f"from {args.weights}, rest randomly initialized "
                   f"(darknet backbone-transfer workflow)",
                   file=sys.stderr)
         state = init_state(params, tcfg, seen=header["seen"] if
@@ -277,19 +281,13 @@ def cmd_train(args) -> None:
                   "augmentation enabled (disable with --no-augment)",
                   file=sys.stderr)
         if aug_cfg.mosaic and not args.mosaic:
-            if args.loader == "grain":
-                raise SystemExit(
-                    "the cfg's [net] mosaic=1 needs the thread loader "
-                    "(cross-record); use --loader threads, or "
-                    "--no-augment to train unaugmented under grain")
+            # grain handles mosaic/mixup too (seeded random-access
+            # partner draws) — no loader restriction (code-review:
+            # a stale guard here rejected official mosaic=1 cfgs
+            # under --loader grain after grain support landed)
             print("cfg [net] mosaic=1: mosaic augmentation enabled",
                   file=sys.stderr)
         if aug_cfg.mixup and not args.mixup:
-            if args.loader == "grain":
-                raise SystemExit(
-                    "the cfg's [net] mixup=1 needs the thread loader "
-                    "(cross-record); use --loader threads, or "
-                    "--no-augment to train unaugmented under grain")
             print("cfg [net] mixup=1: mixup augmentation enabled",
                   file=sys.stderr)
 

@@ -25,14 +25,18 @@ def _iou_wh(wh: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-12)
 
 
-def kmeans_anchors(wh: np.ndarray, k: int, *, grid=13,
+def kmeans_anchors(wh: np.ndarray, k: int, *, units_wh=13,
                    iters: int = 300, seed: int = 0) -> Dict:
     """wh: (N, 2) normalized [0, 1] box sizes. Returns
     {'anchors': (k, 2) float in grid units, sorted by area ascending
      (darknet's convention), 'avg_iou': mean best-IoU of the data}.
-    grid: int, or (units_w, units_h) for rectangular nets (w scales by
-    the width units, h by the height units — calc_anchors' per-axis
-    convention).
+    units_wh: int, or (units_w, units_h) for rectangular nets —
+    **(w, h) order**, matching the (w, h) anchor pairs it scales and
+    calc_anchors' per-axis convention. Deliberately NOT the repo's
+    (h, w) net-size convention (ops/letterbox.as_hw): these are anchor
+    units, not an image shape — hence the _wh-suffixed name
+    (code-review: a former ``grid`` tuple param silently transposed
+    anchors when passed cfg-style (h, w)).
     """
     wh = np.asarray(wh, np.float64).reshape(-1, 2)
     wh = wh[(wh > 0).all(axis=1)]
@@ -58,7 +62,7 @@ def kmeans_anchors(wh: np.ndarray, k: int, *, grid=13,
     order = np.argsort(centroids[:, 0] * centroids[:, 1])
     centroids = centroids[order]
     avg_iou = float(_iou_wh(wh, centroids).max(axis=1).mean())
-    units = np.asarray(grid, np.float64).reshape(-1)  # scalar or (w, h)
+    units = np.asarray(units_wh, np.float64).reshape(-1)  # scalar or (w, h)
     return {"anchors": (centroids * units).astype(np.float32),
             "avg_iou": avg_iou}
 

@@ -238,8 +238,9 @@ def mosaic4(samples, net_size, rng: np.random.Generator,
     import cv2
 
     assert len(samples) == 4
-    nh, nw = (net_size if isinstance(net_size, (tuple, list))
-              else (net_size, net_size))
+    from yolo_tpu.data.targets import _as_hw
+
+    nh, nw = _as_hw(net_size)
     cx = int(nw * rng.uniform(0.25, 0.75))
     cy = int(nh * rng.uniform(0.25, 0.75))
     c = samples[0][0].shape[2] if samples[0][0].ndim == 3 else 1

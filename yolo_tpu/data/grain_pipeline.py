@@ -73,8 +73,9 @@ def _prepare(sample, *, class_names, anchors, num_classes, net_size,
     from yolo_tpu.data.pipeline import letterbox_boxes
     from yolo_tpu.native.preproc import letterbox_batch
 
-    nh, nw = (net_size if isinstance(net_size, (tuple, list))
-              else (net_size, net_size))
+    from yolo_tpu.data.targets import _as_hw
+
+    nh, nw = _as_hw(net_size)
 
     def geometry(img, boxes):
         """source-space (img_u8, boxes) -> net-space (float img, boxes)."""

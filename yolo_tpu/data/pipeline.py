@@ -469,7 +469,7 @@ def _assemble(chunk, size, anchors, num_classes, model_cfg=None) -> Dict:
 
     images = np.stack([c[0] for c in chunk])
     boxes, classes = [c[1] for c in chunk], [c[2] for c in chunk]
-    nh, nw = (size if isinstance(size, (tuple, list)) else (size, size))
+    nh, nw = tgt._as_hw(size)
     if model_cfg is not None:
         enc = tgt.encode_batch_for(model_cfg, boxes, classes,
                                    input_size=(nh, nw))

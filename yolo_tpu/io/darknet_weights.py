@@ -323,11 +323,13 @@ def random_params(layers: Sequence[LayerSpec], rng: np.random.Generator,
                 ).astype(np.float32)})
             continue
         if isinstance(spec, Shortcut):
-            # darknet inits shortcut blend weights to 1; jitter them so
-            # parity tests exercise the math
+            # darknet inits shortcut blend weights to exactly 1
+            # (make_shortcut_layer) — and this function seeds the
+            # PRODUCTION partial-init tail (cli train), so it must
+            # match; parity tests that need non-trivial blends
+            # overwrite params[i]["weights"] explicitly
             per = 1 if spec.weights_type == "per_feature" else ic
-            params.append({"weights": rng.uniform(
-                0.5, 1.5, (2, per)).astype(np.float32)})
+            params.append({"weights": np.ones((2, per), np.float32)})
             continue
         conv = spec
         oc, k = conv.filters, conv.size

@@ -35,8 +35,9 @@ def classifier_preprocess(image_u8: np.ndarray, net_size
     import cv2
 
     h, w = image_u8.shape[:2]
-    net_h, net_w = (net_size if isinstance(net_size, (tuple, list))
-                    else (net_size, net_size))
+    from yolo_tpu.data.targets import _as_hw
+
+    net_h, net_w = _as_hw(net_size)
     if net_h == net_w:
         # darknet resize_min's integer arithmetic, kept exactly
         if w < h:
