@@ -450,3 +450,123 @@ def test_rect_region_train_step_decreases_loss(tmp_path):
     losses = _overfit(cfg)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+# ---------------------------------------------------------------------------
+# multi-scale on rectangular nets (aspect-preserving buckets)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_proportional_sizes_ladder():
+    """AlexeyAB resizes BOTH dims by one factor in [1/coef, coef]
+    (detector.c; random=1 means coef 1.4): the bucket ladder steps the
+    long side through its /32 ladder and scales the short side
+    proportionally, floor 32, cfg size always a member."""
+    from yolo_tpu.train.loop import proportional_sizes
+
+    # 416x256 (w x h) at the default 1.4 coefficient, hand-derived:
+    # long=416, lo=round(416/1.4/32)*32=288, hi=round(416*1.4/32)*32=576
+    assert proportional_sizes(256, 416, 1.4) == (
+        (192, 288), (192, 320), (224, 352), (224, 384), (256, 416),
+        (288, 448), (288, 480), (320, 512), (320, 544), (352, 576))
+    # square nets degrade to the plain /32 range ladder
+    assert proportional_sizes(416, 416, 1.3) == tuple(
+        (s, s) for s in range(320, 545, 32))
+    # short side floors at 32; cfg size is a member even when tiny
+    assert proportional_sizes(32, 64, 1.3) == ((32, 64), (64, 96))
+    # aspect carries through when H is the long side (portrait)
+    assert proportional_sizes(416, 256, 1.4) == tuple(
+        (w, h) for (h, w) in proportional_sizes(256, 416, 1.4))
+    with pytest.raises(ValueError):
+        proportional_sizes(128, 192, 1.0)
+
+
+@pytest.mark.quick
+def test_pick_scale_tuple_buckets():
+    """pick_scale returns (h, w) tuples untouched on resize boundaries
+    and None elsewhere (the caller keeps the previous bucket)."""
+    from yolo_tpu.train.loop import pick_scale
+
+    sizes = ((128, 192), (160, 224), (192, 288))
+    rng = np.random.default_rng(7)
+    draws = [pick_scale(s, rng, 10, sizes) for s in range(40)]
+    for i, d in enumerate(draws):
+        if i % 10:
+            assert d is None
+        else:
+            assert d in sizes and isinstance(d, tuple)
+    # square ladders keep returning plain ints
+    assert isinstance(pick_scale(0, rng, 10, (320, 352)), int)
+
+
+@pytest.mark.quick
+def test_parse_multi_scale_sizes_tokens(tmp_path):
+    """--multi-scale-sizes: WIDTHxHEIGHT tokens become internal (h, w)
+    buckets; bare square ints on a rect net reject (they would change
+    the cfg's aspect silently)."""
+    from yolo_tpu.cli.train_cmd import _parse_multi_scale_sizes
+
+    rect = _cfg_from_text(tmp_path, RECT_REGION_CFG, "rect_v2")
+    assert _parse_multi_scale_sizes("96x64,128x96", rect) == \
+        ((64, 96), (96, 128))
+    with pytest.raises(SystemExit, match="WIDTHxHEIGHT"):
+        _parse_multi_scale_sizes("64,96", rect)
+
+    from yolo_tpu.configs import get_variant
+
+    square = get_variant("tiny-voc", input_size=64)
+    assert _parse_multi_scale_sizes("64,96", square) == (64, 96)
+    # explicit rect buckets are allowed on a square net too
+    assert _parse_multi_scale_sizes("96x64", square) == ((64, 96),)
+
+
+def test_rect_multi_scale_train_batches_and_step(tmp_path):
+    """A rect bucket OTHER than the cfg size flows through GT encoding
+    and the jitted train step (per-size jit bucket)."""
+    from yolo_tpu.data import targets as tgt
+    from yolo_tpu.train.loop import TrainConfig, init_state, make_train_step
+
+    cfg = _cfg_from_text(tmp_path, RECT_REGION_CFG, "rect_v2")
+    rng = np.random.default_rng(3)
+    params = graph.params_to_jax(dw.random_params(cfg.layers, rng,
+                                                  scale=0.05))
+    tcfg = TrainConfig(learning_rate=1e-3)
+    state = init_state(params, tcfg)
+    step = make_train_step(cfg, tcfg)
+    for hw in ((64, 96), (96, 128)):  # two non-cfg buckets
+        enc = tgt.encode_batch_for(
+            cfg, [np.array([[0.4, 0.5, 0.3, 0.4]])], [np.array([1])],
+            input_size=hw)
+        batch = {k: jnp.asarray(v) for k, v in enc.items()}
+        batch["images"] = jnp.asarray(
+            rng.random((1, hw[0], hw[1], 3), ).astype(np.float32))
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+
+
+@pytest.mark.slow
+def test_rect_cfg_random_multi_scale_cli_e2e(tmp_path, capsys):
+    """cfg random=1.3 on a RECT net trains with aspect-preserving
+    buckets (the old loud 'ignored: square buckets' path is gone)."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+
+    text = RECT_REGION_CFG.replace("[region]\n",
+                                   "[region]\nrandom=1.3\n", 1)
+    p = tmp_path / "rect_ms.cfg"
+    p.write_text("".join(text))
+    (tmp_path / "m.names").write_text("a\nb\n")
+    cfg = config_from_cfg(str(p))
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=16, size=(70, 80))
+    cli.main(["train", "--cfg", str(p), "--names",
+              str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "2", "--precision", "fp32", "--lr", "1e-4",
+              "--seed", "5", "--log-every", "1"])
+    err = capsys.readouterr().err
+    assert "aspect-preserving multi-scale buckets" in err
+    # ladder for 96x64 at coef 1.3: 64x32, 96x64, 128x96 (wxh)
+    assert "64x32,96x64,128x96" in err

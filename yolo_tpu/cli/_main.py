@@ -150,7 +150,10 @@ def main(argv: Optional[list] = None) -> None:
                         "concatenated truths (implies --augment)")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--multi-scale-sizes", default=None,
-                   help="comma-separated sizes (default darknet 320..608)")
+                   help="comma-separated sizes: square ints (default "
+                        "darknet 320..608) or WIDTHxHEIGHT rect "
+                        "buckets (rect nets default to an "
+                        "aspect-preserving x1.4 ladder)")
     p.add_argument("--allow-deviations", action="store_true",
                    help="train official cfgs whose keys have no "
                         "pinnable semantics here by falling back to "

@@ -19,6 +19,35 @@ from yolo_tpu.cli.train_helpers import (_batch_accum_from,
                                         _train_classifier)
 
 
+def _fmt_sizes(sizes) -> str:
+    """Human form of a multi-scale ladder: WxH for rect buckets."""
+    return ",".join(f"{s[1]}x{s[0]}" if isinstance(s, tuple) else str(s)
+                    for s in sizes)
+
+
+def _parse_multi_scale_sizes(spec: str, cfg):
+    """--multi-scale-sizes tokens: square ints (classic ladder) or
+    WIDTHxHEIGHT pairs (darknet cfg key order) for rectangular
+    buckets. On a rectangular net, bare ints are rejected — a square
+    bucket would silently change the cfg's aspect."""
+    out = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if "x" in tok:
+            w_s, h_s = tok.split("x", 1)
+            out.append((int(h_s), int(w_s)))  # internal (net_h, net_w)
+        else:
+            if cfg.input_w != cfg.input_h:
+                raise SystemExit(
+                    f"--multi-scale-sizes entry '{tok}' is a SQUARE "
+                    f"bucket but {cfg.name} is rectangular "
+                    f"({cfg.input_w}x{cfg.input_h}) — write rect "
+                    f"buckets as WIDTHxHEIGHT (e.g. "
+                    f"{cfg.input_w}x{cfg.input_h})")
+            out.append(int(tok))
+    return tuple(out)
+
+
 def cmd_train(args) -> None:
     """Fine-tuning with the multi-part loss (BASELINE.json:10-11)."""
     import jax
@@ -68,21 +97,25 @@ def cmd_train(args) -> None:
         raise SystemExit("yolov1 models have a FIXED input size (the "
                          "[local]/[connected] weights are sized by it) "
                          "— drop --multi-scale")
-    if cfg.input_w != cfg.input_h and (args.multi_scale
-                                       or args.multi_scale_sizes):
-        raise SystemExit(
-            f"--multi-scale resizes to SQUARE buckets but {cfg.name} "
-            f"is rectangular ({cfg.input_w}x{cfg.input_h}) — train at "
-            f"the fixed cfg size (drop --multi-scale), or make the "
-            f"net square")
     if args.resize == "stretch":
         # AlexeyAB's letter_box=0 default TRAINING geometry: plain
         # resize, normalized boxes unchanged; validation (quick_map)
         # evaluates with the same geometry
         print("training with stretch (letter_box=0) geometry",
               file=sys.stderr)
-    sizes = tuple(int(s) for s in args.multi_scale_sizes.split(",")) \
-        if args.multi_scale_sizes else None
+    sizes = (_parse_multi_scale_sizes(args.multi_scale_sizes, cfg)
+             if args.multi_scale_sizes else None)
+    if (cfg.input_w != cfg.input_h and args.multi_scale
+            and sizes is None):
+        # rectangular nets: aspect-preserving proportional buckets
+        # (AlexeyAB resizes both dims by ONE factor; default coef 1.4),
+        # not the square 320..608 ladder
+        from yolo_tpu.train.loop import proportional_sizes
+
+        sizes = proportional_sizes(cfg.input_h, cfg.input_w)
+        print(f"rectangular net: multi-scale uses aspect-preserving "
+              f"buckets {_fmt_sizes(sizes)} (every 10 batches)",
+              file=sys.stderr)
     # darknet uses the cfg's [net] section as the training config:
     # explicit flags win, then cfg keys, then built-in defaults
     net_hp = {}
@@ -119,11 +152,21 @@ def cmd_train(args) -> None:
                   "fixed-net-size (use --loader threads for "
                   "multi-scale)", file=sys.stderr)
         elif cfg.input_w != cfg.input_h:
-            print(f"cfg random={net_hp['random']:g} ignored: "
-                  f"multi-scale resizes to square buckets and "
-                  f"{cfg.name} is rectangular "
-                  f"({cfg.input_w}x{cfg.input_h}) — training at the "
-                  f"fixed cfg size", file=sys.stderr)
+            # rect nets: darknet scales BOTH dims by one random factor
+            # (aspect preserved); random=1 means the default coef 1.4,
+            # a fractional random=f>1 means coef f
+            from yolo_tpu.train.loop import proportional_sizes
+
+            args.multi_scale = True
+            rf = float(net_hp["random"])
+            if sizes is None:
+                coef = rf if rf > 1.0 else 1.4
+                sizes = proportional_sizes(cfg.input_h, cfg.input_w,
+                                           coef)
+                print(f"cfg random={rf:g}: aspect-preserving "
+                      f"multi-scale buckets {_fmt_sizes(sizes)} "
+                      f"(both dims x [1/{coef:g}, {coef:g}], every "
+                      f"10 batches)", file=sys.stderr)
         else:
             args.multi_scale = True
             rf = float(net_hp["random"])

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -466,9 +466,45 @@ def prewarm(step_fn, state, mcfg: ModelConfig, sizes,
 
 def pick_scale(step: int, rng: np.random.Generator,
                every: int = 10,
-               sizes: tuple = MULTISCALE_SIZES) -> Optional[int]:
+               sizes: tuple = MULTISCALE_SIZES):
     """Multi-scale size for this step, changing every `every` steps
-    (host-side; the jit cache buckets per size)."""
+    (host-side; the jit cache buckets per size). Entries are square
+    ints or (net_h, net_w) tuples (rectangular nets); returns None on
+    non-boundary steps."""
     if step % every:
         return None
-    return int(rng.choice(sizes))
+    s = sizes[int(rng.integers(0, len(sizes)))]
+    return s if isinstance(s, tuple) else int(s)
+
+
+def proportional_sizes(net_h: int, net_w: int,
+                       coef: float = 1.4) -> tuple:
+    """Aspect-preserving multi-scale ladder for rectangular nets.
+
+    AlexeyAB's detector.c resizes BOTH dims by ONE random factor drawn
+    from [1/coef, coef] (rand_scale; random=1 uses the default
+    coefficient 1.4, a fractional random=f>1 uses f), each dim snapped
+    to a /32 multiple — the aspect ratio is preserved, unlike the
+    classic square 320..608 ladder. This builds the discrete bucket
+    set: the LONG side steps through its /32 ladder over
+    [long/coef, long*coef] and the short side scales proportionally
+    (floor 32). Returns (net_h, net_w) tuples; the cfg's own size is
+    always a member."""
+    if coef <= 1.0:
+        raise ValueError(f"multi-scale coefficient must be > 1, "
+                         f"got {coef:g}")
+    long_is_w = net_w >= net_h
+    long, short = (net_w, net_h) if long_is_w else (net_h, net_w)
+    lo = max(32, int(round(long / coef / 32)) * 32)
+    hi = max(lo, int(round(long * coef / 32)) * 32)
+    out = []
+    for ell in range(lo, hi + 1, 32):
+        s = max(32, int(round(short * (ell / long) / 32)) * 32)
+        hw = (s, ell) if long_is_w else (ell, s)
+        if hw not in out:
+            out.append(hw)
+    base = (net_h, net_w)
+    if base not in out:  # snapping can step over the cfg's own size
+        out.append(base)
+        out.sort()
+    return tuple(out)
