@@ -394,3 +394,45 @@ def test_doctor(capsys):
     assert rep["cv2"] is True
     assert rep["compute_probe"] == "ok" or "STALLED" in \
         rep["compute_probe"] or "failed" in rep["compute_probe"]
+
+
+def test_eval_save_voc_dir_comp4(tmp_path, capsys):
+    """--save-voc-dir writes darknet `detector valid` comp4 files:
+    one comp4_det_test_<class>.txt PER class (empty ones included,
+    like darknet's upfront fopen loop), VOC-devkit 1-based pixel
+    corners (+1, clamped to [1, w] x [1, h]), '%f' formatting, image
+    id = basename sans extension. Driven via --from-detections so the
+    exact numbers are deterministic (no model run)."""
+    root = make_voc_root(tmp_path, n_images=2, size=(100, 120))
+    cfg = get_variant("tiny-voc")
+    dog = cfg.class_names.index("dog")
+    cat = cfg.class_names.index("cat")
+    res = [
+        # x1=-5 -> xmin clamps to 1; y2=202 -> ymax clamps to h=100
+        {"image_id": 0, "category_id": dog,
+         "bbox": [-5.0, 2.0, 30.0, 200.0], "score": 0.9},
+        # interior box on the second image, different class
+        {"image_id": 1, "category_id": cat,
+         "bbox": [10.0, 20.0, 40.0, 30.0], "score": 0.25},
+    ]
+    res_file = tmp_path / "dets.json"
+    res_file.write_text(json.dumps(res))
+    out_dir = tmp_path / "results"
+    cli.main(["eval", "--model", "tiny-voc", "--voc-root", root,
+              "--split", "train", "--from-detections", str(res_file),
+              "--save-voc-dir", str(out_dir)])
+    err = capsys.readouterr().err
+    assert "comp4_det_test_*.txt" in err
+    files = sorted(os.listdir(out_dir))
+    assert files == sorted(f"comp4_det_test_{n}.txt"
+                           for n in cfg.class_names)
+    dog_lines = (out_dir / "comp4_det_test_dog.txt").read_text()
+    assert dog_lines == ("000000 0.900000 1.000000 3.000000 "
+                         "26.000000 100.000000\n")
+    cat_lines = (out_dir / "comp4_det_test_cat.txt").read_text()
+    assert cat_lines == ("000001 0.250000 11.000000 21.000000 "
+                         "51.000000 51.000000\n")
+    # every other class file exists and is empty
+    for n in cfg.class_names:
+        if n not in ("dog", "cat"):
+            assert (out_dir / f"comp4_det_test_{n}.txt").read_text() == ""

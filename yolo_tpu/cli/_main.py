@@ -218,6 +218,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--save-pr", default=None,
                    help="write per-class PR curves (scores/recall/"
                         "precision) as JSON — VOC metrics only")
+    p.add_argument("--save-voc-dir", default=None,
+                   help="write per-class VOC-devkit submission files "
+                        "(comp4_det_test_<class>.txt, darknet "
+                        "`detector valid` format)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("partial",

@@ -15,6 +15,42 @@ from yolo_tpu.cli._common import (_compute_dtype, _dataset_samples,
                                   _tree_kw)
 
 
+def _write_voc_detections(out_dir: str, detections, samples,
+                          names) -> None:
+    """darknet `detector valid` comp4 writer (detector.c
+    print_detector_detections): one comp4_det_test_<class>.txt per
+    class — every class file is created, even when empty, like
+    darknet's upfront fopen loop — with lines
+    '<image_id> <score> <xmin> <ymin> <xmax> <ymax>' in the VOC
+    devkit's 1-based pixel convention (+1 on each corner, xmin/ymin
+    clamped up to 1, xmax/ymax clamped down to the image w/h; '%f'
+    6-decimal formatting). The image id is the path basename without
+    its extension (darknet's basecfg(path))."""
+    from yolo_tpu.data.voc import parse_annotation
+
+    os.makedirs(out_dir, exist_ok=True)
+    lines = {c: [] for c in range(len(names))}
+    for img_id, (path, ann) in enumerate(samples):
+        if not isinstance(ann, dict):
+            ann = parse_annotation(ann, names, keep_difficult=True)
+        w, h = ann["width"], ann["height"]
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for (c, s, x1, y1, x2, y2) in detections.get(img_id, ()):
+            xmin = max(1.0, x1 + 1.0)
+            ymin = max(1.0, y1 + 1.0)
+            xmax = min(float(w), x2 + 1.0)
+            ymax = min(float(h), y2 + 1.0)
+            lines[c].append(f"{stem} {s:f} {xmin:f} {ymin:f} "
+                            f"{xmax:f} {ymax:f}\n")
+    for c, name in enumerate(names):
+        out = os.path.join(out_dir, f"comp4_det_test_{name}.txt")
+        with open(out, "w") as f:
+            f.writelines(lines[c])
+    n = sum(len(v) for v in lines.values())
+    print(f"wrote {n} detections to {out_dir}/comp4_det_test_*.txt "
+          f"({len(names)} class files)", file=sys.stderr)
+
+
 def cmd_eval(args) -> None:
     """VOC mAP over a split (SURVEY.md §3.5 — the parity gate).
 
@@ -96,6 +132,12 @@ def cmd_eval(args) -> None:
             json.dump(results, f)
         print(f"wrote {len(results)} detections to "
               f"{args.save_detections}", file=sys.stderr)
+
+    if args.save_voc_dir:
+        # darknet `detector valid` equivalent: per-class VOC-devkit
+        # submission files (comp4_det_test_<class>.txt)
+        _write_voc_detections(args.save_voc_dir, detections, pairs,
+                              names)
 
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
     if args.save_pr and metric == "coco":
