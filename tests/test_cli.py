@@ -436,3 +436,97 @@ def test_eval_save_voc_dir_comp4(tmp_path, capsys):
     for n in cfg.class_names:
         if n not in ("dog", "cat"):
             assert (out_dir / f"comp4_det_test_{n}.txt").read_text() == ""
+
+
+# --- cfg-key -> CLI training behavior e2es (moved out of the
+# quick-marked test_darknet_cfg.py module: 15-55 s apiece, they
+# pin CLI behavior, not an oracle — quick-tier budget hygiene) ---
+
+def test_cli_train_cfg_random_enables_multiscale(tmp_path, capsys):
+    """A cfg with random=1 turns on darknet multi-scale training
+    without --multi-scale (and says so)."""
+    import numpy as np
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    text = cfg_to_string(cfg).replace("[region]\n", "[region]\nrandom=1\n",
+                                      1)
+    (tmp_path / "m.cfg").write_text(text)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
+    assert "random=1: multi-scale training enabled" in capsys.readouterr().err
+
+
+def test_cli_train_fractional_random_sets_resize_range(tmp_path, capsys):
+    """AlexeyAB fractional random (random=1.3): the multi-scale sizes
+    become the [net/1.3, net*1.3] range snapped to 32-multiples
+    (64 -> 64..96 here), not darknet's fixed 320..608 ladder."""
+    import numpy as np
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    text = cfg_to_string(cfg).replace("[region]\n",
+                                      "[region]\nrandom=1.3\n", 1)
+    (tmp_path / "m.cfg").write_text(text)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
+    # 64/1.3 = 49.2 -> 64 (max(32, round(49.2/32)*32) = 64... round
+    # gives 2*32=64? 49.2/32=1.54 -> round 2 -> 64); 64*1.3 = 83.2 ->
+    # round(2.6)*32 = 96
+    assert "multi-scale range 64..96" in capsys.readouterr().err
+
+
+def test_cfg_augment_keys_auto_enable_and_no_augment(tmp_path, capsys):
+    """A cfg carrying augmentation keys enables darknet-style
+    augmentation without --augment (with a note); --no-augment turns
+    it off."""
+    import numpy as np
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    text = cfg_to_string(cfg).replace("[net]\n",
+                                      "[net]\nsaturation=1.3\n", 1)
+    (tmp_path / "m.cfg").write_text(text)
+    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
+    common = ["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--names", str(tmp_path / "m.names"), "--weights", str(w),
+              "--voc-root", root, "--split", "train", "--batch", "8",
+              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"]
+    cli.main(common)
+    assert "augmentation enabled (disable with --no-augment)" \
+        in capsys.readouterr().err
+    cli.main(common + ["--no-augment"])
+    assert "augmentation enabled" not in capsys.readouterr().err

@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.quick  # fast inner-loop tier (CLAUDE.md)
+# (multi-second CLI train e2es live in test_cli.py — default tier —
+#  to keep -m quick at its ~5 min billing)
 
 from yolo_tpu.configs.darknet_cfg import (config_from_cfg, load_names,
                                           parse_cfg)
@@ -574,64 +576,6 @@ def test_net_training_params_random_and_jitter(tmp_path):
     assert hp["random"] == 1.0 and hp["jitter"] == 0.3
 
 
-def test_cli_train_cfg_random_enables_multiscale(tmp_path, capsys):
-    """A cfg with random=1 turns on darknet multi-scale training
-    without --multi-scale (and says so)."""
-    import numpy as np
-
-    from tests.test_data_eval import make_voc_root
-    from yolo_tpu import cli
-    from yolo_tpu.configs import get_variant
-    from yolo_tpu.configs.darknet_cfg import cfg_to_string
-    from yolo_tpu.io import darknet_weights as dw
-
-    cfg = get_variant("tiny-voc", input_size=64)
-    text = cfg_to_string(cfg).replace("[region]\n", "[region]\nrandom=1\n",
-                                      1)
-    (tmp_path / "m.cfg").write_text(text)
-    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
-    w = tmp_path / "w.weights"
-    dw.save(str(w), cfg.layers,
-            dw.random_params(cfg.layers, np.random.default_rng(0)))
-    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
-    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
-              "--names", str(tmp_path / "m.names"), "--weights", str(w),
-              "--voc-root", root, "--split", "train", "--batch", "8",
-              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
-    assert "random=1: multi-scale training enabled" in capsys.readouterr().err
-
-
-def test_cli_train_fractional_random_sets_resize_range(tmp_path, capsys):
-    """AlexeyAB fractional random (random=1.3): the multi-scale sizes
-    become the [net/1.3, net*1.3] range snapped to 32-multiples
-    (64 -> 64..96 here), not darknet's fixed 320..608 ladder."""
-    import numpy as np
-
-    from tests.test_data_eval import make_voc_root
-    from yolo_tpu import cli
-    from yolo_tpu.configs import get_variant
-    from yolo_tpu.configs.darknet_cfg import cfg_to_string
-    from yolo_tpu.io import darknet_weights as dw
-
-    cfg = get_variant("tiny-voc", input_size=64)
-    text = cfg_to_string(cfg).replace("[region]\n",
-                                      "[region]\nrandom=1.3\n", 1)
-    (tmp_path / "m.cfg").write_text(text)
-    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
-    w = tmp_path / "w.weights"
-    dw.save(str(w), cfg.layers,
-            dw.random_params(cfg.layers, np.random.default_rng(0)))
-    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
-    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
-              "--names", str(tmp_path / "m.names"), "--weights", str(w),
-              "--voc-root", root, "--split", "train", "--batch", "8",
-              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"])
-    # 64/1.3 = 49.2 -> 64 (max(32, round(49.2/32)*32) = 64... round
-    # gives 2*32=64? 49.2/32=1.54 -> round 2 -> 64); 64*1.3 = 83.2 ->
-    # round(2.6)*32 = 96
-    assert "multi-scale range 64..96" in capsys.readouterr().err
-
-
 def test_yolo_training_keys_parse(tmp_path):
     """focal_loss / truth_thresh now PARSE into the model config (their
     training semantics are pinned in train/loss.py — see
@@ -697,38 +641,6 @@ def test_greedy_heads_with_differing_beta_accepted(tmp_path):
         "num=2\nnms_kind=greedynms\nbeta_nms=0.9\n")
     cfg = config_from_cfg(str(p))
     assert cfg.nms_kind == "greedy"
-
-
-def test_cfg_augment_keys_auto_enable_and_no_augment(tmp_path, capsys):
-    """A cfg carrying augmentation keys enables darknet-style
-    augmentation without --augment (with a note); --no-augment turns
-    it off."""
-    import numpy as np
-
-    from tests.test_data_eval import make_voc_root
-    from yolo_tpu import cli
-    from yolo_tpu.configs import get_variant
-    from yolo_tpu.configs.darknet_cfg import cfg_to_string
-    from yolo_tpu.io import darknet_weights as dw
-
-    cfg = get_variant("tiny-voc", input_size=64)
-    text = cfg_to_string(cfg).replace("[net]\n",
-                                      "[net]\nsaturation=1.3\n", 1)
-    (tmp_path / "m.cfg").write_text(text)
-    (tmp_path / "m.names").write_text("\n".join(cfg.class_names) + "\n")
-    w = tmp_path / "w.weights"
-    dw.save(str(w), cfg.layers,
-            dw.random_params(cfg.layers, np.random.default_rng(0)))
-    root = make_voc_root(tmp_path, n_images=8, size=(70, 80))
-    common = ["train", "--cfg", str(tmp_path / "m.cfg"),
-              "--names", str(tmp_path / "m.names"), "--weights", str(w),
-              "--voc-root", root, "--split", "train", "--batch", "8",
-              "--epochs", "1", "--precision", "fp32", "--lr", "1e-4"]
-    cli.main(common)
-    assert "augmentation enabled (disable with --no-augment)" \
-        in capsys.readouterr().err
-    cli.main(common + ["--no-augment"])
-    assert "augmentation enabled" not in capsys.readouterr().err
 
 
 def test_fuzz_v1_and_classifier_topologies_round_trip(tmp_path):
