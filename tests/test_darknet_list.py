@@ -1,0 +1,319 @@
+"""Darknet-native dataset format: image list files + YOLO .txt labels
++ .data metadata (data/darknet_list.py) — the format darknet itself
+trains from (data.c get_paths/read_boxes/replace_image_to_label,
+option_list.c read_data_cfg). Pure-format tests are quick; the CLI
+e2es ride the default tier."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.data import darknet_list as dl
+
+
+# ---------------------------------------------------------------------------
+# .data parser
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_parse_data_file(tmp_path):
+    p = tmp_path / "obj.data"
+    p.write_text(
+        "# a comment\n"
+        "; another\n"
+        "classes = 3\n"
+        "train  =  data/train.txt\n"
+        "valid=data/test.txt\n"
+        "names = obj.names\n"
+        "backup = backup/\n"
+        "\n"
+        "classes = 99\n")  # duplicate: FIRST wins (option_find walk)
+    kv = dl.parse_data_file(str(p))
+    assert kv == {"classes": "3", "train": "data/train.txt",
+                  "valid": "data/test.txt", "names": "obj.names",
+                  "backup": "backup/"}
+
+
+@pytest.mark.quick
+def test_parse_data_file_rejects_non_kv(tmp_path):
+    p = tmp_path / "bad.data"
+    p.write_text("classes = 3\njust a line\n")
+    with pytest.raises(ValueError, match="bad.data:2"):
+        dl.parse_data_file(str(p))
+
+
+# ---------------------------------------------------------------------------
+# label path derivation (replace_image_to_label)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_label_path_for():
+    # the /images/ -> /labels/ swap (AlexeyAB), first occurrence only
+    assert dl.label_path_for("/d/images/a.jpg") == "/d/labels/a.txt"
+    assert (dl.label_path_for("/d/images/sub/images/a.jpg")
+            == "/d/labels/sub/images/a.txt")
+    # pjreddie-era VOC layout
+    assert (dl.label_path_for("/d/JPEGImages/000.jpg")
+            == "/d/labels/000.txt")
+    # no matching directory: sibling .txt
+    assert dl.label_path_for("/d/obj/a.jpeg") == "/d/obj/a.txt"
+    assert dl.label_path_for("rel/a.PNG") == "rel/a.txt"
+    # non-image extension: .txt appended, path otherwise untouched
+    assert dl.label_path_for("/d/a.weird") == "/d/a.weird.txt"
+    # 'images' must be a full path component (no 'preimages' mangling)
+    assert dl.label_path_for("/preimages/a.jpg") == "/preimages/a.txt"
+
+
+# ---------------------------------------------------------------------------
+# YOLO label files (read_boxes)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_read_label_file(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("1 0.5 0.5 0.25 0.3\n"
+                 "\n"
+                 "0   0.1 0.2   0.05 0.05\n"
+                 "7 0.9 0.9 0.1 0.1\n")  # class id out of range: drops
+    boxes, classes, dropped = dl.read_label_file(str(p), n_classes=3)
+    np.testing.assert_allclose(boxes, [[0.5, 0.5, 0.25, 0.3],
+                                       [0.1, 0.2, 0.05, 0.05]])
+    np.testing.assert_array_equal(classes, [1, 0])
+    assert dropped == 1
+
+
+@pytest.mark.quick
+def test_read_label_file_missing_is_background(tmp_path, capsys):
+    boxes, classes, dropped = dl.read_label_file(
+        str(tmp_path / "nope.txt"), n_classes=3)
+    assert boxes.shape == (0, 4) and len(classes) == 0 and dropped == 0
+
+
+@pytest.mark.quick
+def test_read_label_file_malformed_raises(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("1 0.5 0.5\n")
+    with pytest.raises(ValueError, match="a.txt:1"):
+        dl.read_label_file(str(p), n_classes=3)
+    p.write_text("1 x y w h\n")
+    with pytest.raises(ValueError, match="non-numeric"):
+        dl.read_label_file(str(p), n_classes=3)
+
+
+# ---------------------------------------------------------------------------
+# image dimensions (header sniff vs cv2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.quick
+def test_image_dims_matches_cv2(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (37, 53, 3), dtype=np.uint8)
+    for ext in (".jpg", ".png", ".bmp"):  # bmp exercises the fallback
+        p = str(tmp_path / f"im{ext}")
+        assert cv2.imwrite(p, img)
+        w, h = dl.image_dims(p)
+        got = cv2.imread(p)
+        assert (w, h) == (got.shape[1], got.shape[0]), ext
+
+
+# ---------------------------------------------------------------------------
+# end-to-end listing
+# ---------------------------------------------------------------------------
+
+def _make_darknet_root(tmp_path, n=4, size=(100, 120), layout="images"):
+    """A darknet-style dataset: <root>/images/*.jpg + <root>/labels/
+    *.txt (or sibling labels), one 'dog' box per image, matching
+    tests.test_data_eval.make_voc_root's geometry (pixel box
+    20,20..80,70 on a 120x100 image)."""
+    import cv2
+
+    root = tmp_path / "dk"
+    img_dir = root / ("images" if layout == "images" else "obj")
+    img_dir.mkdir(parents=True, exist_ok=True)
+    if layout == "images":
+        (root / "labels").mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    h, w = size
+    paths = []
+    # VOC 1-based corners (20,20)-(80,70) == parse_annotation's 0-based
+    # (19,19)-(79,69): center (49, 44), wh (60, 50)
+    cx, cy = (19 + 79) / 2 / w, (19 + 69) / 2 / h
+    bw, bh = 60 / w, 50 / h
+    for i in range(n):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        p = img_dir / f"im{i}.jpg"
+        cv2.imwrite(str(p), img)
+        label = (root / "labels" / f"im{i}.txt" if layout == "images"
+                 else img_dir / f"im{i}.txt")
+        label.write_text(f"11 {cx} {cy} {bw} {bh}\n")  # VOC dog = 11
+        paths.append(str(p))
+    (root / "train.txt").write_text("\n".join(paths) + "\n")
+    return root
+
+
+@pytest.mark.quick
+def test_list_images_both_layouts(tmp_path):
+    from yolo_tpu.configs import get_variant
+
+    names = get_variant("tiny-voc").class_names
+    for layout in ("images", "sibling"):
+        # NB the parent dir must not be named 'images': the swap takes
+        # the FIRST /images/ component, exactly like darknet's
+        # find_replace (test_label_path_for pins that)
+        root = _make_darknet_root(tmp_path / f"lay_{layout}",
+                                  layout=layout)
+        samples = dl.list_images(str(root / "train.txt"), names)
+        assert len(samples) == 4
+        for p, ann in samples:
+            assert os.path.exists(p)
+            assert ann["width"] == 120 and ann["height"] == 100
+            np.testing.assert_array_equal(ann["classes"], [11])
+            np.testing.assert_allclose(
+                ann["boxes"], [[49 / 120, 44 / 100, 0.5, 0.5]],
+                atol=1e-6)
+
+
+@pytest.mark.quick
+def test_list_images_relative_paths_resolve_against_list_dir(
+        tmp_path, monkeypatch):
+    root = _make_darknet_root(tmp_path)
+    rel = "\n".join(os.path.join("images", f"im{i}.jpg")
+                    for i in range(4))
+    (root / "rel.txt").write_text(rel + "\n")
+    monkeypatch.chdir("/")  # ensure CWD resolution fails
+    samples = dl.list_images(str(root / "rel.txt"), ["x"] * 12)
+    assert len(samples) == 4
+
+
+def test_ground_truth_matches_voc_xml_stack(tmp_path):
+    """The SAME dataset expressed as VOC XML and as darknet list+txt
+    produces identical eval ground truth."""
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.data.voc import list_split
+    from yolo_tpu.eval.runner import build_ground_truth
+
+    names = get_variant("tiny-voc").class_names
+    voc = make_voc_root(tmp_path, n_images=4, size=(100, 120))
+    gt_voc, _ = build_ground_truth(list_split(voc, "train"), names)
+    dk = _make_darknet_root(tmp_path)
+    gt_dk, _ = build_ground_truth(
+        dl.list_images(str(dk / "train.txt"), names), names)
+    assert gt_voc.keys() == gt_dk.keys()
+    for k in gt_voc:
+        np.testing.assert_allclose(gt_voc[k]["boxes"],
+                                   gt_dk[k]["boxes"], atol=1e-4)
+        np.testing.assert_array_equal(gt_voc[k]["classes"],
+                                      gt_dk[k]["classes"])
+
+
+# ---------------------------------------------------------------------------
+# CLI integration
+# ---------------------------------------------------------------------------
+
+def _write_data_file(root, names, *, valid=False):
+    (root / "obj.names").write_text("\n".join(names) + "\n")
+    txt = (f"classes = {len(names)}\n"
+           f"train = train.txt\n"
+           f"names = obj.names\n"
+           f"backup = backup/\n")
+    if valid:
+        txt += "valid = train.txt\n"
+    (root / "obj.data").write_text(txt)
+    return root / "obj.data"
+
+
+def test_cli_eval_from_data_file(tmp_path, capsys):
+    """eval --data: valid= list + names= resolve relative to the .data
+    file; scoring injected perfect detections gives mAP 1.0 (the GT
+    came from the YOLO txt labels)."""
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+
+    names = get_variant("tiny-voc").class_names
+    root = _make_darknet_root(tmp_path)
+    (root / "obj.data").write_text(
+        f"classes = {len(names)}\nvalid = train.txt\n"
+        f"names = obj.names\n")
+    (root / "obj.names").write_text("\n".join(names) + "\n")
+    # perfect detections: the GT box in pixel xyxy, top-left xywh form
+    res = [{"image_id": i, "category_id": 11,
+            "bbox": [19.0, 19.0, 60.0, 50.0], "score": 0.9}
+           for i in range(4)]
+    rf = tmp_path / "dets.json"
+    rf.write_text(json.dumps(res))
+    cli.main(["eval", "--model", "tiny-voc", "--data",
+              str(root / "obj.data"), "--from-detections", str(rf)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ap"]["dog"] == pytest.approx(1.0)
+
+
+def test_cli_eval_data_classes_mismatch_rejects(tmp_path):
+    from yolo_tpu import cli
+
+    root = _make_darknet_root(tmp_path)
+    (root / "obj.data").write_text("classes = 3\nvalid = train.txt\n")
+    with pytest.raises(SystemExit, match="classes=3"):
+        cli.main(["eval", "--model", "tiny-voc", "--data",
+                  str(root / "obj.data"), "--from-detections",
+                  "/dev/null"])
+
+
+def test_cli_train_from_image_list_e2e(tmp_path):
+    """train --image-list: one epoch end-to-end from the darknet-native
+    format (8 images, YOLO txt labels)."""
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = _make_darknet_root(tmp_path, n=8)
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "64",
+              "--weights", str(w), "--image-list",
+              str(root / "train.txt"), "--batch", "8", "--epochs", "1",
+              "--precision", "fp32", "--lr", "1e-4"])
+
+
+def test_cli_train_from_data_file_with_map_eval(tmp_path, capsys):
+    """train --data + --eval-every: the .data valid= list auto-fills
+    the held-out eval set (darknet's -map behavior) and names= is
+    picked up without --names."""
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc", input_size=64)
+    root = _make_darknet_root(tmp_path, n=8)
+    _write_data_file(root, cfg.class_names, valid=True)
+    (tmp_path / "m.cfg").write_text(cfg_to_string(cfg))
+    w = tmp_path / "w.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    cli.main(["train", "--cfg", str(tmp_path / "m.cfg"),
+              "--weights", str(w), "--data", str(root / "obj.data"),
+              "--batch", "8", "--epochs", "1", "--precision", "fp32",
+              "--lr", "1e-4", "--eval-every", "1",
+              "--eval-max-images", "4"])
+    err = capsys.readouterr().err
+    assert "scores the TRAINING samples" not in err  # valid= was used
+
+
+def test_cli_anchors_from_image_list(tmp_path, capsys):
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+
+    root = _make_darknet_root(tmp_path, n=6)
+    names = get_variant("tiny-voc").class_names
+    (root / "obj.names").write_text("\n".join(names) + "\n")
+    cli.main(["anchors", "--model", "tiny-voc", "--image-list",
+              str(root / "train.txt"), "--num-anchors", "2"])
+    out = capsys.readouterr().out
+    assert "anchors" in out.lower() or "," in out

@@ -163,14 +163,69 @@ def _resolve_weights(spec: str) -> str:
         raise SystemExit(str(e).strip("'\""))
 
 
+def _apply_data_file(args) -> None:
+    """Resolve a darknet `.data` file into the equivalent flags BEFORE
+    the command runs: the command's list (train= for training/anchors,
+    valid= for eval — parser-set `_data_list_key`) becomes
+    --image-list, and names= fills --names when absent (relative
+    paths resolve against the .data file's directory, then the CWD —
+    darknet reads them relative to where it runs). classes= is
+    validated later against the model (`_dataset_samples`)."""
+    from yolo_tpu.data.darknet_list import parse_data_file
+
+    if getattr(args, "image_list", None):
+        raise SystemExit("give --data or --image-list, not both (the "
+                         ".data file's train=/valid= entry IS the "
+                         "image list)")
+    kv = parse_data_file(args.data)
+    key = getattr(args, "_data_list_key", "train")
+    if key not in kv:
+        raise SystemExit(f"{args.data}: no '{key} = <list file>' entry "
+                         f"(this command reads the {key}= list)")
+    base = os.path.dirname(os.path.abspath(args.data))
+
+    def _resolve(p):
+        if os.path.isabs(p) or os.path.exists(p):
+            return p
+        alt = os.path.join(base, p)
+        return alt if os.path.exists(alt) else p
+
+    args.image_list = _resolve(kv[key])
+    if "names" in kv and not getattr(args, "names", None):
+        args.names = _resolve(kv["names"])
+    args._data_classes = int(kv["classes"]) if "classes" in kv else None
+    if (key == "train" and "valid" in kv
+            and hasattr(args, "eval_image_list")
+            and not args.eval_image_list):
+        # darknet -map scores the .data valid= list during training
+        args.eval_image_list = _resolve(kv["valid"])
+
+
 def _dataset_samples(args, cfg, names=None):
-    """(image_path, annotation) samples from --voc-root or --coco-json.
-    The annotation is a VOC XML path (str) or a pre-parsed dict (COCO,
-    `data/coco.load_coco`); both downstream paths accept either.
-    ``names`` overrides the class vocabulary GT labels map onto (the
-    tree-map eval projection); default cfg.class_names."""
-    if bool(args.voc_root) == bool(args.coco_json):
-        raise SystemExit("give exactly one of --voc-root / --coco-json")
+    """(image_path, annotation) samples from --voc-root, --coco-json,
+    or --image-list/--data (darknet-native list + YOLO .txt labels).
+    The annotation is a VOC XML path (str) or a pre-parsed dict;
+    both downstream paths accept either. ``names`` overrides the
+    class vocabulary GT labels map onto (the tree-map eval
+    projection); default cfg.class_names."""
+    n_sources = sum(bool(s) for s in (
+        args.voc_root, args.coco_json, getattr(args, "image_list", None)))
+    if n_sources != 1:
+        raise SystemExit("give exactly one of --voc-root / --coco-json "
+                         "/ --image-list (or --data)")
+    if getattr(args, "image_list", None):
+        from yolo_tpu.data.darknet_list import list_images
+
+        want = names or cfg.class_names
+        data_ncls = getattr(args, "_data_classes", None)
+        if data_ncls is not None and data_ncls != len(want):
+            # AlexeyAB's tools error when the .data classes= count and
+            # the network's class list disagree — same tripwire here
+            raise SystemExit(
+                f"--data classes={data_ncls} but the model has "
+                f"{len(want)} classes — wrong .data file or wrong "
+                f"cfg/--names")
+        return list_images(args.image_list, want)
     if args.coco_json:
         from yolo_tpu.data.coco import load_coco
 

@@ -84,6 +84,17 @@ def main(argv: Optional[list] = None) -> None:
         p.add_argument("--image-root", default=None,
                        help="image dir for --coco-json file_names "
                             "(default: the JSON's directory)")
+        p.add_argument("--image-list", default=None,
+                       help="darknet-native list file: one image path "
+                            "per line, YOLO-format .txt label per "
+                            "image (the .data train=/valid= format)")
+        p.add_argument("--data", default=None,
+                       help="darknet .data file: resolves the image "
+                            "list (train= here, valid= for eval) and "
+                            "names= when --names is absent")
+        # which .data key this command trains/scores from
+        p.set_defaults(_data_list_key="train" if default_split == "train"
+                       else "valid")
 
     p = sub.add_parser("train", help="fine-tune on VOC or COCO data")
     _add_common(p)
@@ -175,6 +186,10 @@ def main(argv: Optional[list] = None) -> None:
                         "training samples)")
     p.add_argument("--eval-coco-json", default=None,
                    help="held-out COCO instances file for --eval-every")
+    p.add_argument("--eval-image-list", default=None,
+                   help="held-out darknet list file for --eval-every "
+                        "(auto-filled from --data valid=, darknet's "
+                        "-map behavior)")
     p.add_argument("--eval-max-images", type=int, default=0,
                    help="cap validation set size (0 = all)")
     p.add_argument("--resume", default=None, help="orbax checkpoint path")
@@ -306,4 +321,8 @@ def main(argv: Optional[list] = None) -> None:
             set_decoder(args.decoder)
         except (ValueError, RuntimeError) as e:
             raise SystemExit(str(e))
+    if getattr(args, "data", None):
+        from yolo_tpu.cli._common import _apply_data_file
+
+        _apply_data_file(args)
     args.fn(args)

@@ -213,10 +213,10 @@ def cmd_train(args) -> None:
                          "changes batch shapes per step, which grain's "
                          "per-record operations can't express) — drop "
                          "--multi-scale or use --loader threads")
-    if args.eval_split and args.coco_json:
-        raise SystemExit("--eval-split is a VOC concept; for COCO use "
-                         "--eval-coco-json with a held-out "
-                         "instances file")
+    if args.eval_split and (args.coco_json or args.image_list):
+        raise SystemExit("--eval-split is a VOC concept; use "
+                         "--eval-coco-json (COCO) or --eval-image-list "
+                         "(darknet list) for a held-out set")
     mesh = shd.make_mesh()
     n_dev = mesh.devices.size
     if args.batch % n_dev:
@@ -260,18 +260,21 @@ def cmd_train(args) -> None:
     pairs = _dataset_samples(args, cfg)
     eval_samples = None
     if args.eval_every:
-        if args.eval_split or args.eval_coco_json:
+        if args.eval_split or args.eval_coco_json or args.eval_image_list:
             import argparse as _ap
 
+            held_out = args.eval_coco_json or args.eval_image_list
             eargs = _ap.Namespace(
-                voc_root=None if args.eval_coco_json else args.voc_root,
+                voc_root=None if held_out else args.voc_root,
                 coco_json=args.eval_coco_json or None,
+                image_list=args.eval_image_list or None,
                 image_root=args.image_root,
                 split=args.eval_split or "val")
             eval_samples = _dataset_samples(eargs, cfg)
         else:
             eval_samples = pairs  # no held-out set given: training mAP
-            print("--eval-every without --eval-split/--eval-coco-json "
+            print("--eval-every without --eval-split/--eval-coco-json/"
+                  "--eval-image-list "
                   "scores the TRAINING samples", file=sys.stderr)
         if args.eval_max_images:
             eval_samples = eval_samples[:args.eval_max_images]

@@ -1,0 +1,207 @@
+"""Darknet-NATIVE dataset format: image-path list files + per-image
+YOLO-format label `.txt` files + `.data` metadata files (SURVEY.md
+§2.1 'GT encoder' / §3.3 train data path — the format darknet itself
+trains from, and what LabelImg/Roboflow-style tools export).
+
+The three pieces, with their darknet sources:
+
+* a LIST file (the `train = train.txt` entry of a `.data` file): one
+  image path per line (data.c get_paths).
+* one LABEL file per image: whitespace-separated
+  ``<class_id> <cx> <cy> <w> <h>`` per object, coordinates normalized
+  to [0, 1] (data.c read_boxes). The label path derives from the
+  image path via the find_replace chain in AlexeyAB's
+  replace_image_to_label: first ``/images/`` -> ``/labels/`` (and the
+  pjreddie-era ``/JPEGImages/`` -> ``/labels/``), then the image
+  extension -> ``.txt``; when no directory component matches, the
+  label is simply the sibling ``.txt`` (the chain changed nothing but
+  the extension).
+* a `.data` file (option_list.c read_data_cfg): ``key = value`` lines
+  (classes/train/valid/names/backup); ``#``/``;`` comment lines are
+  skipped, the FIRST occurrence of a duplicated key wins
+  (option_find walks the list front-to-back).
+
+Deviations from darknet, all strictly more permissive:
+* darknet's strip() deletes EVERY whitespace character from a .data
+  line (a path with internal spaces cannot work there); we strip only
+  the ends of key and value.
+* darknet's find_replace swaps the FIRST occurrence of ``.jpg`` etc.
+  anywhere in the path (mangling e.g. ``a.jpg.d/x.jpg``); we replace
+  the path's final extension.
+* a MISSING label file warns and trains the image as pure background
+  (AlexeyAB logs the path to bad_label.list and continues; pjreddie's
+  file_error exits).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+# the extension set replace_image_to_label rewrites to .txt
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".tiff", ".tif",
+              ".pgm", ".webp")
+
+
+def parse_data_file(path: str) -> Dict[str, str]:
+    """A darknet `.data` file -> {key: value} (read_data_cfg
+    semantics: ``key = value`` lines, ``#``/``;``/empty lines skipped,
+    first occurrence of a duplicate key wins, a non-comment line
+    without ``=`` is a config error)."""
+    out: Dict[str, str] = {}
+    with open(path) as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line[0] in "#;":
+                continue
+            if "=" not in line:
+                raise ValueError(f"{path}:{lineno}: expected "
+                                 f"'key = value', got: {line}")
+            k, v = line.split("=", 1)
+            out.setdefault(k.strip(), v.strip())
+    return out
+
+
+def label_path_for(image_path: str) -> str:
+    """Image path -> YOLO label path (replace_image_to_label's
+    find_replace chain; see module docstring)."""
+    p = image_path
+    for src in ("/images/", "/JPEGImages/", "\\images\\",
+                "\\JPEGImages\\"):
+        if src in p:
+            p = p.replace(src, src[0] + "labels" + src[0], 1)
+            break
+    stem, ext = os.path.splitext(p)
+    if ext.lower() in IMAGE_EXTS:
+        return stem + ".txt"
+    return p + ".txt"
+
+
+def read_label_file(path: str, n_classes: int,
+                    _warned=[False]) -> Tuple[np.ndarray, np.ndarray,
+                                              int]:
+    """One YOLO label file -> (boxes (G, 4) normalized cxcywh f32,
+    classes (G,) i32, n_dropped). Lines are ``id cx cy w h``
+    whitespace-separated floats (read_boxes' fscanf). Class ids
+    outside [0, n_classes) drop with a count (AlexeyAB prints 'Wrong
+    annotation: class id' and skips); a missing file warns once and
+    yields zero boxes (trains as pure background)."""
+    boxes, classes, dropped = [], [], 0
+    if not os.path.exists(path):
+        if not _warned[0]:
+            _warned[0] = True
+            print(f"WARNING: label file missing: {path} — the image "
+                  f"trains as pure background (further misses not "
+                  f"reported)", file=sys.stderr)
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
+                0)
+    with open(path) as f:
+        for lineno, raw in enumerate(f, 1):
+            parts = raw.split()
+            if not parts:
+                continue
+            if len(parts) < 5:
+                raise ValueError(f"{path}:{lineno}: expected "
+                                 f"'id cx cy w h', got: {raw.rstrip()}")
+            try:
+                cid = int(float(parts[0]))
+                vals = [float(x) for x in parts[1:5]]
+            except ValueError:
+                raise ValueError(f"{path}:{lineno}: non-numeric label "
+                                 f"line: {raw.rstrip()}") from None
+            if not 0 <= cid < n_classes:
+                dropped += 1
+                continue
+            boxes.append(vals)
+            classes.append(cid)
+    return (np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32), dropped)
+
+
+def image_dims(path: str) -> Tuple[int, int]:
+    """(width, height) of an image, by header sniff for plain
+    JPEG/PNG (no full decode) with a cv2.imread fallback for every
+    other case — including JPEGs carrying an EXIF APP1 segment, where
+    cv2 may auto-rotate and swap the dims (the pipeline's loader is
+    cv2, so its post-rotation view is the authoritative geometry)."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+        if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", head[16:24])
+            return int(w), int(h)
+        if head[:2] == b"\xff\xd8":  # JPEG: walk the marker stream
+            f.seek(2)
+            while True:
+                b = f.read(1)
+                if not b:
+                    break
+                if b != b"\xff":
+                    continue
+                marker = f.read(1)
+                while marker == b"\xff":  # fill bytes
+                    marker = f.read(1)
+                if not marker or marker in (b"\xd8", b"\x01") or \
+                        b"\xd0" <= marker <= b"\xd7":
+                    continue  # standalone markers, no length
+                ln = f.read(2)
+                if len(ln) < 2:
+                    break
+                seglen = struct.unpack(">H", ln)[0]
+                m = marker[0]
+                if m == 0xE1:  # APP1 (EXIF) — cv2 may rotate: fall back
+                    break
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    sof = f.read(5)  # precision(1) H(2) W(2)
+                    if len(sof) == 5:
+                        h, w = struct.unpack(">HH", sof[1:5])
+                        return int(w), int(h)
+                    break
+                f.seek(seglen - 2, 1)
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise ValueError(f"cannot read image dimensions: {path}")
+    return int(img.shape[1]), int(img.shape[0])
+
+
+def list_images(list_file: str,
+                class_names: Sequence[str]) -> List[Tuple[str, Dict]]:
+    """A darknet list file -> (image_path, annotation_dict) samples in
+    `voc.parse_annotation`'s schema (normalized cxcywh boxes, classes,
+    width/height, difficult all 0 — YOLO labels carry no difficult
+    flag). Relative image paths resolve against the CWD first
+    (darknet's semantics: list entries are relative to where darknet
+    runs) and fall back to the list file's own directory."""
+    base = os.path.dirname(os.path.abspath(list_file))
+    with open(list_file) as f:
+        raw_paths = [line.strip() for line in f if line.strip()]
+    if not raw_paths:
+        raise ValueError(f"{list_file}: empty image list")
+    samples: List[Tuple[str, Dict]] = []
+    ncls = len(class_names)
+    for rp in raw_paths:
+        p = rp
+        if not os.path.isabs(p) and not os.path.exists(p):
+            alt = os.path.join(base, rp)
+            if os.path.exists(alt):
+                p = alt
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"{list_file}: image not found: {rp} (tried CWD and "
+                f"the list file's directory)")
+        boxes, classes, dropped = read_label_file(label_path_for(p),
+                                                  ncls)
+        w, h = image_dims(p)
+        samples.append((p, {
+            "boxes": boxes, "classes": classes,
+            "difficult": np.zeros((len(classes),), np.int32),
+            "width": w, "height": h,
+            "filename": os.path.basename(p),
+            "n_unknown": dropped,
+        }))
+    return samples
