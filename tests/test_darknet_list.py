@@ -37,11 +37,15 @@ def test_parse_data_file(tmp_path):
 
 
 @pytest.mark.quick
-def test_parse_data_file_rejects_non_kv(tmp_path):
+def test_parse_data_file_warns_and_skips_non_kv(tmp_path, capsys):
+    """darknet's read_data_cfg prints 'Config file error line N' and
+    CONTINUES on a non-kv line — same tolerance here, with a
+    warning."""
     p = tmp_path / "bad.data"
-    p.write_text("classes = 3\njust a line\n")
-    with pytest.raises(ValueError, match="bad.data:2"):
-        dl.parse_data_file(str(p))
+    p.write_text("classes = 3\njust a line\ntrain = t.txt\n")
+    kv = dl.parse_data_file(str(p))
+    assert kv == {"classes": "3", "train": "t.txt"}
+    assert "bad.data:2" in capsys.readouterr().err
 
 
 # ---------------------------------------------------------------------------
@@ -77,29 +81,41 @@ def test_read_label_file(tmp_path):
                  "\n"
                  "0   0.1 0.2   0.05 0.05\n"
                  "7 0.9 0.9 0.1 0.1\n")  # class id out of range: drops
-    boxes, classes, dropped = dl.read_label_file(str(p), n_classes=3)
+    boxes, classes, dropped, missing = dl.read_label_file(
+        str(p), n_classes=3)
     np.testing.assert_allclose(boxes, [[0.5, 0.5, 0.25, 0.3],
                                        [0.1, 0.2, 0.05, 0.05]])
     np.testing.assert_array_equal(classes, [1, 0])
-    assert dropped == 1
+    assert dropped == 1 and not missing
 
 
 @pytest.mark.quick
 def test_read_label_file_missing_is_background(tmp_path, capsys):
-    boxes, classes, dropped = dl.read_label_file(
+    boxes, classes, dropped, missing = dl.read_label_file(
         str(tmp_path / "nope.txt"), n_classes=3)
-    assert boxes.shape == (0, 4) and len(classes) == 0 and dropped == 0
+    assert boxes.shape == (0, 4) and len(classes) == 0
+    assert missing and dropped == 0
+    assert "missing" in capsys.readouterr().err
+    # quiet mode: the caller aggregates, no per-file print
+    dl.read_label_file(str(tmp_path / "nope.txt"), n_classes=3,
+                       quiet=True)
+    assert "missing" not in capsys.readouterr().err
 
 
 @pytest.mark.quick
-def test_read_label_file_malformed_raises(tmp_path):
+def test_read_label_file_malformed_stops_like_fscanf(tmp_path, capsys):
+    """darknet read_boxes' fscanf loop stops at the first
+    non-conforming token (silently); we stop the file's read too but
+    say so, keeping the lines before it."""
     p = tmp_path / "a.txt"
-    p.write_text("1 0.5 0.5\n")
-    with pytest.raises(ValueError, match="a.txt:1"):
-        dl.read_label_file(str(p), n_classes=3)
+    p.write_text("1 0.5 0.5 0.25 0.3\n1 0.5 0.5\n1 0.6 0.6 0.1 0.1\n")
+    boxes, classes, dropped, missing = dl.read_label_file(
+        str(p), n_classes=3)
+    assert len(classes) == 1  # line 3 is after the stop
+    assert "a.txt:2" in capsys.readouterr().err
     p.write_text("1 x y w h\n")
-    with pytest.raises(ValueError, match="non-numeric"):
-        dl.read_label_file(str(p), n_classes=3)
+    boxes, classes, _, _ = dl.read_label_file(str(p), n_classes=3)
+    assert len(classes) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +134,39 @@ def test_image_dims_matches_cv2(tmp_path):
         w, h = dl.image_dims(p)
         got = cv2.imread(p)
         assert (w, h) == (got.shape[1], got.shape[0]), ext
+
+
+def _exif_app1(orientation, byte_order=b"II"):
+    import struct as st
+
+    bo = "<" if byte_order == b"II" else ">"
+    tiff = (byte_order + st.pack(bo + "H", 42) + st.pack(bo + "I", 8)
+            + st.pack(bo + "H", 1)                       # 1 IFD entry
+            + st.pack(bo + "HHI", 0x0112, 3, 1)          # orientation
+            + st.pack(bo + "H", orientation) + b"\x00\x00"
+            + st.pack(bo + "I", 0))                      # next IFD
+    return b"Exif\x00\x00" + tiff
+
+
+@pytest.mark.quick
+def test_image_dims_exif_rotation_swaps_without_decode(tmp_path):
+    """A JPEG carrying EXIF orientation 6 (90-degree rotation): cv2
+    auto-rotates, so the header sniff must report the SWAPPED dims —
+    via the APP1 orientation tag, not a full-decode fallback."""
+    import struct as st
+
+    for orient, byte_order, want in ((6, b"II", (37, 53)),
+                                     (8, b"MM", (37, 53)),
+                                     (1, b"II", (53, 37)),
+                                     (3, b"MM", (53, 37))):
+        app1 = _exif_app1(orient, byte_order)
+        jpg = (b"\xff\xd8"
+               + b"\xff\xe1" + st.pack(">H", len(app1) + 2) + app1
+               + b"\xff\xc0" + st.pack(">H", 17)
+               + b"\x08" + st.pack(">HH", 37, 53))  # H=37, W=53
+        p = tmp_path / f"exif{orient}_{byte_order.decode()}.jpg"
+        p.write_bytes(jpg)
+        assert dl.image_dims(str(p)) == want, (orient, byte_order)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +236,26 @@ def test_list_images_relative_paths_resolve_against_list_dir(
     monkeypatch.chdir("/")  # ensure CWD resolution fails
     samples = dl.list_images(str(root / "rel.txt"), ["x"] * 12)
     assert len(samples) == 4
+
+
+@pytest.mark.quick
+def test_list_images_warns_on_dropped_and_missing(tmp_path, capsys):
+    """Wrong-class-count and missing-label tripwires: aggregate
+    warnings at list time (the review found the out-of-range drops
+    were silent — unlike darknet's per-line 'Wrong annotation' print
+    and this repo's own VOC wrong---names tripwire)."""
+    root = _make_darknet_root(tmp_path)  # class id 11 in the labels
+    # 3-class vocabulary: EVERY line drops -> the loud all-background
+    # warning
+    dl.list_images(str(root / "train.txt"), ["a", "b", "c"])
+    err = capsys.readouterr().err
+    assert "4 label lines dropped" in err
+    assert "EVERY label line was dropped" in err
+    # remove one label file -> aggregate missing warning (once)
+    os.remove(root / "labels" / "im0.txt")
+    dl.list_images(str(root / "train.txt"), ["x"] * 12)
+    err = capsys.readouterr().err
+    assert "1/4 label files missing" in err
 
 
 def test_ground_truth_matches_voc_xml_stack(tmp_path):

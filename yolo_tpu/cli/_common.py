@@ -168,16 +168,20 @@ def _apply_data_file(args) -> None:
     the command runs: the command's list (train= for training/anchors,
     valid= for eval — parser-set `_data_list_key`) becomes
     --image-list, and names= fills --names when absent (relative
-    paths resolve against the .data file's directory, then the CWD —
-    darknet reads them relative to where it runs). classes= is
-    validated later against the model (`_dataset_samples`)."""
+    paths resolve against the CWD first — darknet reads them relative
+    to where it runs — with the .data file's own directory as the
+    fallback). classes= is validated later against the model
+    (`_dataset_samples`)."""
     from yolo_tpu.data.darknet_list import parse_data_file
 
     if getattr(args, "image_list", None):
         raise SystemExit("give --data or --image-list, not both (the "
                          ".data file's train=/valid= entry IS the "
                          "image list)")
-    kv = parse_data_file(args.data)
+    try:
+        kv = parse_data_file(args.data)
+    except OSError as e:
+        raise SystemExit(f"--data: {e}")
     key = getattr(args, "_data_list_key", "train")
     if key not in kv:
         raise SystemExit(f"{args.data}: no '{key} = <list file>' entry "

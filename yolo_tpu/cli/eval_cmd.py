@@ -15,8 +15,8 @@ from yolo_tpu.cli._common import (_compute_dtype, _dataset_samples,
                                   _tree_kw)
 
 
-def _write_voc_detections(out_dir: str, detections, samples,
-                          names) -> None:
+def _write_voc_detections(out_dir: str, detections, samples, names,
+                          gt) -> None:
     """darknet `detector valid` comp4 writer (detector.c
     print_detector_detections): one comp4_det_test_<class>.txt per
     class — every class file is created, even when empty, like
@@ -25,15 +25,12 @@ def _write_voc_detections(out_dir: str, detections, samples,
     devkit's 1-based pixel convention (+1 on each corner, xmin/ymin
     clamped up to 1, xmax/ymax clamped down to the image w/h; '%f'
     6-decimal formatting). The image id is the path basename without
-    its extension (darknet's basecfg(path))."""
-    from yolo_tpu.data.voc import parse_annotation
-
+    its extension (darknet's basecfg(path)). Image dims come from the
+    already-built ground truth (no annotation re-parse)."""
     os.makedirs(out_dir, exist_ok=True)
     lines = {c: [] for c in range(len(names))}
-    for img_id, (path, ann) in enumerate(samples):
-        if not isinstance(ann, dict):
-            ann = parse_annotation(ann, names, keep_difficult=True)
-        w, h = ann["width"], ann["height"]
+    for img_id, (path, _ann) in enumerate(samples):
+        w, h = gt[img_id]["width"], gt[img_id]["height"]
         stem = os.path.splitext(os.path.basename(path))[0]
         for (c, s, x1, y1, x2, y2) in detections.get(img_id, ()):
             xmin = max(1.0, x1 + 1.0)
@@ -137,7 +134,7 @@ def cmd_eval(args) -> None:
         # darknet `detector valid` equivalent: per-class VOC-devkit
         # submission files (comp4_det_test_<class>.txt)
         _write_voc_detections(args.save_voc_dir, detections, pairs,
-                              names)
+                              names, gt)
 
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
     if args.save_pr and metric == "coco":

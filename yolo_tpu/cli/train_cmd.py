@@ -29,22 +29,34 @@ def _parse_multi_scale_sizes(spec: str, cfg):
     """--multi-scale-sizes tokens: square ints (classic ladder) or
     WIDTHxHEIGHT pairs (darknet cfg key order) for rectangular
     buckets. On a rectangular net, bare ints are rejected — a square
-    bucket would silently change the cfg's aspect."""
+    bucket would silently change the cfg's aspect. Every dimension
+    must be a /32 multiple (the families' net stride; an off-grid
+    bucket would only explode at jit time mid-training)."""
     out = []
     for tok in spec.split(","):
         tok = tok.strip()
-        if "x" in tok:
-            w_s, h_s = tok.split("x", 1)
-            out.append((int(h_s), int(w_s)))  # internal (net_h, net_w)
-        else:
-            if cfg.input_w != cfg.input_h:
-                raise SystemExit(
-                    f"--multi-scale-sizes entry '{tok}' is a SQUARE "
-                    f"bucket but {cfg.name} is rectangular "
-                    f"({cfg.input_w}x{cfg.input_h}) — write rect "
-                    f"buckets as WIDTHxHEIGHT (e.g. "
-                    f"{cfg.input_w}x{cfg.input_h})")
-            out.append(int(tok))
+        try:
+            if "x" in tok.lower():
+                w_s, h_s = tok.lower().split("x", 1)
+                hw = (int(h_s), int(w_s))  # internal (net_h, net_w)
+            else:
+                if cfg.input_w != cfg.input_h:
+                    raise SystemExit(
+                        f"--multi-scale-sizes entry '{tok}' is a "
+                        f"SQUARE bucket but {cfg.name} is rectangular "
+                        f"({cfg.input_w}x{cfg.input_h}) — write rect "
+                        f"buckets as WIDTHxHEIGHT (e.g. "
+                        f"{cfg.input_w}x{cfg.input_h})")
+                hw = int(tok)
+        except ValueError:
+            raise SystemExit(f"--multi-scale-sizes entry '{tok}': "
+                             f"expected an int or WIDTHxHEIGHT") \
+                from None
+        dims = (hw,) if isinstance(hw, int) else hw
+        if any(d < 32 or d % 32 for d in dims):
+            raise SystemExit(f"--multi-scale-sizes entry '{tok}': "
+                             f"sizes must be multiples of 32")
+        out.append(hw)
     return tuple(out)
 
 

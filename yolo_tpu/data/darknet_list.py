@@ -31,6 +31,11 @@ Deviations from darknet, all strictly more permissive:
 * a MISSING label file warns and trains the image as pure background
   (AlexeyAB logs the path to bad_label.list and continues; pjreddie's
   file_error exits).
+* a malformed label line stops that file's read with a warning
+  (read_boxes' fscanf loop stops silently at the first
+  non-conforming token); a non-``key = value`` .data line warns and
+  is skipped (read_data_cfg prints 'Config file error line N' and
+  continues).
 """
 
 from __future__ import annotations
@@ -50,8 +55,9 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".tiff", ".tif",
 def parse_data_file(path: str) -> Dict[str, str]:
     """A darknet `.data` file -> {key: value} (read_data_cfg
     semantics: ``key = value`` lines, ``#``/``;``/empty lines skipped,
-    first occurrence of a duplicate key wins, a non-comment line
-    without ``=`` is a config error)."""
+    first occurrence of a duplicate key wins, a non-``key = value``
+    line warns and is skipped — darknet prints 'Config file error
+    line N' and continues)."""
     out: Dict[str, str] = {}
     with open(path) as f:
         for lineno, raw in enumerate(f, 1):
@@ -59,8 +65,9 @@ def parse_data_file(path: str) -> Dict[str, str]:
             if not line or line[0] in "#;":
                 continue
             if "=" not in line:
-                raise ValueError(f"{path}:{lineno}: expected "
-                                 f"'key = value', got: {line}")
+                print(f"WARNING: {path}:{lineno}: not 'key = value', "
+                      f"ignored: {line}", file=sys.stderr)
+                continue
             k, v = line.split("=", 1)
             out.setdefault(k.strip(), v.strip())
     return out
@@ -81,53 +88,89 @@ def label_path_for(image_path: str) -> str:
     return p + ".txt"
 
 
-def read_label_file(path: str, n_classes: int,
-                    _warned=[False]) -> Tuple[np.ndarray, np.ndarray,
-                                              int]:
+def read_label_file(path: str, n_classes: int, *,
+                    quiet: bool = False) -> Tuple[np.ndarray,
+                                                  np.ndarray, int, bool]:
     """One YOLO label file -> (boxes (G, 4) normalized cxcywh f32,
-    classes (G,) i32, n_dropped). Lines are ``id cx cy w h``
+    classes (G,) i32, n_dropped, missing). Lines are ``id cx cy w h``
     whitespace-separated floats (read_boxes' fscanf). Class ids
     outside [0, n_classes) drop with a count (AlexeyAB prints 'Wrong
-    annotation: class id' and skips); a missing file warns once and
-    yields zero boxes (trains as pure background)."""
-    boxes, classes, dropped = [], [], 0
+    annotation: class id' and skips); a missing file yields zero
+    boxes (trains as pure background); a malformed line stops the
+    file's read (fscanf stops at the first non-conforming token —
+    darknet is silent there, we warn). ``quiet`` suppresses the
+    per-file MISSING warning (list_images aggregates those itself);
+    malformed-line warnings always print."""
+    empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32))
     if not os.path.exists(path):
-        if not _warned[0]:
-            _warned[0] = True
+        if not quiet:
             print(f"WARNING: label file missing: {path} — the image "
-                  f"trains as pure background (further misses not "
-                  f"reported)", file=sys.stderr)
-        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
-                0)
+                  f"trains as pure background", file=sys.stderr)
+        return empty[0], empty[1], 0, True
+    boxes, classes, dropped = [], [], 0
     with open(path) as f:
         for lineno, raw in enumerate(f, 1):
             parts = raw.split()
             if not parts:
                 continue
-            if len(parts) < 5:
-                raise ValueError(f"{path}:{lineno}: expected "
-                                 f"'id cx cy w h', got: {raw.rstrip()}")
             try:
+                if len(parts) < 5:
+                    raise ValueError
                 cid = int(float(parts[0]))
                 vals = [float(x) for x in parts[1:5]]
             except ValueError:
-                raise ValueError(f"{path}:{lineno}: non-numeric label "
-                                 f"line: {raw.rstrip()}") from None
+                # always said, even under quiet — malformed labels are
+                # rare and each deserves its file:line
+                print(f"WARNING: {path}:{lineno}: not 'id cx cy w h' "
+                      f"— stopping this file's read (darknet's fscanf "
+                      f"loop stops here silently): {raw.rstrip()}",
+                      file=sys.stderr)
+                break
             if not 0 <= cid < n_classes:
                 dropped += 1
                 continue
             boxes.append(vals)
             classes.append(cid)
     return (np.asarray(boxes, np.float32).reshape(-1, 4),
-            np.asarray(classes, np.int32), dropped)
+            np.asarray(classes, np.int32), dropped, False)
+
+
+def _exif_orientation(payload: bytes) -> int:
+    """EXIF orientation (1..8) from an APP1 payload, 0 when absent or
+    unparseable. Bounds-checked TIFF IFD0 walk (the same tag the
+    native C++ decoder inspects, native/decode.cpp)."""
+    if payload[:6] != b"Exif\x00\x00":
+        return 0
+    t = payload[6:]
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return 0
+    bo = "<" if t[:2] == b"II" else ">"
+    try:
+        if struct.unpack(bo + "H", t[2:4])[0] != 42:
+            return 0
+        ifd = struct.unpack(bo + "I", t[4:8])[0]
+        if ifd + 2 > len(t):
+            return 0
+        n = struct.unpack(bo + "H", t[ifd:ifd + 2])[0]
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            if e + 12 > len(t):
+                return 0
+            tag, typ = struct.unpack(bo + "HH", t[e:e + 4])
+            if tag == 0x0112 and typ == 3:  # orientation, SHORT
+                return struct.unpack(bo + "H", t[e + 8:e + 10])[0]
+    except struct.error:
+        return 0
+    return 0
 
 
 def image_dims(path: str) -> Tuple[int, int]:
-    """(width, height) of an image, by header sniff for plain
-    JPEG/PNG (no full decode) with a cv2.imread fallback for every
-    other case — including JPEGs carrying an EXIF APP1 segment, where
-    cv2 may auto-rotate and swap the dims (the pipeline's loader is
-    cv2, so its post-rotation view is the authoritative geometry)."""
+    """(width, height) of an image, by header sniff for JPEG/PNG — no
+    full decode, even for EXIF-carrying phone JPEGs: the APP1
+    orientation tag is parsed and orientations 5..8 swap the SOF dims,
+    matching cv2.imread's auto-rotation (the pipeline's loader is cv2,
+    so its post-rotation view is the authoritative geometry). Other
+    formats (and unparseable headers) fall back to cv2.imread."""
     with open(path, "rb") as f:
         head = f.read(26)
         if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
@@ -135,6 +178,7 @@ def image_dims(path: str) -> Tuple[int, int]:
             return int(w), int(h)
         if head[:2] == b"\xff\xd8":  # JPEG: walk the marker stream
             f.seek(2)
+            orient = 0
             while True:
                 b = f.read(1)
                 if not b:
@@ -151,13 +195,18 @@ def image_dims(path: str) -> Tuple[int, int]:
                 if len(ln) < 2:
                     break
                 seglen = struct.unpack(">H", ln)[0]
+                if seglen < 2:
+                    break  # corrupt length: full-decode fallback
                 m = marker[0]
-                if m == 0xE1:  # APP1 (EXIF) — cv2 may rotate: fall back
-                    break
+                if m == 0xE1:  # APP1: read the EXIF orientation
+                    orient = _exif_orientation(f.read(seglen - 2))
+                    continue
                 if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
                     sof = f.read(5)  # precision(1) H(2) W(2)
                     if len(sof) == 5:
                         h, w = struct.unpack(">HH", sof[1:5])
+                        if orient >= 5:  # 90/270-degree rotations
+                            w, h = h, w
                         return int(w), int(h)
                     break
                 f.seek(seglen - 2, 1)
@@ -184,6 +233,8 @@ def list_images(list_file: str,
         raise ValueError(f"{list_file}: empty image list")
     samples: List[Tuple[str, Dict]] = []
     ncls = len(class_names)
+    n_missing, first_missing = 0, None
+    n_dropped, n_kept = 0, 0
     for rp in raw_paths:
         p = rp
         if not os.path.isabs(p) and not os.path.exists(p):
@@ -194,8 +245,14 @@ def list_images(list_file: str,
             raise FileNotFoundError(
                 f"{list_file}: image not found: {rp} (tried CWD and "
                 f"the list file's directory)")
-        boxes, classes, dropped = read_label_file(label_path_for(p),
-                                                  ncls)
+        lp = label_path_for(p)
+        boxes, classes, dropped, missing = read_label_file(
+            lp, ncls, quiet=True)
+        if missing:
+            n_missing += 1
+            first_missing = first_missing or lp
+        n_dropped += dropped
+        n_kept += len(classes)
         w, h = image_dims(p)
         samples.append((p, {
             "boxes": boxes, "classes": classes,
@@ -204,4 +261,19 @@ def list_images(list_file: str,
             "filename": os.path.basename(p),
             "n_unknown": dropped,
         }))
+    if n_missing:
+        print(f"WARNING: {n_missing}/{len(samples)} label files "
+              f"missing (first: {first_missing}) — those images train "
+              f"as pure background", file=sys.stderr)
+    if n_dropped:
+        # the wrong-class-count footgun tripwire (same spirit as the
+        # VOC pipeline's wrong---names warning): AlexeyAB prints a
+        # per-line 'Wrong annotation: class id' here
+        level = ("EVERY label line was dropped — the model would "
+                 "train on pure background. Wrong class count "
+                 "(check the model's classes / --names / .data "
+                 "classes=)?" if n_kept == 0 else
+                 "check for stray class ids in the label files")
+        print(f"WARNING: {n_dropped} label lines dropped (class id "
+              f"outside [0, {ncls})); {level}", file=sys.stderr)
     return samples

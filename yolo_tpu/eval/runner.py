@@ -31,7 +31,10 @@ def build_ground_truth(samples: Sequence[Tuple[str, object]],
         else:
             xyxy = np.zeros((0, 4))
         gt[img_id] = {"boxes": xyxy, "classes": ann["classes"],
-                      "difficult": ann["difficult"]}
+                      "difficult": ann["difficult"],
+                      # retained so consumers (the comp4 writer's
+                      # devkit clamp) need not re-parse annotations
+                      "width": int(w), "height": int(h)}
         if "areas" in ann:
             # COCO segmentation areas (pycocotools areaRng buckets by
             # ann['area'], not bbox area) — VOC XML has no equivalent,
