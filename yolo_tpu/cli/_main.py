@@ -9,7 +9,7 @@ from typing import Optional
 import yolo_tpu.cli as _pkg
 from yolo_tpu.cli._common import _add_common
 from yolo_tpu.cli.detect_cmds import cmd_classify, cmd_detect, cmd_predict
-from yolo_tpu.cli.eval_cmd import cmd_eval
+from yolo_tpu.cli.eval_cmd import cmd_eval, cmd_recall
 from yolo_tpu.cli.tools_cmds import (cmd_anchors, cmd_bench, cmd_doctor,
                                      cmd_export, cmd_partial, cmd_serve,
                                      cmd_zoo)
@@ -238,6 +238,23 @@ def main(argv: Optional[list] = None) -> None:
                         "(comp4_det_test_<class>.txt, darknet "
                         "`detector valid` format)")
     p.set_defaults(fn=cmd_eval)
+
+    # darknet `detector recall`: class-agnostic proposal recall
+    p = sub.add_parser("recall",
+                       help="proposal recall / avg IoU (darknet "
+                            "`detector recall`)")
+    _add_common(p)
+    p.add_argument("--weights", required=True)
+    _add_dataset(p, "test")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--thresh", type=float, default=0.001,
+                   help="objectness proposal threshold (darknet's "
+                        "hardcoded .001)")
+    p.add_argument("--nms-thresh", type=float, default=0.4,
+                   help="objectness-NMS IoU threshold (darknet's .4)")
+    p.add_argument("--iou-thresh", type=float, default=0.5,
+                   help="GT-match IoU threshold (darknet's .5)")
+    p.set_defaults(fn=cmd_recall)
 
     p = sub.add_parser("partial",
                        help="extract the first N layers' weights "

@@ -48,6 +48,33 @@ def _write_voc_detections(out_dir: str, detections, samples, names,
           f"({len(names)} class files)", file=sys.stderr)
 
 
+def cmd_recall(args) -> None:
+    """darknet `detector recall` (validate_detector_recall): cumulative
+    class-agnostic proposal recall / avg-IoU / RPs-per-image over a
+    validation set — per-image lines on stderr, one summary JSON line
+    on stdout. Semantics in eval/recall.py (recall-pinned; defaults
+    thresh=.001 nms=.4 iou_thresh=.5, the hardcoded constants)."""
+    from yolo_tpu.eval.recall import recall_detector
+
+    cfg = _get_cfg(args)
+    _require_detection(cfg, "recall")
+    pairs = _dataset_samples(args, cfg)
+    params = _load_params(args, cfg)
+    if args.precision == "int8":
+        from yolo_tpu.data.pipeline import load_image
+
+        params = _maybe_quantize(
+            args, cfg, params,
+            [load_image(p, cfg.in_channels) for p, _ in pairs[:8]])
+    stats = recall_detector(
+        cfg, params, pairs, batch=args.batch, thresh=args.thresh,
+        nms=args.nms_thresh, iou_thresh=args.iou_thresh,
+        compute_dtype=_compute_dtype(args.precision),
+        resize=args.resize)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in stats.items()}))
+
+
 def cmd_eval(args) -> None:
     """VOC mAP over a split (SURVEY.md §3.5 — the parity gate).
 
