@@ -530,3 +530,74 @@ def test_cfg_augment_keys_auto_enable_and_no_augment(tmp_path, capsys):
         in capsys.readouterr().err
     cli.main(common + ["--no-augment"])
     assert "augmentation enabled" not in capsys.readouterr().err
+
+
+def test_save_labels_pseudo_labeling(tiny_weights, tmp_path, capsys):
+    """--save-labels (darknet -save_labels): detect over an images/
+    dir writes YOLO-format .txt labels into the derived labels/ dir
+    (replace_image_to_label chain), each line '%d %2.4f x4' with
+    relative cx/cy/w/h that round-trip through read_label_file to the
+    printed pixel detections; predict writes the sibling .txt."""
+    import cv2
+
+    from yolo_tpu.data.darknet_list import read_label_file
+
+    img_dir = tmp_path / "ds" / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"i{i}.png"),
+                    rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--images", str(img_dir),
+              "--batch", "2", "--conf", "0.1", "--precision", "fp32",
+              "--save-labels"])
+    recs = {os.path.basename(json.loads(l)["image"]): json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()}
+    lbl_dir = tmp_path / "ds" / "labels"
+    assert sorted(os.listdir(lbl_dir)) == ["i0.txt", "i1.txt"]
+    for i in range(2):
+        txt = (lbl_dir / f"i{i}.txt").read_text()
+        dets = recs[f"i{i}.png"]["detections"]
+        lines = [l for l in txt.splitlines() if l]
+        assert len(lines) == len(dets)
+        for l in lines:  # darknet's exact %d %2.4f formatting
+            parts = l.split(" ")
+            assert len(parts) == 5 and parts[0].isdigit()
+            assert all("." in p and len(p.split(".")[1]) == 4
+                       for p in parts[1:])
+        # round-trip: read_label_file returns relative cxcywh that
+        # must reproduce the printed pixel boxes
+        rel_boxes, _cls, dropped, missing = read_label_file(
+            str(lbl_dir / f"i{i}.txt"), 20)
+        assert not missing and dropped == 0
+        assert len(rel_boxes) == len(dets)
+        want = sorted(
+            [((x1 + x2) / 2 / 80, (y1 + y2) / 2 / 64,
+              (x2 - x1) / 80, (y2 - y1) / 64)
+             for (x1, y1, x2, y2) in (d["box_xyxy"] for d in dets)])
+        np.testing.assert_allclose(
+            sorted(map(tuple, rel_boxes.tolist())), want,
+            atol=3e-3)  # %2.4f quantization + the JSON's 0.1-px
+        # rounding (two rounded corners differenced: up to 0.1 px)
+
+    # predict: sibling .txt next to the image (no /images/ component)
+    solo = tmp_path / "solo.png"
+    cv2.imwrite(str(solo),
+                rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    cli.main(["predict", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", tiny_weights, "--image", str(solo),
+              "--conf", "0.1", "--precision", "fp32", "--save-labels"])
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert (tmp_path / "solo.txt").exists()
+    n_lines = len([l for l in
+                   (tmp_path / "solo.txt").read_text().splitlines()
+                   if l])
+    assert n_lines == len(out_lines)
+
+
+def test_save_labels_rejected_on_video(tiny_weights, tmp_path):
+    with pytest.raises(SystemExit, match="save-labels"):
+        cli.main(["detect", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", tiny_weights, "--video", "0",
+                  "--save-labels"])

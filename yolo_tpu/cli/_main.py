@@ -27,6 +27,11 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--weights", required=True)
     p.add_argument("--image", required=True)
     p.add_argument("--output", default=None, help="write annotated image")
+    p.add_argument("--save-labels", action="store_true",
+                   help="write the detections as a YOLO-format .txt "
+                        "label file next to the image (darknet "
+                        "-save_labels pseudo-labeling: trains directly "
+                        "via --image-list)")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("classify",
@@ -70,6 +75,11 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--host-preprocess", action="store_true",
                    help="letterbox on host: one compiled program for "
                         "mixed image sizes (device letterbox otherwise)")
+    p.add_argument("--save-labels", action="store_true",
+                   help="images: write each image's detections as a "
+                        "YOLO-format .txt label (darknet -save_labels "
+                        "pseudo-labeling; the /images/->/labels/ path "
+                        "chain, else sibling .txt)")
     p.set_defaults(fn=cmd_detect)
 
     def _add_dataset(p, default_split):

@@ -89,6 +89,43 @@ def cmd_classify(args) -> None:
     print(json.dumps(out))
 
 
+def _write_label_file(image_path: str, dets_xyxy, src_w: int,
+                      src_h: int) -> str:
+    """darknet `-save_labels` (detector.c test_detector): write the
+    image's detections as a YOLO-format label file at the path
+    replace_image_to_label derives (/images/->/labels/ chain, else the
+    sibling .txt), one '%d %2.4f %2.4f %2.4f %2.4f' line per detection
+    with RELATIVE (cx, cy, w, h) — the auto-labeling/pseudo-labeling
+    loop: the file trains directly via --image-list. The file is
+    created even with zero detections (darknet fopens uncondtionally).
+
+    dets_xyxy: [(class_id, score, x1, y1, x2, y2) pixel] — coordinates
+    arrive clipped to the image by the un-resize path; darknet writes
+    unclipped coords but its own trainer clamps them to [0,1] at load
+    (fill_truth_detection constrain), so clipped-at-write is
+    load-equivalent. One deviation: darknet writes each NMS survivor
+    once with its best class; the per-class NMS here can emit one box
+    under two classes when both clear the threshold (rare at
+    production thresholds) — each becomes its own line."""
+    from yolo_tpu.data.darknet_list import label_path_for
+
+    out = label_path_for(image_path)
+    d = os.path.dirname(out)
+    if d:
+        # permissive deviation: darknet fopen()s blind and crashes on a
+        # missing labels/ directory — create it instead
+        os.makedirs(d, exist_ok=True)
+    with open(out, "w") as f:
+        for (c, _s, x1, y1, x2, y2) in dets_xyxy:
+            cx = (x1 + x2) / 2.0 / src_w
+            cy = (y1 + y2) / 2.0 / src_h
+            bw = (x2 - x1) / src_w
+            bh = (y2 - y1) / src_h
+            f.write(f"{int(c)} {cx:2.4f} {cy:2.4f} "
+                    f"{bw:2.4f} {bh:2.4f}\n")
+    return out
+
+
 def cmd_predict(args) -> None:
     """Single-image detection (reference 'predict' mode, SURVEY.md §3.1)."""
     import jax.numpy as jnp
@@ -121,6 +158,13 @@ def cmd_predict(args) -> None:
             "score": round(float(scores[i]), 4),
             "box_xyxy": [round(float(v), 1) for v in (x1, y1, x2, y2)],
         }))
+    if args.save_labels:
+        src_h, src_w = img.shape[:2]
+        out_txt = _write_label_file(
+            args.image,
+            [(int(classes[i]), float(scores[i]), *boxes[i])
+             for i in np.nonzero(valid)[0]], src_w, src_h)
+        print(f"wrote {out_txt}", file=sys.stderr)
     if args.output:
         save_image(args.output,
                    draw_detections(img, boxes, scores, classes,
@@ -144,6 +188,9 @@ def cmd_detect(args) -> None:
                         resize=args.resize, **tree_kw)
 
     if args.video:
+        if args.save_labels:
+            raise SystemExit("--save-labels derives per-IMAGE label "
+                             "paths — it applies to --images mode only")
         if args.precision == "int8":
             from yolo_tpu.data.video import video_batches
 
@@ -233,6 +280,16 @@ def cmd_detect(args) -> None:
                 "box_xyxy": [round(float(v), 1) for v in xyxy[j]],
             } for j, i in enumerate(valid)]
             print(json.dumps({"image": batch["paths"][bi], "detections": dets}))
+            if args.save_labels:
+                if args.host_preprocess:
+                    src_h, src_w = batch["shapes"][bi]
+                else:
+                    src_h, src_w = batch["images"][bi].shape[:2]
+                _write_label_file(
+                    batch["paths"][bi],
+                    [(int(classes_np[bi][i]), float(scores_np[bi][i]),
+                      *xyxy[j]) for j, i in enumerate(valid)],
+                    src_w, src_h)
             if args.output_dir:
                 from yolo_tpu.utils.viz import draw_detections, save_image
 
