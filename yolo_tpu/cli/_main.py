@@ -247,6 +247,13 @@ def main(argv: Optional[list] = None) -> None:
                    help="write per-class VOC-devkit submission files "
                         "(comp4_det_test_<class>.txt, darknet "
                         "`detector valid` format)")
+    p.add_argument("--stats", action="store_true",
+                   help="print darknet -map's conf-threshold console "
+                        "block (precision/recall/F1, TP/FP/FN, average "
+                        "IoU) and merge the numbers into the JSON")
+    p.add_argument("--stats-thresh", type=float, default=0.25,
+                   help="--stats confidence threshold (darknet's "
+                        "thresh_calc_avg_iou, default .25)")
     p.set_defaults(fn=cmd_eval)
 
     # darknet `detector recall`: class-agnostic proposal recall

@@ -163,6 +163,29 @@ def cmd_eval(args) -> None:
         _write_voc_detections(args.save_voc_dir, detections, pairs,
                               names, gt)
 
+    stats = None
+    if args.stats:
+        # darknet -map's conf-threshold console block (TP/FP/FN,
+        # precision/recall/F1, average IoU) — independent of the AP
+        # metric; the two format-exact lines go to stderr and the
+        # numbers merge into the stdout JSON
+        from yolo_tpu.eval.voc_map import (detection_stats,
+                                           print_detection_stats)
+
+        if args.eval_conf > args.stats_thresh:
+            print(f"note: --eval-conf {args.eval_conf} > --stats-thresh "
+                  f"{args.stats_thresh}: detections below --eval-conf "
+                  f"were never collected", file=sys.stderr)
+        stats = detection_stats(detections, gt, ncls,
+                                conf_thresh=args.stats_thresh)
+        print_detection_stats(stats, args.stats_thresh)
+        stats = {"tp": stats["tp"], "fp": stats["fp"],
+                 "fn": stats["fn"],
+                 "precision": round(stats["precision"], 4),
+                 "recall": round(stats["recall"], 4),
+                 "f1": round(stats["f1"], 4),
+                 "avg_iou": round(stats["avg_iou"], 4)}
+
     metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
     if args.save_pr and metric == "coco":
         raise SystemExit("--save-pr exports VOC-protocol PR curves; "
@@ -179,6 +202,8 @@ def cmd_eval(args) -> None:
             "map_large", "ar1", "ar10", "ar", "ar_small", "ar_medium",
             "ar_large") if k in result}
         out["ap"] = per_class
+        if stats is not None:
+            out["stats"] = stats
         print(json.dumps(out))
         return
     result = evaluate(detections, gt, ncls,
@@ -191,4 +216,7 @@ def cmd_eval(args) -> None:
         print(f"wrote PR curves to {args.save_pr}", file=sys.stderr)
     per_class = {names[c]: round(a, 4)
                  for c, a in result["ap"].items() if not np.isnan(a)}
-    print(json.dumps({"map": round(result["map"], 4), "ap": per_class}))
+    out = {"map": round(result["map"], 4), "ap": per_class}
+    if stats is not None:
+        out["stats"] = stats
+    print(json.dumps(out))

@@ -69,6 +69,107 @@ def average_precision(recall: np.ndarray, precision: np.ndarray,
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def detection_stats(detections: Dict[int, List],
+                    ground_truth: Dict[int, Dict], num_classes: int, *,
+                    conf_thresh: float = 0.25,
+                    iou_thresh: float = 0.5) -> Dict:
+    """darknet `-map`'s conf-threshold console block
+    (detector.c validate_detector_map — recall-pinned, reference tree
+    empty): over detections with score strictly > conf_thresh (its
+    thresh_calc_avg_iou, default .25), per class in descending-score
+    order, each detection matches the best-IoU same-class GT whose IoU
+    is strictly > iou_thresh — continuous box_iou, NOT the VOC devkit
+    +1 form — and counts TP if that GT is not yet flagged, else FP
+    (no fallback to the second-best GT, matching the truth_index walk).
+    FN = total GT - TP. avg_iou accumulates the matched IoU on TPs but
+    divides by (TP + FP) — darknet's documented quirk (false positives
+    drag the average down); precision/recall/F1 as printed.
+
+    Filtering to score > conf_thresh before the walk is exact: darknet
+    accumulates these stats during its full AP walk, but the sort is
+    descending, so no below-threshold detection can flag a truth
+    before an above-threshold one is scored.
+
+    Difficult GT follow the house VOC convention (ignored: excluded
+    from the GT count, and a detection matching one is neither TP nor
+    FP) — what darknet's tool does when given its -difficult list;
+    darknet-list datasets carry no difficult flags, so they reproduce
+    the plain tool exactly.
+
+    Returns {tp, fp, fn, precision, recall, f1, avg_iou,
+    unique_truth_count} (zero-division guarded to 0.0 where C prints
+    nan)."""
+    tp = fp = 0
+    iou_sum = 0.0
+    npos = 0
+    for img_id, gt in ground_truth.items():
+        difficult = np.asarray(
+            gt.get("difficult",
+                   np.zeros(len(gt["classes"])))).astype(bool)
+        npos += int((~difficult).sum())
+    for cls in range(num_classes):
+        recs = []
+        for img_id, dets in detections.items():
+            for d in dets:
+                if d[0] == cls and d[1] > conf_thresh:
+                    recs.append((img_id, d[1],
+                                 np.asarray(d[2:6], np.float64)))
+        recs.sort(key=lambda r: -r[1])
+        gt_cls = {}
+        for img_id, gt in ground_truth.items():
+            mask = np.asarray(gt["classes"]) == cls
+            boxes = np.asarray(gt["boxes"], np.float64)[mask]
+            difficult = np.asarray(
+                gt.get("difficult",
+                       np.zeros(len(mask))))[mask].astype(bool)
+            gt_cls[img_id] = {"boxes": boxes, "difficult": difficult,
+                              "matched": np.zeros(len(boxes), bool)}
+        for img_id, _score, box in recs:
+            g = gt_cls.get(img_id)
+            if g is None or len(g["boxes"]) == 0:
+                fp += 1
+                continue
+            ious = _iou_xyxy(box, g["boxes"])
+            # truth_index walk: best IoU among those > iou_thresh
+            over = ious > iou_thresh
+            if not np.any(over):
+                fp += 1
+                continue
+            j = int(np.argmax(np.where(over, ious, -1.0)))
+            if g["difficult"][j]:
+                continue  # neither TP nor FP
+            if not g["matched"][j]:
+                g["matched"][j] = True
+                tp += 1
+                iou_sum += float(ious[j])
+            else:
+                fp += 1
+    fn = npos - tp
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if (precision + recall) else 0.0)
+    avg_iou = iou_sum / (tp + fp) if (tp + fp) else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision,
+            "recall": recall, "f1": f1, "avg_iou": avg_iou,
+            "unique_truth_count": npos}
+
+
+def print_detection_stats(stats: Dict, conf_thresh: float,
+                          file=None) -> None:
+    """The two validate_detector_map console lines, format-exact
+    (leading/trailing spaces, %1.2f / %2.2f widths)."""
+    import sys
+
+    file = sys.stderr if file is None else file
+    print(f" for conf_thresh = {conf_thresh:1.2f}, precision = "
+          f"{stats['precision']:1.2f}, recall = {stats['recall']:1.2f}"
+          f", F1-score = {stats['f1']:1.2f} ", file=file)
+    print(f" for conf_thresh = {conf_thresh:1.2f}, TP = {stats['tp']}"
+          f", FP = {stats['fp']}, FN = {stats['fn']}, average IoU = "
+          f"{stats['avg_iou'] * 100:2.2f} % ", file=file)
+
+
 def evaluate(detections: Dict[int, List], ground_truth: Dict[int, Dict],
              num_classes: int, iou_thresh: float = 0.5,
              use_07_metric: bool = True,
