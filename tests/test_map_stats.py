@@ -82,6 +82,21 @@ class TestDetectionStats:
         assert s["unique_truth_count"] == 0
         assert s["precision"] == 0.0 and s["recall"] == 0.0
 
+    def test_difficult_does_not_steal_regular_match(self):
+        # darknet keeps -difficult truths in a SEPARATE list consulted
+        # only when no regular truth matched: a detection whose best
+        # overlap is a difficult box still scores TP against a regular
+        # box that also clears iou_thresh (advisor finding r3)
+        gt = _gt({0: [(0, 20, 20, 80, 70, 1),     # difficult, IoU 1.0
+                      (0, 25, 20, 85, 70, 0)]})   # regular, IoU ~0.74
+        dets = {0: [(0, 0.9, 20, 20, 80, 70)]}
+        s = detection_stats(dets, gt, 1)
+        assert (s["tp"], s["fp"], s["fn"]) == (1, 0, 0)
+        assert s["unique_truth_count"] == 1
+        # the matched IoU credited is the REGULAR box's, not 1.0
+        # (inter 55x50=2750, union 3000+3000-2750=3250)
+        assert s["avg_iou"] == pytest.approx(2750.0 / 3250.0)
+
     def test_class_mismatch_is_fp(self):
         gt = _gt({0: [(1, 20, 20, 80, 70, 0)]})
         dets = {0: [(0, 0.9, 20, 20, 80, 70)]}

@@ -29,9 +29,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--output", default=None, help="write annotated image")
     p.add_argument("--save-labels", action="store_true",
                    help="write the detections as a YOLO-format .txt "
-                        "label file next to the image (darknet "
-                        "-save_labels pseudo-labeling: trains directly "
-                        "via --image-list)")
+                        "label (darknet -save_labels pseudo-labeling: "
+                        "the /images/->/labels/ path chain, else a "
+                        "sibling .txt; trains directly via "
+                        "--image-list)")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("classify",

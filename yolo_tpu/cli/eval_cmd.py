@@ -58,7 +58,12 @@ def cmd_recall(args) -> None:
 
     cfg = _get_cfg(args)
     _require_detection(cfg, "recall")
-    pairs = _dataset_samples(args, cfg)
+    # same vocabulary resolution as cmd_eval: tree-map recall parses
+    # GT against the projected class list, so both tools score the
+    # identical GT set (recall itself is class-agnostic)
+    tree_kw = _tree_kw(args, cfg)
+    names = cfg.detection_names(tree_kw["use_tree_map"])
+    pairs = _dataset_samples(args, cfg, names=names)
     params = _load_params(args, cfg)
     if args.precision == "int8":
         from yolo_tpu.data.pipeline import load_image
@@ -70,7 +75,7 @@ def cmd_recall(args) -> None:
         cfg, params, pairs, batch=args.batch, thresh=args.thresh,
         nms=args.nms_thresh, iou_thresh=args.iou_thresh,
         compute_dtype=_compute_dtype(args.precision),
-        resize=args.resize)
+        resize=args.resize, names=names)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in stats.items()}))
 

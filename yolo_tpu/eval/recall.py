@@ -242,13 +242,22 @@ def recall_detector(cfg, folded_params,
                     nms: float = DEFAULT_NMS,
                     iou_thresh: float = DEFAULT_IOU_THRESH,
                     compute_dtype=None, resize: str = "letterbox",
-                    print_lines: bool = True,
-                    out=None) -> Dict[str, float]:
+                    print_lines: bool = True, out=None,
+                    names: Optional[Sequence[str]] = None
+                    ) -> Dict[str, float]:
     """validate_detector_recall over `samples` ((path, annotation)
     pairs): device forward + objectness decode, host NMS + IoU
     accounting, darknet's cumulative per-image stderr lines, and a
     summary dict {recall, avg_iou, proposals_per_img, correct, total,
-    proposals, images}."""
+    proposals, images}.
+
+    ``names`` overrides the class vocabulary GT annotation labels are
+    parsed against (default cfg.class_names). The recall metric itself
+    is class-agnostic, but name-mapped annotation sources (VOC XML,
+    COCO JSON) drop boxes whose names don't resolve — tree/9k models
+    scored on COCO-named data must pass the same
+    cfg.detection_names(use_tree_map) list cmd_eval uses so recall and
+    eval score the identical GT set (advisor finding r3)."""
     import jax
     import jax.numpy as jnp
 
@@ -265,7 +274,9 @@ def recall_detector(cfg, folded_params,
                          compute_dtype=dtype)
         return decode_boxes_objectness(cfg, logits)
 
-    gt, _ = build_ground_truth(samples, cfg.class_names)
+    gt, _ = build_ground_truth(samples,
+                               cfg.class_names if names is None
+                               else list(names))
     gt_net = {i: _gt_net_norm(gt[i], cfg.input_hw, resize)
               for i in gt}
     path_ids: Dict[str, list] = {}

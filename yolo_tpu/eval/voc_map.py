@@ -90,11 +90,16 @@ def detection_stats(detections: Dict[int, List],
     descending, so no below-threshold detection can flag a truth
     before an above-threshold one is scored.
 
-    Difficult GT follow the house VOC convention (ignored: excluded
-    from the GT count, and a detection matching one is neither TP nor
-    FP) — what darknet's tool does when given its -difficult list;
+    Difficult GT follow darknet's -difficult semantics exactly: they
+    live in a SEPARATE list consulted only when no regular (non-
+    difficult) truth matched over iou_thresh — so a detection whose
+    best overlap is a difficult box still scores TP against a regular
+    box that also clears the threshold (advisor finding r3: the house
+    VOC "best-match steals" convention differed in that corner). A
+    detection whose only over-threshold matches are difficult is
+    neither TP nor FP; difficult GT are excluded from the GT count.
     darknet-list datasets carry no difficult flags, so they reproduce
-    the plain tool exactly.
+    the plain tool exactly either way.
 
     Returns {tp, fp, fn, precision, recall, f1, avg_iou,
     unique_truth_count} (zero-division guarded to 0.0 where C prints
@@ -122,28 +127,34 @@ def detection_stats(detections: Dict[int, List],
             difficult = np.asarray(
                 gt.get("difficult",
                        np.zeros(len(mask))))[mask].astype(bool)
-            gt_cls[img_id] = {"boxes": boxes, "difficult": difficult,
-                              "matched": np.zeros(len(boxes), bool)}
+            gt_cls[img_id] = {"boxes": boxes[~difficult],
+                              "diff_boxes": boxes[difficult],
+                              "matched": np.zeros(int((~difficult).sum()),
+                                                  bool)}
         for img_id, _score, box in recs:
             g = gt_cls.get(img_id)
-            if g is None or len(g["boxes"]) == 0:
+            if g is None:
                 fp += 1
                 continue
-            ious = _iou_xyxy(box, g["boxes"])
-            # truth_index walk: best IoU among those > iou_thresh
-            over = ious > iou_thresh
-            if not np.any(over):
-                fp += 1
-                continue
-            j = int(np.argmax(np.where(over, ious, -1.0)))
-            if g["difficult"][j]:
-                continue  # neither TP nor FP
-            if not g["matched"][j]:
-                g["matched"][j] = True
-                tp += 1
-                iou_sum += float(ious[j])
-            else:
-                fp += 1
+            if len(g["boxes"]):
+                ious = _iou_xyxy(box, g["boxes"])
+                # truth_index walk: best IoU among those > iou_thresh
+                over = ious > iou_thresh
+                if np.any(over):
+                    j = int(np.argmax(np.where(over, ious, -1.0)))
+                    if not g["matched"][j]:
+                        g["matched"][j] = True
+                        tp += 1
+                        iou_sum += float(ious[j])
+                    else:
+                        fp += 1
+                    continue
+            # no regular truth matched: consult the difficult list —
+            # an over-threshold difficult match is neither TP nor FP
+            if len(g["diff_boxes"]):
+                if np.any(_iou_xyxy(box, g["diff_boxes"]) > iou_thresh):
+                    continue
+            fp += 1
     fn = npos - tp
     precision = tp / (tp + fp) if (tp + fp) else 0.0
     recall = tp / (tp + fn) if (tp + fn) else 0.0
