@@ -50,14 +50,25 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
         if isinstance(layer, Conv):
             p = params[conv_i]
             conv_i += 1
-            pad = layer.size // 2
+            d = getattr(layer, "dilation", 1)
+            kern = p["kernel"].astype(np.float32)
+            if d > 1:
+                # dilated conv as an explicitly zero-inserted kernel —
+                # an independent derivation vs lax rhs_dilation (and it
+                # sidesteps TF's stride>1 + dilations>1 restriction)
+                k = kern.shape[0]
+                ke = np.zeros((d * (k - 1) + 1, d * (k - 1) + 1)
+                              + kern.shape[2:], np.float32)
+                ke[::d, ::d] = kern
+                kern = ke
+            # darknet padding = pad * dilation (im2col/cudnn both)
+            pad = (layer.size // 2) * d
             if pad:
                 x = tf.pad(x, [[0, 0], [pad, pad], [pad, pad], [0, 0]])
             g = getattr(layer, "groups", 1)
             if g > 1:
                 # grouped conv as explicit split/conv/concat — an
                 # independent derivation vs lax feature_group_count
-                kern = p["kernel"].astype(np.float32)
                 oc_g = kern.shape[-1] // g
                 ins = tf.split(x, g, axis=-1)
                 outs = [tf.nn.conv2d(ins[i],
@@ -67,7 +78,7 @@ def run_layers(layers, params, x_nhwc: np.ndarray, eps: float = 1e-5,
                         for i in range(g)]
                 x = tf.concat(outs, axis=-1)
             else:
-                x = tf.nn.conv2d(x, p["kernel"].astype(np.float32),
+                x = tf.nn.conv2d(x, kern,
                                  strides=layer.stride, padding="VALID")
             if "gamma" in p:
                 x = tf.nn.batch_normalization(

@@ -95,7 +95,8 @@ _CONSUMED_KEYS = {
         "angle", "aspect", "min_crop", "max_crop")),
     "convolutional": frozenset((
         "batch_normalize", "filters", "size", "stride", "stride_x",
-        "stride_y", "pad", "padding", "groups", "activation")),
+        "stride_y", "pad", "padding", "groups", "dilation",
+        "activation")),
     "maxpool": frozenset(("size", "stride", "stride_x", "stride_y",
                           "padding")),
     "route": frozenset(("layers", "groups", "group_id")),
@@ -139,7 +140,7 @@ _NOOP_KEYS = {
             "gaussian_noise": 0.0, "adversarial_lr": 0.0,
             "attention": 0.0, "contrastive": 0.0, "track": 0.0,
             "mosaic_bound": 0.0, "resize_step": 32.0},
-    "convolutional": {"dilation": 1.0, "assisted_excitation": 0.0},
+    "convolutional": {"assisted_excitation": 0.0},
     "yolo": {"resize": 1.0, "counters_per_class": None,
              "show_details": None},
     "gaussian_yolo": {"resize": 1.0, "uc_normalizer": 1.0},
@@ -239,9 +240,14 @@ def _resolve_spatial(layers: List, input_hw: Tuple[int, int],
     out = []
     for idx, l in enumerate(layers):
         if isinstance(l, Conv):
-            pad = l.size // 2
-            h = (h + 2 * pad - l.size) // l.stride + 1
-            w = (w + 2 * pad - l.size) // l.stride + 1
+            # darknet applies padding = pad * dilation with effective
+            # kernel extent dilation*(size-1)+1; for dilation=1 this is
+            # the plain pad=size//2 SAME walk
+            d = l.dilation
+            pad = (l.size // 2) * d
+            eff = d * (l.size - 1) + 1
+            h = (h + 2 * pad - eff) // l.stride + 1
+            w = (w + 2 * pad - eff) // l.stride + 1
             c = l.filters
         elif isinstance(l, MaxPool):
             # darknet maxpool: pad = size-1 -> out = (dim-1)//stride + 1
@@ -375,13 +381,22 @@ def config_from_cfg(cfg_path: str, names_path: Optional[str] = None,
                 raise ValueError(
                     f"conv groups={cgroups} must divide "
                     f"filters={filters}")
+            dilation = int(kv.get("dilation", 1))
+            if dilation < 1:
+                raise ValueError(f"conv dilation={dilation} must be "
+                                 f">= 1")
+            if size == 1:
+                # darknet parse_convolutional: if (size == 1)
+                # dilation = 1 — a 1x1 kernel has nothing to dilate
+                dilation = 1
             layers.append(Conv(
                 filters=filters,
                 size=size,
                 stride=stride,
                 bn=bool(int(kv.get("batch_normalize", 0))),
                 act=act,
-                groups=cgroups))
+                groups=cgroups,
+                dilation=dilation))
         elif kind == "maxpool":
             # darknet parse_maxpool defaults: stride=1, size=stride —
             # NOT size=2/stride=size (a bare [maxpool] is a stride-1
@@ -1056,6 +1071,8 @@ def cfg_to_string(cfg: ModelConfig) -> str:
                        + ("batch_normalize=1\n" if l.bn else "")
                        + f"filters={l.filters}\nsize={l.size}\n"
                        + (f"groups={l.groups}\n" if l.groups > 1 else "")
+                       + (f"dilation={l.dilation}\n"
+                          if l.dilation > 1 else "")
                        + f"stride={l.stride}\n"
                        + f"pad={1 if l.size > 1 else 0}\n"
                        + f"activation={l.act}\n")

@@ -53,6 +53,14 @@ class Conv:
     # efficientnet/enet-style cfgs; groups == in_channels = depthwise).
     # Weights-file kernel is (oc, ic/groups, k, k), out = filters.
     groups: int = 1
+    # darknet [convolutional] dilation (AlexeyAB): atrous convolution.
+    # darknet applies padding = pad * dilation (its im2col/cudnn calls
+    # both pass l.pad * l.dilation), which keeps the SAME output
+    # geometry of the undilated conv; the parser forces dilation=1 for
+    # size=1 kernels like darknet's parse_convolutional. Weight layout
+    # is unchanged (same (oc, ic/groups, k, k) kernel, zeros are never
+    # stored).
+    dilation: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

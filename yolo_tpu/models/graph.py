@@ -42,9 +42,12 @@ BN_MOMENTUM = 0.99
 
 
 def _conv2d(x, kernel, stride, compute_dtype, train=False,
-            input_layout="NHWC", groups=1):
+            input_layout="NHWC", groups=1, dilation=1):
     k = kernel.shape[0]
-    pad = k // 2  # darknet pad = size // 2, symmetric
+    # darknet pad = size // 2, symmetric; dilated convs pad by
+    # pad * dilation (darknet passes l.pad * l.dilation to im2col and
+    # cudnn alike), preserving the undilated SAME geometry
+    pad = (k // 2) * dilation
     if compute_dtype == jnp.float32:
         precision = lax.Precision.HIGHEST
     else:
@@ -64,6 +67,7 @@ def _conv2d(x, kernel, stride, compute_dtype, train=False,
         # the conv always emits NHWC
         dimension_numbers=(input_layout, "HWIO", "NHWC"),
         feature_group_count=groups,
+        rhs_dilation=(dilation, dilation),
         precision=precision,
         preferred_element_type=out_dtype,
     )
@@ -103,7 +107,7 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
         return conv_block_int8(x, p, spec, compute_dtype=compute_dtype), None
     if (conv_impl == "pallas" and not train and "bias" in p
             and spec.act in ("leaky", "linear") and spec.groups == 1
-            and input_layout == "NHWC"):
+            and spec.dilation == 1 and input_layout == "NHWC"):
         from yolo_tpu.ops.pallas.conv_kernel import (eligible, feasible,
                                                      fused_conv_bias_act)
 
@@ -116,7 +120,8 @@ def conv_block(x, p: Dict[str, Any], spec: Conv, *, eps: float,
                 jnp.asarray(p["bias"]), act=spec.act)
             return y, None
     y = _conv2d(x, p["kernel"], spec.stride, compute_dtype, train=train,
-                input_layout=input_layout, groups=spec.groups)
+                input_layout=input_layout, groups=spec.groups,
+                dilation=spec.dilation)
     new_stats = None
     if "gamma" in p:
         if train:

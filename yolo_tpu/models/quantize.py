@@ -224,7 +224,7 @@ def conv_block_int8(x, p, spec: Conv, compute_dtype=jnp.bfloat16):
     scale — the inter-block tensor stays 1 byte/elem."""
     from jax import lax
 
-    pad = spec.size // 2
+    pad = (spec.size // 2) * spec.dilation  # darknet pad * dilation
     if x.dtype == jnp.int8:
         xq = x
     else:
@@ -237,6 +237,7 @@ def conv_block_int8(x, p, spec: Conv, compute_dtype=jnp.bfloat16):
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=spec.groups,
+        rhs_dilation=(spec.dilation, spec.dilation),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (p["x_scale"] * p["w_scale"]) + p["bias"]
     # dequantized value is fp32 — any activation applies directly
