@@ -441,6 +441,37 @@ def test_lr_schedule_sgdr():
                                                         rel=1e-5)
 
 
+def test_lr_schedule_random_seeded():
+    """policy=random (--allow-deviations): darknet's lr * u^power with
+    a SEEDED uniform keyed on (seed, batch_num) — same seed reproduces
+    the exact sequence, different seeds/steps differ, every value lies
+    in (0, lr], burn-in still ramps first, and resume at step k sees
+    the same LR as a fresh run (the draw depends only on step)."""
+    import dataclasses
+
+    from yolo_tpu.train.loop import lr_schedule
+
+    cfg = TrainConfig(learning_rate=1e-2, lr_random=True,
+                      lr_random_seed=7, lr_poly_power=4.0)
+    s = lr_schedule(cfg)
+    vals = [float(s(jnp.asarray(i))) for i in range(8)]
+    # reproducible: a second schedule instance gives the identical walk
+    vals2 = [float(lr_schedule(cfg)(jnp.asarray(i))) for i in range(8)]
+    assert vals == vals2
+    # in range and actually random (distinct across steps)
+    assert all(0.0 < v <= 1e-2 for v in vals)
+    assert len(set(vals)) == len(vals)
+    # u^4 skews small: the mean draw sits well below lr
+    assert sum(vals) / len(vals) < 0.5e-2
+    # a different seed is a different sequence
+    other = lr_schedule(dataclasses.replace(cfg, lr_random_seed=8))
+    assert float(other(jnp.asarray(3))) != vals[3]
+    # burn-in ramp applies first, exactly as for every other policy
+    sb = lr_schedule(dataclasses.replace(cfg, burn_in_steps=100))
+    assert float(sb(jnp.asarray(9))) == pytest.approx(
+        1e-2 * (10 / 100) ** 4, rel=1e-5)
+
+
 def test_cli_policy_resolution_new_policies(tmp_path):
     """[net] policy step/exp/sigmoid/sgdr resolve into TrainConfig
     kwargs; policy=random rejects; unknown policies warn to constant."""
@@ -462,8 +493,14 @@ def test_cli_policy_resolution_new_policies(tmp_path):
                                   "max_batches": 1000})
     assert kw["lr_sgdr_cycle"] == 1000  # sgdr_cycle defaults to it
     assert kw["lr_sgdr_mult"] == 2 and kw["lr_min"] == pytest.approx(1e-5)
-    with pytest.raises(SystemExit, match="random"):
+    with pytest.raises(SystemExit, match="allow-deviations"):
         _lr_schedule_from(args, {"policy": "random"})
+    # ...but --allow-deviations opts into the SEEDED deterministic
+    # variant (the deviation is determinism, not the formula)
+    args_dev = argparse.Namespace(lr_steps=None, lr_scales=None,
+                                  allow_deviations=True, seed=11)
+    kw = _lr_schedule_from(args_dev, {"policy": "random"})
+    assert kw["lr_random"] is True and kw["lr_random_seed"] == 11
     with pytest.raises(SystemExit, match="sgdr_cycle"):
         _lr_schedule_from(args, {"policy": "sgdr"})
     # [net] power reaches the burn-in ramp exponent under ANY policy

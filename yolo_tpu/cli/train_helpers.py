@@ -420,10 +420,23 @@ def _lr_schedule_from(args, net_hp):
               f"{cycle}, mult {kw['lr_sgdr_mult']}, "
               f"lr_min {kw['lr_min']:g}", file=sys.stderr)
     elif policy == "random":
-        raise SystemExit("[net] policy=random draws a fresh "
-                         "rand_uniform^power LR every step — "
-                         "nondeterministic by design, not supported "
-                         "(use any other darknet policy)")
+        if not getattr(args, "allow_deviations", False):
+            raise SystemExit(
+                "[net] policy=random draws a fresh rand_uniform^power "
+                "LR every batch from the C library's global PRNG — "
+                "irreproducible by design. Pass --allow-deviations to "
+                "train it with darknet's formula (lr * u^power, "
+                "u ~ U[0,1)) under a SEEDED draw keyed on "
+                "(--seed, step): deterministic and "
+                "resume-reproducible — the deviation is determinism, "
+                "not the formula.")
+        kw["lr_random"] = True
+        kw["lr_random_seed"] = int(getattr(args, "seed", 0) or 0)
+        print("--allow-deviations: [net] policy=random trains with a "
+              "SEEDED rand_uniform^power LR draw keyed on "
+              f"(--seed={kw['lr_random_seed']}, step) — darknet's "
+              "formula, deterministic instead of the C rand()",
+              file=sys.stderr)
     elif policy not in ("constant", "steps"):
         # darknet get_policy: unknown strings warn and fall back
         print(f"note: unknown [net] policy '{policy}', going with "

@@ -75,6 +75,15 @@ class TrainConfig:
     lr_sgdr_cycle: int = 0
     lr_sgdr_mult: int = 2
     lr_min: float = 1e-5
+    # darknet policy=random (network.c get_current_rate RANDOM case):
+    # lr * rand_uniform(0,1)^power, a FRESH draw every batch from the C
+    # library's global PRNG — irreproducible by design. Here the draw
+    # is SEEDED, keyed on (lr_random_seed, batch_num), so runs and
+    # resumes reproduce exactly; the documented deviation is
+    # determinism, not the formula (CLI gates it behind
+    # --allow-deviations). Active when lr_random is True.
+    lr_random: bool = False
+    lr_random_seed: int = 0
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     yolo_loss: YoloLossConfig = dataclasses.field(
         default_factory=YoloLossConfig)  # used when the model has [yolo] heads
@@ -132,8 +141,11 @@ def lr_schedule(cfg: TrainConfig):
     term: multiplicative decays at given steps (policy=steps),
     lr * (1 - bn/max_batches)^power (policy=poly, clamped at 0),
     lr * scale^(bn//size) (policy=step), lr * gamma^bn (policy=exp),
-    lr / (1 + e^(gamma*(bn - s))) (policy=sigmoid), or SGDR cosine
-    warm restarts (see TrainConfig.lr_sgdr_cycle).
+    lr / (1 + e^(gamma*(bn - s))) (policy=sigmoid), SGDR cosine
+    warm restarts (see TrainConfig.lr_sgdr_cycle), or the RANDOM
+    policy's lr * u^power with u a SEEDED per-batch uniform draw
+    (see TrainConfig.lr_random — darknet's formula made
+    deterministic).
 
     The optax step counter is the number of COMPLETED updates (0 on
     the first), while darknet increments net.seen before
@@ -172,6 +184,16 @@ def lr_schedule(cfg: TrainConfig):
             policy_lr = policy_lr / (
                 1.0 + jnp.exp(cfg.lr_sig_gamma
                               * (fb - cfg.lr_sig_step)))
+        if cfg.lr_random:
+            # darknet RANDOM: lr * rand_uniform(0,1)^power — here the
+            # uniform is keyed on (seed, batch_num) so every run and
+            # every resume sees the identical LR at a given step
+            u = jax.random.uniform(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.lr_random_seed),
+                    jnp.asarray(bnum, jnp.uint32)),
+                (), jnp.float32)
+            policy_lr = policy_lr * u ** power
         if cfg.lr_sgdr_cycle:
             # AlexeyAB SGDR: 'while (start + cycle_size < batch_num)
             # advance' — STRICT <, so the boundary batch stays in the
@@ -214,7 +236,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
           if (cfg.burn_in_steps or cfg.lr_decay_steps
               or cfg.lr_poly_max_steps or cfg.lr_step_size
               or cfg.lr_exp_gamma or cfg.lr_sig_gamma
-              or cfg.lr_sgdr_cycle) else cfg.learning_rate)
+              or cfg.lr_sgdr_cycle or cfg.lr_random)
+          else cfg.learning_rate)
     if cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "adam":
