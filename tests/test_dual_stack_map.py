@@ -22,6 +22,13 @@ tie-breaks, candidate caps, greedy order) move the number.
 Ground truth is synthesized from the model's own high-confidence
 detections (jittered) plus random distractor boxes, so the PR curves
 are non-degenerate (mAP well away from both 0 and 1).
+
+Round-4 widening (the surfaces where protocol drift would hide):
+the FULL yolov2-coco region+reorg path, stretch (letter_box=0)
+geometry, a rectangular 416x256 net, and a clean-room COCO
+mAP@[.5:.95] scorer cross-checked against eval/coco_map.evaluate_coco
+on the same synthetic set. Each failure localizes: stack drift moves
+the jax-vs-tf number; evaluator drift moves the same-set cross-score.
 """
 
 import os
@@ -119,9 +126,9 @@ def _protocol_nms(boxes, scores, conf, iou, *, top_k=128, max_det=100):
     return out[:max_det]
 
 
-def _tf_collect(cfg, params, samples, eval_conf):
+def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox"):
     """{img_id: [(cls, score, x1, y1, x2, y2) source pixels]} through
-    the TF stack only."""
+    the TF stack only — oracle letterbox OR stretch geometry."""
     import tests.tf_oracle as tfo
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.ops import numpy_ref as npr
@@ -132,7 +139,10 @@ def _tf_collect(cfg, params, samples, eval_conf):
     dets = {}
     for img_id, (path, (src_h, src_w)) in enumerate(samples):
         img = load_image_rgb(path)
-        x = npr.letterbox(img, net_w, net_h)[0]
+        if resize == "stretch":
+            x = npr.stretch_resize(img, net_w, net_h)
+        else:
+            x = npr.letterbox(img, net_w, net_h)[0]
         logits = tfo.run_layers(cfg.layers, params, x[None],
                                 eps=cfg.bn_eps)
         if cfg.head_kind == "yolo":
@@ -149,10 +159,13 @@ def _tf_collect(cfg, params, samples, eval_conf):
             dets[img_id] = []
             continue
         kb = np.stack([k[0] for k in kept])
-        scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
-                                                   (net_h, net_w))
-        xyxy = npr.unletterbox_boxes(kb, scale, px, py, net_w, net_h,
-                                     src_w, src_h)
+        if resize == "stretch":
+            xyxy = npr.unstretch_boxes(kb, src_w, src_h)
+        else:
+            scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
+                                                       (net_h, net_w))
+            xyxy = npr.unletterbox_boxes(kb, scale, px, py, net_w,
+                                         net_h, src_w, src_h)
         dets[img_id] = [(k[2], k[1], *xyxy[j])
                         for j, k in enumerate(kept)]
     return dets
@@ -215,6 +228,88 @@ def _voc_map_oracle(detections, ground_truth, num_classes):
     return float(np.mean(aps)) if aps else 0.0
 
 
+# ---------------------------------------------------------------------------
+# clean-room COCO-protocol scorer (mAP@[.5:.95]) — a second, loop-level
+# derivation of the pycocotools bbox protocol, independent of
+# eval/coco_map.py, for the 'all' area range with no crowd/ignored GT
+# (the synthetic GT carries neither). Protocol surface covered: the
+# per-image PER-CLASS top-max_dets cap, score-descending greedy
+# matching with >=-upgrade (a later GT with equal-or-better IoU takes
+# the match), continuous IoU, the global stable score merge, 101-point
+# interpolated AP, mean over the 10-threshold grid then over classes
+# that have GT.
+# ---------------------------------------------------------------------------
+
+def _iou_cont(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0.0) * max(iy2 - iy1, 0.0)
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def _coco_map_oracle(detections, ground_truth, num_classes,
+                     max_dets=100):
+    thrs = [round(0.5 + 0.05 * i, 2) for i in range(10)]
+    aps = []
+    img_ids = sorted(set(ground_truth) | set(detections))
+    for cls in range(num_classes):
+        per_img = []          # (sorted dets, gt boxes) per image
+        npos = 0
+        for img_id in img_ids:
+            g = ground_truth.get(img_id)
+            if g is None:
+                gboxes = np.zeros((0, 4))
+            else:
+                sel = np.asarray(g["classes"]) == cls
+                gboxes = np.asarray(g["boxes"], np.float64)[sel]
+            npos += len(gboxes)
+            dets = sorted((d for d in detections.get(img_id, ())
+                           if d[0] == cls),
+                          key=lambda d: -d[1])[:max_dets]
+            per_img.append((dets, gboxes))
+        if npos == 0:
+            continue
+        ap_sum = 0.0
+        for thr in thrs:
+            recs = []                        # (score, is_tp)
+            for dets, gboxes in per_img:
+                used = [False] * len(gboxes)
+                for d in dets:
+                    box = d[2:6]
+                    best = min(thr, 1.0 - 1e-10)
+                    bj = -1
+                    for j, gb in enumerate(gboxes):
+                        if used[j]:
+                            continue
+                        v = _iou_cont(box, gb)
+                        if v >= best:        # later equal IoU wins
+                            best, bj = v, j
+                    if bj >= 0:
+                        used[bj] = True
+                    recs.append((d[1], bj >= 0))
+            recs.sort(key=lambda r: -r[0])   # stable global merge
+            tp = fp = 0
+            rec, prec = [], []
+            for _s, is_tp in recs:
+                tp += is_tp
+                fp += not is_tp
+                rec.append(tp / npos)
+                prec.append(tp / (tp + fp))
+            # precision envelope, sampled at the fixed 101 recall pts
+            for i in range(len(prec) - 1, 0, -1):
+                prec[i - 1] = max(prec[i - 1], prec[i])
+            s = 0.0
+            for pt in np.linspace(0.0, 1.0, 101):
+                idx = next((i for i, r in enumerate(rec) if r >= pt),
+                           None)
+                s += prec[idx] if idx is not None else 0.0
+            ap_sum += s / 101.0
+        aps.append(ap_sum / len(thrs))
+    return float(np.mean(aps)) if aps else 0.0
+
+
 def _synth_gt(detections, samples, rng, num_classes):
     """GT = the model's own detections, box-jittered +- up to 2%, plus
     one random distractor per image — non-degenerate PR curves with
@@ -242,46 +337,57 @@ def _synth_gt(detections, samples, rng, num_classes):
     return gt
 
 
-@pytest.mark.parametrize("variant", ["tiny-voc", "yolov3-tiny"])
-def test_dual_stack_voc_map_parity(tmp_path, variant):
-    from yolo_tpu.configs import get_variant
+# Cache one dual-stack run per (key): the COCO-protocol test re-scores
+# the tiny-voc run rather than paying a second forward sweep.
+_RUN_CACHE = {}
+
+
+def _run_stacks(tmp_path, cfg, *, resize="letterbox", n_images=N_IMAGES,
+                key=None, min_dets=50):
+    """One dual-stack sweep: JAX production collect_detections vs the
+    TF stack, plus synthetic GT. Returns (dets_jax, dets_tf, gt)."""
+    if key is not None and key in _RUN_CACHE:
+        return _RUN_CACHE[key]
     from yolo_tpu.eval.runner import collect_detections
-    from yolo_tpu.eval.voc_map import evaluate
-    from yolo_tpu.io import darknet_weights as dw
     from yolo_tpu.models import graph
 
-    cfg = get_variant(variant, input_size=416)  # full 416, tiny trunks
     rng = np.random.default_rng(0)
     params = _realistic_params(cfg, rng)
     folded = graph.params_to_jax(
         graph.fold_params(cfg.layers, params, cfg.bn_eps))
-
-    samples = _make_images(tmp_path, rng)
+    samples = _make_images(tmp_path, rng, n=n_images)
     run_samples = [(p, None) for p, _ in samples]
 
-    # JAX production stack
     dets_jax = collect_detections(
         cfg, folded, run_samples, batch=10, eval_conf=EVAL_CONF,
-        compute_dtype=jnp.float32)
+        compute_dtype=jnp.float32, resize=resize)
     n_jax = sum(len(v) for v in dets_jax.values())
-    assert n_jax > 50, f"degenerate run: only {n_jax} jax detections"
+    assert n_jax > min_dets, f"degenerate run: only {n_jax} jax dets"
 
-    # TF oracle stack (own letterbox/forward/decode/NMS)
-    dets_tf = _tf_collect(cfg, params, samples, EVAL_CONF)
-    n_tf = sum(len(v) for v in dets_tf.values())
-
+    dets_tf = _tf_collect(cfg, params, samples, EVAL_CONF,
+                          resize=resize)
     gt = _synth_gt(dets_jax, samples, np.random.default_rng(7),
                    cfg.num_classes)
+    out = (dets_jax, dets_tf, gt)
+    if key is not None:
+        _RUN_CACHE[key] = out
+    return out
+
+
+def _assert_voc_parity(cfg, dets_jax, dets_tf, gt):
+    from yolo_tpu.eval.voc_map import evaluate
 
     map_jax = evaluate(dets_jax, gt, cfg.num_classes,
                        use_07_metric=True)["map"]
     map_tf = _voc_map_oracle(dets_tf, gt, cfg.num_classes)
 
     # non-vacuous: GT derives from the model's own detections, so real
-    # TP/FP mixtures exist (the 100-detection cap over 100 images keeps
-    # absolute precision low); the distractor boxes keep it < 1
+    # TP/FP mixtures exist (the 100-detection cap keeps absolute
+    # precision low); the distractor boxes keep it < 1
     assert 0.02 < map_jax < 0.999, map_jax
     # the parity gate: two fully independent stacks, one number
+    n_jax = sum(len(v) for v in dets_jax.values())
+    n_tf = sum(len(v) for v in dets_tf.values())
     assert abs(map_jax - map_tf) < 2e-3, (
         f"dual-stack mAP drift: jax {map_jax:.6f} vs tf {map_tf:.6f} "
         f"({n_jax} vs {n_tf} detections)")
@@ -289,4 +395,76 @@ def test_dual_stack_voc_map_parity(tmp_path, variant):
     # cross-scoring isolates the EVALUATOR: both scorers must agree on
     # the SAME detection set to float tolerance
     same_jax = _voc_map_oracle(dets_jax, gt, cfg.num_classes)
+    assert abs(map_jax - same_jax) < 1e-6, (map_jax, same_jax)
+
+
+@pytest.mark.parametrize("variant", ["tiny-voc", "yolov3-tiny"])
+def test_dual_stack_voc_map_parity(tmp_path, variant):
+    from yolo_tpu.configs import get_variant
+
+    cfg = get_variant(variant, input_size=416)  # full 416, tiny trunks
+    key = variant if variant == "tiny-voc" else None
+    dets_jax, dets_tf, gt = _run_stacks(tmp_path, cfg, key=key)
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_yolov2_coco(tmp_path):
+    """The FULL yolov2 path — darknet-19 trunk, route -9 / conv64 /
+    reorg passthrough, region head, COCO-80 — which the tiny variants
+    never exercise. Fewer images bound the full-trunk TF forward on
+    this 1-core box; the protocol surface (decode/NMS/unmap/eval) sees
+    the same hundreds of detections."""
+    from yolo_tpu.configs import get_variant
+
+    cfg = get_variant("coco", input_size=416)
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, n_images=max(16, N_IMAGES // 4), min_dets=30)
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_stretch(tmp_path):
+    """Stretch (AlexeyAB letter_box=0) geometry end-to-end: plain
+    aspect-ignoring resize in, unstretch unmapping out — the geometry
+    pair the letterbox runs never score."""
+    from yolo_tpu.configs import get_variant
+
+    cfg = get_variant("tiny-voc", input_size=416)
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, resize="stretch",
+        n_images=max(24, N_IMAGES // 2))
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_rect(tmp_path):
+    """A rectangular net (416x256): per-axis letterbox geometry,
+    non-square grid decode, and per-axis unmapping through BOTH stacks
+    — exactly where a transposed (h, w) would move the mAP."""
+    from yolo_tpu.configs import get_variant
+
+    cfg = get_variant("tiny-voc", input_size=416).with_input_hw(256, 416)
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, n_images=max(24, N_IMAGES // 2))
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_coco_protocol(tmp_path):
+    """COCO mAP@[.5:.95] protocol parity on the same synthetic set:
+    eval/coco_map.evaluate_coco (production) vs the clean-room loop
+    scorer here, on BOTH stacks' detections. Same-set cross-scoring
+    isolates the evaluator from the detection stacks."""
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.eval.coco_map import evaluate_coco
+
+    cfg = get_variant("tiny-voc", input_size=416)
+    dets_jax, dets_tf, gt = _run_stacks(tmp_path, cfg, key="tiny-voc")
+
+    map_jax = evaluate_coco(dets_jax, gt, cfg.num_classes)["map"]
+    map_tf = _coco_map_oracle(dets_tf, gt, cfg.num_classes)
+    assert 0.005 < map_jax < 0.999, map_jax
+    assert abs(map_jax - map_tf) < 2e-3, (
+        f"dual-stack COCO mAP drift: jax {map_jax:.6f} "
+        f"vs tf {map_tf:.6f}")
+
+    # evaluator isolation: identical detections, two scorers
+    same_jax = _coco_map_oracle(dets_jax, gt, cfg.num_classes)
     assert abs(map_jax - same_jax) < 1e-6, (map_jax, same_jax)
