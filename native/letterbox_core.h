@@ -64,32 +64,59 @@ inline Geometry letterbox_geometry(int src_h, int src_w, int net) {
     return letterbox_geometry(src_h, src_w, net, net);
 }
 
+// Channel-generic core: C is a compile-time constant (1 = grayscale,
+// 3 = RGB) so the inner loop stays unrolled.
+template <int C>
+inline void letterbox_one_t(const uint8_t* src, int src_h, int src_w,
+                            float* dst, int net_h, int net_w, int rh,
+                            int rw, int px, int py, const Axis& ay,
+                            const Axis& ax) {
+    (void)src_h;  // rows are addressed through the clamped axis table
+    // fill canvas with gray 0.5
+    std::fill(dst, dst + static_cast<size_t>(net_h) * net_w * C, 0.5f);
+    // row-interpolated scratch: two source rows blended -> (rw, C)
+    std::vector<float> row(static_cast<size_t>(rw) * C);
+    const float inv255 = 1.0f / 255.0f;
+    for (int oy = 0; oy < rh; ++oy) {
+        const uint8_t* r0 = src + static_cast<size_t>(ay.i0[oy]) * src_w * C;
+        const uint8_t* r1 = src + static_cast<size_t>(ay.i1[oy]) * src_w * C;
+        const float wy = ay.w1[oy];
+        for (int ox = 0; ox < rw; ++ox) {
+            const float wx = ax.w1[ox];
+            const int x0 = ax.i0[ox] * C, x1 = ax.i1[ox] * C;
+            for (int ch = 0; ch < C; ++ch) {
+                const float top = r0[x0 + ch] + wx * (r0[x1 + ch] - r0[x0 + ch]);
+                const float bot = r1[x0 + ch] + wx * (r1[x1 + ch] - r1[x0 + ch]);
+                row[ox * C + ch] = (top + wy * (bot - top)) * inv255;
+            }
+        }
+        float* out = dst + (static_cast<size_t>(py + oy) * net_w + px) * C;
+        std::memcpy(out, row.data(), row.size() * sizeof(float));
+    }
+}
+
+// Runtime-channel dispatch (1 or 3; anything else is a caller bug the
+// exported entry points reject before reaching here).
+inline void letterbox_one_c(const uint8_t* src, int src_h, int src_w,
+                            float* dst, int net_h, int net_w, int rh,
+                            int rw, int px, int py, const Axis& ay,
+                            const Axis& ax, int channels) {
+    if (channels == 1) {
+        letterbox_one_t<1>(src, src_h, src_w, dst, net_h, net_w, rh, rw,
+                           px, py, ay, ax);
+    } else {
+        letterbox_one_t<3>(src, src_h, src_w, dst, net_h, net_w, rh, rw,
+                           px, py, ay, ax);
+    }
+}
+
+// RGB entry point (the original signature, kept for the callers).
 inline void letterbox_one(const uint8_t* src, int src_h, int src_w,
                           float* dst, int net_h, int net_w, int rh,
                           int rw, int px, int py, const Axis& ay,
                           const Axis& ax) {
-    (void)src_h;  // rows are addressed through the clamped axis table
-    // fill canvas with gray 0.5
-    std::fill(dst, dst + static_cast<size_t>(net_h) * net_w * 3, 0.5f);
-    // row-interpolated scratch: two source rows blended -> (rw, 3)
-    std::vector<float> row(static_cast<size_t>(rw) * 3);
-    const float inv255 = 1.0f / 255.0f;
-    for (int oy = 0; oy < rh; ++oy) {
-        const uint8_t* r0 = src + static_cast<size_t>(ay.i0[oy]) * src_w * 3;
-        const uint8_t* r1 = src + static_cast<size_t>(ay.i1[oy]) * src_w * 3;
-        const float wy = ay.w1[oy];
-        for (int ox = 0; ox < rw; ++ox) {
-            const float wx = ax.w1[ox];
-            const int x0 = ax.i0[ox] * 3, x1 = ax.i1[ox] * 3;
-            for (int ch = 0; ch < 3; ++ch) {
-                const float top = r0[x0 + ch] + wx * (r0[x1 + ch] - r0[x0 + ch]);
-                const float bot = r1[x0 + ch] + wx * (r1[x1 + ch] - r1[x0 + ch]);
-                row[ox * 3 + ch] = (top + wy * (bot - top)) * inv255;
-            }
-        }
-        float* out = dst + (static_cast<size_t>(py + oy) * net_w + px) * 3;
-        std::memcpy(out, row.data(), row.size() * sizeof(float));
-    }
+    letterbox_one_t<3>(src, src_h, src_w, dst, net_h, net_w, rh, rw,
+                       px, py, ay, ax);
 }
 
 }  // namespace yolo_native

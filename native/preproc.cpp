@@ -25,21 +25,25 @@ using yolo_native::letterbox_geometry;
 using yolo_native::letterbox_one;
 using yolo_native::make_axis;
 
+using yolo_native::letterbox_one_c;
+
 extern "C" {
 
-// Rectangular-canvas variant ([net] width != height). Returns 0 on
-// success. Geometry matches ops/letterbox.letterbox_geometry.
-int letterbox_batch_hw(const uint8_t* src, int batch, int src_h,
-                       int src_w, float* dst, int net_h, int net_w,
-                       int n_threads) {
+// Channel-generic rectangular-canvas variant: channels = 1 (grayscale,
+// [net] channels=1) or 3 (RGB). Returns 0 on success.
+int letterbox_batch_hwc(const uint8_t* src, int batch, int src_h,
+                        int src_w, int channels, float* dst, int net_h,
+                        int net_w, int n_threads) {
     if (batch <= 0 || src_h <= 0 || src_w <= 0 || net_h <= 0 ||
-        net_w <= 0) return 1;
+        net_w <= 0 || (channels != 1 && channels != 3)) return 1;
     const Geometry g = letterbox_geometry(src_h, src_w, net_h, net_w);
     const Axis ay = make_axis(src_h, g.rh);
     const Axis ax = make_axis(src_w, g.rw);
 
-    const size_t src_stride = static_cast<size_t>(src_h) * src_w * 3;
-    const size_t dst_stride = static_cast<size_t>(net_h) * net_w * 3;
+    const size_t src_stride =
+        static_cast<size_t>(src_h) * src_w * channels;
+    const size_t dst_stride =
+        static_cast<size_t>(net_h) * net_w * channels;
 
     int workers = std::max(1, std::min(n_threads, batch));
     std::vector<std::thread> pool;
@@ -47,14 +51,23 @@ int letterbox_batch_hw(const uint8_t* src, int batch, int src_h,
     for (int t = 0; t < workers; ++t) {
         pool.emplace_back([&, t]() {
             for (int b = t; b < batch; b += workers) {
-                letterbox_one(src + b * src_stride, src_h, src_w,
-                              dst + b * dst_stride, net_h, net_w,
-                              g.rh, g.rw, g.px, g.py, ay, ax);
+                letterbox_one_c(src + b * src_stride, src_h, src_w,
+                                dst + b * dst_stride, net_h, net_w,
+                                g.rh, g.rw, g.px, g.py, ay, ax,
+                                channels);
             }
         });
     }
     for (auto& th : pool) th.join();
     return 0;
+}
+
+// Rectangular-canvas RGB variant (original export, kept stable).
+int letterbox_batch_hw(const uint8_t* src, int batch, int src_h,
+                       int src_w, float* dst, int net_h, int net_w,
+                       int n_threads) {
+    return letterbox_batch_hwc(src, batch, src_h, src_w, 3, dst, net_h,
+                               net_w, n_threads);
 }
 
 // Square-canvas entry point (the original export, kept stable).

@@ -248,6 +248,142 @@ def test_png_alpha_and_16bit_decline_gray_decodes(tmp_path):
 
 
 @pytest.mark.quick
+def test_grayscale_decode_parity_vs_cv2(tmp_path):
+    """channels=1 native decode vs cv2.IMREAD_GRAYSCALE: gray-source
+    PNG is byte-exact passthrough; COLOR PNG DECLINES (libpng's
+    simplified-API rgb->gray uses Rec-709/cHRM defaults, cv2 passes
+    BT.601 — parity first); JPEG decodes natively for BOTH sources
+    (cv2's grayscale JPEG path IS libjpeg JCS_GRAYSCALE)."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    # gray-source PNG: exact
+    gray = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    pg = str(tmp_path / "g.png")
+    cv2.imwrite(pg, gray)
+    got = preproc.decode_image(pg, channels=1)
+    want = cv2.imread(pg, cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(got[..., 0], want)
+    # color PNG at channels=1: decline -> load_image falls back to cv2
+    pc = str(tmp_path / "c.png")
+    cv2.imwrite(pc, rng.integers(0, 256, (30, 40, 3), dtype=np.uint8))
+    assert preproc.decode_image(pc, channels=1) is None
+    # gray-source JPEG: same libjpeg path both sides
+    pjg = str(tmp_path / "g.jpg")
+    cv2.imwrite(pjg, gray)
+    gj = preproc.decode_image(pjg, channels=1)
+    wj = cv2.imread(pjg, cv2.IMREAD_GRAYSCALE)
+    assert np.abs(gj[..., 0].astype(int) - wj.astype(int)).max() <= 2
+    # color-source JPEG: libjpeg does the BT.601 conversion both ways
+    pjc = str(tmp_path / "c.jpg")
+    cv2.imwrite(pjc, rng.integers(0, 256, (28, 36, 3), dtype=np.uint8))
+    gc = preproc.decode_image(pjc, channels=1)
+    wc = cv2.imread(pjc, cv2.IMREAD_GRAYSCALE)
+    assert gc.shape == wc.shape + (1,)
+    assert np.abs(gc[..., 0].astype(int) - wc.astype(int)).max() <= 2
+    # bytes variant mirrors the path variant
+    gb = preproc.decode_image_bytes(open(pjc, "rb").read(), channels=1)
+    np.testing.assert_array_equal(gb, gc)
+
+
+@pytest.mark.quick
+def test_grayscale_load_image_native_switch(tmp_path):
+    """load_image(path, 1) under --decoder native: native where parity
+    holds, cv2 fallback on the declined color PNG — pixels identical
+    to the pure-cv2 run either way."""
+    import cv2
+
+    from yolo_tpu.data import pipeline
+
+    rng = np.random.default_rng(4)
+    pg = str(tmp_path / "g.png")
+    cv2.imwrite(pg, rng.integers(0, 256, (26, 31), dtype=np.uint8))
+    pc = str(tmp_path / "c.png")
+    cv2.imwrite(pc, rng.integers(0, 256, (26, 31, 3), dtype=np.uint8))
+    for p in (pg, pc):
+        want = pipeline.load_image(p, 1)
+        pipeline.set_decoder("native")
+        try:
+            got = pipeline.load_image(p, 1)
+        finally:
+            pipeline.set_decoder("cv2")
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.quick
+def test_grayscale_batch_loader_matches_python_path(tmp_path):
+    """The fused native decode->letterbox loader at channels=1 equals
+    the numpy oracle per image (gray PNGs decode exactly), and the
+    native letterbox kernel at C=1 equals npr.letterbox."""
+    import cv2
+
+    from yolo_tpu.ops import numpy_ref as npr
+
+    rng = np.random.default_rng(6)
+    paths, imgs = [], []
+    for i, (h, w) in enumerate([(40, 60), (64, 40), (52, 52)]):
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        p = str(tmp_path / f"g{i}.png")
+        cv2.imwrite(p, g)
+        paths.append(p)
+        imgs.append(g[..., None])
+    out, dims, ok = preproc.decode_letterbox_batch(
+        paths, 64, n_threads=2, channels=1)
+    assert ok.all() and out.shape == (3, 64, 64, 1)
+    for i, img in enumerate(imgs):
+        assert tuple(dims[i]) == img.shape[:2]
+        ref = npr.letterbox(img, 64, 64)[0]
+        np.testing.assert_allclose(out[i], ref, atol=1e-6)
+    # the in-memory batch letterbox at C=1 (native kernel, not the
+    # numpy fallback) also matches the oracle
+    batch = np.stack([cv2.resize(im, (48, 48),
+                                 interpolation=cv2.INTER_NEAREST)
+                      for im in imgs])[..., None]
+    lb = preproc.letterbox_batch(batch, (32, 64), n_threads=2)
+    assert lb.shape == (3, 32, 64, 1)
+    for i in range(3):
+        ref = npr.letterbox(batch[i], 64, 32)[0]
+        np.testing.assert_allclose(lb[i], ref, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_grayscale_inference_batches_native_equals_cv2(tmp_path):
+    """channels=1 rides the fused native loader and yields batches
+    identical to the cv2 host path — including a color-PNG slot that
+    declines natively and retries through cv2's BT.601 conversion."""
+    import cv2
+
+    from yolo_tpu.data import pipeline
+
+    rng = np.random.default_rng(8)
+    paths = []
+    for i, (h, w) in enumerate([(40, 60), (64, 48), (52, 52)]):
+        p = str(tmp_path / f"g{i}.png")
+        cv2.imwrite(p, rng.integers(0, 256, (h, w), dtype=np.uint8))
+        paths.append(p)
+    pc = str(tmp_path / "color.png")
+    cv2.imwrite(pc, rng.integers(0, 256, (45, 45, 3), dtype=np.uint8))
+    paths.append(pc)
+
+    def run():
+        return list(pipeline.inference_batches(
+            paths, batch_size=2, workers=2, net_size=64, channels=1))
+
+    want = run()
+    pipeline.set_decoder("native")
+    try:
+        got = run()
+    finally:
+        pipeline.set_decoder("cv2")
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g["paths"] == w["paths"]
+        assert g["shapes"] == w["shapes"]
+        assert g["images"].shape[-1] == 1
+        np.testing.assert_allclose(g["images"], w["images"], atol=1e-6)
+
+
+@pytest.mark.quick
 def test_corrupt_jpeg_scan_data_declines(tmp_path):
     """Header parses but the scan data is truncated/garbled: the
     longjmp cleanup path must hand back None (and not crash/leak —

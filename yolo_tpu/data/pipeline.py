@@ -80,16 +80,27 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 def load_image(path: str, channels: int = 3) -> np.ndarray:
     """Host decode at the model's channel count ([net] channels) ->
-    (H, W, C) uint8. channels=3 is load_image_rgb; channels=1 decodes
-    with cv2.IMREAD_GRAYSCALE — darknet-OpenCV's exact grayscale path
-    (image_opencv load_image_mat flag 0, BT.601 luma), ALWAYS cv2 (the
-    native decoder is RGB-only; parity with darknet's pixels requires
-    cv2's decoder-integrated conversion, not a post-decode luma)."""
+    (H, W, C) uint8. channels=3 is load_image_rgb; channels=1 is
+    cv2.IMREAD_GRAYSCALE semantics — darknet-OpenCV's exact grayscale
+    path (image_opencv load_image_mat flag 0, BT.601 luma). Under
+    --decoder native the C++ decoder covers grayscale too: JPEG via
+    libjpeg JCS_GRAYSCALE (the same library path cv2's own grayscale
+    JPEG decode takes) and gray-source PNG passthrough; inputs whose
+    conversion would differ (color PNGs: libpng-default vs cv2's
+    BT.601 coefficients) decline to cv2 — tests/test_native_decode.py
+    pins the parity."""
     if channels == 3:
         return load_image_rgb(path)
     if channels != 1:
         raise ValueError(f"channels={channels}: darknet image loading "
                          f"supports 1 (grayscale) or 3 (RGB)")
+    if _DECODER == "native":
+        from yolo_tpu.native.preproc import decode_image
+
+        img = decode_image(path, channels=1)
+        if img is not None:
+            return img
+        # parity declines / uncovered formats fall through to cv2
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
@@ -180,12 +191,13 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
     import collections
 
     if (net_size is not None and resize == "letterbox"
-            and _DECODER == "native" and channels == 3):
+            and _DECODER == "native" and channels in (1, 3)):
         from yolo_tpu.native import preproc as native_pp
 
         if native_pp.available():
             yield from _native_inference_batches(
-                image_paths, batch_size, net_size, workers, skip_errors)
+                image_paths, batch_size, net_size, workers, skip_errors,
+                channels)
             return
 
     with cf.ThreadPoolExecutor(workers) as pool:
@@ -265,20 +277,22 @@ def inference_batches(image_paths: Sequence[str], batch_size: int,
 
 
 def _native_inference_batches(image_paths, batch_size: int, net_size,
-                              workers: int, skip_errors: bool):
+                              workers: int, skip_errors: bool,
+                              channels: int = 3):
     """Fused host-preprocess path: ONE native decode->letterbox C++
     call per batch (native/decode.cpp worker threads — the darknet
     data.c loader role), double-buffered so the next batch decodes
     while the device consumes the current one. Failed slots (formats
-    the native decoder doesn't cover, corrupt files) retry on the cv2
-    path; identical batch/pad semantics to the Python host path."""
+    the native decoder doesn't cover, parity declines — e.g. color
+    PNGs at channels=1 — corrupt files) retry on the cv2 path;
+    identical batch/pad semantics to the Python host path."""
     import sys
 
     from yolo_tpu.native import preproc as native_pp
 
     def load_chunk(chunk):
         out, dims, ok = native_pp.decode_letterbox_batch(
-            chunk, net_size, n_threads=workers)
+            chunk, net_size, n_threads=workers, channels=channels)
         items = []
         for i, p in enumerate(chunk):
             if ok[i]:
@@ -286,7 +300,8 @@ def _native_inference_batches(image_paths, batch_size: int, net_size,
                               out[i]))
                 continue
             try:
-                img = _load_image_cv2(p)
+                img = (load_image(p, channels) if channels != 3
+                       else _load_image_cv2(p))
             except (FileNotFoundError, OSError) as e:
                 if skip_errors:
                     print(f"skipping {p}: {e}", file=sys.stderr)
