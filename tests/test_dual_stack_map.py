@@ -251,8 +251,10 @@ def _iou_cont(a, b):
 
 def _coco_map_oracle(detections, ground_truth, num_classes,
                      max_dets=100):
+    """Returns {'map', 'ar'} — AP@[.5:.95] and AR@max_dets (the
+    final-recall mean over the same threshold/class grid)."""
     thrs = [round(0.5 + 0.05 * i, 2) for i in range(10)]
-    aps = []
+    aps, ars = [], []
     img_ids = sorted(set(ground_truth) | set(detections))
     for cls in range(num_classes):
         per_img = []          # (sorted dets, gt boxes) per image
@@ -272,6 +274,7 @@ def _coco_map_oracle(detections, ground_truth, num_classes,
         if npos == 0:
             continue
         ap_sum = 0.0
+        ar_sum = 0.0
         for thr in thrs:
             recs = []                        # (score, is_tp)
             for dets, gboxes in per_img:
@@ -306,8 +309,11 @@ def _coco_map_oracle(detections, ground_truth, num_classes,
                            None)
                 s += prec[idx] if idx is not None else 0.0
             ap_sum += s / 101.0
+            ar_sum += rec[-1] if rec else 0.0
         aps.append(ap_sum / len(thrs))
-    return float(np.mean(aps)) if aps else 0.0
+        ars.append(ar_sum / len(thrs))
+    return {"map": float(np.mean(aps)) if aps else 0.0,
+            "ar": float(np.mean(ars)) if ars else 0.0}
 
 
 def _synth_gt(detections, samples, rng, num_classes):
@@ -418,7 +424,8 @@ def test_dual_stack_map_parity_yolov2_coco(tmp_path):
 
     cfg = get_variant("coco", input_size=416)
     dets_jax, dets_tf, gt = _run_stacks(
-        tmp_path, cfg, n_images=max(16, N_IMAGES // 4), min_dets=30)
+        tmp_path, cfg, n_images=max(16, N_IMAGES // 4), min_dets=30,
+        key="coco")
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
 
 
@@ -447,24 +454,34 @@ def test_dual_stack_map_parity_rect(tmp_path):
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
 
 
-def test_dual_stack_coco_protocol(tmp_path):
-    """COCO mAP@[.5:.95] protocol parity on the same synthetic set:
-    eval/coco_map.evaluate_coco (production) vs the clean-room loop
-    scorer here, on BOTH stacks' detections. Same-set cross-scoring
-    isolates the evaluator from the detection stacks."""
+@pytest.mark.parametrize("variant", ["tiny-voc", "coco"])
+def test_dual_stack_coco_protocol(tmp_path, variant):
+    """COCO mAP@[.5:.95] + AR@100 protocol parity on the same synthetic
+    set: eval/coco_map.evaluate_coco (production) vs the clean-room
+    loop scorer here, on BOTH stacks' detections — for the tiny-voc
+    run AND the full yolov2-coco region+reorg run (80 classes).
+    Same-set cross-scoring isolates the evaluator from the stacks."""
     from yolo_tpu.configs import get_variant
     from yolo_tpu.eval.coco_map import evaluate_coco
 
-    cfg = get_variant("tiny-voc", input_size=416)
-    dets_jax, dets_tf, gt = _run_stacks(tmp_path, cfg, key="tiny-voc")
+    cfg = get_variant(variant, input_size=416)
+    kw = ({"n_images": max(16, N_IMAGES // 4), "min_dets": 30}
+          if variant == "coco" else {})
+    dets_jax, dets_tf, gt = _run_stacks(tmp_path, cfg, key=variant,
+                                        **kw)
 
-    map_jax = evaluate_coco(dets_jax, gt, cfg.num_classes)["map"]
-    map_tf = _coco_map_oracle(dets_tf, gt, cfg.num_classes)
-    assert 0.005 < map_jax < 0.999, map_jax
-    assert abs(map_jax - map_tf) < 2e-3, (
-        f"dual-stack COCO mAP drift: jax {map_jax:.6f} "
-        f"vs tf {map_tf:.6f}")
+    prod = evaluate_coco(dets_jax, gt, cfg.num_classes)
+    oracle_tf = _coco_map_oracle(dets_tf, gt, cfg.num_classes)
+    assert 0.005 < prod["map"] < 0.999, prod["map"]
+    assert abs(prod["map"] - oracle_tf["map"]) < 2e-3, (
+        f"dual-stack COCO mAP drift: jax {prod['map']:.6f} "
+        f"vs tf {oracle_tf['map']:.6f}")
+    assert abs(prod["ar"] - oracle_tf["ar"]) < 2e-3, (
+        f"dual-stack COCO AR drift: jax {prod['ar']:.6f} "
+        f"vs tf {oracle_tf['ar']:.6f}")
 
-    # evaluator isolation: identical detections, two scorers
+    # evaluator isolation: identical detections, two scorers — both
+    # the AP and the AR@100 cells must agree to float tolerance
     same_jax = _coco_map_oracle(dets_jax, gt, cfg.num_classes)
-    assert abs(map_jax - same_jax) < 1e-6, (map_jax, same_jax)
+    assert abs(prod["map"] - same_jax["map"]) < 1e-6, (prod, same_jax)
+    assert abs(prod["ar"] - same_jax["ar"]) < 1e-6, (prod, same_jax)

@@ -28,7 +28,9 @@ def _iou_xyxy(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     area_a = (box[2] - box[0]) * (box[3] - box[1])
     area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     union = area_a + area_b - inter
-    return np.where(union > 0, inter / union, 0.0)
+    # guarded denominator: np.where evaluates inter/union eagerly, so a
+    # degenerate zero-area pair would emit a RuntimeWarning per call
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
 def _iou_xyxy_voc(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
@@ -49,7 +51,9 @@ def _iou_xyxy_voc(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     area_b = ((boxes[:, 2] - boxes[:, 0] + 1.0)
               * (boxes[:, 3] - boxes[:, 1] + 1.0))
     union = area_a + area_b - inter
-    return np.where(union > 0, inter / union, 0.0)
+    # guarded denominator: np.where evaluates inter/union eagerly, so a
+    # degenerate zero-area pair would emit a RuntimeWarning per call
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
 def average_precision(recall: np.ndarray, precision: np.ndarray,
