@@ -58,8 +58,16 @@ def _latest_tpu_record(records_dir: str):
     record exists. CPU-fallback records are skipped — comparing a TPU
     number against one would always scream regression."""
     import glob
+    import re
 
-    recs = sorted(glob.glob(os.path.join(records_dir, "BENCH_r*.json")))
+    def round_no(path):
+        # numeric sort: lexicographic puts r100 between r10 and r11,
+        # pinning the tripwire to a stale record (code-review finding)
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    recs = sorted(glob.glob(os.path.join(records_dir, "BENCH_r*.json")),
+                  key=round_no)
     for rec in reversed(recs):
         try:
             prev = json.load(open(rec))

@@ -30,6 +30,15 @@ class TestLatestTpuRecord:
         assert _latest_tpu_record(str(tmp_path)) == (200.0,
                                                      "BENCH_r02.json")
 
+    def test_newest_is_numeric_not_lexicographic(self, tmp_path):
+        # lexicographic sorts r100 between r10 and r11, pinning the
+        # tripwire to the stale r99 forever (code-review finding)
+        _write(tmp_path, "BENCH_r09.json", 100.0)
+        _write(tmp_path, "BENCH_r99.json", 150.0)
+        _write(tmp_path, "BENCH_r100.json", 300.0)
+        assert _latest_tpu_record(str(tmp_path)) == (300.0,
+                                                     "BENCH_r100.json")
+
     def test_cpu_fallback_records_skipped(self, tmp_path):
         _write(tmp_path, "BENCH_r01.json", 100.0)
         _write(tmp_path, "BENCH_r02.json", 3.0,

@@ -82,6 +82,15 @@ class TestFusedEntry:
         assert ek.eligible(get_variant("tiny-voc").layers)
         assert ek.eligible(get_variant("coco").layers)
         assert not ek.eligible(get_variant("coco").layers[1:])
+        # a DILATED first conv must stay on the XLA path: the kernel
+        # computes an undilated 3x3 (code-review finding — a dilated
+        # entry would silently return wrong boxes under entry='fused')
+        import dataclasses
+
+        layers = get_variant("tiny-voc").layers
+        dilated = (dataclasses.replace(layers[0], dilation=2),
+                   ) + layers[1:]
+        assert not ek.eligible(dilated)
 
 
 class TestLetterboxPlanes:

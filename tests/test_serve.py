@@ -403,6 +403,69 @@ class TestNewFamiliesServe:
             srv.stop()
 
 
+def test_detect_native_decoder_grayscale_matches_cv2(tmp_path):
+    """--decoder native serving of a GRAYSCALE net: gray-source PNG
+    uploads decode natively (passthrough == cv2.IMREAD_GRAYSCALE),
+    color PNGs decline to cv2's BT.601 conversion — responses identical
+    to the pure-cv2 run either way (code-review finding: the handler
+    used to skip the native decoder whenever in_channels == 1)."""
+    import dataclasses
+
+    import cv2
+    import jax.numpy as jnp
+
+    from yolo_tpu.configs.darknet_cfg import cfg_to_string, config_from_cfg
+    from yolo_tpu.data import pipeline
+    from yolo_tpu.native import preproc
+
+    if not preproc.available():
+        pytest.skip("native library unavailable")
+    base = dataclasses.replace(get_variant("tiny-voc"), input_size=96)
+    (tmp_path / "g.cfg").write_text(
+        cfg_to_string(base).replace("channels=3", "channels=1"))
+    cfg = dataclasses.replace(config_from_cfg(str(tmp_path / "g.cfg")),
+                              conf_threshold=0.05)
+    params = graph.params_to_jax(graph.fold_params(
+        cfg.layers,
+        dw.random_params(cfg.layers, np.random.default_rng(0),
+                         input_channels=1),
+        cfg.bn_eps))
+    srv = DetectionServer(cfg, params, compute_dtype=jnp.float32, port=0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(21)
+        payloads = []
+        ok, buf = cv2.imencode(
+            ".png", rng.integers(0, 256, (60, 90), dtype=np.uint8))
+        assert ok
+        payloads.append(buf.tobytes())          # gray-source: native
+        ok, buf = cv2.imencode(
+            ".png", rng.integers(0, 256, (60, 90, 3), dtype=np.uint8))
+        assert ok
+        payloads.append(buf.tobytes())          # color: declines to cv2
+
+        def post_all():
+            outs = []
+            for data in payloads:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/detect", data=data,
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    outs.append(json.loads(resp.read()))
+            return outs
+
+        want = post_all()
+        pipeline.set_decoder("native")
+        try:
+            got = post_all()
+        finally:
+            pipeline.set_decoder("cv2")
+        assert got == want
+        assert any(o["detections"] is not None for o in got)
+    finally:
+        srv.stop()
+
+
 def test_detect_native_decoder_matches_cv2(server):
     """--decoder native serving path: the same upload decodes through
     native/decode.cpp (in-memory libpng) and yields identical

@@ -65,6 +65,15 @@ def _load_image_cv2(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def _load_image_cv2_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return img[..., None]
+
+
 def load_image_rgb(path: str) -> np.ndarray:
     """Host JPEG/PNG decode -> (H, W, 3) uint8 RGB."""
     if _DECODER == "native":
@@ -101,12 +110,7 @@ def load_image(path: str, channels: int = 3) -> np.ndarray:
         if img is not None:
             return img
         # parity declines / uncovered formats fall through to cv2
-    import cv2
-
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(f"cannot decode image: {path}")
-    return img[..., None]
+    return _load_image_cv2_gray(path)
 
 
 def letterbox_boxes(boxes_xywh: np.ndarray, src_w: int, src_h: int,
@@ -300,7 +304,10 @@ def _native_inference_batches(image_paths, batch_size: int, net_size,
                               out[i]))
                 continue
             try:
-                img = (load_image(p, channels) if channels != 3
+                # go STRAIGHT to cv2: the native decoder just declined
+                # this slot, so load_image would re-attempt (and
+                # re-decline) the same native decode first
+                img = (_load_image_cv2_gray(p) if channels == 1
                        else _load_image_cv2(p))
             except (FileNotFoundError, OSError) as e:
                 if skip_errors:

@@ -217,9 +217,10 @@ def eligible(layers) -> bool:
 
     return (len(layers) >= 2 and isinstance(layers[0], Conv)
             and layers[0].size == 3 and layers[0].act == "leaky"
-            # the kernel implements a stride-1 ungrouped 3x3 only —
-            # a stride-2 or grouped first conv must stay on the XLA
-            # path (code-review finding: unchecked before)
+            # the kernel implements a stride-1 ungrouped UNDILATED 3x3
+            # only — a stride-2/grouped/dilated first conv must stay on
+            # the XLA path (code-review findings: unchecked before)
             and layers[0].stride == 1 and layers[0].groups == 1
+            and layers[0].dilation == 1
             and isinstance(layers[1], MaxPool)
             and layers[1].size == 2 and layers[1].stride == 2)

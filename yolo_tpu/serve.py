@@ -335,12 +335,15 @@ class DetectionServer:
                 gray = server.cfg.in_channels == 1
                 from yolo_tpu.data.pipeline import get_decoder
 
-                if get_decoder() == "native" and not gray:
+                if get_decoder() == "native":
                     # first-party C++ decode for uploads (--decoder
-                    # native); other formats fall through to cv2
+                    # native), at the model's channel count; parity
+                    # declines (e.g. color PNGs at channels=1) and
+                    # other formats fall through to cv2
                     from yolo_tpu.native.preproc import decode_image_bytes
 
-                    rgb = decode_image_bytes(data)
+                    rgb = decode_image_bytes(
+                        data, channels=1 if gray else 3)
                 if rgb is None:
                     import cv2
 
