@@ -429,13 +429,17 @@ def test_dual_stack_map_parity_yolov2_coco(tmp_path):
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
 
 
-def test_dual_stack_map_parity_stretch(tmp_path):
+@pytest.mark.parametrize("rect", [False, True])
+def test_dual_stack_map_parity_stretch(tmp_path, rect):
     """Stretch (AlexeyAB letter_box=0) geometry end-to-end: plain
     aspect-ignoring resize in, unstretch unmapping out — the geometry
-    pair the letterbox runs never score."""
+    pair the letterbox runs never score; the rect parametrization
+    combines it with a non-square 256x416 canvas (per-axis scales)."""
     from yolo_tpu.configs import get_variant
 
     cfg = get_variant("tiny-voc", input_size=416)
+    if rect:
+        cfg = cfg.with_input_hw(256, 416)
     dets_jax, dets_tf, gt = _run_stacks(
         tmp_path, cfg, resize="stretch",
         n_images=max(24, N_IMAGES // 2))
