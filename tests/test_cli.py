@@ -195,10 +195,14 @@ def test_eval_and_export_e2e(tiny_weights, tmp_path, capsys):
     for name, c in curves.items():
         assert name in get_variant("tiny-voc").class_names
         assert len(c["scores"]) == len(c["recall"]) == len(c["precision"])
-    # --save-pr is VOC-protocol only
+    # --save-pr is VOC-protocol only — and the conflict is validated
+    # BEFORE the model runs: a weights file that does not exist never
+    # gets the chance to fail first (code-review finding: the check
+    # used to fire after the full eval sweep)
     with pytest.raises(SystemExit, match="save-pr"):
         cli.main(["eval", "--model", "tiny-voc", "--input-size", "96",
-                  "--weights", tiny_weights, "--voc-root", root,
+                  "--weights", str(tmp_path / "never_loaded.weights"),
+                  "--voc-root", root,
                   "--split", "train", "--metric", "coco",
                   "--save-pr", pr_file])
     capsys.readouterr()

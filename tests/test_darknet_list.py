@@ -68,6 +68,12 @@ def test_label_path_for():
     assert dl.label_path_for("/d/a.weird") == "/d/a.weird.txt"
     # 'images' must be a full path component (no 'preimages' mangling)
     assert dl.label_path_for("/preimages/a.jpg") == "/preimages/a.txt"
+    # the find_replace calls CHAIN (each on the previous result), so
+    # both /images/ and /JPEGImages/ can fire on one path — darknet
+    # yields /labels/labels/ here (code-review finding: an early
+    # break reproduced only the first substitution)
+    assert (dl.label_path_for("/d/images/JPEGImages/0001.jpg")
+            == "/d/labels/labels/0001.txt")
 
 
 # ---------------------------------------------------------------------------
@@ -103,16 +109,47 @@ def test_read_label_file_missing_is_background(tmp_path, capsys):
 
 
 @pytest.mark.quick
-def test_read_label_file_malformed_stops_like_fscanf(tmp_path, capsys):
-    """darknet read_boxes' fscanf loop stops at the first
-    non-conforming token (silently); we stop the file's read too but
-    say so, keeping the lines before it."""
+def test_read_label_file_is_token_stream_like_fscanf(tmp_path, capsys):
+    """read_boxes is `while (fscanf(file, "%d %f %f %f %f", ...) == 5)`
+    — a NEWLINE-AGNOSTIC token stream (code-review finding: a
+    line-based parse dropped a second box sharing a line and aborted
+    on a box wrapped across lines)."""
     p = tmp_path / "a.txt"
+    # two boxes on ONE line: darknet reads both
+    p.write_text("0 .5 .5 .2 .2 1 .3 .3 .1 .1\n")
+    boxes, classes, dropped, missing = dl.read_label_file(
+        str(p), n_classes=3)
+    np.testing.assert_allclose(boxes, [[0.5, 0.5, 0.2, 0.2],
+                                       [0.3, 0.3, 0.1, 0.1]])
+    np.testing.assert_array_equal(classes, [0, 1])
+    # one box WRAPPED over two lines: darknet reads it fine
+    p.write_text("0 .5 .5\n.2 .2\n")
+    boxes, classes, _, _ = dl.read_label_file(str(p), n_classes=3)
+    np.testing.assert_allclose(boxes, [[0.5, 0.5, 0.2, 0.2]])
+    capsys.readouterr()
+
+
+@pytest.mark.quick
+def test_read_label_file_malformed_stops_like_fscanf(tmp_path, capsys):
+    """fscanf stops at the first non-conforming token (silently); we
+    stop the file's read too but say so, keeping the boxes before it.
+    Under token-stream semantics a short line is NOT malformed — the
+    next line's tokens complete the tuple — so the stop cases are a
+    non-numeric token and a trailing partial tuple."""
+    p = tmp_path / "a.txt"
+    # "1 0.5 0.5" + "1 0.6" complete a (garbage but numeric) box;
+    # ".6 .1 .1" is a trailing partial — darknet reads TWO boxes here
     p.write_text("1 0.5 0.5 0.25 0.3\n1 0.5 0.5\n1 0.6 0.6 0.1 0.1\n")
     boxes, classes, dropped, missing = dl.read_label_file(
         str(p), n_classes=3)
-    assert len(classes) == 1  # line 3 is after the stop
-    assert "a.txt:2" in capsys.readouterr().err
+    assert len(classes) == 2
+    np.testing.assert_allclose(boxes[1], [0.5, 0.5, 1.0, 0.6])
+    assert "trailing partial" in capsys.readouterr().err
+    # a non-numeric token stops the read at that tuple
+    p.write_text("1 0.5 0.5 0.25 0.3\n1 x y w h\n")
+    boxes, classes, _, _ = dl.read_label_file(str(p), n_classes=3)
+    assert len(classes) == 1
+    assert "stopping" in capsys.readouterr().err
     p.write_text("1 x y w h\n")
     boxes, classes, _, _ = dl.read_label_file(str(p), n_classes=3)
     assert len(classes) == 0
@@ -167,6 +204,26 @@ def test_image_dims_exif_rotation_swaps_without_decode(tmp_path):
         p = tmp_path / f"exif{orient}_{byte_order.decode()}.jpg"
         p.write_bytes(jpg)
         assert dl.image_dims(str(p)) == want, (orient, byte_order)
+
+
+@pytest.mark.quick
+def test_image_dims_exif_survives_xmp_app1(tmp_path):
+    """Phone JPEGs commonly carry a SECOND APP1 segment (XMP) after
+    the Exif one; its payload fails the Exif check and must not reset
+    the already-parsed orientation (code-review finding: dims came
+    back transposed for every such image)."""
+    import struct as st
+
+    app1 = _exif_app1(6)
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    jpg = (b"\xff\xd8"
+           + b"\xff\xe1" + st.pack(">H", len(app1) + 2) + app1
+           + b"\xff\xe1" + st.pack(">H", len(xmp) + 2) + xmp
+           + b"\xff\xc0" + st.pack(">H", 17)
+           + b"\x08" + st.pack(">HH", 37, 53))  # H=37, W=53
+    p = tmp_path / "exif_xmp.jpg"
+    p.write_bytes(jpg)
+    assert dl.image_dims(str(p)) == (37, 53)  # swapped (orient 6)
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ consistency with the production decode paths, GT geometry mapping,
 and the CLI e2e."""
 
 import json
+import os
 import re
 
 import numpy as np
@@ -266,6 +267,37 @@ class TestGtGeometry:
               "difficult": np.array([False, True]),
               "width": 120, "height": 90}
         assert rc._gt_net_norm(gt, (64, 64), "stretch").shape == (1, 4)
+
+
+def test_recall_unreadable_image_gt_counts_as_missed(tmp_path, capsys):
+    """An image the loader cannot decode still carries GT: its boxes
+    count in `total` with zero correct — matching cmd_eval, where a
+    skipped image's GT scores as FN (code-review finding: skipping it
+    entirely deflated the denominator; darknet hard-errors instead)."""
+    import glob
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+
+    wpath = str(tmp_path / "tiny.weights")
+    cfg = get_variant("tiny-voc")
+    dw.save(wpath, cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)),
+            seen=100)
+    root = make_voc_root(tmp_path, n_images=4, size=(80, 90))
+    victim = sorted(glob.glob(os.path.join(root, "JPEGImages", "*")))[0]
+    with open(victim, "wb") as f:
+        f.write(b"not an image at all")
+    cli.main(["recall", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", wpath, "--voc-root", root,
+              "--split", "train", "--batch", "4", "--precision", "fp32"])
+    cap = capsys.readouterr()
+    res = json.loads(cap.out.strip().splitlines()[-1])
+    assert res["total"] == 4          # all 4 GT boxes, incl. the bad image's
+    assert res["images"] == 3         # only 3 actually scored
+    assert "could not be read" in cap.err
 
 
 def test_recall_cli_e2e(tmp_path, capsys):

@@ -98,6 +98,13 @@ def cmd_eval(args) -> None:
     if not args.from_detections and not args.weights:
         raise SystemExit("--weights is required (or score a saved "
                          "results file with --from-detections)")
+    metric = args.metric or ("voc10" if args.use_2010_metric
+                             else "voc07")
+    if args.save_pr and metric == "coco":
+        # validated BEFORE the model runs: failing after a full eval
+        # sweep would discard minutes of TPU work (code-review finding)
+        raise SystemExit("--save-pr exports VOC-protocol PR curves; "
+                         "use --metric voc07/voc10 with it")
     pairs = _dataset_samples(args, cfg, names=names)
 
     from yolo_tpu.eval.runner import build_ground_truth, collect_detections
@@ -191,11 +198,7 @@ def cmd_eval(args) -> None:
                  "f1": round(stats["f1"], 4),
                  "avg_iou": round(stats["avg_iou"], 4)}
 
-    metric = args.metric or ("voc10" if args.use_2010_metric else "voc07")
-    if args.save_pr and metric == "coco":
-        raise SystemExit("--save-pr exports VOC-protocol PR curves; "
-                         "use --metric voc07/voc10 with it")
-    if metric == "coco":
+    if metric == "coco":  # validated against --save-pr above
         from yolo_tpu.eval.coco_map import evaluate_coco
 
         result = evaluate_coco(detections, gt, ncls)

@@ -11,11 +11,14 @@ The three pieces, with their darknet sources:
   ``<class_id> <cx> <cy> <w> <h>`` per object, coordinates normalized
   to [0, 1] (data.c read_boxes). The label path derives from the
   image path via the find_replace chain in AlexeyAB's
-  replace_image_to_label: first ``/images/`` -> ``/labels/`` (and the
-  pjreddie-era ``/JPEGImages/`` -> ``/labels/``), then the image
-  extension -> ``.txt``; when no directory component matches, the
-  label is simply the sibling ``.txt`` (the chain changed nothing but
-  the extension).
+  replace_image_to_label: ``/images/`` -> ``/labels/`` then the
+  pjreddie-era ``/JPEGImages/`` -> ``/labels/`` — applied
+  SEQUENTIALLY, each on the previous result, first occurrence each
+  (both can fire on one path) — then the image extension -> ``.txt``;
+  when no directory component matches, the label is simply the
+  sibling ``.txt`` (the chain changed nothing but the extension).
+  Labels are a newline-AGNOSTIC token stream (read_boxes is a bare
+  fscanf loop): boxes may share a line or wrap across lines.
 * a `.data` file (option_list.c read_data_cfg): ``key = value`` lines
   (classes/train/valid/names/backup); ``#``/``;`` comment lines are
   skipped, the FIRST occurrence of a duplicated key wins
@@ -31,9 +34,10 @@ Deviations from darknet, all strictly more permissive:
 * a MISSING label file warns and trains the image as pure background
   (AlexeyAB logs the path to bad_label.list and continues; pjreddie's
   file_error exits).
-* a malformed label line stops that file's read with a warning
+* a malformed label token stops that file's read with a warning
   (read_boxes' fscanf loop stops silently at the first
-  non-conforming token); a non-``key = value`` .data line warns and
+  non-conforming token), and the id token accepts a float form like
+  '1.0' (fscanf's %d would consume '1' and shift the stream); a non-``key = value`` .data line warns and
   is skipped (read_data_cfg prints 'Config file error line N' and
   continues).
 """
@@ -75,13 +79,18 @@ def parse_data_file(path: str) -> Dict[str, str]:
 
 def label_path_for(image_path: str) -> str:
     """Image path -> YOLO label path (replace_image_to_label's
-    find_replace chain; see module docstring)."""
+    find_replace chain; see module docstring).
+
+    The patterns apply SEQUENTIALLY, each on the previous result
+    (darknet chains find_replace calls, so a path like
+    /data/images/JPEGImages/x.jpg becomes /data/labels/labels/x.txt —
+    both substitutions fire, first occurrence each; code-review
+    finding: an early break reproduced only the first)."""
     p = image_path
     for src in ("/images/", "/JPEGImages/", "\\images\\",
                 "\\JPEGImages\\"):
         if src in p:
             p = p.replace(src, src[0] + "labels" + src[0], 1)
-            break
     stem, ext = os.path.splitext(p)
     if ext.lower() in IMAGE_EXTS:
         return stem + ".txt"
@@ -92,15 +101,22 @@ def read_label_file(path: str, n_classes: int, *,
                     quiet: bool = False) -> Tuple[np.ndarray,
                                                   np.ndarray, int, bool]:
     """One YOLO label file -> (boxes (G, 4) normalized cxcywh f32,
-    classes (G,) i32, n_dropped, missing). Lines are ``id cx cy w h``
-    whitespace-separated floats (read_boxes' fscanf). Class ids
-    outside [0, n_classes) drop with a count (AlexeyAB prints 'Wrong
-    annotation: class id' and skips); a missing file yields zero
-    boxes (trains as pure background); a malformed line stops the
-    file's read (fscanf stops at the first non-conforming token —
-    darknet is silent there, we warn). ``quiet`` suppresses the
-    per-file MISSING warning (list_images aggregates those itself);
-    malformed-line warnings always print."""
+    classes (G,) i32, n_dropped, missing). The content is a
+    WHITESPACE-SEPARATED TOKEN STREAM of ``id cx cy w h`` 5-tuples —
+    read_boxes is ``while (fscanf(file, "%d %f %f %f %f", ...) == 5)``,
+    newline-agnostic: two boxes on one line are two boxes, one box
+    wrapped over two lines is one box (code-review finding: a
+    line-based parse silently dropped the former's second box and
+    aborted on the latter). Class ids outside [0, n_classes) drop with
+    a count (AlexeyAB prints 'Wrong annotation: class id' and skips);
+    a missing file yields zero boxes (trains as pure background); a
+    non-numeric token or a trailing partial tuple stops the read at
+    that point (fscanf returns != 5 and darknet stops silently — we
+    warn). Documented permissive deviation: the id token accepts a
+    float form like '1.0' (fscanf's %d would consume '1' and shift
+    the stream). ``quiet`` suppresses the per-file MISSING warning
+    (list_images aggregates those itself); malformed-token warnings
+    always print."""
     empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32))
     if not os.path.exists(path):
         if not quiet:
@@ -109,28 +125,29 @@ def read_label_file(path: str, n_classes: int, *,
         return empty[0], empty[1], 0, True
     boxes, classes, dropped = [], [], 0
     with open(path) as f:
-        for lineno, raw in enumerate(f, 1):
-            parts = raw.split()
-            if not parts:
-                continue
-            try:
-                if len(parts) < 5:
-                    raise ValueError
-                cid = int(float(parts[0]))
-                vals = [float(x) for x in parts[1:5]]
-            except ValueError:
-                # always said, even under quiet — malformed labels are
-                # rare and each deserves its file:line
-                print(f"WARNING: {path}:{lineno}: not 'id cx cy w h' "
-                      f"— stopping this file's read (darknet's fscanf "
-                      f"loop stops here silently): {raw.rstrip()}",
-                      file=sys.stderr)
-                break
-            if not 0 <= cid < n_classes:
-                dropped += 1
-                continue
-            boxes.append(vals)
-            classes.append(cid)
+        toks = f.read().split()
+    for off in range(0, len(toks) - len(toks) % 5, 5):
+        try:
+            cid = int(float(toks[off]))
+            vals = [float(x) for x in toks[off + 1:off + 5]]
+        except ValueError:
+            # always said, even under quiet — malformed labels are
+            # rare and each deserves its file:offset
+            print(f"WARNING: {path}: token {off + 1} is not part of "
+                  f"an 'id cx cy w h' tuple — stopping this file's "
+                  f"read (darknet's fscanf loop stops here silently): "
+                  f"{' '.join(toks[off:off + 5])}", file=sys.stderr)
+            return (np.asarray(boxes, np.float32).reshape(-1, 4),
+                    np.asarray(classes, np.int32), dropped, False)
+        if not 0 <= cid < n_classes:
+            dropped += 1
+            continue
+        boxes.append(vals)
+        classes.append(cid)
+    if len(toks) % 5:
+        print(f"WARNING: {path}: trailing partial box "
+              f"({len(toks) % 5} token(s)) ignored (darknet's fscanf "
+              f"stops there silently)", file=sys.stderr)
     return (np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32), dropped, False)
 
@@ -199,7 +216,13 @@ def image_dims(path: str) -> Tuple[int, int]:
                     break  # corrupt length: full-decode fallback
                 m = marker[0]
                 if m == 0xE1:  # APP1: read the EXIF orientation
-                    orient = _exif_orientation(f.read(seglen - 2))
+                    # keep the FIRST Exif APP1's value: phone JPEGs
+                    # often carry a second APP1 (XMP) whose payload
+                    # fails the Exif check and would reset orient to 0
+                    # (code-review finding; cv2 and native/decode.cpp
+                    # both honor the first Exif segment)
+                    orient = orient or _exif_orientation(
+                        f.read(seglen - 2))
                     continue
                 if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
                     sof = f.read(5)  # precision(1) H(2) W(2)

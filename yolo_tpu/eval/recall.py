@@ -287,6 +287,7 @@ def recall_detector(cfg, folded_params,
                                   channels=cfg.in_channels)
     img_i = correct = total = proposals = 0
     sum_iou = 0.0
+    seen: set = set()
     for bt in DevicePrefetcher(host_iter, depth=2):
         boxes_d, obj_d = fwd(folded_params, jnp.asarray(bt["images"]))
         # one fetch per output array per batch (relay round trips)
@@ -311,6 +312,19 @@ def recall_detector(cfg, folded_params,
                           f"IOU: {aiou:.2f}%\tRecall:{rec:.2f}%",
                           file=out)
                 img_i += 1
+                seen.add(sid)
+    # images the loader skipped (unreadable/corrupt) still carry GT:
+    # count their boxes as missed, like cmd_eval does (a skipped
+    # image's GT scores as FN there) — silently shrinking the
+    # denominator would let the two tools disagree on the same data
+    # (code-review finding; darknet itself hard-errors on a bad image)
+    unscored = [sid for sid in gt_net if sid not in seen]
+    if unscored:
+        missed = sum(len(gt_net[sid]) for sid in unscored)
+        total += missed
+        print(f"WARNING: {len(unscored)} image(s) could not be read — "
+              f"their {missed} GT box(es) count as missed (darknet "
+              f"errors out here)", file=out)
     return {
         "recall": correct / total if total else 0.0,
         "avg_iou": sum_iou / total if total else 0.0,
