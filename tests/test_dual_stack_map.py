@@ -29,6 +29,16 @@ geometry, a rectangular 416x256 net, and a clean-room COCO
 mAP@[.5:.95] scorer cross-checked against eval/coco_map.evaluate_coco
 on the same synthetic set. Each failure localizes: stack drift moves
 the jax-vs-tf number; evaluator drift moves the same-set cross-score.
+
+Round-4 continuation: the remaining HEAD FAMILIES now ride the same
+end-to-end gate — [Gaussian_yolo] (interleaved 9+C layout, uc_aver
+score factor), scaled-yolov4 [yolo] new_coords=1 + scale_x_y
+(logistic head convs, (2v)^2 wh), yolov1 [detection] (flat CHW
+layout, sqrt wh, conf*prob scores through [crop]/[local]/[connected]
+trunks), and YOLO9000 [region] tree traversal scoring (greedy descent
+under hier_thresh) — every decode family the framework ships is now
+covered by a two-stack mAP agreement, not just layer/decode unit
+parity.
 """
 
 import os
@@ -146,10 +156,24 @@ def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox"):
         logits = tfo.run_layers(cfg.layers, params, x[None],
                                 eps=cfg.bn_eps)
         if cfg.head_kind == "yolo":
+            heads = cfg.yolo_heads
             boxes, scores = npr.decode_yolo(
                 [np.asarray(l)[0] for l in logits], cfg.anchors, masks,
                 cfg.num_classes, cfg.input_hw,
-                scales=[h.scale_xy for h in cfg.yolo_heads])
+                scales=[h.scale_xy for h in heads],
+                new_coords=[h.new_coords for h in heads],
+                gaussian=[h.gaussian for h in heads])
+        elif cfg.head_kind == "detection":
+            dh = cfg.detection_head
+            boxes, scores = npr.decode_detection(
+                np.asarray(logits).reshape(-1), dh.side, dh.num,
+                dh.classes, sqrt=dh.sqrt, coords=dh.coords)
+        elif cfg.tree is not None:
+            # YOLO9000 traversal scoring (darknet detector default):
+            # the greedy tree descent's predicted node scores conf
+            boxes, scores = npr.decode_tree(
+                np.asarray(logits)[0], cfg.anchors, cfg.tree,
+                cfg.hier_thresh)
         else:
             boxes, scores = npr.decode(np.asarray(logits)[0],
                                        cfg.anchors, cfg.num_classes)
@@ -489,3 +513,78 @@ def test_dual_stack_coco_protocol(tmp_path, variant):
     same_jax = _coco_map_oracle(dets_jax, gt, cfg.num_classes)
     assert abs(prod["map"] - same_jax["map"]) < 1e-6, (prod, same_jax)
     assert abs(prod["ar"] - same_jax["ar"]) < 1e-6, (prod, same_jax)
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: the remaining head families through the same
+# two-stack end-to-end gate (micro topologies — the protocol surface
+# is the head decode + NMS + unmapping, not trunk depth)
+# ---------------------------------------------------------------------------
+
+def test_dual_stack_map_parity_gaussian(tmp_path):
+    """[Gaussian_yolo] heads end-to-end: the interleaved 9+C channel
+    layout, uc_aver score factor, and two-scale head concat through
+    BOTH stacks — where a de-interleaved read or a missing uncertainty
+    factor would move the mAP."""
+    from tests.test_gaussian_yolo import MICRO_GAUSS
+
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, MICRO_GAUSS, n_images=max(24, N_IMAGES // 2),
+        min_dets=30)
+    _assert_voc_parity(MICRO_GAUSS, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_scaled_newcoords(tmp_path):
+    """Scaled-yolov4 [yolo] new_coords=1 + scale_x_y=2 end-to-end:
+    logistic head convs (no second sigmoid), (2v)^2 * anchor wh, and
+    the scale_x_y offset through BOTH stacks."""
+    from tests.test_scaled_yolov4 import MICRO_SCALED
+
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, MICRO_SCALED, n_images=max(24, N_IMAGES // 2),
+        min_dets=30)
+    _assert_voc_parity(MICRO_SCALED, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_yolov1(tmp_path):
+    """yolov1 [detection] end-to-end: the [crop]/[local]/[connected]
+    trunk, the flat CHW head layout (classes | confs | coords), sqrt
+    wh, and conf*prob scoring through BOTH stacks — the TF stack's
+    extract_patches [local] derivation uses a DIFFERENT patch order
+    than the production executor, so layout drift moves the number."""
+    from tests.test_yolov1 import V1_CFG
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+    p = tmp_path / "v1.cfg"
+    p.write_text(V1_CFG)
+    cfg = config_from_cfg(str(p))
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, n_images=max(24, N_IMAGES // 2), min_dets=30)
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_tree(tmp_path):
+    """YOLO9000 [region] tree end-to-end in darknet's detector mode:
+    per-sibling-group softmax, greedy traversal under hier_thresh, the
+    predicted node scoring conf — through BOTH stacks (the TF stack
+    re-derives the traversal loop-level from numpy_ref's oracles)."""
+    from tests.test_tree import TREE_TEXT
+    from yolo_tpu.configs.specs import Conv, ModelConfig
+    from yolo_tpu.configs.tree import parse_tree
+
+    tp = tmp_path / "micro.tree"
+    tp.write_text(TREE_TEXT)
+    tree = parse_tree(str(tp))
+    cfg = ModelConfig(
+        name="micro9000",
+        layers=(Conv(8, stride=2), Conv(16, stride=2),
+                Conv(16, stride=2), Conv(32, stride=2),
+                Conv(32, stride=2),
+                Conv(2 * (5 + tree.n_nodes), size=1, bn=False,
+                     act="linear")),
+        anchors=((1.0, 1.5), (2.5, 2.0)),
+        class_names=tree.names, input_size=192,
+        tree=tree, hier_thresh=0.3)
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, n_images=max(24, N_IMAGES // 2), min_dets=30)
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
