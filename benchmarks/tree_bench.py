@@ -105,12 +105,16 @@ def main():
         "batch": args.batch, "mode": args.mode,
         "candidates": s * s * args.anchors,
     }
-    # The reference path's per-class NMS builds the pairwise-IoU
-    # matrix f32[B*n_nodes, K, K] (_suppress_xla) — at 9k nodes it
-    # exceeds a 16 GB chip's HBM past batch ~8 (measured: 32*9418
-    # class-rows x 128x128 f32 = 19.75 GB at batch 32). Report that as
-    # the A/B verdict instead of dying: infeasibility IS the fused
-    # head's headline result (docs/PERF.md tree note).
+    # The reference path historically could not run at batch 32 on a
+    # 16 GB chip (three successive 19.75 GB allocations: the monolithic
+    # pairwise-IoU matrix, a coords-minor candidate gather, and
+    # batch-minor tree-softmax layouts). All three are fixed (chunked
+    # suppression + deferred box gather in ops/nms.py, 2-D
+    # optimization_barrier forms in ops/decode.py tree math); measured
+    # b32/544: traversal 536 ms (59.7 img/s), map 182 ms (176 img/s)
+    # vs fused 29/37 ms. The OOM catch below is kept as a tripwire —
+    # reference_oom:true in the output is now a REGRESSION signal, not
+    # the expected verdict (docs/PERF.md tree note).
     try:
         reference(logits)  # compile
         ms_ref = timeit(lambda: reference(logits))

@@ -48,6 +48,41 @@ def test_impls_match_exact_xla(impl):
     _assert_dets_equal(want, got, atol=1e-6)
 
 
+@pytest.mark.parametrize("kind", ["greedy", "diou"])
+def test_row_chunked_suppression_bitwise_exact(monkeypatch, kind):
+    """The row-chunked XLA suppression (the path that makes 9k-class
+    tree eval fit in HBM — docs/PERF.md) must be BITWISE identical to
+    the monolithic matrix: rows are independent, padding is sliced
+    off. Forced here by shrinking the chunk budget so a 5-class scene
+    chunks with a non-divisible tail."""
+    from yolo_tpu.ops import nms as nms_mod
+
+    boxes, scores = _scene(3, b=3, c=5)
+    kw = dict(conf_threshold=0.25, iou_threshold=0.45,
+              top_k=scores.shape[1], max_detections=64, impl="xla",
+              kind=kind)
+    want = nms_batch(boxes, scores, **kw)
+    k = scores.shape[1]
+    # rows-per-chunk = 7; G = 3*5 = 15 -> 3 chunks with pad 6
+    monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 7 * k * k)
+    got = nms_batch(boxes, scores, **kw)
+    _assert_dets_equal(want, got)
+
+
+def test_row_chunked_suppression_single_row_chunks(monkeypatch):
+    """Degenerate budget (rows=1): every suppression row is its own
+    lax.map step — still bitwise identical."""
+    from yolo_tpu.ops import nms as nms_mod
+
+    boxes, scores = _scene(4, b=2, c=4)
+    kw = dict(conf_threshold=0.3, iou_threshold=0.5,
+              top_k=scores.shape[1], max_detections=32, impl="xla")
+    want = nms_batch(boxes, scores, **kw)
+    monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 1)
+    got = nms_batch(boxes, scores, **kw)
+    _assert_dets_equal(want, got)
+
+
 def _assert_dets_equal(want, got, rtol=0.0, atol=0.0):
     """Compare detection dicts; classes/boxes only on valid slots
     (invalid slots carry arbitrary payload)."""

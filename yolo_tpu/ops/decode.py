@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def decode(logits: jnp.ndarray, anchors, num_classes: int,
@@ -120,16 +121,29 @@ def _tree_consts(tree):
 def tree_conditional_probs(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
     """(..., C) class logits -> per-sibling-group softmax (YOLO9000
     conditional probabilities Pr(node | parent)). Scatter/gather over
-    the static group id table; fully batched, static shapes."""
+    the static group id table; fully batched, static shapes.
+
+    Leading dims are flattened to ONE batch dim for the compute, and
+    the flattened form is pinned with an optimization_barrier: on TPU
+    the >2-D forms here draw batch-minor gather layouts padded to 128
+    lanes (measured 5.19-5.50 GB per (B, H, W, A, 9418) intermediate
+    at batch 32 — 5x the payload, the OOM that kept 9k-class reference
+    decode off-chip), while the (F, C) form keeps the native (8, 128)
+    tiling at ~1x padding. The barrier matters: a bare reshape is
+    moved across elementwise ops by XLA's simplifier, silently
+    restoring the 5-D gathers (measured — same OOM with reshape
+    alone). Same applies to the other tree ops below."""
     k = _tree_consts(tree)
     g = k["node_group"]
     t = logits_c.astype(jnp.float32)
-    shape_g = t.shape[:-1] + (tree.n_groups,)
+    lead = t.shape[:-1]
+    t = lax.optimization_barrier(t.reshape(-1, t.shape[-1]))
+    shape_g = (t.shape[0], tree.n_groups)
     gmax = (jnp.full(shape_g, -jnp.inf, jnp.float32)
             .at[..., g].max(t))
     e = jnp.exp(t - gmax[..., g])
     gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(e)
-    return e / gsum[..., g]
+    return (e / gsum[..., g]).reshape(*lead, -1)
 
 
 def tree_log_conditional(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
@@ -140,12 +154,15 @@ def tree_log_conditional(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
     k = _tree_consts(tree)
     g = k["node_group"]
     t = logits_c.astype(jnp.float32)
-    shape_g = t.shape[:-1] + (tree.n_groups,)
+    lead = t.shape[:-1]
+    # 2-D + barrier: sane TPU layouts (see tree_conditional_probs)
+    t = lax.optimization_barrier(t.reshape(-1, t.shape[-1]))
+    shape_g = (t.shape[0], tree.n_groups)
     gmax = (jnp.full(shape_g, -jnp.inf, jnp.float32)
             .at[..., g].max(t))
     z = t - gmax[..., g]
     gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(jnp.exp(z))
-    return z - jnp.log(gsum)[..., g]
+    return (z - jnp.log(gsum)[..., g]).reshape(*lead, -1)
 
 
 def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
@@ -156,11 +173,14 @@ def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
     per-node (C, depth) gather table to bound memory at 9k-node scale."""
     k = _tree_consts(tree)
     parents = jnp.maximum(k["parents"], 0)
+    lead = cond.shape[:-1]
+    # 2-D + barrier: sane TPU layouts (see tree_conditional_probs)
+    cond = lax.optimization_barrier(cond.reshape(-1, cond.shape[-1]))
     absolute = cond
     for d in range(1, tree.max_depth):
         par = absolute[..., parents]
         absolute = jnp.where(k["levels"] == d, cond * par, absolute)
-    return absolute
+    return absolute.reshape(*lead, -1)
 
 
 def tree_top_prediction(cond: jnp.ndarray, tree,
@@ -179,6 +199,9 @@ def tree_top_prediction(cond: jnp.ndarray, tree,
     k = _tree_consts(tree)
     members = k["members"]                      # (G, K) pad -1
     child_group = k["child_group"]
+    lead = cond.shape[:-1]
+    # 2-D + barrier: sane TPU layouts (see tree_conditional_probs)
+    cond = lax.optimization_barrier(cond.reshape(-1, cond.shape[-1]))
     batch_shape = cond.shape[:-1]
     group = jnp.zeros(batch_shape, jnp.int32)
     p = jnp.ones(batch_shape, jnp.float32)
@@ -203,7 +226,7 @@ def tree_top_prediction(cond: jnp.ndarray, tree,
         is_leaf = child_group[node] < 0
         group = jnp.where(accept & ~is_leaf, child_group[node], group)
         done = done | ~accept | (accept & is_leaf)
-    return result
+    return result.reshape(lead)
 
 
 def decode_yolo(head_logits, anchors_px, masks, num_classes: int,

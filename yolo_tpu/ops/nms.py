@@ -112,6 +112,98 @@ def _suppress_xla(geom: jnp.ndarray, scores_k: jnp.ndarray,
     return keep * (scores_k >= conf_threshold).astype(jnp.float32)
 
 
+# fp32 elements per live (rows, K, K) pairwise buffer in the chunked
+# XLA suppression: 64M elems = 256 MB. The exact per-class grid on a
+# 9k-class tree model is G = B*9418 rows, whose monolithic (G, K, K)
+# IoU tensor is 19.75 GB at B=32/K=128 (docs/PERF.md "tree decode")
+# — far beyond a 16 GB chip. Suppression rows are independent, so
+# lax.map over fixed-size row chunks bounds live memory with zero
+# semantic change; below the budget the monolithic path is unchanged.
+_CHUNK_ELEMS = 64 * 1024 * 1024
+
+
+def _suppress_xla_rows(geom, scores_k, classes_k, conf_threshold,
+                       iou_threshold, kind="greedy", beta=0.6):
+    """_suppress_xla, row-chunked when the (G, K, K) pairwise tensor
+    would exceed _CHUNK_ELEMS. Exactness: every output row depends
+    only on its own (geom, scores, classes) row, so any row partition
+    computes identical keep masks; padded rows are sliced off."""
+    g, _, k = geom.shape
+    rows = max(1, _CHUNK_ELEMS // (k * k))
+    if g <= rows:
+        return _suppress_xla(geom, scores_k, classes_k, conf_threshold,
+                             iou_threshold, kind=kind, beta=beta)
+    pad = (-g) % rows
+    n_chunks = (g + pad) // rows
+
+    def one(args):
+        ge, sc, cl = args
+        return _suppress_xla(ge, sc, cl, conf_threshold, iou_threshold,
+                             kind=kind, beta=beta)
+
+    keep = lax.map(one, (
+        jnp.pad(geom, ((0, pad), (0, 0), (0, 0))).reshape(
+            n_chunks, rows, 5, k),
+        jnp.pad(scores_k, ((0, pad), (0, 0))).reshape(n_chunks, rows, k),
+        jnp.pad(classes_k, ((0, pad), (0, 0))).reshape(
+            n_chunks, rows, k)))
+    return keep.reshape(n_chunks * rows, k)[:g]
+
+
+def _per_class_suppress(geom_n, idx, scores_k, classes_k,
+                        conf_threshold, iou_threshold, use_pallas: bool,
+                        kind: str = "greedy", beta: float = 0.6):
+    """Exact per-class suppression from a shared geometry table.
+
+    geom_n (B, 5, N) candidate geometry; idx/scores_k/classes_k
+    (B, C, K) per-class top-K. Returns keep (B, C, K).
+
+    Below the _CHUNK_ELEMS budget this is ONE gather into (B, C, 5, K)
+    plus the monolithic suppression (the fast path — measured at parity
+    with a fused (B, C, K, 4) gather at 80 classes on a v5e). Above
+    it, class-chunks are processed under lax.map with the geometry
+    gather INSIDE the chunk body: at 9k-class scale BOTH the pairwise
+    matrix (19.75 GB) and the gathered-geometry tensor (19.75 GB as
+    laid out by XLA: candidates-major, 5 padded to 128 lanes) must
+    never be live at once — each measured as the compile-stopping
+    allocation on a 16 GB chip. Chunks are row-independent, so the
+    result is bitwise identical (pinned by tests/test_nms_impls.py)."""
+    b, c, k = idx.shape
+    rows = max(1, _CHUNK_ELEMS // (k * k))
+    cc = max(1, rows // b)
+    if c <= cc or use_pallas:
+        geom = jnp.take_along_axis(
+            geom_n[:, None, :, :],                         # (B, 1, 5, N)
+            idx[:, :, None, :], axis=-1)                   # (B, C, 5, K)
+        return _suppress(geom.reshape(b * c, 5, k),
+                         scores_k.reshape(b * c, k),
+                         classes_k.reshape(b * c, k),
+                         conf_threshold, iou_threshold,
+                         use_pallas=use_pallas, kind=kind,
+                         beta=beta).reshape(b, c, k)
+    pad = (-c) % cc
+    n_chunks = (c + pad) // cc
+
+    def chunked(a):
+        return jnp.moveaxis(
+            jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
+                b, n_chunks, cc, k), 1, 0)                 # (n, B, cc, K)
+
+    def one(args):
+        ic, sc, cl = args                                  # (B, cc, K)
+        geom = jnp.take_along_axis(geom_n[:, None, :, :],
+                                   ic[:, :, None, :], axis=-1)
+        return _suppress_xla(geom.reshape(b * cc, 5, k),
+                             sc.reshape(b * cc, k),
+                             cl.reshape(b * cc, k),
+                             conf_threshold, iou_threshold,
+                             kind=kind, beta=beta).reshape(b, cc, k)
+
+    keep = lax.map(one, (chunked(idx), chunked(scores_k),
+                         chunked(classes_k)))
+    return jnp.moveaxis(keep, 0, 1).reshape(b, c + pad, k)[:, :c, :]
+
+
 def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
               use_pallas: bool, kind: str = "greedy", beta: float = 0.6):
     if use_pallas and geom.shape[-1] > 256:
@@ -124,8 +216,8 @@ def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
         return suppress(geom, scores_k, classes_k.astype(jnp.float32),
                         conf_threshold=float(conf_threshold),
                         iou_threshold=float(iou_threshold))
-    return _suppress_xla(geom, scores_k, classes_k, conf_threshold,
-                         iou_threshold, kind=kind, beta=beta)
+    return _suppress_xla_rows(geom, scores_k, classes_k, conf_threshold,
+                              iou_threshold, kind=kind, beta=beta)
 
 
 def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections):
@@ -176,25 +268,39 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         return _package(boxes_k, scores_k, classes_k, keep, max_detections)
 
     if impl in ("pallas", "xla"):
-        # exact per-class candidates: (B*C, K) grid
+        # exact per-class candidates: (B*C, K) grid. The geometry is
+        # built CHANNEL-WISE and the box gather is DEFERRED to the
+        # final D slots so no (B, C, K, 4) tensor is materialized:
+        # TPU layouts pad the minor-most dim to 128 lanes, making a
+        # coords-minor candidate tensor 32x its payload — at 9k tree
+        # classes that single allocation is 19.75 GB (the second OOM
+        # behind the pairwise matrix; both measured on a v5e), and
+        # even an 80-class eval wastes ~0.6 GB per such tensor.
         k = min(top_k, n)
         scores_t = jnp.swapaxes(scores, 1, 2)              # (B, C, N)
         scores_k, idx = lax.top_k(scores_t, k)             # (B, C, K)
-        boxes_k = jnp.take_along_axis(
-            boxes[:, None, :, :].astype(jnp.float32),
-            idx[..., None], axis=2)                        # (B, C, K, 4)
+        bf = boxes.astype(jnp.float32)
         classes_k = jnp.broadcast_to(
             jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, k))
-        keep = _suppress(_geom(boxes_k).reshape(b * c, 5, k),
-                         scores_k.reshape(b * c, k),
-                         classes_k.reshape(b * c, k),
-                         conf_threshold, iou_threshold,
-                         use_pallas=(impl == "pallas"),
-                         kind=kind, beta=beta)
-        return _package(boxes_k.reshape(b, c * k, 4),
-                        scores_k.reshape(b, c * k),
-                        classes_k.reshape(b, c * k),
-                        keep.reshape(b, c * k), max_detections)
+        keep = _per_class_suppress(_geom(bf), idx, scores_k, classes_k,
+                                   conf_threshold, iou_threshold,
+                                   use_pallas=(impl == "pallas"),
+                                   kind=kind, beta=beta)
+        # _package with the box gather deferred: the flat (C*K) grid's
+        # slot j holds class j // k and source box idx[b, j // k, j % k],
+        # so selecting top-D scores first and gathering D boxes last is
+        # slot-for-slot identical to packaging a flat boxes tensor.
+        masked = jnp.where(keep.reshape(b, c * k) > 0.5,
+                           scores_k.reshape(b, c * k), -1.0)
+        d = min(max_detections, c * k)
+        best, sel = lax.top_k(masked, d)
+        box_sel = jnp.take_along_axis(idx.reshape(b, c * k), sel, axis=1)
+        return {
+            "boxes": jnp.take_along_axis(bf, box_sel[..., None], axis=1),
+            "scores": jnp.maximum(best, 0.0),
+            "classes": (sel // k).astype(jnp.int32),
+            "valid": best >= 0.0,
+        }
 
     raise ValueError(f"unknown NMS impl {impl!r}")
 
