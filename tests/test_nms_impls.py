@@ -69,6 +69,26 @@ def test_row_chunked_suppression_bitwise_exact(monkeypatch, kind):
     _assert_dets_equal(want, got)
 
 
+def test_class_chunked_suppression_pallas_backend(monkeypatch):
+    """impl='pallas' must ride the class-chunked path too (the chunk
+    body routes through _suppress, keeping the kernel usable per
+    chunk) and stay identical to the exact XLA result — code-review
+    finding: an early cut bypassed chunking for pallas entirely."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from yolo_tpu.ops import nms as nms_mod
+
+    boxes, scores = _scene(5, b=3, c=5)
+    kw = dict(conf_threshold=0.25, iou_threshold=0.45,
+              top_k=scores.shape[1], max_detections=64)
+    want = nms_batch(boxes, scores, impl="xla", **kw)
+    k = scores.shape[1]
+    monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 7 * k * k)
+    with pltpu.force_tpu_interpret_mode():
+        got = nms_batch(boxes, scores, impl="pallas", **kw)
+    _assert_dets_equal(want, got, atol=1e-6)
+
+
 def test_row_chunked_suppression_single_row_chunks(monkeypatch):
     """Degenerate budget (rows=1): every suppression row is its own
     lax.map step — still bitwise identical."""

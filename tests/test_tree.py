@@ -101,6 +101,25 @@ class TestParse:
 
 
 class TestMath:
+    def test_zero_size_batch(self, tree):
+        """Empty leading dims flow through every tree op (the
+        barrier-pinned 2-D forms back-reshape with the static C, not
+        -1, which is unresolvable at 0 elements — code-review
+        finding)."""
+        from yolo_tpu.ops.decode import (tree_absolute_probs,
+                                         tree_conditional_probs,
+                                         tree_log_conditional,
+                                         tree_top_prediction)
+
+        empty = np.zeros((0, tree.n_nodes), np.float32)
+        assert tree_conditional_probs(empty, tree).shape == (0, 8)
+        assert tree_log_conditional(empty, tree).shape == (0, 8)
+        assert tree_absolute_probs(empty, tree).shape == (0, 8)
+        assert tree_top_prediction(empty, tree, 0.5).shape == (0,)
+        empty3 = np.zeros((2, 0, tree.n_nodes), np.float32)
+        assert tree_conditional_probs(empty3, tree).shape == (2, 0, 8)
+        assert tree_top_prediction(empty3, tree, 0.5).shape == (2, 0)
+
     def test_conditional_probs_match_oracle(self, tree):
         from yolo_tpu.ops.decode import tree_conditional_probs
 

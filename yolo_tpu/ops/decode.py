@@ -143,7 +143,9 @@ def tree_conditional_probs(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
             .at[..., g].max(t))
     e = jnp.exp(t - gmax[..., g])
     gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(e)
-    return (e / gsum[..., g]).reshape(*lead, -1)
+    # back-reshape names the static C (a -1 is unresolvable when a
+    # zero-size lead dim makes the element count 0)
+    return (e / gsum[..., g]).reshape(*lead, t.shape[-1])
 
 
 def tree_log_conditional(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
@@ -162,7 +164,7 @@ def tree_log_conditional(logits_c: jnp.ndarray, tree) -> jnp.ndarray:
             .at[..., g].max(t))
     z = t - gmax[..., g]
     gsum = jnp.zeros(shape_g, jnp.float32).at[..., g].add(jnp.exp(z))
-    return (z - jnp.log(gsum)[..., g]).reshape(*lead, -1)
+    return (z - jnp.log(gsum)[..., g]).reshape(*lead, t.shape[-1])
 
 
 def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
@@ -180,7 +182,7 @@ def tree_absolute_probs(cond: jnp.ndarray, tree) -> jnp.ndarray:
     for d in range(1, tree.max_depth):
         par = absolute[..., parents]
         absolute = jnp.where(k["levels"] == d, cond * par, absolute)
-    return absolute.reshape(*lead, -1)
+    return absolute.reshape(*lead, cond.shape[-1])
 
 
 def tree_top_prediction(cond: jnp.ndarray, tree,

@@ -171,7 +171,7 @@ def _per_class_suppress(geom_n, idx, scores_k, classes_k,
     b, c, k = idx.shape
     rows = max(1, _CHUNK_ELEMS // (k * k))
     cc = max(1, rows // b)
-    if c <= cc or use_pallas:
+    if c <= cc:
         geom = jnp.take_along_axis(
             geom_n[:, None, :, :],                         # (B, 1, 5, N)
             idx[:, :, None, :], axis=-1)                   # (B, C, 5, K)
@@ -193,11 +193,15 @@ def _per_class_suppress(geom_n, idx, scores_k, classes_k,
         ic, sc, cl = args                                  # (B, cc, K)
         geom = jnp.take_along_axis(geom_n[:, None, :, :],
                                    ic[:, :, None, :], axis=-1)
-        return _suppress_xla(geom.reshape(b * cc, 5, k),
-                             sc.reshape(b * cc, k),
-                             cl.reshape(b * cc, k),
-                             conf_threshold, iou_threshold,
-                             kind=kind, beta=beta).reshape(b, cc, k)
+        # route through _suppress: the pallas backend stays usable
+        # per chunk, and when b > rows (cc floored to 1) the XLA
+        # route's secondary row-chunking still enforces the budget
+        return _suppress(geom.reshape(b * cc, 5, k),
+                         sc.reshape(b * cc, k),
+                         cl.reshape(b * cc, k),
+                         conf_threshold, iou_threshold,
+                         use_pallas=use_pallas, kind=kind,
+                         beta=beta).reshape(b, cc, k)
 
     keep = lax.map(one, (chunked(idx), chunked(scores_k),
                          chunked(classes_k)))
@@ -220,13 +224,22 @@ def _suppress(geom, scores_k, classes_k, conf_threshold, iou_threshold,
                               iou_threshold, kind=kind, beta=beta)
 
 
-def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections):
-    """Final fixed-size output: global top max_detections by kept score."""
+def _package(flat_boxes, flat_scores, flat_classes, keep, max_detections,
+             box_index=None):
+    """Final fixed-size output: global top max_detections by kept score.
+
+    box_index (optional, (B, S) int32): slot -> row of flat_boxes,
+    for callers whose candidate grid does not materialize its own
+    boxes tensor (the per-class exact path defers the gather to the
+    final D slots — see nms_batch). Without it, slot s selects
+    flat_boxes[:, s] directly."""
     masked = jnp.where(keep > 0.5, flat_scores, -1.0)
     d = min(max_detections, masked.shape[-1])
     best, sel = lax.top_k(masked, d)
+    bsel = (sel if box_index is None
+            else jnp.take_along_axis(box_index, sel, axis=1))
     return {
-        "boxes": jnp.take_along_axis(flat_boxes, sel[..., None], axis=1),
+        "boxes": jnp.take_along_axis(flat_boxes, bsel[..., None], axis=1),
         "scores": jnp.maximum(best, 0.0),
         "classes": jnp.take_along_axis(flat_classes, sel, axis=1),
         "valid": best >= 0.0,
@@ -286,21 +299,15 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                                    conf_threshold, iou_threshold,
                                    use_pallas=(impl == "pallas"),
                                    kind=kind, beta=beta)
-        # _package with the box gather deferred: the flat (C*K) grid's
-        # slot j holds class j // k and source box idx[b, j // k, j % k],
-        # so selecting top-D scores first and gathering D boxes last is
-        # slot-for-slot identical to packaging a flat boxes tensor.
-        masked = jnp.where(keep.reshape(b, c * k) > 0.5,
-                           scores_k.reshape(b, c * k), -1.0)
-        d = min(max_detections, c * k)
-        best, sel = lax.top_k(masked, d)
-        box_sel = jnp.take_along_axis(idx.reshape(b, c * k), sel, axis=1)
-        return {
-            "boxes": jnp.take_along_axis(bf, box_sel[..., None], axis=1),
-            "scores": jnp.maximum(best, 0.0),
-            "classes": (sel // k).astype(jnp.int32),
-            "valid": best >= 0.0,
-        }
+        # box gather deferred to the final D slots: the flat (C*K)
+        # grid's slot j holds class j // k and source box
+        # idx[b, j // k, j % k] — slot-for-slot identical to packaging
+        # a materialized flat boxes tensor, without the (B, C, K, 4)
+        # allocation (see _per_class_suppress)
+        return _package(bf, scores_k.reshape(b, c * k),
+                        classes_k.reshape(b, c * k),
+                        keep.reshape(b, c * k), max_detections,
+                        box_index=idx.reshape(b, c * k))
 
     raise ValueError(f"unknown NMS impl {impl!r}")
 
