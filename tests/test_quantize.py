@@ -38,6 +38,87 @@ def test_int8_score_deviation_bounded():
     assert overlap > 0.6, f"top-50 overlap only {overlap}"
 
 
+def test_int8_head_families_deviation_bounded():
+    """int8 PTQ on the head families with no dedicated coverage:
+    [Gaussian_yolo] (interleaved 9+C head convs), scaled-yolov4
+    new_coords (LOGISTIC head convs — the int8 block must apply the
+    activation on the dequantized fp32 value), and YOLO9000 tree
+    (map-projection scores, continuous so the bound is meaningful).
+    Same gate as the tiny-voc test: bounded score deviation + top-K
+    rank agreement vs the fp32 path."""
+    import pytest
+
+    from tests.test_gaussian_yolo import MICRO_GAUSS
+    from tests.test_scaled_yolov4 import MICRO_SCALED
+    from tests.test_tree import TREE_TEXT
+    from yolo_tpu.configs.specs import Conv, ModelConfig
+    from yolo_tpu.configs.tree import SoftmaxTree
+    from yolo_tpu.ops.decode import decode_yolo
+
+    rng = np.random.default_rng(11)
+
+    def check(s32, s8):
+        dev = np.abs(np.asarray(s32) - np.asarray(s8)).max()
+        assert dev < 0.3, f"int8 score deviation {dev}"
+        n = min(50, np.asarray(s32).size)
+        top32 = np.argsort(-np.asarray(s32).ravel())[:n]
+        top8 = np.argsort(-np.asarray(s8).ravel())[:n]
+        overlap = len(set(top32) & set(top8)) / n
+        assert overlap > 0.6, f"top-{n} overlap only {overlap}"
+
+    for cfg in (MICRO_GAUSS, MICRO_SCALED):
+        params = dw.random_params(cfg.layers, rng, scale=0.05)
+        h, w = cfg.input_hw
+        x = jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32))
+        folded = graph.params_to_jax(graph.fold_params(cfg.layers, params,
+                                                       cfg.bn_eps))
+        lo32 = forward(cfg, folded, x, compute_dtype=jnp.float32)
+        qparams = quantize.prepare_int8(cfg, params, x)
+        lo8 = forward(cfg, qparams, x, compute_dtype=jnp.float32)
+        heads = cfg.yolo_heads
+        kw = dict(scales=[hd.scale_xy for hd in heads],
+                  new_coords=[hd.new_coords for hd in heads],
+                  gaussian=[hd.gaussian for hd in heads])
+        masks = [hd.mask for hd in heads]
+        _, s32 = decode_yolo(lo32, cfg.anchors, masks, cfg.num_classes,
+                             cfg.input_hw, **kw)
+        _, s8 = decode_yolo(lo8, cfg.anchors, masks, cfg.num_classes,
+                            cfg.input_hw, **kw)
+        check(s32, s8)
+
+    # tree: region head + map-projection scoring (continuous)
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    tp = os.path.join(d, "micro.tree")
+    with open(tp, "w") as f:
+        f.write(TREE_TEXT)
+    from yolo_tpu.configs.tree import parse_tree
+
+    tree = parse_tree(tp)
+    tcfg = ModelConfig(
+        name="micro9000-q",
+        layers=(Conv(8, stride=2), Conv(16, stride=2), Conv(16, stride=2),
+                Conv(32, stride=2), Conv(32, stride=2),
+                Conv(2 * (5 + tree.n_nodes), size=1, bn=False,
+                     act="linear")),
+        anchors=((1.0, 1.5), (2.5, 2.0)), class_names=tree.names,
+        input_size=96, tree=tree, hier_thresh=0.3)
+    params = dw.random_params(tcfg.layers, rng, scale=0.05)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+    folded = graph.params_to_jax(graph.fold_params(tcfg.layers, params,
+                                                   tcfg.bn_eps))
+    lo32 = forward(tcfg, folded, x, compute_dtype=jnp.float32)
+    qparams = quantize.prepare_int8(tcfg, params, x)
+    lo8 = forward(tcfg, qparams, x, compute_dtype=jnp.float32)
+    leaf_map = tuple(i for i in range(tree.n_nodes) if tree.leaf(i))
+    _, s32 = decode(lo32, tcfg.anchors, tree.n_nodes, tree=tree,
+                    tree_map=leaf_map, hier_thresh=0.3)
+    _, s8 = decode(lo8, tcfg.anchors, tree.n_nodes, tree=tree,
+                   tree_map=leaf_map, hier_thresh=0.3)
+    check(s32, s8)
+
+
 def test_calibration_scales_positive():
     cfg = dataclasses.replace(TINY_YOLOV2_VOC, input_size=96)
     rng = np.random.default_rng(8)
