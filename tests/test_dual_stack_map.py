@@ -136,7 +136,8 @@ def _protocol_nms(boxes, scores, conf, iou, *, top_k=128, max_det=100):
     return out[:max_det]
 
 
-def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox"):
+def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
+                use_tree_map=False):
     """{img_id: [(cls, score, x1, y1, x2, y2) source pixels]} through
     the TF stack only — oracle letterbox OR stretch geometry."""
     import tests.tf_oracle as tfo
@@ -169,11 +170,12 @@ def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox"):
                 np.asarray(logits).reshape(-1), dh.side, dh.num,
                 dh.classes, sqrt=dh.sqrt, coords=dh.coords)
         elif cfg.tree is not None:
-            # YOLO9000 traversal scoring (darknet detector default):
-            # the greedy tree descent's predicted node scores conf
+            # YOLO9000: traversal scoring (darknet detector default)
+            # or the .map COCO-projection (use_tree_map)
             boxes, scores = npr.decode_tree(
                 np.asarray(logits)[0], cfg.anchors, cfg.tree,
-                cfg.hier_thresh)
+                cfg.hier_thresh,
+                tree_map=cfg.tree_map if use_tree_map else None)
         else:
             boxes, scores = npr.decode(np.asarray(logits)[0],
                                        cfg.anchors, cfg.num_classes)
@@ -373,7 +375,7 @@ _RUN_CACHE = {}
 
 
 def _run_stacks(tmp_path, cfg, *, resize="letterbox", n_images=N_IMAGES,
-                key=None, min_dets=50):
+                key=None, min_dets=50, use_tree_map=False):
     """One dual-stack sweep: JAX production collect_detections vs the
     TF stack, plus synthetic GT. Returns (dets_jax, dets_tf, gt)."""
     if key is not None and key in _RUN_CACHE:
@@ -390,26 +392,27 @@ def _run_stacks(tmp_path, cfg, *, resize="letterbox", n_images=N_IMAGES,
 
     dets_jax = collect_detections(
         cfg, folded, run_samples, batch=10, eval_conf=EVAL_CONF,
-        compute_dtype=jnp.float32, resize=resize)
+        compute_dtype=jnp.float32, resize=resize,
+        use_tree_map=use_tree_map)
     n_jax = sum(len(v) for v in dets_jax.values())
     assert n_jax > min_dets, f"degenerate run: only {n_jax} jax dets"
 
     dets_tf = _tf_collect(cfg, params, samples, EVAL_CONF,
-                          resize=resize)
+                          resize=resize, use_tree_map=use_tree_map)
     gt = _synth_gt(dets_jax, samples, np.random.default_rng(7),
-                   cfg.num_classes)
+                   cfg.num_detection_classes(use_tree_map))
     out = (dets_jax, dets_tf, gt)
     if key is not None:
         _RUN_CACHE[key] = out
     return out
 
 
-def _assert_voc_parity(cfg, dets_jax, dets_tf, gt):
+def _assert_voc_parity(cfg, dets_jax, dets_tf, gt, num_classes=None):
     from yolo_tpu.eval.voc_map import evaluate
 
-    map_jax = evaluate(dets_jax, gt, cfg.num_classes,
-                       use_07_metric=True)["map"]
-    map_tf = _voc_map_oracle(dets_tf, gt, cfg.num_classes)
+    nc = cfg.num_classes if num_classes is None else num_classes
+    map_jax = evaluate(dets_jax, gt, nc, use_07_metric=True)["map"]
+    map_tf = _voc_map_oracle(dets_tf, gt, nc)
 
     # non-vacuous: GT derives from the model's own detections, so real
     # TP/FP mixtures exist (the 100-detection cap keeps absolute
@@ -424,7 +427,7 @@ def _assert_voc_parity(cfg, dets_jax, dets_tf, gt):
 
     # cross-scoring isolates the EVALUATOR: both scorers must agree on
     # the SAME detection set to float tolerance
-    same_jax = _voc_map_oracle(dets_jax, gt, cfg.num_classes)
+    same_jax = _voc_map_oracle(dets_jax, gt, nc)
     assert abs(map_jax - same_jax) < 1e-6, (map_jax, same_jax)
 
 
@@ -563,11 +566,7 @@ def test_dual_stack_map_parity_yolov1(tmp_path):
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
 
 
-def test_dual_stack_map_parity_tree(tmp_path):
-    """YOLO9000 [region] tree end-to-end in darknet's detector mode:
-    per-sibling-group softmax, greedy traversal under hier_thresh, the
-    predicted node scoring conf — through BOTH stacks (the TF stack
-    re-derives the traversal loop-level from numpy_ref's oracles)."""
+def _micro_tree_cfg(tmp_path, with_map=False):
     from tests.test_tree import TREE_TEXT
     from yolo_tpu.configs.specs import Conv, ModelConfig
     from yolo_tpu.configs.tree import parse_tree
@@ -575,7 +574,9 @@ def test_dual_stack_map_parity_tree(tmp_path):
     tp = tmp_path / "micro.tree"
     tp.write_text(TREE_TEXT)
     tree = parse_tree(str(tp))
-    cfg = ModelConfig(
+    tree_map = (tuple(i for i in range(tree.n_nodes) if tree.leaf(i))
+                if with_map else None)
+    return ModelConfig(
         name="micro9000",
         layers=(Conv(8, stride=2), Conv(16, stride=2),
                 Conv(16, stride=2), Conv(32, stride=2),
@@ -584,7 +585,28 @@ def test_dual_stack_map_parity_tree(tmp_path):
                      act="linear")),
         anchors=((1.0, 1.5), (2.5, 2.0)),
         class_names=tree.names, input_size=192,
-        tree=tree, hier_thresh=0.3)
+        tree=tree, hier_thresh=0.3, tree_map=tree_map)
+
+
+def test_dual_stack_map_parity_tree(tmp_path):
+    """YOLO9000 [region] tree end-to-end in darknet's detector mode:
+    per-sibling-group softmax, greedy traversal under hier_thresh, the
+    predicted node scoring conf — through BOTH stacks (the TF stack
+    re-derives the traversal loop-level from numpy_ref's oracles)."""
+    cfg = _micro_tree_cfg(tmp_path)
     dets_jax, dets_tf, gt = _run_stacks(
         tmp_path, cfg, n_images=max(24, N_IMAGES // 2), min_dets=30)
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_dual_stack_map_parity_tree_map_projection(tmp_path):
+    """YOLO9000 .map projection mode (--use-tree-map, darknet's
+    COCO-validation scoring): score_j = conf * absolute[map[j]] over
+    the map's class list — continuous scores through BOTH stacks,
+    scored over len(map) classes."""
+    cfg = _micro_tree_cfg(tmp_path, with_map=True)
+    dets_jax, dets_tf, gt = _run_stacks(
+        tmp_path, cfg, n_images=max(24, N_IMAGES // 2), min_dets=30,
+        use_tree_map=True)
+    _assert_voc_parity(cfg, dets_jax, dets_tf, gt,
+                       num_classes=cfg.num_detection_classes(True))
