@@ -240,3 +240,38 @@ def test_sharded_tree_inference_matches_unsharded(mesh, tmp_path):
         np.testing.assert_allclose(np.asarray(got[key]),
                                    np.asarray(want[key]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_exact_nms_chunked_matches_unsharded(mesh, tmp_path,
+                                                     monkeypatch):
+    """The class-chunked exact suppression (the 9k-class memory path,
+    ops/nms.py::_per_class_suppress) under batch sharding: lax.map
+    over class chunks inside a mesh-sharded program must match the
+    unsharded run bit-for-bit. Forced by shrinking the chunk budget
+    on the reference head + exact per-class NMS."""
+    from tests.test_tree import _write_tree_model
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+    from yolo_tpu.ops import nms as nms_mod
+
+    cfg = config_from_cfg(_write_tree_model(tmp_path))
+    rng = np.random.default_rng(3)
+    params = graph.params_to_jax(
+        graph.fold_params(cfg.layers, dw.random_params(cfg.layers, rng),
+                          cfg.bn_eps))
+    images = rng.integers(0, 256, (8, 48, 64, 3), dtype=np.uint8)
+
+    monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 1)  # every row chunks
+    det = make_detector(cfg, conf_threshold=0.05, head="reference",
+                        nms_impl="xla", compute_dtype=jnp.float32)
+    want = det(params, jnp.asarray(images))
+
+    dp_det = shd.make_dp_detector(cfg, mesh, conf_threshold=0.05,
+                                  compute_dtype=jnp.float32,
+                                  head="reference", nms_impl="xla")
+    got = dp_det(shd.replicate(mesh, params),
+                 jax.device_put(jnp.asarray(images),
+                                shd.batch_sharding(mesh)))
+    for key in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]),
+                                   rtol=1e-4, atol=1e-5)
