@@ -69,6 +69,32 @@ def test_row_chunked_suppression_bitwise_exact(monkeypatch, kind):
     _assert_dets_equal(want, got)
 
 
+def test_chunked_suppression_property_sweep(monkeypatch):
+    """Seeded sweep over random (batch, classes, candidates, budget)
+    draws: the chunked exact path must stay bitwise identical to the
+    monolithic matrix for EVERY partition geometry (divisible and
+    ragged tails, cc floored to 1, budgets above/below G)."""
+    from yolo_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        b = int(rng.integers(1, 5))
+        n = int(rng.integers(8, 40))
+        c = int(rng.integers(2, 9))
+        boxes, scores = _scene(int(rng.integers(1e6)), b=b, n=n, c=c)
+        k = int(rng.integers(4, n + 1))
+        kw = dict(conf_threshold=float(rng.uniform(0.1, 0.5)),
+                  iou_threshold=float(rng.uniform(0.3, 0.6)),
+                  top_k=k, max_detections=32, impl="xla")
+        kk = min(k, n)
+        monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 10**9)
+        want = nms_batch(boxes, scores, **kw)
+        budget = int(rng.integers(1, b * c + 2)) * kk * kk
+        monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", budget)
+        got = nms_batch(boxes, scores, **kw)
+        _assert_dets_equal(want, got)
+
+
 def test_class_chunked_suppression_pallas_backend(monkeypatch):
     """impl='pallas' must ride the class-chunked path too (the chunk
     body routes through _suppress, keeping the kernel usable per
