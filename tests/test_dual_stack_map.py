@@ -533,8 +533,46 @@ def test_dual_stack_map_parity_gaussian(tmp_path):
 
     dets_jax, dets_tf, gt = _run_stacks(
         tmp_path, MICRO_GAUSS, n_images=max(24, N_IMAGES // 2),
-        min_dets=30)
+        min_dets=30, key="gauss")
     _assert_voc_parity(MICRO_GAUSS, dets_jax, dets_tf, gt)
+
+
+def test_proxy_sensitivity_canary(tmp_path):
+    """Mutation canary: the dual-stack gate must actually TRIP when a
+    stack drifts — guards the proxy against silently becoming vacuous
+    (e.g. both stacks importing the same decode). Scaling the TF
+    stack's anchors 1.5x flips IoU matches and moves its mAP by ~0.16
+    on this setup (aligned stacks agree exactly). The mutation must
+    change MATCHING or score ORDER to register: a 15% scale_xy
+    perturbation (boxes shift ~1% of the image, scores untouched) was
+    measured mAP-invariant — the gate detects protocol drift, not
+    sub-IoU-resolution box noise."""
+    import dataclasses
+
+    from tests.test_gaussian_yolo import MICRO_GAUSS
+
+    dets_jax, _dets_tf, gt = _run_stacks(
+        tmp_path, MICRO_GAUSS, n_images=max(24, N_IMAGES // 2),
+        min_dets=30, key="gauss")
+    from yolo_tpu.eval.voc_map import evaluate
+
+    map_jax = evaluate(dets_jax, gt, MICRO_GAUSS.num_classes,
+                       use_07_metric=True)["map"]
+
+    bad_cfg = dataclasses.replace(
+        MICRO_GAUSS, anchors=tuple((w * 1.5, h * 1.5)
+                                   for w, h in MICRO_GAUSS.anchors))
+    # replicate _run_stacks' RNG stream exactly (params drawn first,
+    # then images, from ONE generator) so the regenerated samples
+    # match the cached run the gt derives from
+    rng = np.random.default_rng(0)
+    params = _realistic_params(MICRO_GAUSS, rng)
+    samples = _make_images(tmp_path, rng, n=max(24, N_IMAGES // 2))
+    dets_bad = _tf_collect(bad_cfg, params, samples, EVAL_CONF)
+    map_bad = _voc_map_oracle(dets_bad, gt, MICRO_GAUSS.num_classes)
+    assert abs(map_jax - map_bad) > 2e-3, (
+        f"proxy NOT sensitive: aligned {map_jax:.6f} vs perturbed "
+        f"{map_bad:.6f}")
 
 
 def test_dual_stack_map_parity_scaled_newcoords(tmp_path):
