@@ -27,7 +27,11 @@ def _scrubbed_env():
     return env
 
 
-def _run(code, timeout=900):  # four DP programs on one slow core
+def _run(code, timeout=1500):
+    # Seven DP programs on one slow core: ~360 s solo, but inside a
+    # full-suite run (memory pressure + cache pollution on this 1-core
+    # box) the same invocation was observed to blow a 900 s budget
+    # while passing solo — the budget absorbs that variance.
     return subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=_scrubbed_env(),
         capture_output=True, text=True, timeout=timeout)
