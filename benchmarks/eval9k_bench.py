@@ -56,9 +56,17 @@ def main():
     a = 3
     anchors = tuple((0.8 + 0.7 * i, 1.1 + 0.9 * i) for i in range(a))
     use_map = args.mode == "map"
-    tree_map = (tuple(int(v) for v in np.random.default_rng(1)
-                      .integers(0, tree.n_nodes, 80)) if use_map
-                else None)
+    # real darknet .map files list DISTINCT leaves (coco9k.map): sample
+    # without replacement from the leaf set so the map-mode self-mAP is
+    # scored over a representative class list (advisor r4)
+    if use_map:
+        leaves = np.asarray([i for i in range(tree.n_nodes)
+                             if tree.leaf(i)])
+        pick = np.random.default_rng(1).choice(
+            leaves, size=min(80, len(leaves)), replace=False)
+        tree_map = tuple(int(v) for v in pick)
+    else:
+        tree_map = None
     cfg = ModelConfig(name="synth9000",
                       layers=_yolov2_layers(a * (5 + tree.n_nodes)),
                       anchors=anchors, class_names=tree.names,

@@ -137,9 +137,13 @@ def _protocol_nms(boxes, scores, conf, iou, *, top_k=128, max_det=100):
 
 
 def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
-                use_tree_map=False):
+                use_tree_map=False, nms_fn=None, zero_pad_origin=False):
     """{img_id: [(cls, score, x1, y1, x2, y2) source pixels]} through
-    the TF stack only — oracle letterbox OR stretch geometry."""
+    the TF stack only — oracle letterbox OR stretch geometry.
+
+    nms_fn / zero_pad_origin are MUTATION hooks for the sensitivity
+    canaries only: an alternate protocol-NMS, and an unmap that drops
+    the centered pad origin (px=py=0)."""
     import tests.tf_oracle as tfo
     from yolo_tpu.data.pipeline import load_image_rgb
     from yolo_tpu.ops import numpy_ref as npr
@@ -179,8 +183,9 @@ def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
         else:
             boxes, scores = npr.decode(np.asarray(logits)[0],
                                        cfg.anchors, cfg.num_classes)
-        kept = _protocol_nms(np.asarray(boxes), np.asarray(scores),
-                             eval_conf, cfg.nms_threshold)
+        kept = (nms_fn or _protocol_nms)(
+            np.asarray(boxes), np.asarray(scores), eval_conf,
+            cfg.nms_threshold)
         if not kept:
             dets[img_id] = []
             continue
@@ -190,6 +195,8 @@ def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
         else:
             scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
                                                        (net_h, net_w))
+            if zero_pad_origin:
+                px = py = 0
             xyxy = npr.unletterbox_boxes(kb, scale, px, py, net_w,
                                          net_h, src_w, src_h)
         dets[img_id] = [(k[2], k[1], *xyxy[j])
@@ -370,7 +377,12 @@ def _synth_gt(detections, samples, rng, num_classes):
 
 
 # Cache one dual-stack run per (key): the COCO-protocol test re-scores
-# the tiny-voc run rather than paying a second forward sweep.
+# the tiny-voc run rather than paying a second forward sweep. Entries
+# are (dets_jax, dets_tf, gt, params, samples) — params/samples ride
+# along so the mutation canaries REUSE the exact inputs the cached gt
+# derives from instead of re-deriving the RNG stream (advisor r4: a
+# re-derivation silently diverges if _run_stacks' draw order changes,
+# leaving a canary vacuous without failing).
 _RUN_CACHE = {}
 
 
@@ -379,7 +391,7 @@ def _run_stacks(tmp_path, cfg, *, resize="letterbox", n_images=N_IMAGES,
     """One dual-stack sweep: JAX production collect_detections vs the
     TF stack, plus synthetic GT. Returns (dets_jax, dets_tf, gt)."""
     if key is not None and key in _RUN_CACHE:
-        return _RUN_CACHE[key]
+        return _RUN_CACHE[key][:3]
     from yolo_tpu.eval.runner import collect_detections
     from yolo_tpu.models import graph
 
@@ -401,10 +413,9 @@ def _run_stacks(tmp_path, cfg, *, resize="letterbox", n_images=N_IMAGES,
                           resize=resize, use_tree_map=use_tree_map)
     gt = _synth_gt(dets_jax, samples, np.random.default_rng(7),
                    cfg.num_detection_classes(use_tree_map))
-    out = (dets_jax, dets_tf, gt)
     if key is not None:
-        _RUN_CACHE[key] = out
-    return out
+        _RUN_CACHE[key] = (dets_jax, dets_tf, gt, params, samples)
+    return dets_jax, dets_tf, gt
 
 
 def _assert_voc_parity(cfg, dets_jax, dets_tf, gt, num_classes=None):
@@ -549,30 +560,77 @@ def test_proxy_sensitivity_canary(tmp_path):
     sub-IoU-resolution box noise."""
     import dataclasses
 
+    # _canary_run reuses the EXACT cached params/samples the gt derives
+    # from — no RNG-stream re-derivation to silently diverge (advisor r4)
+    cfg, gt, map_jax, params, samples = _canary_run(tmp_path)
+    bad_cfg = dataclasses.replace(
+        cfg, anchors=tuple((w * 1.5, h * 1.5) for w, h in cfg.anchors))
+    dets_bad = _tf_collect(bad_cfg, params, samples, EVAL_CONF)
+    map_bad = _voc_map_oracle(dets_bad, gt, cfg.num_classes)
+    assert abs(map_jax - map_bad) > 2e-3, (
+        f"proxy NOT sensitive: aligned {map_jax:.6f} vs perturbed "
+        f"{map_bad:.6f}")
+
+
+def _canary_run(tmp_path):
+    """The shared aligned run + score for the mutation canaries."""
     from tests.test_gaussian_yolo import MICRO_GAUSS
+    from yolo_tpu.eval.voc_map import evaluate
 
     dets_jax, _dets_tf, gt = _run_stacks(
         tmp_path, MICRO_GAUSS, n_images=max(24, N_IMAGES // 2),
         min_dets=30, key="gauss")
-    from yolo_tpu.eval.voc_map import evaluate
-
     map_jax = evaluate(dets_jax, gt, MICRO_GAUSS.num_classes,
                        use_07_metric=True)["map"]
+    _, _, _, params, samples = _RUN_CACHE["gauss"]
+    return MICRO_GAUSS, gt, map_jax, params, samples
 
-    bad_cfg = dataclasses.replace(
-        MICRO_GAUSS, anchors=tuple((w * 1.5, h * 1.5)
-                                   for w, h in MICRO_GAUSS.anchors))
-    # replicate _run_stacks' RNG stream exactly (params drawn first,
-    # then images, from ONE generator) so the regenerated samples
-    # match the cached run the gt derives from
-    rng = np.random.default_rng(0)
-    params = _realistic_params(MICRO_GAUSS, rng)
-    samples = _make_images(tmp_path, rng, n=max(24, N_IMAGES // 2))
-    dets_bad = _tf_collect(bad_cfg, params, samples, EVAL_CONF)
-    map_bad = _voc_map_oracle(dets_bad, gt, MICRO_GAUSS.num_classes)
+
+def test_proxy_sensitivity_canary_nms(tmp_path):
+    """NMS-surface mutation canary (VERDICT r4 weak #5: the decode
+    canary alone leaves the NMS protocol mirror's sensitivity
+    unproven). Disabling greedy suppression in the TF mirror floods
+    every strong detection with its near-duplicates — precision
+    collapses and the 100-det cap displaces true positives — so the
+    dual-stack delta must clear the same 2e-3 gate the parity asserts
+    under. If both stacks ever silently shared one NMS, this stops
+    being able to trip and fails."""
+    cfg, gt, map_jax, params, samples = _canary_run(tmp_path)
+
+    def no_suppress(boxes, scores, conf, iou, *, top_k=128,
+                    max_det=100):
+        n, c = scores.shape
+        out = []
+        for cls in range(c):
+            s = scores[:, cls]
+            order = np.lexsort((np.arange(n), -s))[:top_k]
+            out.extend((boxes[i], float(s[i]), cls)
+                       for i in order if s[i] >= conf)
+        out.sort(key=lambda r: -r[1])
+        return out[:max_det]
+
+    dets_bad = _tf_collect(cfg, params, samples, EVAL_CONF,
+                           nms_fn=no_suppress)
+    map_bad = _voc_map_oracle(dets_bad, gt, cfg.num_classes)
     assert abs(map_jax - map_bad) > 2e-3, (
-        f"proxy NOT sensitive: aligned {map_jax:.6f} vs perturbed "
-        f"{map_bad:.6f}")
+        f"NMS canary NOT sensitive: aligned {map_jax:.6f} vs "
+        f"suppression-off {map_bad:.6f}")
+
+
+def test_proxy_sensitivity_canary_geometry(tmp_path):
+    """Letterbox/unmap-surface mutation canary: dropping the centered
+    pad origin (px=py=0) in the TF stack's unmap shifts every box by
+    pad/scale source pixels on the padded axis — IoU matches against
+    the centered-protocol gt flip, so the dual-stack delta must clear
+    the gate. Proves the proxy would catch a pad-origin drift in
+    either stack's letterbox/unletterbox chain."""
+    cfg, gt, map_jax, params, samples = _canary_run(tmp_path)
+    dets_bad = _tf_collect(cfg, params, samples, EVAL_CONF,
+                           zero_pad_origin=True)
+    map_bad = _voc_map_oracle(dets_bad, gt, cfg.num_classes)
+    assert abs(map_jax - map_bad) > 2e-3, (
+        f"geometry canary NOT sensitive: aligned {map_jax:.6f} vs "
+        f"zero-pad-origin {map_bad:.6f}")
 
 
 def test_dual_stack_map_parity_scaled_newcoords(tmp_path):

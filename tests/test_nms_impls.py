@@ -86,10 +86,9 @@ def test_chunked_suppression_property_sweep(monkeypatch):
         kw = dict(conf_threshold=float(rng.uniform(0.1, 0.5)),
                   iou_threshold=float(rng.uniform(0.3, 0.6)),
                   top_k=k, max_detections=32, impl="xla")
-        kk = min(k, n)
         monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", 10**9)
         want = nms_batch(boxes, scores, **kw)
-        budget = int(rng.integers(1, b * c + 2)) * kk * kk
+        budget = int(rng.integers(1, b * c + 2)) * k * k
         monkeypatch.setattr(nms_mod, "_CHUNK_ELEMS", budget)
         got = nms_batch(boxes, scores, **kw)
         _assert_dets_equal(want, got)
