@@ -338,3 +338,156 @@ num=3
               "--epochs", "1", "--precision", "fp32"])
     err = capsys.readouterr().err
     assert "cfg [net] mosaic=1: mosaic augmentation enabled" in err
+
+
+class TestGrainMultiScale:
+    """Multi-scale under grain (round 5 — closes the round-4
+    fixed-net-size exclusion in docs/MIGRATING.md): one DataLoader per
+    size bucket, sampler position carried across resize boundaries via
+    grain's own iterator state."""
+
+    @staticmethod
+    def _ladder(bi):
+        # explicit 2-bucket ladder switching every 2 batches
+        return 64 if (bi // 2) % 2 == 0 else 96
+
+    def test_multi_scale_state_transfers(self, tmp_path):
+        """Bucket switches follow the ladder AND every batch equals
+        the same-index batch of a FIXED-size run at that bucket's size
+        (same seed => same sampler sequence): the position transfer
+        across re-instantiated loaders loses and duplicates nothing."""
+        pairs = _mk_pairs(tmp_path)
+        kw2 = dict(KW, num_epochs=2, seed=3)
+        ms = list(grain_train_batches(pairs,
+                                      size_for_batch=self._ladder,
+                                      **kw2))
+        assert len(ms) == 6
+        assert [b["images"].shape[1] for b in ms] == [64, 64, 96, 96,
+                                                      64, 64]
+        fixed = {64: list(grain_train_batches(pairs, **kw2)),
+                 96: list(grain_train_batches(
+                     pairs, **dict(kw2, net_size=96)))}
+        for i, b in enumerate(ms):
+            want = fixed[self._ladder(i)][i]
+            assert set(b) == set(want)
+            for k in b:
+                np.testing.assert_array_equal(b[k], want[k], err_msg=k)
+
+    def test_multi_scale_resume_mid_ladder(self, tmp_path):
+        """state_for_pull + base restore reproduces the interrupted
+        run from inside a non-initial bucket (the restore itself must
+        cross a bucket boundary: size_at(3)=96 != the fresh iterator's
+        initial 64 bucket)."""
+        pairs = _mk_pairs(tmp_path)
+        kw2 = dict(KW, num_epochs=2, seed=7)
+        full = list(grain_train_batches(pairs,
+                                        size_for_batch=self._ladder,
+                                        **kw2))
+        it = grain_train_batches(pairs, size_for_batch=self._ladder,
+                                 **kw2)
+        for _ in range(3):
+            next(it)
+        snap = it.state_for_pull(3)
+
+        it2 = grain_train_batches(pairs, size_for_batch=self._ladder,
+                                  **kw2)
+        it2.set_state(snap)
+        it2.base = 3
+        tail = list(it2)
+        assert len(tail) == len(full) - 3
+        for i, b in enumerate(tail):
+            want = full[3 + i]
+            assert b["images"].shape == want["images"].shape
+            for k in b:
+                np.testing.assert_array_equal(b[k], want[k], err_msg=k)
+
+    def test_multi_scale_rect_buckets(self, tmp_path):
+        """(net_h, net_w) ladder entries flow through (rect nets use
+        aspect-preserving buckets — proportional_sizes)."""
+        pairs = _mk_pairs(tmp_path)
+        sizes = [(64, 96), (96, 128)]
+        ms = grain_train_batches(
+            pairs, size_for_batch=lambda bi: sizes[bi % 2],
+            **dict(KW, num_epochs=1, seed=1, net_size=(64, 96)))
+        a = next(ms)
+        b = next(ms)
+        assert a["images"].shape[1:3] == (64, 96)
+        assert b["images"].shape[1:3] == (96, 128)
+
+    def test_pick_scale_indexed_random_access(self):
+        from yolo_tpu.train.loop import (MULTISCALE_SIZES,
+                                         pick_scale_indexed)
+
+        # deterministic, interval-constant, random-access
+        for step in (0, 1, 9, 10, 25, 1000):
+            a = pick_scale_indexed(step, seed=5)
+            assert a == pick_scale_indexed(step, seed=5)
+            assert a == pick_scale_indexed((step // 10) * 10, seed=5)
+            assert a in MULTISCALE_SIZES
+        # draws vary across intervals (some pair differs)
+        draws = {pick_scale_indexed(10 * i, seed=5) for i in range(20)}
+        assert len(draws) > 1
+        # rect tuples pass through
+        rect = ((64, 96), (96, 128))
+        r = pick_scale_indexed(0, seed=2, sizes=rect)
+        assert r in rect and isinstance(r, tuple)
+
+
+@pytest.mark.slow
+def test_cli_grain_multi_scale_fail_resume(tmp_path, capsys):
+    """cli train --loader grain --multi-scale end-to-end with a
+    mid-ladder fail->resume: the ladder is resume-reproducible (the
+    indexed draw keys on the absolute step) and training completes
+    with per-bucket jit shapes."""
+    import os
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc")
+    w = tmp_path / "init.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=16, size=(80, 90))
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    common = ["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", str(w), "--voc-root", root, "--loader",
+              "grain", "--split", "train", "--batch", "8", "--lr",
+              "1e-4", "--precision", "fp32", "--checkpoint-dir", ckdir,
+              "--checkpoint-every", "1", "--log-every", "1",
+              "--log-file", os.path.join(ckdir, "train_log.jsonl"),
+              "--multi-scale", "--multi-scale-sizes", "64,96",
+              # seed 1's indexed ladder is [64, 96, 96, 64]: the
+              # resume at step 1 starts in a NON-initial bucket and
+              # crosses back — a genuine mid-ladder restore
+              "--multi-scale-every", "1", "--seed", "1"]
+    with pytest.raises(SystemExit, match="fail-after-step"):
+        cli.main(common + ["--fail-after-step", "1", "--epochs", "2"])
+    assert os.path.exists(os.path.join(ckdir, "step_1.grain"))
+
+    cli.main(common + ["--resume", os.path.join(ckdir, "step_1"),
+                       "--epochs", "2"])
+    err = capsys.readouterr().err
+    assert "restored grain data-iterator position" in err
+    final = ckpt.restore(os.path.join(ckdir, "final"))
+    assert int(np.asarray(final["step"])) == 4
+
+    # the logged sizes follow the indexed ladder for seed 1
+    from yolo_tpu.train.loop import pick_scale_indexed
+
+    want = [pick_scale_indexed(bi, 1, 1, (64, 96)) for bi in range(4)]
+    assert want == [64, 96, 96, 64]   # really crosses buckets
+    logged = []
+    with open(os.path.join(ckdir, "train_log.jsonl")) as f:
+        import json
+
+        for line in f:
+            d = json.loads(line)
+            if "size" in d:
+                logged.append((d["step"], d["size"]))
+    got = {s: v for s, v in logged}
+    assert [got[i + 1] for i in range(4)] == want

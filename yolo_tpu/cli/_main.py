@@ -171,6 +171,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="AlexeyAB mixup: 0.5/0.5 two-image blends with "
                         "concatenated truths (implies --augment)")
     p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--multi-scale-every", type=int, default=None,
+                   help="resize interval in batches (darknet resizes "
+                        "every 10)")
     p.add_argument("--multi-scale-sizes", default=None,
                    help="comma-separated sizes: square ints (default "
                         "darknet 320..608) or WIDTHxHEIGHT rect "

@@ -159,11 +159,8 @@ def cmd_train(args) -> None:
         "burn_in", 0)
     if not args.multi_scale and net_hp.get("random", 0) > 0:
         # darknet head sections' random=1 IS the multi-scale switch
-        if args.loader == "grain":
-            print("cfg random=1 ignored: --loader grain is "
-                  "fixed-net-size (use --loader threads for "
-                  "multi-scale)", file=sys.stderr)
-        elif cfg.input_w != cfg.input_h:
+        # (both loaders: grain rides the bucketed multi-scale iterator)
+        if cfg.input_w != cfg.input_h:
             # rect nets: darknet scales BOTH dims by one random factor
             # (aspect preserved); random=1 means the default coef 1.4,
             # a fractional random=f>1 means coef f
@@ -219,12 +216,14 @@ def cmd_train(args) -> None:
                            obj_normalizer=cfg.obj_normalizer,
                            focal_loss=cfg.focal_loss,
                            truth_thresh=cfg.truth_thresh),
-                       **({"multi_scale_sizes": sizes} if sizes else {}))
-    if args.loader == "grain" and args.multi_scale:
-        raise SystemExit("--loader grain is fixed-net-size (multi-scale "
-                         "changes batch shapes per step, which grain's "
-                         "per-record operations can't express) — drop "
-                         "--multi-scale or use --loader threads")
+                       **({"multi_scale_sizes": sizes} if sizes else {}),
+                       **({"multi_scale_every": args.multi_scale_every}
+                          if args.multi_scale_every else {}))
+    # --loader grain + --multi-scale is supported (round 5): the grain
+    # pipeline keeps one DataLoader per size bucket and carries the
+    # sampler position across resize boundaries (grain_pipeline.
+    # MultiScaleGrainIterator); the ladder uses the random-access
+    # pick_scale_indexed draw so resume rebuilds any step's bucket.
     if args.eval_split and (args.coco_json or args.image_list):
         raise SystemExit("--eval-split is a VOC concept; use "
                          "--eval-coco-json (COCO) or --eval-image-list "
@@ -357,6 +356,18 @@ def cmd_train(args) -> None:
         # and --resume restores both (SURVEY.md §5.2/§5.4)
         from yolo_tpu.data.grain_pipeline import grain_train_batches
 
+        size_at = None
+        if args.multi_scale:
+            # random-access ladder: the bucket for ANY absolute step
+            # derives from (seed, step//every) — resume-reproducible
+            # without replaying draws (pick_scale_indexed docstring)
+            from yolo_tpu.train.loop import pick_scale_indexed
+
+            def size_at(bi):
+                return pick_scale_indexed(bi, args.seed,
+                                          tcfg.multi_scale_every,
+                                          tcfg.multi_scale_sizes)
+
         grain_iter = grain_train_batches(
             pairs, class_names=cfg.class_names,
             anchors=cfg.anchors, num_classes=cfg.num_classes,
@@ -364,12 +375,18 @@ def cmd_train(args) -> None:
             seed=args.seed, num_epochs=args.epochs,
             worker_count=args.loader_workers, model_cfg=cfg,
             augment_cfg=aug_cfg, resize=args.resize,
-            channels=cfg.in_channels)
+            channels=cfg.in_channels, size_for_batch=size_at)
         if args.resume:
             gpath = args.resume.rstrip("/") + ".grain"
             if os.path.exists(gpath):
                 with open(gpath, "rb") as f:
                     grain_iter.set_state(f.read())
+                if size_at is not None:
+                    # pulls after restore are absolute steps
+                    # start_step, start_step+1, ... — the multi-scale
+                    # iterator resolves each pull's bucket from
+                    # base + pull_index
+                    grain_iter.base = start_step
                 print(f"restored grain data-iterator position from "
                       f"{gpath}", file=sys.stderr)
             else:

@@ -17,10 +17,16 @@ An alternative to `pipeline.train_batches` for production hosts:
    --checkpoint-dir d` writes `<ckpt>.grain` next to each orbax
    checkpoint and `--resume` restores both together.
 
-Constraint vs the thread loader (documented, enforced): fixed net size
-only (multi-scale changes batch shapes per step, which grain's
-per-record operations can't express — `cli train` rejects the combo).
-Mosaic and mixup ARE supported: the data source is random-access, so
+Multi-scale IS supported (round 5 — the former fixed-net-size
+exclusion is closed): grain's per-record operations can't change shape
+per step, but the SAMPLER position is independent of the operations,
+so `MultiScaleGrainIterator` keeps one DataLoader per size bucket and
+carries the position across resize boundaries via grain's own iterator
+state (restored state validates against source+sampler only). The size
+ladder must be random-access deterministic
+(`train/loop.pick_scale_indexed`) so resume rebuilds any step's bucket
+directly. Mosaic and mixup are supported too: the data source is
+random-access, so
 the seeded per-record transform draws its partner records itself
 (_prepare) — deterministic and restart-safe like every other grain
 augmentation. `cli train --loader grain` selects it.
@@ -203,6 +209,74 @@ class CheckpointableGrainIterator:
             self._pulls = 0
 
 
+class MultiScaleGrainIterator(CheckpointableGrainIterator):
+    """Multi-scale training under grain (closes the round-4 exclusion
+    in docs/MIGRATING.md): one DataLoader PER SIZE BUCKET, sharing a
+    single logical sampler position that is carried across buckets via
+    grain's native iterator state.
+
+    Why this is sound: grain validates a restored state against the
+    data source's repr and the sampler configuration — NOT against the
+    per-record operations — and every bucket here differs only in the
+    transform's net_size. Transferring get_state() from bucket A into
+    bucket B therefore continues the exact shuffled record sequence
+    with a different output shape (verified by
+    tests/test_grain.py::test_multi_scale_state_transfers and the
+    equivalence test against a fixed-size run).
+
+    ``size_at(absolute_batch_index) -> net size`` must be
+    random-access deterministic (pick_scale_indexed): on resume the
+    CLI restores the data position with set_state and sets ``base`` to
+    the resumed step, and the next pull rebuilds that step's bucket
+    directly — reproducing the interrupted run's size ladder exactly.
+
+    Per-bucket iterators are cached, so with worker processes each
+    bucket's workers spawn once and persize switches are just a
+    set_state. The checkpoint surface (get_state/set_state/
+    state_for_pull) is inherited unchanged: states are
+    bucket-agnostic by the same validation argument."""
+
+    def __init__(self, make_iter, size_at, net_size=None, history=16):
+        self._make = make_iter
+        self._size_at = size_at
+        self.base = 0            # absolute index of pull 0 (resume)
+        self._cache = {}
+        first = size_at(0)
+        if first is None:
+            first = net_size
+        it = make_iter(first)
+        self._cache[_size_key(first)] = it
+        self._size = first
+        super().__init__(it, history)
+
+    @property
+    def current_size(self):
+        return self._size
+
+    def __next__(self):
+        with self._lock:
+            size = self._size_at(self.base + self._pulls) or self._size
+            if _size_key(size) != _size_key(self._size):
+                st = self._it.get_state()
+                nxt = self._cache.get(_size_key(size))
+                if nxt is None:
+                    nxt = self._make(size)
+                    self._cache[_size_key(size)] = nxt
+                nxt.set_state(st)       # position carries across
+                self._it = nxt
+                self._size = size
+            self._states.append((self._pulls, self._it.get_state()))
+            self._pulls += 1
+            return next(self._it)
+
+
+def _size_key(size):
+    """int and (h, w) sizes hash uniformly (416 == (416, 416))."""
+    from yolo_tpu.data.targets import _as_hw
+
+    return _as_hw(size)
+
+
 def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         class_names, anchors, num_classes: int,
                         net_size, batch_size: int, seed: int = 0,
@@ -210,7 +284,8 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
                         worker_count: int = 0, model_cfg=None,
                         augment_cfg=None,
                         resize: str = "letterbox",
-                        channels: int = 3
+                        channels: int = 3,
+                        size_for_batch=None
                         ) -> CheckpointableGrainIterator:
     """Yield train batches with the same schema as
     `pipeline.train_batches` via a grain DataLoader.
@@ -222,6 +297,14 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
     num_epochs=None repeats forever. augment_cfg enables darknet
     jitter/flip/HSV per record, plus mosaic/mixup via seeded
     random-access partner draws (see _prepare).
+
+    size_for_batch (absolute batch index -> net size) enables
+    darknet-style multi-scale: MUST be random-access deterministic
+    (train/loop.pick_scale_indexed) so a resumed run rebuilds the
+    bucket for any step directly. Returns a MultiScaleGrainIterator
+    (same checkpoint surface) which re-instantiates the bucketed
+    DataLoader at resize boundaries and carries the iterator position
+    across via grain's own state.
     """
     import grain.python as gp
 
@@ -250,35 +333,49 @@ def grain_train_batches(pairs: Sequence[Tuple[str, object]], *,
             return (f"yolo_tpu._Source(n={len(self._pairs)}, "
                     f"paths_sha={h.hexdigest()[:16]})")
 
-    kw = dict(class_names=class_names,
-              anchors=np.asarray(anchors, np.float32),
-              num_classes=num_classes, net_size=net_size,
-              model_cfg=model_cfg, resize=resize, channels=channels)
-    if augment_cfg is not None and (augment_cfg.mosaic
-                                    or augment_cfg.mixup):
-        # cross-record augmentation: the transform draws partner
-        # records itself from the random-access pair list (_prepare)
-        kw["all_pairs"] = list(pairs)
+    def build(size):
+        """One DataLoader for net size ``size``. Every bucket shares
+        the data source (content-derived repr) and the sampler
+        (seed/num_epochs), so grain iterator STATE is interchangeable
+        across buckets — the property the multi-scale iterator rides
+        (grain validates state against source+sampler, not the
+        per-record operations; pinned by
+        tests/test_grain.py::test_multi_scale_state_transfers)."""
+        kw = dict(class_names=class_names,
+                  anchors=np.asarray(anchors, np.float32),
+                  num_classes=num_classes, net_size=size,
+                  model_cfg=model_cfg, resize=resize, channels=channels)
+        if augment_cfg is not None and (augment_cfg.mosaic
+                                        or augment_cfg.mixup):
+            # cross-record augmentation: the transform draws partner
+            # records itself from the random-access pair list (_prepare)
+            kw["all_pairs"] = list(pairs)
 
-    class _Prepare(gp.MapTransform):
-        def map(self, sample):
-            return _prepare(sample, **kw)
+        class _Prepare(gp.MapTransform):
+            def map(self, sample):
+                return _prepare(sample, **kw)
 
-    class _PrepareAugmented(gp.RandomMapTransform):
-        def random_map(self, sample, rng):
-            return _prepare(sample, augment_cfg=augment_cfg, rng=rng,
-                            **kw)
+        class _PrepareAugmented(gp.RandomMapTransform):
+            def random_map(self, sample, rng):
+                return _prepare(sample, augment_cfg=augment_cfg,
+                                rng=rng, **kw)
 
-    prepare = _Prepare() if augment_cfg is None else _PrepareAugmented()
-    sampler = gp.IndexSampler(
-        num_records=len(pairs), shard_options=gp.NoSharding(),
-        shuffle=True, num_epochs=num_epochs, seed=seed)
-    loader = gp.DataLoader(
-        data_source=_Source(pairs),
-        sampler=sampler,
-        operations=[prepare,
-                    gp.Batch(batch_size=batch_size,
-                             drop_remainder=True)],
-        worker_count=worker_count,
-    )
-    return CheckpointableGrainIterator(iter(loader))
+        prepare = (_Prepare() if augment_cfg is None
+                   else _PrepareAugmented())
+        sampler = gp.IndexSampler(
+            num_records=len(pairs), shard_options=gp.NoSharding(),
+            shuffle=True, num_epochs=num_epochs, seed=seed)
+        loader = gp.DataLoader(
+            data_source=_Source(pairs),
+            sampler=sampler,
+            operations=[prepare,
+                        gp.Batch(batch_size=batch_size,
+                                 drop_remainder=True)],
+            worker_count=worker_count,
+        )
+        return iter(loader)
+
+    if size_for_batch is not None:
+        return MultiScaleGrainIterator(build, size_for_batch,
+                                       net_size=net_size)
+    return CheckpointableGrainIterator(build(net_size))

@@ -500,6 +500,22 @@ def pick_scale(step: int, rng: np.random.Generator,
     return s if isinstance(s, tuple) else int(s)
 
 
+def pick_scale_indexed(step: int, seed: int, every: int = 10,
+                       sizes: tuple = MULTISCALE_SIZES):
+    """RANDOM-ACCESS form of pick_scale for the grain loader: the
+    bucket for ANY step is derivable from (seed, step) alone, without
+    replaying prior draws — grain resume restores to an arbitrary step
+    and must rebuild that step's size bucket directly. Same ladder
+    semantics (one uniform draw per `every`-step interval, constant
+    within the interval); the draw keys on the interval index like
+    policy=random keys on batch_num."""
+    interval = step // max(every, 1)
+    u = np.random.default_rng((int(seed), int(interval))).integers(
+        0, len(sizes))
+    s = sizes[int(u)]
+    return s if isinstance(s, tuple) else int(s)
+
+
 def proportional_sizes(net_h: int, net_w: int,
                        coef: float = 1.4) -> tuple:
     """Aspect-preserving multi-scale ladder for rectangular nets.
