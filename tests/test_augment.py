@@ -460,3 +460,170 @@ def test_distort_hsv_sub_one_saturation_active():
     noop = AugmentConfig(hue=0.0, saturation=1.0, exposure=1.0)
     np.testing.assert_array_equal(
         distort_hsv(img, np.random.default_rng(0), noop), img)
+
+
+class TestBlurNoise:
+    """[net] blur / gaussian_noise (round 5 — formerly noop-warned
+    keys; cv2-formula-pinned, draw gates recall-grade)."""
+
+    def _img(self, rng=None, h=64, w=64):
+        rng = rng or np.random.default_rng(0)
+        return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    def test_off_by_default_and_at_zero(self):
+        from yolo_tpu.data.augment import (AugmentConfig, apply_blur,
+                                           apply_gaussian_noise)
+
+        img = self._img()
+        cfg = AugmentConfig()
+        assert cfg.blur == 0 and cfg.gaussian_noise == 0.0
+        rng = np.random.default_rng(1)
+        np.testing.assert_array_equal(
+            apply_blur(img, np.zeros((0, 4)), rng, cfg), img)
+        np.testing.assert_array_equal(
+            apply_gaussian_noise(img, rng, cfg), img)
+        # and the zero paths consumed NO rng draws (determinism of the
+        # surrounding stream doesn't shift when the keys are absent)
+        assert rng.integers(0, 2 ** 31) == np.random.default_rng(
+            1).integers(0, 2 ** 31)
+
+    def test_blur_full_mode_matches_cv2_formula(self):
+        import cv2
+
+        from yolo_tpu.data.augment import AugmentConfig, apply_blur
+
+        img = self._img()
+        cfg = AugmentConfig(blur=10)     # ksize = (10//2)*2+1 = 11
+        # find a seed whose tri-state draw picks FULL (mode 2)
+        for seed in range(20):
+            rng = np.random.default_rng(seed)
+            if np.random.default_rng(seed).integers(0, 3) == 2:
+                got = apply_blur(img, np.zeros((0, 4)), rng, cfg)
+                break
+        else:
+            pytest.fail("no full-blur seed found")
+        want = cv2.GaussianBlur(img, (11, 11), 0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_blur_background_mode_keeps_truth_sharp(self):
+        import cv2
+
+        from yolo_tpu.data.augment import AugmentConfig, apply_blur
+
+        img = self._img()
+        boxes = np.array([[0.5, 0.5, 0.4, 0.4]])
+        cfg = AugmentConfig(blur=1)      # blur=1: background mode
+        for seed in range(20):
+            if np.random.default_rng(seed).integers(0, 3) == 1:
+                rng = np.random.default_rng(seed)
+                got = apply_blur(img, boxes, rng, cfg)
+                break
+        else:
+            pytest.fail("no background-blur seed found")
+        want = cv2.GaussianBlur(img, (17, 17), 0)
+        h = w = 64
+        x1, x2 = int(0.3 * w), int(0.7 * w) + 1
+        y1, y2 = int(0.3 * h), int(0.7 * h) + 1
+        # truth region: the ORIGINAL pixels; outside: the blurred ones
+        np.testing.assert_array_equal(got[y1:y2, x1:x2],
+                                      img[y1:y2, x1:x2])
+        np.testing.assert_array_equal(got[:y1], want[:y1])
+        np.testing.assert_array_equal(got[y2:], want[y2:])
+        assert np.abs(got[:y1].astype(int)
+                      - img[:y1].astype(int)).max() > 0
+
+    def test_gaussian_noise_distribution_and_clamp(self):
+        from yolo_tpu.data.augment import (AugmentConfig,
+                                           apply_gaussian_noise)
+
+        img = np.full((200, 200, 3), 128, np.uint8)
+        cfg = AugmentConfig(gaussian_noise=20)
+        # find a seed whose coin flip APPLIES the noise
+        for seed in range(20):
+            if np.random.default_rng(seed).integers(0, 2) == 1:
+                rng = np.random.default_rng(seed)
+                got = apply_gaussian_noise(img, rng, cfg)
+                break
+        else:
+            pytest.fail("no apply seed found")
+        d = got.astype(np.float64) - 128.0
+        assert abs(d.mean()) < 1.0
+        assert abs(d.std() - 20.0) < 1.0
+        # sigma clamps at 127 (darknet's min(gaussian_noise, 127))
+        big = AugmentConfig(gaussian_noise=500)
+        rng = np.random.default_rng(seed)
+        got2 = apply_gaussian_noise(img, rng, big)
+        # saturation at 0/255 shrinks the observed std below 127
+        assert got2.std() < 127.0 and got2.min() == 0 \
+            and got2.max() == 255
+
+    def test_seeded_determinism_in_full_augment(self):
+        from yolo_tpu.data.augment import AugmentConfig, augment
+
+        img = self._img()
+        boxes = np.array([[0.5, 0.5, 0.3, 0.3]])
+        classes = np.array([0])
+        cfg = AugmentConfig(blur=5, gaussian_noise=10)
+        a = augment(img, boxes, classes, np.random.default_rng(3), cfg)
+        b = augment(img, boxes, classes, np.random.default_rng(3), cfg)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        # and the keys actually change the stream vs blur/noise off
+        c = augment(img, boxes, classes, np.random.default_rng(3),
+                    AugmentConfig())
+        assert a[0].shape != c[0].shape or not np.array_equal(a[0],
+                                                              c[0])
+
+    def test_cfg_keys_flow_and_leave_noop_list(self, tmp_path):
+        from yolo_tpu.configs.darknet_cfg import (_NOOP_KEYS,
+                                                  net_training_params)
+        from yolo_tpu.data.augment import config_from_net_params
+
+        assert "blur" not in _NOOP_KEYS["net"]
+        assert "gaussian_noise" not in _NOOP_KEYS["net"]
+        p = tmp_path / "a.cfg"
+        p.write_text(
+            "[net]\nwidth=64\nblur=10\ngaussian_noise=25\n"
+            "[convolutional]\nfilters=10\nsize=1\nactivation=linear\n"
+            "[region]\nanchors=1,1,2,2\nclasses=0\nnum=2\n")
+        hp = net_training_params(str(p))
+        assert hp["blur"] == 10 and hp["gaussian_noise"] == 25.0
+        cfg = config_from_net_params(hp)
+        assert cfg.blur == 10 and cfg.gaussian_noise == 25.0
+        assert config_from_net_params({}).blur == 0
+
+    def test_grain_resume_reproduces_blur_noise(self, tmp_path):
+        """The new draws travel with grain's iterator state like every
+        other augmentation: restoring mid-stream regenerates the SAME
+        blurred/noised batches ([dropout]-style resume determinism)."""
+        pytest.importorskip("grain")
+        import cv2
+
+        from yolo_tpu.data.augment import AugmentConfig
+        from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+        rng = np.random.default_rng(0)
+        pairs = []
+        for i in range(6):
+            p = str(tmp_path / f"i{i}.jpg")
+            cv2.imwrite(p, rng.integers(0, 255, (60, 80, 3),
+                                        dtype=np.uint8))
+            pairs.append((p, {
+                "boxes": np.array([[0.5, 0.5, 0.3, 0.4]], np.float32),
+                "classes": np.array([0], np.int32),
+                "difficult": np.array([0], np.int32),
+                "width": 80, "height": 60, "filename": f"i{i}.jpg"}))
+        kw = dict(class_names=("cat",),
+                  anchors=np.array([[1.0, 1.0]], np.float32),
+                  num_classes=1, net_size=64, batch_size=2,
+                  num_epochs=2, seed=5,
+                  augment_cfg=AugmentConfig(blur=5, gaussian_noise=15))
+        it = grain_train_batches(pairs, **kw)
+        _ = [next(it) for _ in range(2)]
+        snap = it.get_state()
+        want = [next(it) for _ in range(2)]
+        it2 = grain_train_batches(pairs, **kw)
+        it2.set_state(snap)
+        got = [next(it2) for _ in range(2)]
+        for x, y in zip(want, got):
+            np.testing.assert_array_equal(x["images"], y["images"])

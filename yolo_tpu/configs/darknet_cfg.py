@@ -92,7 +92,10 @@ _CONSUMED_KEYS = {
         # classifier scale/rotation augmentation (data.c
         # random_augment_image — detector training ignores them, as
         # darknet's load_data_detection does)
-        "angle", "aspect", "min_crop", "max_crop")),
+        "angle", "aspect", "min_crop", "max_crop",
+        # [net] blur / gaussian_noise augmentations (round 5 —
+        # cv2-formula-pinned, data/augment.py)
+        "blur", "gaussian_noise")),
     "convolutional": frozenset((
         "batch_normalize", "filters", "size", "stride", "stride_x",
         "stride_y", "pad", "padding", "groups", "dilation",
@@ -136,8 +139,7 @@ _CONSUMED_KEYS = {
 _NOOP_KEYS = {
     # value at which the unimplemented key is behavior-neutral in
     # darknet (its parse default)
-    "net": {"cutmix": 0.0, "blur": 0.0,
-            "gaussian_noise": 0.0, "adversarial_lr": 0.0,
+    "net": {"cutmix": 0.0, "adversarial_lr": 0.0,
             "attention": 0.0, "contrastive": 0.0, "track": 0.0,
             "mosaic_bound": 0.0, "resize_step": 32.0},
     "convolutional": {"assisted_excitation": 0.0},
@@ -979,7 +981,10 @@ def net_training_params(cfg_path: str) -> Dict[str, object]:
                               # classifier scale/rotation augmentation
                               # (data.c random_augment_image)
                               ("angle", float), ("aspect", float),
-                              ("min_crop", int), ("max_crop", int)):
+                              ("min_crop", int), ("max_crop", int),
+                              # blur/gaussian_noise augmentations
+                              ("blur", int),
+                              ("gaussian_noise", float)):
                 if key in kv:
                     out[key] = cast(kv[key])
             # raw schedule keys + policy; the CLI gates their use

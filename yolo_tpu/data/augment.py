@@ -45,6 +45,26 @@ class AugmentConfig:
     aspect: float = 1.0
     min_crop: int = 0
     max_crop: int = 0
+    # AlexeyAB [net] blur (image_opencv.cpp image_data_augmentation):
+    # 0 disables. Per image a tri-state draw picks none / BACKGROUND
+    # blur (cv2.GaussianBlur ksize 17, sigma 0 i.e. cv2's
+    # ksize-derived sigma, with every truth-box region copied back
+    # sharp) / FULL-frame blur with ksize = (blur//2)*2 + 1 (blur=1
+    # cfgs collapse to the background mode). The GaussianBlur formula
+    # is cv2-pinned; the tri-state split and the application site
+    # (here: after HSV, before letterbox — darknet blurs the
+    # network-sized image) are RECALL-GRADE, labeled like the
+    # weighted-shortcut normalization constants (reference absent,
+    # zero egress — re-verify the day tooling exists).
+    blur: int = 0
+    # AlexeyAB [net] gaussian_noise: additive zero-mean gaussian,
+    # sigma = min(value, 127) (image_opencv.cpp clamps), saturate-
+    # clipped into u8; applied to half the images (coin flip). The
+    # distribution/clamp is the pinned formula; the per-image gate and
+    # darknet's u8-saturation order (cv2.randn writes the noise into a
+    # u8 mat BEFORE adding) are RECALL-GRADE — this implementation
+    # adds float noise then saturates, the formula-clean reading.
+    gaussian_noise: float = 0.0
 
     @property
     def classifier_geometry(self) -> bool:
@@ -207,6 +227,52 @@ def flip_horizontal(img_u8: np.ndarray, boxes: np.ndarray):
     return np.ascontiguousarray(img), boxes
 
 
+def apply_blur(img_u8: np.ndarray, boxes: np.ndarray,
+               rng: np.random.Generator,
+               cfg: AugmentConfig) -> np.ndarray:
+    """[net] blur (see the AugmentConfig field note: GaussianBlur
+    formula cv2-pinned, tri-state draw recall-grade). boxes are
+    normalized xywh — the background mode copies each truth region
+    back sharp (darknet's `blur == 1` branch)."""
+    if not cfg.blur:
+        return img_u8
+    import cv2
+
+    mode = int(rng.integers(0, 3))   # none / background / full
+    if mode == 0:
+        return img_u8
+    background = mode == 1 or int(cfg.blur) == 1
+    ksize = 17 if background else (int(cfg.blur) // 2) * 2 + 1
+    dst = cv2.GaussianBlur(img_u8, (ksize, ksize), 0)
+    if dst.ndim == 2:                # cv2 drops the C=1 axis
+        dst = dst[..., None]
+    if background:
+        h, w = img_u8.shape[:2]
+        for cx, cy, bw, bh in np.asarray(boxes,
+                                         np.float64).reshape(-1, 4):
+            x1 = max(int((cx - bw / 2) * w), 0)
+            y1 = max(int((cy - bh / 2) * h), 0)
+            x2 = min(int((cx + bw / 2) * w) + 1, w)
+            y2 = min(int((cy + bh / 2) * h) + 1, h)
+            if x2 > x1 and y2 > y1:
+                dst[y1:y2, x1:x2] = img_u8[y1:y2, x1:x2]
+    return dst
+
+
+def apply_gaussian_noise(img_u8: np.ndarray, rng: np.random.Generator,
+                         cfg: AugmentConfig) -> np.ndarray:
+    """[net] gaussian_noise (AugmentConfig field note: distribution
+    and the 127 sigma clamp pinned; per-image coin flip recall-grade)."""
+    if not cfg.gaussian_noise:
+        return img_u8
+    if int(rng.integers(0, 2)) == 0:
+        return img_u8
+    sigma = min(float(cfg.gaussian_noise), 127.0)
+    noise = rng.normal(0.0, sigma, img_u8.shape)
+    return np.clip(img_u8.astype(np.float64) + noise, 0.0,
+                   255.0).astype(np.uint8)
+
+
 def augment(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
             rng: np.random.Generator,
             cfg: AugmentConfig = AugmentConfig()
@@ -216,6 +282,8 @@ def augment(img_u8: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     if cfg.flip and rng.uniform() < 0.5:
         img_u8, boxes = flip_horizontal(img_u8, boxes)
     img_u8 = distort_hsv(img_u8, rng, cfg)
+    img_u8 = apply_blur(img_u8, boxes, rng, cfg)
+    img_u8 = apply_gaussian_noise(img_u8, rng, cfg)
     return img_u8, boxes, classes
 
 
@@ -310,9 +378,11 @@ def config_from_net_params(net_hp: dict, *, mosaic: bool = False,
               "angle", "aspect"):
         if k in net_hp:
             kwargs[k] = float(net_hp[k])
-    for k in ("min_crop", "max_crop"):
+    for k in ("min_crop", "max_crop", "blur"):
         if k in net_hp:
             kwargs[k] = int(net_hp[k])
+    if "gaussian_noise" in net_hp:
+        kwargs["gaussian_noise"] = float(net_hp["gaussian_noise"])
     if "flip" in net_hp:
         kwargs["flip"] = bool(net_hp["flip"])
     return AugmentConfig(mosaic=mosaic or bool(net_hp.get("mosaic", 0)),
