@@ -350,6 +350,34 @@ class TestYoloDelta:
             _close(g, w)
 
 
+    def test_gaussian_delta_matches_fd_of_forward_oracle(self):
+        """No stop-gradient decouples the Gaussian NLL branch, so FD
+        of the forward loop oracle must equal the hand-derived
+        mu/sigma deltas — no jax on either side."""
+        from tests.loss_oracle import yolo_loss_np
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loss import YoloLossConfig
+
+        rng = np.random.default_rng(12)
+        anchors = ((6.0, 8.0), (24.0, 20.0))
+        masks = [(0, 1)]
+        enc = tgt.encode_yolo(
+            np.array([[0.4, 0.5, 0.3, 0.35], [0.7, 0.3, 0.2, 0.2]]),
+            np.array([1, 0]), input_size=64, anchors_px=anchors,
+            masks=masks, strides=[16])
+        targets = {k: v[None] for k, v in enc.items()}
+        heads = [rng.normal(size=(1, 4, 4, 2 * (9 + 2))
+                            ).astype(np.float64)]
+        cfg = YoloLossConfig()
+        kw = dict(gaussian=[True])
+        want = yolo_delta_np(heads, targets, anchors, masks, 2, 64,
+                             cfg, **kw)
+        got = fd_grad(lambda x: yolo_loss_np(
+            [x], targets, anchors, masks, 2, 64, cfg, **kw)[0],
+            heads[0])
+        _close(got, want[0], rtol=1e-5, atol_frac=1e-7)
+
+
 # ---------------------------------------------------------------------------
 # yolov1 detection
 # ---------------------------------------------------------------------------
