@@ -350,6 +350,33 @@ class TestYoloDelta:
             _close(g, w)
 
 
+    def test_giou_delta_matches_fd_of_forward_oracle(self):
+        """For iou/giou/diou kinds NOTHING is stop-gradient-decoupled
+        (only CIoU freezes alpha), so float64 FD of the forward loop
+        oracle must equal the hand delta — validating the
+        frozen-alpha-FD + chain-rule derivation in delta_oracle
+        against the forward oracle with no jax on either side."""
+        from tests.loss_oracle import yolo_loss_np
+        from yolo_tpu.data import targets as tgt
+        from yolo_tpu.train.loss import YoloLossConfig
+
+        rng = np.random.default_rng(13)
+        anchors = ((6.0, 8.0), (24.0, 20.0))
+        masks = [(0, 1)]
+        enc = tgt.encode_yolo(
+            np.array([[0.4, 0.5, 0.3, 0.35], [0.7, 0.3, 0.2, 0.2]]),
+            np.array([1, 0]), input_size=64, anchors_px=anchors,
+            masks=masks, strides=[16])
+        targets = {k: v[None] for k, v in enc.items()}
+        heads = [0.5 * rng.normal(size=(1, 4, 4, 2 * 7)
+                                  ).astype(np.float64)]
+        cfg = YoloLossConfig(iou_loss="giou", iou_normalizer=0.07)
+        want = yolo_delta_np(heads, targets, anchors, masks, 2, 64,
+                             cfg)
+        got = fd_grad(lambda x: yolo_loss_np(
+            [x], targets, anchors, masks, 2, 64, cfg)[0], heads[0])
+        _close(got, want[0], rtol=1e-4, atol_frac=1e-6)
+
     def test_gaussian_delta_matches_fd_of_forward_oracle(self):
         """No stop-gradient decouples the Gaussian NLL branch, so FD
         of the forward loop oracle must equal the hand-derived
@@ -502,3 +529,25 @@ class TestClassifierDelta:
         # the delta overall is nonzero
         assert np.abs(want).max() > 1e-4
         assert (np.abs(np.asarray(got)) < 1e-9).any()
+
+    def test_tree_with_temperature_matches_jax_grad(self, tmp_path):
+        """Tree + [softmax] temperature combined: per-group softmaxes
+        at l/T with the straight-through backward (no 1/T factor on
+        any group's delta)."""
+        from tests.test_tree import TREE_TEXT
+        from yolo_tpu.configs.tree import parse_tree
+        from yolo_tpu.train.loss import classifier_loss
+
+        tp = tmp_path / "g.tree"
+        tp.write_text(TREE_TEXT)
+        tree = parse_tree(str(tp))
+        rng = np.random.default_rng(4)
+        logits = rng.normal(0, 2, (5, tree.n_nodes)).astype(np.float32)
+        labels = rng.integers(0, tree.n_nodes, 5)
+        want = classifier_delta_np(logits, labels, tree=tree,
+                                   temperature=3.0)
+        got = jax.grad(lambda l: classifier_loss(
+            l, jnp.asarray(labels), tree=tree, temperature=3.0)[0])(
+                jnp.asarray(logits))
+        _close(got, want)
+        assert np.abs(np.asarray(got) - want / 3.0).max() > 1e-4
