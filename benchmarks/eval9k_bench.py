@@ -27,6 +27,22 @@ sys.path.insert(0, os.path.dirname(__file__))
 from tree_bench import synth_tree  # noqa: E402
 
 
+def sample_leaf_map(tree, n=80, seed=1):
+    """n DISTINCT leaves, seeded — real darknet .map files list
+    distinct leaves (coco9k.map). Shared by this bench and
+    benchmarks/record.py (code-review r5: two drifting copies)."""
+    leaves = np.asarray([i for i in range(tree.n_nodes)
+                         if tree.leaf(i)])
+    pick = np.random.default_rng(seed).choice(
+        leaves, size=min(n, len(leaves)), replace=False)
+    return tuple(int(v) for v in pick)
+
+
+def synth_anchors(a=3):
+    """The synthetic prior ladder both tree benches use."""
+    return tuple((0.8 + 0.7 * i, 1.1 + 0.9 * i) for i in range(a))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=9418)
@@ -54,19 +70,11 @@ def main():
 
     tree = synth_tree(args.nodes)
     a = 3
-    anchors = tuple((0.8 + 0.7 * i, 1.1 + 0.9 * i) for i in range(a))
+    anchors = synth_anchors(a)
     use_map = args.mode == "map"
-    # real darknet .map files list DISTINCT leaves (coco9k.map): sample
-    # without replacement from the leaf set so the map-mode self-mAP is
-    # scored over a representative class list (advisor r4)
-    if use_map:
-        leaves = np.asarray([i for i in range(tree.n_nodes)
-                             if tree.leaf(i)])
-        pick = np.random.default_rng(1).choice(
-            leaves, size=min(80, len(leaves)), replace=False)
-        tree_map = tuple(int(v) for v in pick)
-    else:
-        tree_map = None
+    # real darknet .map files list DISTINCT leaves (coco9k.map) —
+    # advisor r4; sampling shared with benchmarks/record.py
+    tree_map = sample_leaf_map(tree) if use_map else None
     cfg = ModelConfig(name="synth9000",
                       layers=_yolov2_layers(a * (5 + tree.n_nodes)),
                       anchors=anchors, class_names=tree.names,

@@ -69,10 +69,13 @@ def next_record_path(records_dir):
     return os.path.join(records_dir, f"record_r{n:02d}.json")
 
 
-def latest_tpu_record(records_dir, before_round=None):
-    """Newest usable prior record: (metrics dict, basename) or
-    (None, None). CPU-fallback records are skipped — a TPU number vs a
-    CPU one always screams regression."""
+def latest_metric_value(records_dir, name, before_round=None):
+    """PER-METRIC newest prior value: (value, record basename) from
+    the newest usable record CONTAINING that metric, or (None, None).
+    Per metric — not per record — so a `--only` subset run doesn't
+    blind the tripwire for every metric it omitted (code-review r5).
+    CPU-fallback records are skipped — a TPU number vs a CPU one
+    always screams regression."""
     for rec in reversed(list_records(records_dir)):
         if before_round is not None and record_round(rec) >= before_round:
             continue
@@ -80,8 +83,9 @@ def latest_tpu_record(records_dir, before_round=None):
             d = json.load(open(rec))
             if d.get("backend") == "cpu_fallback_relay_down":
                 continue
-            if d.get("metrics"):
-                return d["metrics"], os.path.basename(rec)
+            v = d.get("metrics", {}).get(name, {}).get("value")
+            if v is not None:
+                return float(v), os.path.basename(rec)
         except (OSError, ValueError, AttributeError, TypeError):
             continue
     return None, None
@@ -90,14 +94,12 @@ def latest_tpu_record(records_dir, before_round=None):
 def compare_metrics(current, records_dir, before_round=None,
                     warn_drop=WARN_DROP):
     """Merge delta_vs_last/last_record into each metric dict; return a
-    list of warning strings for drops beyond warn_drop. Metrics absent
-    from the prior record carry no delta."""
-    prev, rec = latest_tpu_record(records_dir, before_round=before_round)
+    list of warning strings for drops beyond warn_drop. Each metric is
+    compared against the newest prior record that CARRIES it."""
     warnings = []
-    if prev is None:
-        return warnings
     for name, m in current.items():
-        p = prev.get(name, {}).get("value")
+        p, rec = latest_metric_value(records_dir, name,
+                                     before_round=before_round)
         if p is None or p <= 0 or m.get("value") is None:
             continue
         delta = m["value"] / p - 1.0
@@ -193,22 +195,18 @@ def m_eval_exact_nms_b32():
 
 
 def m_tree_map80_eval_b32():
-    from benchmarks.eval9k_bench import synth_tree
+    from benchmarks.eval9k_bench import (sample_leaf_map, synth_anchors,
+                                         synth_tree)
     from yolo_tpu.configs.specs import ModelConfig
     from yolo_tpu.configs.variants import _yolov2_layers
 
     tree = synth_tree(500)
-    leaves = np.asarray([i for i in range(tree.n_nodes)
-                         if tree.leaf(i)])
-    pick = np.random.default_rng(1).choice(leaves, size=80,
-                                           replace=False)
     a = 3
-    anchors = tuple((0.8 + 0.7 * i, 1.1 + 0.9 * i) for i in range(a))
     cfg = ModelConfig(name="tree500-record",
                       layers=_yolov2_layers(a * (5 + tree.n_nodes)),
-                      anchors=anchors, class_names=tree.names,
+                      anchors=synth_anchors(a), class_names=tree.names,
                       input_size=416, tree=tree, hier_thresh=0.5,
-                      tree_map=tuple(int(v) for v in pick))
+                      tree_map=sample_leaf_map(tree))
     return _detector_metric(None, 32, conf=0.001,
                             compute_dtype="float32", head="reference",
                             nms_impl="xla", iters=6, cfg=cfg,
@@ -285,10 +283,15 @@ def main(argv=None):
         print(json.dumps(d, indent=1))
         return
 
-    sys.path.insert(0, RECORDS_DIR.rsplit("/benchmarks", 1)[0])
-    from bench import _backend_alive
-
     names = (args.only.split(",") if args.only else list(METRICS))
+    unknown = [n for n in names if n not in METRICS]
+    if unknown:
+        # fail BEFORE the (up to 2x150s) relay liveness probe
+        ap.error(f"unknown metric(s) {','.join(unknown)} — valid: "
+                 f"{','.join(METRICS)}")
+
+    from bench import _backend_alive  # repo root on sys.path (top)
+
     backend = "tpu"
     if not _backend_alive():
         print("relay down: recording nothing (secondary metrics are "

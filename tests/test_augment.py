@@ -627,3 +627,62 @@ class TestBlurNoise:
         got = [next(it2) for _ in range(2)]
         for x, y in zip(want, got):
             np.testing.assert_array_equal(x["images"], y["images"])
+
+
+@pytest.mark.slow
+def test_cli_blur_only_cfg_enables_augmentation(tmp_path, capsys):
+    """Code-review r5: a cfg whose ONLY [net] augmentation keys are
+    blur/gaussian_noise must enable augmentation (the _AUG_KEYS gate
+    in cmd_train) — before the fix such cfgs silently trained with no
+    augmentation at all while the docs claimed support."""
+    import os
+
+    import cv2
+
+    from yolo_tpu import cli
+    from yolo_tpu.configs.darknet_cfg import config_from_cfg
+    from yolo_tpu.io import darknet_weights as dw
+
+    conv = ("[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n")
+    cfg_text = ("[net]\nwidth=64\nheight=64\nchannels=3\n"
+                "learning_rate=0.0001\nblur=10\ngaussian_noise=25\n"
+                + conv * 5
+                + "[convolutional]\nfilters=12\nsize=1\n"
+                  "activation=linear\n"
+                  "[region]\nanchors=1,1, 2,2\nnum=2\nclasses=1\n")
+    cfg_p = tmp_path / "m.cfg"
+    cfg_p.write_text(cfg_text)
+    names_p = tmp_path / "m.names"
+    names_p.write_text("cat\n")
+
+    root = tmp_path / "voc"
+    os.makedirs(root / "JPEGImages")
+    os.makedirs(root / "Annotations")
+    os.makedirs(root / "ImageSets" / "Main")
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(8):
+        cv2.imwrite(str(root / "JPEGImages" / f"i{i}.jpg"),
+                    rng.integers(0, 255, (80, 90, 3), dtype=np.uint8))
+        (root / "Annotations" / f"i{i}.xml").write_text(
+            f"<annotation><filename>i{i}.jpg</filename>"
+            "<size><width>90</width><height>80</height>"
+            "<depth>3</depth></size>"
+            "<object><name>cat</name><difficult>0</difficult>"
+            "<bndbox><xmin>20</xmin><ymin>20</ymin><xmax>60</xmax>"
+            "<ymax>60</ymax></bndbox></object></annotation>")
+        names.append(f"i{i}")
+    (root / "ImageSets" / "Main" / "train.txt").write_text(
+        "\n".join(names))
+
+    cfg = config_from_cfg(str(cfg_p), str(names_p))
+    w = tmp_path / "init.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    cli.main(["train", "--cfg", str(cfg_p), "--names", str(names_p),
+              "--weights", str(w), "--voc-root", str(root),
+              "--split", "train", "--batch", "8", "--epochs", "1",
+              "--precision", "fp32", "--seed", "3"])
+    err = capsys.readouterr().err
+    assert "augmentation keys present" in err, err[-800:]

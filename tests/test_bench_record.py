@@ -94,3 +94,19 @@ def test_metric_registry_names_stable():
     assert set(rec.METRICS) == {
         "yolov3_fused_b128", "tiny_voc_fused_b128",
         "eval_exact_nms_b32", "tree_map80_eval_b32", "train_step_b128"}
+
+
+def test_subset_run_does_not_blind_other_metrics(tmp_path):
+    """Per-METRIC comparison (code-review r5): a --only subset run
+    writes a record missing most metrics; the next full run must still
+    compare each metric against the newest record that CARRIES it."""
+    d = str(tmp_path)
+    _write(d, 5, {"a": {"value": 1000.0, "unit": "u"},
+                  "b": {"value": 500.0, "unit": "u"}})
+    _write(d, 6, {"a": {"value": 1010.0, "unit": "u"}})  # --only a
+    cur = {"a": {"value": 1005.0, "unit": "u"},
+           "b": {"value": 250.0, "unit": "u"}}           # b: -50%!
+    warns = rec.compare_metrics(cur, d)
+    assert cur["a"]["last_record"] == "record_r06.json"
+    assert cur["b"]["last_record"] == "record_r05.json"
+    assert len(warns) == 1 and "[b]" in warns[0]

@@ -491,3 +491,68 @@ def test_cli_grain_multi_scale_fail_resume(tmp_path, capsys):
                 logged.append((d["step"], d["size"]))
     got = {s: v for s, v in logged}
     assert [got[i + 1] for i in range(4)] == want
+
+
+class TestGrainMultiScaleCache:
+    """Code-review r5: buckets build LAZILY (a mid-ladder resume never
+    builds the step-0 bucket) and the per-size iterator cache is
+    LRU-bounded (worker pools must not accumulate over a long ladder)."""
+
+    def test_lazy_build_and_pending_state(self, tmp_path):
+        from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+        pairs = _mk_pairs(tmp_path)
+        kw2 = dict(KW, num_epochs=2, seed=7)
+        ladder = lambda bi: 64 if (bi // 2) % 2 == 0 else 96
+
+        calls = []
+        full_it = grain_train_batches(pairs, size_for_batch=ladder,
+                                      **kw2)
+        orig_make = full_it._make
+        full_it._make = lambda s: (calls.append(s), orig_make(s))[1]
+        assert full_it.current_size is None and not calls  # lazy
+        full = list(full_it)
+        # one build per DISTINCT size (re-entering 64 reuses the
+        # cached bucket — only the position transfers)
+        assert calls == [64, 96]
+
+        # resume at pull 3 (a 96 bucket): the fresh iterator must build
+        # ONLY the 96 bucket — never the step-0 64 one
+        it = grain_train_batches(pairs, size_for_batch=ladder, **kw2)
+        for _ in range(3):
+            next(it)
+        snap = it.state_for_pull(3)
+        it2 = grain_train_batches(pairs, size_for_batch=ladder, **kw2)
+        calls2 = []
+        orig2 = it2._make
+        it2._make = lambda s: (calls2.append(s), orig2(s))[1]
+        it2.set_state(snap)
+        it2.base = 3
+        first = next(it2)
+        assert calls2 == [96]
+        np.testing.assert_array_equal(first["images"],
+                                      full[3]["images"])
+
+    def test_lru_eviction_keeps_stream_exact(self, tmp_path):
+        """A ladder cycling through MORE sizes than the cache bound:
+        evicted buckets rebuild on re-entry and the record stream still
+        matches the per-index fixed-size runs exactly."""
+        from yolo_tpu.data import grain_pipeline as gp_mod
+        from yolo_tpu.data.grain_pipeline import grain_train_batches
+
+        pairs = _mk_pairs(tmp_path)
+        sizes = [32, 64, 96, 128, 160, 32]     # 5 distinct > bound 4
+        kw2 = dict(KW, num_epochs=2, seed=3)
+        ms_it = grain_train_batches(
+            pairs, size_for_batch=lambda bi: sizes[bi % len(sizes)],
+            **kw2)
+        assert gp_mod.MultiScaleGrainIterator._MAX_CACHED == 4
+        ms = list(ms_it)
+        assert [b["images"].shape[1] for b in ms] == sizes
+        assert len(ms_it._cache) <= 4
+        for i, b in enumerate(ms):
+            fixed = list(grain_train_batches(
+                pairs, **dict(kw2, net_size=sizes[i])))
+            for k in b:
+                np.testing.assert_array_equal(b[k], fixed[i][k],
+                                              err_msg=f"{i}:{k}")

@@ -115,6 +115,14 @@ def cmd_train(args) -> None:
         # evaluates with the same geometry
         print("training with stretch (letter_box=0) geometry",
               file=sys.stderr)
+    if (args.multi_scale_every is not None
+            and args.multi_scale_every < 1):
+        # 0 would silently fall back to the default interval and a
+        # negative value gives the two loaders DIFFERENT ladders
+        # (pick_scale's step % every vs pick_scale_indexed's
+        # max(every, 1) clamp) — reject loudly (code-review)
+        raise SystemExit(f"--multi-scale-every must be >= 1, got "
+                         f"{args.multi_scale_every}")
     sizes = (_parse_multi_scale_sizes(args.multi_scale_sizes, cfg)
              if args.multi_scale_sizes else None)
     if (cfg.input_w != cfg.input_h and args.multi_scale
@@ -218,7 +226,7 @@ def cmd_train(args) -> None:
                            truth_thresh=cfg.truth_thresh),
                        **({"multi_scale_sizes": sizes} if sizes else {}),
                        **({"multi_scale_every": args.multi_scale_every}
-                          if args.multi_scale_every else {}))
+                          if args.multi_scale_every is not None else {}))
     # --loader grain + --multi-scale is supported (round 5): the grain
     # pipeline keeps one DataLoader per size bucket and carries the
     # sampler position across resize boundaries (grain_pipeline.
@@ -311,7 +319,7 @@ def cmd_train(args) -> None:
 
     aug_cfg = None
     _AUG_KEYS = ("jitter", "saturation", "exposure", "hue", "flip",
-                 "mosaic", "mixup")
+                 "mosaic", "mixup", "blur", "gaussian_noise")
     cfg_wants_aug = any(k in net_hp for k in _AUG_KEYS)
     if (args.augment or args.mosaic or args.mixup or cfg_wants_aug) \
             and not args.no_augment:

@@ -236,38 +236,104 @@ class MultiScaleGrainIterator(CheckpointableGrainIterator):
     state_for_pull) is inherited unchanged: states are
     bucket-agnostic by the same validation argument."""
 
+    # bound on cached per-size iterators: each may hold a live worker
+    # pool (worker_count>0), so the full 10-size darknet ladder must
+    # not keep 10 pools alive; an evicted bucket is simply rebuilt on
+    # re-entry (position still carries via state) — code-review r5
+    _MAX_CACHED = 4
+
     def __init__(self, make_iter, size_at, net_size=None, history=16):
         self._make = make_iter
         self._size_at = size_at
         self.base = 0            # absolute index of pull 0 (resume)
-        self._cache = {}
-        first = size_at(0)
-        if first is None:
-            first = net_size
-        it = make_iter(first)
-        self._cache[_size_key(first)] = it
-        self._size = first
-        super().__init__(it, history)
+        self._net_size = net_size
+        self._cache = collections.OrderedDict()
+        self._size = None        # buckets build LAZILY: a resume that
+        self._pending_state = None   # starts mid-ladder never builds
+        super().__init__(None, history)  # the step-0 bucket at all
 
     @property
     def current_size(self):
         return self._size
 
+    def _bucket(self, size):
+        """The (cached) iterator for a size, LRU-bounded."""
+        key = _size_key(size)
+        it = self._cache.get(key)
+        if it is None:
+            it = self._make(size)
+            self._cache[key] = it
+            if len(self._cache) > self._MAX_CACHED:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(key)
+        return it
+
+    def _ensure_locked(self, size=None):
+        """Build the first bucket on demand (and apply a state that
+        was restored before any pull)."""
+        if self._it is not None:
+            return
+        if size is None:
+            size = self._size_at(self.base)
+            if size is None:
+                size = self._net_size
+        self._it = self._bucket(size)
+        self._size = size
+        if self._pending_state is not None:
+            self._it.set_state(self._pending_state)
+            self._pending_state = None
+
     def __next__(self):
         with self._lock:
-            size = self._size_at(self.base + self._pulls) or self._size
-            if _size_key(size) != _size_key(self._size):
+            size = self._size_at(self.base + self._pulls)
+            if size is None:
+                size = (self._size if self._size is not None
+                        else self._net_size)
+            if self._it is None:
+                self._ensure_locked(size)
+            elif _size_key(size) != _size_key(self._size):
                 st = self._it.get_state()
-                nxt = self._cache.get(_size_key(size))
-                if nxt is None:
-                    nxt = self._make(size)
-                    self._cache[_size_key(size)] = nxt
+                nxt = self._bucket(size)
                 nxt.set_state(st)       # position carries across
                 self._it = nxt
                 self._size = size
             self._states.append((self._pulls, self._it.get_state()))
             self._pulls += 1
             return next(self._it)
+
+    def get_state(self) -> bytes:
+        with self._lock:
+            if self._it is None and self._pending_state is not None:
+                return self._pending_state
+            self._ensure_locked()
+            return self._it.get_state()
+
+    def set_state(self, state: bytes) -> None:
+        with self._lock:
+            if self._it is None:
+                # applied when the first pull picks its bucket — no
+                # bucket is built just to hold a restored position
+                self._pending_state = state
+            else:
+                self._it.set_state(state)
+            self._states.clear()
+            self._pulls = 0
+
+    def state_for_pull(self, k: int) -> bytes:
+        with self._lock:
+            if k == self._pulls:        # the exact frontier
+                if self._it is None and self._pending_state is not None:
+                    return self._pending_state
+                self._ensure_locked()
+                return self._it.get_state()
+            for i, s in self._states:
+                if i == k:
+                    return s
+            raise KeyError(
+                f"no recorded state for pull {k} (have "
+                f"{[i for i, _ in self._states]}; history too short "
+                f"or batch already evicted)")
 
 
 def _size_key(size):
