@@ -556,3 +556,26 @@ class TestGrainMultiScaleCache:
             for k in b:
                 np.testing.assert_array_equal(b[k], fixed[i][k],
                                               err_msg=f"{i}:{k}")
+
+
+@pytest.mark.slow
+def test_multi_scale_with_worker_processes(tmp_path):
+    """worker_count>0: the per-bucket loaders run REAL worker
+    processes, and the mid-stream bucket switch (set_state onto a
+    worker-backed iterator) still carries the position. Validates the
+    LRU-cache design assumption that worker pools are per bucket."""
+    pairs = _mk_pairs(tmp_path)
+    it = grain_train_batches(
+        pairs, **dict(KW, num_epochs=2, seed=1),
+        worker_count=1,
+        size_for_batch=lambda bi: 64 if bi < 2 else 96)
+    got = [next(it) for _ in range(4)]
+    assert [b["images"].shape[1] for b in got] == [64, 64, 96, 96]
+    # bitwise equality vs the in-process run (workers must not change
+    # the stream)
+    it0 = grain_train_batches(
+        pairs, **dict(KW, num_epochs=2, seed=1),
+        size_for_batch=lambda bi: 64 if bi < 2 else 96)
+    for g, w in zip(got, it0):
+        for k in g:
+            np.testing.assert_array_equal(g[k], w[k], err_msg=k)
