@@ -69,13 +69,13 @@ def next_record_path(records_dir):
     return os.path.join(records_dir, f"record_r{n:02d}.json")
 
 
-def latest_metric_value(records_dir, name, before_round=None):
-    """PER-METRIC newest prior value: (value, record basename) from
-    the newest usable record CONTAINING that metric, or (None, None).
-    Per metric — not per record — so a `--only` subset run doesn't
-    blind the tripwire for every metric it omitted (code-review r5).
+def _usable_records(records_dir, before_round=None):
+    """(basename, metrics) for every usable prior record, NEWEST
+    FIRST — one glob + parse pass shared by all metrics (code-review
+    r5: the per-metric walk re-read every file per metric).
     CPU-fallback records are skipped — a TPU number vs a CPU one
     always screams regression."""
+    out = []
     for rec in reversed(list_records(records_dir)):
         if before_round is not None and record_round(rec) >= before_round:
             continue
@@ -83,12 +83,31 @@ def latest_metric_value(records_dir, name, before_round=None):
             d = json.load(open(rec))
             if d.get("backend") == "cpu_fallback_relay_down":
                 continue
-            v = d.get("metrics", {}).get(name, {}).get("value")
-            if v is not None:
-                return float(v), os.path.basename(rec)
+            out.append((os.path.basename(rec), d.get("metrics", {})))
         except (OSError, ValueError, AttributeError, TypeError):
             continue
+    return out
+
+
+def _newest_value(records, name):
+    """PER-METRIC newest prior value from a _usable_records list:
+    (value, basename) or (None, None). Per metric — not per record —
+    so a `--only` subset run doesn't blind the tripwire for every
+    metric it omitted."""
+    for base, metrics in records:
+        v = metrics.get(name, {}).get("value")
+        if v is not None:
+            try:
+                return float(v), base
+            except (TypeError, ValueError):
+                continue
     return None, None
+
+
+def latest_metric_value(records_dir, name, before_round=None):
+    """Convenience single-metric form of _newest_value."""
+    return _newest_value(_usable_records(records_dir, before_round),
+                         name)
 
 
 def compare_metrics(current, records_dir, before_round=None,
@@ -97,9 +116,9 @@ def compare_metrics(current, records_dir, before_round=None,
     list of warning strings for drops beyond warn_drop. Each metric is
     compared against the newest prior record that CARRIES it."""
     warnings = []
+    records = _usable_records(records_dir, before_round=before_round)
     for name, m in current.items():
-        p, rec = latest_metric_value(records_dir, name,
-                                     before_round=before_round)
+        p, rec = _newest_value(records, name)
         if p is None or p <= 0 or m.get("value") is None:
             continue
         delta = m["value"] / p - 1.0

@@ -185,13 +185,18 @@ class CheckpointableGrainIterator:
         with self._lock:
             if k == self._pulls:  # checkpoint at the exact frontier
                 return self._it.get_state()
-            for i, s in self._states:
-                if i == k:
-                    return s
-            raise KeyError(
-                f"no recorded state for pull {k} (have "
-                f"{[i for i, _ in self._states]}; history too short or "
-                f"batch already evicted)")
+            return self._history_state_locked(k)
+
+    def _history_state_locked(self, k: int) -> bytes:
+        """Recorded pre-pull state for batch k (lock held by caller) —
+        shared with MultiScaleGrainIterator's override."""
+        for i, s in self._states:
+            if i == k:
+                return s
+        raise KeyError(
+            f"no recorded state for pull {k} (have "
+            f"{[i for i, _ in self._states]}; history too short or "
+            f"batch already evicted)")
 
     def get_state(self) -> bytes:
         with self._lock:
@@ -327,13 +332,7 @@ class MultiScaleGrainIterator(CheckpointableGrainIterator):
                     return self._pending_state
                 self._ensure_locked()
                 return self._it.get_state()
-            for i, s in self._states:
-                if i == k:
-                    return s
-            raise KeyError(
-                f"no recorded state for pull {k} (have "
-                f"{[i for i, _ in self._states]}; history too short "
-                f"or batch already evicted)")
+            return self._history_state_locked(k)
 
 
 def _size_key(size):
