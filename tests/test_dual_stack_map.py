@@ -755,8 +755,15 @@ def _rect_eval_images(tmp_path, rng, n=16):
     return samples
 
 
-@pytest.mark.parametrize("family", ["region", "yolo"])
+@pytest.mark.parametrize("family", ["region", "yolo", "gaussian",
+                                    "tree"])
 def test_dual_stack_map_trained_exported_weights(tmp_path, family):
+    """region + yolo export through the full CLI; gaussian (the
+    interleaved 9+C head layout) and YOLO9000 tree (hierarchical class
+    channels) export through the same production building blocks
+    (ema_params_of -> dw.save — the CLI's EMA wiring is gated by the
+    first two params + test_export_prefers_ema; a programmatic tree
+    cfg has no tree= file for cfg text)."""
     import jax
 
     from tests.test_map_integration import _dataset
@@ -772,12 +779,18 @@ def test_dual_stack_map_trained_exported_weights(tmp_path, family):
 
     if family == "region":
         from tests.test_train import MICRO as cfg
-    else:
+    elif family == "yolo":
         from tests.test_yolov3 import MICRO_V3 as cfg
+    elif family == "gaussian":
+        from tests.test_gaussian_yolo import MICRO_GAUSS as cfg
+    else:
+        cfg = _micro_tree_cfg(tmp_path).with_input_size(64)
 
     # --- train with BN rolling stats + an EMA track ---
     scenes = _dataset()
-    if family == "region":
+    if family in ("region", "tree"):
+        # tree labels are NODES (0-3 here: high nodes of the micro
+        # tree); the hierarchical class term trains their root paths
         enc = tgt.encode_batch(
             [s[1] for s in scenes], [s[2] for s in scenes],
             grid=cfg.grid_size, anchors=cfg.anchors,
@@ -795,14 +808,19 @@ def test_dual_stack_map_trained_exported_weights(tmp_path, family):
     for _ in range(500):
         state, _metrics = step(state, batch)
 
-    # --- checkpoint -> the production export CLI (EMA-preferring) ---
-    ckpt.save(str(tmp_path / "ck"), jax.device_get(dict(state)))
-    cfg_path = tmp_path / "m.cfg"
-    cfg_path.write_text(cfg_to_string(cfg))
+    # --- checkpoint -> production export (EMA-preferring) ---
     wpath = str(tmp_path / "trained.weights")
-    cli.main(["export", "--cfg", str(cfg_path),
-              "--checkpoint", str(tmp_path / "ck"),
-              "--output", wpath])
+    if family in ("region", "yolo"):
+        ckpt.save(str(tmp_path / "ck"), jax.device_get(dict(state)))
+        cfg_path = tmp_path / "m.cfg"
+        cfg_path.write_text(cfg_to_string(cfg))
+        cli.main(["export", "--cfg", str(cfg_path),
+                  "--checkpoint", str(tmp_path / "ck"),
+                  "--output", wpath])
+    else:
+        dw.save(wpath, cfg.layers,
+                [{k: np.asarray(v) for k, v in p.items()}
+                 for p in jax.device_get(ema_params_of(state))])
 
     # EMA selection is non-vacuous: the exported kernel is the EMA
     # track, and the EMA track differs from the live weights
