@@ -263,6 +263,23 @@ class TestYoloDelta:
         for g, w in zip(got, want):
             _close(g, w)
 
+    def test_truth_thresh_with_scale_xy_matches_jax_grad(self):
+        """The mt pass's xy branch switches to the scaled-sigmoid MSE
+        form when scale_x_y != 1 — the combination the plain
+        truth_thresh test never reaches."""
+        from yolo_tpu.train.loss import YoloLossConfig
+
+        rng = np.random.default_rng(14)
+        heads, targets, anchors, masks = _v3_setup(rng)
+        cfg = YoloLossConfig(truth_thresh=0.05, ignore_thresh=0.9)
+        kw = dict(scales=[1.1, 1.05])
+        want = yolo_delta_np(heads, targets, anchors, masks, 4, 64,
+                             cfg, **kw)
+        got = _yolo_jax_grad(heads, targets, anchors, masks, 4, 64,
+                             cfg, **kw)
+        for g, w in zip(got, want):
+            _close(g, w)
+
     def test_label_smooth_max_delta_normalizers_match_jax_grad(self):
         """label_smooth_eps targets, the max_delta box-cotangent clamp
         (threshold md/b on the batch-mean loss), and the modern
