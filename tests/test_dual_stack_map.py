@@ -687,7 +687,9 @@ def _read_darknet_weights_independent(path, layers, in_ch=3):
     outputs, Shortcut/YoloHead/Upsample/MaxPool preserve depth)."""
     import struct
 
-    from yolo_tpu.configs.specs import (Conv, MaxPool, Route, Shortcut,
+    from yolo_tpu.configs.specs import (Connected, Conv, Crop,
+                                        DetectionHead, Dropout, Local,
+                                        MaxPool, Route, Shortcut,
                                         Upsample, YoloHead)
 
     raw = open(path, "rb").read()
@@ -721,11 +723,39 @@ def _read_darknet_weights_independent(path, layers, in_ch=3):
             p["kernel"] = kern.transpose(2, 3, 1, 0)
             params.append(p)
             cur = oc
+        elif isinstance(layer, Connected):
+            # parser.c save_connected_weights: biases[out], then
+            # weights[out*in] ROW-MAJOR (out, in) — transposed here to
+            # (in, out); spatial [connected] reads the parse-pinned
+            # flattened feature count (weight size depends on it)
+            oc = layer.out
+            ic = (layer.in_features if layer.in_features is not None
+                  else cur)
+            p = {"bias": take(oc),
+                 "kernel": take(oc * ic).reshape(oc, ic).T.copy()}
+            params.append(p)
+            cur = oc
+        elif isinstance(layer, Local):
+            # format-derived [local] block (specs.Local): biases
+            # [filters*H'*W'] in CHW order -> (H', W', filters) here;
+            # then LOCATION-MAJOR (H', W', filters, in_c, k, k) filter
+            # blocks. Geometry (out_h/out_w/in_c) is the parse-pinned
+            # spec fields — the byte ORDER/reshapes are transcribed
+            # independently from the pinned format notes.
+            hh, ww = layer.out_h, layer.out_w
+            oc, icc, k = layer.filters, layer.in_c, layer.size
+            bias = take(oc * hh * ww).reshape(oc, hh, ww)
+            w = take(hh * ww * oc * icc * k * k).reshape(
+                hh, ww, oc, icc, k, k)
+            params.append({"bias": bias.transpose(1, 2, 0).copy(),
+                           "kernel": w})
+            cur = oc
         elif isinstance(layer, Route):
             refs = [r if r >= 0 else li + r for r in layer.layers]
             cur = sum(out_ch[r] // layer.groups for r in refs)
-        elif isinstance(layer, (MaxPool, Upsample, YoloHead, Shortcut)):
-            pass  # depth-preserving, weightless (plain shortcut only)
+        elif isinstance(layer, (MaxPool, Upsample, YoloHead, Shortcut,
+                                Crop, Dropout, DetectionHead)):
+            pass  # depth-preserving/weightless (plain shortcut only)
         else:
             raise NotImplementedError(type(layer).__name__)
         out_ch.append(cur)
@@ -756,11 +786,13 @@ def _rect_eval_images(tmp_path, rng, n=16):
 
 
 @pytest.mark.parametrize("family", ["region", "yolo", "gaussian",
-                                    "tree"])
+                                    "tree", "v1"])
 def test_dual_stack_map_trained_exported_weights(tmp_path, family):
     """region + yolo export through the full CLI; gaussian (the
-    interleaved 9+C head layout) and YOLO9000 tree (hierarchical class
-    channels) export through the same production building blocks
+    interleaved 9+C head layout), YOLO9000 tree (hierarchical class
+    channels), and yolov1 (the FORMAT-DERIVED [local]/[connected]
+    blocks — the weakest-pinned layout surface, reference absent)
+    export through the same production building blocks
     (ema_params_of -> dw.save — the CLI's EMA wiring is gated by the
     first two params + test_export_prefers_ema; a programmatic tree
     cfg has no tree= file for cfg text)."""
@@ -783,6 +815,13 @@ def test_dual_stack_map_trained_exported_weights(tmp_path, family):
         from tests.test_yolov3 import MICRO_V3 as cfg
     elif family == "gaussian":
         from tests.test_gaussian_yolo import MICRO_GAUSS as cfg
+    elif family == "v1":
+        from tests.test_yolov1 import V1_CFG
+        from yolo_tpu.configs.darknet_cfg import config_from_cfg
+
+        p = tmp_path / "v1.cfg"
+        p.write_text(V1_CFG)
+        cfg = config_from_cfg(str(p))
     else:
         cfg = _micro_tree_cfg(tmp_path).with_input_size(64)
 
@@ -796,6 +835,10 @@ def test_dual_stack_map_trained_exported_weights(tmp_path, family):
             grid=cfg.grid_size, anchors=cfg.anchors,
             num_classes=cfg.num_classes)
     else:
+        if family == "v1":
+            # the 4-scene classes run 0-3; the v1 micro has 3 classes
+            scenes = [(img, b, np.minimum(c, cfg.num_classes - 1))
+                      for img, b, c in scenes]
         enc = tgt.encode_batch_for(cfg, [s[1] for s in scenes],
                                    [s[2] for s in scenes])
     batch = {k: jnp.asarray(v) for k, v in enc.items()}
