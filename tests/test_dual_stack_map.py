@@ -678,13 +678,20 @@ def test_dual_stack_map_parity_yolov1(tmp_path):
 def _read_darknet_weights_independent(path, layers, in_ch=3):
     """Independent loop-level .weights reader for the trained-export
     gate (no io/darknet_weights import): 20-byte header (major 0,
-    minor 2: three int32 + int64 seen), then per [convolutional] in
-    file order — bias/beta (oc floats), then gamma/rolling-mean/
-    rolling-var (oc each) when batch-normalized, then the kernel in
-    darknet OIHW — transposed HERE to HWIO for the TF oracle. The
-    channel walk re-derives conv input depths across the micro
-    models' layer kinds (parse.c semantics: Route concats referenced
-    outputs, Shortcut/YoloHead/Upsample/MaxPool preserve depth)."""
+    minor 2: three int32 + int64 seen), then per WEIGHTED layer in
+    file order —
+      [convolutional]: bias/beta (oc floats), then gamma/rolling-mean/
+        rolling-var (oc each) when batch-normalized, then the kernel
+        in darknet OIHW — transposed HERE to HWIO for the TF oracle;
+      [connected]: bias[out], then weights[out*in] ROW-MAJOR (out, in)
+        — transposed to (in, out);
+      [local]: biases [filters*H'*W'] in CHW order -> (H', W',
+        filters), then LOCATION-MAJOR (H', W', filters, in_c, k, k)
+        filter blocks (the format-derived v1 layout).
+    The channel walk re-derives input depths across the micro models'
+    layer kinds (parse.c semantics: Route concats referenced outputs;
+    Shortcut/YoloHead/Upsample/MaxPool/Crop/Dropout/DetectionHead
+    preserve depth and carry no weights)."""
     import struct
 
     from yolo_tpu.configs.specs import (Connected, Conv, Crop,
