@@ -908,6 +908,83 @@ def test_dual_stack_map_trained_exported_weights(tmp_path, family):
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
 
 
+@pytest.mark.filterwarnings("ignore:invalid value encountered")
+def test_trained_export_gate_canary(tmp_path):
+    """Mutation canary for the trained-export gate (same standard as
+    the per-surface proxy canaries): a drifted byte walk — rolling
+    mean and var swapped in the independent parse, the kind of
+    field-order bug the gate exists to catch — must move the TF
+    stack's mAP off the JAX stack's by more than the 2e-3 gate. (The
+    swapped 'var' can be a negative trained mean, so the drifted
+    stack's BN may NaN — a legitimate, loud trip; the warning filter
+    covers the oracle softmax on those NaNs.) Run on a shortened
+    region-family chain (the full chain is gated by
+    test_dual_stack_map_trained_exported_weights)."""
+    import jax
+
+    from tests.test_map_integration import _dataset
+    from tests.test_train import MICRO as cfg
+    from yolo_tpu.data import targets as tgt
+    from yolo_tpu.eval.runner import collect_detections
+    from yolo_tpu.eval.voc_map import evaluate
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.models import graph
+    from yolo_tpu.train.loop import (TrainConfig, ema_params_of,
+                                     init_state, make_train_step)
+
+    scenes = _dataset()
+    enc = tgt.encode_batch([s[1] for s in scenes],
+                           [s[2] for s in scenes],
+                           grid=cfg.grid_size, anchors=cfg.anchors,
+                           num_classes=cfg.num_classes)
+    batch = {k: jnp.asarray(v) for k, v in enc.items()}
+    batch["images"] = jnp.asarray(np.stack([s[0] for s in scenes]))
+    tcfg = TrainConfig(learning_rate=3e-3, optimizer="adam",
+                       weight_decay=0.0, ema_alpha=0.9)
+    state = init_state(dw.random_params(cfg.layers,
+                                        np.random.default_rng(0)), tcfg)
+    step = make_train_step(cfg, tcfg)
+    for _ in range(300):
+        state, _ = step(state, batch)
+    wpath = str(tmp_path / "t.weights")
+    dw.save(wpath, cfg.layers,
+            [{k: np.asarray(v) for k, v in p.items()}
+             for p in jax.device_get(ema_params_of(state))])
+
+    params_tf, _ = _read_darknet_weights_independent(wpath, cfg.layers)
+    samples = _rect_eval_images(tmp_path, np.random.default_rng(5))
+    eval_conf = 0.01
+    folded = graph.params_to_jax(graph.fold_params(
+        cfg.layers, dw.load(wpath, cfg.layers)[0], cfg.bn_eps))
+    dets_jax = collect_detections(
+        cfg, folded, [(p, None) for p, _ in samples], batch=8,
+        eval_conf=eval_conf, compute_dtype=jnp.float32)
+    assert sum(len(v) for v in dets_jax.values()) > 20
+    gt = _synth_gt(dets_jax, samples, np.random.default_rng(7),
+                   cfg.num_classes)
+    map_jax = evaluate(dets_jax, gt, cfg.num_classes,
+                       use_07_metric=True)["map"]
+
+    # aligned parse agrees (the gate itself, abbreviated)
+    dets_tf = _tf_collect(cfg, params_tf, samples, eval_conf)
+    map_tf = _voc_map_oracle(dets_tf, gt, cfg.num_classes)
+    assert abs(map_jax - map_tf) < 2e-3, (map_jax, map_tf)
+
+    # drifted parse: swap the rolling mean/var fields (a field-order
+    # byte-walk bug) — the gate must trip
+    bad = []
+    for p in params_tf:
+        q = dict(p)
+        if "mean" in q:
+            q["mean"], q["var"] = q["var"], q["mean"]
+        bad.append(q)
+    dets_bad = _tf_collect(cfg, bad, samples, eval_conf)
+    map_bad = _voc_map_oracle(dets_bad, gt, cfg.num_classes)
+    assert abs(map_jax - map_bad) > 2e-3, (
+        f"trained-export gate NOT sensitive: aligned {map_jax:.6f} "
+        f"vs mean/var-swapped {map_bad:.6f}")
+
+
 def _micro_tree_cfg(tmp_path, with_map=False):
     from tests.test_tree import TREE_TEXT
     from yolo_tpu.configs.specs import Conv, ModelConfig
