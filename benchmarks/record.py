@@ -135,23 +135,18 @@ def compare_metrics(current, records_dir, before_round=None,
 # metric runners (real chip)
 # ---------------------------------------------------------------------------
 
-def _sync_scalar(leaf):
-    """Relay-safe sync: a device->host fetch (block_until_ready is a
-    no-op on the axon relay — CLAUDE.md)."""
-    import jax
-
-    jax.block_until_ready(leaf)
-    return float(np.asarray(leaf).reshape(-1)[0])
-
-
 def _throughput(call, out_leaf, batch, iters, warmup):
+    # the ONE relay-safe sync recipe (utils/profiling.sync — CLAUDE.md:
+    # block_until_ready alone does not wait on the axon relay)
+    from yolo_tpu.utils.profiling import sync
+
     for _ in range(warmup):
-        _sync_scalar(out_leaf(call()))
+        sync(out_leaf(call()))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = call()          # async dispatch pipelines iterations
-    _sync_scalar(out_leaf(out))
+    sync(out_leaf(out))
     return batch * iters / (time.perf_counter() - t0)
 
 

@@ -579,3 +579,72 @@ def test_multi_scale_with_worker_processes(tmp_path):
     for g, w in zip(got, it0):
         for k in g:
             np.testing.assert_array_equal(g[k], w[k], err_msg=k)
+
+
+def test_multi_scale_flags_require_multi_scale(tmp_path):
+    """--multi-scale-sizes/--multi-scale-every without --multi-scale
+    (or cfg random=1) reject loudly — silently storing a validated
+    cadence nothing uses hid the dropped request (code-review r5)."""
+    from yolo_tpu import cli
+
+    with pytest.raises(SystemExit, match="have no effect"):
+        cli.main(["train", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", "w.weights", "--voc-root",
+                  str(tmp_path), "--multi-scale-sizes", "64,96"])
+    with pytest.raises(SystemExit, match="have no effect"):
+        cli.main(["train", "--model", "tiny-voc", "--input-size", "96",
+                  "--weights", "w.weights", "--voc-root",
+                  str(tmp_path), "--multi-scale-every", "5"])
+
+
+@pytest.mark.slow
+def test_cli_grain_multi_scale_resume_without_grain_file(tmp_path,
+                                                         capsys):
+    """Resume WITHOUT the .grain data-position file: the data stream
+    restarts, but the size ladder must stay keyed on the ABSOLUTE
+    model step — a base=0 restart would silently desync the ladder of
+    all later resumes from the run's documented size-for-step mapping
+    (code-review r5)."""
+    import json
+    import os
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import darknet_weights as dw
+    from yolo_tpu.train.loop import pick_scale_indexed
+
+    cfg = get_variant("tiny-voc")
+    w = tmp_path / "init.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=16, size=(80, 90))
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    common = ["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", str(w), "--voc-root", root, "--loader",
+              "grain", "--split", "train", "--batch", "8", "--lr",
+              "1e-4", "--precision", "fp32", "--checkpoint-dir", ckdir,
+              "--checkpoint-every", "1", "--log-every", "1",
+              "--log-file", os.path.join(ckdir, "train_log.jsonl"),
+              "--multi-scale", "--multi-scale-sizes", "64,96",
+              "--multi-scale-every", "1", "--seed", "1"]
+    with pytest.raises(SystemExit, match="fail-after-step"):
+        cli.main(common + ["--fail-after-step", "1", "--epochs", "2"])
+    os.remove(os.path.join(ckdir, "step_1.grain"))
+
+    cli.main(common + ["--resume", os.path.join(ckdir, "step_1"),
+                       "--epochs", "2"])
+    err = capsys.readouterr().err
+    assert "grain iterator restarts from the beginning" in err
+    # steps 2..4 still follow the ABSOLUTE indexed ladder (bi=1..3),
+    # exactly as a .grain-carrying resume would
+    want = {s: pick_scale_indexed(s - 1, 1, 1, (64, 96))
+            for s in (2, 3, 4)}
+    got = {}
+    with open(os.path.join(ckdir, "train_log.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if "size" in d:
+                got[d["step"]] = d["size"]
+    assert {s: got[s] for s in (2, 3, 4)} == want

@@ -201,6 +201,14 @@ def cmd_train(args) -> None:
                 print("cfg random=1: multi-scale training enabled "
                       "(darknet 320..608 every 10 batches)",
                       file=sys.stderr)
+    if not args.multi_scale and (args.multi_scale_sizes
+                                 or args.multi_scale_every is not None):
+        # silently storing a validated cadence that nothing uses is
+        # worse than refusing (code-review r5)
+        raise SystemExit(
+            "--multi-scale-sizes/--multi-scale-every have no effect "
+            "without --multi-scale (or a cfg with random=1) — add "
+            "--multi-scale or drop the flags")
     from yolo_tpu.train.loss import (YoloLossConfig,
                                      region_loss_config)
 
@@ -389,18 +397,23 @@ def cmd_train(args) -> None:
             if os.path.exists(gpath):
                 with open(gpath, "rb") as f:
                     grain_iter.set_state(f.read())
-                if size_at is not None:
-                    # pulls after restore are absolute steps
-                    # start_step, start_step+1, ... — the multi-scale
-                    # iterator resolves each pull's bucket from
-                    # base + pull_index
-                    grain_iter.base = start_step
                 print(f"restored grain data-iterator position from "
                       f"{gpath}", file=sys.stderr)
             else:
                 print(f"no {gpath}: grain iterator restarts from the "
                       f"beginning (model state still resumed)",
                       file=sys.stderr)
+            if size_at is not None:
+                # pulls after restore are absolute steps start_step,
+                # start_step+1, ... — the multi-scale iterator
+                # resolves each pull's bucket from base + pull_index.
+                # Set the base EVEN when the .grain file is missing:
+                # the ladder is keyed on the absolute model step, so
+                # every resume (with or without a data position)
+                # reproduces the same size-for-step mapping — a
+                # base=0 restart here would silently desync the
+                # ladder of all LATER resumes (code-review r5)
+                grain_iter.base = start_step
 
     def _save_ckpt(name: str) -> str:
         """orbax model/opt state + (grain) the matching data position:
