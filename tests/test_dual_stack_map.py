@@ -137,7 +137,8 @@ def _protocol_nms(boxes, scores, conf, iou, *, top_k=128, max_det=100):
 
 
 def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
-                use_tree_map=False, nms_fn=None, zero_pad_origin=False):
+                use_tree_map=False, nms_fn=None, zero_pad_origin=False,
+                swap_stretch_axes=False):
     """{img_id: [(cls, score, x1, y1, x2, y2) source pixels]} through
     the TF stack only — oracle letterbox OR stretch geometry.
 
@@ -191,7 +192,10 @@ def _tf_collect(cfg, params, samples, eval_conf, resize="letterbox",
             continue
         kb = np.stack([k[0] for k in kept])
         if resize == "stretch":
-            xyxy = npr.unstretch_boxes(kb, src_w, src_h)
+            if swap_stretch_axes:
+                xyxy = npr.unstretch_boxes(kb, src_h, src_w)
+            else:
+                xyxy = npr.unstretch_boxes(kb, src_w, src_h)
         else:
             scale, rh, rw, px, py = letterbox_geometry(src_h, src_w,
                                                        (net_h, net_w))
@@ -480,8 +484,35 @@ def test_dual_stack_map_parity_stretch(tmp_path, rect):
         cfg = cfg.with_input_hw(256, 416)
     dets_jax, dets_tf, gt = _run_stacks(
         tmp_path, cfg, resize="stretch",
-        n_images=max(24, N_IMAGES // 2))
+        n_images=max(24, N_IMAGES // 2),
+        key=None if rect else "stretch")
     _assert_voc_parity(cfg, dets_jax, dets_tf, gt)
+
+
+def test_proxy_sensitivity_canary_stretch(tmp_path):
+    """Stretch-geometry mutation canary (completes the per-surface
+    set: decode / NMS / letterbox / stretch): swapping the source
+    w/h in the TF stack's unstretch — a transposed-axes bug —
+    rescales every box by the aspect ratio, so IoU matches against
+    the aligned-protocol gt flip and the dual-stack delta must clear
+    the 2e-3 gate (the variable-aspect eval images make the swap
+    non-neutral)."""
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.eval.voc_map import evaluate
+
+    cfg = get_variant("tiny-voc", input_size=416)
+    dets_jax, _dets_tf, gt = _run_stacks(
+        tmp_path, cfg, resize="stretch",
+        n_images=max(24, N_IMAGES // 2), key="stretch")
+    map_jax = evaluate(dets_jax, gt, cfg.num_classes,
+                       use_07_metric=True)["map"]
+    _, _, _, params, samples = _RUN_CACHE["stretch"]
+    dets_bad = _tf_collect(cfg, params, samples, EVAL_CONF,
+                           resize="stretch", swap_stretch_axes=True)
+    map_bad = _voc_map_oracle(dets_bad, gt, cfg.num_classes)
+    assert abs(map_jax - map_bad) > 2e-3, (
+        f"stretch canary NOT sensitive: aligned {map_jax:.6f} vs "
+        f"axes-swapped {map_bad:.6f}")
 
 
 def test_dual_stack_map_parity_rect(tmp_path):
