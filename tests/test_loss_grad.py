@@ -60,12 +60,14 @@ def _region_scene(rng, b, s, c, anchors=ANCHORS3):
 
 
 class TestRegionDelta:
-    @pytest.mark.parametrize("seen,rescore", [(0, True), (20000, True),
-                                              (0, False)])
-    def test_matches_jax_grad(self, seen, rescore):
+    @pytest.mark.parametrize("seen,rescore,seed",
+                             [(0, True, 11), (20000, True, 11),
+                              (0, False, 11), (0, True, 77),
+                              (20000, False, 202)])
+    def test_matches_jax_grad(self, seen, rescore, seed):
         from yolo_tpu.train.loss import LossConfig, region_loss
 
-        rng = np.random.default_rng(11)
+        rng = np.random.default_rng(seed)
         b, s, c = 2, 4, 4
         cfg = LossConfig(rescore=rescore)
         logits = rng.normal(0, 1, (b, s, s, 3 * (5 + c))).astype(
@@ -164,10 +166,14 @@ def _yolo_jax_grad(heads, targets, anchors, masks, c, net, cfg, **kw):
 
 
 class TestYoloDelta:
-    def test_base_v3_matches_jax_grad(self):
+    @pytest.mark.parametrize("seed", [4, 21, 1234])
+    def test_base_v3_matches_jax_grad(self, seed):
+        """Multi-seed: the assignment masks, ignore gates, and gt
+        counts all vary with the draw — three independent scenes pin
+        the delta formulas at genuinely different randomized points."""
         from yolo_tpu.train.loss import YoloLossConfig
 
-        rng = np.random.default_rng(4)
+        rng = np.random.default_rng(seed)
         heads, targets, anchors, masks = _v3_setup(rng)
         cfg = YoloLossConfig()
         want = yolo_delta_np(heads, targets, anchors, masks, 4, 64, cfg)
