@@ -648,3 +648,45 @@ def test_cli_grain_multi_scale_resume_without_grain_file(tmp_path,
             if "size" in d:
                 got[d["step"]] = d["size"]
     assert {s: got[s] for s in (2, 3, 4)} == want
+
+
+@pytest.mark.slow
+def test_cli_grain_grad_accum_multi_scale_compose(tmp_path):
+    """Three features composed through one CLI run: --loader grain +
+    --grad-accum (interleaved sub-batches, chained BN stats) +
+    --multi-scale (bucketed loaders) — the composition no single
+    test exercised. Two epochs complete with per-bucket jit shapes
+    and a final checkpoint."""
+    import json
+    import os
+
+    from tests.test_data_eval import make_voc_root
+    from yolo_tpu import cli
+    from yolo_tpu.configs import get_variant
+    from yolo_tpu.io import checkpoint as ckpt
+    from yolo_tpu.io import darknet_weights as dw
+
+    cfg = get_variant("tiny-voc")
+    w = tmp_path / "init.weights"
+    dw.save(str(w), cfg.layers,
+            dw.random_params(cfg.layers, np.random.default_rng(0)))
+    root = make_voc_root(tmp_path, n_images=16, size=(80, 90))
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    cli.main(["train", "--model", "tiny-voc", "--input-size", "96",
+              "--weights", str(w), "--voc-root", root, "--loader",
+              "grain", "--split", "train", "--batch", "16",
+              "--grad-accum", "2", "--lr", "1e-4", "--precision",
+              "fp32", "--checkpoint-dir", ckdir, "--log-every", "1",
+              "--log-file", os.path.join(ckdir, "log.jsonl"),
+              "--multi-scale", "--multi-scale-sizes", "64,96",
+              "--multi-scale-every", "1", "--seed", "1",
+              "--epochs", "2"])
+    final = ckpt.restore(os.path.join(ckdir, "final"))
+    assert int(np.asarray(final["step"])) == 2  # 2 epochs x 16/16
+    sizes = [json.loads(l)["size"] for l in
+             open(os.path.join(ckdir, "log.jsonl")) if "size" in l]
+    from yolo_tpu.train.loop import pick_scale_indexed
+
+    assert sizes == [float(pick_scale_indexed(b, 1, 1, (64, 96)))
+                     for b in range(2)]
