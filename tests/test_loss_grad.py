@@ -449,16 +449,17 @@ class TestDetectionDelta:
                for bx, cl in zip(boxes, classes)]
         return {k: np.stack([e[k] for e in enc]) for k in enc[0]}
 
-    @pytest.mark.parametrize("sqrt,rescore", [(True, True),
-                                              (False, False)])
-    def test_matches_jax_grad(self, sqrt, rescore):
+    @pytest.mark.parametrize("sqrt,rescore,seed",
+                             [(True, True, 5), (False, False, 5),
+                              (True, True, 91), (False, False, 303)])
+    def test_matches_jax_grad(self, sqrt, rescore, seed):
         from yolo_tpu.configs.specs import DetectionHead
         from yolo_tpu.train.loss import detection_loss
 
         head = DetectionHead(side=4, num=2, classes=3, sqrt=sqrt,
                              rescore=rescore, coord_scale=5.0,
                              noobject_scale=0.5)
-        rng = np.random.default_rng(5)
+        rng = np.random.default_rng(seed)
         targets = self._encoded(rng)
         flat = rng.uniform(0.05, 1, (2, 4 * 4 * (3 + 2 * 5))).astype(
             np.float32)
